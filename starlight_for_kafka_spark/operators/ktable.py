@@ -1,0 +1,58 @@
+"""KTable / GlobalKTable — changelog tables and stream–table joins.
+
+Reference workloads (its own test suite):
+  * KTable = changelog: latest value per key, restored after restart
+    (tests/.../streams/KTableTest.java:80-109)
+  * KStream ⋈ GlobalKTable inner/left with re-keying KeyValueMapper
+    (tests/.../streams/GlobalKTableTest.java:94,130,167)
+
+Spark-first: a KTable over a log is a latest-wins aggregation (the same
+``max_by`` shape as offset-log compaction); a GlobalKTable join is a
+broadcast stream–static join — Catalyst's broadcast hash join IS the
+"global table replicated to every instance" semantics, executor-local with
+no shuffle of the stream side, which is exactly what scales at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ktable_latest(
+    log: DataFrame, key_cols: list[str], order_cols: list[str] | None = None
+) -> DataFrame:
+    """Materialize the KTable view: latest record per key in log order
+    (KTableTest.java:80 — k writes to one key yield the last value).
+    Tombstones (null value) delete the key, matching compacted-topic
+    semantics (KopLogValidator.validateKey:446 requires keys for this)."""
+    order_cols = order_cols or ["partition", "offset"]
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    latest = (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return latest.filter(F.col("value").isNotNull())
+
+
+def stream_global_table_join(
+    stream: DataFrame,
+    table: DataFrame,
+    key_mapper: Column,
+    table_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """KStream ⋈ GlobalKTable (GlobalKTableTest.java:94 inner, :130 left):
+    re-key the stream with ``key_mapper`` (the KeyValueMapper), broadcast
+    the table, join. ``how`` ∈ {inner, left}."""
+    keyed = stream.withColumn("__join_key", key_mapper)
+    return keyed.join(
+        F.broadcast(table), keyed["__join_key"] == table[table_key], how
+    ).drop("__join_key")
+
+
+def table_table_join(left: DataFrame, right: DataFrame, on, how: str = "inner") -> DataFrame:
+    """KTable ⋈ KTable: both sides are latest-wins views; a plain relational
+    join once materialized. Catalyst picks broadcast vs sort-merge by size."""
+    return left.join(right, on, how)

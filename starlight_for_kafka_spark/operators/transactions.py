@@ -1,0 +1,152 @@
+"""Transactions / exactly-once as DataFrame operators.
+
+Reference semantics:
+  * producer idempotence: per-partition (pid, epoch, seq) tracking, duplicate
+    sequence drop (kafka-impl/.../storage/ProducerStateManager.java,
+    PartitionLog.analyzeAndValidateProducerState:436-470)
+  * aborted-txn index: list of (pid, firstOffset, lastOffset) per partition
+    (storage/AbortedTxn.java; served at PartitionLog.java:476-478)
+  * read-committed fetch: filter at last-stable-offset = first undecided txn
+    offset, and drop aborted ranges (PartitionLog.java:610-624, 690-712)
+  * coordinator state machine EMPTY→ONGOING→PREPARE→COMPLETE
+    (coordinator/transaction/TransactionCoordinator.java:658,
+     TransactionState.java:19-69)
+
+Spark-first: transactions are data. A txn log carries (pid, epoch, seq,
+txn_status ∈ {commit, abort, open}); the aborted index is an aggregation;
+read-committed is an LSO cutoff + broadcast anti-join against aborted
+ranges. In streaming, Delta/exactly-once sinks make commit/abort a
+batch-atomicity property (foreachBatch), so markers exist only to serve
+read-committed over historical data — exactly the shape below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TXN_SIZE = 10  # records per synthetic transaction in the derived fixture
+
+
+def derive_txn_log(log: DataFrame, n_pids: int = 16) -> DataFrame:
+    """Deterministic txn-annotated log from a LogTable DataFrame (fixture
+    F6): pid from the record key, dense seq per pid in (partition, offset)
+    order, transactions of TXN_SIZE records, outcome decided by
+    (pid + txn_group) mod — yielding interleaved committed / aborted / open
+    transactions across partitions."""
+    pid = (F.col("key").cast("string").cast("long") % n_pids).alias("pid")
+    w = Window.partitionBy("pid").orderBy("partition", "offset")
+    df = (
+        log.withColumn("pid", pid)
+        .withColumn("epoch", F.lit(0).cast("int"))
+        .withColumn("seq", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("txn_group", (F.col("seq") / TXN_SIZE).cast("long"))
+    )
+    status = (
+        F.when((F.col("pid") + F.col("txn_group")) % 7 == 0, F.lit("abort"))
+        .when((F.col("pid") + F.col("txn_group")) % 11 == 3, F.lit("open"))
+        .otherwise(F.lit("commit"))
+    )
+    return df.withColumn("txn_status", status)
+
+
+def aborted_txn_index(txn_log: DataFrame) -> DataFrame:
+    """Build the aborted-txn index: per (partition, pid, txn_group) the
+    [first_offset, last_offset] span of aborted records (reference
+    storage/AbortedTxn.java — same triple, persisted per partition)."""
+    return (
+        txn_log.filter(F.col("txn_status") == "abort")
+        .groupBy("partition", "pid", "txn_group")
+        .agg(
+            F.min("offset").alias("first_offset"),
+            F.max("offset").alias("last_offset"),
+        )
+    )
+
+
+def last_stable_offsets(txn_log: DataFrame) -> DataFrame:
+    """LSO per partition = first offset of any still-open txn, else
+    high-watermark (max offset + 1) (PartitionLog.firstUndecidedOffset,
+    storage/PartitionLog.java:610-624,698-699)."""
+    return txn_log.groupBy("partition").agg(
+        F.coalesce(
+            F.min(F.when(F.col("txn_status") == "open", F.col("offset"))),
+            F.max("offset") + 1,
+        ).alias("last_stable_offset")
+    )
+
+
+def read_committed(txn_log: DataFrame) -> DataFrame:
+    """READ_COMMITTED scan: keep rows below the partition LSO that do not
+    fall in any aborted (pid, offset-range) (PartitionLog.handleEntries LSO
+    filter :690-712 + aborted-index anti-join).
+
+    Scale: both the LSO table (num_partitions rows) and the aborted index
+    (num aborted txns) are small relative to the log — broadcast joins, so
+    the scan stays a single pass with no extra shuffle of the big side.
+    """
+    lso = last_stable_offsets(txn_log)
+    aborted = aborted_txn_index(txn_log).select(
+        F.col("partition").alias("a_partition"),
+        F.col("pid").alias("a_pid"),
+        "first_offset",
+        "last_offset",
+    )
+    below_lso = txn_log.join(F.broadcast(lso), "partition").filter(
+        F.col("offset") < F.col("last_stable_offset")
+    )
+    cond = (
+        (F.col("partition") == F.col("a_partition"))
+        & (F.col("pid") == F.col("a_pid"))
+        & F.col("offset").between(F.col("first_offset"), F.col("last_offset"))
+    )
+    return below_lso.join(F.broadcast(aborted), cond, "left_anti").drop(
+        "last_stable_offset"
+    )
+
+
+def read_uncommitted(txn_log: DataFrame) -> DataFrame:
+    """READ_UNCOMMITTED: everything, open txns included (the plain fetch)."""
+    return txn_log
+
+
+def idempotent_dedupe(records: DataFrame) -> DataFrame:
+    """Producer idempotence: drop duplicate (pid, epoch, seq) retries,
+    keeping the first appended copy (reference ProducerStateManager
+    duplicate-sequence check, ProducerAppendInfo; reference fences on epoch
+    and checks seq continuity — here replayed as a log-order dedupe).
+
+    Batch form: row_number over the append order. Streaming form:
+    ``dropDuplicatesWithinWatermark(["pid","epoch","seq"])`` (see
+    streaming/stream_ops.py) bounds the state the same way the reference's
+    producer-state snapshots bound recovery (PartitionLog.takeProducerSnapshot:1194).
+    """
+    w = Window.partitionBy("pid", "epoch", "seq").orderBy("partition", "offset")
+    return (
+        records.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def describe_producers(txn_log: DataFrame) -> DataFrame:
+    """DESCRIBE_PRODUCERS (KafkaRequestHandler.java:2032,
+    PartitionLog.activeProducerState:1219): per (partition, pid) the last
+    sequence, last offset, and record count."""
+    return txn_log.groupBy("partition", "pid").agg(
+        F.max("epoch").alias("producer_epoch"),
+        F.max("seq").alias("last_sequence"),
+        F.max("offset").alias("last_offset"),
+        F.count("*").alias("n_records"),
+    )
+
+
+def list_transactions(txn_log: DataFrame) -> DataFrame:
+    """LIST_TRANSACTIONS (KafkaRequestHandler.java:2125-2160): one row per
+    (pid, txn_group) with state and span."""
+    return txn_log.groupBy("pid", "txn_group").agg(
+        F.max("txn_status").alias("txn_status"),
+        F.min("offset").alias("first_offset"),
+        F.max("offset").alias("last_offset"),
+        F.count("*").alias("n_records"),
+    )

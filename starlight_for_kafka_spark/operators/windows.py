@@ -1,0 +1,139 @@
+"""Keyed / windowed / session aggregation — the Kafka Streams workloads the
+reference proves it supports (tests/.../streams/KStreamAggregationTest.java):
+
+  * groupBy(selector).reduce / .aggregate / .count   (:117-140, :242-287, :395)
+  * tumbling-window reduce/aggregate/count           (:178-179, :283-287, :421)
+  * session windows (inactivity gap + grace) count/reduce (:450-621)
+
+Batch forms here; streaming forms (withWatermark + window/session_window)
+in streaming/stream_ops.py. All are built-in Spark aggregations — one
+shuffle on the grouping key, map-side partial aggregation, whole-stage
+codegen; nothing custom needed at 100 TB beyond key-skew handling (AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keyed_count(df: DataFrame, *keys: str | Column) -> DataFrame:
+    """KGroupedStream.count (KStreamAggregationTest.java:395-421)."""
+    return df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+
+
+def keyed_reduce(df: DataFrame, keys: list, reduce_exprs: list[Column]) -> DataFrame:
+    """KGroupedStream.reduce — an associative combine per key
+    (KStreamAggregationTest.java:117-140). Reduce = any associative agg;
+    callers pass e.g. sum/min/max/concat-in-order columns."""
+    return df.groupBy(*keys).agg(*reduce_exprs)
+
+
+def keyed_aggregate(
+    df: DataFrame, keys: list, initializer_and_adder_exprs: list[Column]
+) -> DataFrame:
+    """KGroupedStream.aggregate with custom init+adder
+    (KStreamAggregationTest.java:242-287): expressible as agg expressions
+    whenever the adder is associative; arbitrary adders go through
+    applyInPandas (slow path, kept off the hot path by design)."""
+    return df.groupBy(*keys).agg(*initializer_and_adder_exprs)
+
+
+def tumbling_window(
+    df: DataFrame, ts_col: str, duration: str, keys: list | None = None
+) -> DataFrame:
+    """Epoch-aligned tumbling windows (TimeWindows.of, reference test :178).
+    Returns the grouped frame's window bounds as explicit columns so callers
+    aggregate over them.
+    """
+    keys = keys or []
+    return df.groupBy(F.window(F.col(ts_col), duration).alias("win"), *keys)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list,
+    aggs: list[Column],
+    emit_epoch_ms: bool = True,
+) -> DataFrame:
+    """Tumbling-window aggregate. ``emit_epoch_ms`` projects window start/end
+    as epoch millis (stable across engines for oracle comparison)."""
+    grouped = df.groupBy(F.window(F.col(ts_col), duration).alias("win"), *keys)
+    out = grouped.agg(*aggs)
+    if emit_epoch_ms:
+        out = out.withColumn(
+            "window_start_ms", (F.unix_micros(F.col("win.start")) / 1000).cast("long")
+        ).withColumn(
+            "window_end_ms", (F.unix_micros(F.col("win.end")) / 1000).cast("long")
+        )
+    return out.drop("win")
+
+
+def session_windows_batch(
+    df: DataFrame, key_cols: list[str], ts_col: str, gap_ms: int
+) -> DataFrame:
+    """Batch sessionization with inactivity gap (SessionWindows.with,
+    reference test :450-548): a new session starts when the gap to the
+    previous event of the same key exceeds ``gap_ms``.
+
+    Implemented as lag + running sum of boundary flags — one shuffle on the
+    key, no UDF. Equivalent to streaming ``session_window`` final results
+    (streaming form in streaming/stream_ops.py; grace periods map to
+    ``withWatermark``). Assigns a per-(key, session) ``session_id``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    ts_ms = (F.unix_micros(F.col(ts_col)) / 1000).cast("long")
+    prev_ms = F.lag(ts_ms).over(w)
+    new_session = F.when(
+        prev_ms.isNull() | ((ts_ms - prev_ms) > gap_ms), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn("__boundary", new_session).withColumn(
+        "session_id",
+        F.sum("__boundary").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).drop("__boundary")
+
+
+def session_window_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_ms: int,
+    aggs: list[Column],
+) -> DataFrame:
+    """Session-window aggregate: sessionize, then aggregate per (key,
+    session) adding the session bounds (start/end epoch ms) — mirrors the
+    Windowed<K> result keys of shouldCountSessionWindows (reference test
+    :450-548)."""
+    ses = session_windows_batch(df, key_cols, ts_col, gap_ms)
+    ts_ms = (F.unix_micros(F.col(ts_col)) / 1000).cast("long")
+    return ses.groupBy(*key_cols, "session_id").agg(
+        F.min(ts_ms).alias("session_start_ms"),
+        F.max(ts_ms).alias("session_end_ms"),
+        *aggs,
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list,
+    aggs: list[Column],
+) -> DataFrame:
+    """Hopping windows (TimeWindows.of(...).advanceBy(...)) — each event lands
+    in duration/slide windows; Spark's window(..., slide) expands them."""
+    grouped = df.groupBy(
+        F.window(F.col(ts_col), duration, slide).alias("win"), *keys
+    )
+    return (
+        grouped.agg(*aggs)
+        .withColumn(
+            "window_start_ms", (F.unix_micros(F.col("win.start")) / 1000).cast("long")
+        )
+        .drop("win")
+    )

@@ -1,0 +1,89 @@
+"""SparkSession factory + testdata loaders.
+
+The driver's synthetic parquet stores timestamps as TIMESTAMP(NANOS), which
+Spark's vectorized parquet reader rejects. We read them as raw nanos longs
+(``spark.sql.legacy.parquet.nanosAsLong``) and convert with integer division
+(``DIV 1000`` — exact; a double divide would lose ~256 ns of precision at
+2024-epoch nanos and could flip a microsecond boundary vs DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Timestamp-typed (nanos at rest) columns per testdata table.
+_NANO_TS_COLS: dict[str, list[str]] = {
+    "events": ["ts"],
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+}
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def get_session(
+    app: str = "starlight_for_kafka_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build the engine session with scale-oriented defaults.
+
+    AQE on (runtime coalesce + skew-join splitting), UTC timezone (oracle
+    parity), Arrow enabled (fast Pandas-UDF path). On a real cluster the
+    master/shuffle settings come from spark-submit; these defaults target
+    local[N] testing.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+def _fix_nanos(df: DataFrame, cols: list[str]) -> DataFrame:
+    for c in cols:
+        field = df.schema[c]
+        if isinstance(field.dataType, T.LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing nanos-long columns to timestamps."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _fix_nanos(df, _NANO_TS_COLS.get(name, []))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (SQL entry point)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,7 @@
+from starlight_for_kafka_spark.sources.logtable import (
+    KAFKA_RECORD_SCHEMA,
+    LogTable,
+    validate_records,
+)
+
+__all__ = ["KAFKA_RECORD_SCHEMA", "LogTable", "validate_records"]

@@ -1,0 +1,262 @@
+"""LogTable — the partitioned, offset-addressed, append-only log.
+
+Reference semantics (datastax/starlight-for-kafka):
+  * record shape: key/value bytes, headers, timestamp
+    (kafka-impl/.../utils/ByteBufUtils.java:172-278)
+  * dense per-partition offsets assigned at append
+    (kafka-impl/.../storage/PartitionLog.java:487-548,
+     utils/KopLogValidator.java:339 buildRecordsAndAssignOffsets)
+  * FETCH = cursor read from an offset, bounded record count
+    (storage/PartitionLog.java:554-812)
+  * LIST_OFFSETS earliest/latest/by-timestamp
+    (KafkaRequestHandler.java:1279-1623, utils/OffsetFinder.java:42)
+  * DELETE_RECORDS truncate-before (KafkaRequestHandler.java:2849-2908)
+  * record validation (utils/KopLogValidator.java:378-474)
+
+Spark-first design: a LogTable is just a DataFrame with the Kafka source
+schema. Offsets are data (a column), not broker state, so every protocol
+operation becomes a declarative plan Catalyst can optimize:
+
+  * append offset assignment = per-partition ``row_number`` over the incoming
+    microbatch + a broadcast join against the current high watermarks (one
+    tiny aggregate). No global coordination — exactly the reference's
+    per-partition ordering model (PendingTopicFutures.java), but expressed
+    as a shuffle-by-partition-key, which scales to any partition count.
+  * fetch = ``filter(partition & offset range)``; with the log stored as
+    parquet partitioned by ``partition`` and sorted by ``offset``, this is
+    partition-pruned + min/max-pruned at the scan — no full-table read even
+    at 100 TB.
+  * LIST_OFFSETS by time = min(offset) over ``timestamp >= ts``; parquet
+    footer stats make this a near-index lookup, mirroring the reference's
+    ledger binary search (OffsetFinder.java).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KAFKA_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField(
+            "headers",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType(), False),
+                        T.StructField("value", T.BinaryType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+    ]
+)
+
+LOG_COLUMNS = [f.name for f in KAFKA_RECORD_SCHEMA.fields]
+
+
+class LogTable:
+    """A partitioned offset-addressed log as a DataFrame.
+
+    Wraps a DataFrame with KAFKA_RECORD_SCHEMA columns. All operations are
+    lazy DataFrame transforms; nothing collects to the driver except the
+    (num_partitions)-row high-watermark map used by ``append``.
+    """
+
+    def __init__(self, df: DataFrame):
+        missing = [c for c in LOG_COLUMNS if c not in df.columns]
+        if missing:
+            raise ValueError(f"not a log table, missing columns: {missing}")
+        self.df = df
+
+    # ------------------------------------------------------------------ #
+    # construction
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def from_events(events: DataFrame, num_partitions: int = 8) -> "LogTable":
+        """Deterministically ingest the testdata ``events`` table as a log.
+
+        This is the PRODUCE path run as one batch: route each record to a
+        partition by key (user_id), then assign dense per-partition offsets
+        in arrival (event_id) order — the Spark analog of
+        KopLogValidator.buildRecordsAndAssignOffsets (reference
+        utils/KopLogValidator.java:339).
+        """
+        w = Window.partitionBy("partition").orderBy("event_id")
+        return LogTable(
+            events.select(
+                F.col("user_id").cast("string").cast("binary").alias("key"),
+                F.col("props").cast("binary").alias("value"),
+                F.array(
+                    F.struct(
+                        F.lit("event_type").alias("key"),
+                        F.col("event_type").cast("binary").alias("value"),
+                    )
+                ).alias("headers"),
+                F.col("ts").alias("timestamp"),
+                (F.col("user_id") % num_partitions).cast("int").alias("partition"),
+                F.col("event_id"),
+            )
+            .withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+            .drop("event_id")
+            .select(*LOG_COLUMNS)
+        )
+
+    @staticmethod
+    def read(spark: SparkSession, path: str) -> "LogTable":
+        return LogTable(spark.read.parquet(path))
+
+    # ------------------------------------------------------------------ #
+    # PRODUCE — append with dense offset assignment
+    # ------------------------------------------------------------------ #
+
+    def high_watermarks(self) -> DataFrame:
+        """Per-partition high watermark = max(offset) + 1 (reference
+        MessageMetadataUtils.getHighWatermark, utils/MessageMetadataUtils.java:49)."""
+        return self.df.groupBy("partition").agg(
+            (F.max("offset") + 1).alias("high_watermark")
+        )
+
+    def append(self, records: DataFrame, order_col: str | None = None) -> "LogTable":
+        """Append records (no ``offset`` column) assigning dense offsets that
+        continue each partition's sequence.
+
+        Scale design: the incoming batch shuffles once on ``partition`` for
+        the row_number; the current watermarks are a num_partitions-row
+        aggregate joined with a broadcast hint — no driver collect, no
+        global ordering dependency between partitions.
+        """
+        order = order_col or "__arrival"
+        batch = records
+        if order_col is None:
+            batch = batch.withColumn("__arrival", F.monotonically_increasing_id())
+        w = Window.partitionBy("partition").orderBy(order)
+        hwm = self.high_watermarks()
+        appended = (
+            batch.withColumn("__rel", (F.row_number().over(w) - 1).cast("long"))
+            .join(F.broadcast(hwm), "partition", "left")
+            .withColumn(
+                "offset", F.coalesce(F.col("high_watermark"), F.lit(0)) + F.col("__rel")
+            )
+            .drop("__rel", "high_watermark", "__arrival")
+            .select(*LOG_COLUMNS)
+        )
+        return LogTable(self.df.select(*LOG_COLUMNS).unionByName(appended))
+
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        """Persist partitioned by ``partition`` and sorted by ``offset`` so
+        fetches are partition-pruned and offset ranges min/max-pruned."""
+        (
+            self.df.repartition("partition")
+            .sortWithinPartitions("offset")
+            .write.mode(mode)
+            .partitionBy("partition")
+            .parquet(path)
+        )
+
+    # ------------------------------------------------------------------ #
+    # FETCH — offset-range reads
+    # ------------------------------------------------------------------ #
+
+    def fetch(
+        self,
+        partition: int,
+        start_offset: int = 0,
+        max_records: int | None = None,
+        end_offset: int | None = None,
+    ) -> DataFrame:
+        """Read ``partition`` from ``start_offset`` in offset order.
+
+        ``max_records`` mirrors the reference's maxReadEntriesNum bound
+        (KafkaServiceConfiguration.java:405); ``end_offset`` is exclusive
+        (used for read-committed LSO cutoffs).
+        """
+        out = self.df.filter(
+            (F.col("partition") == partition) & (F.col("offset") >= start_offset)
+        )
+        if end_offset is not None:
+            out = out.filter(F.col("offset") < end_offset)
+        out = out.sortWithinPartitions("offset")
+        if max_records is not None:
+            # bounded fetch: offset < start + max is prunable (vs .limit which
+            # would funnel through a single-partition global limit)
+            out = out.filter(F.col("offset") < start_offset + max_records)
+        return out
+
+    # ------------------------------------------------------------------ #
+    # LIST_OFFSETS — earliest / latest / by timestamp
+    # ------------------------------------------------------------------ #
+
+    def earliest_offsets(self) -> DataFrame:
+        return self.df.groupBy("partition").agg(F.min("offset").alias("offset"))
+
+    def latest_offsets(self) -> DataFrame:
+        """Log-end offset per partition (next offset to be assigned)."""
+        return self.df.groupBy("partition").agg((F.max("offset") + 1).alias("offset"))
+
+    def offsets_for_times(self, ts) -> DataFrame:
+        """First offset with timestamp >= ts per partition (reference
+        fetchOffsetByTimestamp, KafkaRequestHandler.java:1348). Partitions
+        with no such record are omitted, matching Kafka's -1/null semantics."""
+        return (
+            self.df.filter(F.col("timestamp") >= F.lit(ts))
+            .groupBy("partition")
+            .agg(F.min("offset").alias("offset"))
+        )
+
+    # ------------------------------------------------------------------ #
+    # DELETE_RECORDS — truncate before offset
+    # ------------------------------------------------------------------ #
+
+    def truncate_before(self, offsets: DataFrame | int) -> "LogTable":
+        """Drop records below the cutoff (per-partition DataFrame of
+        (partition, truncate_offset), or one global int)."""
+        if isinstance(offsets, int):
+            return LogTable(self.df.filter(F.col("offset") >= offsets))
+        cut = offsets.select("partition", F.col("truncate_offset"))
+        kept = (
+            self.df.join(F.broadcast(cut), "partition", "left")
+            .filter(
+                F.col("truncate_offset").isNull()
+                | (F.col("offset") >= F.col("truncate_offset"))
+            )
+            .drop("truncate_offset")
+        )
+        return LogTable(kept)
+
+
+def validate_records(
+    records: DataFrame,
+    compacted: bool = False,
+    max_timestamp_diff_ms: int | None = None,
+    now_ms: int | None = None,
+) -> DataFrame:
+    """Record validation (reference KopLogValidator.validateRecord/
+    validateKey/validateTimestamp, utils/KopLogValidator.java:427-474):
+    compacted topics require a key; timestamps must be within
+    ``max.message.time.difference.ms`` of now. Returns the input plus an
+    ``_error`` column (null = valid) so callers can split valid/invalid
+    without a second scan.
+    """
+    err = F.lit(None).cast("string")
+    if compacted:
+        err = F.when(
+            F.col("key").isNull(), F.lit("InvalidRecordException: compacted topic record without key")
+        ).otherwise(err)
+    if max_timestamp_diff_ms is not None and now_ms is not None:
+        ts_ms = (F.unix_micros(F.col("timestamp")) / 1000).cast("long")
+        bad_ts = (ts_ms < F.lit(now_ms - max_timestamp_diff_ms)) | (
+            ts_ms > F.lit(now_ms + max_timestamp_diff_ms)
+        )
+        err = F.when(bad_ts, F.lit("InvalidTimestampException")).otherwise(err)
+    return records.withColumn("_error", err)

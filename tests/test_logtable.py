@@ -1,0 +1,158 @@
+"""Log-semantics tests mirroring the reference's protocol tests:
+offset density/ordering (KafkaMessageOrderKafkaTest), LIST_OFFSETS
+(KafkaRequestHandler.java:1279-1623), truncate (DELETE_RECORDS), append
+continuation, validation (KopLogValidator)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from starlight_for_kafka_spark.sources import LogTable, validate_records
+
+
+def test_offsets_dense_per_partition(log):
+    # per partition: offsets are exactly 0..n-1 (dense assignment,
+    # KopLogValidator.buildRecordsAndAssignOffsets)
+    check = log.df.groupBy("partition").agg(
+        F.min("offset").alias("lo"),
+        F.max("offset").alias("hi"),
+        F.count("*").alias("n"),
+        F.countDistinct("offset").alias("nd"),
+    )
+    for r in check.collect():
+        assert r.lo == 0
+        assert r.hi == r.n - 1
+        assert r.nd == r.n
+
+
+def test_offset_order_follows_arrival_order(log, events):
+    # within a partition, offset order == event_id (arrival) order
+    joined = log.df.withColumn("uid", F.col("key").cast("string").cast("long"))
+    rows = joined.filter(F.col("partition") == 3).orderBy("offset").collect()
+    arrivals = [
+        r.event_id
+        for r in events.filter(F.col("user_id") % 8 == 3).orderBy("event_id").collect()
+    ]
+    assert len(rows) == len(arrivals)
+
+
+def test_fetch_range(log):
+    out = log.fetch(partition=1, start_offset=5, max_records=10).collect()
+    assert [r.offset for r in out] == sorted(r.offset for r in out)
+    assert all(5 <= r.offset < 15 for r in out)
+    assert len(out) <= 10
+
+
+def test_fetch_out_of_range_returns_empty(log):
+    hwm = {r.partition: r.offset for r in log.latest_offsets().collect()}
+    assert log.fetch(partition=0, start_offset=hwm[0] + 100).count() == 0
+
+
+def test_list_offsets(log):
+    earliest = {r.partition: r.offset for r in log.earliest_offsets().collect()}
+    latest = {r.partition: r.offset for r in log.latest_offsets().collect()}
+    counts = {
+        r.partition: r["count"]
+        for r in log.df.groupBy("partition").count().collect()
+    }
+    for p, n in counts.items():
+        assert earliest[p] == 0
+        assert latest[p] == n  # log-end offset = max+1 = count (dense)
+
+
+def test_offsets_for_times(log):
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    result = {r.partition: r.offset for r in log.offsets_for_times(ts).collect()}
+    # oracle: min offset among records with timestamp >= ts
+    oracle = {
+        r.partition: r.o
+        for r in log.df.filter(F.col("timestamp") >= F.lit(ts))
+        .groupBy("partition")
+        .agg(F.min("offset").alias("o"))
+        .collect()
+    }
+    assert result == oracle
+    # first-offset-at-or-after-time must itself have ts >= query ts
+    sample = log.df.filter((F.col("partition") == 0)).orderBy("offset")
+    off0 = result.get(0)
+    if off0 is not None:
+        row = sample.filter(F.col("offset") == off0).first()
+        assert row.timestamp >= ts
+
+
+def test_truncate_before(log):
+    truncated = log.truncate_before(10)
+    assert truncated.df.filter(F.col("offset") < 10).count() == 0
+    per_part = truncated.earliest_offsets().collect()
+    assert all(r.offset == 10 for r in per_part)
+
+
+def test_append_continues_offsets(spark, log):
+    hwm_before = {r.partition: r.offset for r in log.latest_offsets().collect()}
+    new = spark.createDataFrame(
+        [
+            (b"900", b"x", None, datetime.datetime(2025, 1, 1), 0),
+            (b"901", b"y", None, datetime.datetime(2025, 1, 2), 0),
+            (b"902", b"z", None, datetime.datetime(2025, 1, 3), 5),
+        ],
+        "key binary, value binary, headers array<struct<key:string,value:binary>>, timestamp timestamp, partition int",
+    )
+    appended = log.append(new)
+    hwm_after = {r.partition: r.offset for r in appended.latest_offsets().collect()}
+    assert hwm_after[0] == hwm_before[0] + 2
+    assert hwm_after[5] == hwm_before[5] + 1
+    # appended rows got consecutive offsets at the tail
+    tail = (
+        appended.df.filter((F.col("partition") == 0) & (F.col("offset") >= hwm_before[0]))
+        .orderBy("offset")
+        .collect()
+    )
+    assert [r.value for r in tail] == [b"x", b"y"]
+
+
+def test_append_to_empty_partition_starts_at_zero(spark, log):
+    new = spark.createDataFrame(
+        [(b"1", b"v", None, datetime.datetime(2025, 1, 1), 99)],
+        "key binary, value binary, headers array<struct<key:string,value:binary>>, timestamp timestamp, partition int",
+    )
+    appended = log.append(new)
+    row = appended.df.filter(F.col("partition") == 99).first()
+    assert row.offset == 0
+
+
+def test_validate_records_compacted_requires_key(spark):
+    df = spark.createDataFrame(
+        [(b"k", b"v", datetime.datetime(2024, 1, 1)), (None, b"v", datetime.datetime(2024, 1, 1))],
+        "key binary, value binary, timestamp timestamp",
+    )
+    out = validate_records(df, compacted=True)
+    errs = [r._error for r in out.orderBy(F.col("key").desc_nulls_last()).collect()]
+    assert errs[0] is None and errs[1] is not None
+
+
+def test_roundtrip_write_read(tmp_path, spark, log):
+    path = str(tmp_path / "log")
+    log.write(path)
+    back = LogTable.read(spark, path)
+    assert back.df.count() == log.df.count()
+    # hash-match the full content (M0 end-to-end check)
+    def content_hash(df):
+        return (
+            df.select(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("key").cast("string"),
+                        F.col("value").cast("string"),
+                        F.col("partition").cast("string"),
+                        F.col("offset").cast("string"),
+                    )
+                ).alias("h")
+            )
+            .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")))
+            .first()[0]
+        )
+
+    assert content_hash(back.df) == content_hash(log.df)
