@@ -1,0 +1,100 @@
+"""Batch forms of the Kafka Streams workloads (KStreamAggregationTest,
+KTableTest, GlobalKTableTest) checked against hand oracles."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from starlight_for_kafka_spark.operators import ktable, windows
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "key string, value string, ts timestamp")
+
+
+T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(ms):
+    return T0 + datetime.timedelta(milliseconds=ms)
+
+
+def test_keyed_count_and_reduce(spark):
+    df = _kv(
+        spark,
+        [("A", "a", _t(0)), ("A", "b", _t(10)), ("B", "c", _t(20)), ("B", "d", _t(30)), ("B", "e", _t(40))],
+    )
+    counts = {r.key: r.cnt for r in windows.keyed_count(df, "key").collect()}
+    assert counts == {"A": 2, "B": 3}
+    # reduce = concat in ts order (deterministic associative-with-order reduce)
+    red = windows.keyed_reduce(
+        df,
+        ["key"],
+        [F.concat_ws("+", F.array_sort(F.collect_list(F.struct("ts", "value")).getField("value"))).alias("reduced")],
+    )
+    out = {r.key: r.reduced for r in red.collect()}
+    assert out == {"A": "a+b", "B": "c+d+e"}
+
+
+def test_tumbling_window_count(spark):
+    # 500ms windows as in KStreamAggregationTest.java:178
+    df = _kv(
+        spark,
+        [("A", "a", _t(0)), ("A", "b", _t(499)), ("A", "c", _t(500)), ("B", "d", _t(999)), ("B", "e", _t(1000))],
+    )
+    out = windows.tumbling_window_agg(
+        df, "ts", "500 milliseconds", ["key"], [F.count("*").alias("cnt")]
+    )
+    got = {(r.key, r.window_start_ms - int(T0.timestamp() * 1000)): r.cnt for r in out.collect()}
+    assert got == {("A", 0): 2, ("A", 500): 1, ("B", 500): 1, ("B", 1000): 1}
+
+
+def test_session_window_count_and_reduce(spark):
+    # gap 300ms: A events at 0,100,200 (one session), 900,1000 (second)
+    df = _kv(
+        spark,
+        [
+            ("A", "a", _t(0)), ("A", "b", _t(100)), ("A", "c", _t(200)),
+            ("A", "d", _t(900)), ("A", "e", _t(1000)),
+            ("B", "x", _t(50)),
+        ],
+    )
+    out = windows.session_window_agg(
+        df, ["key"], "ts", 300, [F.count("*").alias("cnt")]
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append((r.session_start_ms, r.session_end_ms, r.cnt))
+    a = sorted(by_key["A"])
+    base = int(T0.timestamp() * 1000)
+    assert [(s - base, e - base, c) for s, e, c in a] == [(0, 200, 3), (900, 1000, 2)]
+    assert len(by_key["B"]) == 1 and by_key["B"][0][2] == 1
+
+
+def test_ktable_latest_and_tombstone(spark):
+    rows = [
+        ("k1", "v1", 0, 0), ("k1", "v2", 0, 5), ("k2", "w1", 1, 0),
+        ("k3", "gone", 0, 1), ("k3", None, 0, 7),  # tombstone deletes k3
+    ]
+    log = spark.createDataFrame(rows, "key string, value string, partition int, offset long")
+    out = {r.key: r.value for r in ktable.ktable_latest(log, ["key"]).collect()}
+    assert out == {"k1": "v2", "k2": "w1"}
+
+
+def test_global_ktable_join_inner_and_left(spark):
+    clicks = spark.createDataFrame(
+        [(1, "c1"), (2, "c2"), (9, "c9")], "user_key long, click string"
+    )
+    regions = spark.createDataFrame(
+        [("u1", "EU"), ("u2", "US")], "region_key string, region string"
+    )
+    mapper = F.concat(F.lit("u"), F.col("user_key").cast("string"))
+    inner = ktable.stream_global_table_join(clicks, regions, mapper, "region_key", "inner")
+    assert {(r.click, r.region) for r in inner.collect()} == {("c1", "EU"), ("c2", "US")}
+    left = ktable.stream_global_table_join(clicks, regions, mapper, "region_key", "left")
+    got = {(r.click, r.region) for r in left.collect()}
+    assert got == {("c1", "EU"), ("c2", "US"), ("c9", None)}
+    # the join must be broadcast (no shuffle of the stream side)
+    assert "BroadcastHashJoin" in inner._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,83 @@
+"""Transaction semantics tests, mirroring TransactionTest /
+ProducerStateManagerTest / the aborted-index + LSO behavior of
+storage/PartitionLog.java."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from starlight_for_kafka_spark.operators import transactions as tx
+
+
+def test_txn_fixture_has_all_outcomes(log):
+    txn_log = tx.derive_txn_log(log.df)
+    statuses = {r.txn_status for r in txn_log.select("txn_status").distinct().collect()}
+    assert statuses == {"commit", "abort", "open"}
+
+
+def test_read_committed_excludes_aborted_and_open(log):
+    txn_log = tx.derive_txn_log(log.df).cache()
+    rc = tx.read_committed(txn_log).cache()
+    # no aborted rows survive
+    assert rc.filter(F.col("txn_status") == "abort").count() == 0
+    # no rows at/after the partition LSO survive (open txns invisible)
+    lso = tx.last_stable_offsets(txn_log)
+    above = rc.join(lso, "partition").filter(
+        F.col("offset") >= F.col("last_stable_offset")
+    )
+    assert above.count() == 0
+    # committed rows below LSO all survive
+    committed_below = (
+        txn_log.join(lso, "partition")
+        .filter(
+            (F.col("txn_status") == "commit")
+            & (F.col("offset") < F.col("last_stable_offset"))
+        )
+        .count()
+    )
+    assert rc.count() == committed_below
+    rc.unpersist()
+    txn_log.unpersist()
+
+
+def test_lso_is_first_open_offset(log):
+    txn_log = tx.derive_txn_log(log.df).cache()
+    lso = {r.partition: r.last_stable_offset for r in tx.last_stable_offsets(txn_log).collect()}
+    first_open = {
+        r.partition: r.fo
+        for r in txn_log.filter(F.col("txn_status") == "open")
+        .groupBy("partition")
+        .agg(F.min("offset").alias("fo"))
+        .collect()
+    }
+    hwm = {
+        r.partition: r.hw
+        for r in txn_log.groupBy("partition").agg((F.max("offset") + 1).alias("hw")).collect()
+    }
+    for p, v in lso.items():
+        assert v == first_open.get(p, hwm[p])
+    txn_log.unpersist()
+
+
+def test_idempotent_dedupe_drops_retries(spark, log):
+    txn_log = tx.derive_txn_log(log.df)
+    # simulate retries: re-append every 5th record with shifted offsets
+    dups = (
+        txn_log.filter(F.col("seq") % 5 == 0)
+        .withColumn("offset", F.col("offset") + 1_000_000)
+    )
+    with_dups = txn_log.unionByName(dups)
+    deduped = tx.idempotent_dedupe(with_dups)
+    assert deduped.count() == txn_log.count()
+    # the kept copy is the first-appended (original) one
+    assert deduped.filter(F.col("offset") >= 1_000_000).count() == 0
+
+
+def test_describe_producers_and_list_transactions(log):
+    txn_log = tx.derive_txn_log(log.df).cache()
+    prods = tx.describe_producers(txn_log)
+    assert prods.filter(F.col("last_sequence") < 0).count() == 0
+    txns = tx.list_transactions(txn_log)
+    # every txn spans at most TXN_SIZE records
+    assert txns.filter(F.col("n_records") > tx.TXN_SIZE).count() == 0
+    txn_log.unpersist()
