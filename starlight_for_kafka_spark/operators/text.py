@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All pure JVM expressions (replace/length arithmetic, regexp, md5) — no
+Python in the hot path, and every heuristic is reproducible in ANSI SQL for
+the oracle. At 100 TB these are single-pass map-only operators: no shuffle,
+fully codegen'd, scale linearly with executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword markers for the n-gram/stopword heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " la ", " de "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+}
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring via length arithmetic (portable,
+    no regex dialect differences)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: pick the language whose stopword markers occur
+    most often (ties → 'und'). A production pipeline swaps in fastText/CLD3
+    via a Pandas UDF; the operator shape (map-only, schema) is identical."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum([_count_occurrences(padded, m) for m in markers], F.lit(0))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # iterate in fixed order so ties resolve deterministically (first wins)
+    for lang in sorted(_LANG_MARKERS):
+        pred = F.when(
+            (scores[lang] == best_score) & (best_score > 0) & (pred == "und"), F.lit(lang)
+        ).otherwise(pred)
+    return df.withColumn("pred_lang", pred)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (chars/4 is the
+    common LLM rule of thumb; exact BPE needs a tokenizer UDF — stubbed as
+    the estimate to stay JVM-side)."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return df.withColumn("n_tokens", toks).withColumn(
+        "n_subwords_est", F.ceil(F.length(text_col) / 4).cast("long")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality heuristics (Gopher/C4-style):
+       * mean word length
+       * stopword ratio (en markers)
+       * punctuation density
+       * uppercase ratio
+       * a 0-1 quality score combining them.
+    All rounded to 6 dp for deterministic cross-engine comparison."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words)
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    n_stop = sum(
+        [_count_occurrences(padded, m) for m in [" the ", " and ", " of ", " to ", " a "]],
+        F.lit(0),
+    )
+    n_punct = sum(
+        [_count_occurrences(text, p) for p in [".", ",", "!", "?", ";", ":"]], F.lit(0)
+    )
+    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    mean_word_len = F.round((n_chars - n_words + 1) / n_words, 6)
+    stop_ratio = F.round(n_stop / n_words, 6)
+    punct_density = F.round(n_punct / n_chars, 6)
+    upper_ratio = F.round(n_upper / n_chars, 6)
+    score = F.round(
+        F.least(F.lit(1.0), stop_ratio * 2)
+        * F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.5)
+        * (1 - F.least(F.lit(1.0), upper_ratio * 5)),
+        6,
+    )
+    return (
+        df.withColumn("mean_word_len", mean_word_len)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("punct_density", punct_density)
+        .withColumn("upper_ratio", upper_ratio)
+        .withColumn("quality", score)
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (whole-doc), plus a
+    rolling winnowed prefix fingerprint (first 64 normalized chars) that is
+    stable under suffix edits — the cheap analog of winnowing."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn("fp_full", F.md5(norm.cast("binary"))).withColumn(
+        "fp_prefix64", F.md5(F.substring(norm, 1, 64).cast("binary"))
+    )
