@@ -1,0 +1,83 @@
+"""Structured Streaming tests: drive file-stream microbatches over a
+written log and check results equal the batch forms."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from starlight_for_kafka_spark.operators import ktable as ktable_ops
+from starlight_for_kafka_spark.operators import transactions as tx
+from starlight_for_kafka_spark.streaming import stream_ops
+
+
+def _write_log(tmp_path, log):
+    path = str(tmp_path / f"log-{uuid.uuid4().hex[:6]}")
+    log.write(path)
+    return path
+
+
+def test_windowed_count_stream_matches_batch(tmp_path, spark, log):
+    path = _write_log(tmp_path, log)
+    stream = stream_ops.read_log_stream(spark, path)
+    agg = stream_ops.windowed_count_stream(stream, "1 hour", "1 minute")
+    stream_ops.run_to_memory(agg, "win_counts", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n, sum(cnt) AS total FROM win_counts").first()
+    batch = (
+        log.df.groupBy(F.window("timestamp", "1 hour"), "key")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("n"), F.sum("cnt").alias("total"))
+        .first()
+    )
+    # append mode emits only watermark-closed windows; with availableNow over
+    # a finite log, the final watermark closes all but the last window(s)
+    assert got.total <= batch.total
+    assert got.n >= batch.n - 8  # at most one open window per key tail
+    assert got.total >= batch.total * 0.5
+
+
+def test_ktable_stream_matches_batch_latest(tmp_path, spark, log):
+    path = _write_log(tmp_path, log)
+    stream = stream_ops.read_log_stream(spark, path)
+    kt = stream_ops.ktable_stream(stream)
+    stream_ops.run_to_memory(kt, "ktable_out", output_mode="complete")
+    got = {
+        bytes(r.key).decode(): bytes(r.value).decode()
+        for r in spark.sql("SELECT key, value FROM ktable_out").collect()
+    }
+    batch = {
+        bytes(r.key).decode(): bytes(r.value).decode()
+        for r in ktable_ops.ktable_latest(log.df, ["key"]).collect()
+    }
+    assert got == batch
+
+
+def test_idempotent_stream_drops_dups(tmp_path, spark, log):
+    txn_log = tx.derive_txn_log(log.df)
+    dups = txn_log.filter(F.col("seq") % 5 == 0).withColumn(
+        "offset", F.col("offset") + 1_000_000
+    )
+    path = str(tmp_path / "txnlog")
+    txn_log.unionByName(dups).write.parquet(path)
+    stream = (
+        spark.readStream.schema(txn_log.schema).option("maxFilesPerTrigger", 4).parquet(path)
+    )
+    deduped = stream_ops.idempotent_stream(stream, watermark="365 days")
+    stream_ops.run_to_memory(deduped, "idem_out", output_mode="append")
+    n = spark.sql("SELECT count(*) AS n FROM idem_out").first().n
+    assert n == txn_log.count()
+
+
+def test_exactly_once_foreachbatch(tmp_path, spark, log):
+    path = _write_log(tmp_path, log)
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_ops.read_log_stream(spark, path)
+
+    def sink(df, epoch_id):
+        df.write.mode("append").parquet(out_dir)
+
+    q = stream_ops.write_exactly_once(stream, sink, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == log.df.count()
