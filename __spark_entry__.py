@@ -1,38 +1,702 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the starlight_for_kafka_spark package; ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL over the same parquet views.
+
+Cross-engine determinism rules used throughout (see session.py, functions/
+hashing.py): md5-based hashing (identical in both engines), integer DIV for
+epoch-ms conversion, DECIMAL casts before SUM so aggregation is exact (then
+cast to DOUBLE), raw int/int division for ratios (IEEE-identical), and
+explicit id tie-breaks in every window/top-k.
 """
 
 from __future__ import annotations
 
+import datetime
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from starlight_for_kafka_spark import load_table
+from starlight_for_kafka_spark.functions.hashing import md5_hash64
+from starlight_for_kafka_spark.operators import dedup as dedup_ops
+from starlight_for_kafka_spark.operators import groups as group_ops
+from starlight_for_kafka_spark.operators import ktable as ktable_ops
+from starlight_for_kafka_spark.operators import multimodal as mm_ops
+from starlight_for_kafka_spark.operators import similarity as sim_ops
+from starlight_for_kafka_spark.operators import text as text_ops
+from starlight_for_kafka_spark.operators import transactions as tx_ops
+from starlight_for_kafka_spark.operators import windows as win_ops
+from starlight_for_kafka_spark.sources import LogTable
+
+N_PARTITIONS = 8
+SESSION_GAP_MS = 86_400_000  # 1 day
+TS_CUTOFF = datetime.datetime(2024, 1, 15)
+
+_MS = "unix_micros({c}) DIV 1000"
+
+
+def _log(spark: SparkSession, sf_dir: str) -> LogTable:
+    return LogTable.from_events(load_table(spark, sf_dir, "events"), N_PARTITIONS)
+
+
+def _dec_sum(col, prec="18,2"):
+    return F.sum(F.col(col).cast(f"decimal({prec})")).cast("double")
+
+
+# ===================================================================== #
+# DuckDB CTE prefixes (shared derivations, mirrored by the Spark side)
+# ===================================================================== #
+
+LOG_CTE = """
+log AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         props AS value,
+         ts AS "timestamp",
+         CAST(user_id % 8 AS INT) AS "partition",
+         CAST(row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id) - 1 AS BIGINT) AS "offset",
+         event_id
+  FROM events
+)"""
+
+COMMITS_CTE = """
+commits AS (
+  SELECT 'g' || CAST(user_id % 4 AS VARCHAR) AS "group",
+         'events' AS topic,
+         CAST(user_id % 8 AS INT) AS "partition",
+         event_id AS "offset",
+         event_type AS metadata,
+         ts AS commit_ts
+  FROM events
+)"""
+
+TXN_CTE = (
+    LOG_CTE
+    + """,
+txn AS (
+  SELECT "partition", "offset",
+         CAST(key AS BIGINT) % 16 AS pid,
+         CAST(row_number() OVER (PARTITION BY CAST(key AS BIGINT) % 16 ORDER BY "partition", "offset") - 1 AS INT) AS seq
+  FROM log
+),
+txn2 AS (SELECT *, CAST(seq // 10 AS BIGINT) AS txn_group FROM txn),
+txn3 AS (
+  SELECT *, CASE WHEN (pid + txn_group) % 7 = 0 THEN 'abort'
+                 WHEN (pid + txn_group) % 11 = 3 THEN 'open'
+                 ELSE 'commit' END AS txn_status
+  FROM txn2
+),
+lso AS (
+  SELECT "partition",
+         coalesce(min(CASE WHEN txn_status = 'open' THEN "offset" END), max("offset") + 1) AS last_stable_offset
+  FROM txn3 GROUP BY "partition"
+)"""
+)
+
+DOCS_WITH_CLONES_CTE = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+)"""
+
+DOCS_WITH_NEAR_CTE = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra token' FROM documents WHERE doc_id % 25 = 0
+)"""
+
+
+def _docs_with_clones(documents: DataFrame) -> DataFrame:
+    clones = (
+        documents.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    return documents.select("doc_id", "text").unionByName(clones.select("doc_id", "text"))
+
+
+def _docs_with_near(documents: DataFrame) -> DataFrame:
+    near = (
+        documents.filter(F.col("doc_id") % 25 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra token")))
+    )
+    return documents.select("doc_id", "text").unionByName(near.select("doc_id", "text"))
+
+
+# ===================================================================== #
+# entry — flagship smoke query (sf0.001)
+# ===================================================================== #
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ingest events as a partitioned offset-addressed log, fetch
+    an offset range back (M0 end-to-end: PRODUCE → offsets → FETCH)."""
+    lt = _log(spark, "/root/testdata/sf0.001")
+    return lt.fetch(partition=3, start_offset=10, max_records=30).select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.expr(_MS.format(c="timestamp")).alias("ts_ms"),
+        "partition",
+        "offset",
+    )
+
+
+# ===================================================================== #
+# queries — Spark side
+# ===================================================================== #
+
+
+def q_log_fetch(spark, sf_dir):
+    return _log(spark, sf_dir).fetch(3, 10, max_records=30).select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.expr(_MS.format(c="timestamp")).alias("ts_ms"),
+        "partition",
+        "offset",
+    )
+
+
+def q_produce_offsets_dense(spark, sf_dir):
+    return _log(spark, sf_dir).df.groupBy("partition").agg(
+        F.count("*").alias("n_records"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+    )
+
+
+def q_list_offsets(spark, sf_dir):
+    lt = _log(spark, sf_dir)
+    return lt.df.groupBy("partition").agg(
+        F.min("offset").alias("earliest"),
+        (F.max("offset") + 1).alias("log_end_offset"),
+    )
+
+
+def q_offsets_for_times(spark, sf_dir):
+    return _log(spark, sf_dir).offsets_for_times(TS_CUTOFF)
+
+
+def q_truncate_before(spark, sf_dir):
+    t = _log(spark, sf_dir).truncate_before(10)
+    return t.df.groupBy("partition").agg(
+        F.count("*").alias("n_records"), F.min("offset").alias("min_offset")
+    )
+
+
+def q_offset_commit_compact(spark, sf_dir):
+    commits = group_ops.derive_commits_from_events(load_table(spark, sf_dir, "events"))
+    return group_ops.committed_offsets(commits).select(
+        "group", "topic", "partition", "offset", "metadata",
+        F.expr(_MS.format(c="commit_ts")).alias("commit_ts_ms"),
+    )
+
+
+def q_offset_fetch_g1(spark, sf_dir):
+    commits = group_ops.derive_commits_from_events(load_table(spark, sf_dir, "events"))
+    return group_ops.offset_fetch(commits, "g1").select(
+        "group", "topic", "partition", "offset"
+    )
+
+
+def q_describe_groups(spark, sf_dir):
+    commits = group_ops.derive_commits_from_events(load_table(spark, sf_dir, "events"))
+    return group_ops.describe_groups(commits).select(
+        "group", "n_topics", "n_partitions",
+        F.expr(_MS.format(c="last_commit_ts")).alias("last_commit_ts_ms"),
+        "n_commits",
+    )
+
+
+def q_consumer_lag(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    commits = group_ops.derive_commits_from_events(events)
+    return group_ops.consumer_lag(commits, _log(spark, sf_dir).latest_offsets())
+
+
+def q_find_coordinator(spark, sf_dir):
+    commits = group_ops.derive_commits_from_events(load_table(spark, sf_dir, "events"))
+    return group_ops.list_groups(commits).select(
+        "group", (md5_hash64(F.col("group")) % 50).alias("coordinator_partition")
+    )
+
+
+def q_txn_read_committed(spark, sf_dir):
+    txn_log = tx_ops.derive_txn_log(_log(spark, sf_dir).df)
+    return tx_ops.read_committed(txn_log).select("partition", "offset", "pid", "seq")
+
+
+def q_txn_aborted_index(spark, sf_dir):
+    txn_log = tx_ops.derive_txn_log(_log(spark, sf_dir).df)
+    return tx_ops.aborted_txn_index(txn_log)
+
+
+def q_txn_last_stable_offsets(spark, sf_dir):
+    return tx_ops.last_stable_offsets(tx_ops.derive_txn_log(_log(spark, sf_dir).df))
+
+
+def q_txn_idempotent_dedupe(spark, sf_dir):
+    txn_log = tx_ops.derive_txn_log(_log(spark, sf_dir).df)
+    dups = txn_log.filter(F.col("seq") % 5 == 0).withColumn(
+        "offset", F.col("offset") + 1_000_000
+    )
+    return tx_ops.idempotent_dedupe(txn_log.unionByName(dups)).select(
+        "partition", "offset", "pid", "seq"
+    )
+
+
+def q_txn_describe_producers(spark, sf_dir):
+    return tx_ops.describe_producers(tx_ops.derive_txn_log(_log(spark, sf_dir).df))
+
+
+def q_txn_list_transactions(spark, sf_dir):
+    return tx_ops.list_transactions(tx_ops.derive_txn_log(_log(spark, sf_dir).df))
+
+
+def q_keyed_count(spark, sf_dir):
+    return win_ops.keyed_count(load_table(spark, sf_dir, "events"), "event_type")
+
+
+def q_keyed_reduce(spark, sf_dir):
+    return win_ops.keyed_reduce(
+        load_table(spark, sf_dir, "events"),
+        ["user_id"],
+        [_dec_sum("value").alias("total_value"), F.count("*").alias("cnt")],
+    )
+
+
+def q_tumbling_window_1h(spark, sf_dir):
+    return win_ops.tumbling_window_agg(
+        load_table(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count("*").alias("cnt"), _dec_sum("value").alias("total_value")],
+    )
+
+
+def q_session_windows(spark, sf_dir):
+    out = win_ops.session_window_agg(
+        load_table(spark, sf_dir, "events"),
+        ["user_id"],
+        "ts",
+        SESSION_GAP_MS,
+        [F.count("*").alias("cnt")],
+    )
+    return out.withColumn("session_id", F.col("session_id").cast("long"))
+
+
+def q_ktable_latest(spark, sf_dir):
+    log = _log(spark, sf_dir).df.withColumn("key", F.col("key").cast("string"))
+    return ktable_ops.ktable_latest(log, ["key"]).select(
+        "key", F.col("value").cast("string").alias("value"), "offset"
+    )
+
+
+def _clicks(events):
+    return events.select(
+        "event_id", "event_type", (F.col("user_id") * 50).alias("ck")
+    )
+
+
+def q_global_join_inner(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return ktable_ops.stream_global_table_join(
+        _clicks(events), customer, F.col("ck"), "c_custkey", "inner"
+    ).select("event_id", "event_type", "c_name", "c_mktsegment")
+
+
+def q_global_join_left(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return ktable_ops.stream_global_table_join(
+        _clicks(events), customer, F.col("ck"), "c_custkey", "left"
+    ).select("event_id", "ck", "c_name")
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.lit(1).cast("decimal(3,0)") - F.col("l_discount").cast("decimal(3,2)")
+    charge = F.lit(1).cast("decimal(3,0)") + F.col("l_tax").cast("decimal(3,2)")
+    price = F.col("l_extendedprice").cast("decimal(9,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(datetime.datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "12,2").alias("sum_qty"),
+            _dec_sum("l_extendedprice", "12,2").alias("sum_base_price"),
+            F.sum(price * disc).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc * charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(3,2)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(9,2)") * (
+        F.lit(1).cast("decimal(3,0)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _docs_with_clones(load_table(spark, sf_dir, "documents"))
+    return dedup_ops.exact_dedup(docs).select("doc_id")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
+    return dedup_ops.ngram_jaccard_pairs(
+        docs, threshold=0.6, max_postings=1_000_000_000
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
+    return dedup_ops.minhash_dedup(
+        docs, num_hashes=16, bands=4, threshold=0.7
+    ).select("doc_id")
+
+
+def q_text_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_ops.quality_score(text_ops.token_count(docs))
+    return out.select(
+        "doc_id", "n_tokens", "n_subwords_est", "mean_word_len",
+        "stop_ratio", "punct_density", "upper_ratio", "quality",
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return text_ops.fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_full", "fp_prefix64"
+    )
+
+
+def q_text_language_id(spark, sf_dir):
+    return text_ops.language_id(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang"
+    )
+
+
+def _query_vec(spark, sf_dir, vec_id=0):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(F.col("vec_id") == vec_id).first().embedding]
+
+
+def q_similarity_top10(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.brute_force_top_k(emb, _query_vec(spark, sf_dir), k=10)
+
+
+def q_similarity_ivf_cells(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return sim_ops.ivf_assign(emb, cents).select("vec_id", "ivf_cell")
+
+
+def q_similarity_lsh_top5(spark, sf_dir):
+    # rows-only check: ANN recall is probabilistic by design
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_top_k(emb, _query_vec(spark, sf_dir, 7), k=5, n_planes=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    # rows-only check: decode kernel is a stub (no codec libs in container)
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.synthesize_media(docs)
+    return mm_ops.extract_features(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "log_fetch": q_log_fetch,
+        "produce_offsets_dense": q_produce_offsets_dense,
+        "list_offsets": q_list_offsets,
+        "offsets_for_times": q_offsets_for_times,
+        "truncate_before": q_truncate_before,
+        "offset_commit_compact": q_offset_commit_compact,
+        "offset_fetch_g1": q_offset_fetch_g1,
+        "describe_groups": q_describe_groups,
+        "consumer_lag": q_consumer_lag,
+        "find_coordinator": q_find_coordinator,
+        "txn_read_committed": q_txn_read_committed,
+        "txn_aborted_index": q_txn_aborted_index,
+        "txn_last_stable_offsets": q_txn_last_stable_offsets,
+        "txn_idempotent_dedupe": q_txn_idempotent_dedupe,
+        "txn_describe_producers": q_txn_describe_producers,
+        "txn_list_transactions": q_txn_list_transactions,
+        "keyed_count": q_keyed_count,
+        "keyed_reduce": q_keyed_reduce,
+        "tumbling_window_1h": q_tumbling_window_1h,
+        "session_windows": q_session_windows,
+        "ktable_latest": q_ktable_latest,
+        "global_join_inner": q_global_join_inner,
+        "global_join_left": q_global_join_left,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "text_stats": q_text_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "text_language_id": q_text_language_id,
+        "similarity_top10": q_similarity_top10,
+        "similarity_ivf_cells": q_similarity_ivf_cells,
+        "similarity_lsh_top5": q_similarity_lsh_top5,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ===================================================================== #
+# oracle SQL — DuckDB side
+# ===================================================================== #
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ms = 'epoch_us({c}) // 1000'
+    return {
+        "log_fetch": f"""WITH {LOG_CTE}
+SELECT key, value, {ms.format(c='"timestamp"')} AS ts_ms, "partition", "offset"
+FROM log WHERE "partition" = 3 AND "offset" >= 10 AND "offset" < 40""",
+        "produce_offsets_dense": f"""WITH {LOG_CTE}
+SELECT "partition", count(*) AS n_records, min("offset") AS min_offset, max("offset") AS max_offset
+FROM log GROUP BY "partition\"""",
+        "list_offsets": f"""WITH {LOG_CTE}
+SELECT "partition", min("offset") AS earliest, max("offset") + 1 AS log_end_offset
+FROM log GROUP BY "partition\"""",
+        "offsets_for_times": f"""WITH {LOG_CTE}
+SELECT "partition", min("offset") AS "offset"
+FROM log WHERE "timestamp" >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY "partition\"""",
+        "truncate_before": f"""WITH {LOG_CTE}
+SELECT "partition", count(*) AS n_records, min("offset") AS min_offset
+FROM log WHERE "offset" >= 10 GROUP BY "partition\"""",
+        "offset_commit_compact": f"""WITH {COMMITS_CTE}
+SELECT "group", topic, "partition", "offset", metadata, {ms.format(c='commit_ts')} AS commit_ts_ms
+FROM commits
+QUALIFY row_number() OVER (PARTITION BY "group", topic, "partition" ORDER BY commit_ts DESC, "offset" DESC) = 1""",
+        "offset_fetch_g1": f"""WITH {COMMITS_CTE}
+SELECT "group", topic, "partition", "offset"
+FROM commits WHERE "group" = 'g1'
+QUALIFY row_number() OVER (PARTITION BY "group", topic, "partition" ORDER BY commit_ts DESC, "offset" DESC) = 1""",
+        "describe_groups": f"""WITH {COMMITS_CTE}
+SELECT "group",
+       count(DISTINCT topic) AS n_topics,
+       count(DISTINCT (topic, "partition")) AS n_partitions,
+       {ms.format(c='max(commit_ts)')} AS last_commit_ts_ms,
+       count(*) AS n_commits
+FROM commits GROUP BY "group\"""",
+        "consumer_lag": f"""WITH {LOG_CTE}, {COMMITS_CTE.strip()}
+, compacted AS (
+  SELECT "group", topic, "partition", "offset" FROM commits
+  QUALIFY row_number() OVER (PARTITION BY "group", topic, "partition" ORDER BY commit_ts DESC, "offset" DESC) = 1
+), ends AS (
+  SELECT "partition", max("offset") + 1 AS log_end_offset FROM log GROUP BY "partition"
+)
+SELECT c."group", c.topic, c."partition", c."offset", e.log_end_offset,
+       e.log_end_offset - c."offset" - 1 AS lag
+FROM compacted c LEFT JOIN ends e USING ("partition")""",
+        "find_coordinator": f"""WITH {COMMITS_CTE}
+SELECT DISTINCT "group",
+       ('0x' || substr(md5("group"), 1, 15))::BIGINT % 50 AS coordinator_partition
+FROM commits""",
+        "txn_read_committed": f"""WITH {TXN_CTE}
+SELECT t."partition", t."offset", t.pid, t.seq
+FROM txn3 t JOIN lso USING ("partition")
+WHERE t."offset" < lso.last_stable_offset AND t.txn_status <> 'abort'""",
+        "txn_aborted_index": f"""WITH {TXN_CTE}
+SELECT "partition", pid, txn_group, min("offset") AS first_offset, max("offset") AS last_offset
+FROM txn3 WHERE txn_status = 'abort' GROUP BY "partition", pid, txn_group""",
+        "txn_last_stable_offsets": f"""WITH {TXN_CTE}
+SELECT * FROM lso""",
+        "txn_idempotent_dedupe": f"""WITH {TXN_CTE}
+SELECT "partition", "offset", pid, seq FROM txn3""",
+        "txn_describe_producers": f"""WITH {TXN_CTE}
+SELECT "partition", pid, 0 AS producer_epoch, max(seq) AS last_sequence,
+       max("offset") AS last_offset, count(*) AS n_records
+FROM txn3 GROUP BY "partition", pid""",
+        "txn_list_transactions": f"""WITH {TXN_CTE}
+SELECT pid, txn_group, max(txn_status) AS txn_status,
+       min("offset") AS first_offset, max("offset") AS last_offset, count(*) AS n_records
+FROM txn3 GROUP BY pid, txn_group""",
+        "keyed_count": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
+        "keyed_reduce": """SELECT user_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       count(*) AS cnt
+FROM events GROUP BY user_id""",
+        "tumbling_window_1h": """SELECT event_type, count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       (epoch_us(ts) // 1000) - ((epoch_us(ts) // 1000) % 3600000) AS window_start_ms,
+       (epoch_us(ts) // 1000) - ((epoch_us(ts) // 1000) % 3600000) + 3600000 AS window_end_ms
+FROM events GROUP BY event_type, window_start_ms, window_end_ms""",
+        "session_windows": f"""WITH e AS (
+  SELECT user_id, ts, epoch_us(ts) // 1000 AS ms,
+         lag(epoch_us(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+  FROM events
+), s AS (
+  SELECT user_id, ms,
+         CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > {SESSION_GAP_MS} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM e
+)
+SELECT user_id, session_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms, count(*) AS cnt
+FROM s GROUP BY user_id, session_id""",
+        "ktable_latest": f"""WITH {LOG_CTE}
+SELECT key, value, "offset" FROM log
+QUALIFY row_number() OVER (PARTITION BY key ORDER BY "partition" DESC, "offset" DESC) = 1""",
+        "global_join_inner": """SELECT e.event_id, e.event_type, c.c_name, c.c_mktsegment
+FROM (SELECT event_id, event_type, user_id * 50 AS ck FROM events) e
+JOIN customer c ON e.ck = c.c_custkey""",
+        "global_join_left": """SELECT e.event_id, e.ck, c.c_name
+FROM (SELECT event_id, user_id * 50 AS ck FROM events) e
+LEFT JOIN customer c ON e.ck = c.c_custkey""",
+        "q1_pricing_summary": """SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+        "top_revenue_orders": """SELECT o_orderkey,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10""",
+        "dedup_exact": f"""WITH {DOCS_WITH_CLONES_CTE},
+d AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS dig FROM docs)
+SELECT doc_id FROM d
+QUALIFY row_number() OVER (PARTITION BY dig ORDER BY doc_id) = 1""",
+        "dedup_ngram_jaccard": f"""WITH {DOCS_WITH_NEAR_CTE},
+norm AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM docs),
+sets AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN length(t) >= 5
+                            THEN [substring(t, i, 5) FOR i IN range(1, length(t) - 3)]
+                            ELSE [] END) AS sh
+  FROM norm
+),
+postings AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na, b.n AS nb, count(*) AS inter
+  FROM postings a JOIN postings b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, inter / (na + nb - inter) AS jaccard
+FROM shared WHERE inter / (na + nb - inter) >= 0.6""",
+        "text_stats": """WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         ' ' || lower(text) || ' ' AS padded
+  FROM documents
+), counted AS (
+  SELECT doc_id, text, n_chars, n_words,
+    CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' and ', ''))) / 5 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' of ', ''))) / 4 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' to ', ''))) / 4 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' a ', ''))) / 3 AS INT) AS n_stop,
+    CAST((length(text) - length(replace(text, '.', ''))) / 1 AS INT)
+      + CAST((length(text) - length(replace(text, ',', ''))) / 1 AS INT)
+      + CAST((length(text) - length(replace(text, '!', ''))) / 1 AS INT)
+      + CAST((length(text) - length(replace(text, '?', ''))) / 1 AS INT)
+      + CAST((length(text) - length(replace(text, ';', ''))) / 1 AS INT)
+      + CAST((length(text) - length(replace(text, ':', ''))) / 1 AS INT) AS n_punct,
+    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+  FROM base
+)
+SELECT doc_id,
+  n_words AS n_tokens,
+  CAST(ceil(n_chars / 4) AS BIGINT) AS n_subwords_est,
+  (n_chars - n_words + 1) / n_words AS mean_word_len,
+  n_stop / n_words AS stop_ratio,
+  n_punct / n_chars AS punct_density,
+  n_upper / n_chars AS upper_ratio,
+  least(1.0, (n_stop / n_words) * 2)
+    * (CASE WHEN (n_chars - n_words + 1) / n_words >= 3 AND (n_chars - n_words + 1) / n_words <= 10 THEN 1.0 ELSE 0.5 END)
+    * (1 - least(1.0, (n_upper / n_chars) * 5)) AS quality
+FROM counted""",
+        "text_fingerprint": """WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents
+)
+SELECT doc_id, md5(t) AS fp_full, md5(substring(t, 1, 64)) AS fp_prefix64 FROM norm""",
+        "text_language_id": """WITH padded AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+), scores AS (
+  SELECT doc_id,
+    CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INT)
+      + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INT)
+      + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INT) AS s_de,
+    CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INT)
+      + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INT)
+      + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INT) AS s_en,
+    CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INT)
+      + CAST((length(p) - length(replace(p, ' la ', ''))) / 4 AS INT)
+      + CAST((length(p) - length(replace(p, ' de ', ''))) / 4 AS INT) AS s_es,
+    CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INT)
+      + CAST((length(p) - length(replace(p, ' la ', ''))) / 4 AS INT)
+      + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INT) AS s_fr
+  FROM padded
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+       ELSE 'und' END AS pred_lang
+FROM scores""",
+        "similarity_top10": """WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+  FROM embeddings, q
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+        "similarity_ivf_cells": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4
+), sims AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS sim
+  FROM e CROSS JOIN c
+)
+SELECT vec_id, CAST(cid AS INT) AS ivf_cell FROM sims
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1""",
+    }

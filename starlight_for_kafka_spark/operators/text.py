@@ -80,15 +80,16 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         [_count_occurrences(text, p) for p in [".", ",", "!", "?", ";", ":"]], F.lit(0)
     )
     n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
-    mean_word_len = F.round((n_chars - n_words + 1) / n_words, 6)
-    stop_ratio = F.round(n_stop / n_words, 6)
-    punct_density = F.round(n_punct / n_chars, 6)
-    upper_ratio = F.round(n_upper / n_chars, 6)
-    score = F.round(
+    # raw IEEE divisions (no rounding): int/int division is bit-identical
+    # across engines, so the oracle comparison is exact
+    mean_word_len = (n_chars - n_words + 1) / n_words
+    stop_ratio = n_stop / n_words
+    punct_density = n_punct / n_chars
+    upper_ratio = n_upper / n_chars
+    score = (
         F.least(F.lit(1.0), stop_ratio * 2)
         * F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.5)
-        * (1 - F.least(F.lit(1.0), upper_ratio * 5)),
-        6,
+        * (1 - F.least(F.lit(1.0), upper_ratio * 5))
     )
     return (
         df.withColumn("mean_word_len", mean_word_len)

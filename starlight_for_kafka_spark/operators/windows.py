@@ -63,11 +63,10 @@ def tumbling_window_agg(
     grouped = df.groupBy(F.window(F.col(ts_col), duration).alias("win"), *keys)
     out = grouped.agg(*aggs)
     if emit_epoch_ms:
+        # integer DIV, not /: double division of epoch micros is inexact
         out = out.withColumn(
-            "window_start_ms", (F.unix_micros(F.col("win.start")) / 1000).cast("long")
-        ).withColumn(
-            "window_end_ms", (F.unix_micros(F.col("win.end")) / 1000).cast("long")
-        )
+            "window_start_ms", F.expr("unix_micros(win.start) DIV 1000")
+        ).withColumn("window_end_ms", F.expr("unix_micros(win.end) DIV 1000"))
     return out.drop("win")
 
 
@@ -84,7 +83,7 @@ def session_windows_batch(
     ``withWatermark``). Assigns a per-(key, session) ``session_id``.
     """
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    ts_ms = (F.unix_micros(F.col(ts_col)) / 1000).cast("long")
+    ts_ms = F.expr(f"unix_micros({ts_col}) DIV 1000")
     prev_ms = F.lag(ts_ms).over(w)
     new_session = F.when(
         prev_ms.isNull() | ((ts_ms - prev_ms) > gap_ms), F.lit(1)
@@ -109,7 +108,7 @@ def session_window_agg(
     Windowed<K> result keys of shouldCountSessionWindows (reference test
     :450-548)."""
     ses = session_windows_batch(df, key_cols, ts_col, gap_ms)
-    ts_ms = (F.unix_micros(F.col(ts_col)) / 1000).cast("long")
+    ts_ms = F.expr(f"unix_micros({ts_col}) DIV 1000")
     return ses.groupBy(*key_cols, "session_id").agg(
         F.min(ts_ms).alias("session_start_ms"),
         F.max(ts_ms).alias("session_end_ms"),
@@ -132,8 +131,6 @@ def sliding_window_agg(
     )
     return (
         grouped.agg(*aggs)
-        .withColumn(
-            "window_start_ms", (F.unix_micros(F.col("win.start")) / 1000).cast("long")
-        )
+        .withColumn("window_start_ms", F.expr("unix_micros(win.start) DIV 1000"))
         .drop("win")
     )

@@ -1,0 +1,91 @@
+"""Mini-driver: run every queries() entry and its oracle_sql() side-by-side
+at sf0.001 and require EXACT row-set equality (the real driver hash-compares
+at sf0.01 — this catches parity bugs before it does)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    return v
+
+
+def _rowset(rows):
+    return sorted(tuple(_norm(v) for v in r) for r in rows)
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR)
+    # align column order to the oracle's, then sort rows
+    odf = duck.sql(ORACLES[name])
+    ocols = [c.lower() for c in odf.columns]
+    scols = {c.lower(): c for c in sdf.columns}
+    assert set(ocols) == set(scols), f"{name}: columns {sorted(scols)} vs oracle {sorted(ocols)}"
+    spark_rows = _rowset(
+        tuple(r) for r in sdf.select(*[scols[c] for c in ocols]).collect()
+    )
+    oracle_rows = _rowset(odf.fetchall())
+    assert len(spark_rows) == len(oracle_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(oracle_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(spark_rows, oracle_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches: {mismatches[:3]}"
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    no_oracle = set(QUERIES) - set(ORACLES)
+    # rows-only checks must be deliberate (probabilistic ANN, stubbed decode,
+    # pure-Spark near-dup pipeline)
+    assert no_oracle == {"similarity_lsh_top5", "multimodal_features", "dedup_minhash"}
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
