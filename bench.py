@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "bench_total_sec", "value": N, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced with the noop sink (full computation, no driver
+collect) except explicit top-k queries where collect() is the semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from starlight_for_kafka_spark import get_session
+
+    import __spark_entry__ as entrymod
+
+    spark = get_session(app="starlight-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    # headline suite: one per operator family, heaviest variants
+    suite = [
+        "log_fetch",                # FETCH path (partition-pruned scan)
+        "produce_offsets_dense",    # PRODUCE offset assignment (full shuffle)
+        "offsets_for_times",        # LIST_OFFSETS by time
+        "offset_commit_compact",    # compacted offset view (latest-wins)
+        "consumer_lag",             # lag join
+        "txn_read_committed",       # read-committed scan (LSO + anti-join)
+        "txn_idempotent_dedupe",    # idempotence dedupe
+        "keyed_reduce",             # keyed aggregation
+        "tumbling_window_1h",       # windowed aggregation
+        "session_windows",          # sessionization
+        "ktable_latest",            # changelog latest-wins
+        "global_join_inner",        # stream-table broadcast join
+        "q1_pricing_summary",       # TPC-H Q1 style scan+agg
+        "top_revenue_orders",       # 3-way join + top-k
+        "dedup_exact",              # exact dedup
+        "dedup_minhash",            # MinHash-LSH near dedup
+        "similarity_top10",         # brute-force cosine top-k
+        "text_stats",               # text quality scan
+    ]
+
+    # warm the JVM + file listing once
+    entrymod.q_list_offsets(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in suite:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

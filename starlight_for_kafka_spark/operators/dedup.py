@@ -37,6 +37,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; a*h + b stays inside int64
+
+
+def _minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic permutation coefficients (LCG-spread, nonzero a)."""
+    a = [(1_103_515_245 * (i + 1) + 12_345) % MINHASH_PRIME or 1 for i in range(num_hashes)]
+    b = [(69_069 * (i + 1) + 1_013_904_223) % MINHASH_PRIME for i in range(num_hashes)]
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -44,30 +54,33 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed i, min over shingles of
-    hash(seed, shingle). Emitted as (id, array<long> signature).
+    """Per-doc MinHash signature as (id, array<long> signature).
 
-    JVM-only: shingling + hashing via higher-order functions; per-seed min
-    via array_min of a transformed array — no UDF, no explode (the explode
-    variant shuffles |doc|×K rows; this keeps one row per doc).
+    One md5 per distinct shingle; the K hash family is linear permutations
+    h_i(x) = (a_i·x + b_i) mod P over that single base hash — the classic
+    construction, so signature cost is O(|shingles|) hashing + O(K) integer
+    ops, not O(K·|shingles|) hashing. Explode → groupBy(min×K) gives
+    map-side partial mins; the shuffle carries only (id, K mins) per
+    partition — scale-safe at 100 TB (docs never re-assemble their shingle
+    sets on one node).
     """
-    sh = shingles(F.col(text_col), shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    sh,
-                    lambda s, i=i: F.conv(
-                        F.substring(F.md5(F.concat(F.lit(f"s{i}:"), s).cast("binary")), 1, 15),
-                        16,
-                        10,
-                    ).cast("long"),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+    a, b = _minhash_coeffs(num_hashes)
+    # spread docs across cores before the shingle explosion: a small parquet
+    # file arrives as 1-2 input splits, which would serialize the heavy
+    # hashing on one task (at 100 TB the scan is already parallel; this
+    # matters for the many-small-files case)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(n_part, id_col).select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("__s")
+    ).withColumn("__h", md5_hash64(F.col("__s")) % MINHASH_PRIME)
+    aggs = [
+        F.min((F.lit(a[i]) * F.col("__h") + F.lit(b[i])) % MINHASH_PRIME).alias(f"__mh{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col), F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("signature")
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -75,6 +88,7 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 4,
     max_bucket: int = 200,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, bucket on the
     band hash, self-join buckets → candidate pairs (a < b).
@@ -84,7 +98,7 @@ def minhash_lsh_candidates(
     by definition near-identical docs that the exact-dedup pass already
     collapses.
     """
-    n = signatures.select(F.size("signature")).first()[0]
+    n = num_hashes if num_hashes is not None else signatures.select(F.size("signature")).first()[0]
     rows_per_band = n // bands
     banded = signatures.select(
         id_col,
@@ -130,7 +144,8 @@ def jaccard_verify(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard ≥ threshold."""
-    sets_df = df.select(
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sets_df = df.repartition(n_part, id_col).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__set"),
     )
@@ -162,7 +177,7 @@ def minhash_dedup(
     iterative approach note in similarity.py).
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    cands = minhash_lsh_candidates(sigs, id_col, bands)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes=num_hashes)
     verified = jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold)
     losers = verified.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
