@@ -25,6 +25,7 @@ from starlight_for_kafka_spark.operators import dedup as dedup_ops
 from starlight_for_kafka_spark.operators import groups as group_ops
 from starlight_for_kafka_spark.operators import ktable as ktable_ops
 from starlight_for_kafka_spark.operators import multimodal as mm_ops
+from starlight_for_kafka_spark.operators import registry as reg_ops
 from starlight_for_kafka_spark.operators import similarity as sim_ops
 from starlight_for_kafka_spark.operators import text as text_ops
 from starlight_for_kafka_spark.operators import transactions as tx_ops
@@ -108,6 +109,35 @@ docs AS (
   UNION ALL
   SELECT doc_id + 2000000, text || ' extra token' FROM documents WHERE doc_id % 25 = 0
 )"""
+
+
+# Fixed Avro schema literals for the registry queries (compat semantics of
+# CompatibilityChecker.java:88-163; see operators/registry.py).
+SCHEMA_USER_V1 = '{"type":"record","name":"User","fields":[{"name":"id","type":"long"}]}'
+SCHEMA_USER_V2 = (
+    '{"type":"record","name":"User","fields":[{"name":"id","type":"long"},'
+    '{"name":"email","type":"string","default":""}]}'
+)
+SCHEMA_USER_V3 = (
+    '{"type":"record","name":"User","fields":[{"name":"id","type":"long"},'
+    '{"name":"email","type":"string","default":""},'
+    '{"name":"age","type":"long","default":0}]}'
+)
+SCHEMA_CLICK_V1 = (
+    '{"type":"record","name":"Click","fields":[{"name":"url","type":"string"},'
+    '{"name":"user","type":"long"}]}'
+)
+CAND_NO_DEFAULT = (
+    '{"type":"record","name":"User","fields":[{"name":"id","type":"long"},'
+    '{"name":"age","type":"long"}]}'
+)
+CAND_TYPE_CHANGE = '{"type":"record","name":"User","fields":[{"name":"id","type":"string"}]}'
+
+# produce-validation window: now = 2024-01-20T00:00:00Z, max diff 5 days
+VALIDATE_NOW_MS = 1_705_708_800_000
+VALIDATE_DIFF_MS = 432_000_000
+KEY_ERR = "InvalidRecordException: compacted topic record without key"
+TS_ERR = "InvalidTimestampException"
 
 
 def _docs_with_clones(documents: DataFrame) -> DataFrame:
@@ -430,6 +460,164 @@ def q_multimodal_features(spark, sf_dir):
     return mm_ops.extract_features(media)
 
 
+def q_produce_validation(spark, sf_dir):
+    """KopLogValidator semantics: compacted topics need keys; timestamps must
+    sit within max.message.time.difference.ms of 'now'."""
+    from starlight_for_kafka_spark.sources.logtable import validate_records
+
+    log = _log(spark, sf_dir).df
+    recs = log.withColumn(
+        "key",
+        F.when(
+            F.col("key").cast("string").cast("bigint") % 7 == 0,
+            F.lit(None).cast("binary"),
+        ).otherwise(F.col("key")),
+    )
+    validated = validate_records(
+        recs, compacted=True,
+        max_timestamp_diff_ms=VALIDATE_DIFF_MS, now_ms=VALIDATE_NOW_MS,
+    )
+    return validated.groupBy(
+        "partition", F.coalesce(F.col("_error"), F.lit("OK")).alias("_error")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def q_offset_out_of_range(spark, sf_dir):
+    lt = _log(spark, sf_dir)
+    leo = lt.df.groupBy("partition").agg((F.max("offset") + 1).alias("log_end_offset"))
+    return leo.select(
+        "partition", "log_end_offset",
+        F.lit(2000).alias("fetch_offset"),
+        (F.lit(2000) > F.col("log_end_offset")).alias("out_of_range"),
+    )
+
+
+def q_offset_expire(spark, sf_dir):
+    commits = group_ops.derive_commits_from_events(load_table(spark, sf_dir, "events"))
+    live = group_ops.expire_offsets(commits, TS_CUTOFF)
+    return group_ops.committed_offsets(live).select("group", "topic", "partition", "offset")
+
+
+def q_delete_group(spark, sf_dir):
+    commits = group_ops.derive_commits_from_events(load_table(spark, sf_dir, "events"))
+    return group_ops.list_groups(group_ops.delete_group(commits, "g2"))
+
+
+def q_table_table_join(spark, sf_dir):
+    """KTable ⋈ KTable: latest-value view joined with a count view (both are
+    changelog-derived tables in Streams terms)."""
+    log = _log(spark, sf_dir).df.withColumn("key", F.col("key").cast("string"))
+    latest = ktable_ops.ktable_latest(log, ["key"]).select(
+        "key", F.col("value").cast("string").alias("latest_value")
+    )
+    counts = win_ops.keyed_count(log, "key").withColumnRenamed("cnt", "n_events")
+    return ktable_ops.table_table_join(latest, counts, "key").select(
+        "key", "latest_value", "n_events"
+    )
+
+
+def q_sliding_window_2h1h(spark, sf_dir):
+    return win_ops.sliding_window_agg(
+        load_table(spark, sf_dir, "events"),
+        "ts", "2 hours", "1 hour",
+        ["event_type"],
+        [F.count("*").alias("cnt"), _dec_sum("value").alias("total_value")],
+    )
+
+
+def q_typed_view(spark, sf_dir):
+    log = _log(spark, sf_dir).df
+    tv = reg_ops.typed_view(log, "k int")
+    return tv.select("partition", "offset", F.col("typed.k").alias("k"))
+
+
+def _built_registry(spark):
+    reg = reg_ops.create_registry(spark)
+    reg = reg_ops.register_schema(reg, "user-value", "AVRO", SCHEMA_USER_V1)
+    reg = reg_ops.register_schema(reg, "user-value", "AVRO", SCHEMA_USER_V2)
+    reg = reg_ops.register_schema(reg, "click-value", "AVRO", SCHEMA_CLICK_V1)
+    reg = reg_ops.register_schema(reg, "user-value", "AVRO", SCHEMA_USER_V3)
+    return reg
+
+
+def q_registry_subjects(spark, sf_dir):
+    return reg_ops.latest_schemas(_built_registry(spark))
+
+
+def q_registry_compat(spark, sf_dir):
+    """Compatibility verdict matrix over a fixed history [USER_V1, USER_V2];
+    oracle is the hand-derived truth table (not the same code path)."""
+    history = [SCHEMA_USER_V1, SCHEMA_USER_V2]
+    cands = {
+        "add_field_no_default": CAND_NO_DEFAULT,
+        "type_change": CAND_TYPE_CHANGE,
+        "add_field_with_default": SCHEMA_USER_V3,
+    }
+    modes = [
+        "NONE", "BACKWARD", "FORWARD", "FULL",
+        "BACKWARD_TRANSITIVE", "FORWARD_TRANSITIVE", "FULL_TRANSITIVE",
+    ]
+    rows = [
+        (m, name, reg_ops.check_compatibility(m, d, history))
+        for m in modes
+        for name, d in cands.items()
+    ]
+    return spark.createDataFrame(rows, "mode string, candidate string, compatible boolean")
+
+
+def q_registry_wire(spark, sf_dir):
+    """Confluent wire-format round-trip: 0x00 + int32 id + payload
+    (ByteBufUtils.prependSchemaId:301-312), then strip back."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = (F.col("doc_id") % 4 + 1).cast("int")
+    enc = reg_ops.prepend_schema_id(F.col("text").cast("binary"), sid)
+    out_sid, payload = reg_ops.strip_schema_id(enc)
+    return docs.select(
+        "doc_id",
+        out_sid.alias("schema_id"),
+        F.length(payload).alias("payload_len"),
+        payload.cast("string").substr(1, 16).alias("payload_prefix"),
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup_ops.simhash64(load_table(spark, sf_dir, "documents"), shingle_k=4)
+
+
+def _emb_with_near(emb):
+    pert = (
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, i: F.when(i == F.lit(0), x * 1.1).otherwise(x),
+            ),
+        )
+    )
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return base.unionByName(pert.select("vec_id", "embedding"))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    emb = _emb_with_near(load_table(spark, sf_dir, "embeddings"))
+    pairs = dedup_ops.embedding_cosine_dups(emb, threshold=0.95, n_planes=0)
+    return pairs.select("a", "b", F.round("cos", 6).alias("cos"))
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    # rows-only check: LSH bucket boundaries are FP-sign sensitive by design
+    emb = _emb_with_near(load_table(spark, sf_dir, "embeddings"))
+    return dedup_ops.embedding_cosine_dups(emb, threshold=0.95, n_planes=4)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    frames = mm_ops.sample_frames(mm_ops.synthesize_media(docs), every_ms=500)
+    return frames.select("media_id", "frame_ms")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_fetch": q_log_fetch,
@@ -467,6 +655,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_cells": q_similarity_ivf_cells,
         "similarity_lsh_top5": q_similarity_lsh_top5,
         "multimodal_features": q_multimodal_features,
+        "produce_validation": q_produce_validation,
+        "offset_out_of_range": q_offset_out_of_range,
+        "offset_expire": q_offset_expire,
+        "delete_group": q_delete_group,
+        "table_table_join": q_table_table_join,
+        "sliding_window_2h1h": q_sliding_window_2h1h,
+        "typed_view": q_typed_view,
+        "registry_subjects": q_registry_subjects,
+        "registry_compat": q_registry_compat,
+        "registry_wire": q_registry_wire,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -699,4 +901,113 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""",
 )
 SELECT vec_id, CAST(cid AS INT) AS ivf_cell FROM sims
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1""",
+        "produce_validation": f"""WITH {LOG_CTE},
+v AS (
+  SELECT "partition",
+    CASE WHEN epoch_us("timestamp") // 1000 < {VALIDATE_NOW_MS - VALIDATE_DIFF_MS}
+           OR epoch_us("timestamp") // 1000 > {VALIDATE_NOW_MS + VALIDATE_DIFF_MS}
+         THEN '{TS_ERR}'
+         WHEN CAST(key AS BIGINT) % 7 = 0 THEN '{KEY_ERR}'
+         ELSE 'OK' END AS _error
+  FROM log
+)
+SELECT "partition", _error, count(*) AS cnt FROM v GROUP BY "partition", _error""",
+        "offset_out_of_range": f"""WITH {LOG_CTE}
+SELECT "partition", max("offset") + 1 AS log_end_offset,
+       2000 AS fetch_offset,
+       2000 > max("offset") + 1 AS out_of_range
+FROM log GROUP BY "partition\"""",
+        "offset_expire": f"""WITH {COMMITS_CTE}
+SELECT "group", topic, "partition", "offset"
+FROM commits WHERE commit_ts >= TIMESTAMP '2024-01-15 00:00:00'
+QUALIFY row_number() OVER (PARTITION BY "group", topic, "partition" ORDER BY commit_ts DESC, "offset" DESC) = 1""",
+        "delete_group": f"""WITH {COMMITS_CTE}
+SELECT DISTINCT "group" FROM commits WHERE "group" <> 'g2'""",
+        "table_table_join": f"""WITH {LOG_CTE},
+latest AS (
+  SELECT key, value AS latest_value FROM log
+  QUALIFY row_number() OVER (PARTITION BY key ORDER BY "partition" DESC, "offset" DESC) = 1
+),
+counts AS (SELECT key, count(*) AS n_events FROM log GROUP BY key)
+SELECT key, latest_value, n_events FROM latest JOIN counts USING (key)""",
+        "sliding_window_2h1h": """WITH j AS (SELECT unnest([0, 1]) AS j),
+e AS (SELECT event_type, value, epoch_us(ts) // 1000 AS ms FROM events)
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       (ms // 3600000 - j) * 3600000 AS window_start_ms
+FROM e CROSS JOIN j
+GROUP BY event_type, window_start_ms""",
+        "typed_view": f"""WITH {LOG_CTE}
+SELECT "partition", "offset", CAST(json_extract_string(value, '$.k') AS INT) AS k
+FROM log""",
+        "registry_subjects": f"""SELECT * FROM (VALUES
+  ('click-value', 1, 3, 'AVRO', '{SCHEMA_CLICK_V1}'),
+  ('user-value', 3, 4, 'AVRO', '{SCHEMA_USER_V3}')
+) AS t(subject, version, id, type, definition)""",
+        # hand-derived truth table — deliberately NOT generated from the
+        # engine's check_compatibility (that would be circular)
+        "registry_compat": """SELECT * FROM (VALUES
+  ('NONE', 'add_field_no_default', true),
+  ('NONE', 'type_change', true),
+  ('NONE', 'add_field_with_default', true),
+  ('BACKWARD', 'add_field_no_default', false),
+  ('BACKWARD', 'type_change', false),
+  ('BACKWARD', 'add_field_with_default', true),
+  ('FORWARD', 'add_field_no_default', true),
+  ('FORWARD', 'type_change', false),
+  ('FORWARD', 'add_field_with_default', true),
+  ('FULL', 'add_field_no_default', false),
+  ('FULL', 'type_change', false),
+  ('FULL', 'add_field_with_default', true),
+  ('BACKWARD_TRANSITIVE', 'add_field_no_default', false),
+  ('BACKWARD_TRANSITIVE', 'type_change', false),
+  ('BACKWARD_TRANSITIVE', 'add_field_with_default', true),
+  ('FORWARD_TRANSITIVE', 'add_field_no_default', true),
+  ('FORWARD_TRANSITIVE', 'type_change', false),
+  ('FORWARD_TRANSITIVE', 'add_field_with_default', true),
+  ('FULL_TRANSITIVE', 'add_field_no_default', false),
+  ('FULL_TRANSITIVE', 'type_change', false),
+  ('FULL_TRANSITIVE', 'add_field_with_default', true)
+) AS t(mode, candidate, compatible)""",
+        "registry_wire": """SELECT doc_id,
+       CAST(doc_id % 4 + 1 AS INT) AS schema_id,
+       strlen(text) AS payload_len,
+       substring(text, 1, 16) AS payload_prefix
+FROM documents""",
+        "dedup_simhash": """WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents
+), sets AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN length(t) >= 4
+                            THEN [substring(t, i, 4) FOR i IN range(1, length(t) - 2)]
+                            ELSE [] END) AS sh
+  FROM norm
+), hashes AS (
+  SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h FROM sets
+), votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashes CROSS JOIN (SELECT unnest(range(16)) AS b) bits
+  GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id""",
+        "dedup_embedding": """WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), pert AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         [CASE WHEN i = 1 THEN v[i] * 1.1 ELSE v[i] END FOR i IN range(1, len(v) + 1)] AS v
+  FROM base WHERE vec_id % 20 = 0
+), allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM pert
+), pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
+        "multimodal_frames": """SELECT doc_id AS media_id,
+       unnest(range(0, length(text) * 10, 500)) AS frame_ms
+FROM documents WHERE doc_id % 3 = 2""",
     }

@@ -264,13 +264,15 @@ def embedding_cosine_dups(
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucket by random-hyperplane sign bits,
     then exact cosine within buckets (see operators/similarity.py for the
-    shared bucketing)."""
+    shared bucketing). ``n_planes <= 0`` disables bucketing (exact all-pairs
+    baseline — O(n²), for oracle checks and small tables only)."""
     from starlight_for_kafka_spark.operators.similarity import hyperplane_bucket
     from starlight_for_kafka_spark.functions.vectors import cosine_similarity
 
-    bucketed = embeddings.withColumn(
-        "__bucket", hyperplane_bucket(F.col(vec_col), n_planes)
+    bucket = (
+        F.lit(0) if n_planes <= 0 else hyperplane_bucket(F.col(vec_col), n_planes)
     )
+    bucketed = embeddings.withColumn("__bucket", bucket)
     a = bucketed.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "__bucket"
     )

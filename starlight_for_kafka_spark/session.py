@@ -78,7 +78,12 @@ def _fix_nanos(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, normalizing nanos-long columns to timestamps."""
+    """Load one testdata table, normalizing nanos-long columns to timestamps.
+
+    Sets ``nanosAsLong`` on the session defensively: the driver hands us an
+    arbitrary SparkSession, and without it any read of the nanos-timestamp
+    testdata throws PARQUET_TYPE_ILLEGAL (runtime-settable conf)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _fix_nanos(df, _NANO_TS_COLS.get(name, []))
 

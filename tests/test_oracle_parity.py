@@ -83,7 +83,12 @@ def test_every_query_has_oracle_or_is_flagged():
     no_oracle = set(QUERIES) - set(ORACLES)
     # rows-only checks must be deliberate (probabilistic ANN, stubbed decode,
     # pure-Spark near-dup pipeline)
-    assert no_oracle == {"similarity_lsh_top5", "multimodal_features", "dedup_minhash"}
+    assert no_oracle == {
+        "similarity_lsh_top5",
+        "multimodal_features",
+        "dedup_minhash",
+        "dedup_embedding_lsh",
+    }
 
 
 def test_entry_smoke(spark):
