@@ -1,0 +1,85 @@
+"""Physical-plan inspection: make scale properties machine-checkable.
+
+The reference has no optimizer to inspect (SURVEY.md §4 — its performance
+surface is zero-copy passthrough and cursor caching, e.g.
+kafka-impl/.../format/KafkaV1EntryFormatter.java:40-64). On Spark the
+equivalent discipline is: filters reach the parquet scan, projections prune
+columns, small dimensions broadcast, and aggregations combine map-side
+before their single shuffle. These helpers parse `explain("formatted")`
+output so tests can assert those properties instead of hoping for them —
+the plan contract that keeps a query viable at 100 TB is pinned the same
+way row-level correctness is.
+"""
+
+from __future__ import annotations
+
+import re
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def without_aqe(spark: SparkSession):
+    """Disable AQE while building a DataFrame so the static physical plan
+    (with codegen annotations) is visible pre-execution; AQE wraps the plan
+    in AdaptiveSparkPlan(isFinalPlan=false) until the first job runs."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (modes: simple, extended, codegen,
+    cost, formatted)."""
+    jvm = df.sparkSession._jvm
+    explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(explain_mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Every non-empty PushedFilters entry across the plan's parquet scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan_string(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def scan_read_columns(df: DataFrame, table_path_fragment: str) -> list[str]:
+    """Column names in the ReadSchema of the scan whose file location
+    contains ``table_path_fragment`` — asserts column pruning reached
+    the reader."""
+    plan = plan_string(df)
+    scans = re.split(r"\(\d+\) Scan parquet", plan)[1:]
+    for scan in scans:
+        if table_path_fragment in scan:
+            m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+            if m:
+                return [c.split(":")[0] for c in m.group(1).split(",") if c]
+    return []
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of distinct shuffle boundaries (Exchange operators, reused
+    exchanges counted once)."""
+    plan = plan_string(df)
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", plan_string(df)))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return broadcast_join_count(df) > 0
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans (simple-mode ``*(N)`` markers) —
+    zero means the whole plan fell off the codegen path."""
+    return len(set(re.findall(r"\*\((\d+)\)", plan_string(df, "simple"))))

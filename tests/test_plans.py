@@ -1,0 +1,95 @@
+"""Plan-contract tests: pin the physical-plan properties that keep each
+operator viable at 100 TB (SURVEY.md §4). Row-level correctness is covered
+by the oracle-parity suite; these assert the SHAPE of execution — filters
+at the scan, pruned readers, broadcast dimensions, bounded shuffles."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from starlight_for_kafka_spark import load_table
+from starlight_for_kafka_spark.operators import dedup as dedup_ops
+from starlight_for_kafka_spark.plans import (
+    broadcast_join_count,
+    codegen_stage_count,
+    exchange_count,
+    plan_string,
+    pushed_filters,
+    scan_read_columns,
+    without_aqe,
+)
+from tests.conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in p and "LessThanOrEqual" in p for p in pushed), pushed
+
+
+def test_q1_column_pruning(spark):
+    # lineitem has 16 columns; Q1 must read only the 7 it touches
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    cols = scan_read_columns(df, "lineitem")
+    assert set(cols) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, cols
+
+
+def test_q1_single_shuffle(spark):
+    # partial (map-side) aggregation means exactly one Exchange
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    assert exchange_count(df) == 1, plan_string(df)
+
+
+def test_top_revenue_broadcasts_dimension(spark):
+    df = QUERIES["top_revenue_orders"](spark, SF_DIR)
+    assert broadcast_join_count(df) >= 1, plan_string(df)
+    # top-k never globally sorts: TakeOrderedAndProject caps the shuffle
+    assert "TakeOrderedAndProject" in plan_string(df)
+
+
+def test_global_ktable_join_is_broadcast_no_shuffle(spark):
+    # KStream x GlobalKTable (GlobalKTableTest.java:94): the table side must
+    # broadcast; the stream side must not shuffle at all
+    df = QUERIES["global_join_inner"](spark, SF_DIR)
+    assert broadcast_join_count(df) == 1, plan_string(df)
+    assert exchange_count(df) == 0, plan_string(df)
+
+
+def test_similarity_topk_no_shuffle(spark):
+    # brute-force cosine top-k: embarrassingly parallel scan, per-partition
+    # top-k merged on one node — zero Exchange operators
+    df = QUERIES["similarity_top10"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert exchange_count(df) == 0, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_keyed_count_partial_aggregation(spark):
+    df = QUERIES["keyed_count"](spark, SF_DIR)
+    assert exchange_count(df) == 1, plan_string(df)
+    assert "partial_count" in plan_string(df)
+
+
+def test_minhash_signatures_shuffle_free(spark, documents):
+    # one intentional Exchange (the parallelism repartition), nothing else:
+    # the signature computation itself never shuffles shingles
+    sig = dedup_ops.minhash_signatures(documents)
+    assert exchange_count(sig) == 1, plan_string(sig)
+
+
+def test_exact_dedup_single_shuffle(spark):
+    df = QUERIES["dedup_exact"](spark, SF_DIR)
+    assert exchange_count(df) == 1, plan_string(df)
+
+
+def test_scan_heavy_queries_stay_in_codegen(spark):
+    # whole-stage codegen must cover the hot scan+agg paths (AQE hides the
+    # static plan's codegen annotations pre-execution, so inspect without it)
+    with without_aqe(spark):
+        for name in ["q1_pricing_summary", "keyed_count", "tumbling_window_1h"]:
+            df = QUERIES[name](spark, SF_DIR)
+            assert codegen_stage_count(df) >= 1, f"{name} fell off codegen"
