@@ -96,6 +96,17 @@ lso AS (
 )"""
 )
 
+MEMBERSHIP_CTE = """
+m AS (
+  SELECT 'g' || CAST(user_id % 4 AS VARCHAR) AS "group",
+         'm' || CAST(user_id % 24 AS VARCHAR) AS member,
+         CASE WHEN event_id % 10 = 0 THEN 'leave'
+              WHEN event_id % 10 <= 2 THEN 'join'
+              ELSE 'heartbeat' END AS action,
+         ts, event_id
+  FROM events
+)"""
+
 DOCS_WITH_CLONES_CTE = """
 docs AS (
   SELECT doc_id, text FROM documents
@@ -612,6 +623,25 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return dedup_ops.embedding_cosine_dups(emb, threshold=0.95, n_planes=4)
 
 
+def q_group_state_recovery(spark, sf_dir):
+    """Replay the membership log into final coordinator state (JOIN/SYNC/
+    HEARTBEAT/LEAVE, GroupCoordinator.java:215-718)."""
+    m = group_ops.derive_membership_from_events(load_table(spark, sf_dir, "events"))
+    return group_ops.recover_group_state(m)
+
+
+def q_group_members(spark, sf_dir):
+    m = group_ops.derive_membership_from_events(load_table(spark, sf_dir, "events"))
+    return group_ops.list_members(m)
+
+
+def q_log_compact(spark, sf_dir):
+    log = _log(spark, sf_dir).df.withColumn("key", F.col("key").cast("string"))
+    return ktable_ops.compact_topic(log).select(
+        "partition", "key", F.col("value").cast("string").alias("value"), "offset"
+    )
+
+
 def q_multimodal_frames(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     frames = mm_ops.sample_frames(mm_ops.synthesize_media(docs), every_ms=500)
@@ -669,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "multimodal_frames": q_multimodal_frames,
+        "group_state_recovery": q_group_state_recovery,
+        "group_members": q_group_members,
+        "log_compact": q_log_compact,
     }
 
 
@@ -1010,4 +1043,39 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, length(text) * 10, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "group_state_recovery": f"""WITH {MEMBERSHIP_CTE},
+last AS (
+  SELECT "group", member, action FROM m
+  QUALIFY row_number() OVER (PARTITION BY "group", member ORDER BY ts DESC, event_id DESC) = 1
+),
+gen AS (
+  SELECT "group", count(*) AS generation FROM m
+  WHERE action IN ('join', 'leave') GROUP BY "group"
+),
+alive AS (
+  SELECT "group", count(*) AS n_members FROM last WHERE action <> 'leave' GROUP BY "group"
+)
+SELECT g."group",
+       coalesce(gen.generation, 0) AS generation,
+       coalesce(alive.n_members, 0) AS n_members,
+       CASE WHEN coalesce(alive.n_members, 0) = 0 THEN 'Empty' ELSE 'Stable' END AS state
+FROM (SELECT DISTINCT "group" FROM m) g
+LEFT JOIN gen USING ("group")
+LEFT JOIN alive USING ("group")""",
+        "group_members": f"""WITH {MEMBERSHIP_CTE},
+last AS (
+  SELECT "group", member, action FROM m
+  QUALIFY row_number() OVER (PARTITION BY "group", member ORDER BY ts DESC, event_id DESC) = 1
+),
+seen AS (
+  SELECT "group", member, max(epoch_us(ts) // 1000) AS last_seen_ms FROM m GROUP BY "group", member
+)
+SELECT l."group", l.member, s.last_seen_ms
+FROM last l JOIN seen s ON l."group" = s."group" AND l.member = s.member
+WHERE l.action <> 'leave'""",
+        "log_compact": f"""WITH {LOG_CTE}
+SELECT * FROM (
+  SELECT "partition", key, value, "offset" FROM log
+  QUALIFY row_number() OVER (PARTITION BY "partition", key ORDER BY "offset" DESC) = 1
+) WHERE value IS NOT NULL""",
     }

@@ -104,3 +104,104 @@ def consumer_lag(commits: DataFrame, log_end_offsets: DataFrame) -> DataFrame:
         .withColumn("lag", F.col("log_end_offset") - F.col("offset") - 1)
         .select("group", "topic", "partition", "offset", "log_end_offset", "lag")
     )
+
+
+# --------------------------------------------------------------------- #
+# membership state machine, recovered by log replay
+# --------------------------------------------------------------------- #
+
+
+def derive_membership_from_events(
+    events: DataFrame, n_groups: int = 4, n_members: int = 24
+) -> DataFrame:
+    """Deterministic membership-event log from the events table (fixture):
+    each event is a JOIN_GROUP / LEAVE_GROUP / HEARTBEAT by member
+    m{user_id % n_members} in group g{user_id % n_groups}. n_members is a
+    multiple of n_groups so a member always maps to one group."""
+    action = (
+        F.when(F.col("event_id") % 10 == 0, F.lit("leave"))
+        .when(F.col("event_id") % 10 <= 2, F.lit("join"))
+        .otherwise(F.lit("heartbeat"))
+    )
+    return events.select(
+        F.concat(F.lit("g"), (F.col("user_id") % n_groups).cast("string")).alias("group"),
+        F.concat(F.lit("m"), (F.col("user_id") % n_members).cast("string")).alias("member"),
+        action.alias("action"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+
+
+def recover_group_state(membership: DataFrame) -> DataFrame:
+    """Recover coordinator group state by replaying the membership log —
+    the same latest-wins replay shape as offset recovery
+    (GroupMetadataManager.doLoadGroupsAndOffsets:718).
+
+    Semantics (batch projection of the state machine in
+    GroupCoordinator.java:215-438 handleJoinGroup, :565-595
+    handleLeaveGroup, :658-718 handleHeartbeat; states GroupState.java:21):
+      * a member is live if its LAST event is not a leave
+      * every join/leave triggers a rebalance, so generation = count of
+        join+leave events (heartbeats never bump it)
+      * state = Empty when no live members, else Stable (the transient
+        PreparingRebalance/CompletingRebalance states exist only between
+        requests — a batch replay always lands on a quiescent state,
+        exactly like the reference's recovery path)
+
+    Scale: one shuffle on (group, member) for the latest-event window, then
+    group-level aggregates over member-counted rows; groups are tiny, so
+    the final joins broadcast.
+    """
+    w = Window.partitionBy("group", "member").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        membership.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("group", "member", "action")
+    )
+    alive = (
+        last.filter(F.col("action") != "leave")
+        .groupBy("group")
+        .agg(F.count("*").alias("n_members"))
+    )
+    gen = (
+        membership.filter(F.col("action").isin("join", "leave"))
+        .groupBy("group")
+        .agg(F.count("*").alias("generation"))
+    )
+    groups = membership.select("group").distinct()
+    return (
+        groups.join(F.broadcast(gen), "group", "left")
+        .join(F.broadcast(alive), "group", "left")
+        .select(
+            "group",
+            F.coalesce(F.col("generation"), F.lit(0)).alias("generation"),
+            F.coalesce(F.col("n_members"), F.lit(0)).alias("n_members"),
+            F.when(F.coalesce(F.col("n_members"), F.lit(0)) == 0, F.lit("Empty"))
+            .otherwise(F.lit("Stable"))
+            .alias("state"),
+        )
+    )
+
+
+def list_members(membership: DataFrame) -> DataFrame:
+    """DESCRIBE_GROUPS member list: live members with their last-seen time
+    (the coordinator's heartbeat bookkeeping, DelayedHeartbeat expiry —
+    GroupCoordinator.java:658-718)."""
+    w = Window.partitionBy("group", "member").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ts_ms = F.expr("unix_micros(ts) DIV 1000")
+    ranked = membership.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__ms", ts_ms
+    )
+    last = ranked.filter(F.col("__rn") == 1).select("group", "member", "action")
+    last_seen = ranked.groupBy("group", "member").agg(
+        F.max("__ms").alias("last_seen_ms")
+    )
+    return (
+        last.filter(F.col("action") != "leave")
+        .join(last_seen, ["group", "member"])
+        .select("group", "member", "last_seen_ms")
+    )

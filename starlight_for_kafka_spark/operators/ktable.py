@@ -52,6 +52,28 @@ def stream_global_table_join(
     ).drop("__join_key")
 
 
+def compact_topic(log: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Kafka log compaction: per (partition, key) keep only the record at
+    the highest offset; a null value (tombstone) deletes the key
+    (KopLogValidator.validateKey:446 requires keys on compacted topics;
+    compaction itself is the broker-side analog of the coordinator's
+    latest-wins recovery).
+
+    Unlike :func:`ktable_latest` (a global per-key view), compaction is
+    per-partition — the same scope the broker compacts in. One shuffle on
+    (partition, key); at rest this is the natural job to run under a
+    partition-pruned predicate (compact one partition at a time).
+    """
+    key_cols = key_cols or ["key"]
+    w = Window.partitionBy("partition", *key_cols).orderBy(F.col("offset").desc())
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(F.col("value").isNotNull())
+    )
+
+
 def table_table_join(left: DataFrame, right: DataFrame, on, how: str = "inner") -> DataFrame:
     """KTable ⋈ KTable: both sides are latest-wins views; a plain relational
     join once materialized. Catalyst picks broadcast vs sort-merge by size."""

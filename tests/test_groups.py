@@ -67,3 +67,55 @@ def test_consumer_lag(events, log):
     # just the arithmetic — check one row against hand computation
     r = lag.filter((F.col("group") == "g1") & (F.col("partition") == 1)).first()
     assert r.lag == r.log_end_offset - r.offset - 1
+
+
+def test_recover_group_state_rejoin_and_empty(spark):
+    from starlight_for_kafka_spark.operators import groups as g
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1)
+
+    def ev(i):
+        return t + datetime.timedelta(seconds=i)
+
+    rows = [
+        # g0: m1 joins, leaves, rejoins -> live; generation counts all 3
+        ("g0", "m1", "join", ev(1), 1),
+        ("g0", "m1", "leave", ev(2), 2),
+        ("g0", "m1", "join", ev(3), 3),
+        # g1: single member joins then leaves -> Empty
+        ("g1", "m2", "join", ev(1), 4),
+        ("g1", "m2", "leave", ev(2), 5),
+        # g2: heartbeats only -> live member, generation 0
+        ("g2", "m3", "heartbeat", ev(1), 6),
+    ]
+    m = spark.createDataFrame(
+        rows, "group string, member string, action string, ts timestamp, event_id long"
+    )
+    out = {r.group: r for r in g.recover_group_state(m).collect()}
+    assert out["g0"].state == "Stable" and out["g0"].n_members == 1
+    assert out["g0"].generation == 3
+    assert out["g1"].state == "Empty" and out["g1"].n_members == 0
+    assert out["g2"].state == "Stable" and out["g2"].generation == 0
+    members = {(r.group, r.member) for r in g.list_members(m).collect()}
+    assert members == {("g0", "m1"), ("g2", "m3")}
+
+
+def test_compact_topic_tombstone_deletes_key(spark):
+    from starlight_for_kafka_spark.operators import ktable as kt
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (partition, key, value, offset): k1 updated then tombstoned;
+        # k2 lives; k1 in another partition unaffected
+        (0, "k1", "v1", 0),
+        (0, "k1", "v2", 1),
+        (0, "k1", None, 2),
+        (0, "k2", "v3", 3),
+        (1, "k1", "v4", 0),
+    ]
+    log = spark.createDataFrame(
+        rows, "partition int, key string, value string, offset long"
+    )
+    out = {(r.partition, r.key): r.value for r in kt.compact_topic(log).collect()}
+    assert out == {(0, "k2"): "v3", (1, "k1"): "v4"}
