@@ -92,6 +92,88 @@ def stream_global_table_join(stream: DataFrame, table: DataFrame, on, how: str =
     return stream.join(F.broadcast(table), on, how)
 
 
+GROUP_STATE_OUTPUT = "group string, generation int, n_members int, state string"
+GROUP_STATE_SCHEMA = "members array<string>, generation int"
+
+
+def group_coordinator_stream(membership: DataFrame) -> DataFrame:
+    """The consumer-group coordinator state machine as a custom stateful
+    streaming operator (applyInPandasWithState keyed by group) — the
+    streaming form of operators/groups.recover_group_state, modeling
+    GroupCoordinator.handleJoinGroup/handleLeaveGroup/handleHeartbeat
+    (coordinator/group/GroupCoordinator.java:215-438, 565-595, 658-718).
+
+    State per group = (live member set, generation); each join/leave is a
+    rebalance (generation += 1), heartbeats only refresh liveness. Emits one
+    updated snapshot per group per microbatch. Semantics match the batch
+    replay exactly, so a finite stream must converge to
+    ``recover_group_state`` of the same log — pinned by test.
+
+    Scale: state is per-group (bytes per member id) in the state store;
+    events shuffle once on the group key. This is the pattern for any
+    reference operator that is genuinely a keyed state machine rather than
+    an aggregation.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        if state.exists:
+            members_list, generation = state.get
+            members = set(members_list)
+        else:
+            members, generation = set(), 0
+        for pdf in pdfs:
+            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+                if r.action == "join":
+                    members.add(r.member)
+                    generation += 1
+                elif r.action == "leave":
+                    members.discard(r.member)
+                    generation += 1
+        state.update((sorted(members), generation))
+        yield pd.DataFrame(
+            {
+                "group": [key[0]],
+                "generation": [generation],
+                "n_members": [len(members)],
+                "state": ["Empty" if not members else "Stable"],
+            }
+        )
+
+    return membership.groupBy("group").applyInPandasWithState(
+        update, GROUP_STATE_OUTPUT, GROUP_STATE_SCHEMA, "update", "NoTimeout"
+    )
+
+
+EMA_OUTPUT = "key string, ema double, n long"
+EMA_STATE_SCHEMA = "ema double, n long"
+
+
+def ema_stream(keyed_values: DataFrame, alpha: float = 0.1) -> DataFrame:
+    """Order-dependent custom aggregate: exponential moving average per key.
+
+    The Streams custom init+adder aggregator (KStreamAggregationTest.java:
+    242-287) in its genuinely-stateful form — an EMA depends on arrival
+    order, so no built-in commutative aggregate expresses it; this is the
+    applyInPandasWithState shape for such operators. Input columns:
+    (key, ts, value)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        ema, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            for r in pdf.sort_values("ts").itertuples():
+                v = float(r.value)
+                ema = v if ema is None else alpha * v + (1 - alpha) * ema
+                n += 1
+        state.update((ema, n))
+        yield pd.DataFrame({"key": [key[0]], "ema": [ema], "n": [n]})
+
+    return keyed_values.groupBy("key").applyInPandasWithState(
+        update, EMA_OUTPUT, EMA_STATE_SCHEMA, "update", "NoTimeout"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming query to completion over currently-available data
     (test/bench harness): memory sink + processAllAvailable."""
