@@ -623,6 +623,64 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return dedup_ops.embedding_cosine_dups(emb, threshold=0.95, n_planes=4)
 
 
+def q_headers_projection(spark, sf_dir):
+    """Record headers (§1.2: array<struct<key,value binary>>, reference
+    properties→headers mapping ByteBufUtils.java:292-299): explode and
+    aggregate by header key/value."""
+    log = _log(spark, sf_dir).df
+    h = log.select(F.explode("headers").alias("h"))
+    return h.groupBy(
+        F.col("h.key").alias("header_key"),
+        F.col("h.value").cast("string").alias("header_value"),
+    ).agg(F.count("*").alias("cnt"))
+
+
+def q_metadata_topics(spark, sf_dir):
+    """METADATA (KafkaRequestHandler.java:757-811): topic discovery with
+    partition counts and end offsets — catalog listing over the log."""
+    log = _log(spark, sf_dir).df
+    return log.groupBy(F.lit("events").alias("topic")).agg(
+        F.countDistinct("partition").alias("n_partitions"),
+        F.count("*").alias("n_records"),
+        F.sum(F.col("offset") + 1).alias("sum_log_end_offsets"),
+    )
+
+
+def q6_discounted_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: multi-predicate scan (every predicate must reach the
+    parquet reader) + single aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(9,2)") * F.col("l_discount").cast(
+        "decimal(3,2)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(datetime.datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(datetime.datetime(1997, 1, 1)))
+            & (F.col("l_discount").cast("decimal(3,2)").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+def q_moving_avg_per_user(spark, sf_dir):
+    """SQL window-function surface: 3-row moving average of event values
+    per user in time order (ties broken by event_id)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    # decimal SUM (exact) then double divide: identical in both engines,
+    # where decimal AVG would differ in retained scale
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    return events.select(
+        "user_id",
+        "event_id",
+        (dec_sum / F.count("*").over(w)).alias("mavg3"),
+    )
+
+
 def q_group_state_recovery(spark, sf_dir):
     """Replay the membership log into final coordinator state (JOIN/SYNC/
     HEARTBEAT/LEAVE, GroupCoordinator.java:215-718)."""
@@ -702,6 +760,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_state_recovery": q_group_state_recovery,
         "group_members": q_group_members,
         "log_compact": q_log_compact,
+        "headers_projection": q_headers_projection,
+        "metadata_topics": q_metadata_topics,
+        "q6_discounted_revenue": q6_discounted_revenue,
+        "moving_avg_per_user": q_moving_avg_per_user,
     }
 
 
@@ -1043,6 +1105,29 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, length(text) * 10, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "headers_projection": """SELECT 'event_type' AS header_key,
+       event_type AS header_value, count(*) AS cnt
+FROM events GROUP BY event_type""",
+        "metadata_topics": f"""WITH {LOG_CTE}
+SELECT 'events' AS topic,
+       count(DISTINCT "partition") AS n_partitions,
+       count(*) AS n_records,
+       sum("offset" + 1) AS sum_log_end_offsets
+FROM log""",
+        "q6_discounted_revenue": """SELECT
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+  count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(3,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+        "moving_avg_per_user": """SELECT user_id, event_id,
+  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+    / count(*) OVER w AS mavg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
         "group_state_recovery": f"""WITH {MEMBERSHIP_CTE},
 last AS (
   SELECT "group", member, action FROM m
