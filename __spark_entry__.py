@@ -623,6 +623,22 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return dedup_ops.embedding_cosine_dups(emb, threshold=0.95, n_planes=4)
 
 
+def q_init_producer_ids(spark, sf_dir):
+    """INIT_PRODUCER_ID: dense PID allocation over the distinct
+    transactional-id set (sequence table)."""
+    events = load_table(spark, sf_dir, "events")
+    ids = events.select(
+        F.concat(F.lit("txn-"), (F.col("user_id") % 50).cast("string")).alias(
+            "transactional_id"
+        )
+    )
+    return tx_ops.allocate_producer_ids(ids)
+
+
+def q_txn_markers(spark, sf_dir):
+    return tx_ops.txn_markers(tx_ops.derive_txn_log(_log(spark, sf_dir).df))
+
+
 def q_headers_projection(spark, sf_dir):
     """Record headers (§1.2: array<struct<key,value binary>>, reference
     properties→headers mapping ByteBufUtils.java:292-299): explode and
@@ -760,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_state_recovery": q_group_state_recovery,
         "group_members": q_group_members,
         "log_compact": q_log_compact,
+        "init_producer_ids": q_init_producer_ids,
+        "txn_markers": q_txn_markers,
         "headers_projection": q_headers_projection,
         "metadata_topics": q_metadata_topics,
         "q6_discounted_revenue": q6_discounted_revenue,
@@ -1105,6 +1123,20 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, length(text) * 10, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "init_producer_ids": """WITH ids AS (
+  SELECT DISTINCT 'txn-' || CAST(user_id % 50 AS VARCHAR) AS transactional_id FROM events
+)
+SELECT transactional_id,
+       CAST(row_number() OVER (ORDER BY transactional_id) - 1 AS BIGINT) AS pid,
+       0 AS producer_epoch
+FROM ids""",
+        "txn_markers": f"""WITH {TXN_CTE}
+SELECT "partition", pid, txn_group,
+       max("offset") + 1 AS marker_offset,
+       upper(max(txn_status)) AS control_type,
+       count(*) AS n_records
+FROM txn3 WHERE txn_status <> 'open'
+GROUP BY "partition", pid, txn_group""",
         "headers_projection": """SELECT 'event_type' AS header_key,
        event_type AS header_value, count(*) AS cnt
 FROM events GROUP BY event_type""",

@@ -105,6 +105,42 @@ def read_committed(txn_log: DataFrame) -> DataFrame:
     )
 
 
+def allocate_producer_ids(txn_ids: DataFrame, id_col: str = "transactional_id") -> DataFrame:
+    """INIT_PRODUCER_ID (KafkaRequestHandler.java:2440,
+    TransactionCoordinator.handleInitProducerId:317; block allocation in
+    ProducerIdManagerImpl.java): allocate dense PIDs per transactional id.
+
+    Spark analog: a sequence table — row_number over the distinct id set.
+    This is a control-plane operation (ids number in the thousands, not
+    the data scale), so the single-partition window is fine; epoch starts
+    at 0 and a re-init bumps it (the fencing role Spark's checkpoint epoch
+    plays in streaming)."""
+    w = Window.orderBy(id_col)
+    return (
+        txn_ids.select(id_col)
+        .distinct()
+        .withColumn("pid", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("producer_epoch", F.lit(0).cast("int"))
+    )
+
+
+def txn_markers(txn_log: DataFrame) -> DataFrame:
+    """WRITE_TXN_MARKERS / EndTransactionMarker (KafkaRequestHandler.java:
+    2685-2790; marker decode ByteBufUtils.decodeMarker:102-128): one control
+    row per decided transaction per partition, at the offset after its last
+    record — the shape a read-committed consumer uses to resolve txn
+    boundaries. Open transactions have no marker yet."""
+    return (
+        txn_log.filter(F.col("txn_status") != "open")
+        .groupBy("partition", "pid", "txn_group")
+        .agg(
+            (F.max("offset") + 1).alias("marker_offset"),
+            F.upper(F.max("txn_status")).alias("control_type"),
+            F.count("*").alias("n_records"),
+        )
+    )
+
+
 def read_uncommitted(txn_log: DataFrame) -> DataFrame:
     """READ_UNCOMMITTED: everything, open txns included (the plain fetch)."""
     return txn_log

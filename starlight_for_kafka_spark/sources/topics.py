@@ -1,0 +1,99 @@
+"""Topic and config DDL on the Spark catalog.
+
+Reference: CREATE_TOPICS / DELETE_TOPICS / CREATE_PARTITIONS via Pulsar
+admin (KafkaRequestHandler.java:2188, 2791, 2910; AdminManager.java:90,
+261, 312) and DESCRIBE_CONFIGS / ALTER_CONFIGS
+(KafkaRequestHandler.java:2300, 2272; AdminManager.describeConfigsAsync:175).
+
+Spark-first: a topic IS a catalog table with the Kafka record schema;
+topic configs ARE table properties. The DDL surface maps 1:1 onto Spark
+SQL DDL, so topics created here are visible to every SQL query and any
+catalog implementation (in-memory for tests, Hive/Glue/Unity in
+production) without engine code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from starlight_for_kafka_spark.sources.logtable import KAFKA_RECORD_SCHEMA
+
+_DDL_COLUMNS = ", ".join(
+    f"`{f.name}` {f.dataType.simpleString()}" for f in KAFKA_RECORD_SCHEMA.fields
+)
+
+
+def _q(name: str) -> str:
+    return "`" + name.replace("`", "") + "`"
+
+
+def create_topic(
+    spark: SparkSession,
+    name: str,
+    num_partitions: int = 1,
+    configs: dict[str, str] | None = None,
+    location: str | None = None,
+) -> None:
+    """CREATE_TOPICS: a parquet table with the log schema, partitioned by
+    the Kafka partition column; num.partitions and configs live as table
+    properties (the broker's topic-level config map)."""
+    props = {"kafka.num.partitions": str(num_partitions), **(configs or {})}
+    props_sql = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    loc_sql = f" LOCATION '{location}'" if location else ""
+    spark.sql(
+        f"CREATE TABLE {_q(name)} ({_DDL_COLUMNS}) USING parquet "
+        f"PARTITIONED BY (partition){loc_sql} TBLPROPERTIES ({props_sql})"
+    )
+
+
+def delete_topic(spark: SparkSession, name: str) -> None:
+    """DELETE_TOPICS."""
+    spark.sql(f"DROP TABLE IF EXISTS {_q(name)}")
+
+
+def list_topics(spark: SparkSession) -> list[str]:
+    """METADATA topic listing."""
+    return [t.name for t in spark.catalog.listTables()]
+
+
+def describe_configs(spark: SparkSession, name: str) -> dict[str, str]:
+    """DESCRIBE_CONFIGS: table properties back as the config map."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {_q(name)}").collect()
+    return {r.key: r.value for r in rows}
+
+
+def alter_configs(spark: SparkSession, name: str, configs: dict[str, str]) -> None:
+    """ALTER_CONFIGS (incremental set — the v1 semantics the reference
+    implements)."""
+    props_sql = ", ".join(f"'{k}'='{v}'" for k, v in configs.items())
+    spark.sql(f"ALTER TABLE {_q(name)} SET TBLPROPERTIES ({props_sql})")
+
+
+def create_partitions(spark: SparkSession, name: str, new_count: int) -> None:
+    """CREATE_PARTITIONS: partition count is metadata here (the routing
+    function's modulus); raising it never rewrites data, matching the
+    reference where partitions are Pulsar metadata (AdminManager.java:312).
+    Decreasing is rejected exactly as Kafka rejects it."""
+    current = int(describe_configs(spark, name).get("kafka.num.partitions", "1"))
+    if new_count <= current:
+        raise ValueError(
+            f"topic {name}: partition count can only grow ({current} -> {new_count})"
+        )
+    alter_configs(spark, name, {"kafka.num.partitions": str(new_count)})
+
+
+def append_records(spark: SparkSession, name: str, records: DataFrame) -> None:
+    """PRODUCE into a catalog topic (records must carry log-schema columns;
+    dense offsets are assigned by LogTable.append before this write).
+
+    insertInto is POSITION-based and a partitioned table stores the
+    partition column last — project it last or offsets silently land in
+    the partition column."""
+    cols = [f.name for f in KAFKA_RECORD_SCHEMA.fields if f.name != "partition"]
+    records.select(*cols, "partition").write.mode("append").insertInto(name)
+
+
+def read_topic(spark: SparkSession, name: str) -> DataFrame:
+    """FETCH source: the table as a DataFrame (partition-pruned scans on
+    the partition column come free from the catalog)."""
+    return spark.table(name)
