@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis): invariants that example tests miss.
+
+Pure-Python rules (schema compatibility) get wide fuzzing; Spark-side
+invariants use few, small examples since each runs real jobs.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from starlight_for_kafka_spark.operators.registry import check_compatibility
+
+# ---------------------------------------------------------------- #
+# schema-compatibility algebra (pure python — fuzz hard)
+# ---------------------------------------------------------------- #
+
+_TYPES = ["long", "string", "double", "boolean"]
+
+
+@st.composite
+def avro_schema(draw):
+    n = draw(st.integers(0, 4))
+    names = draw(
+        st.lists(st.sampled_from("abcdefgh"), min_size=n, max_size=n, unique=True)
+    )
+    fields = []
+    for name in names:
+        f = {"name": name, "type": draw(st.sampled_from(_TYPES))}
+        if draw(st.booleans()):
+            f["default"] = {"long": 0, "string": "", "double": 0.0, "boolean": False}[
+                f["type"]
+            ]
+        fields.append(f)
+    return json.dumps({"type": "record", "name": "R", "fields": fields})
+
+
+@given(new=avro_schema(), history=st.lists(avro_schema(), max_size=3))
+def test_none_mode_always_compatible(new, history):
+    assert check_compatibility("NONE", new, history)
+
+
+@given(new=avro_schema(), history=st.lists(avro_schema(), min_size=1, max_size=3))
+def test_full_implies_backward_and_forward(new, history):
+    if check_compatibility("FULL", new, history):
+        assert check_compatibility("BACKWARD", new, history)
+        assert check_compatibility("FORWARD", new, history)
+
+
+@given(new=avro_schema(), history=st.lists(avro_schema(), min_size=1, max_size=3))
+def test_transitive_implies_latest_only(new, history):
+    for base in ["BACKWARD", "FORWARD", "FULL"]:
+        if check_compatibility(f"{base}_TRANSITIVE", new, history):
+            assert check_compatibility(base, new, history)
+
+
+@given(prior=avro_schema(), extra_type=st.sampled_from(_TYPES))
+def test_adding_defaulted_field_is_always_full_compatible(prior, extra_type):
+    schema = json.loads(prior)
+    default = {"long": 0, "string": "", "double": 0.0, "boolean": False}[extra_type]
+    schema["fields"] = schema["fields"] + [
+        {"name": "zz_new", "type": extra_type, "default": default}
+    ]
+    assert check_compatibility("FULL", json.dumps(schema), [prior])
+
+
+@given(new=avro_schema(), history=st.lists(avro_schema(), min_size=1, max_size=3))
+def test_identical_to_latest_passes_non_transitive_modes(new, history):
+    """Non-transitive modes check only the latest prior, so a schema
+    identical to it is compatible both ways. (NOT true of *_TRANSITIVE:
+    hypothesis found that an identical-to-latest schema can still be
+    incompatible with an OLDER version — e.g. a dropped no-default field —
+    which is exactly the reference's verify-all-priors loop.)"""
+    for mode in ["BACKWARD", "FORWARD", "FULL"]:
+        assert check_compatibility(mode, new, history + [new])
+
+
+# ---------------------------------------------------------------- #
+# log invariants (spark — few small examples)
+# ---------------------------------------------------------------- #
+
+_spark_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_spark_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_offsets_always_dense_per_partition(spark, rows):
+    """For ANY batch, offsets per partition are exactly 0..n-1."""
+    from starlight_for_kafka_spark.sources import LogTable
+    import datetime
+
+    events = spark.createDataFrame(
+        [
+            (eid, datetime.datetime(2024, 1, 1), uid, "t", 1.0, "{}")
+            for uid, eid in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    log = LogTable.from_events(events, num_partitions=4).df
+    per_part = {}
+    for r in log.select("partition", "offset").collect():
+        per_part.setdefault(r.partition, []).append(r.offset)
+    for p, offs in per_part.items():
+        assert sorted(offs) == list(range(len(offs))), (p, sorted(offs))
+
+
+@_spark_settings
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from("xyz"), st.one_of(st.none(), st.sampled_from("uvw")), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[3]),
+    )
+)
+def test_compaction_idempotent_and_latest_wins(spark, rows):
+    from starlight_for_kafka_spark.operators.ktable import compact_topic
+
+    log = spark.createDataFrame(
+        rows, "partition int, key string, value string, offset long"
+    )
+    once = compact_topic(log)
+    got = {(r.partition, r.key): (r.value, r.offset) for r in once.collect()}
+    # 1) at most one row per (partition, key); latest offset decides
+    expected = {}
+    for p, k, v, o in rows:
+        cur = expected.get((p, k))
+        if cur is None or o > cur[1]:
+            expected[(p, k)] = (v, o)
+    expected = {k: v for k, v in expected.items() if v[0] is not None}
+    assert got == expected
+    # 2) idempotent: compacting the compacted log is a no-op
+    twice = {
+        (r.partition, r.key): (r.value, r.offset)
+        for r in compact_topic(once).collect()
+    }
+    assert twice == got
