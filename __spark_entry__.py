@@ -623,6 +623,16 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return dedup_ops.embedding_cosine_dups(emb, threshold=0.95, n_planes=4)
 
 
+def q_keyed_count_salted(spark, sf_dir):
+    """Skew-resistant count: identical result to keyed_count (same oracle
+    semantics), but the hot keys spread over 32 reducers in stage 1 —
+    event_type has 5 values over the whole corpus, the canonical
+    aggregation-skew shape."""
+    from starlight_for_kafka_spark.operators import skew as skew_ops
+
+    return skew_ops.salted_count(load_table(spark, sf_dir, "events"), "event_type")
+
+
 def q_init_producer_ids(spark, sf_dir):
     """INIT_PRODUCER_ID: dense PID allocation over the distinct
     transactional-id set (sequence table)."""
@@ -776,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_state_recovery": q_group_state_recovery,
         "group_members": q_group_members,
         "log_compact": q_log_compact,
+        "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
         "txn_markers": q_txn_markers,
         "headers_projection": q_headers_projection,
@@ -1123,6 +1134,7 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, length(text) * 10, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "keyed_count_salted": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
         "init_producer_ids": """WITH ids AS (
   SELECT DISTINCT 'txn-' || CAST(user_id % 50 AS VARCHAR) AS transactional_id FROM events
 )

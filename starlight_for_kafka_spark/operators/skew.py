@@ -1,0 +1,66 @@
+"""Skew-resistant aggregation: two-stage salted groupBy.
+
+A plain ``groupBy(key)`` sends every row of a hot key to ONE reducer — at
+100 TB a handful of dominant keys (a few event types, one giant customer)
+serializes the job no matter how many executors exist. Salting splits each
+key across ``n_salts`` reducers for a partial aggregate, then merges the
+(keys × n_salts)-row partials — the second stage is tiny by construction.
+
+The salt is ``spark_partition_id() % n_salts``: free to compute, spreads a
+hot key across however many input splits carry it, and is semantically
+invisible because the stage-2 merge collapses it. Results are identical to
+the unsalted aggregate for any decomposable aggregate (count/sum/min/max —
+the caller supplies the partial and merge expression pair).
+
+AQE's skew-join handling covers JOIN skew at runtime; this covers
+AGGREGATION skew, which AQE does not re-plan (partial aggregation already
+bounds it per task, but the final per-key merge still lands on one
+reducer; salting bounds that final hop too when key cardinality is tiny).
+
+The reference never aggregates (no query engine), but its FIND_COORDINATOR
+hash-spread of groups across __consumer_offsets partitions
+(GroupMetadataManager.getPartitionId:221) is the same trick at the storage
+layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list,
+    partials: list[Column],
+    merges: list[Column],
+    n_salts: int = 32,
+) -> DataFrame:
+    """Two-stage aggregate: groupBy(keys + salt).agg(partials) →
+    groupBy(keys).agg(merges). ``merges`` must reference the aliases the
+    ``partials`` produce."""
+    salted = df.withColumn("__salt", F.spark_partition_id() % n_salts)
+    stage1 = salted.groupBy(*keys, "__salt").agg(*partials)
+    return stage1.groupBy(*keys).agg(*merges)
+
+
+def salted_count(df: DataFrame, *keys: str, n_salts: int = 32) -> DataFrame:
+    return salted_aggregate(
+        df,
+        list(keys),
+        [F.count("*").alias("__partial_cnt")],
+        [F.sum("__partial_cnt").alias("cnt")],
+        n_salts,
+    )
+
+
+def salted_sum(
+    df: DataFrame, keys: list, value: Column, alias: str, n_salts: int = 32
+) -> DataFrame:
+    return salted_aggregate(
+        df,
+        keys,
+        [F.sum(value).alias("__partial_sum")],
+        [F.sum("__partial_sum").alias(alias)],
+        n_salts,
+    )

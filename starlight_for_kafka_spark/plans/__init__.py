@@ -5,6 +5,7 @@ from starlight_for_kafka_spark.plans.inspect import (  # noqa: F401
     codegen_stage_count,
     exchange_count,
     has_broadcast_join,
+    partition_filters,
     plan_string,
     pushed_filters,
     scan_read_columns,

@@ -34,10 +34,23 @@ def without_aqe(spark: SparkSession):
 
 def plan_string(df: DataFrame, mode: str = "formatted") -> str:
     """The explain output as a string (modes: simple, extended, codegen,
-    cost, formatted)."""
+    cost, formatted). After a query has EXECUTED, AQE appends the original
+    plan under an "Initial Plan" marker — trim it so operator counts are
+    not doubled."""
     jvm = df.sparkSession._jvm
     explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    return df._jdf.queryExecution().explainString(explain_mode)
+    plan = df._jdf.queryExecution().explainString(explain_mode)
+    return plan.split("Initial Plan")[0]
+
+
+def _node_ids(plan: str, node: str) -> set[str]:
+    """Unique plan-node ids for ``node``. Pre-execution formatted mode
+    prints "(5) Exchange"; the executed tree prints "Exchange <args> (5)"
+    with the id last on the line. Word-anchored so Exchange never matches
+    BroadcastExchange."""
+    pre = set(re.findall(rf"\((\d+)\) {node}\b", plan))
+    post = set(re.findall(rf"(?<!\w){node}\b[^\n]*\((\d+)\)\s*$", plan, re.M))
+    return pre | post
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
@@ -64,15 +77,28 @@ def scan_read_columns(df: DataFrame, table_path_fragment: str) -> list[str]:
     return []
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Every non-empty PartitionFilters entry — proves partition pruning
+    reached the scan (directory-level skipping, no file even opened)."""
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan_string(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
 def exchange_count(df: DataFrame) -> int:
-    """Number of distinct shuffle boundaries (Exchange operators, reused
-    exchanges counted once)."""
-    plan = plan_string(df)
-    return len(re.findall(r"\(\d+\) Exchange", plan))
+    """Number of distinct shuffle boundaries (unique Exchange node ids;
+    reused exchanges counted once, stable before and after execution)."""
+    return len(_node_ids(plan_string(df), "Exchange"))
 
 
 def broadcast_join_count(df: DataFrame) -> int:
-    return len(re.findall(r"\(\d+\) Broadcast(?:Hash|NestedLoop)Join", plan_string(df)))
+    plan = plan_string(df)
+    return len(
+        _node_ids(plan, "BroadcastHashJoin") | _node_ids(plan, "BroadcastNestedLoopJoin")
+    )
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -93,3 +93,35 @@ def test_scan_heavy_queries_stay_in_codegen(spark):
         for name in ["q1_pricing_summary", "keyed_count", "tumbling_window_1h"]:
             df = QUERIES[name](spark, SF_DIR)
             assert codegen_stage_count(df) >= 1, f"{name} fell off codegen"
+
+
+def test_salted_count_two_stage_shape(spark):
+    # salted agg = exactly two exchanges (keys+salt, then keys); the salt
+    # column itself must not leak into the output
+    df = QUERIES["keyed_count_salted"](spark, SF_DIR)
+    assert exchange_count(df) == 2, plan_string(df)
+    assert df.columns == ["event_type", "cnt"]
+
+
+def test_ivf_probe_is_partition_pruned(spark, embeddings, tmp_path):
+    """The IVF scale path: write the table partitioned by ivf_cell, probe
+    one cell -> the scan must show a PartitionFilter (directory-level
+    pruning; unprobed cells are never opened)."""
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators.similarity import ivf_assign
+    from starlight_for_kafka_spark.plans import partition_filters
+
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in embeddings.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    path = str(tmp_path / "ivf_table")
+    ivf_assign(embeddings, cents).write.partitionBy("ivf_cell").parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("ivf_cell") == 2)
+    filters = partition_filters(probe)
+    assert any("ivf_cell" in f and "2" in f for f in filters), filters
+    # and it actually returns only that cell's vectors
+    cells = {r.ivf_cell for r in probe.select("ivf_cell").distinct().collect()}
+    assert cells == {2}
