@@ -623,6 +623,30 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return dedup_ops.embedding_cosine_dups(emb, threshold=0.95, n_planes=4)
 
 
+def q_asof_attribution(spark, sf_dir):
+    """As-of join: each purchase attributed to the user's latest view at or
+    before it (oracle: DuckDB's native ASOF JOIN)."""
+    from starlight_for_kafka_spark.operators.asof import as_of_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        "ts",
+    )
+    joined = as_of_join(
+        purchases, views, ["user_id"], "ts", "ts", ["view_event_id"], tiebreak="view_event_id"
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.expr(_MS.format(c="ts")).alias("ts_ms"),
+        "view_event_id",
+    )
+
+
 def q_keyed_count_salted(spark, sf_dir):
     """Skew-resistant count: identical result to keyed_count (same oracle
     semantics), but the hot keys spread over 32 reducers in stage 1 —
@@ -786,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_state_recovery": q_group_state_recovery,
         "group_members": q_group_members,
         "log_compact": q_log_compact,
+        "asof_attribution": q_asof_attribution,
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
         "txn_markers": q_txn_markers,
@@ -1134,6 +1159,13 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, length(text) * 10, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "asof_attribution": """WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id AS view_event_id, user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) // 1000 AS ts_ms, v.view_event_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""",
         "keyed_count_salted": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
         "init_producer_ids": """WITH ids AS (
   SELECT DISTINCT 'txn-' || CAST(user_id % 50 AS VARCHAR) AS transactional_id FROM events

@@ -1,0 +1,83 @@
+"""As-of join: for each left row, the latest right row at or before it.
+
+Not a reference operator (the broker's only time lookup is
+LIST_OFFSETS-by-timestamp, KafkaRequestHandler.java:1348, which is a
+degenerate as-of per partition) — but the natural event-time join over a
+log table: attribution (purchase → latest prior view), state-at-time
+lookups, offset-at-time resolution across streams.
+
+Spark-first implementation: UNION the two sides with a tag, one window per
+key ordered by (ts, tag, tiebreak), and carry the right payload forward
+with last(ignorenulls). This is ONE shuffle on the key and a linear pass —
+no range-condition join, whose inequality predicate would force a
+broadcast-nested-loop or a per-key cross product. At 100 TB the union
+approach keeps as-of cost identical to a groupBy over the combined stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row joined to the latest ``right``
+    row with ``right_ts <= left_ts`` per key (inclusive, matching DuckDB's
+    ASOF JOIN ``>=`` semantics). Rows with no prior match keep nulls.
+
+    ``right_payload`` names the right columns to carry (default: all
+    non-key, non-ts columns). ``tiebreak`` orders same-timestamp rows
+    deterministically when provided.
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    overlap = set(right_payload) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right payload columns collide with left columns: {sorted(overlap)}; "
+            "rename the right side first"
+        )
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__tag", F.lit(1))
+    for c in right_payload:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = (
+        right.select(*on, F.col(right_ts).alias("__ts"), *right_payload)
+        .withColumn("__tag", F.lit(0))
+    )
+    left_cols = [c for c in left.columns]
+    combined = l_tagged.select(
+        *on, "__ts", "__tag", *[c for c in left_cols if c not in on], *right_payload
+    ).unionByName(
+        r_tagged.select(
+            *on,
+            "__ts",
+            "__tag",
+            *[F.lit(None).cast(l_tagged.schema[c].dataType).alias(c)
+              for c in left_cols if c not in on],
+            *right_payload,
+        )
+    )
+    order = [F.col("__ts"), F.col("__tag")]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = combined.select(
+        *on,
+        "__tag",
+        *[c for c in left_cols if c not in on],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+    )
+    return carried.filter(F.col("__tag") == 1).drop("__tag")

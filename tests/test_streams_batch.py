@@ -98,3 +98,33 @@ def test_global_ktable_join_inner_and_left(spark):
     assert got == {("c1", "EU"), ("c2", "US"), ("c9", None)}
     # the join must be broadcast (no shuffle of the stream side)
     assert "BroadcastHashJoin" in inner._jdf.queryExecution().executedPlan().toString()
+
+
+def test_as_of_join_semantics(spark):
+    """Inclusive <= match, null when no prior right row, per-key isolation,
+    and the column-collision guard."""
+    import datetime
+
+    import pytest
+    from starlight_for_kafka_spark.operators.asof import as_of_join
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, "u1", t(10)), (2, "u1", t(5)), (3, "u2", t(10)), (4, "u3", t(10))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", t(5), 100), ("u1", t(9), 101), ("u2", t(10), 200), ("u2", t(11), 201)],
+        "user_id string, ts timestamp, rid long",
+    )
+    out = {
+        r.event_id: r.rid
+        for r in as_of_join(left, right, ["user_id"], "ts", "ts", ["rid"]).collect()
+    }
+    assert out[1] == 101  # latest prior (9 < 10)
+    assert out[2] == 100  # equal timestamp is inclusive
+    assert out[3] == 200  # equal ts on another key; later row (11) excluded
+    assert out[4] is None  # no right rows for u3
+
+    with pytest.raises(ValueError, match="collide"):
+        as_of_join(left, right.withColumnRenamed("rid", "event_id"), ["user_id"])
