@@ -623,6 +623,30 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return dedup_ops.embedding_cosine_dups(emb, threshold=0.95, n_planes=4)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion: dedup an incoming batch (docs 2..3 quarters of
+    the corpus + clones of the first quarter) against the existing corpus
+    (first half)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 4 < 2)
+    incoming = docs.filter(F.col("doc_id") % 4 >= 1)  # overlaps corpus on %4==1
+    return dedup_ops.incremental_dedup(incoming, corpus).select("doc_id")
+
+
+def q_curate_training_set(spark, sf_dir):
+    """Training-set curation: language filter + quality threshold + token
+    bounds + exact dedup, composed from the text/dedup operators — the
+    selection pass of a data pipeline."""
+    docs = _docs_with_clones(load_table(spark, sf_dir, "documents"))
+    scored = text_ops.quality_score(text_ops.token_count(text_ops.language_id(docs)))
+    kept = scored.filter(
+        (F.col("pred_lang") == "en")
+        & (F.col("quality") >= 0.12)
+        & (F.col("n_tokens").between(10, 10_000))
+    )
+    return dedup_ops.exact_dedup(kept).select("doc_id", "n_tokens", "quality")
+
+
 def q_asof_attribution(spark, sf_dir):
     """As-of join: each purchase attributed to the user's latest view at or
     before it (oracle: DuckDB's native ASOF JOIN)."""
@@ -810,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_state_recovery": q_group_state_recovery,
         "group_members": q_group_members,
         "log_compact": q_log_compact,
+        "dedup_incremental": q_dedup_incremental,
+        "curate_training_set": q_curate_training_set,
         "asof_attribution": q_asof_attribution,
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
@@ -1159,6 +1185,69 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, length(text) * 10, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "dedup_incremental": """WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 < 2
+), incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 >= 1
+), seen AS (
+  SELECT DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS dig FROM corpus
+), fresh AS (
+  SELECT i.doc_id, md5(regexp_replace(lower(i.text), '\\s+', ' ', 'g')) AS dig
+  FROM incoming i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM seen s WHERE s.dig = md5(regexp_replace(lower(i.text), '\\s+', ' ', 'g'))
+  )
+)
+SELECT doc_id FROM fresh
+QUALIFY row_number() OVER (PARTITION BY dig ORDER BY doc_id) = 1""",
+        "curate_training_set": f"""WITH {DOCS_WITH_CLONES_CTE},
+base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         ' ' || lower(text) || ' ' AS padded
+  FROM docs
+), counted AS (
+  SELECT doc_id, text, n_chars, n_words,
+    CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' and ', ''))) / 5 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' of ', ''))) / 4 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' to ', ''))) / 4 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' a ', ''))) / 3 AS INT) AS n_stop,
+    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+    CAST((length(padded) - length(replace(padded, ' der ', ''))) / 5 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' und ', ''))) / 5 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' die ', ''))) / 5 AS INT) AS s_de,
+    CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' and ', ''))) / 5 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' of ', ''))) / 4 AS INT) AS s_en,
+    CAST((length(padded) - length(replace(padded, ' el ', ''))) / 4 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' la ', ''))) / 4 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' de ', ''))) / 4 AS INT) AS s_es,
+    CAST((length(padded) - length(replace(padded, ' le ', ''))) / 4 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' la ', ''))) / 4 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' et ', ''))) / 4 AS INT) AS s_fr
+  FROM base
+), scored AS (
+  SELECT doc_id, text, n_words AS n_tokens,
+    least(1.0, (n_stop / n_words) * 2)
+      * (CASE WHEN (n_chars - n_words + 1) / n_words >= 3 AND (n_chars - n_words + 1) / n_words <= 10 THEN 1.0 ELSE 0.5 END)
+      * (1 - least(1.0, (n_upper / n_chars) * 5)) AS quality,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+         ELSE 'und' END AS pred_lang
+  FROM counted
+), kept AS (
+  SELECT doc_id, n_tokens, quality,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS dig
+  FROM scored
+  WHERE pred_lang = 'en' AND quality >= 0.12 AND n_tokens BETWEEN 10 AND 10000
+)
+SELECT doc_id, n_tokens, quality FROM kept
+QUALIFY row_number() OVER (PARTITION BY dig ORDER BY doc_id) = 1""",
         "asof_attribution": """WITH p AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
 ), v AS (

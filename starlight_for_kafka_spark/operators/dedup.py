@@ -37,6 +37,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus exact dedup: drop incoming docs whose normalized
+    content already exists in the corpus, then dedup within the batch
+    (keep lowest id). The incremental-ingestion shape: at 100 TB the
+    corpus side reduces to a digest column (one scan, heavy text never
+    shuffles), and the anti-join shuffles only digests."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    digest = F.md5(norm.cast("binary"))
+    seen = corpus.select(digest.alias("__digest")).distinct()
+    fresh = (
+        new_docs.withColumn("__digest", digest)
+        .join(seen, "__digest", "left_anti")
+    )
+    w = Window.partitionBy("__digest").orderBy(id_col)
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__digest", "__rn")
+    )
+
+
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; a*h + b stays inside int64
 
 
