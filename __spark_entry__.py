@@ -638,11 +638,13 @@ def q_curate_training_set(spark, sf_dir):
     bounds + exact dedup, composed from the text/dedup operators — the
     selection pass of a data pipeline."""
     docs = _docs_with_clones(load_table(spark, sf_dir, "documents"))
-    scored = text_ops.quality_score(text_ops.token_count(text_ops.language_id(docs)))
+    # cheap filter first: language-ID prunes before the wide quality
+    # projection — fewer rows scored AND the Filter stops CollapseProject
+    # from fusing everything into one janino-breaking generated method
+    english = text_ops.language_id(docs).filter(F.col("pred_lang") == "en")
+    scored = text_ops.quality_score(text_ops.token_count(english))
     kept = scored.filter(
-        (F.col("pred_lang") == "en")
-        & (F.col("quality") >= 0.12)
-        & (F.col("n_tokens").between(10, 10_000))
+        (F.col("quality") >= 0.12) & (F.col("n_tokens").between(10, 10_000))
     )
     return dedup_ops.exact_dedup(kept).select("doc_id", "n_tokens", "quality")
 

@@ -5,6 +5,13 @@ All pure JVM expressions (replace/length arithmetic, regexp, md5) — no
 Python in the hot path, and every heuristic is reproducible in ANSI SQL for
 the oracle. At 100 TB these are single-pass map-only operators: no shuffle,
 fully codegen'd, scale linearly with executors.
+
+Known limit: composing language_id with token_count/quality_score in ONE
+stage can exceed janino's generated-method limits (the filter substitutes
+the whole language CASE); Spark logs a CodeGenerator ERROR and falls back
+to interpreted execution with correct results. If that projection is ever
+the measured hot spot, materialize the language verdict (write/persist)
+between the stages so each compiles separately.
 """
 
 from __future__ import annotations

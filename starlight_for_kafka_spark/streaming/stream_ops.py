@@ -188,6 +188,30 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
     q.stop()
 
 
+def idempotent_parquet_sink(out_dir: str):
+    """foreachBatch sink with epoch-level idempotence: each microbatch
+    lands in ``out_dir/epoch=<id>``, and a replayed epoch (checkpoint
+    recovery re-delivers the last uncommitted batch) is a no-op once its
+    _SUCCESS marker exists. overwrite-mode handles a partially-written
+    crash. This is the sink half of exactly-once that the checkpoint alone
+    does not give a non-transactional target — the reference gets the same
+    from transaction markers + read-committed (§2.4); Delta/Iceberg give
+    it via table transactions.
+
+    Local-filesystem marker check; on HDFS/S3 swap the existence check for
+    the Hadoop FileSystem API (same shape).
+    """
+    import os
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        path = os.path.join(out_dir, f"epoch={epoch_id}")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return
+        df.write.mode("overwrite").parquet(path)
+
+    return write
+
+
 def write_exactly_once(stream_df: DataFrame, batch_fn, checkpoint: str):
     """END_TXN as batch atomicity: foreachBatch hands (df, epoch_id) to a
     transactional sink; epoch_id replay-dedup gives exactly-once — the

@@ -137,3 +137,25 @@ def test_ema_stream_order_dependent_aggregate(tmp_path, spark):
     # a: 10 -> .5*20+.5*10=15 -> .5*30+.5*15=22.5 ; b: 5
     assert got["a"] == (22.5, 3)
     assert got["b"] == (5.0, 1)
+
+
+def test_idempotent_sink_makes_replayed_epochs_noops(tmp_path, spark, log):
+    """Exactly-once at the sink: re-delivering an epoch (as checkpoint
+    recovery does) must not duplicate or clobber its output."""
+    src = _write_log(tmp_path, log)
+    out = str(tmp_path / "sink_out")
+    sink = stream_ops.idempotent_parquet_sink(out)
+    q = stream_ops.write_exactly_once(
+        stream_ops.read_log_stream(spark, src), sink, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    total = spark.read.parquet(out).count()
+    assert total == log.df.count()
+
+    # replay epoch 0 with a DIFFERENT (smaller) frame: must be a no-op
+    sink(log.df.limit(3), 0)
+    assert spark.read.parquet(out).count() == total
+
+    # a genuinely new epoch still lands
+    sink(log.df.limit(3), 10_000)
+    assert spark.read.parquet(out).count() == total + 3
