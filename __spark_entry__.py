@@ -623,6 +623,32 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return dedup_ops.embedding_cosine_dups(emb, threshold=0.95, n_planes=4)
 
 
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_sql_surface_q5(spark, sf_dir):
+    """The engine's user-facing query surface IS Spark SQL (SURVEY §2.6):
+    register the testdata as views and run a TPC-H Q5-shaped join chain as
+    raw SQL text — identical text runs on the DuckDB oracle."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q5_SQL)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental ingestion: dedup an incoming batch (docs 2..3 quarters of
     the corpus + clones of the first quarter) against the existing corpus
@@ -836,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_state_recovery": q_group_state_recovery,
         "group_members": q_group_members,
         "log_compact": q_log_compact,
+        "sql_surface_q5": q_sql_surface_q5,
         "dedup_incremental": q_dedup_incremental,
         "curate_training_set": q_curate_training_set,
         "asof_attribution": q_asof_attribution,
@@ -1187,6 +1214,7 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, length(text) * 10, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "sql_surface_q5": Q5_SQL,
         "dedup_incremental": """WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 4 < 2
 ), incoming AS (
