@@ -62,27 +62,33 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _decode_stub(payload: bytes) -> list[float]:
-    """STUB decode kernel — container lacks Pillow/ffmpeg. Deterministic
-    fake: 8 'pixels' from byte statistics. Replace with real decode:
-
-        raise NotImplementedError("install pillow/av and decode here")
-    """
-    if payload is None:
-        return [0.0] * 8
-    n = len(payload)
-    return [float(payload[i * n // 8] if n else 0) for i in range(8)]
-
-
 FEATURE_SCHEMA = "media_id long, kind string, features array<double>, n_bytes long"
 
 
-def extract_features(media: DataFrame, target_rows_per_batch: int = 256) -> DataFrame:
+def extract_features(
+    media: DataFrame, target_rows_per_batch: int = 256, decode=None
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
     The iterator form processes one bounded Arrow batch at a time, so
     executor memory is ~batch_size × row_size regardless of corpus size.
+
+    ``decode`` swaps in a real kernel (Pillow/ffmpeg — not in this
+    container); the default is a deterministic STUB (8 'pixels' from byte
+    statistics; a real one would ``raise NotImplementedError`` without the
+    codec libs). The kernel is defined INSIDE this function on purpose:
+    cloudpickle then serializes it by value, so executor Python workers
+    never need this package importable on their own sys.path — the
+    closure-shipping rule for every Pandas-UDF operator here.
     """
+
+    def _decode_stub(payload: bytes) -> list[float]:
+        if payload is None:
+            return [0.0] * 8
+        n = len(payload)
+        return [float(payload[i * n // 8] if n else 0) for i in range(8)]
+
+    decode_fn = decode or _decode_stub
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,7 +96,7 @@ def extract_features(media: DataFrame, target_rows_per_batch: int = 256) -> Data
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "features": pdf["payload"].map(_decode_stub),
+                    "features": pdf["payload"].map(decode_fn),
                     "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
                 }
             )
