@@ -623,6 +623,22 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return dedup_ops.embedding_cosine_dups(emb, threshold=0.95, n_planes=4)
 
 
+def q_top_docs_per_lang(spark, sf_dir):
+    """Grouped top-k: the 3 longest docs per predicted language (rank per
+    group + filter — the per-key top-N every analytics surface needs)."""
+    from pyspark.sql import Window
+
+    docs = text_ops.language_id(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("pred_lang").orderBy(
+        F.length("text").desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("pred_lang", "rk", "doc_id", F.length("text").alias("n_chars"))
+    )
+
+
 Q5_SQL = """
 SELECT n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
@@ -862,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_state_recovery": q_group_state_recovery,
         "group_members": q_group_members,
         "log_compact": q_log_compact,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "sql_surface_q5": q_sql_surface_q5,
         "dedup_incremental": q_dedup_incremental,
         "curate_training_set": q_curate_training_set,
@@ -1214,6 +1231,38 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, length(text) * 10, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "top_docs_per_lang": """WITH padded AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+), scores AS (
+  SELECT doc_id, text,
+    CAST((length(p) - length(replace(p, ' der ', ''))) / 5 AS INT)
+      + CAST((length(p) - length(replace(p, ' und ', ''))) / 5 AS INT)
+      + CAST((length(p) - length(replace(p, ' die ', ''))) / 5 AS INT) AS s_de,
+    CAST((length(p) - length(replace(p, ' the ', ''))) / 5 AS INT)
+      + CAST((length(p) - length(replace(p, ' and ', ''))) / 5 AS INT)
+      + CAST((length(p) - length(replace(p, ' of ', ''))) / 4 AS INT) AS s_en,
+    CAST((length(p) - length(replace(p, ' el ', ''))) / 4 AS INT)
+      + CAST((length(p) - length(replace(p, ' la ', ''))) / 4 AS INT)
+      + CAST((length(p) - length(replace(p, ' de ', ''))) / 4 AS INT) AS s_es,
+    CAST((length(p) - length(replace(p, ' le ', ''))) / 4 AS INT)
+      + CAST((length(p) - length(replace(p, ' la ', ''))) / 4 AS INT)
+      + CAST((length(p) - length(replace(p, ' et ', ''))) / 4 AS INT) AS s_fr
+  FROM padded
+), lang AS (
+  SELECT doc_id, text,
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+         ELSE 'und' END AS pred_lang
+  FROM scores
+)
+SELECT pred_lang, rk, doc_id, n_chars FROM (
+  SELECT pred_lang, doc_id, length(text) AS n_chars,
+         row_number() OVER (PARTITION BY pred_lang ORDER BY length(text) DESC, doc_id) AS rk
+  FROM lang
+) WHERE rk <= 3""",
         "sql_surface_q5": Q5_SQL,
         "dedup_incremental": """WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 4 < 2

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from starlight_for_kafka_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from starlight_for_kafka_spark.functions.vectors import cosine_similarity
 
 
 def brute_force_top_k(
