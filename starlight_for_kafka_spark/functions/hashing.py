@@ -26,6 +26,25 @@ def stable_hash64(col: Column, seed: int) -> Column:
     return md5_hash64(F.concat(F.lit(f"s{seed}:"), col.cast("string")))
 
 
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles (w-shingling) of a normalized string as
+    array<string> — the standard document-dedup unit (Broder '97 resemblance
+    sketches use word shingles): ~6x fewer elements than character shingles
+    on English text, so the per-shingle hash pass costs proportionally less.
+    Same normalization as :func:`shingles`.
+    """
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    words = F.split(F.trim(norm), " ")
+    n = F.size(words) - F.lit(k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Character k-shingles of a normalized string as array<string>.
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from starlight_for_kafka_spark.functions.hashing import md5_hash64, shingles
+from starlight_for_kafka_spark.functions.hashing import md5_hash64, shingles, word_shingles
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -73,12 +73,19 @@ def _minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _shingle_expr(text_col: str, shingle_k: int, mode: str):
+    if mode == "word":
+        return word_shingles(F.col(text_col), shingle_k)
+    return shingles(F.col(text_col), shingle_k)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_k: int = 5,
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """Per-doc MinHash signature as (id, array<long> signature).
 
@@ -98,7 +105,7 @@ def minhash_signatures(
     # one task (at 100 TB the scan is already parallel; this matters for
     # the many-small-files case)
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    sh = F.array_distinct(shingles(F.col(text_col), shingle_k))
+    sh = F.array_distinct(_shingle_expr(text_col, shingle_k, shingle_mode))
     hashes = F.transform(sh, lambda s: md5_hash64(s) % MINHASH_PRIME)
     init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
 
@@ -179,6 +186,7 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.8,
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard ≥ threshold.
 
@@ -202,7 +210,7 @@ def jaccard_verify(
     docs_needed = df.join(cand_ids, id_col, "left_semi")
     sets_df = docs_needed.repartition(n_part, id_col).select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__set"),
+        F.array_distinct(_shingle_expr(text_col, shingle_k, shingle_mode)).alias("__set"),
     )
     # shingle each candidate doc once, not once per join side
     sets_df = sets_df.localCheckpoint(eager=True)
@@ -224,6 +232,7 @@ def minhash_dedup(
     bands: int = 4,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """End-to-end near-dedup: keep one doc (lowest id) per near-dup group.
 
@@ -233,9 +242,9 @@ def minhash_dedup(
     full connected components, which needs iterative joins — see GraphX /
     iterative approach note in similarity.py).
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingle_mode)
     cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes=num_hashes)
-    verified = jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold)
+    verified = jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold, shingle_mode)
     losers = verified.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
