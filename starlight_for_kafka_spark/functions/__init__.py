@@ -7,6 +7,7 @@ from starlight_for_kafka_spark.functions.hashing import (
     md5_hash64,
     shingles,
     stable_hash64,
+    word_shingles,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "md5_hash64",
     "shingles",
     "stable_hash64",
+    "word_shingles",
 ]

@@ -164,6 +164,22 @@ class LogTable:
             .parquet(path)
         )
 
+    def write_bucketed(
+        self, table: str, n_buckets: int = 16, mode: str = "overwrite"
+    ) -> None:
+        """Persist as a catalog table bucketed by ``key``: joins and
+        aggregations on the key against another table bucketed the same way
+        run WITHOUT a shuffle (bucket-wise sort-merge join) — the
+        co-located-join layout for repeated key joins at 100 TB, where
+        re-shuffling the big side per query is the dominant cost."""
+        (
+            self.df.write.mode(mode)
+            .bucketBy(n_buckets, "key")
+            .sortBy("key")
+            .format("parquet")
+            .saveAsTable(table)
+        )
+
     # ------------------------------------------------------------------ #
     # FETCH — offset-range reads
     # ------------------------------------------------------------------ #

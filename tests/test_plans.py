@@ -125,3 +125,31 @@ def test_ivf_probe_is_partition_pruned(spark, embeddings, tmp_path):
     # and it actually returns only that cell's vectors
     cells = {r.ivf_cell for r in probe.select("ivf_cell").distinct().collect()}
     assert cells == {2}
+
+
+def test_bucketed_join_is_shuffle_free(spark, log, tmp_path):
+    """Two tables bucketed on the join key co-locate: the join plan has NO
+    Exchange on either side (bucket-wise sort-merge join) — the layout
+    that amortizes the shuffle across every future key join."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    # managed tables land in the session's warehouse dir; DROP TABLE in the
+    # finally block removes their data too
+    a, b = f"ba_{uuid.uuid4().hex[:6]}", f"bb_{uuid.uuid4().hex[:6]}"
+    try:
+        log.write_bucketed(a, n_buckets=8)
+        log.write_bucketed(b, n_buckets=8)
+        joined = (
+            spark.table(a)
+            .groupBy("key").agg(F.count("*").alias("na"))
+            .join(spark.table(b).groupBy("key").agg(F.count("*").alias("nb")), "key")
+        )
+        assert exchange_count(joined) == 0, plan_string(joined)
+        # and the result is right: every key joins to itself
+        row = joined.agg(F.count("*").alias("n"), F.sum(F.col("na") - F.col("nb")).alias("d")).first()
+        assert row.n > 0 and row.d == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {a}")
+        spark.sql(f"DROP TABLE IF EXISTS {b}")
