@@ -153,3 +153,22 @@ def test_bucketed_join_is_shuffle_free(spark, log, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {a}")
         spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+def test_fetch_on_written_log_is_partition_pruned(spark, log, tmp_path):
+    """FETCH over an at-rest log: the partition predicate must prune at the
+    directory level and the offset range must reach the reader as a pushed
+    filter — the layout contract that keeps fetch O(partition) at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.sources import LogTable
+    from starlight_for_kafka_spark.plans import partition_filters
+
+    path = str(tmp_path / "atrest")
+    log.write(path)
+    lt = LogTable.read(spark, path)
+    fetched = lt.fetch(partition=3, start_offset=10, max_records=50)
+    pf = partition_filters(fetched)
+    assert any("partition" in f and "3" in f for f in pf), pf
+    pushed = pushed_filters(fetched)
+    assert any("offset" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
