@@ -330,6 +330,20 @@ def q_session_windows(spark, sf_dir):
     return out.withColumn("session_id", F.col("session_id").cast("long"))
 
 
+def q_session_reduce(spark, sf_dir):
+    """Session-window REDUCE (shouldReduceSessionWindows,
+    KStreamAggregationTest.java:550-621): value-sum per session, distinct
+    from the count form."""
+    out = win_ops.session_window_agg(
+        load_table(spark, sf_dir, "events"),
+        ["user_id"],
+        "ts",
+        SESSION_GAP_MS,
+        [_dec_sum("value").alias("total_value"), F.min("event_id").alias("first_event")],
+    )
+    return out.withColumn("session_id", F.col("session_id").cast("long"))
+
+
 def q_ktable_latest(spark, sf_dir):
     log = _log(spark, sf_dir).df.withColumn("key", F.col("key").cast("string"))
     return ktable_ops.ktable_latest(log, ["key"]).select(
@@ -849,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyed_reduce": q_keyed_reduce,
         "tumbling_window_1h": q_tumbling_window_1h,
         "session_windows": q_session_windows,
+        "session_reduce": q_session_reduce,
         "ktable_latest": q_ktable_latest,
         "global_join_inner": q_global_join_inner,
         "global_join_left": q_global_join_left,
@@ -988,6 +1003,20 @@ FROM events GROUP BY event_type, window_start_ms, window_end_ms""",
   FROM e
 )
 SELECT user_id, session_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms, count(*) AS cnt
+FROM s GROUP BY user_id, session_id""",
+        "session_reduce": f"""WITH e AS (
+  SELECT user_id, ts, value, event_id, epoch_us(ts) // 1000 AS ms,
+         lag(epoch_us(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ms
+  FROM events
+), s AS (
+  SELECT user_id, ms, value, event_id,
+         CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > {SESSION_GAP_MS} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM e
+)
+SELECT user_id, session_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       min(event_id) AS first_event
 FROM s GROUP BY user_id, session_id""",
         "ktable_latest": f"""WITH {LOG_CTE}
 SELECT key, value, "offset" FROM log

@@ -81,21 +81,30 @@ def lsh_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 6,
+    probe_hamming1: bool = False,
 ) -> DataFrame:
     """ANN top-k: score only vectors in the query's hyperplane bucket.
 
     At 100 TB, bucket the table once at rest (partition by bucket) and this
     becomes a partition-pruned scan of ~1/2^n_planes of the data. Recall is
-    probabilistic; raise recall with multi-probe (query bucket + hamming-1
-    neighbors) — implemented via the ``probe_hamming1`` flag.
+    probabilistic; ``probe_hamming1`` raises it with multi-probe: also scan
+    the n_planes buckets one sign-bit away (the near-miss buckets), trading
+    an (n_planes+1)/2^n_planes scan fraction for recall.
+
+    The query's bucket id is resolved driver-side (one local one-row
+    evaluation — control plane, not a data scan), so the probe is a plain
+    IN-list filter that partition-prunes against a bucket-partitioned table.
     """
-    bucketed = embeddings.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), n_planes))
-    qdf_bucket = (
-        bucketed.sparkSession.createDataFrame([(query_vec,)], f"{vec_col} array<float>")
-        .withColumn("__bucket", hyperplane_bucket(F.col(vec_col), n_planes))
-        .select("__bucket")
+    spark = embeddings.sparkSession
+    qb = (
+        spark.createDataFrame([(query_vec,)], f"{vec_col} array<float>")
+        .select(hyperplane_bucket(F.col(vec_col), n_planes).alias("b"))
+        .first()
+        .b
     )
-    candidates = bucketed.join(F.broadcast(qdf_bucket), "__bucket")
+    buckets = [qb] + ([qb ^ (1 << p) for p in range(n_planes)] if probe_hamming1 else [])
+    bucketed = embeddings.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), n_planes))
+    candidates = bucketed.filter(F.col("__bucket").isin(buckets))
     return brute_force_top_k(candidates, query_vec, k, id_col, vec_col)
 
 

@@ -122,3 +122,20 @@ def test_frame_sampling_counts(spark, documents):
         F.sum(F.floor((F.col("meta.duration_ms") - 1) / 1000) + 1).alias("n")
     ).first().n
     assert frames.count() == expected
+
+
+def test_lsh_multiprobe_recall_superset(spark, embeddings):
+    """probe_hamming1 scans the query bucket plus its n_planes hamming-1
+    neighbors: its top-k must be at least as similar, element-wise, as the
+    single-bucket top-k (superset candidate pool), and must contain it when
+    both return k rows from overlapping pools."""
+    from starlight_for_kafka_spark.operators import similarity as sim
+
+    q = [float(x) for x in embeddings.filter("vec_id = 7").first().embedding]
+    single = sim.lsh_top_k(embeddings, q, k=5, n_planes=4)
+    multi = sim.lsh_top_k(embeddings, q, k=5, n_planes=4, probe_hamming1=True)
+    s = [(r.vec_id, r.cos_sim) for r in single.collect()]
+    m = [(r.vec_id, r.cos_sim) for r in multi.collect()]
+    assert len(m) >= len(s)
+    for (_, ms), (_, ss) in zip(m, s):
+        assert ms >= ss  # multi-probe can only improve each rank position
