@@ -742,6 +742,22 @@ def q_keyed_count_salted(spark, sf_dir):
     return skew_ops.salted_count(load_table(spark, sf_dir, "events"), "event_type")
 
 
+def q_txn_fencing(spark, sf_dir):
+    """Producer fencing: records below a pid's current (max) epoch are
+    flagged as fenced — the zombie-producer rejection path. Epochs derived
+    deterministically so stale writers exist in the fixture."""
+    txn_log = tx_ops.derive_txn_log(_log(spark, sf_dir).df)
+    with_epochs = txn_log.withColumn(
+        "epoch", ((F.col("seq") / 40).cast("int") % 3).cast("int")
+    )
+    fenced = tx_ops.fence_stale_epochs(with_epochs)
+    return fenced.groupBy("partition", "pid").agg(
+        F.max("epoch").alias("current_epoch"),
+        F.sum(F.col("_fenced").cast("int")).alias("n_fenced"),
+        F.count("*").alias("n_records"),
+    )
+
+
 def q_init_producer_ids(spark, sf_dir):
     """INIT_PRODUCER_ID: dense PID allocation over the distinct
     transactional-id set (sequence table)."""
@@ -904,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
         "txn_markers": q_txn_markers,
+        "txn_fencing": q_txn_fencing,
         "headers_projection": q_headers_projection,
         "metadata_topics": q_metadata_topics,
         "q6_discounted_revenue": q6_discounted_revenue,
@@ -1374,6 +1391,17 @@ SELECT transactional_id,
        CAST(row_number() OVER (ORDER BY transactional_id) - 1 AS BIGINT) AS pid,
        0 AS producer_epoch
 FROM ids""",
+        "txn_fencing": f"""WITH {TXN_CTE},
+fe AS (
+  SELECT "partition", pid, CAST(CAST(seq // 40 AS INT) % 3 AS INT) AS epoch FROM txn3
+),
+cur AS (SELECT pid, max(epoch) AS cur_epoch FROM fe GROUP BY pid)
+SELECT fe."partition", fe.pid,
+       max(fe.epoch) AS current_epoch,
+       sum(CASE WHEN fe.epoch < cur.cur_epoch THEN 1 ELSE 0 END) AS n_fenced,
+       count(*) AS n_records
+FROM fe JOIN cur USING (pid)
+GROUP BY fe."partition", fe.pid""",
         "txn_markers": f"""WITH {TXN_CTE}
 SELECT "partition", pid, txn_group,
        max("offset") + 1 AS marker_offset,

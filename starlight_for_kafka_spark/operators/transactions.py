@@ -124,6 +124,23 @@ def allocate_producer_ids(txn_ids: DataFrame, id_col: str = "transactional_id") 
     )
 
 
+def fence_stale_epochs(records: DataFrame) -> DataFrame:
+    """Producer fencing: reject records whose epoch is below the producer's
+    current (max observed) epoch — the ProducerFencedException path that
+    kills zombie producers after a re-init bumps the epoch
+    (TransactionCoordinator.handleInitProducerId:317 fencing;
+    ProducerStateManager epoch checks in
+    PartitionLog.analyzeAndValidateProducerState:436-470).
+
+    One window over pid (no ordering needed — max is order-free), keeping
+    the scan a single pass; rows carry a ``_fenced`` flag rather than being
+    dropped so callers can count/alert on fenced writes like the broker's
+    error response does."""
+    w = Window.partitionBy("pid")
+    current = F.max("epoch").over(w)
+    return records.withColumn("_fenced", F.col("epoch") < current)
+
+
 def txn_markers(txn_log: DataFrame) -> DataFrame:
     """WRITE_TXN_MARKERS / EndTransactionMarker (KafkaRequestHandler.java:
     2685-2790; marker decode ByteBufUtils.decodeMarker:102-128): one control
