@@ -228,6 +228,17 @@ def q_truncate_before(spark, sf_dir):
     )
 
 
+def q_log_retention(spark, sf_dir):
+    """retention.ms as a sweep: per-partition surviving span after dropping
+    records older than the horizon."""
+    kept = _log(spark, sf_dir).retain_since(TS_CUTOFF)
+    return kept.df.groupBy("partition").agg(
+        F.count("*").alias("n_records"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+    )
+
+
 def q_offset_commit_compact(spark, sf_dir):
     commits = group_ops.derive_commits_from_events(load_table(spark, sf_dir, "events"))
     return group_ops.committed_offsets(commits).select(
@@ -864,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_offsets": q_list_offsets,
         "offsets_for_times": q_offsets_for_times,
         "truncate_before": q_truncate_before,
+        "log_retention": q_log_retention,
         "offset_commit_compact": q_offset_commit_compact,
         "offset_fetch_g1": q_offset_fetch_g1,
         "describe_groups": q_describe_groups,
@@ -951,6 +963,10 @@ FROM log WHERE "timestamp" >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY "partitio
         "truncate_before": f"""WITH {LOG_CTE}
 SELECT "partition", count(*) AS n_records, min("offset") AS min_offset
 FROM log WHERE "offset" >= 10 GROUP BY "partition\"""",
+        "log_retention": f"""WITH {LOG_CTE}
+SELECT "partition", count(*) AS n_records, min("offset") AS min_offset, max("offset") AS max_offset
+FROM log WHERE "timestamp" >= TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY "partition\"""",
         "offset_commit_compact": f"""WITH {COMMITS_CTE}
 SELECT "group", topic, "partition", "offset", metadata, {ms.format(c='commit_ts')} AS commit_ts_ms
 FROM commits

@@ -250,6 +250,14 @@ class LogTable:
         )
         return LogTable(kept)
 
+    def retain_since(self, horizon) -> "LogTable":
+        """Time-based retention (retention.ms): drop records older than the
+        horizon timestamp — the broker's retention sweep as a filter. On an
+        at-rest log partitioned by partition and footer-indexed on
+        timestamp, the expired majority is min/max-pruned away; with Delta
+        this would be a DELETE WHERE predicate."""
+        return LogTable(self.df.filter(F.col("timestamp") >= F.lit(horizon)))
+
 
 def validate_records(
     records: DataFrame,

@@ -49,6 +49,22 @@ def windowed_count_stream(
     )
 
 
+def hopping_window_count_stream(
+    log: DataFrame,
+    duration: str = "1 second",
+    slide: str = "500 milliseconds",
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """Hopping-window count (TimeWindows.of(...).advanceBy(...)): each event
+    lands in duration/slide windows; the streaming form of
+    operators/windows.sliding_window_agg."""
+    return (
+        log.withWatermark("timestamp", watermark)
+        .groupBy(F.window("timestamp", duration, slide), F.col("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def session_window_count_stream(
     log: DataFrame, gap: str = "300 milliseconds", grace: str = "1 second"
 ) -> DataFrame:

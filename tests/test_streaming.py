@@ -159,3 +159,16 @@ def test_idempotent_sink_makes_replayed_epochs_noops(tmp_path, spark, log):
     # a genuinely new epoch still lands
     sink(log.df.limit(3), 10_000)
     assert spark.read.parquet(out).count() == total + 3
+
+
+def test_hopping_window_stream_total_doubles(tmp_path, spark, log):
+    """Hopping windows with slide = duration/2: every event lands in
+    exactly 2 windows, so the summed counts are 2x the record count."""
+    path = _write_log(tmp_path, log)
+    stream = stream_ops.read_log_stream(spark, path)
+    agg = stream_ops.hopping_window_count_stream(
+        stream, "2 hours", "1 hour", watermark="1 minute"
+    )
+    stream_ops.run_to_memory(agg, "hop_counts", output_mode="complete")
+    total = spark.sql("SELECT sum(cnt) AS t FROM hop_counts").first().t
+    assert total == 2 * log.df.count()
