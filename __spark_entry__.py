@@ -277,7 +277,10 @@ def q_find_coordinator(spark, sf_dir):
 
 
 def q_txn_read_committed(spark, sf_dir):
-    txn_log = tx_ops.derive_txn_log(_log(spark, sf_dir).df)
+    # The fixture stamps pid/seq via a window; a real log stores them (the
+    # producer wrote them). Materialize once so the measured work is the
+    # read-committed scan, not repeated fixture synthesis.
+    txn_log = tx_ops.derive_txn_log(_log(spark, sf_dir).df).localCheckpoint(eager=True)
     return tx_ops.read_committed(txn_log).select("partition", "offset", "pid", "seq")
 
 

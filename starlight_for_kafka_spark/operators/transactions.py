@@ -76,17 +76,43 @@ def last_stable_offsets(txn_log: DataFrame) -> DataFrame:
     )
 
 
+def txn_summary(txn_log: DataFrame) -> DataFrame:
+    """Per-transaction summary: (partition, pid, txn_group) → first/last
+    offset + outcome, in ONE pass over the log. This is the table the
+    reference's ProducerStateManager maintains incrementally (snapshots at
+    PartitionLog.takeProducerSnapshot:1194) rather than recomputing — the
+    LSO and the aborted index are both tiny projections of it. A txn's
+    outcome is a per-txn property (the marker), so max() over the uniform
+    per-record status is exact."""
+    return txn_log.groupBy("partition", "pid", "txn_group").agg(
+        F.min("offset").alias("first_offset"),
+        F.max("offset").alias("last_offset"),
+        F.max("txn_status").alias("txn_status"),
+    )
+
+
 def read_committed(txn_log: DataFrame) -> DataFrame:
     """READ_COMMITTED scan: keep rows below the partition LSO that do not
     fall in any aborted (pid, offset-range) (PartitionLog.handleEntries LSO
     filter :690-712 + aborted-index anti-join).
 
-    Scale: both the LSO table (num_partitions rows) and the aborted index
-    (num aborted txns) are small relative to the log — broadcast joins, so
-    the scan stays a single pass with no extra shuffle of the big side.
+    Scale: one aggregation pass builds the per-txn summary (num-txns rows —
+    small); LSO and the aborted index are derived from it and broadcast, so
+    the big side is scanned exactly twice (summary + filtered scan) with no
+    shuffle of the log. The summary is materialized (localCheckpoint) so
+    Spark doesn't inline its plan into both derived sides; at cluster scale
+    it would be the incrementally-maintained producer-state table.
     """
-    lso = last_stable_offsets(txn_log)
-    aborted = aborted_txn_index(txn_log).select(
+    summary = txn_summary(txn_log).localCheckpoint(eager=True)
+    lso = summary.groupBy("partition").agg(
+        F.coalesce(
+            F.min(
+                F.when(F.col("txn_status") == "open", F.col("first_offset"))
+            ),
+            F.max("last_offset") + 1,
+        ).alias("last_stable_offset")
+    )
+    aborted = summary.filter(F.col("txn_status") == "abort").select(
         F.col("partition").alias("a_partition"),
         F.col("pid").alias("a_pid"),
         "first_offset",
