@@ -489,6 +489,17 @@ def q_similarity_ivf_cells(spark, sf_dir):
     return sim_ops.ivf_assign(emb, cents).select("vec_id", "ivf_cell")
 
 
+def q_similarity_ivf_topk(spark, sf_dir):
+    """IVF probe search: nprobe=2 of 4 cells — approximate by design, but
+    deterministic, so the oracle replays the identical probe logic in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return sim_ops.ivf_top_k(emb, cents, _query_vec(spark, sf_dir, 7), k=10, nprobe=2)
+
+
 def q_similarity_lsh_top5(spark, sf_dir):
     # rows-only check: ANN recall is probabilistic by design
     emb = load_table(spark, sf_dir, "embeddings")
@@ -908,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "similarity_top10": q_similarity_top10,
         "similarity_ivf_cells": q_similarity_ivf_cells,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
         "similarity_lsh_top5": q_similarity_lsh_top5,
         "multimodal_features": q_multimodal_features,
         "produce_validation": q_produce_validation,
@@ -1190,6 +1202,33 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""",
 )
 SELECT vec_id, CAST(cid AS INT) AS ivf_cell FROM sims
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1""",
+        "similarity_ivf_topk": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7
+), cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           round(list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS sim
+    FROM e CROSS JOIN c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+), probe AS (
+  SELECT cid FROM c CROSS JOIN q
+  ORDER BY round(list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 9) DESC, cid
+  LIMIT 2
+), scored AS (
+  SELECT e.vec_id,
+         round(list_dot_product(e.v, qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+  FROM e CROSS JOIN q
+  JOIN cells ON cells.vec_id = e.vec_id
+  WHERE cells.cid IN (SELECT cid FROM probe)
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""",
         "produce_validation": f"""WITH {LOG_CTE},
 v AS (
   SELECT "partition",

@@ -129,6 +129,44 @@ def ivf_assign(
     return embeddings.withColumn("ivf_cell", best.cast("int"))
 
 
+def ivf_top_k(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe search: rank centroids against the query DRIVER-side (the
+    centroid list is tiny, control-plane), probe the ``nprobe`` nearest
+    cells, brute-force cosine top-k inside them only.
+
+    At 100 TB the table is written pre-assigned and partitioned by
+    ``ivf_cell`` (see ivf_assign), so the ``isin(probe)`` filter is
+    partition-pruned at the parquet layer: the scan touches
+    ~nprobe/n_cells of the data and nothing else. Recall is the standard
+    IVF trade — raise ``nprobe`` to trade scan fraction for recall.
+    Centroid similarity is rounded to 9 dp (same as ivf_assign) so probe
+    selection is reproducible across engines.
+    """
+    import math
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(dot / (na * nb), 9)
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (-_cos(centroids[i], query_vec), i)
+    )
+    probe = ranked[:nprobe]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
+    candidates = assigned.filter(F.col("ivf_cell").isin(probe))
+    return brute_force_top_k(candidates, query_vec, k, id_col, vec_col)
+
+
 def all_pairs_above(
     embeddings: DataFrame,
     threshold: float,

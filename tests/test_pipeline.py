@@ -76,6 +76,23 @@ def test_ivf_assign_cells_valid(spark, embeddings):
     assert all(r.ivf_cell == r.vec_id for r in own)
 
 
+def test_ivf_top_k_probes_query_cell(spark, embeddings):
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in embeddings.orderBy("vec_id").limit(4).collect()
+    ]
+    qvec = cents[2]  # query IS centroid 2, so its cell is always probed
+    top = similarity.ivf_top_k(embeddings, cents, qvec, k=5, nprobe=2).collect()
+    assert len(top) == 5
+    assert top[0].vec_id == 2 and abs(top[0].cos_sim - 1.0) < 1e-5
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    # nprobe=2 of 4 cells: candidates are a strict subset of the corpus
+    assigned = similarity.ivf_assign(embeddings, cents)
+    probed = assigned.filter(F.col("ivf_cell").isin([r.vec_id for r in top])).count()
+    assert probed < embeddings.count()
+
+
 def test_language_id_markers(spark):
     df = spark.createDataFrame(
         [
