@@ -39,21 +39,34 @@ def _count_occurrences(text: Column, needle: str) -> Column:
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: pick the language whose stopword markers occur
-    most often (ties → 'und'). A production pipeline swaps in fastText/CLD3
-    via a Pandas UDF; the operator shape (map-only, schema) is identical."""
+    most often (ties → alphabetically first; all-zero → 'und'). A production
+    pipeline swaps in fastText/CLD3 via a Pandas UDF; the operator shape
+    (map-only, schema) is identical.
+
+    Implemented as ONE ``greatest`` over (score, priority) structs so every
+    per-language score expression appears exactly once in the tree. The
+    naive nested-CASE formulation replicates each score ~5x; composed with
+    quality_score in one codegen stage that overflowed janino's method
+    limit and dropped the stage to interpreted execution (see module
+    docstring)."""
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    scores = {
-        lang: sum([_count_occurrences(padded, m) for m in markers], F.lit(0))
-        for lang, markers in _LANG_MARKERS.items()
-    }
-    best_score = F.greatest(*scores.values())
-    pred = F.lit("und")
-    # iterate in fixed order so ties resolve deterministically (first wins)
-    for lang in sorted(_LANG_MARKERS):
-        pred = F.when(
-            (scores[lang] == best_score) & (best_score > 0) & (pred == "und"), F.lit(lang)
-        ).otherwise(pred)
-    return df.withColumn("pred_lang", pred)
+    langs = sorted(_LANG_MARKERS)  # tie-break: earlier lang wins
+    scores = [
+        sum([_count_occurrences(padded, m) for m in _LANG_MARKERS[lang]], F.lit(0))
+        for lang in langs
+    ]
+    # struct comparison is field-ordered: max score first, then highest
+    # priority = lowest alphabetical index, matching the old first-wins CASE
+    best = F.greatest(
+        *[
+            F.struct(s.alias("s"), F.lit(len(langs) - 1 - i).alias("p"))
+            for i, s in enumerate(scores)
+        ]
+    )
+    pick = F.element_at(F.array(*[F.lit(l) for l in reversed(langs)]), best["p"] + 1)
+    return df.withColumn(
+        "pred_lang", F.when(best["s"] > 0, pick).otherwise(F.lit("und"))
+    )
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
