@@ -717,6 +717,26 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(incoming, corpus).select("doc_id")
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """Windowed stream-stream join (KStream⋈KStream, JoinWindows): each
+    click paired with the same user's views in the preceding 4 hours."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    joined = win_ops.interval_join(
+        clicks, views, ["user_id"], "click_ts", "view_ts",
+        before_ms=14_400_000, after_ms=0,
+    )
+    return joined.select(
+        "click_id", "user_id", "view_id",
+        F.expr("(unix_micros(click_ts) - unix_micros(view_ts)) DIV 1000").alias("gap_ms"),
+    )
+
+
 def q_curate_training_set(spark, sf_dir):
     """Training-set curation: language filter + quality threshold + token
     bounds + exact dedup, composed from the text/dedup operators — the
@@ -944,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "curate_training_set": q_curate_training_set,
         "asof_attribution": q_asof_attribution,
+        "stream_stream_join": q_stream_stream_join,
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
         "txn_markers": q_txn_markers,
@@ -1441,6 +1462,15 @@ QUALIFY row_number() OVER (PARTITION BY dig ORDER BY doc_id) = 1""",
 )
 SELECT p.event_id, p.user_id, epoch_us(p.ts) // 1000 AS ts_ms, v.view_event_id
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""",
+        "stream_stream_join": """WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+)
+SELECT c.click_id, c.user_id, v.view_id,
+       (epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000 AS gap_ms
+FROM c JOIN v ON c.user_id = v.user_id
+ AND v.view_ts BETWEEN c.click_ts - INTERVAL 4 HOUR AND c.click_ts""",
         "keyed_count_salted": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
         "init_producer_ids": """WITH ids AS (
   SELECT DISTINCT 'txn-' || CAST(user_id % 50 AS VARCHAR) AS transactional_id FROM events

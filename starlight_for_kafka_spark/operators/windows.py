@@ -116,6 +116,46 @@ def session_window_agg(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    before_ms: int = 0,
+    after_ms: int = 0,
+    how: str = "inner",
+) -> DataFrame:
+    """Windowed stream-stream join (KStream.join with JoinWindows): pair each
+    left record with right records of the same key whose timestamp lies in
+    ``[left_ts - before_ms, left_ts + after_ms]``.
+
+    The reference's Streams suite exercises stream-table joins only
+    (GlobalKTableTest.java); this is the KStream⋈KStream sibling, included
+    because event-to-event correlation (click↔view, request↔error) is a core
+    log workload. Non-key columns must be disjointly named across sides —
+    same discipline Kafka Streams forces via the ValueJoiner.
+
+    Scale: an equi-join on ``keys`` — one hash shuffle per side, the time
+    bound applied as a join residual, so Catalyst plans it exactly like any
+    keyed join (broadcast if a side is small, AQE skew-split otherwise).
+    The streaming form (streaming/stream_ops.stream_stream_join) adds
+    watermarks so state stays bounded by before+after+watermark.
+    """
+    l, r = left.alias("__l"), right.alias("__r")
+    cond = None
+    for k in keys:
+        eq = F.col(f"__l.{k}") == F.col(f"__r.{k}")
+        cond = eq if cond is None else (cond & eq)
+    l_us = F.unix_micros(F.col(f"__l.{left_ts}"))
+    r_us = F.unix_micros(F.col(f"__r.{right_ts}"))
+    cond = cond & r_us.between(l_us - before_ms * 1000, l_us + after_ms * 1000)
+    out = l.join(r, cond, how)
+    for k in keys:  # keep one copy of each join key (left side)
+        out = out.drop(F.col(f"__r.{k}"))
+    return out
+
+
 def sliding_window_agg(
     df: DataFrame,
     ts_col: str,

@@ -108,6 +108,43 @@ def stream_global_table_join(stream: DataFrame, table: DataFrame, on, how: str =
     return stream.join(F.broadcast(table), on, how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    before: str = "0 seconds",
+    after: str = "1 second",
+    watermark: str = "2 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Streaming KStream ⋈ KStream with JoinWindows: watermark BOTH sides
+    (required for Spark to bound join state), join on key equality plus the
+    event-time range ``right_ts ∈ [left_ts - before, left_ts + after]``.
+
+    The streaming form of operators/windows.interval_join — same results on
+    a finite log (pinned by test). State per side is bounded by
+    before + after + watermark; outer variants emit nulls only once the
+    watermark passes, exactly Kafka Streams' grace-period-delayed leftJoin
+    emission. Non-key columns must be disjointly named across sides.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("__l")
+    r = right.withWatermark(right_ts, watermark).alias("__r")
+    cond = None
+    for k in keys:
+        eq = F.col(f"__l.{k}") == F.col(f"__r.{k}")
+        cond = eq if cond is None else (cond & eq)
+    cond = cond & F.expr(
+        f"__r.{right_ts} BETWEEN __l.{left_ts} - INTERVAL {before}"
+        f" AND __l.{left_ts} + INTERVAL {after}"
+    )
+    out = l.join(r, cond, how)
+    for k in keys:
+        out = out.drop(F.col(f"__r.{k}"))
+    return out
+
+
 GROUP_STATE_OUTPUT = "group string, generation int, n_members int, state string"
 GROUP_STATE_SCHEMA = "members array<string>, generation int"
 

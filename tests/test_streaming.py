@@ -172,3 +172,36 @@ def test_hopping_window_stream_total_doubles(tmp_path, spark, log):
     stream_ops.run_to_memory(agg, "hop_counts", output_mode="complete")
     total = spark.sql("SELECT sum(cnt) AS t FROM hop_counts").first().t
     assert total == 2 * log.df.count()
+
+
+def test_stream_stream_join_matches_batch_interval_join(tmp_path, spark, log):
+    """Inner windowed KStream join over a finite log equals the batch
+    interval_join on the same split (even/odd offsets)."""
+    from starlight_for_kafka_spark.operators import windows as win
+
+    path = _write_log(tmp_path, log)
+    stream = stream_ops.read_log_stream(spark, path)
+    lhs = stream.filter("offset % 2 = 0").select(
+        "key", F.col("timestamp").alias("l_ts"), F.col("offset").alias("l_off")
+    )
+    rhs = stream.filter("offset % 2 = 1").select(
+        "key", F.col("timestamp").alias("r_ts"), F.col("offset").alias("r_off")
+    )
+    joined = stream_ops.stream_stream_join(
+        lhs, rhs, ["key"], "l_ts", "r_ts",
+        before="1 hour", after="0 seconds", watermark="1 minute",
+    )
+    stream_ops.run_to_memory(joined, "ssj_out", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n FROM ssj_out").first().n
+
+    batch_l = log.df.filter("offset % 2 = 0").select(
+        "key", F.col("timestamp").alias("l_ts"), F.col("offset").alias("l_off")
+    )
+    batch_r = log.df.filter("offset % 2 = 1").select(
+        "key", F.col("timestamp").alias("r_ts"), F.col("offset").alias("r_off")
+    )
+    expected = win.interval_join(
+        batch_l, batch_r, ["key"], "l_ts", "r_ts", before_ms=3_600_000, after_ms=0
+    ).count()
+    assert expected > 0
+    assert got == expected

@@ -128,3 +128,33 @@ def test_as_of_join_semantics(spark):
 
     with pytest.raises(ValueError, match="collide"):
         as_of_join(left, right.withColumnRenamed("rid", "event_id"), ["user_id"])
+
+
+def test_interval_join_window_bounds(spark):
+    left = spark.createDataFrame(
+        [("A", 1, _t(1000)), ("A", 2, _t(5000)), ("B", 3, _t(1000))],
+        "k string, lid int, l_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", 10, _t(0)), ("A", 11, _t(1500)), ("A", 12, _t(4000)),
+         ("B", 13, _t(3000)), ("C", 14, _t(1000))],
+        "k string, rid int, r_ts timestamp",
+    )
+    # right in [left - 1s, left + 0.5s]
+    out = windows.interval_join(
+        left, right, ["k"], "l_ts", "r_ts", before_ms=1000, after_ms=500
+    )
+    pairs = {(r.lid, r.rid) for r in out.collect()}
+    # lid=1 @1000: window [0,1500] -> rids 10,11; lid=2 @5000: [4000,5500] -> 12
+    # B lid=3 @1000: [0,1500] -> no B right in range; C unmatched key
+    assert pairs == {(1, 10), (1, 11), (2, 12)}
+    # bounds are inclusive on both ends
+    edge = windows.interval_join(
+        left.filter("lid = 1"), right, ["k"], "l_ts", "r_ts", 1000, 500
+    ).collect()
+    assert {r.rid for r in edge} == {10, 11}
+    # left-outer keeps unmatched left rows with nulls
+    louter = windows.interval_join(
+        left, right, ["k"], "l_ts", "r_ts", 0, 0, how="left"
+    )
+    assert louter.filter("rid IS NULL").count() == 3
