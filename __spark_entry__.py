@@ -26,6 +26,7 @@ from starlight_for_kafka_spark.operators import groups as group_ops
 from starlight_for_kafka_spark.operators import ktable as ktable_ops
 from starlight_for_kafka_spark.operators import multimodal as mm_ops
 from starlight_for_kafka_spark.operators import registry as reg_ops
+from starlight_for_kafka_spark.operators import sampling as sampling_ops
 from starlight_for_kafka_spark.operators import similarity as sim_ops
 from starlight_for_kafka_spark.operators import text as text_ops
 from starlight_for_kafka_spark.operators import transactions as tx_ops
@@ -717,6 +718,27 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(incoming, corpus).select("doc_id")
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep rates, hash-gated
+    on doc_id so the sample is reproducible across runs and engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.1},
+        "doc_id",
+    ).select("doc_id", "lang")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: concat-and-chunk the corpus into 2048-token packs
+    via a sharded parallel prefix sum (order = (doc_id % 32, doc_id))."""
+    docs = text_ops.token_count(load_table(spark, sf_dir, "documents"))
+    return sampling_ops.pack_sequences(
+        docs.select("doc_id", "n_tokens"), "n_tokens", capacity=2048
+    ).select("doc_id", "n_tokens", "start_tok", "pack_id", "n_packs_spanned")
+
+
 def q_stream_stream_join(spark, sf_dir):
     """Windowed stream-stream join (KStream⋈KStream, JoinWindows): each
     click paired with the same user's views in the preceding 4 hours."""
@@ -965,6 +987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_training_set": q_curate_training_set,
         "asof_attribution": q_asof_attribution,
         "stream_stream_join": q_stream_stream_join,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
         "txn_markers": q_txn_markers,
@@ -1471,6 +1495,25 @@ SELECT c.click_id, c.user_id, v.view_id,
        (epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000 AS gap_ms
 FROM c JOIN v ON c.user_id = v.user_id
  AND v.view_ts BETWEEN c.click_ts - INTERVAL 4 HOUR AND c.click_ts""",
+        "sample_stratified": """SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
+      CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'es' THEN 2500
+                WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE 0 END""",
+        "pack_sequences": """WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           ORDER BY doc_id % 32, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+  FROM t
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // 2048 AS pack_id,
+       CAST((start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1 AS INT) AS n_packs_spanned
+FROM c""",
         "keyed_count_salted": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
         "init_producer_ids": """WITH ids AS (
   SELECT DISTINCT 'txn-' || CAST(user_id % 50 AS VARCHAR) AS transactional_id FROM events

@@ -1,0 +1,116 @@
+"""Sampling and sequence-packing operators for training-data pipelines.
+
+Both are deterministic by construction (hash-gated / fixed-total-order), so
+they are exactly reproducible across engines — the property a training run
+needs for resumable, auditable data selection. No reference analog (the
+reference is a broker); these extend the pipeline-operator family of
+operators/dedup.py and operators/text.py.
+
+Scale notes per operator below; nothing here uses a Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from starlight_for_kafka_spark.functions.hashing import md5_hash64
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``md5_hash64(key) % 10000 < fraction[stratum] * 10000``.
+
+    Hash-gated rather than random so the sample is (a) reproducible across
+    runs and engines, (b) stable under re-partitioning, and (c) consistent
+    for the same key across derived tables — the properties `df.sampleBy`
+    (RNG per task) cannot give. Resolution is 1/10000 per stratum.
+
+    Scale: pure map-side filter — no shuffle, no state, the predicate
+    whole-stage-codegens into the scan, and at the parquet layer the
+    stratum filter can still partition-prune if the table is laid out by
+    stratum.
+    """
+    # hash the STRING form of the key: md5(varchar) is the cross-engine
+    # common denominator (md5 of a long's raw bytes is not portable)
+    gate = F.pmod(md5_hash64(F.col(key_col).cast("string")), F.lit(10_000))
+    cut = F.coalesce(
+        *[
+            F.when(F.col(strata_col) == s, F.lit(int(round(f * 10_000))))
+            for s, f in sorted(fractions.items())
+        ],
+        F.lit(int(round(default_fraction * 10_000))),
+    )
+    return df.filter(gate < cut)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    order_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Sequence packing for pretraining: concatenate all documents into one
+    token stream in a fixed total order and chunk it every ``capacity``
+    tokens. Emits each document's ``start_tok`` (global stream offset),
+    ``pack_id`` (chunk containing its first token) and ``n_packs_spanned``.
+
+    The total order is ``(order_col % n_shards, order_col)`` — chosen so the
+    global running sum decomposes into a parallel prefix sum:
+
+      1. per-shard cumulative sums run concurrently (window partitioned by
+         shard — ``n_shards`` independent sorted streams, NOT one global
+         order-by, which would serialize on a single task at 100 TB);
+      2. shard totals (``n_shards`` rows) get a driver-side running offset
+         and broadcast-join back.
+
+    One shuffle (the window partition) + one tiny broadcast. The oracle
+    replays the same order as a plain window cumsum, so the decomposition
+    is provably equivalent to the serial concat.
+    """
+    shard = F.pmod(F.col(order_col), F.lit(n_shards)).alias("__shard")
+    w = Window.partitionBy("__shard").orderBy(order_col)
+    local = df.withColumn("__shard", shard).withColumn(
+        "__local_end",
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    totals = (
+        local.groupBy("__shard")
+        .agg(F.max("__local_end").alias("__shard_total"))
+        .withColumn(
+            "__shard_offset",
+            F.coalesce(
+                F.sum("__shard_total").over(
+                    Window.orderBy("__shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__shard", "__shard_offset")
+    )
+    packed = local.join(F.broadcast(totals), "__shard").withColumn(
+        "start_tok", F.col("__shard_offset") + F.col("__local_end") - F.col(token_col)
+    )
+    # integer DIV, not float /: double division loses exactness at 100 TB
+    # stream offsets (>2^53 tokens is unreachable, but DIV is also faster)
+    return (
+        packed.withColumn("pack_id", F.expr(f"start_tok DIV {capacity}"))
+        .withColumn(
+            "n_packs_spanned",
+            (
+                F.expr(f"(start_tok + {token_col} - 1) DIV {capacity}")
+                - F.col("pack_id")
+                + 1
+            ).cast("int"),
+        )
+        .drop("__shard", "__local_end", "__shard_offset")
+    )

@@ -5,7 +5,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from starlight_for_kafka_spark.operators import dedup, multimodal, similarity, text
+from starlight_for_kafka_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 
 
 def test_exact_dedup_removes_injected_dup(spark, documents):
@@ -156,3 +162,38 @@ def test_lsh_multiprobe_recall_superset(spark, embeddings):
     assert len(m) >= len(s)
     for (_, ms), (_, ss) in zip(m, s):
         assert ms >= ss  # multi-probe can only improve each rank position
+
+
+def test_stratified_sample_deterministic_and_rated(spark, documents):
+    fractions = {"en": 0.5, "de": 0.2}
+    a = sampling.stratified_sample(documents, "lang", fractions, "doc_id")
+    b = sampling.stratified_sample(documents, "lang", fractions, "doc_id")
+    ids = sorted(r.doc_id for r in a.select("doc_id").collect())
+    assert ids == sorted(r.doc_id for r in b.select("doc_id").collect())  # deterministic
+    kept = {r.lang: r.cnt for r in a.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    totals = {r.lang: r.cnt for r in documents.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert set(kept) <= {"en", "de"}  # default fraction drops other strata
+    for lang, frac in fractions.items():
+        rate = kept.get(lang, 0) / totals[lang]
+        assert abs(rate - frac) < 0.25  # small-sample tolerance
+    # sampling is per-key stable: the kept set is a subset of the corpus keys
+    assert set(ids) <= {r.doc_id for r in documents.select("doc_id").collect()}
+
+
+def test_pack_sequences_matches_serial_concat(spark):
+    rows = [(i, 700 + (i * 37) % 900) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = sampling.pack_sequences(df, "n_tokens", capacity=1000, n_shards=4).collect()
+    # serial oracle: same total order (doc_id % 4, doc_id), running offsets
+    order = sorted(rows, key=lambda r: (r[0] % 4, r[0]))
+    expect, acc = {}, 0
+    for doc_id, n in order:
+        start = acc
+        expect[doc_id] = (start, start // 1000, (start + n - 1) // 1000 - start // 1000 + 1)
+        acc += n
+    assert len(out) == 50
+    for r in out:
+        assert (r.start_tok, r.pack_id, r.n_packs_spanned) == expect[r.doc_id], r.doc_id
+    # the stream is gapless: offsets tile the total token count exactly
+    assert sorted(r.start_tok for r in out)[0] == 0
+    assert max(r.start_tok + r.n_tokens for r in out) == sum(n for _, n in rows)
