@@ -718,6 +718,23 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(incoming, corpus).select("doc_id")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 10th doc plays the eval set; the
+    corpus is the rest plus exact clones of the eval docs — clones must be
+    flagged (ratio 1.0), clean docs stay near 0."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).unionByName(
+        benchmark.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    out = dedup_ops.benchmark_contamination(corpus, benchmark, ngram_k=8, threshold=0.5)
+    return out.select(
+        "doc_id", "n_ngrams", "n_overlap",
+        F.round("contamination", 6).alias("contamination"),
+        "contaminated",
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling: per-language keep rates, hash-gated
     on doc_id so the sample is reproducible across runs and engines."""
@@ -988,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "stream_stream_join": q_stream_stream_join,
         "sample_stratified": q_sample_stratified,
+        "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
@@ -1495,6 +1513,39 @@ SELECT c.click_id, c.user_id, v.view_id,
        (epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000 AS gap_ms
 FROM c JOIN v ON c.user_id = v.user_id
  AND v.view_ts BETWEEN c.click_ts - INTERVAL 4 HOUR AND c.click_ts""",
+        "decontaminate": """WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+), bnorm AS (
+  SELECT regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE doc_id % 10 = 0
+), bgrams AS (
+  SELECT DISTINCT unnest(CASE WHEN len(w) >= 8
+    THEN [array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]
+    ELSE [] END) AS g
+  FROM bnorm
+), cnorm AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM corpus
+), csets AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 8
+    THEN [array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]
+    ELSE [] END) AS sh
+  FROM cnorm
+), cgrams AS (
+  SELECT doc_id, len(sh) AS n_ngrams, unnest(sh) AS g FROM csets WHERE len(sh) > 0
+), per AS (
+  SELECT c.doc_id, c.n_ngrams, count(b.g) AS n_overlap
+  FROM cgrams c LEFT JOIN bgrams b USING (g) GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, 0, 0 FROM csets WHERE len(sh) = 0
+)
+SELECT doc_id, n_ngrams, n_overlap,
+       round(CASE WHEN n_ngrams > 0 THEN n_overlap / n_ngrams ELSE 0 END, 6) AS contamination,
+       (CASE WHEN n_ngrams > 0 THEN n_overlap / n_ngrams ELSE 0 END) >= 0.5 AS contaminated
+FROM per""",
         "sample_stratified": """SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
       CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'es' THEN 2500

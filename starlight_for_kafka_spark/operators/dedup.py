@@ -352,3 +352,49 @@ def embedding_cosine_dups(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of its
+    distinct word ``ngram_k``-grams that also occur anywhere in the
+    benchmark set; ``contaminated`` flags docs at or above ``threshold``.
+    Word 8-grams over normalized text is the standard eval-leak check
+    (GPT-3/PaLM-style n-gram decontamination).
+
+    Scale: the benchmark side (eval sets, MBs) collapses to a DISTINCT
+    n-gram set and broadcasts, so the corpus side is one explode + one
+    broadcast semi-ish join + one per-doc count — no corpus-sized shuffle
+    except the final per-doc aggregation, which is pre-combined map-side.
+    Docs shorter than ``ngram_k`` words have no n-grams and report ratio 0.
+    """
+    grams = lambda c: F.array_distinct(word_shingles(c, ngram_k))  # noqa: E731
+    bench_grams = (
+        benchmark.select(F.explode(grams(F.col(text_col))).alias("g")).distinct()
+    )
+    corpus_sets = corpus.select(
+        F.col(id_col), grams(F.col(text_col)).alias("__set")
+    )
+    corpus_grams = corpus_sets.select(
+        F.col(id_col),
+        F.size("__set").alias("n_ngrams"),
+        F.explode_outer("__set").alias("g"),
+    )
+    hits = corpus_grams.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "g", "left"
+    )
+    per_doc = hits.groupBy(id_col, "n_ngrams").agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap")
+    )
+    ratio = F.when(
+        F.col("n_ngrams") > 0, F.col("n_overlap") / F.col("n_ngrams")
+    ).otherwise(F.lit(0.0))
+    return per_doc.withColumn("contamination", ratio).withColumn(
+        "contaminated", ratio >= F.lit(threshold)
+    )

@@ -197,3 +197,18 @@ def test_pack_sequences_matches_serial_concat(spark):
     # the stream is gapless: offsets tile the total token count exactly
     assert sorted(r.start_tok for r in out)[0] == 0
     assert max(r.start_tok + r.n_tokens for r in out) == sum(n for _, n in rows)
+
+
+def test_benchmark_contamination_flags_clones(spark, documents):
+    docs = documents.select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    clones = bench.withColumn("doc_id", F.col("doc_id") + 5_000_000)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0).unionByName(clones)
+    out = dedup.benchmark_contamination(corpus, bench, ngram_k=8, threshold=0.5)
+    assert out.count() == corpus.count()  # every corpus doc scored
+    clones_out = out.filter(F.col("doc_id") >= 5_000_000)
+    # exact clones of benchmark docs are fully contaminated
+    assert clones_out.filter(~F.col("contaminated")).count() == 0
+    assert clones_out.filter(F.col("contamination") < 0.999).count() == 0
+    # ratio is a proper fraction everywhere
+    assert out.filter((F.col("contamination") < 0) | (F.col("contamination") > 1)).count() == 0
