@@ -501,6 +501,30 @@ def q_similarity_ivf_topk(spark, sf_dir):
     return sim_ops.ivf_top_k(emb, cents, _query_vec(spark, sf_dir, 7), k=10, nprobe=2)
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding (centroid training step), emitted as
+    (label, dim, value) rows for exact cross-engine comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim_ops.centroids(emb, "label")
+    return out.select(
+        "label", F.posexplode("centroid").alias("dim", "c")
+    ).select("label", "dim", F.round("c", 6).alias("centroid"))
+
+
+def q_kmeans_step(spark, sf_dir):
+    """One deterministic Lloyd iteration seeded with vectors 0..3: cosine
+    assignment (9 dp) + per-cell mean re-centering."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    out = sim_ops.lloyd_step(emb, cents)
+    return out.select(
+        "ivf_cell", F.posexplode("centroid").alias("dim", "c")
+    ).select("ivf_cell", "dim", F.round("c", 6).alias("centroid"))
+
+
 def q_similarity_lsh_top5(spark, sf_dir):
     # rows-only check: ANN recall is probabilistic by design
     emb = load_table(spark, sf_dir, "embeddings")
@@ -979,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_top10": q_similarity_top10,
         "similarity_ivf_cells": q_similarity_ivf_cells,
         "similarity_ivf_topk": q_similarity_ivf_topk,
+        "embedding_centroids": q_embedding_centroids,
+        "kmeans_step": q_kmeans_step,
         "similarity_lsh_top5": q_similarity_lsh_top5,
         "multimodal_features": q_multimodal_features,
         "produce_validation": q_produce_validation,
@@ -1265,6 +1291,30 @@ SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10""",
 )
 SELECT vec_id, CAST(cid AS INT) AS ivf_cell FROM sims
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1""",
+        "embedding_centroids": """SELECT label, dim, round(avg(x), 6) AS centroid
+FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings) t
+GROUP BY label, dim""",
+        "kmeans_step": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4
+), cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           round(list_dot_product(e.v, c.cv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS sim
+    FROM e CROSS JOIN c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+), ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings
+)
+SELECT CAST(cells.cid AS INT) AS ivf_cell, ex.dim, round(avg(ex.x), 6) AS centroid
+FROM ex JOIN cells USING (vec_id)
+GROUP BY 1, 2""",
         "similarity_ivf_topk": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), c AS (

@@ -129,6 +129,52 @@ def ivf_assign(
     return embeddings.withColumn("ivf_cell", best.cast("int"))
 
 
+def centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean vector (k-means / IVF centroid training step).
+
+    Spark-first: posexplode to (group, dim, x) rows, aggregate avg per
+    (group, dim), reassemble the array sorted by dim. The explode costs
+    dim× rows but stays whole-stage-codegen'd and combines map-side, so
+    the shuffle carries only |groups|×dim partial sums — at 100 TB that
+    beats any array-valued aggregation UDF (interpreted, no partial agg).
+    """
+    ex = embeddings.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    means = ex.groupBy(group_col, "dim").agg(
+        F.avg(F.col("x").cast("double")).alias("c")
+    )
+    return means.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(F.struct("dim", "c")))
+        .getField("c")
+        .alias("centroid"),
+        F.count("*").alias("n_dims"),
+    )
+
+
+def lloyd_step(
+    embeddings: DataFrame,
+    seed_centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd (k-means) iteration under cosine assignment: assign every
+    vector to its nearest seed centroid (ivf_assign — deterministic, 9 dp
+    rounded), then re-center each cell as the mean of its members.
+
+    The driver loops this k times for full k-means — each step is one
+    assign pass + one centroid aggregation, both linear scans; no state
+    beyond the (tiny) centroid list crosses iterations. A single step is
+    fully deterministic, so it oracle-checks exactly.
+    """
+    assigned = ivf_assign(embeddings, seed_centroids, id_col, vec_col)
+    return centroids(assigned, "ivf_cell", vec_col)
+
+
 def ivf_top_k(
     embeddings: DataFrame,
     centroids: list[list[float]],

@@ -212,3 +212,35 @@ def test_benchmark_contamination_flags_clones(spark, documents):
     assert clones_out.filter(F.col("contamination") < 0.999).count() == 0
     # ratio is a proper fraction everywhere
     assert out.filter((F.col("contamination") < 0) | (F.col("contamination") > 1)).count() == 0
+
+
+def test_centroids_mean_per_group(spark):
+    df = spark.createDataFrame(
+        [(0, "a", [1.0, 3.0]), (1, "a", [3.0, 5.0]), (2, "b", [10.0, 0.0])],
+        "vec_id long, label string, embedding array<float>",
+    )
+    out = {r.label: r.centroid for r in similarity.centroids(df, "label").collect()}
+    assert out["a"] == [2.0, 4.0]
+    assert out["b"] == [10.0, 0.0]
+
+
+def test_lloyd_step_recenters_cells(spark, embeddings):
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in embeddings.orderBy("vec_id").limit(4).collect()
+    ]
+    out = similarity.lloyd_step(embeddings, cents).collect()
+    assert {r.ivf_cell for r in out} <= {0, 1, 2, 3}
+    assert all(r.n_dims == 64 and len(r.centroid) == 64 for r in out)
+    # members per cell sum to the corpus: re-derive from the assignment
+    assigned = similarity.ivf_assign(embeddings, cents)
+    assert assigned.count() == embeddings.count()
+    # recomputing the mean of one cell by hand matches the operator
+    cell0 = assigned.filter(F.col("ivf_cell") == 0)
+    if cell0.count() > 0:
+        hand = cell0.select(
+            F.posexplode("embedding").alias("dim", "x")
+        ).groupBy("dim").agg(F.avg(F.col("x").cast("double")).alias("c")).collect()
+        hand_map = {r.dim: r.c for r in hand}
+        op0 = next(r for r in out if r.ivf_cell == 0)
+        assert all(abs(op0.centroid[d] - hand_map[d]) < 1e-12 for d in range(64))
