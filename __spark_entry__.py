@@ -742,6 +742,15 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(incoming, corpus).select("doc_id")
 
 
+def q_quantile_filter(spark, sf_dir):
+    """Per-language quantile filter: keep the top 25% of docs by length
+    (exact windowed mode; the approx sketch mode is the 100 TB path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.quantile_filter(
+        docs, ["lang"], "n_chars", 0.25, "doc_id", mode="exact"
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: every 10th doc plays the eval set; the
     corpus is the rest plus exact clones of the eval docs — clones must be
@@ -1032,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         "sample_stratified": q_sample_stratified,
         "decontaminate": q_decontaminate,
+        "quantile_filter": q_quantile_filter,
         "pack_sequences": q_pack_sequences,
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
@@ -1563,6 +1573,11 @@ SELECT c.click_id, c.user_id, v.view_id,
        (epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000 AS gap_ms
 FROM c JOIN v ON c.user_id = v.user_id
  AND v.view_ts BETWEEN c.click_ts - INTERVAL 4 HOUR AND c.click_ts""",
+        "quantile_filter": """SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         percent_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS pr
+  FROM documents
+) WHERE pr <= 0.25""",
         "decontaminate": """WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
   UNION ALL

@@ -114,3 +114,48 @@ def pack_sequences(
         )
         .drop("__shard", "__local_end", "__shard_offset")
     )
+
+
+def quantile_filter(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    keep_frac: float,
+    tiebreak_col: str,
+    mode: str = "exact",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of rows per group, ranked descending by
+    ``order_col`` (quality filtering: "top 25% by quality per language").
+
+    ``mode="exact"``: window percent_rank over (order desc, tiebreak) — fully
+    deterministic, but each group sorts in one task, so a dominant group
+    (one language = half the corpus) serializes at 100 TB.
+
+    ``mode="approx"``: the scale path — per-group threshold via
+    ``approx_percentile`` (t-digest sketch, map-side mergeable, no sort),
+    broadcast the tiny per-group threshold table, filter. Two linear scans,
+    no ordering state; the boundary is approximate by the sketch accuracy
+    (1e-4 relative error here), which is the right trade when the filter
+    feeds a statistical pipeline rather than an audit.
+    """
+    if mode == "exact":
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.desc(order_col), F.asc(tiebreak_col)
+        )
+        return (
+            df.withColumn("__pr", F.percent_rank().over(w))
+            .filter(F.col("__pr") <= keep_frac)
+            .drop("__pr")
+        )
+    if mode == "approx":
+        thresholds = df.groupBy(*group_cols).agg(
+            F.expr(
+                f"approx_percentile({order_col}, {1.0 - keep_frac}, 10000)"
+            ).alias("__cut")
+        )
+        return (
+            df.join(F.broadcast(thresholds), group_cols)
+            .filter(F.col(order_col) >= F.col("__cut"))
+            .drop("__cut")
+        )
+    raise ValueError(f"unknown mode: {mode!r}")

@@ -244,3 +244,24 @@ def test_lloyd_step_recenters_cells(spark, embeddings):
         hand_map = {r.dim: r.c for r in hand}
         op0 = next(r for r in out if r.ivf_cell == 0)
         assert all(abs(op0.centroid[d] - hand_map[d]) < 1e-12 for d in range(64))
+
+
+def test_quantile_filter_exact_and_approx_agree(spark, documents):
+    exact = sampling.quantile_filter(
+        documents, ["lang"], "n_chars", 0.25, "doc_id", mode="exact"
+    )
+    approx = sampling.quantile_filter(
+        documents, ["lang"], "n_chars", 0.25, "doc_id", mode="approx"
+    )
+    n_exact, n_approx, total = exact.count(), approx.count(), documents.count()
+    # keeps roughly the requested fraction
+    assert 0.15 * total <= n_exact <= 0.40 * total
+    # the sketch threshold lands within a few rows of the exact boundary
+    assert abs(n_exact - n_approx) <= 0.05 * total
+    # every kept doc is at least as long as its language's dropped docs' max... 
+    # (exact mode): the minimum kept length per lang >= max dropped length - ties
+    kept_min = {r.lang: r.m for r in exact.groupBy("lang").agg(F.min("n_chars").alias("m")).collect()}
+    dropped = documents.join(exact.select("doc_id"), "doc_id", "left_anti")
+    drop_max = {r.lang: r.m for r in dropped.groupBy("lang").agg(F.max("n_chars").alias("m")).collect()}
+    for lang, m in drop_max.items():
+        assert kept_min[lang] >= m  # descending order: kept floor >= dropped ceiling
