@@ -932,6 +932,28 @@ def q6_discounted_revenue(spark, sf_dir):
     )
 
 
+def q_salted_join_revenue(spark, sf_dir):
+    """Skew-resistant fact-dim join: lineitem salted across 8 reducers per
+    orderkey, orders replicated 8x, then revenue per order priority —
+    results identical to the plain join by construction."""
+    from starlight_for_kafka_spark.operators import skew as skew_ops
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = skew_ops.salted_join(li, orders, ["l_orderkey"], n_salts=8)
+    rev = F.col("l_extendedprice").cast("decimal(9,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def q_moving_avg_per_user(spark, sf_dir):
     """SQL window-function surface: 3-row moving average of event values
     per user in time order (ties broken by event_id)."""
@@ -1050,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "headers_projection": q_headers_projection,
         "metadata_topics": q_metadata_topics,
         "q6_discounted_revenue": q6_discounted_revenue,
+        "salted_join_revenue": q_salted_join_revenue,
         "moving_avg_per_user": q_moving_avg_per_user,
     }
 
@@ -1665,6 +1688,11 @@ SELECT 'events' AS topic,
        count(*) AS n_records,
        sum("offset" + 1) AS sum_log_end_offsets
 FROM log""",
+        "salted_join_revenue": """SELECT o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority""",
         "q6_discounted_revenue": """SELECT
   CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
   count(*) AS n

@@ -64,3 +64,34 @@ def salted_sum(
         [F.sum("__partial_sum").alias(alias)],
         n_salts,
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (fact) side with a random
+    per-row salt, replicate the small (dim) side across all ``n_salts``
+    values, join on (keys + salt). A hot key's rows land on ``n_salts``
+    reducers instead of one; results are identical to the plain join.
+
+    AQE's runtime skew-split covers shuffled joins it can observe; this
+    explicit form is for when AQE can't re-plan — stream-static joins in a
+    microbatch, or a deliberately bucketed layout that must not be
+    re-split. Cost: the small side is duplicated ``n_salts``× (bounded —
+    it's the dim side), the big side gains one int column.
+
+    The salt is random-per-row (pmod of a uniform draw), NOT
+    partition-derived: rows of the hot key inside one input split must
+    still scatter. Join semantics are preserved for inner/left because
+    every (key, salt) pair exists on the replicated side.
+    """
+    salt = F.pmod(F.floor(F.rand(seed=7) * n_salts).cast("int"), F.lit(n_salts))
+    big = skewed.withColumn("__salt", salt)
+    rep = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big.join(rep, keys + ["__salt"], how).drop("__salt")

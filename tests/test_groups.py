@@ -119,3 +119,30 @@ def test_compact_topic_tombstone_deletes_key(spark):
     )
     out = {(r.partition, r.key): r.value for r in kt.compact_topic(log).collect()}
     assert out == {(0, "k2"): "v3", (1, "k1"): "v4"}
+
+
+def test_salted_join_equals_plain_join(spark, events):
+    from starlight_for_kafka_spark.operators.skew import salted_join
+
+    # fact: events keyed by user_id; dim: one row per user with a tag
+    dim = events.select("user_id").distinct().withColumn(
+        "tag", (F.col("user_id") % 5).cast("int")
+    )
+    plain = events.select("event_id", "user_id").join(dim, ["user_id"]).select(
+        "event_id", "user_id", "tag"
+    )
+    salted = salted_join(
+        events.select("event_id", "user_id"), dim, ["user_id"], n_salts=8
+    ).select("event_id", "user_id", "tag")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left join with a filtered dim keeps unmatched fact rows exactly once
+    dim_half = dim.filter(F.col("user_id") % 2 == 0)
+    lplain = events.select("event_id", "user_id").join(dim_half, ["user_id"], "left")
+    lsalted = salted_join(
+        events.select("event_id", "user_id"), dim_half, ["user_id"], n_salts=8, how="left"
+    )
+    assert lsalted.count() == lplain.count()
+    assert (
+        lsalted.filter(F.col("tag").isNull()).count()
+        == lplain.filter(F.col("tag").isNull()).count()
+    )
