@@ -11,6 +11,7 @@ from starlight_for_kafka_spark.operators import dedup as dedup_ops
 from starlight_for_kafka_spark.plans import (
     broadcast_join_count,
     codegen_stage_count,
+    has_broadcast_join,
     exchange_count,
     plan_string,
     pushed_filters,
@@ -172,3 +173,34 @@ def test_fetch_on_written_log_is_partition_pruned(spark, log, tmp_path):
     assert any("partition" in f and "3" in f for f in pf), pf
     pushed = pushed_filters(fetched)
     assert any("offset" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
+
+
+def test_stratified_sample_is_map_only(spark, documents):
+    """Hash-gated sampling must add zero exchanges: a pure filter over the
+    scan, so at 100 TB it rides the existing scan parallelism."""
+    from starlight_for_kafka_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(documents, "lang", {"en": 0.5}, "doc_id")
+    assert exchange_count(out) == 0, plan_string(out)
+
+
+def test_decontamination_broadcasts_benchmark(spark, documents):
+    """The benchmark n-gram set must broadcast: the corpus side never
+    shuffles for the membership probe (only the final per-doc agg)."""
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators.dedup import benchmark_contamination
+
+    bench = documents.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    corpus = documents.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    out = benchmark_contamination(corpus, bench)
+    assert has_broadcast_join(out), plan_string(out)
+
+
+def test_quantile_filter_approx_broadcasts_thresholds(spark, documents):
+    """Approx mode = per-group sketch + broadcast threshold join, never a
+    per-group sort of the data side."""
+    from starlight_for_kafka_spark.operators.sampling import quantile_filter
+
+    out = quantile_filter(documents, ["lang"], "n_chars", 0.25, "doc_id", mode="approx")
+    assert has_broadcast_join(out), plan_string(out)
