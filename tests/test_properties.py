@@ -148,3 +148,34 @@ def test_compaction_idempotent_and_latest_wins(spark, rows):
         for r in compact_topic(once).collect()
     }
     assert twice == got
+
+
+@_spark_settings
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 500)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    n_shards=st.sampled_from([1, 3, 8]),
+    capacity=st.sampled_from([64, 1000]),
+)
+def test_pack_sequences_tiles_the_stream(spark, docs, n_shards, capacity):
+    """Packing invariants for any corpus/shard/capacity: offsets start at 0,
+    tile the concatenated stream gaplessly in the defined total order, and
+    pack ids are consistent with the offsets."""
+    from starlight_for_kafka_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "n_tokens", capacity, n_shards=n_shards).collect()
+    assert len(out) == len(docs)
+    by_order = sorted(out, key=lambda r: (r.doc_id % n_shards, r.doc_id))
+    acc = 0
+    for r in by_order:
+        assert r.start_tok == acc          # gapless, order-respecting
+        assert r.pack_id == r.start_tok // capacity
+        last = r.start_tok + r.n_tokens - 1
+        assert r.n_packs_spanned == last // capacity - r.pack_id + 1
+        acc += r.n_tokens
+    assert acc == sum(n for _, n in docs)  # total stream length preserved
