@@ -742,6 +742,15 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(incoming, corpus).select("doc_id")
 
 
+def q_cap_per_source(spark, sf_dir):
+    """Per-source cap: at most 15 docs per source, hash-ordered so the kept
+    subset is a uniform deterministic sample of each source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.cap_per_group(docs, ["source"], "doc_id", 15).select(
+        "doc_id", "source"
+    )
+
+
 def q_quantile_filter(spark, sf_dir):
     """Per-language quantile filter: keep the top 25% of docs by length
     (exact windowed mode; the approx sketch mode is the 100 TB path)."""
@@ -1064,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "decontaminate": q_decontaminate,
         "quantile_filter": q_quantile_filter,
+        "cap_per_source": q_cap_per_source,
         "pack_sequences": q_pack_sequences,
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
@@ -1596,6 +1606,13 @@ SELECT c.click_id, c.user_id, v.view_id,
        (epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000 AS gap_ms
 FROM c JOIN v ON c.user_id = v.user_id
  AND v.view_ts BETWEEN c.click_ts - INTERVAL 4 HOUR AND c.click_ts""",
+        "cap_per_source": """SELECT doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source
+    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+  ) AS rn
+  FROM documents
+) WHERE rn <= 15""",
         "quantile_filter": """SELECT doc_id, lang, n_chars FROM (
   SELECT doc_id, lang, n_chars,
          percent_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS pr

@@ -159,3 +159,30 @@ def quantile_filter(
             .drop("__cut")
         )
     raise ValueError(f"unknown mode: {mode!r}")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    max_rows: int,
+) -> DataFrame:
+    """Anti-overrepresentation cap: keep at most ``max_rows`` rows per group
+    (per-domain caps in corpus curation). Selection order is the MD5 hash
+    of the key, so the kept subset is a uniform, deterministic sample of
+    the group rather than whatever sorts first — and it is stable across
+    runs, engines, and partitioning.
+
+    Scale: one shuffle on the group key + a per-group sort. When a single
+    group dominates (one domain = a third of the corpus), pre-gate with
+    :func:`stratified_sample` at ~(max_rows / est_group_size) to shrink the
+    sorted set, then cap exactly — the sort then touches ~max_rows rows
+    per group instead of the whole group.
+    """
+    order = md5_hash64(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

@@ -265,3 +265,16 @@ def test_quantile_filter_exact_and_approx_agree(spark, documents):
     drop_max = {r.lang: r.m for r in dropped.groupBy("lang").agg(F.max("n_chars").alias("m")).collect()}
     for lang, m in drop_max.items():
         assert kept_min[lang] >= m  # descending order: kept floor >= dropped ceiling
+
+
+def test_cap_per_group_limits_and_is_deterministic(spark, documents):
+    capped = sampling.cap_per_group(documents, ["source"], "doc_id", 3)
+    counts = capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r.n <= 3 for r in counts)
+    # groups smaller than the cap are untouched
+    small = documents.groupBy("source").agg(F.count("*").alias("n")).filter("n <= 3")
+    assert capped.join(small, "source").count() == documents.join(small, "source").count()
+    again = sampling.cap_per_group(documents, ["source"], "doc_id", 3)
+    assert sorted(r.doc_id for r in capped.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
