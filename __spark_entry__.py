@@ -742,6 +742,21 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(incoming, corpus).select("doc_id")
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Corpus analytics surface: per-language doc counts, distinct sources,
+    exact median/p90 length, token volume. Exact percentile is the audit
+    mode; at 100 TB swap in approx_percentile (t-digest, mergeable) — same
+    query shape, sketch-bounded memory."""
+    docs = text_ops.token_count(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def q_cap_per_source(spark, sf_dir):
     """Per-source cap: at most 15 docs per source, hash-ordered so the kept
     subset is a uniform deterministic sample of each source."""
@@ -1074,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "quantile_filter": q_quantile_filter,
         "cap_per_source": q_cap_per_source,
+        "corpus_stats": q_corpus_stats,
         "pack_sequences": q_pack_sequences,
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
@@ -1606,6 +1622,14 @@ SELECT c.click_id, c.user_id, v.view_id,
        (epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000 AS gap_ms
 FROM c JOIN v ON c.user_id = v.user_id
  AND v.view_ts BETWEEN c.click_ts - INTERVAL 4 HOUR AND c.click_ts""",
+        "corpus_stats": """SELECT lang,
+  count(*) AS n_docs,
+  count(DISTINCT source) AS n_sources,
+  quantile_cont(n_chars, 0.5) AS median_chars,
+  quantile_cont(n_chars, 0.9) AS p90_chars,
+  sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) AS total_tokens
+FROM documents
+GROUP BY lang""",
         "cap_per_source": """SELECT doc_id, source FROM (
   SELECT doc_id, source, row_number() OVER (
     PARTITION BY source
