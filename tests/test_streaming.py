@@ -205,3 +205,44 @@ def test_stream_stream_join_matches_batch_interval_join(tmp_path, spark, log):
     ).count()
     assert expected > 0
     assert got == expected
+
+
+def test_stream_stream_left_join_emits_expired_nulls(tmp_path, spark, log):
+    """Outer rows emit only once the watermark passes: the finite-log run
+    must produce at least the inner matches, at most the batch left join,
+    and null right-sides for expired unmatched lefts."""
+    from starlight_for_kafka_spark.operators import windows as win
+
+    path = _write_log(tmp_path, log)
+    stream = stream_ops.read_log_stream(spark, path)
+    lhs = stream.filter("offset % 2 = 0").select(
+        "key", F.col("timestamp").alias("l_ts"), F.col("offset").alias("l_off")
+    )
+    # sparse right side -> plenty of unmatched lefts
+    rhs = stream.filter("offset % 10 = 1").select(
+        "key", F.col("timestamp").alias("r_ts"), F.col("offset").alias("r_off")
+    )
+    joined = stream_ops.stream_stream_join(
+        lhs, rhs, ["key"], "l_ts", "r_ts",
+        before="5 minutes", after="0 seconds", watermark="1 minute", how="left",
+    )
+    stream_ops.run_to_memory(joined, "ssj_left", output_mode="append")
+    got_total = spark.sql("SELECT count(*) AS n FROM ssj_left").first().n
+    got_nulls = spark.sql(
+        "SELECT count(*) AS n FROM ssj_left WHERE r_off IS NULL"
+    ).first().n
+
+    bl = log.df.filter("offset % 2 = 0").select(
+        "key", F.col("timestamp").alias("l_ts"), F.col("offset").alias("l_off")
+    )
+    br = log.df.filter("offset % 10 = 1").select(
+        "key", F.col("timestamp").alias("r_ts"), F.col("offset").alias("r_off")
+    )
+    inner = win.interval_join(bl, br, ["key"], "l_ts", "r_ts", 300_000, 0).count()
+    batch_left = win.interval_join(
+        bl, br, ["key"], "l_ts", "r_ts", 300_000, 0, how="left"
+    ).count()
+    assert inner <= got_total <= batch_left
+    # most lefts are unmatched with the sparse right; expired ones emit nulls
+    assert got_nulls > 0
+    assert got_total == inner + got_nulls  # matched rows + emitted outer rows
