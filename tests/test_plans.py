@@ -204,3 +204,21 @@ def test_quantile_filter_approx_broadcasts_thresholds(spark, documents):
 
     out = quantile_filter(documents, ["lang"], "n_chars", 0.25, "doc_id", mode="approx")
     assert has_broadcast_join(out), plan_string(out)
+
+
+def test_pack_sequences_single_data_shuffle(spark, documents):
+    """The parallel prefix sum must cost ONE data-sized exchange (the
+    sharded window) plus broadcast-only distribution of shard offsets —
+    never a global order-by of the corpus."""
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators.sampling import pack_sequences
+
+    df = documents.select("doc_id", F.col("n_chars").alias("n_tokens"))
+    out = pack_sequences(df, "n_tokens", 2048)
+    plan = plan_string(out)
+    assert has_broadcast_join(out), plan
+    # exchanges: one hashpartitioning for the window; the tiny totals side
+    # may add its own single-partition exchange, but there must be no
+    # rangepartitioning (global sort) anywhere
+    assert "rangepartitioning" not in plan.lower(), plan
