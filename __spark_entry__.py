@@ -450,6 +450,17 @@ def q_dedup_minhash(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_dedup_minhash_cc(spark, sf_dir):
+    """minhash dedup with exact transitive grouping (connected components
+    over verified pairs, iterative min-label propagation) — rows-only:
+    genuinely iterative; exactness pinned against union-find in tests."""
+    docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
+    return dedup_ops.minhash_dedup_exact_groups(
+        docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.7,
+        shingle_mode="word",
+    ).select("doc_id")
+
+
 def q_text_stats(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = text_ops.quality_score(text_ops.token_count(docs))
@@ -1052,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_cc": q_dedup_minhash_cc,
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
         "text_language_id": q_text_language_id,

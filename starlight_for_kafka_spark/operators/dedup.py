@@ -398,3 +398,86 @@ def benchmark_contamination(
     return per_doc.withColumn("contamination", ratio).withColumn(
         "contaminated", ratio >= F.lit(threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every node starts labeled with itself; each round a node
+    takes the min of its own and all neighbors' labels; converged when no
+    label changes. Returns (node, component) with component = min node id.
+
+    This is the exact group resolution minhash_dedup's one-pass drop
+    approximates (a non-min node whose neighbors all have larger ids
+    survives the one-pass but not CC). Each round costs one join + one
+    aggregation (2 shuffles) and rounds ≈ graph diameter — near-dup
+    components are short chains, so 3-5 rounds in practice; ``max_iter``
+    bounds pathological chains. Labels are localCheckpointed per round to
+    cut lineage (iterative plans otherwise re-execute from the source
+    every round).
+
+    The loop is driver-side control flow over distributed steps — the
+    standard Spark shape for iterative algorithms (same as GraphX/Pregel).
+    Deterministic, but genuinely iterative, so the driver check is
+    rows-only; exactness is pinned against a union-find in the test suite.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["y"] == labels["node"])
+            .groupBy("x")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["x"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup_exact_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    shingle_mode: str = "char",
+) -> DataFrame:
+    """minhash_dedup with exact transitive grouping: verified pairs →
+    connected components → keep each component's minimum id."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingle_mode)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes=num_hashes)
+    verified = jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold, shingle_mode)
+    comps = connected_components(verified)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -87,6 +87,7 @@ def test_every_query_has_oracle_or_is_flagged():
         "similarity_lsh_top5",
         "multimodal_features",
         "dedup_minhash",
+        "dedup_minhash_cc",
         "dedup_embedding_lsh",
     }
 

@@ -278,3 +278,47 @@ def test_cap_per_group_limits_and_is_deterministic(spark, documents):
     assert sorted(r.doc_id for r in capped.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_connected_components_exact_grouping(spark):
+    # component {1,3,5} via (1,5),(3,5): node 3's only neighbor is larger,
+    # so the one-pass "drop if smaller near-dup exists" would keep 3 —
+    # CC must label it into component 1
+    pairs = spark.createDataFrame(
+        [(1, 5), (3, 5), (10, 11)], "a long, b long"
+    )
+    out = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    rng = random.Random(11)
+    nodes = list(range(40))
+    edges = [(min(a, b), max(a, b)) for a, b in
+             (rng.sample(nodes, 2) for _ in range(35))]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+
+    parent = {n: n for n in nodes}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e}
+    expect = {n: find(n) for n in touched}
+    assert got == expect
+
+
+def test_minhash_exact_groups_keeps_component_minima(spark, documents):
+    clones = documents.limit(3).withColumn("doc_id", F.col("doc_id") + 6_000_000)
+    with_dups = documents.unionByName(clones)
+    out = dedup.minhash_dedup_exact_groups(with_dups, num_hashes=16, bands=8)
+    assert out.filter(F.col("doc_id") >= 6_000_000).count() == 0
+    assert out.count() >= documents.count() * 0.5
