@@ -753,6 +753,28 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(incoming, corpus).select("doc_id")
 
 
+def q_scrub_pii(spark, sf_dir):
+    """PII scrub pass: every 20th doc gets a synthetic email+phone appended,
+    then the scrubber must flag and redact them (digest compared, not the
+    full text, to keep the result compact)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob@example.com or +1 (555) 123-4567"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = text_ops.scrub_pii(docs)
+    return out.select(
+        "doc_id", "had_email", "had_phone",
+        F.md5(F.col("scrubbed_text").cast("binary")).alias("scrub_digest"),
+    )
+
+
 def q_corpus_stats(spark, sf_dir):
     """Corpus analytics surface: per-language doc counts, distinct sources,
     exact median/p90 length, token volume. Exact percentile is the audit
@@ -1102,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": q_quantile_filter,
         "cap_per_source": q_cap_per_source,
         "corpus_stats": q_corpus_stats,
+        "scrub_pii": q_scrub_pii,
         "pack_sequences": q_pack_sequences,
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
@@ -1634,6 +1657,20 @@ SELECT c.click_id, c.user_id, v.view_id,
        (epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000 AS gap_ms
 FROM c JOIN v ON c.user_id = v.user_id
  AND v.view_ts BETWEEN c.click_ts - INTERVAL 4 HOUR AND c.click_ts""",
+        "scrub_pii": """WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 0
+              THEN text || ' contact bob@example.com or +1 (555) 123-4567'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS had_email,
+  regexp_matches(text, '[0-9][0-9 ()+.-]{6,}[0-9]') AS had_phone,
+  md5(regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '[0-9][0-9 ()+.-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_digest
+FROM docs""",
         "corpus_stats": """SELECT lang,
   count(*) AS n_docs,
   count(DISTINCT source) AS n_sources,

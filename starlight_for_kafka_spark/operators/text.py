@@ -128,3 +128,34 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_full", F.md5(norm.cast("binary"))).withColumn(
         "fp_prefix64", F.md5(F.substring(norm, 1, 64).cast("binary"))
     )
+
+
+# conservative patterns that parse identically in Java regex (Spark) and
+# RE2 (DuckDB) — no backrefs, no lookaround, explicit classes only
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONG_DIGITS_RE = r"[0-9][0-9 ()+.-]{6,}[0-9]"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing pass: replace emails and phone-like digit runs with
+    redaction tokens, and flag which docs were touched. Patterns are
+    deliberately conservative (clean corpus curation errs toward recall)
+    and restricted to syntax that means the same thing in Java regex and
+    RE2, so the oracle replays them verbatim.
+
+    Map-only single pass, no shuffle; the flags let a downstream filter
+    drop or audit touched docs without a second scan. Production swaps in
+    a real PII model via mapInPandas — same operator shape as
+    multimodal.extract_features.
+    """
+    text = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"),
+        _LONG_DIGITS_RE,
+        "<PHONE>",
+    )
+    return (
+        df.withColumn("had_email", text.rlike(_EMAIL_RE))
+        .withColumn("had_phone", text.rlike(_LONG_DIGITS_RE))
+        .withColumn("scrubbed_text", scrubbed)
+    )

@@ -120,6 +120,28 @@ def test_token_count_and_quality(spark, documents):
     assert q.filter((F.col("quality") < 0) | (F.col("quality") > 1)).count() == 0
 
 
+def test_scrub_pii_redacts_and_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@sub.example.org please"),
+            (2, "call +1 (555) 123-4567 now"),
+            (3, "clean text with no contact info"),
+            (4, "both bob@x.io and 555-867-5309 here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.scrub_pii(df).collect()}
+    assert (out[1].had_email, out[1].had_phone) == (True, False)
+    assert "<EMAIL>" in out[1].scrubbed_text and "@" not in out[1].scrubbed_text
+    assert (out[2].had_email, out[2].had_phone) == (False, True)
+    assert "<PHONE>" in out[2].scrubbed_text
+    assert not any(c.isdigit() for c in out[2].scrubbed_text)
+    assert (out[3].had_email, out[3].had_phone) == (False, False)
+    assert out[3].scrubbed_text == out[3].text
+    assert (out[4].had_email, out[4].had_phone) == (True, True)
+    assert "<EMAIL>" in out[4].scrubbed_text and "<PHONE>" in out[4].scrubbed_text
+
+
 def test_fingerprint_stable_under_whitespace(spark):
     df = spark.createDataFrame(
         [(1, "hello  world"), (2, "hello world")], "doc_id long, text string"
