@@ -808,6 +808,39 @@ def q_quantile_filter(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_repetition_score(spark, sf_dir):
+    """Gopher-style repetition filter inputs: type-token ratio (map-only)
+    and top-bigram fraction (explode + two partial-combining aggs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # thresholds tuned to this corpus's distribution so the flag actually
+    # fires (Gopher defaults never trigger on uniform synthetic text)
+    out = text_ops.repetition_score(
+        docs, max_top_bigram_frac=0.12, min_ttr=0.3
+    )
+    return out.select("doc_id", "n_words", "ttr", "top_bigram_frac", "repetitive")
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) mixture weights per source: the
+    corpus-reweighting table a sampler consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.mixture_weights(docs, "source", alpha=0.5)
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 symmetric quantization of the embedding corpus: codes, scale,
+    worst-case reconstruction error per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.quantize_embeddings(emb)
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source word-8-gram Jaccard matrix: which corpus slices overlap
+    and by how much (corpus-level contamination audit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.source_overlap(docs, "source", "text", ngram_k=8)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: every 10th doc plays the eval set; the
     corpus is the rest plus exact clones of the eval docs — clones must be
@@ -1125,6 +1158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         "corpus_stats": q_corpus_stats,
         "scrub_pii": q_scrub_pii,
+        "repetition_score": q_repetition_score,
+        "mixture_weights": q_mixture_weights,
+        "quantize_embeddings": q_quantize_embeddings,
+        "source_overlap": q_source_overlap,
         "pack_sequences": q_pack_sequences,
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
@@ -1671,6 +1708,76 @@ SELECT doc_id,
         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         '[0-9][0-9 ()+.-]{6,}[0-9]', '<PHONE>', 'g')) AS scrub_digest
 FROM docs""",
+        "repetition_score": """WITH nw AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) / len(w) AS ttr FROM nw
+), bg AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+    THEN [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]
+    ELSE [] END) AS bigram
+  FROM nw
+), cnt AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY 1
+)
+SELECT b.doc_id, b.n_words, b.ttr,
+       coalesce(t.top_c / (b.n_words - 1), 0.0) AS top_bigram_frac,
+       (coalesce(t.top_c / (b.n_words - 1), 0.0) > 0.12 OR b.ttr < 0.3) AS repetitive
+FROM base b LEFT JOIN top t USING (doc_id)""",
+        "mixture_weights": """WITH c AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), t AS (SELECT sum(n_docs) AS tot FROM c),
+r AS (
+  SELECT source, n_docs, tot, pow(n_docs / CAST(tot AS DOUBLE), 0.5) AS w_raw
+  FROM c, t
+)
+SELECT source, n_docs,
+       round(w_raw / sum(w_raw) OVER (), 9) AS weight,
+       round(w_raw / sum(w_raw) OVER () * tot / n_docs, 9) AS epochs
+FROM r""",
+        "quantize_embeddings": """WITH e AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+), s AS (
+  SELECT vec_id, x,
+         CASE WHEN list_max(list_transform(x, v -> abs(v))) > 0
+              THEN list_max(list_transform(x, v -> abs(v))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, x, scale,
+         list_transform(x, v -> greatest(-127.0, least(127.0, floor(v / scale + 0.5)))) AS qd
+  FROM s
+)
+SELECT vec_id, round(scale, 9) AS scale,
+       list_transform(qd, v -> CAST(v AS INTEGER)) AS q,
+       round(list_max([abs(x[i] - qd[i] * scale) FOR i IN range(1, len(x) + 1)]), 9) AS max_err
+FROM q""",
+        "source_overlap": """WITH nw AS (
+  SELECT source,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 8
+    THEN [array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]
+    ELSE [] END) AS g
+  FROM nw
+), sizes AS (
+  SELECT source, count(*) AS n FROM g GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM g a JOIN g b USING (g) WHERE a.source < b.source GROUP BY 1, 2
+)
+SELECT x.source AS src_a, y.source AS src_b, x.n AS n_a, y.n AS n_b,
+       coalesce(i.n_common, 0) AS n_common,
+       coalesce(i.n_common, 0) / CAST(x.n + y.n - coalesce(i.n_common, 0) AS DOUBLE) AS jaccard
+FROM sizes x
+JOIN sizes y ON x.source < y.source
+LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source""",
         "corpus_stats": """SELECT lang,
   count(*) AS n_docs,
   count(DISTINCT source) AS n_sources,

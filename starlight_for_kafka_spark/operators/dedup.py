@@ -481,3 +481,60 @@ def minhash_dedup_exact_groups(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ngram_k: int = 8,
+) -> DataFrame:
+    """Cross-corpus contamination matrix: word n-gram Jaccard between every
+    pair of sources (which crawls/dumps overlap, and how much — the
+    corpus-level sibling of per-doc benchmark_contamination).
+
+    Shuffle shape: distinct (group, shingle) → ONE groupBy(shingle) that
+    collects each shingle's source set, pairs generated row-side from that
+    set. This avoids the shingle self-join, whose hot shingles (present in
+    every source) would each fan out |S|^2 join rows through the shuffle;
+    here a shingle contributes one row and at most C(|S|,2) tiny pair
+    structs, and the pair-count aggregation partial-combines map-side.
+    Assumes |S| (number of sources) is small — the matrix itself is
+    O(|S|^2) — while docs and shingles are unbounded.
+    """
+    grams = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(word_shingles(F.col(text_col), ngram_k)).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("grp").agg(F.count("*").alias("n"))
+    src_sets = grams.groupBy("g").agg(F.sort_array(F.collect_set("grp")).alias("ss"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.greatest(F.size(F.col("ss")) - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    inter = (
+        src_sets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    a, b = sizes.alias("x"), sizes.alias("y")
+    matrix = (
+        a.join(b, F.col("x.grp") < F.col("y.grp"))
+        .select(
+            F.col("x.grp").alias("src_a"),
+            F.col("y.grp").alias("src_b"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+        )
+        .join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
+    )
+    return matrix.withColumn(
+        "jaccard",
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+    )

@@ -186,3 +186,31 @@ def cap_per_group(
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )
+
+
+def mixture_weights(
+    df: DataFrame, group_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled mixture weights for corpus reweighting: each
+    group's sampling weight is ``share**alpha`` renormalized to sum to 1
+    (alpha=1 reproduces natural proportions, alpha=0 uniform; alpha~0.5 is
+    the multilingual-LM convention for upweighting low-resource groups).
+    ``epochs`` is the implied duplication factor per group when drawing
+    ``total`` examples from the reweighted mixture.
+
+    One full-size aggregation (count per group, map-side partial combine),
+    then all arithmetic runs on the tiny per-group frame — the
+    unpartitioned windows touch #groups rows, not corpus rows, so the
+    single-task stage is O(#domains) at any corpus scale.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    everything = Window.partitionBy()
+    total = F.sum("n_docs").over(everything)
+    w_raw = F.pow(F.col("n_docs") / total, F.lit(alpha))
+    weight = w_raw / F.sum(w_raw).over(everything)
+    return counts.select(
+        group_col,
+        "n_docs",
+        F.round(weight, 9).alias("weight"),
+        F.round(weight * total / F.col("n_docs"), 9).alias("epochs"),
+    )

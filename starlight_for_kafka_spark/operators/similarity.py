@@ -225,3 +225,34 @@ def all_pairs_above(
     from starlight_for_kafka_spark.operators.dedup import embedding_cosine_dups
 
     return embedding_cosine_dups(embeddings, id_col, vec_col, threshold, n_planes)
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127, q_i =
+    clamp(round(x_i/scale), ±127). Returns the int8 codes, the scale needed
+    to dequantize, and the worst-case per-vector reconstruction error.
+
+    The memory lever for ANN at scale: a float32 corpus shrinks 4x, so 4x
+    more vectors fit per executor before a brute-force or IVF scan spills.
+    Map-only (each row quantizes from its own max), no shuffle; rounding is
+    floor(v + 0.5) rather than an engine round() so Spark and the DuckDB
+    oracle agree bit-for-bit on ties.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    m = F.array_max(F.transform(x, F.abs))
+    scale = F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(1.0))
+    qd = F.transform(
+        x,
+        lambda v: F.greatest(
+            F.lit(-127.0), F.least(F.lit(127.0), F.floor(v / scale + 0.5))
+        ),
+    )
+    max_err = F.array_max(F.zip_with(x, qd, lambda a, b: F.abs(a - b * scale)))
+    return df.select(
+        id_col,
+        F.round(scale, 9).alias("scale"),
+        qd.cast("array<int>").alias("q"),
+        F.round(max_err, 9).alias("max_err"),
+    )

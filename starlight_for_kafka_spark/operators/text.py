@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from starlight_for_kafka_spark.functions.hashing import word_shingles
+
 # tiny per-language stopword markers for the n-gram/stopword heuristic
 _LANG_MARKERS: dict[str, list[str]] = {
     "en": [" the ", " and ", " of "],
@@ -127,6 +129,54 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.withColumn("fp_full", F.md5(norm.cast("binary"))).withColumn(
         "fp_prefix64", F.md5(F.substring(norm, 1, 64).cast("binary"))
+    )
+
+
+def repetition_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_bigram_frac: float = 0.18,
+    min_ttr: float = 0.2,
+) -> DataFrame:
+    """Gopher-style intra-document repetition metrics:
+
+      * ``ttr``             — type-token ratio (distinct words / words);
+                              low values mean the doc repeats its vocabulary
+      * ``top_bigram_frac`` — fraction of word bigrams taken by the single
+                              most frequent bigram (Rae et al. 2021 drop
+                              docs where the top 2-gram exceeds ~18%)
+
+    ttr is map-only (array_distinct on the row's own word array). The top
+    bigram needs a per-doc mode, which no HOF computes without per-row
+    sorting, so it goes explode → two-level groupBy — both aggregations
+    partial-combine map-side and shuffle only (doc, bigram) pairs, never
+    the text. At 100 TB that shuffle carries ~2 longs + one short string
+    per bigram occurrence and partitions by doc_id with no skew (every doc
+    contributes ~n_words rows).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    words = F.split(F.trim(norm), " ")
+    n_words = F.size(words)
+    base = df.withColumn("n_words", n_words).withColumn(
+        "ttr", F.size(F.array_distinct(words)) / n_words
+    )
+    bigrams = base.select(
+        id_col, F.explode(word_shingles(F.col(text_col), 2)).alias("bigram")
+    )
+    per_bigram = bigrams.groupBy(id_col, "bigram").agg(F.count("*").alias("c"))
+    top = per_bigram.groupBy(id_col).agg(F.max("c").alias("top_bigram_cnt"))
+    return (
+        base.join(top, id_col, "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.coalesce(F.col("top_bigram_cnt") / (F.col("n_words") - 1), F.lit(0.0)),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top_bigram_frac") > max_top_bigram_frac)
+            | (F.col("ttr") < min_ttr),
+        )
     )
 
 

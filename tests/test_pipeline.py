@@ -344,3 +344,68 @@ def test_minhash_exact_groups_keeps_component_minima(spark, documents):
     out = dedup.minhash_dedup_exact_groups(with_dups, num_hashes=16, bands=8)
     assert out.filter(F.col("doc_id") >= 6_000_000).count() == 0
     assert out.count() >= documents.count() * 0.5
+
+
+def test_repetition_score_flags_repeats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham spam ham"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_score(df).collect()}
+    # doc 1: 10 words, 2 types -> ttr 0.2; "spam ham" bigram appears 5/9
+    assert out[1].n_words == 10 and abs(out[1].ttr - 0.2) < 1e-12
+    assert abs(out[1].top_bigram_frac - 5 / 9) < 1e-12
+    assert out[1].repetitive
+    # doc 2: all distinct words, every bigram unique
+    assert out[2].ttr == 1.0
+    assert abs(out[2].top_bigram_frac - 1 / 9) < 1e-12
+    assert not out[2].repetitive
+
+
+def test_mixture_weights_sum_and_order(spark, documents):
+    out = sampling.mixture_weights(documents, "source", alpha=0.5).collect()
+    assert abs(sum(r.weight for r in out) - 1.0) < 1e-6
+    # alpha<1 compresses: every group's weight is closer to uniform than
+    # its natural share, so small groups gain and large groups lose
+    total = sum(r.n_docs for r in out)
+    for r in out:
+        share = r.n_docs / total
+        uniform = 1 / len(out)
+        lo, hi = min(share, uniform), max(share, uniform)
+        assert lo - 1e-9 <= r.weight <= hi + 1e-9
+        assert abs(r.epochs - r.weight * total / r.n_docs) < 1e-6
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5, 2.0]), (1, [0.0, 0.0, 0.1, -0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in similarity.quantize_embeddings(df).collect()}
+    r0 = out[0]
+    assert abs(r0.scale - 2.0 / 127) < 1e-9
+    assert r0.q == [64, -127, 32, 127]  # round(x/scale) with scale=2/127
+    assert all(-127 <= v <= 127 for r in out.values() for v in r.q)
+    # reconstruction error bounded by scale/2 per element
+    assert r0.max_err <= r0.scale / 2 + 1e-9
+
+
+def test_source_overlap_exact_matrix(spark):
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(
+        [
+            (1, "a", eight + " tail1"),    # grams: {w1..w8, w2..tail1}
+            (2, "b", eight),               # grams: {w1..w8}
+            (3, "c", "x1 x2 x3 x4 x5 x6 x7 x8"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r.src_a, r.src_b): r for r in dedup.source_overlap(df).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab.n_a, ab.n_b, ab.n_common) == (2, 1, 1)
+    assert abs(ab.jaccard - 0.5) < 1e-12
+    assert out[("a", "c")].n_common == 0 and out[("a", "c")].jaccard == 0.0
