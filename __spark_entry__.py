@@ -841,6 +841,33 @@ def q_source_overlap(spark, sf_dir):
     return dedup_ops.source_overlap(docs, "source", "text", ngram_k=8)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 32-word chunks, 8-word overlap; digest of
+    each chunk compared so the result stays compact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_ops.chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id", "chunk_id", "n_chunk_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_digest"),
+    )
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by tf·idf (keyword extraction)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_ops.tfidf_top_terms(docs, top_k=3)
+    return out.select(
+        "doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf"), "rank"
+    )
+
+
+def q_quantization_recall(spark, sf_dir):
+    """Recall@10 of int8-quantized cosine search vs full precision, per
+    query — the accept/reject gate for the 4x-compressed ANN corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.quantization_recall(emb, [0, 17, 42, 99, 123], k=10)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: every 10th doc plays the eval set; the
     corpus is the rest plus exact clones of the eval docs — clones must be
@@ -1159,6 +1186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "scrub_pii": q_scrub_pii,
         "repetition_score": q_repetition_score,
+        "chunk_documents": q_chunk_documents,
+        "tfidf_terms": q_tfidf_terms,
+        "quantization_recall": q_quantization_recall,
         "mixture_weights": q_mixture_weights,
         "quantize_embeddings": q_quantize_embeddings,
         "source_overlap": q_source_overlap,
@@ -1728,6 +1758,71 @@ SELECT b.doc_id, b.n_words, b.ttr,
        coalesce(t.top_c / (b.n_words - 1), 0.0) AS top_bigram_frac,
        (coalesce(t.top_c / (b.n_words - 1), 0.0) > 0.12 OR b.ttr < 0.3) AS repetitive
 FROM base b LEFT JOIN top t USING (doc_id)""",
+        "chunk_documents": """WITH nw AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), b AS (
+  SELECT doc_id, w, len(w) AS n_words,
+         greatest(1, CAST(floor((len(w) - 8 + 23) / 24.0) AS INT)) AS nc
+  FROM nw
+), c AS (
+  SELECT doc_id, w, n_words, unnest(range(0, nc)) AS chunk_id FROM b
+)
+SELECT doc_id, chunk_id,
+       least(32, n_words - (chunk_id * 24 + 1) + 1) AS n_chunk_tokens,
+       md5(array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_digest
+FROM c""",
+        "tfidf_terms": """WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, tf * ln(n_docs / CAST(df_docs AS DOUBLE)) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rank FROM ranked WHERE rank <= 3""",
+        "quantization_recall": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+), s AS (
+  SELECT vec_id, x,
+         CASE WHEN list_max(list_transform(x, v -> abs(v))) > 0
+              THEN list_max(list_transform(x, v -> abs(v))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM e
+), dq AS (
+  SELECT vec_id,
+         list_transform(x, v -> greatest(-127.0, least(127.0, floor(v / scale + 0.5))) * scale) AS dx
+  FROM s
+), q AS (
+  SELECT vec_id AS qid, x AS qv FROM e WHERE vec_id IN (0, 17, 42, 99, 123)
+), fullr AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           list_dot_product(x, qv) / (sqrt(list_dot_product(x, x)) * sqrt(list_dot_product(qv, qv))) DESC,
+           vec_id) AS rn
+  FROM e, q
+), deqr AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           list_dot_product(dx, qv) / (sqrt(list_dot_product(dx, dx)) * sqrt(list_dot_product(qv, qv))) DESC,
+           vec_id) AS rn
+  FROM dq, q
+)
+SELECT f.qid, count(d.vec_id) AS n_hit, count(d.vec_id) / 10.0 AS recall
+FROM fullr f
+LEFT JOIN deqr d ON d.qid = f.qid AND d.vec_id = f.vec_id AND d.rn <= 10
+WHERE f.rn <= 10
+GROUP BY f.qid""",
         "mixture_weights": """WITH c AS (
   SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
 ), t AS (SELECT sum(n_docs) AS tot FROM c),

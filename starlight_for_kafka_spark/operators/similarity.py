@@ -256,3 +256,65 @@ def quantize_embeddings(
         qd.cast("array<int>").alias("q"),
         F.round(max_err, 9).alias("max_err"),
     )
+
+
+def quantization_recall(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of int8-quantized search against full-precision search:
+    for each query, the fraction of the true float32 top-k that survives
+    when corpus vectors are replaced by their dequantized int8 codes
+    (asymmetric setup — queries stay full precision, as in ADC scans).
+
+    The evaluation harness for :func:`quantize_embeddings`: run it on a
+    sample before committing the 4x memory saving corpus-wide. Both ranking
+    passes broadcast the (tiny) query set and window-partition by query id
+    — each executor ranks its local shard, only (query, candidate) pairs
+    shuffle. Ranks tie-break on vec_id so the result is deterministic.
+    """
+    from pyspark.sql import Window
+
+    from starlight_for_kafka_spark.functions.vectors import cosine_similarity
+
+    x = df.select(
+        id_col, F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("x")
+    )
+    quant = quantize_embeddings(df, vec_col, id_col)
+    deq = quant.select(
+        id_col,
+        F.transform(F.col("q"), lambda v: v.cast("double") * F.col("scale")).alias(
+            "dx"
+        ),
+    )
+    queries = x.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col("x").alias("qv")
+    )
+
+    def top_k(corpus: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(
+            F.desc(cosine_similarity(F.col(col), F.col("qv"))), F.asc(id_col)
+        )
+        return (
+            corpus.join(F.broadcast(queries))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", id_col)
+        )
+
+    full = top_k(x, "x")
+    approx = top_k(deq, "dx")
+    hits = full.join(approx, ["qid", id_col])
+    return (
+        full.groupBy("qid")
+        .agg(F.count("*").alias("n_full"))
+        .join(hits.groupBy("qid").agg(F.count("*").alias("n_hit")), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))).alias("recall"),
+        )
+    )

@@ -209,3 +209,85 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("had_phone", text.rlike(_LONG_DIGITS_RE))
         .withColumn("scrubbed_text", scrubbed)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size word chunks with overlap — the
+    context-window preprocessing step before packing/tokenization. Chunk i
+    covers words [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk is short rather than
+    padded, and a doc shorter than one chunk yields exactly one chunk.
+
+    Map-only: the chunk index array is generated per row (sequence +
+    explode), each output row slices its own word array — no shuffle, and
+    output size is input size * (1/stride) expansion, known in advance.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    n_words = F.size(words)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n_words - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast(
+            "int"
+        ),
+    )
+    start = F.col("chunk_id") * stride + 1
+    return (
+        df.select(
+            id_col,
+            words.alias("__w"),
+            n_words.alias("n_words"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(" ", F.slice("__w", start, chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.col("n_words") - start + 1).alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf (idf = ln(N/df),
+    raw tf, ties broken alphabetically) — keyword extraction for corpus
+    exploration and topic-balance audits.
+
+    Two shuffles: (doc, term) term-frequency agg, then a term-keyed join
+    against the document-frequency table (vocabulary-sized — Zipf means it
+    is orders of magnitude smaller than the corpus; broadcast it when it
+    fits, shuffle-join when 100 TB vocabulary doesn't). The final per-doc
+    top-k window repartitions by doc_id, no skew.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    terms = df.select(
+        id_col, F.explode(F.split(F.trim(norm), " ")).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    n = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )

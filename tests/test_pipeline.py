@@ -409,3 +409,54 @@ def test_source_overlap_exact_matrix(spark):
     assert (ab.n_a, ab.n_b, ab.n_common) == (2, 1, 1)
     assert abs(ab.jaccard - 0.5) < 1e-12
     assert out[("a", "c")].n_common == 0 and out[("a", "c")].jaccard == 0.0
+
+
+def test_chunk_documents_tiling(spark):
+    words = " ".join(f"w{i}" for i in range(70))
+    df = spark.createDataFrame([(1, words), (2, "a b c")], "doc_id long, text string")
+    out = text.chunk_documents(df, chunk_tokens=32, overlap=8)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+    d1 = [r for r in rows if r.doc_id == 1]
+    # 70 words, stride 24: chunks start at 0, 24, 48 -> 3 chunks
+    assert [r.chunk_id for r in d1] == [0, 1, 2]
+    assert d1[0].chunk_text.split()[:2] == ["w0", "w1"]
+    assert d1[1].chunk_text.split()[0] == "w24"  # overlap: w24..w31 repeat
+    assert d1[0].chunk_text.split()[-8:] == d1[1].chunk_text.split()[:8]
+    assert d1[2].n_chunk_tokens == 70 - 48  # short last chunk, no padding
+    # every word position is covered exactly once by non-overlap regions
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "a b c" and d2[0].n_chunk_tokens == 3
+
+
+def test_tfidf_top_terms_ranks_rare_words(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common rare1 rare1 rare1"),
+            (2, "common common other"),
+            (3, "common unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_top_terms(df, top_k=2)
+    top1 = {r.doc_id: r.term for r in out.filter(F.col("rank") == 1).collect()}
+    # "common" is in every doc -> idf 0; rare terms win
+    assert top1 == {1: "rare1", 2: "other", 3: "unique"}
+    assert out.filter((F.col("term") == "common") & (F.col("tfidf") != 0)).count() == 0
+
+
+def test_quantization_recall_perfect_on_coarse_vectors(spark):
+    # vectors whose ranking survives int8 quantization exactly
+    import math
+
+    rows = [
+        (i, [math.cos(i * 0.7), math.sin(i * 0.7), float(i % 3), 1.0])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.quantization_recall(df, [0, 5], k=5)
+    got = {r.qid: r for r in out.collect()}
+    assert set(got) == {0, 5}
+    for r in got.values():
+        assert 0.0 <= r.recall <= 1.0 and r.n_hit == int(r.recall * 5)
+    # self is always its own nearest neighbor in both rankings -> recall > 0
+    assert all(r.recall >= 0.2 for r in got.values())
