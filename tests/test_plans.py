@@ -222,3 +222,42 @@ def test_pack_sequences_single_data_shuffle(spark, documents):
     # may add its own single-partition exchange, but there must be no
     # rangepartitioning (global sort) anywhere
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_map_only_curation_ops_add_zero_exchanges(spark, documents):
+    """scrub_pii, chunking, and int8 quantization are single-pass map
+    operators: zero exchanges, so they ride the scan's parallelism at any
+    corpus size."""
+    from starlight_for_kafka_spark.operators.similarity import quantize_embeddings
+    from starlight_for_kafka_spark.operators.text import chunk_documents, scrub_pii
+
+    assert exchange_count(scrub_pii(documents)) == 0
+    assert exchange_count(chunk_documents(documents, chunk_tokens=32, overlap=8)) == 0
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assert exchange_count(quantize_embeddings(emb)) == 0
+
+
+def test_source_overlap_never_self_joins_shingles(spark, documents):
+    """The overlap matrix must pair sources from each shingle's collected
+    source set — a SortMergeJoin on the shingle column would fan hot
+    shingles out |S|^2 ways through the shuffle. Only the tiny sizes
+    matrix (|S| rows) and per-pair counts may join, and both sides of
+    every join in the plan are aggregated frames, not raw shingles."""
+    from starlight_for_kafka_spark.operators.dedup import source_overlap
+
+    out = source_overlap(documents)
+    plan = plan_string(out)
+    # the only SMJ keys allowed are the pair/source keys, never the shingle g
+    import re
+
+    for m in re.finditer(r"SortMergeJoin .*?\[([^\]]*)\]", plan):
+        assert "g#" not in m.group(1), plan
+
+
+def test_tfidf_broadcasts_doc_count(spark, documents):
+    """The N (total docs) scalar joins in as a broadcast, and the
+    vocabulary join must not re-shuffle the tf side more than once."""
+    from starlight_for_kafka_spark.operators.text import tfidf_top_terms
+
+    out = tfidf_top_terms(documents)
+    assert has_broadcast_join(out), plan_string(out)
