@@ -868,6 +868,20 @@ def q_quantization_recall(spark, sf_dir):
     return sim_ops.quantization_recall(emb, [0, 17, 42, 99, 123], k=10)
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """LM-perplexity quality proxy: per-doc avg unigram logprob + ppl,
+    flagging the high-perplexity tail (threshold sits inside this corpus's
+    29-40 ppl range so the flag is exercised)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_ops.unigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("ppl", 6).alias("ppl"),
+        (F.col("ppl") > 33).alias("high_ppl"),
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: every 10th doc plays the eval set; the
     corpus is the rest plus exact clones of the eval docs — clones must be
@@ -1189,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "tfidf_terms": q_tfidf_terms,
         "quantization_recall": q_quantization_recall,
+        "unigram_logprob": q_unigram_logprob,
         "mixture_weights": q_mixture_weights,
         "quantize_embeddings": q_quantize_embeddings,
         "source_overlap": q_source_overlap,
@@ -1823,6 +1838,29 @@ FROM fullr f
 LEFT JOIN deqr d ON d.qid = f.qid AND d.vec_id = f.vec_id AND d.rn <= 10
 WHERE f.rn <= 10
 GROUP BY f.qid""",
+        "unigram_logprob": """WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), model AS (
+  SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS tot_tokens, count(*) AS vocab FROM model
+), scored AS (
+  SELECT doc_id, tf,
+         tf * ln((cnt + 1) / CAST(tot_tokens + vocab AS DOUBLE)) AS lp
+  FROM tf JOIN model USING (term), tot
+), per_doc AS (
+  SELECT doc_id, sum(tf) AS n_tokens, sum(lp) / sum(tf) AS avg_lp
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       round(avg_lp, 6) AS avg_logprob,
+       round(exp(-avg_lp), 6) AS ppl,
+       exp(-avg_lp) > 33 AS high_ppl
+FROM per_doc""",
         "mixture_weights": """WITH c AS (
   SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
 ), t AS (SELECT sum(n_docs) AS tot FROM c),

@@ -291,3 +291,41 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "term", "tf", "tfidf", "rank")
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality proxy: score each document by the average
+    add-one-smoothed log-probability of its words under the corpus's own
+    unigram model (``ppl`` = exp(-avg) is the perplexity form). Documents
+    full of corpus-rare vocabulary score high-perplexity and are the usual
+    drop candidates; a real CCNet pipeline swaps the self-trained unigram
+    model for a clean-reference KenLM via the same join shape.
+
+    Scale shape: one (doc, term) tf aggregation, a term-keyed model
+    aggregation over it, then a vocabulary join back — the model table is
+    Zipf-small, broadcast it when it fits. The totals row is a broadcast
+    scalar. No pass ever shuffles raw text.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    terms = df.select(id_col, F.explode(F.split(F.trim(norm), " ")).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    model = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    totals = model.agg(
+        F.sum("cnt").alias("tot_tokens"), F.count("*").alias("vocab")
+    )
+    scored = (
+        tf.join(model, "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lp",
+            F.col("tf")
+            * F.log((F.col("cnt") + 1) / (F.col("tot_tokens") + F.col("vocab"))),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        (F.sum("lp") / F.sum("tf")).alias("avg_logprob"),
+    )
+    return per_doc.withColumn("ppl", F.exp(-F.col("avg_logprob")))

@@ -460,3 +460,20 @@ def test_quantization_recall_perfect_on_coarse_vectors(spark):
         assert 0.0 <= r.recall <= 1.0 and r.n_hit == int(r.recall * 5)
     # self is always its own nearest neighbor in both rankings -> recall > 0
     assert all(r.recall >= 0.2 for r in got.values())
+
+
+def test_unigram_logprob_rare_words_score_worse(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rareword xyzzy"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.unigram_logprob(df).collect()}
+    # doc 2 mixes in singleton words -> lower avg logprob, higher perplexity
+    assert out[2].avg_logprob < out[1].avg_logprob
+    assert out[2].ppl > out[1].ppl
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+    # smoothed probs are proper: logprob strictly negative, ppl > 1
+    assert all(r.avg_logprob < 0 and r.ppl > 1 for r in out.values())
