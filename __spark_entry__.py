@@ -882,6 +882,21 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint sets (k=5 char grams, w=4 windows): count and
+    digest of each doc's sorted fingerprint set."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_ops.winnow_fingerprints(docs, k=5, w=4)
+    return out.select(
+        "doc_id", "n_fps",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.col("fps"), lambda x: x.cast("string"))
+            ).cast("binary")
+        ).alias("fp_digest"),
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: every 10th doc plays the eval set; the
     corpus is the rest plus exact clones of the eval docs — clones must be
@@ -1204,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "quantization_recall": q_quantization_recall,
         "unigram_logprob": q_unigram_logprob,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "mixture_weights": q_mixture_weights,
         "quantize_embeddings": q_quantize_embeddings,
         "source_overlap": q_source_overlap,
@@ -1861,6 +1877,27 @@ SELECT doc_id, n_tokens,
        round(exp(-avg_lp), 6) AS ppl,
        exp(-avg_lp) > 33 AS high_ppl
 FROM per_doc""",
+        "winnow_fingerprints": """WITH nrm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+           THEN [CAST('0x' || substr(md5(substr(t, i, 5)), 1, 15) AS BIGINT)
+                 FOR i IN range(1, len(t) - 3)]
+           ELSE [] END AS hs
+  FROM nrm
+), wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+              ELSE [list_min(hs[i:i+3]) FOR i IN range(1, greatest(1, len(hs) - 3) + 1)]
+         END AS ws
+  FROM g
+), fps AS (
+  SELECT doc_id, list_sort(list_distinct(ws)) AS fps FROM wins
+)
+SELECT doc_id, len(fps) AS n_fps,
+       md5(array_to_string(fps, ',')) AS fp_digest
+FROM fps""",
         "mixture_weights": """WITH c AS (
   SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
 ), t AS (SELECT sum(n_docs) AS tot FROM c),

@@ -329,3 +329,55 @@ def unigram_logprob(
         (F.sum("lp") / F.sum("tf")).alias("avg_logprob"),
     )
     return per_doc.withColumn("ppl", F.exp(-F.col("avg_logprob")))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD '03): hash every
+    char k-gram, slide a w-window over the hash sequence, keep each
+    window's minimum — the selected set is guaranteed to share hashes with
+    any copy of a passage at least w+k-1 chars long, which is the
+    plagiarism/near-dup detection guarantee the whole-doc md5 in
+    :func:`fingerprint` can't give.
+
+    Map-only: the per-row HOF pipeline (hash → windowed min → distinct)
+    never leaves the row, so the pass scales with the scan. HOF lambdas are
+    interpreted, not codegen'd — cost is O(w) per window; with k=5 char
+    grams a 100 TB corpus pays ~4 comparisons per char, the classic CPU/
+    recall trade dial (raise w for fewer fingerprints, cheaper downstream
+    joins, weaker guarantee).
+
+    Returns ``fps`` (sorted distinct fingerprint hashes) and ``n_fps``.
+    Docs with fewer than w k-grams contribute one global-min fingerprint;
+    docs shorter than k chars yield an empty set.
+
+    The hash array is materialized in its own projection (``_hs``) before
+    the windowed-min pass. Inlining it would replicate the whole
+    shingle+md5 subtree into every window's ``slice`` call — O(L^2) md5
+    evaluations per row instead of O(L) (CollapseProject keeps the two
+    projections apart because the non-cheap ``_hs`` is referenced more
+    than once).
+    """
+    from starlight_for_kafka_spark.functions.hashing import md5_hash64, shingles
+
+    tmp = df.select(
+        "*", F.transform(shingles(F.col(text_col), k), md5_hash64).alias("_hs")
+    )
+    hs = F.col("_hs")
+    n = F.size(hs)
+    wins = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(w - 1))),
+            lambda i: F.array_min(F.slice(hs, i, w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    out = tmp.select(
+        "*", F.array_sort(F.array_distinct(wins)).alias("fps")
+    ).drop("_hs")
+    return out.withColumn("n_fps", F.size("fps"))

@@ -477,3 +477,29 @@ def test_unigram_logprob_rare_words_score_worse(spark):
     assert out[1].n_tokens == 4 and out[2].n_tokens == 4
     # smoothed probs are proper: logprob strictly negative, ppl > 1
     assert all(r.avg_logprob < 0 and r.ppl > 1 for r in out.values())
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    # Two docs sharing a long passage must share a fingerprint (the
+    # winnowing guarantee for matches >= w+k-1 chars); unrelated text
+    # should not collide.
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "intro " + shared + " outro"),
+            (2, "totally different lead-in " + shared),
+            (3, "no overlap here at all zzz"),
+            (4, "tiny"),  # shorter than k=5 -> empty set
+            (5, "exact"),  # exactly k chars -> 1 gram -> 1 global-min fp
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.winnow_fingerprints(df, k=5, w=4).collect()}
+    assert set(out[1].fps) & set(out[2].fps), "shared passage must share a fp"
+    assert not (set(out[3].fps) & set(out[1].fps))
+    assert out[4].fps == [] and out[4].n_fps == 0
+    assert out[5].n_fps == 1
+    # fps are sorted and distinct
+    for r in out.values():
+        assert list(r.fps) == sorted(set(r.fps))
+        assert r.n_fps == len(r.fps)
