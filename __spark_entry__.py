@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from starlight_for_kafka_spark import load_table
 from starlight_for_kafka_spark.functions.hashing import md5_hash64
+from starlight_for_kafka_spark.operators import analytics as analytics_ops
 from starlight_for_kafka_spark.operators import dedup as dedup_ops
 from starlight_for_kafka_spark.operators import groups as group_ops
 from starlight_for_kafka_spark.operators import ktable as ktable_ops
@@ -1117,6 +1118,38 @@ def q_moving_avg_per_user(spark, sf_dir):
     )
 
 
+def q_funnel_steps(spark, sf_dir):
+    """Ordered view->click->purchase funnel per user: earliest time each
+    step is reached strictly after the previous one. Restricted to the
+    first two days so the chain actually breaks for some users (full-range
+    funnels complete for every user in this dense synthetic log)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(datetime.datetime(2024, 1, 3))
+    )
+    out = analytics_ops.funnel(events, ["view", "click", "purchase"])
+    return out.select(
+        "user_id",
+        F.col("step_1").alias("view_ts"),
+        F.col("step_2").alias("click_ts"),
+        F.col("step_3").alias("purchase_ts"),
+        "steps_completed",
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users bucketed by first-active ISO
+    week, counted in each later active week."""
+    events = load_table(spark, sf_dir, "events")
+    return analytics_ops.cohort_retention(events)
+
+
+def q_dup_ngram_fraction(spark, sf_dir):
+    """Gopher-style cross-corpus repetition: per doc, the share of its
+    distinct word 8-grams that also appear in another document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_ops.duplicated_ngram_fraction(docs, ngram_k=8)
+
+
 def q_group_state_recovery(spark, sf_dir):
     """Replay the membership log into final coordinator state (JOIN/SYNC/
     HEARTBEAT/LEAVE, GroupCoordinator.java:215-718)."""
@@ -1233,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_discounted_revenue": q6_discounted_revenue,
         "salted_join_revenue": q_salted_join_revenue,
         "moving_avg_per_user": q_moving_avg_per_user,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
     }
 
 
@@ -2109,4 +2145,48 @@ SELECT * FROM (
   SELECT "partition", key, value, "offset" FROM log
   QUALIFY row_number() OVER (PARTITION BY "partition", key ORDER BY "offset" DESC) = 1
 ) WHERE value IS NOT NULL""",
+        "funnel_steps": """WITH f AS (
+  SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'
+), t1 AS (
+  SELECT user_id, min(ts) AS s1 FROM f WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS s2 FROM f e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.s1 GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS s3 FROM f e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.s2 GROUP BY 1
+)
+SELECT t1.user_id, t1.s1 AS view_ts, t2.s2 AS click_ts, t3.s3 AS purchase_ts,
+       1 + CASE WHEN t2.s2 IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN t3.s3 IS NULL THEN 0 ELSE 1 END AS steps_completed
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t1.user_id = t3.user_id""",
+        "cohort_retention": """WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+), c AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+)
+SELECT c.cohort_week,
+       CAST((uw.week - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM uw JOIN c ON uw.user_id = c.user_id
+GROUP BY 1, 2""",
+        "dup_ngram_fraction": """WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+                               FOR i IN range(1, len(w) - 6)])) AS gram
+  FROM w WHERE len(w) >= 8
+), s AS (
+  SELECT gram, count(*) AS n_docs FROM g GROUP BY 1
+)
+SELECT g.doc_id, count(*) AS n_grams,
+       sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS dup_grams,
+       sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) / count(*) AS dup_frac
+FROM g JOIN s ON g.gram = s.gram
+GROUP BY 1""",
     }

@@ -1,0 +1,108 @@
+"""Behavioral analytics over event logs: ordered funnels and cohort
+retention.
+
+The reference proves its event-log semantics through Kafka Streams
+workloads (SURVEY.md §2.5, `tests/.../streams/KStreamAggregationTest.java`);
+funnel and retention are the canonical downstream consumers of exactly that
+log shape (user-keyed, time-ordered events). Both operators are built so the
+expensive pass is ONE user-keyed shuffle with map-side partial aggregation —
+at 100 TB the cost is the shuffle of (user, small-struct) pairs, never a
+per-step self-join over the raw log.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: for each user, the earliest time each step was
+    reached STRICTLY AFTER the previous step (classic web-analytics funnel;
+    equivalent to the per-step `JOIN ... WHERE ts > prev` cascade, but in
+    one user-keyed shuffle).
+
+    Plan shape: filter to funnel event types (pushed to the scan), collect
+    each user's (ts, type) pairs — bounded per user — then resolve the step
+    chain with JVM-side array HOFs. No self-joins: k funnel steps cost the
+    same single shuffle as one.
+
+    Each step's timestamp is materialized in its own projection: step i+1's
+    filter references step i's column, and inlining the chain would
+    replicate the array-scan subtree exponentially (CollapseProject keeps
+    them apart because each non-cheap step column is referenced twice —
+    by the next step and by the output).
+
+    Returns one row per user who reached step 1: ``step_1..step_k``
+    timestamps (null once the chain breaks) and ``steps_completed``.
+    """
+    steps = list(steps)
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col),
+        F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("e")).alias("s"),
+    )
+    out = ev.groupBy(user_col).agg(F.collect_list("s").alias("_evs"))
+
+    def step_ts(step: str, prev: Column | None) -> Column:
+        def cond(x):
+            c = x["e"] == F.lit(step)
+            # x.t > NULL is NULL -> filtered out: chain breaks for free
+            return c & (x["t"] > prev) if prev is not None else c
+
+        return F.array_min(F.transform(F.filter(F.col("_evs"), cond), lambda x: x["t"]))
+
+    prev: Column | None = None
+    for i, st in enumerate(steps, 1):
+        out = out.select("*", step_ts(st, prev).alias(f"step_{i}"))
+        prev = F.col(f"step_{i}")
+
+    completed = sum(
+        (F.col(f"step_{i}").isNotNull().cast("int") for i in range(1, len(steps) + 1)),
+        start=F.lit(0),
+    )
+    return (
+        out.drop("_evs")
+        .withColumn("steps_completed", completed.cast("long"))
+        .filter(F.col("step_1").isNotNull())
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-active ISO week,
+    counted in every later week they were active.
+
+    One user-keyed shuffle (collect the user's distinct active weeks;
+    cohort week = its minimum), then an explode + re-aggregate whose input
+    is already one row per (user, week) — the second shuffle moves only the
+    deduplicated activity matrix, orders of magnitude smaller than the log.
+
+    Returns (cohort_week date, week_offset long, n_users long).
+    """
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    per_user = (
+        df.select(F.col(user_col).alias("u"), week.alias("w"))
+        .groupBy("u")
+        .agg(F.array_sort(F.collect_set("w")).alias("weeks"))
+    )
+    exploded = per_user.select(
+        F.col("weeks")[0].alias("cohort_week"), F.explode("weeks").alias("week")
+    )
+    return (
+        exploded.groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

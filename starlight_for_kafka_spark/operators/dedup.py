@@ -538,3 +538,41 @@ def source_overlap(
         "jaccard",
         F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
     )
+
+
+def duplicated_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 8,
+) -> DataFrame:
+    """Per-document duplicated n-gram fraction (the Gopher/MassiveText
+    repetition-across-corpus signal): what share of a doc's distinct word
+    n-grams also appear in at least one OTHER document. High fractions mark
+    boilerplate/templated docs that exact and MinHash dedup both miss
+    because no single pair is similar enough.
+
+    Shuffle shape: distinct grams per doc (map-side), ONE gram-keyed
+    count — since grams are doc-distinct, count(*) IS the doc frequency —
+    then join the per-gram count back (gram-keyed, co-partitioned with the
+    agg) and re-aggregate per doc. No shingle self-join: a gram present in
+    d docs costs d rows, never d^2. Hot grams (stopword runs) are bounded
+    by the doc-distinct step; AQE skew-join covers the rest at scale.
+
+    Docs with fewer than ngram_k words produce no grams and are absent
+    from the output (they have no signal, not a 0.0 score).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), ngram_k))).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        grams.join(freq, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("dup_grams"),
+        )
+    )
+    return per_doc.withColumn("dup_frac", F.col("dup_grams") / F.col("n_grams"))

@@ -1,0 +1,93 @@
+"""Behavioral-analytics operators: ordered funnel and cohort retention."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from starlight_for_kafka_spark.operators import analytics, dedup
+
+
+def _ts(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+def test_funnel_ordering_and_chain_break(spark):
+    rows = [
+        # u1 completes in order
+        (1, _ts(1), "view"),
+        (1, _ts(2), "click"),
+        (1, _ts(3), "purchase"),
+        # u2 clicks BEFORE viewing -> chain breaks at step 2
+        (2, _ts(1), "click"),
+        (2, _ts(2), "view"),
+        (2, _ts(3, 1), "purchase"),  # purchase without a later click
+        # u3 never views -> absent from output
+        (3, _ts(1), "click"),
+        # u4: click at the SAME instant as view must NOT count (strict >)
+        (4, _ts(1), "view"),
+        (4, _ts(1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r for r in analytics.funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].steps_completed == 3
+    assert out[1].step_1 < out[1].step_2 < out[1].step_3
+    assert out[2].steps_completed == 1 and out[2].step_2 is None and out[2].step_3 is None
+    assert out[4].steps_completed == 1 and out[4].step_2 is None
+
+
+def test_funnel_picks_earliest_valid_step(spark):
+    rows = [
+        (1, _ts(1), "view"),
+        (1, _ts(2), "click"),
+        (1, _ts(4), "click"),  # later click must not win
+        (1, _ts(3), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    r = analytics.funnel(df, ["view", "click", "purchase"]).collect()[0]
+    assert r.step_2 == _ts(2) and r.step_3 == _ts(3)
+
+
+def test_cohort_retention_matrix(spark):
+    rows = [
+        # cohort week of Jan 1 (Monday): u1 active weeks 0 and 2, u2 week 0 only
+        (1, _ts(2)),
+        (1, _ts(16)),
+        (2, _ts(3)),
+        # cohort week of Jan 8: u3 active weeks 0 and 1
+        (3, _ts(9)),
+        (3, _ts(17)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in analytics.cohort_retention(df).collect()}
+    w1 = datetime.date(2024, 1, 1)
+    w2 = datetime.date(2024, 1, 8)
+    assert out == {(w1, 0): 2, (w1, 2): 1, (w2, 0): 1, (w2, 1): 1}
+
+
+def test_duplicated_ngram_fraction_flags_copies(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    rows = [
+        (1, base + " iota kappa"),        # shares the leading 8-gram with doc 2
+        (2, base + " lambda mu"),
+        (3, "one two three four five six seven eight nine"),  # unique grams
+        (4, "short doc"),                  # < 8 words -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.duplicated_ngram_fraction(df, ngram_k=8).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].dup_grams == 1 and out[2].dup_grams == 1
+    assert out[1].n_grams == 3  # 10 words -> 3 distinct 8-grams
+    assert out[3].dup_grams == 0 and out[3].dup_frac == 0.0
+    assert abs(out[1].dup_frac - 1 / 3) < 1e-12
+
+
+def test_funnel_single_shuffle_plan(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(1), "view")], "user_id long, ts timestamp, event_type string"
+    )
+    plan = analytics.funnel(df, ["view", "click"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
