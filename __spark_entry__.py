@@ -1150,6 +1150,32 @@ def q_dup_ngram_fraction(spark, sf_dir):
     return dedup_ops.duplicated_ngram_fraction(docs, ngram_k=8)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: centroid-cell-bucketed cosine near-dup marking (the
+    paraphrase-level dedup MinHash misses). Cells from the first 8 vectors
+    as seed centroids; 0.35 threshold fits this synthetic corpus's cosine
+    range (max within-cell pair is ~0.49)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return dedup_ops.semantic_dedup(emb, cents, threshold=0.35)
+
+
+def q_assign_split(spark, sf_dir):
+    """Deterministic 98/1/1 train/val/test assignment by seeded id-hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sampling_ops.assign_split(docs)
+
+
+def q_shuffle_rank(spark, sf_dir):
+    """Deterministic corpus-shuffle position via sharded parallel prefix
+    ranks (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sampling_ops.shuffle_rank(docs)
+
+
 def q_group_state_recovery(spark, sf_dir):
     """Replay the membership log into final coordinator state (JOIN/SYNC/
     HEARTBEAT/LEAVE, GroupCoordinator.java:215-718)."""
@@ -1269,6 +1295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "dup_ngram_fraction": q_dup_ngram_fraction,
+        "semantic_dedup": q_semantic_dedup,
+        "assign_split": q_assign_split,
+        "shuffle_rank": q_shuffle_rank,
     }
 
 
@@ -2189,4 +2218,45 @@ SELECT g.doc_id, count(*) AS n_grams,
        sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) / count(*) AS dup_frac
 FROM g JOIN s ON g.gram = s.gram
 GROUP BY 1""",
+        "semantic_dedup": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+), sims AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS sim
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, CAST(cid AS INT) AS ivf_cell FROM sims
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+), dup AS (
+  SELECT a.vec_id, min(b.vec_id) AS dup_of
+  FROM assign a
+  JOIN assign b ON a.ivf_cell = b.ivf_cell AND b.vec_id < a.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 9) >= 0.35
+  GROUP BY 1
+)
+SELECT assign.vec_id, assign.ivf_cell, dup.dup_of,
+       dup.dup_of IS NOT NULL AS is_dup
+FROM assign LEFT JOIN dup ON assign.vec_id = dup.vec_id""",
+        "assign_split": """SELECT doc_id,
+       CASE WHEN b < 980000 THEN 'train'
+            WHEN b < 990000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+  FROM documents
+)""",
+        "shuffle_rank": """SELECT doc_id,
+       row_number() OVER (ORDER BY h % 32, h, doc_id) - 1 AS shuffle_pos
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuf42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+)""",
     }

@@ -576,3 +576,57 @@ def duplicated_ngram_fraction(
         )
     )
     return per_doc.withColumn("dup_frac", F.col("dup_grams") / F.col("n_grams"))
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    removal that MinHash/SimHash miss — paraphrases share embeddings, not
+    shingles. Assign every vector to its nearest centroid cell (k-means
+    coarse quantization, same assignment as similarity.ivf_assign), compare
+    cosine ONLY within a cell, and mark a vector as duplicate when a
+    same-cell neighbor with a smaller id is >= threshold similar
+    (deterministic keep-lowest-id, matching exact_dedup's tie rule).
+
+    Scale shape: the within-cell equi-join shuffles on ``ivf_cell`` — the
+    pair space is sum(|cell|²), never n² (that IS the SemDeDup trick; the
+    paper dedups a billion-image corpus this way). Cell sizes are balanced
+    by k-means training; residual hot cells are AQE skew-join territory, or
+    raise k. The assignment pass is computed once and localCheckpoint-ed so
+    the self-join's two sides don't re-score k centroids per row (AQE does
+    not reuse the exchange across sides).
+
+    Returns one row per vector: (id, ivf_cell, dup_of, is_dup) where
+    ``dup_of`` is the smallest qualifying same-cell id (null when kept).
+    """
+    from starlight_for_kafka_spark.functions.vectors import cosine_similarity
+    from starlight_for_kafka_spark.operators.similarity import ivf_assign
+
+    assigned = (
+        ivf_assign(embeddings, centroids, id_col, vec_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            "ivf_cell",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(F.col(id_col).alias("a"), F.col("__v").alias("va"), "ivf_cell")
+    b = assigned.select(F.col(id_col).alias("b"), F.col("__v").alias("vb"), "ivf_cell")
+    dup_of = (
+        a.join(b, "ivf_cell")
+        .filter(F.col("b") < F.col("a"))
+        .filter(F.round(cosine_similarity(F.col("va"), F.col("vb")), 9) >= threshold)
+        .groupBy(F.col("a").alias(id_col))
+        .agg(F.min("b").alias("dup_of"))
+    )
+    return (
+        assigned.select(id_col, "ivf_cell")
+        .join(dup_of, id_col, "left")
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+    )

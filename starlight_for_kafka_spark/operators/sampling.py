@@ -214,3 +214,84 @@ def mixture_weights(
         F.round(weight, 9).alias("weight"),
         F.round(weight * total / F.col("n_docs"), 9).alias("epochs"),
     )
+
+
+def assign_split(
+    df: DataFrame,
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: hash(seed, id) mod 1e6
+    lands in consecutive proportional buckets. Map-only — no shuffle, no
+    sampling state — so membership is reproducible per-document regardless
+    of partitioning, parallelism, or corpus growth (a doc's split never
+    changes when other docs are added: the hash depends only on (seed, id)).
+    That stability is the property an eval set needs — resampling on every
+    corpus refresh leaks train docs into held-out sets.
+
+    ``splits`` maps name -> fraction (must sum to ~1); default 98/1/1.
+    Returns the input plus a ``split`` column.
+    """
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = md5_hash64(F.concat(F.lit(f"split{seed}:"), F.col(id_col).cast("string")))
+    bucket = F.pmod(h, F.lit(1_000_000))
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = bucket < F.lit(int(round(acc * 1_000_000)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def shuffle_rank(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Deterministic corpus shuffle for training-order randomization:
+    every row gets a dense ``shuffle_pos`` in [0, n) following the
+    pseudorandom total order (hash(seed,id) mod n_shards, hash(seed,id), id).
+
+    A naive row_number() over a global ORDER BY serializes the whole corpus
+    through ONE task — the classic 100 TB trap. Like pack_sequences, the
+    leading shard term makes the global order decompose into a parallel
+    prefix: per-shard ranks run as n_shards independent windows (one
+    shuffle), shard row-counts (n_shards rows) get a driver-side running
+    offset and broadcast back. Equivalent to the serial order by
+    construction, at full cluster parallelism.
+    """
+    h = md5_hash64(F.concat(F.lit(f"shuf{seed}:"), F.col(id_col).cast("string")))
+    local = df.withColumn("__h", h).withColumn(
+        "__shard", F.pmod(F.col("__h"), F.lit(n_shards))
+    )
+    w = Window.partitionBy("__shard").orderBy("__h", id_col)
+    local = local.withColumn("__local_rank", F.row_number().over(w))
+    offsets = (
+        local.groupBy("__shard")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__shard", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__shard")
+        .withColumn("shuffle_pos", F.col("__offset") + F.col("__local_rank") - 1)
+        .drop("__h", "__shard", "__local_rank", "__offset")
+    )

@@ -503,3 +503,63 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     for r in out.values():
         assert list(r.fps) == sorted(set(r.fps))
         assert r.n_fps == len(r.fps)
+
+
+def test_semantic_dedup_marks_within_cell_neighbors(spark):
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),    # same direction as 1 -> dup_of 1
+        (3, [0.9, 0.5, 0.0]),    # cell 0 but only ~0.87 similar -> kept
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.0, 3.0, 0.001]),  # ~0.9999999 of 4 -> dup_of 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in dedup.semantic_dedup(df, cents, 0.99).collect()}
+    assert len(out) == 5
+    assert not out[1].is_dup and out[2].dup_of == 1
+    assert not out[3].is_dup and out[3].dup_of is None
+    assert not out[4].is_dup and out[5].dup_of == 4
+    assert out[2].ivf_cell == 0 and out[5].ivf_cell == 1
+
+
+def test_assign_split_deterministic_and_corpus_independent(spark):
+    import pytest
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    full = {r.doc_id: r.split for r in sampling.assign_split(df).collect()}
+    counts = {s: list(full.values()).count(s) for s in set(full.values())}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 900
+    # a doc's split depends only on (seed, id) -- never on the rest of
+    # the corpus (held-out stability across corpus refreshes)
+    sub = sampling.assign_split(spark.range(100).withColumnRenamed("id", "doc_id"))
+    for r in sub.collect():
+        assert full[r.doc_id] == r.split
+    # different seed reshuffles membership
+    reseeded = {
+        r.doc_id: r.split for r in sampling.assign_split(df, seed=7).collect()
+    }
+    assert reseeded != full
+    with pytest.raises(ValueError):
+        sampling.assign_split(df, {"a": 0.5, "b": 0.6})
+
+
+def test_shuffle_rank_is_dense_permutation_of_hash_order(spark):
+    import hashlib
+
+    ids = list(range(57))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: r.shuffle_pos for r in sampling.shuffle_rank(df, seed=7).collect()}
+
+    def h(i):
+        return int(hashlib.md5(f"shuf7:{i}".encode()).hexdigest()[:15], 16)
+
+    expected = sorted(ids, key=lambda i: (h(i) % 32, h(i), i))
+    assert out == {i: p for p, i in enumerate(expected)}
+    # the rank is a property of the corpus content, not its partitioning
+    out2 = {
+        r.doc_id: r.shuffle_pos
+        for r in sampling.shuffle_rank(df.repartition(7), seed=7).collect()
+    }
+    assert out2 == out

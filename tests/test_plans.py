@@ -261,3 +261,28 @@ def test_tfidf_broadcasts_doc_count(spark, documents):
 
     out = tfidf_top_terms(documents)
     assert has_broadcast_join(out), plan_string(out)
+
+
+def test_shuffle_rank_no_global_sort(spark, documents):
+    """The shuffle order must decompose into sharded windows + a broadcast
+    offset join -- a global ORDER BY row_number would serialize the corpus
+    through one task."""
+    from starlight_for_kafka_spark.operators.sampling import shuffle_rank
+
+    out = shuffle_rank(documents.select("doc_id"))
+    plan = plan_string(out)
+    assert has_broadcast_join(out), plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_semantic_dedup_pairs_only_within_cells(spark):
+    """The SemDeDup pair join must be an equi-join on ivf_cell -- never a
+    cartesian/nested-loop product over the corpus."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(emb.vec_id < 4).orderBy("vec_id").collect()
+    ]
+    out = dedup_ops.semantic_dedup(emb, cents, 0.35)
+    plan = plan_string(out).lower()
+    assert "cartesianproduct" not in plan and "broadcastnestedloop" not in plan, plan
