@@ -63,29 +63,45 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata timestamps are parquet timestamp[us] with
+        # isAdjustedToUTC=false; read them as TIMESTAMP (session TZ is UTC)
+        # rather than TIMESTAMP_NTZ so unix_micros()/window() accept them and
+        # values match DuckDB's naive epoch_us exactly.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     return builder.getOrCreate()
 
 
-def _fix_nanos(df: DataFrame, cols: list[str]) -> DataFrame:
+def _fix_ts(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Normalize a testdata timestamp column to plain TIMESTAMP.
+
+    Handles both generations of the driver's parquet: TIMESTAMP(NANOS) read
+    as a raw long (``nanosAsLong``), and timestamp[us] with
+    isAdjustedToUTC=false read as TIMESTAMP_NTZ. In a UTC session the NTZ →
+    TIMESTAMP cast is value-preserving and matches DuckDB's naive epoch_us.
+    """
     for c in cols:
         field = df.schema[c]
         if isinstance(field.dataType, T.LongType):
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, normalizing nanos-long columns to timestamps.
+    """Load one testdata table, normalizing timestamp columns (see _fix_ts).
 
     Sets ``nanosAsLong`` on the session defensively: the driver hands us an
-    arbitrary SparkSession, and without it any read of the nanos-timestamp
+    arbitrary SparkSession, and without it any read of nanos-timestamp
     testdata throws PARQUET_TYPE_ILLEGAL (runtime-settable conf)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TIMESTAMP cast below is only value-preserving in a UTC session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _fix_nanos(df, _NANO_TS_COLS.get(name, []))
+    return _fix_ts(df, _NANO_TS_COLS.get(name, []))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
