@@ -744,6 +744,34 @@ def q_sql_surface_q5(spark, sf_dir):
     return spark.sql(Q5_SQL)
 
 
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_sql_surface_q3(spark, sf_dir):
+    """TPC-H Q3-shaped (shipping-priority top-k; o_orderpriority stands in
+    for the synthetic schema's missing o_shippriority): selective dim
+    filter → fact join → agg → global top-10. Exercises join reordering +
+    TakeOrderedAndProject; identical SQL text runs on the DuckDB oracle."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q3_SQL)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental ingestion: dedup an incoming batch (docs 2..3 quarters of
     the corpus + clones of the first quarter) against the existing corpus
@@ -1188,6 +1216,49 @@ def q_group_members(spark, sf_dir):
     return group_ops.list_members(m)
 
 
+def _live_members_and_partitions(spark, sf_dir):
+    m = group_ops.derive_membership_from_events(load_table(spark, sf_dir, "events"))
+    live = group_ops.list_members(m).select("group", "member")
+    parts = (
+        _log(spark, sf_dir)
+        .df.select(F.lit("events").alias("topic"), "partition")
+        .distinct()
+    )
+    return live, parts
+
+
+def q_assign_range(spark, sf_dir):
+    """Range-assignor assignment the SYNC_GROUP leader would upload
+    (GroupCoordinator.java:439-563): live members get contiguous partition
+    ranges, first np%nm members one extra."""
+    live, parts = _live_members_and_partitions(spark, sf_dir)
+    return group_ops.assign_partitions_range(live, parts)
+
+
+def q_assign_roundrobin(spark, sf_dir):
+    """RoundRobin-assignor assignment: sorted partitions dealt circularly
+    to sorted live members."""
+    live, parts = _live_members_and_partitions(spark, sf_dir)
+    return group_ops.assign_partitions_roundrobin(live, parts)
+
+
+def q_retention_bytes(spark, sf_dir):
+    """Size-based retention sweep (retention.bytes): newest records kept
+    within a 600-byte-per-partition payload budget, truncating from the
+    head like Kafka's size-based cleanup."""
+    return _log(spark, sf_dir).retain_bytes(600).df.select("partition", "offset")
+
+
+def q_migrate_offsets(spark, sf_dir):
+    """Migration-tool offset mapping (migration/MigrationManager.java):
+    replay a source log into a destination that already holds offsets <50
+    per partition; the mapping translates committed offsets across."""
+    src = _log(spark, sf_dir)
+    dst = LogTable(src.df.filter(F.col("offset") < 50))
+    _, mapping = dst.migrate_from(src)
+    return mapping
+
+
 def q_log_compact(spark, sf_dir):
     log = _log(spark, sf_dir).df.withColumn("key", F.col("key").cast("string"))
     return ktable_ops.compact_topic(log).select(
@@ -1260,9 +1331,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "group_state_recovery": q_group_state_recovery,
         "group_members": q_group_members,
+        "assign_range": q_assign_range,
+        "assign_roundrobin": q_assign_roundrobin,
+        "retention_bytes": q_retention_bytes,
+        "migrate_offsets": q_migrate_offsets,
         "log_compact": q_log_compact,
         "top_docs_per_lang": q_top_docs_per_lang,
         "sql_surface_q5": q_sql_surface_q5,
+        "sql_surface_q3": q_sql_surface_q3,
         "dedup_incremental": q_dedup_incremental,
         "curate_training_set": q_curate_training_set,
         "asof_attribution": q_asof_attribution,
@@ -1741,6 +1817,86 @@ SELECT pred_lang, rk, doc_id, n_chars FROM (
   FROM lang
 ) WHERE rk <= 3""",
         "sql_surface_q5": Q5_SQL,
+        "sql_surface_q3": Q3_SQL,
+        "assign_range": f"""WITH {MEMBERSHIP_CTE},
+last AS (
+  SELECT "group", member, action FROM m
+  QUALIFY row_number() OVER (PARTITION BY "group", member ORDER BY ts DESC, event_id DESC) = 1
+),
+mem AS (
+  SELECT "group", member,
+         row_number() OVER (PARTITION BY "group" ORDER BY member) - 1 AS midx,
+         count(*) OVER (PARTITION BY "group") AS nm
+  FROM last WHERE action <> 'leave'
+),
+parts AS (SELECT DISTINCT 'events' AS topic, CAST(user_id % 8 AS INT) AS "partition" FROM events),
+p AS (
+  SELECT topic, "partition",
+         row_number() OVER (PARTITION BY topic ORDER BY "partition") - 1 AS pidx,
+         count(*) OVER (PARTITION BY topic) AS np
+  FROM parts
+),
+g AS (SELECT DISTINCT "group", nm FROM mem),
+a AS (
+  SELECT g."group", p.topic, p."partition", p.pidx, g.nm,
+         p.np // g.nm AS q, p.np % g.nm AS extra
+  FROM p CROSS JOIN g
+),
+a2 AS (
+  SELECT "group", topic, "partition",
+         CASE WHEN pidx < (q + 1) * extra THEN pidx // (q + 1)
+              ELSE extra + (pidx - (q + 1) * extra) // q END AS midx
+  FROM a
+)
+SELECT a2."group", a2.topic, a2."partition", mem.member
+FROM a2 JOIN mem ON mem."group" = a2."group" AND mem.midx = a2.midx""",
+        "assign_roundrobin": f"""WITH {MEMBERSHIP_CTE},
+last AS (
+  SELECT "group", member, action FROM m
+  QUALIFY row_number() OVER (PARTITION BY "group", member ORDER BY ts DESC, event_id DESC) = 1
+),
+mem AS (
+  SELECT "group", member,
+         row_number() OVER (PARTITION BY "group" ORDER BY member) - 1 AS midx,
+         count(*) OVER (PARTITION BY "group") AS nm
+  FROM last WHERE action <> 'leave'
+),
+parts AS (SELECT DISTINCT 'events' AS topic, CAST(user_id % 8 AS INT) AS "partition" FROM events),
+p AS (
+  SELECT topic, "partition",
+         row_number() OVER (ORDER BY topic, "partition") - 1 AS gidx
+  FROM parts
+),
+g AS (SELECT DISTINCT "group", nm FROM mem)
+SELECT a."group", a.topic, a."partition", mem.member
+FROM (SELECT g."group", p.topic, p."partition", p.gidx % g.nm AS midx
+      FROM p CROSS JOIN g) a
+JOIN mem ON mem."group" = a."group" AND mem.midx = a.midx""",
+        "retention_bytes": f"""WITH {LOG_CTE},
+c AS (
+  SELECT "partition", "offset",
+         sum(strlen(value)) OVER (
+           PARTITION BY "partition" ORDER BY "offset" DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         row_number() OVER (PARTITION BY "partition" ORDER BY "offset" DESC) AS rn
+  FROM log
+)
+SELECT "partition", "offset" FROM c WHERE cum <= 600 OR rn = 1""",
+        "migrate_offsets": f"""WITH {LOG_CTE},
+hw AS (
+  SELECT "partition", max("offset") + 1 AS hw FROM log
+  WHERE "offset" < 50 GROUP BY "partition"
+),
+mapped AS (
+  SELECT l."partition", l."offset" AS src_offset,
+         coalesce(h.hw, 0)
+           + row_number() OVER (PARTITION BY l."partition" ORDER BY l."offset") - 1
+           AS dst_offset
+  FROM log l LEFT JOIN hw h USING ("partition")
+)
+SELECT "partition", src_offset, dst_offset,
+       dst_offset - src_offset AS offset_shift
+FROM mapped""",
         "dedup_incremental": """WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 4 < 2
 ), incoming AS (

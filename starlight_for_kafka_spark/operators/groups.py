@@ -185,6 +185,83 @@ def recover_group_state(membership: DataFrame) -> DataFrame:
     )
 
 
+def _ranked_members(members: DataFrame) -> DataFrame:
+    """(group, member) → + midx (0-based rank by member id) + nm (group size).
+    Kafka assignors sort member ids lexicographically before dealing out
+    partitions; both assignors below share this ranking."""
+    w = Window.partitionBy("group").orderBy("member")
+    wc = Window.partitionBy("group")
+    return (
+        members.select("group", "member")
+        .distinct()
+        .withColumn("midx", F.row_number().over(w) - 1)
+        .withColumn("nm", F.count("*").over(wc))
+    )
+
+
+def _ranked_partitions(partitions: DataFrame) -> DataFrame:
+    wp = Window.partitionBy("topic").orderBy("partition")
+    wc = Window.partitionBy("topic")
+    return (
+        partitions.select("topic", "partition")
+        .distinct()
+        .withColumn("pidx", F.row_number().over(wp) - 1)
+        .withColumn("np", F.count("*").over(wc))
+    )
+
+
+def assign_partitions_range(members: DataFrame, partitions: DataFrame) -> DataFrame:
+    """Range assignor — the leader-side assignment computed during SYNC_GROUP
+    (the reference stores whatever the elected leader uploads,
+    GroupCoordinator.java:439-563; Kafka's default RangeAssignor is the
+    protocol both sides agree on).
+
+    Semantics (Kafka RangeAssignor): per topic, members sorted by id; with
+    np partitions and nm members, each member gets floor(np/nm) partitions
+    and the first np%nm members get one extra, in contiguous ranges.
+
+    Scale: members and the per-topic partition lists are coordinator-scale
+    tiny (thousands of rows); everything broadcasts, no large shuffle. The
+    closed-form inverse (partition index → member index) avoids generating
+    per-member ranges and exploding them.
+    """
+    m = _ranked_members(members)
+    p = _ranked_partitions(partitions)
+    groups = m.select("group", "nm").distinct()
+    q = F.floor(F.col("np") / F.col("nm"))
+    extra = F.col("np") % F.col("nm")
+    head = (q + 1) * extra  # first `extra` members hold q+1 partitions each
+    midx = F.when(F.col("pidx") < head, F.floor(F.col("pidx") / (q + 1))).otherwise(
+        extra + F.floor((F.col("pidx") - head) / q)
+    )
+    assigned = p.crossJoin(F.broadcast(groups)).withColumn("midx", midx.cast("int"))
+    return (
+        assigned.join(F.broadcast(m), ["group", "midx", "nm"])
+        .select("group", "topic", "partition", "member")
+    )
+
+
+def assign_partitions_roundrobin(members: DataFrame, partitions: DataFrame) -> DataFrame:
+    """RoundRobin assignor: all (topic, partition) pairs sorted, dealt
+    circularly to members sorted by id — evens out skew across topics that
+    the range assignor concentrates on low-ranked members."""
+    m = _ranked_members(members)
+    wg = Window.orderBy("topic", "partition")
+    p = (
+        partitions.select("topic", "partition")
+        .distinct()
+        .withColumn("gidx", F.row_number().over(wg) - 1)
+    )
+    groups = m.select("group", "nm").distinct()
+    assigned = p.crossJoin(F.broadcast(groups)).withColumn(
+        "midx", (F.col("gidx") % F.col("nm")).cast("int")
+    )
+    return (
+        assigned.join(F.broadcast(m), ["group", "midx", "nm"])
+        .select("group", "topic", "partition", "member")
+    )
+
+
 def list_members(membership: DataFrame) -> DataFrame:
     """DESCRIBE_GROUPS member list: live members with their last-seen time
     (the coordinator's heartbeat bookkeeping, DelayedHeartbeat expiry —

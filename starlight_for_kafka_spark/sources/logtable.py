@@ -258,6 +258,70 @@ class LogTable:
         this would be a DELETE WHERE predicate."""
         return LogTable(self.df.filter(F.col("timestamp") >= F.lit(horizon)))
 
+    def retain_bytes(self, retention_bytes: int) -> "LogTable":
+        """Size-based retention (retention.bytes; reference exposes the same
+        knob as "System topic retention size in mb",
+        KafkaServiceConfiguration.java:186): per partition, keep the newest
+        records whose cumulative payload size stays within the budget —
+        i.e. truncate from the head, exactly like Kafka's size-based log
+        cleanup which deletes whole oldest segments first but never the
+        active segment (so the newest record always survives, even when it
+        alone exceeds the budget).
+
+        Scale: one window per partition (running sum from the tail). At
+        rest this materializes per-partition truncate offsets
+        (num_partitions rows) that turn into pruned deletes.
+        """
+        wo = Window.partitionBy("partition").orderBy(F.col("offset").desc())
+        w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        size = F.coalesce(F.octet_length("value"), F.lit(0)).cast("long")
+        kept = (
+            self.df.withColumn("__cum", F.sum(size).over(w))
+            .withColumn("__rn", F.row_number().over(wo))
+            .filter((F.col("__cum") <= retention_bytes) | (F.col("__rn") == 1))
+            .drop("__cum", "__rn")
+        )
+        return LogTable(kept)
+
+    # ------------------------------------------------------------------ #
+    # migration — offset-preserving topic copy
+    # ------------------------------------------------------------------ #
+
+    def migrate_from(self, src: "LogTable") -> tuple["LogTable", DataFrame]:
+        """Copy another log's records into this one, preserving per-partition
+        order and recording the src→dst offset mapping — the Spark analog of
+        the reference's Kafka→Pulsar migration tool, which replays each
+        source partition in offset order and stores the original offsets as
+        metadata (kafka-impl/.../migration/MigrationManager.java).
+
+        Returns (merged log, mapping df (partition, src_offset, dst_offset,
+        offset_shift)). Dense source offsets ⇒ the shift is constant per
+        partition, which is what consumers need to translate committed
+        offsets across the migration.
+
+        Scale: the bulk copy is one shuffle of the source on ``partition``
+        for the row_number; destination watermarks are a num_partitions-row
+        broadcast. Identical plan shape to ``append``.
+        """
+        w = Window.partitionBy("partition").orderBy("offset")
+        hwm = self.high_watermarks()
+        mapped = (
+            src.df.withColumn("__rel", (F.row_number().over(w) - 1).cast("long"))
+            .join(F.broadcast(hwm), "partition", "left")
+            .withColumn("__base", F.coalesce(F.col("high_watermark"), F.lit(0)))
+            .withColumn("src_offset", F.col("offset"))
+            .withColumn("dst_offset", F.col("__base") + F.col("__rel"))
+        )
+        mapping = mapped.select(
+            "partition",
+            "src_offset",
+            "dst_offset",
+            (F.col("dst_offset") - F.col("src_offset")).alias("offset_shift"),
+        )
+        migrated = mapped.withColumn("offset", F.col("dst_offset")).select(*LOG_COLUMNS)
+        merged = LogTable(self.df.select(*LOG_COLUMNS).unionByName(migrated))
+        return merged, mapping
+
 
 def validate_records(
     records: DataFrame,

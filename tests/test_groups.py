@@ -146,3 +146,77 @@ def test_salted_join_equals_plain_join(spark, events):
         lsalted.filter(F.col("tag").isNull()).count()
         == lplain.filter(F.col("tag").isNull()).count()
     )
+
+
+def _members_df(spark, spec):
+    # spec: {group: [member, ...]}
+    rows = [(g, m) for g, ms in spec.items() for m in ms]
+    return spark.createDataFrame(rows, ["group", "member"])
+
+
+def _parts_df(spark, spec):
+    # spec: {topic: n_partitions}
+    rows = [(t, p) for t, n in spec.items() for p in range(n)]
+    return spark.createDataFrame(rows, ["topic", "partition"])
+
+
+def test_assign_range_matches_kafka_semantics(spark):
+    from starlight_for_kafka_spark.operators.groups import assign_partitions_range
+
+    members = _members_df(spark, {"g": ["c1", "c2", "c3"]})
+    parts = _parts_df(spark, {"t": 8})
+    out = {
+        (r.topic, r.partition): r.member
+        for r in assign_partitions_range(members, parts).collect()
+    }
+    # 8 partitions / 3 members: quotas 3,3,2 in contiguous ranges
+    assert out == {
+        ("t", 0): "c1", ("t", 1): "c1", ("t", 2): "c1",
+        ("t", 3): "c2", ("t", 4): "c2", ("t", 5): "c2",
+        ("t", 6): "c3", ("t", 7): "c3",
+    }
+
+
+def test_assign_range_more_members_than_partitions(spark):
+    from starlight_for_kafka_spark.operators.groups import assign_partitions_range
+
+    members = _members_df(spark, {"g": ["c1", "c2", "c3"]})
+    parts = _parts_df(spark, {"t": 2})
+    out = {
+        (r.topic, r.partition): r.member
+        for r in assign_partitions_range(members, parts).collect()
+    }
+    assert out == {("t", 0): "c1", ("t", 1): "c2"}
+
+
+def test_assign_roundrobin_deals_circularly(spark):
+    from starlight_for_kafka_spark.operators.groups import (
+        assign_partitions_roundrobin,
+    )
+
+    members = _members_df(spark, {"g": ["c1", "c2", "c3"]})
+    parts = _parts_df(spark, {"a": 2, "b": 3})
+    out = {
+        (r.topic, r.partition): r.member
+        for r in assign_partitions_roundrobin(members, parts).collect()
+    }
+    # sorted order: (a,0) (a,1) (b,0) (b,1) (b,2)
+    assert out == {
+        ("a", 0): "c1", ("a", 1): "c2",
+        ("b", 0): "c3", ("b", 1): "c1", ("b", 2): "c2",
+    }
+
+
+def test_assignors_cover_every_partition_exactly_once(spark):
+    from starlight_for_kafka_spark.operators.groups import (
+        assign_partitions_range,
+        assign_partitions_roundrobin,
+    )
+
+    members = _members_df(spark, {"g1": ["m1", "m2"], "g2": ["m1", "m2", "m3"]})
+    parts = _parts_df(spark, {"t1": 5, "t2": 1})
+    for fn in (assign_partitions_range, assign_partitions_roundrobin):
+        rows = fn(members, parts).collect()
+        for g in ("g1", "g2"):
+            got = sorted((r.topic, r.partition) for r in rows if r.group == g)
+            assert got == [("t1", 0), ("t1", 1), ("t1", 2), ("t1", 3), ("t1", 4), ("t2", 0)]

@@ -156,3 +156,43 @@ def test_roundtrip_write_read(tmp_path, spark, log):
         )
 
     assert content_hash(back.df) == content_hash(log.df)
+
+
+def test_retain_bytes_keeps_newest_within_budget(spark):
+    from starlight_for_kafka_spark.sources.logtable import KAFKA_RECORD_SCHEMA
+
+    rows = []
+    for p in (0, 1):
+        for off in range(5):
+            rows.append((None, bytes([0]) * 10, None, None, p, off))
+    df = spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)
+    kept = LogTable(df).retain_bytes(25).df
+    out = sorted((r.partition, r.offset) for r in kept.collect())
+    # 25-byte budget over 10-byte records keeps the newest 2 per partition
+    assert out == [(0, 3), (0, 4), (1, 3), (1, 4)]
+
+
+def test_retain_bytes_always_keeps_newest_record(log):
+    kept = log.retain_bytes(1).df  # budget smaller than any single record
+    latest = {r.partition: r.offset for r in log.latest_offsets().collect()}
+    got = sorted((r.partition, r.offset) for r in kept.collect())
+    assert got == sorted((p, o - 1) for p, o in latest.items())
+
+
+def test_migrate_from_preserves_order_and_density(log):
+    src = log
+    dst = LogTable(log.df.filter(F.col("offset") < 10))
+    merged, mapping = dst.migrate_from(src)
+    # mapping covers every source record, shift is the dst watermark (10)
+    m = mapping.collect()
+    assert len(m) == src.df.count()
+    assert all(r.offset_shift == 10 for r in m)
+    assert all(r.dst_offset == r.src_offset + 10 for r in m)
+    # merged log is dense per partition
+    hwm = {r.partition: r.high_watermark for r in merged.high_watermarks().collect()}
+    counts = {r.partition: r["count"] for r in merged.df.groupBy("partition").count().collect()}
+    assert hwm == counts
+    dup = (
+        merged.df.groupBy("partition", "offset").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
