@@ -1242,6 +1242,14 @@ def q_assign_roundrobin(spark, sf_dir):
     return group_ops.assign_partitions_roundrobin(live, parts)
 
 
+def q_throughput_metrics(spark, sf_dir):
+    """kop_server_BYTES_IN / MESSAGE_IN per (hour, partition) recomputed
+    from the log (RequestStats.java / grafana dashboard vocabulary)."""
+    from starlight_for_kafka_spark.operators import metrics as metrics_ops
+
+    return metrics_ops.throughput_metrics(_log(spark, sf_dir).df)
+
+
 def q_retention_bytes(spark, sf_dir):
     """Size-based retention sweep (retention.bytes): newest records kept
     within a 600-byte-per-partition payload budget, truncating from the
@@ -1334,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_range": q_assign_range,
         "assign_roundrobin": q_assign_roundrobin,
         "retention_bytes": q_retention_bytes,
+        "throughput_metrics": q_throughput_metrics,
         "migrate_offsets": q_migrate_offsets,
         "log_compact": q_log_compact,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -1882,6 +1891,12 @@ c AS (
   FROM log
 )
 SELECT "partition", "offset" FROM c WHERE cum <= 600 OR rn = 1""",
+        "throughput_metrics": f"""WITH {LOG_CTE}
+SELECT date_trunc('hour', "timestamp") AS bucket, "partition",
+       count(*) AS messages_in,
+       sum(strlen(key) + strlen(value)) AS bytes_in,
+       CAST(sum(strlen(key) + strlen(value)) AS DOUBLE) / count(*) AS avg_record_bytes
+FROM log GROUP BY 1, 2""",
         "migrate_offsets": f"""WITH {LOG_CTE},
 hw AS (
   SELECT "partition", max("offset") + 1 AS hw FROM log

@@ -286,3 +286,9 @@ def test_semantic_dedup_pairs_only_within_cells(spark):
     out = dedup_ops.semantic_dedup(emb, cents, 0.35)
     plan = plan_string(out).lower()
     assert "cartesianproduct" not in plan and "broadcastnestedloop" not in plan, plan
+
+
+def test_throughput_metrics_single_shuffle_partial_agg(spark):
+    df = QUERIES["throughput_metrics"](spark, SF_DIR)
+    assert exchange_count(df) == 1, plan_string(df)
+    assert "partial_count" in plan_string(df)
