@@ -246,3 +246,38 @@ def test_stream_stream_left_join_emits_expired_nulls(tmp_path, spark, log):
     # most lefts are unmatched with the sparse right; expired ones emit nulls
     assert got_nulls > 0
     assert got_total == inner + got_nulls  # matched rows + emitted outer rows
+
+
+def test_session_window_stream_matches_batch_sessionization(tmp_path, spark, log):
+    """shouldCountSessionWindows parity (KStreamAggregationTest.java:450):
+    streaming session_window counts equal the batch gap-sessionization for
+    every watermark-closed session."""
+    from starlight_for_kafka_spark.operators import windows as win_ops
+
+    path = _write_log(tmp_path, log)
+    stream = stream_ops.read_log_stream(spark, path)
+    gap_ms = 86_400_000  # 1 day, same gap as the batch session oracle
+    agg = stream_ops.session_window_count_stream(
+        stream, gap=f"{gap_ms} milliseconds", grace="1 second"
+    )
+    stream_ops.run_to_memory(agg, "sess_counts", output_mode="append")
+    got = {
+        (bytes(r.key).decode(), r.start_ms): r.cnt
+        for r in spark.sql(
+            "SELECT key, unix_micros(session_window.start) DIV 1000 AS start_ms,"
+            " cnt FROM sess_counts"
+        ).collect()
+    }
+    batch = {
+        (bytes(r.key).decode(), r.session_start_ms): r.cnt
+        for r in win_ops.session_window_agg(
+            log.df, ["key"], "timestamp", gap_ms, [F.count("*").alias("cnt")]
+        ).collect()
+    }
+    # append mode withholds sessions the final watermark left open (the tail
+    # session per key); everything emitted must match the batch session exactly
+    assert 0 < len(got) <= len(batch)
+    for k, cnt in got.items():
+        assert batch[k] == cnt, k
+    # ≤ one open tail session per key may be withheld; most sessions emit
+    assert len(got) >= len(batch) * 0.5
