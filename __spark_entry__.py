@@ -1242,6 +1242,25 @@ def q_assign_roundrobin(spark, sf_dir):
     return group_ops.assign_partitions_roundrobin(live, parts)
 
 
+def q_stream_table_join(spark, sf_dir):
+    """KStream ⋈ KTable (co-partitioned, versioned): each click joined to
+    the user's purchase-state as of the click time (inner: clicks before
+    any purchase drop out, matching Kafka Streams stream-table inner
+    join)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    state = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("state_event_id")
+    )
+    joined = ktable_ops.stream_table_join(
+        clicks, state, ["user_id"], "ts", "ts", ["state_event_id"],
+        how="inner", tiebreak="state_event_id",
+    )
+    return joined.select("event_id", "user_id", "state_event_id")
+
+
 def q_throughput_metrics(spark, sf_dir):
     """kop_server_BYTES_IN / MESSAGE_IN per (hour, partition) recomputed
     from the log (RequestStats.java / grafana dashboard vocabulary)."""
@@ -1343,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_roundrobin": q_assign_roundrobin,
         "retention_bytes": q_retention_bytes,
         "throughput_metrics": q_throughput_metrics,
+        "stream_table_join": q_stream_table_join,
         "migrate_offsets": q_migrate_offsets,
         "log_compact": q_log_compact,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -1891,6 +1911,13 @@ c AS (
   FROM log
 )
 SELECT "partition", "offset" FROM c WHERE cum <= 600 OR rn = 1""",
+        "stream_table_join": """WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), s AS (
+  SELECT user_id, ts, event_id AS state_event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, s.state_event_id
+FROM c ASOF JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts""",
         "throughput_metrics": f"""WITH {LOG_CTE}
 SELECT date_trunc('hour', "timestamp") AS bucket, "partition",
        count(*) AS messages_in,

@@ -78,3 +78,44 @@ def table_table_join(left: DataFrame, right: DataFrame, on, how: str = "inner") 
     """KTable ⋈ KTable: both sides are latest-wins views; a plain relational
     join once materialized. Catalyst picks broadcast vs sort-merge by size."""
     return left.join(right, on, how)
+
+
+def stream_table_join(
+    stream: DataFrame,
+    changelog: DataFrame,
+    on: list[str],
+    stream_ts: str = "ts",
+    changelog_ts: str = "ts",
+    payload: list[str] | None = None,
+    how: str = "inner",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """KStream ⋈ KTable — the non-global, co-partitioned stream–table join
+    (Kafka Streams' other table join; the reference proves the GlobalKTable
+    variant in GlobalKTableTest.java and the KTable changelog semantics in
+    KTableTest.java:80). Each stream record sees the table's value AS OF its
+    own event time: the changelog's latest update at or before the record —
+    versioned-KTable temporal semantics, not the latest-overall value (which
+    would be a plain join against ``ktable_latest`` and racy on replay).
+
+    Spark-first: delegates to the as-of union+window plan — ONE shuffle on
+    the join key, which is exactly Kafka Streams' co-partitioning
+    requirement for this join; no range-join or per-key cross product.
+    ``how``: 'inner' drops stream records with no table value yet (Kafka
+    Streams inner stream-table join), 'left' keeps them with nulls.
+    """
+    from .asof import as_of_join
+
+    joined = as_of_join(
+        stream, changelog, on, stream_ts, changelog_ts, payload, tiebreak=tiebreak
+    )
+    if how == "inner":
+        cols = payload or [
+            c for c in changelog.columns if c not in on and c != changelog_ts
+        ]
+        cond = None
+        for c in cols:
+            nn = F.col(c).isNotNull()
+            cond = nn if cond is None else (cond & nn)
+        joined = joined.filter(cond)
+    return joined

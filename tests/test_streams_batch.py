@@ -158,3 +158,32 @@ def test_interval_join_window_bounds(spark):
         left, right, ["k"], "l_ts", "r_ts", 0, 0, how="left"
     )
     assert louter.filter("rid IS NULL").count() == 3
+
+
+def test_stream_table_join_versioned_semantics(spark):
+    """KStream ⋈ KTable: each stream record sees the changelog value as of
+    its event time; inner drops records before the first table update."""
+    from starlight_for_kafka_spark.operators.ktable import stream_table_join
+
+    stream = spark.createDataFrame(
+        [("u1", 5, "s1"), ("u1", 15, "s2"), ("u1", 25, "s3"), ("u2", 10, "s4")],
+        ["user", "ts", "sid"],
+    )
+    changelog = spark.createDataFrame(
+        [("u1", 10, "v1"), ("u1", 20, "v2")], ["user", "ts", "val"]
+    )
+    inner = {
+        (r.sid): r.val
+        for r in stream_table_join(
+            stream, changelog, ["user"], "ts", "ts", ["val"], how="inner"
+        ).collect()
+    }
+    # s1 precedes any table value -> dropped; s2 sees v1; s3 sees v2; u2 has no state
+    assert inner == {"s2": "v1", "s3": "v2"}
+    left = {
+        r.sid: r.val
+        for r in stream_table_join(
+            stream, changelog, ["user"], "ts", "ts", ["val"], how="left"
+        ).collect()
+    }
+    assert left == {"s1": None, "s2": "v1", "s3": "v2", "s4": None}
