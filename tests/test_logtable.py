@@ -196,3 +196,25 @@ def test_migrate_from_preserves_order_and_density(log):
         merged.df.groupBy("partition", "offset").count().filter(F.col("count") > 1).count()
     )
     assert dup == 0
+
+
+def test_compression_transcode_roundtrip(tmp_path, spark, log):
+    """Compression transcode analog (KopLogValidator.getSourceCodec/
+    getTargetCodec, utils/KopLogValidator.java:495-510): at rest the codec
+    is a storage property; transcoding = rewrite under a different codec
+    with identical logical content."""
+    src = str(tmp_path / "zstd_log")
+    dst = str(tmp_path / "snappy_log")
+    spark.conf.set("spark.sql.parquet.compression.codec", "zstd")
+    log.write(src)
+    relay = LogTable.read(spark, src)
+    spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+    relay.write(dst)
+    spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+    out = LogTable.read(spark, dst)
+    a = sorted((r.partition, r.offset, bytes(r.value or b"")) for r in log.df.collect())
+    b = sorted((r.partition, r.offset, bytes(r.value or b"")) for r in out.df.collect())
+    assert a == b
+    import glob
+    assert any(f.endswith(".zstd.parquet") or "zstd" in f for f in glob.glob(src + "/**/*.parquet", recursive=True))
+    assert any("snappy" in f for f in glob.glob(dst + "/**/*.parquet", recursive=True))
