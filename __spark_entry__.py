@@ -1242,6 +1242,21 @@ def q_assign_roundrobin(spark, sf_dir):
     return group_ops.assign_partitions_roundrobin(live, parts)
 
 
+TS_PATTERN = [1, 2, 3, 2, 1]
+
+
+def q_ts_similarity(spark, sf_dir):
+    """Top-25 per-user daily-activity windows nearest a 5-day query pattern
+    (distributed subsequence similarity search, exact integer distances)."""
+    events = load_table(spark, sf_dir, "events")
+    series = (
+        events.groupBy(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        ).agg(F.count("*").alias("cnt"))
+    )
+    return analytics_ops.ts_similarity_search(series, TS_PATTERN, k=25)
+
+
 def q_stream_table_join(spark, sf_dir):
     """KStream ⋈ KTable (co-partitioned, versioned): each click joined to
     the user's purchase-state as of the click time (inner: clicks before
@@ -1363,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_bytes": q_retention_bytes,
         "throughput_metrics": q_throughput_metrics,
         "stream_table_join": q_stream_table_join,
+        "ts_similarity": q_ts_similarity,
         "migrate_offsets": q_migrate_offsets,
         "log_compact": q_log_compact,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -1911,6 +1927,26 @@ c AS (
   FROM log
 )
 SELECT "partition", "offset" FROM c WHERE cum <= 600 OR rn = 1""",
+        "ts_similarity": """WITH s AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+l AS (
+  SELECT user_id, day, cnt,
+         lag(cnt, 4) OVER w AS c0,
+         lag(cnt, 3) OVER w AS c1,
+         lag(cnt, 2) OVER w AS c2,
+         lag(cnt, 1) OVER w AS c3,
+         cnt AS c4
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY day)
+)
+SELECT user_id, day, cnt,
+       (c0-1)*(c0-1) + (c1-2)*(c1-2) + (c2-3)*(c2-3)
+         + (c3-2)*(c3-2) + (c4-1)*(c4-1) AS dist2
+FROM l
+WHERE c0 IS NOT NULL
+ORDER BY dist2, user_id, day
+LIMIT 25""",
         "stream_table_join": """WITH c AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ), s AS (

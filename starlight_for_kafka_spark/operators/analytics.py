@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -105,4 +105,41 @@ def cohort_retention(
             (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
         )
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+def ts_similarity_search(
+    series: DataFrame,
+    pattern: Sequence[float],
+    k: int = 25,
+    key_col: str = "user_id",
+    t_col: str = "day",
+    val_col: str = "cnt",
+) -> DataFrame:
+    """Top-k subsequence similarity search over keyed time series: find the
+    k windows (of length len(pattern), ending at an observed point) whose
+    values are nearest the query pattern by squared euclidean distance.
+
+    Distributed subsequence matching in the spirit of "Time Series
+    Similarity Search for Streaming Data in Distributed Systems" (EDBT'19),
+    expressed Spark-first: the sliding window is len(pattern) lag() columns
+    over ONE per-key shuffle — no self-join of the series against shifted
+    copies, no collect. With integer-valued series the distance arithmetic
+    is exact in both engines, so results are engine-portable bit-for-bit.
+    The global top-k is a TakeOrderedAndProject (per-partition heads, then
+    a k-row driver merge), not a full sort.
+    """
+    m = len(pattern)
+    w = Window.partitionBy(key_col).orderBy(t_col)
+    dist = None
+    for i, q in enumerate(pattern):
+        c = F.lag(val_col, m - 1 - i).over(w) if m - 1 - i > 0 else F.col(val_col)
+        d = (c - F.lit(q)) * (c - F.lit(q))
+        dist = d if dist is None else dist + d
+    return (
+        series.withColumn("dist2", dist)
+        .filter(F.col("dist2").isNotNull())
+        .orderBy("dist2", key_col, t_col)
+        .limit(k)
+        .select(key_col, t_col, val_col, "dist2")
     )

@@ -91,3 +91,19 @@ def test_funnel_single_shuffle_plan(spark):
     )
     plan = analytics.funnel(df, ["view", "click"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_ts_similarity_exact_match_ranks_first(spark):
+    from starlight_for_kafka_spark.operators.analytics import ts_similarity_search
+
+    rows = []
+    # u1: series containing the exact pattern [1,2,3] ending at t=4
+    for t, v in enumerate([5, 5, 1, 2, 3, 5]):
+        rows.append(("u1", t, v))
+    # u2: a near miss [1,2,4] ending at t=2
+    for t, v in enumerate([1, 2, 4]):
+        rows.append(("u2", t, v))
+    series = spark.createDataFrame(rows, ["user_id", "day", "cnt"])
+    out = ts_similarity_search(series, [1, 2, 3], k=2).collect()
+    assert (out[0].user_id, out[0].day, out[0].dist2) == ("u1", 4, 0)
+    assert (out[1].user_id, out[1].day, out[1].dist2) == ("u2", 2, 1)

@@ -292,3 +292,12 @@ def test_throughput_metrics_single_shuffle_partial_agg(spark):
     df = QUERIES["throughput_metrics"](spark, SF_DIR)
     assert exchange_count(df) == 1, plan_string(df)
     assert "partial_count" in plan_string(df)
+
+
+def test_ts_similarity_single_shuffle_topk_no_global_sort(spark):
+    df = QUERIES["ts_similarity"](spark, SF_DIR)
+    plan = plan_string(df)
+    # one shuffle for the day-count agg reused by the per-key lag window,
+    # plus the window's own key exchange; top-k must be TakeOrdered, not Sort
+    assert "TakeOrderedAndProject" in plan
+    assert exchange_count(df) <= 2, plan
