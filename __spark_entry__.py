@@ -761,6 +761,57 @@ LIMIT 10
 """
 
 
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(9,2))) > 200
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_sql_surface_q10(spark, sf_dir):
+    """TPC-H Q10-shaped (returned-item reporting): date-windowed fact scan,
+    returnflag filter, 4-way join, revenue top-20."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q10_SQL)
+
+
+def q_sql_surface_q18(spark, sf_dir):
+    """TPC-H Q18-shaped (large-volume customers): HAVING-filtered semi-join
+    of orders against their own lineitem aggregate."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q18_SQL)
+
+
 def q_sql_surface_q3(spark, sf_dir):
     """TPC-H Q3-shaped (shipping-priority top-k; o_orderpriority stands in
     for the synthetic schema's missing o_shippriority): selective dim
@@ -1384,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "sql_surface_q5": q_sql_surface_q5,
         "sql_surface_q3": q_sql_surface_q3,
+        "sql_surface_q10": q_sql_surface_q10,
+        "sql_surface_q18": q_sql_surface_q18,
         "dedup_incremental": q_dedup_incremental,
         "curate_training_set": q_curate_training_set,
         "asof_attribution": q_asof_attribution,
@@ -1863,6 +1916,8 @@ SELECT pred_lang, rk, doc_id, n_chars FROM (
 ) WHERE rk <= 3""",
         "sql_surface_q5": Q5_SQL,
         "sql_surface_q3": Q3_SQL,
+        "sql_surface_q10": Q10_SQL,
+        "sql_surface_q18": Q18_SQL,
         "assign_range": f"""WITH {MEMBERSHIP_CTE},
 last AS (
   SELECT "group", member, action FROM m

@@ -97,3 +97,24 @@ def read_topic(spark: SparkSession, name: str) -> DataFrame:
     """FETCH source: the table as a DataFrame (partition-pruned scans on
     the partition column come free from the catalog)."""
     return spark.table(name)
+
+
+def describe_cluster(spark: SparkSession) -> DataFrame:
+    """DESCRIBE_CLUSTER (KafkaRequestHandler.java:2415-2438): broker list +
+    controller. A single Spark engine has one "broker" — the driver — with
+    its parallelism standing in for the broker count's capacity figure."""
+    sc = spark.sparkContext
+    return spark.createDataFrame(
+        [
+            (
+                "spark",
+                sc.master,
+                sc.applicationId,
+                spark.version,
+                sc.defaultParallelism,
+                True,
+            )
+        ],
+        "engine string, master string, cluster_id string, version string, "
+        "parallelism int, is_controller boolean",
+    )

@@ -61,3 +61,11 @@ def test_delete_topic_removes_from_catalog(spark, tmp_path):
     assert name in topics.list_topics(spark)
     topics.delete_topic(spark, name)
     assert name not in topics.list_topics(spark)
+
+
+def test_describe_cluster(spark):
+    from starlight_for_kafka_spark.sources.topics import describe_cluster
+
+    row = describe_cluster(spark).first()
+    assert row.engine == "spark" and row.is_controller
+    assert row.parallelism >= 1 and row.cluster_id
