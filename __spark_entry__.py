@@ -794,6 +794,23 @@ LIMIT 100
 """
 
 
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_sql_surface_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP super-aggregates (a surface the reference's broker
+    has no analog for, SURVEY §2.6 — free on the Spark SQL engine)."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ROLLUP_SQL)
+
+
 def q_sql_surface_q10(spark, sf_dir):
     """TPC-H Q10-shaped (returned-item reporting): date-windowed fact scan,
     returnflag filter, 4-way join, revenue top-20."""
@@ -1437,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q3": q_sql_surface_q3,
         "sql_surface_q10": q_sql_surface_q10,
         "sql_surface_q18": q_sql_surface_q18,
+        "sql_surface_rollup": q_sql_surface_rollup,
         "dedup_incremental": q_dedup_incremental,
         "curate_training_set": q_curate_training_set,
         "asof_attribution": q_asof_attribution,
@@ -1918,6 +1936,7 @@ SELECT pred_lang, rk, doc_id, n_chars FROM (
         "sql_surface_q3": Q3_SQL,
         "sql_surface_q10": Q10_SQL,
         "sql_surface_q18": Q18_SQL,
+        "sql_surface_rollup": ROLLUP_SQL,
         "assign_range": f"""WITH {MEMBERSHIP_CTE},
 last AS (
   SELECT "group", member, action FROM m

@@ -218,3 +218,19 @@ def test_compression_transcode_roundtrip(tmp_path, spark, log):
     import glob
     assert any(f.endswith(".zstd.parquet") or "zstd" in f for f in glob.glob(src + "/**/*.parquet", recursive=True))
     assert any("snappy" in f for f in glob.glob(dst + "/**/*.parquet", recursive=True))
+
+
+def test_retain_bytes_kept_set_is_contiguous_tail(log):
+    """Size retention must behave like head-truncation: for any budget the
+    kept offsets are a contiguous suffix of each partition's log."""
+    for budget in (1, 100, 300, 10_000):
+        kept = log.retain_bytes(budget).df
+        stats = kept.groupBy("partition").agg(
+            F.min("offset").alias("lo"),
+            F.max("offset").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        latest = {r.partition: r.offset for r in log.latest_offsets().collect()}
+        for r in stats.collect():
+            assert r.hi - r.lo + 1 == r.n, (budget, r)   # contiguous
+            assert r.hi == latest[r.partition] - 1, (budget, r)  # ends at tail
