@@ -1325,6 +1325,12 @@ def q_ts_similarity(spark, sf_dir):
     return analytics_ops.ts_similarity_search(series, TS_PATTERN, k=25)
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """GPT-2-pretokenizer token counts per doc (JVM-side regexp_count)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.bpe_token_count(docs).select("doc_id", "n_bpe_tokens")
+
+
 def q_stream_table_join(spark, sf_dir):
     """KStream ⋈ KTable (co-partitioned, versioned): each click joined to
     the user's purchase-state as of the click time (inner: clicks before
@@ -1447,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "throughput_metrics": q_throughput_metrics,
         "stream_table_join": q_stream_table_join,
         "ts_similarity": q_ts_similarity,
+        "bpe_token_count": q_bpe_token_count,
         "migrate_offsets": q_migrate_offsets,
         "log_compact": q_log_compact,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2001,6 +2008,11 @@ c AS (
   FROM log
 )
 SELECT "partition", "offset" FROM c WHERE cum <= 600 OR rn = 1""",
+        "bpe_token_count": """SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+|\\s+'))
+         AS n_bpe_tokens
+FROM documents""",
         "ts_similarity": """WITH s AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt
   FROM events GROUP BY 1, 2

@@ -381,3 +381,22 @@ def winnow_fingerprints(
         "*", F.array_sort(F.array_distinct(wins)).alias("fps")
     ).drop("_hs")
     return out.withColumn("n_fps", F.size("fps"))
+
+
+# GPT-2-style pretokenizer, restricted to constructs RE2 (DuckDB) and the
+# Java regex engine (Spark) treat identically: contractions, optional-space
+# letter runs, optional-space digit runs, optional-space punctuation runs,
+# whitespace runs. (The original's \s+(?!\S) lookahead is dropped — RE2
+# has no lookahead.)
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+|\s+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count: number of GPT-2-pretokenizer matches — the
+    token-budget estimator a training pipeline uses before the real
+    tokenizer runs (each pretoken maps to ≥1 BPE tokens, and for common
+    English words exactly 1, so this is a tight lower bound). Map-only,
+    JVM-side regexp_count — no UDF."""
+    return df.withColumn(
+        "n_bpe_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_PRETOKEN_RE))
+    )

@@ -563,3 +563,16 @@ def test_shuffle_rank_is_dense_permutation_of_hash_order(spark):
         for r in sampling.shuffle_rank(df.repartition(7), seed=7).collect()
     }
     assert out2 == out
+
+
+def test_bpe_token_count_pretokenizer_semantics(spark):
+    from starlight_for_kafka_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(1, "don't stop"), (2, "hello world 42!"), (3, "a")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.n_bpe_tokens for r in bpe_token_count(df).collect()}
+    # "don't stop" -> [don]["'t"][ stop] = 3; "hello world 42!" ->
+    # [hello][ world][ 42][!] = 4; "a" -> 1
+    assert out == {1: 3, 2: 4, 3: 1}
