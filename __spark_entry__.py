@@ -795,7 +795,9 @@ LIMIT 100
 
 
 ROLLUP_SQL = """
-SELECT l_returnflag, l_linestatus, count(*) AS n,
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
        CAST(sum(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
