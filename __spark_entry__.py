@@ -1286,6 +1286,19 @@ def q_group_members(spark, sf_dir):
     return group_ops.list_members(m)
 
 
+def q_offset_reset(spark, sf_dir):
+    """Offset reset (OffsetResetTest): rewind group g1 to the
+    offsets-for-time positions at TS_CUTOFF, then read the compacted
+    committed-offset view — the reset commits must win latest-wins."""
+    events = load_table(spark, sf_dir, "events")
+    commits = group_ops.derive_commits_from_events(events)
+    positions = _log(spark, sf_dir).offsets_for_times(TS_CUTOFF)
+    reset = group_ops.reset_offsets(
+        commits, positions, "g1", datetime.datetime(2024, 6, 1)
+    )
+    return group_ops.committed_offsets(reset)
+
+
 def _live_members_and_partitions(spark, sf_dir):
     m = group_ops.derive_membership_from_events(load_table(spark, sf_dir, "events"))
     live = group_ops.list_members(m).select("group", "member")
@@ -1450,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_state_recovery": q_group_state_recovery,
         "group_members": q_group_members,
         "assign_range": q_assign_range,
+        "offset_reset": q_offset_reset,
         "assign_roundrobin": q_assign_roundrobin,
         "retention_bytes": q_retention_bytes,
         "throughput_metrics": q_throughput_metrics,
@@ -1946,6 +1960,22 @@ SELECT pred_lang, rk, doc_id, n_chars FROM (
         "sql_surface_q10": Q10_SQL,
         "sql_surface_q18": Q18_SQL,
         "sql_surface_rollup": ROLLUP_SQL,
+        "offset_reset": f"""WITH {COMMITS_CTE},{LOG_CTE},
+positions AS (
+  SELECT "partition", min("offset") AS "offset" FROM log
+  WHERE "timestamp" >= TIMESTAMP '2024-01-15' GROUP BY "partition"
+),
+reset AS (
+  SELECT "group", topic, "partition", "offset", metadata, commit_ts
+  FROM commits WHERE "group" <> 'g1'
+  UNION ALL
+  SELECT 'g1' AS "group", 'events' AS topic, "partition", "offset",
+         'reset' AS metadata, TIMESTAMP '2024-06-01' AS commit_ts
+  FROM positions
+)
+SELECT "group", topic, "partition", "offset", metadata, commit_ts FROM reset
+QUALIFY row_number() OVER (PARTITION BY "group", topic, "partition"
+                           ORDER BY commit_ts DESC, "offset" DESC) = 1""",
         "assign_range": f"""WITH {MEMBERSHIP_CTE},
 last AS (
   SELECT "group", member, action FROM m

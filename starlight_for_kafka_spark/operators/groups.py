@@ -69,6 +69,39 @@ def expire_offsets(commits: DataFrame, min_commit_ts) -> DataFrame:
     return commits.filter(F.col("commit_ts") >= F.lit(min_commit_ts))
 
 
+def reset_offsets(
+    commits: DataFrame,
+    positions: DataFrame,
+    group: str,
+    reset_ts,
+    topic: str = "events",
+) -> DataFrame:
+    """Offset reset (auto.offset.reset / kafka-consumer-groups
+    --reset-offsets; exercised end-to-end by the reference's
+    OffsetResetTest): replace one group's committed offsets with the given
+    per-partition positions (earliest / latest / offsets-for-time — any
+    LogTable LIST_OFFSETS result), leaving other groups untouched.
+
+    Returns the new commit log: the target group's history is superseded by
+    fresh commits stamped ``reset_ts`` (which must sort after the group's
+    existing commits for latest-wins compaction to pick them — the same
+    mechanism the broker uses: a reset IS a commit).
+
+    Scale: ``positions`` is num_partitions rows; the rewrite is a filter +
+    tiny union, no shuffle of the commit log.
+    """
+    fresh = positions.select(
+        F.lit(group).alias("group"),
+        F.lit(topic).alias("topic"),
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        F.lit("reset").alias("metadata"),
+        F.lit(reset_ts).cast("timestamp").alias("commit_ts"),
+    )
+    kept = commits.filter(F.col("group") != group)
+    return kept.select(*COMMIT_COLUMNS).unionByName(fresh)
+
+
 def list_groups(commits: DataFrame) -> DataFrame:
     """LIST_GROUPS (KafkaRequestHandler.java:2125)."""
     return commits.select("group").distinct()

@@ -220,3 +220,27 @@ def test_assignors_cover_every_partition_exactly_once(spark):
         for g in ("g1", "g2"):
             got = sorted((r.topic, r.partition) for r in rows if r.group == g)
             assert got == [("t1", 0), ("t1", 1), ("t1", 2), ("t1", 3), ("t1", 4), ("t2", 0)]
+
+
+def test_reset_offsets_supersedes_group_history(spark, events, log):
+    import datetime
+
+    from starlight_for_kafka_spark.operators.groups import (
+        committed_offsets,
+        derive_commits_from_events,
+        reset_offsets,
+    )
+
+    commits = derive_commits_from_events(events)
+    positions = log.earliest_offsets()
+    reset = reset_offsets(
+        commits, positions, "g1", datetime.datetime(2030, 1, 1)
+    )
+    compacted = committed_offsets(reset)
+    g1 = {r.partition: r.offset for r in compacted.filter(F.col("group") == "g1").collect()}
+    # g1 now sits at earliest (0) on every partition it has positions for
+    assert g1 and all(off == 0 for off in g1.values())
+    # other groups unchanged
+    before = committed_offsets(commits).filter(F.col("group") != "g1")
+    after = compacted.filter(F.col("group") != "g1")
+    assert sorted(map(tuple, before.collect())) == sorted(map(tuple, after.collect()))
