@@ -108,3 +108,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (SQL entry point)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def enable_runtime_filters(spark: SparkSession, for_local_test: bool = False) -> None:
+    """Turn on runtime bloom-filter join pruning: when a selective dimension
+    filter feeds a shuffle join, Spark builds a bloom filter from the dim
+    keys and injects it into the fact scan — at 100 TB this prunes the
+    probe side before the shuffle, the same effect as the reference's
+    cursor-level offset pruning but for key joins.
+
+    With defaults the filter only applies when the probe scan exceeds 10 GB
+    (`applicationSideScanSizeThreshold`) and the join is not broadcast —
+    exactly the big-cluster shape. ``for_local_test`` drops the thresholds
+    so plan tests can pin the injection at toy scale.
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    if for_local_test:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

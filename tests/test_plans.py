@@ -6,6 +6,7 @@ at the scan, pruned readers, broadcast dimensions, bounded shuffles."""
 from __future__ import annotations
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
 from starlight_for_kafka_spark import load_table
 from starlight_for_kafka_spark.operators import dedup as dedup_ops
 from starlight_for_kafka_spark.plans import (
@@ -301,3 +302,37 @@ def test_ts_similarity_single_shuffle_topk_no_global_sort(spark):
     # plus the window's own key exchange; top-k must be TakeOrdered, not Sort
     assert "TakeOrderedAndProject" in plan
     assert exchange_count(df) <= 2, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Scale contract: a selective dim filter feeding a shuffle join must
+    inject a bloom filter into the fact side (the 100 TB probe-pruning
+    path; thresholds dropped here to pin the shape at toy scale)."""
+    from starlight_for_kafka_spark.session import enable_runtime_filters, load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_filters(spark, for_local_test=True)
+        li = load_table(spark, SF_DIR, "lineitem")
+        od = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "bloom_filter_agg" in plan_string(j).lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
