@@ -34,13 +34,47 @@ def without_aqe(spark: SparkSession):
 
 def plan_string(df: DataFrame, mode: str = "formatted") -> str:
     """The explain output as a string (modes: simple, extended, codegen,
-    cost, formatted). After a query has EXECUTED, AQE appends the original
-    plan under an "Initial Plan" marker — trim it so operator counts are
-    not doubled."""
+    cost, formatted). AQE plans that have (partially) executed print a
+    duplicate subtree under an "== Initial Plan ==" marker — this can
+    appear MID-output, e.g. when a cached InMemoryRelation embeds an
+    already-executed adaptive plan, so a naive split would also discard
+    the node-detail sections that follow. Strip only the Initial-Plan
+    SUBTREE lines (tree art rows) and keep everything else."""
     jvm = df.sparkSession._jvm
     explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     plan = df._jdf.queryExecution().explainString(explain_mode)
-    return plan.split("Initial Plan")[0]
+    out: list[str] = []
+    skip_indent: int | None = None
+    for line in plan.splitlines():
+        if "== Initial Plan ==" in line:
+            skip_indent = len(line) - len(line.lstrip())
+            continue
+        if skip_indent is not None:
+            indent = len(line) - len(line.lstrip())
+            # the duplicate subtree is the contiguous deeper-indented block
+            # under the marker; anything at or above the marker's indent
+            # (an outer tree row, a blank, a detail header) ends it
+            if line.strip() and indent > skip_indent:
+                continue
+            skip_indent = None
+        out.append(line)
+    # initial-plan nodes can still own detail sections ("(16) Exchange ...");
+    # drop any detail block whose id no longer appears in the kept tree
+    tree_ids = set()
+    for line in out:
+        if not re.match(r"^\(\d+\) ", line):
+            tree_ids.update(re.findall(r"\((\d+)\)", line))
+    kept: list[str] = []
+    dropping = False
+    for line in out:
+        m = re.match(r"^\((\d+)\) ", line)
+        if m:
+            dropping = m.group(1) not in tree_ids
+        elif dropping and (not line.strip() or line.startswith("=")):
+            dropping = False
+        if not dropping:
+            kept.append(line)
+    return "\n".join(kept)
 
 
 def _node_ids(plan: str, node: str) -> set[str]:
