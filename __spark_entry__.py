@@ -203,6 +203,15 @@ def q_log_fetch(spark, sf_dir):
     )
 
 
+def q_fetch_max_bytes(spark, sf_dir):
+    """KIP-74 bounded fetch: records from offset 5 of partition 2 while
+    cumulative payload stays within 300 bytes (first record always
+    served)."""
+    return _log(spark, sf_dir).fetch(2, 5, max_bytes=300).select(
+        "partition", "offset", F.octet_length("value").alias("n_bytes")
+    )
+
+
 def q_produce_offsets_dense(spark, sf_dir):
     return _log(spark, sf_dir).df.groupBy("partition").agg(
         F.count("*").alias("n_records"),
@@ -1464,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_members": q_group_members,
         "assign_range": q_assign_range,
         "offset_reset": q_offset_reset,
+        "fetch_max_bytes": q_fetch_max_bytes,
         "assign_roundrobin": q_assign_roundrobin,
         "retention_bytes": q_retention_bytes,
         "throughput_metrics": q_throughput_metrics,
@@ -1527,6 +1537,15 @@ def oracle_sql() -> dict[str, str]:
         "log_fetch": f"""WITH {LOG_CTE}
 SELECT key, value, {ms.format(c='"timestamp"')} AS ts_ms, "partition", "offset"
 FROM log WHERE "partition" = 3 AND "offset" >= 10 AND "offset" < 40""",
+        "fetch_max_bytes": f"""WITH {LOG_CTE},
+f AS (
+  SELECT "partition", "offset", strlen(value) AS n_bytes,
+         sum(strlen(value)) OVER (ORDER BY "offset"
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         row_number() OVER (ORDER BY "offset") AS rn
+  FROM log WHERE "partition" = 2 AND "offset" >= 5
+)
+SELECT "partition", "offset", n_bytes FROM f WHERE cum <= 300 OR rn = 1""",
         "produce_offsets_dense": f"""WITH {LOG_CTE}
 SELECT "partition", count(*) AS n_records, min("offset") AS min_offset, max("offset") AS max_offset
 FROM log GROUP BY "partition\"""",

@@ -190,24 +190,40 @@ class LogTable:
         start_offset: int = 0,
         max_records: int | None = None,
         end_offset: int | None = None,
+        max_bytes: int | None = None,
     ) -> DataFrame:
         """Read ``partition`` from ``start_offset`` in offset order.
 
         ``max_records`` mirrors the reference's maxReadEntriesNum bound
         (KafkaServiceConfiguration.java:405); ``end_offset`` is exclusive
-        (used for read-committed LSO cutoffs).
+        (used for read-committed LSO cutoffs); ``max_bytes`` is the fetch
+        response size bound (KIP-74 semantics, enforced in the reference by
+        the readable-bytes accounting in PartitionLog.readRecords): records
+        are taken in offset order while cumulative payload bytes stay within
+        the budget, and the FIRST record is always returned even when it
+        alone exceeds it — so an oversized record can never wedge a
+        consumer.
         """
         out = self.df.filter(
             (F.col("partition") == partition) & (F.col("offset") >= start_offset)
         )
         if end_offset is not None:
             out = out.filter(F.col("offset") < end_offset)
-        out = out.sortWithinPartitions("offset")
         if max_records is not None:
             # bounded fetch: offset < start + max is prunable (vs .limit which
             # would funnel through a single-partition global limit)
             out = out.filter(F.col("offset") < start_offset + max_records)
-        return out
+        if max_bytes is not None:
+            wo = Window.partitionBy("partition").orderBy("offset")
+            w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            size = F.coalesce(F.octet_length("value"), F.lit(0)).cast("long")
+            out = (
+                out.withColumn("__cum", F.sum(size).over(w))
+                .withColumn("__rn", F.row_number().over(wo))
+                .filter((F.col("__cum") <= max_bytes) | (F.col("__rn") == 1))
+                .drop("__cum", "__rn")
+            )
+        return out.sortWithinPartitions("offset")
 
     # ------------------------------------------------------------------ #
     # LIST_OFFSETS — earliest / latest / by timestamp

@@ -234,3 +234,19 @@ def test_retain_bytes_kept_set_is_contiguous_tail(log):
         for r in stats.collect():
             assert r.hi - r.lo + 1 == r.n, (budget, r)   # contiguous
             assert r.hi == latest[r.partition] - 1, (budget, r)  # ends at tail
+
+
+def test_fetch_max_bytes_bounds_response(log):
+    full = log.fetch(1, 0).collect()
+    sizes = {r.offset: len(bytes(r.value or b"")) for r in full}
+    got = sorted(r.offset for r in log.fetch(1, 0, max_bytes=100).collect())
+    # prefix of offsets, cumulative size within budget (except a lone first)
+    assert got == list(range(len(got))) and got
+    assert sum(sizes[o] for o in got) <= 100 or len(got) == 1
+    # adding the next record would blow the budget
+    nxt = len(got)
+    if nxt in sizes:
+        assert sum(sizes[o] for o in got) + sizes[nxt] > 100
+    # a 1-byte budget still serves exactly the first record
+    tiny = log.fetch(1, 0, max_bytes=1).collect()
+    assert [r.offset for r in tiny] == [0]
