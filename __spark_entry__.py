@@ -300,6 +300,19 @@ def q_txn_aborted_index(spark, sf_dir):
     return tx_ops.aborted_txn_index(txn_log)
 
 
+def q_txn_purge_aborted(spark, sf_dir):
+    """Aborted-index compaction after truncation at offset 40: spans wholly
+    below the new log start offset drop out of the read-committed
+    broadcast side (PartitionLog.updatePurgeAbortedTxnsOffset:1102)."""
+    log = _log(spark, sf_dir)
+    txn_log = tx_ops.derive_txn_log(log.df)
+    aborted = tx_ops.aborted_txn_index(txn_log)
+    starts = log.df.select("partition").distinct().withColumn(
+        "log_start_offset", F.lit(40).cast("long")
+    )
+    return tx_ops.purge_aborted_txns(aborted, starts)
+
+
 def q_txn_last_stable_offsets(spark, sf_dir):
     return tx_ops.last_stable_offsets(tx_ops.derive_txn_log(_log(spark, sf_dir).df))
 
@@ -1474,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_range": q_assign_range,
         "offset_reset": q_offset_reset,
         "fetch_max_bytes": q_fetch_max_bytes,
+        "txn_purge_aborted": q_txn_purge_aborted,
         "assign_roundrobin": q_assign_roundrobin,
         "retention_bytes": q_retention_bytes,
         "throughput_metrics": q_throughput_metrics,
@@ -1600,6 +1614,12 @@ SELECT "partition", pid, txn_group, min("offset") AS first_offset, max("offset")
 FROM txn3 WHERE txn_status = 'abort' GROUP BY "partition", pid, txn_group""",
         "txn_last_stable_offsets": f"""WITH {TXN_CTE}
 SELECT * FROM lso""",
+        "txn_purge_aborted": f"""WITH {TXN_CTE}
+SELECT * FROM (
+  SELECT "partition", pid, txn_group,
+         min("offset") AS first_offset, max("offset") AS last_offset
+  FROM txn3 WHERE txn_status = 'abort' GROUP BY "partition", pid, txn_group
+) WHERE last_offset >= 40""",
         "txn_idempotent_dedupe": f"""WITH {TXN_CTE}
 SELECT "partition", "offset", pid, seq FROM txn3""",
         "txn_describe_producers": f"""WITH {TXN_CTE}

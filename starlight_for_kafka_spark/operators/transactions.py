@@ -229,3 +229,27 @@ def list_transactions(txn_log: DataFrame) -> DataFrame:
         F.max("offset").alias("last_offset"),
         F.count("*").alias("n_records"),
     )
+
+
+def purge_aborted_txns(aborted: DataFrame, log_start_offsets: DataFrame) -> DataFrame:
+    """Aborted-index compaction (PartitionLog.updatePurgeAbortedTxnsOffset
+    :1102, forcePurgeAbortTx:1206): once retention/truncation has advanced a
+    partition's log start offset past an aborted span, that index entry can
+    never match a fetch again — drop it. Keeps the broadcast side of the
+    read-committed anti-join bounded by LIVE aborted txns, not all-time
+    history, which is what keeps read-committed viable on a long-lived log.
+
+    ``log_start_offsets``: (partition, log_start_offset) — num_partitions
+    rows, broadcast.
+    """
+    cut = log_start_offsets.select(
+        "partition", F.col("log_start_offset").cast("long")
+    )
+    return (
+        aborted.join(F.broadcast(cut), "partition", "left")
+        .filter(
+            F.col("log_start_offset").isNull()
+            | (F.col("last_offset") >= F.col("log_start_offset"))
+        )
+        .drop("log_start_offset")
+    )
