@@ -1362,6 +1362,24 @@ def q_ts_similarity(spark, sf_dir):
     return analytics_ops.ts_similarity_search(series, TS_PATTERN, k=25)
 
 
+def q_epoch_resample(spark, sf_dir):
+    """Temperature-reweighted corpus materialization: skewed synthetic
+    domains (4/7 web, 2/7 books, 1/7 code), alpha=0.5 mixture weights,
+    then hash-gated epoch duplication — the resampled corpus a mixture
+    trainer would actually read."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    grp = (
+        F.when(F.col("doc_id") % 7 < 4, F.lit("web"))
+        .when(F.col("doc_id") % 7 < 6, F.lit("books"))
+        .otherwise(F.lit("code"))
+    )
+    docs = docs.withColumn("grp", grp)
+    w = sampling_ops.mixture_weights(docs, "grp", alpha=0.5)
+    return sampling_ops.epoch_resample(docs, w, "grp", "doc_id").select(
+        "doc_id", "grp", "copy"
+    )
+
+
 def q_bpe_token_count(spark, sf_dir):
     """GPT-2-pretokenizer token counts per doc (JVM-side regexp_count)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1494,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_table_join": q_stream_table_join,
         "ts_similarity": q_ts_similarity,
         "bpe_token_count": q_bpe_token_count,
+        "epoch_resample": q_epoch_resample,
         "migrate_offsets": q_migrate_offsets,
         "log_compact": q_log_compact,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2079,6 +2098,34 @@ c AS (
   FROM log
 )
 SELECT "partition", "offset" FROM c WHERE cum <= 600 OR rn = 1""",
+        "epoch_resample": """WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 < 4 THEN 'web'
+              WHEN doc_id % 7 < 6 THEN 'books'
+              ELSE 'code' END AS grp
+  FROM documents
+),
+c AS (SELECT grp, count(*) AS n_docs FROM d GROUP BY grp),
+w AS (
+  SELECT grp, n_docs,
+         pow(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 0.5) AS w_raw,
+         sum(n_docs) OVER () AS total
+  FROM c
+),
+e AS (
+  SELECT grp,
+         round(w_raw / sum(w_raw) OVER () * total / n_docs, 9) AS epochs
+  FROM w
+),
+j AS (
+  SELECT d.doc_id, d.grp,
+         CAST(floor(e.epochs) AS INT)
+           + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+                       < round((e.epochs - floor(e.epochs)) * 10000)
+                  THEN 1 ELSE 0 END AS n
+  FROM d JOIN e USING (grp)
+)
+SELECT doc_id, grp, unnest(range(1, n + 1)) AS copy FROM j WHERE n >= 1""",
         "bpe_token_count": """SELECT doc_id,
        len(regexp_extract_all(text,
            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+|\\s+'))

@@ -295,3 +295,38 @@ def shuffle_rank(
         .withColumn("shuffle_pos", F.col("__offset") + F.col("__local_rank") - 1)
         .drop("__h", "__shard", "__local_rank", "__offset")
     )
+
+
+def epoch_resample(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Materialize a temperature-reweighted corpus from mixture_weights
+    output: each doc appears floor(epochs) times, plus one more iff its
+    deterministic hash gate falls below frac(epochs) — so group-level
+    duplication converges to exactly ``epochs`` in expectation while
+    staying reproducible across runs, engines and repartitioning (same
+    properties as stratified_sample's hash gate; RNG-based resampling has
+    none of them).
+
+    Output adds a ``copy`` index (1..n per doc) so downstream shuffling /
+    packing can treat duplicates as distinct examples.
+
+    Scale: broadcast join of the #groups-row weights table + a map-side
+    sequence explode — no shuffle of the corpus; expansion factor is the
+    mixture's epoch sum, the same data volume any epoch-sampling trainer
+    would read.
+    """
+    e = weights.select(group_col, "epochs")
+    gate = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(10_000))
+    n_extra = (gate < F.round((F.col("epochs") - F.floor(F.col("epochs"))) * 10_000)).cast("int")
+    n = (F.floor(F.col("epochs")).cast("int") + n_extra).alias("__n")
+    return (
+        df.join(F.broadcast(e), group_col)
+        .withColumn("__n", n)
+        .filter(F.col("__n") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n", "epochs")
+    )

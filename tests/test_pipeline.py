@@ -576,3 +576,31 @@ def test_bpe_token_count_pretokenizer_semantics(spark):
     # "don't stop" -> [don]["'t"][ stop] = 3; "hello world 42!" ->
     # [hello][ world][ 42][!] = 4; "a" -> 1
     assert out == {1: 3, 2: 4, 3: 1}
+
+
+def test_epoch_resample_converges_to_epochs(spark, documents):
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators.sampling import (
+        epoch_resample,
+        mixture_weights,
+    )
+
+    docs = documents.select("doc_id").withColumn(
+        "grp",
+        F.when(F.col("doc_id") % 7 < 4, F.lit("web"))
+        .when(F.col("doc_id") % 7 < 6, F.lit("books"))
+        .otherwise(F.lit("code")),
+    )
+    w = mixture_weights(docs, "grp", alpha=0.5)
+    out = epoch_resample(docs, w, "grp", "doc_id")
+    got = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    exp = {
+        r.grp: r.n_docs * r.epochs for r in w.collect()
+    }
+    for g, n in got.items():
+        # hash gate approximates frac(epochs); small corpus -> loose bound
+        assert abs(n - exp[g]) / exp[g] < 0.25, (g, n, exp[g])
+    # duplicates carry distinct copy indices
+    dup = out.groupBy("doc_id", "copy").count().filter(F.col("count") > 1).count()
+    assert dup == 0

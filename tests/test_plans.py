@@ -336,3 +336,22 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_epoch_resample_no_corpus_shuffle(spark, documents):
+    """The resample must be broadcast-join + explode over the corpus scan;
+    the only exchanges allowed belong to the tiny weights aggregation."""
+    from starlight_for_kafka_spark.operators.sampling import (
+        epoch_resample,
+        mixture_weights,
+    )
+
+    docs = documents.select("doc_id").withColumn(
+        "grp", (F.col("doc_id") % 3).cast("string")
+    )
+    w = mixture_weights(docs, "grp", alpha=0.5)
+    df = epoch_resample(docs, w, "grp", "doc_id")
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # weights agg: 1 exchange + its single-partition window = bounded small
+    assert exchange_count(df) <= 2, plan
