@@ -299,6 +299,52 @@ class LogTable:
         )
         return LogTable(kept)
 
+    @staticmethod
+    def compact_segments(
+        spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> dict:
+        """Small-file compaction for an at-rest log: rewrite each partition
+        directory into ceil(bytes / target) files, preserving offset sort.
+
+        The log analog of Pulsar/BookKeeper ledger rollover + the OPTIMIZE
+        job every table format runs: a streaming producer landing a file
+        per microbatch per partition degrades scans (file-listing +
+        per-file open dominates at 100 TB); compaction restores
+        target-sized, offset-sorted, min/max-prunable segments. Returns
+        {files_before, files_after, bytes}.
+
+        Scale: one shuffle keyed by partition (same as write()); each
+        output file stays sorted so offset-range fetches still prune.
+        """
+        import glob as _glob
+
+        files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        bytes_total = sum(os.path.getsize(f) for f in files)
+        log = LogTable.read(spark, path)
+        n_files = max(1, -(-bytes_total // target_file_bytes))
+        tmp = path.rstrip("/") + ".__compacting__"
+        # hash all rows of a partition value into one task → one file per
+        # partition dir (a partition bigger than target would need salted
+        # splitting — at that point it should be re-partitioned anyway)
+        (
+            log.df.repartition(int(n_files), "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.mode("overwrite")
+            .partitionBy("partition")
+            .parquet(tmp)
+        )
+        # atomic-ish swap (a real deployment would use a table format commit)
+        import shutil
+
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        files_after = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        return {
+            "files_before": len(files),
+            "files_after": len(files_after),
+            "bytes": bytes_total,
+        }
+
     # ------------------------------------------------------------------ #
     # migration — offset-preserving topic copy
     # ------------------------------------------------------------------ #

@@ -250,3 +250,29 @@ def test_fetch_max_bytes_bounds_response(log):
     # a 1-byte budget still serves exactly the first record
     tiny = log.fetch(1, 0, max_bytes=1).collect()
     assert [r.offset for r in tiny] == [0]
+
+
+def test_compact_segments_reduces_files_preserves_content(tmp_path, spark, log):
+    path = str(tmp_path / "fragmented")
+    # simulate a microbatch-per-file producer: many tiny files per partition
+    (
+        log.df.repartition(48)
+        .write.mode("overwrite")
+        .partitionBy("partition")
+        .parquet(path)
+    )
+    before_hash = sorted(
+        (r.partition, r.offset, bytes(r.value or b""))
+        for r in LogTable.read(spark, path).df.collect()
+    )
+    stats = LogTable.compact_segments(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] < stats["files_before"]
+    after = LogTable.read(spark, path)
+    after_hash = sorted(
+        (r.partition, r.offset, bytes(r.value or b"")) for r in after.df.collect()
+    )
+    assert after_hash == before_hash
+    # fetch still partition-prunes on the compacted layout
+    got = after.fetch(partition=2, start_offset=0).count()
+    want = sum(1 for p, _, _ in before_hash if p == 2)
+    assert got == want
