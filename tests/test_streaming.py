@@ -281,3 +281,57 @@ def test_session_window_stream_matches_batch_sessionization(tmp_path, spark, log
         assert batch[k] == cnt, k
     # ≤ one open tail session per key may be withheld; most sessions emit
     assert len(got) >= len(batch) * 0.5
+
+
+def test_end_to_end_pipeline_stream_dedupe_window_sink(tmp_path, spark, log):
+    """Composition proof: log stream → txn-annotated idempotent dedupe →
+    tumbling-window count → exactly-once parquet sink. The streamed result
+    must equal the same pipeline run as one batch, and re-running from the
+    same checkpoint must write nothing new (replay safety)."""
+    import glob
+    import os
+
+    path = _write_log(tmp_path, log)
+    out = str(tmp_path / "pipe_out")
+    ckpt = str(tmp_path / "pipe_ckpt")
+
+    def dedupe_window(df):
+        # duplicate-free per (partition, offset) — stateful dedupe on the
+        # stream side — then hourly counts per key
+        deduped = df.dropDuplicates(["partition", "offset"])
+        return deduped.groupBy(
+            F.window("timestamp", "1 hour").alias("w"), "key"
+        ).agg(F.count("*").alias("cnt"))
+
+    stream = stream_ops.read_log_stream(spark, path)
+    # the stream side sees each record twice (union with itself) to prove
+    # the dedupe stage earns its keep
+    doubled = stream.unionByName(stream)
+
+    def run(ck):
+        q = (
+            dedupe_window(doubled)
+            .writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda df, eid: df.write.mode("overwrite").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(ckpt)
+    streamed = {
+        (r.w.start, bytes(r.key).decode()): r.cnt
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r.w.start, bytes(r.key).decode()): r.cnt
+        for r in dedupe_window(log.df.unionByName(log.df)).collect()
+    }
+    assert streamed == batch
+    # replay: restart from the same checkpoint — no new data, no rewrite
+    mtimes = {f: os.path.getmtime(f) for f in glob.glob(out + "/*.parquet")}
+    run(ckpt)
+    assert {f: os.path.getmtime(f) for f in glob.glob(out + "/*.parquet")} == mtimes
