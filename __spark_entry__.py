@@ -1362,6 +1362,16 @@ def q_ts_similarity(spark, sf_dir):
     return analytics_ops.ts_similarity_search(series, TS_PATTERN, k=25)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: token-exact keyword score for ['data','vector']
+    fused with cosine-to-query-vector by Reciprocal Rank Fusion."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.hybrid_search(
+        docs, emb, ["data", "vector"], _query_vec(spark, sf_dir), k=10
+    )
+
+
 def q_epoch_resample(spark, sf_dir):
     """Temperature-reweighted corpus materialization: skewed synthetic
     domains (4/7 web, 2/7 books, 1/7 code), alpha=0.5 mixture weights,
@@ -1513,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_similarity": q_ts_similarity,
         "bpe_token_count": q_bpe_token_count,
         "epoch_resample": q_epoch_resample,
+        "hybrid_search": q_hybrid_search,
         "migrate_offsets": q_migrate_offsets,
         "log_compact": q_log_compact,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2098,6 +2109,37 @@ c AS (
   FROM log
 )
 SELECT "partition", "offset" FROM c WHERE cum <= 600 OR rn = 1""",
+        "hybrid_search": """WITH ttop AS (
+  SELECT id, text_score FROM (
+    SELECT doc_id AS id,
+           len(list_filter(str_split(text, ' '), t -> t = 'data'))
+             + len(list_filter(str_split(text, ' '), t -> t = 'vector')) AS text_score
+    FROM documents
+  ) WHERE text_score > 0
+  ORDER BY text_score DESC, id LIMIT 100
+),
+tr AS (
+  SELECT id, row_number() OVER (ORDER BY text_score DESC, id) AS r_text FROM ttop
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+vtop AS (
+  SELECT vec_id AS id,
+         round(list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+  FROM embeddings, q
+  ORDER BY cos_sim DESC, id LIMIT 100
+),
+vr AS (
+  SELECT id, row_number() OVER (ORDER BY cos_sim DESC, id) AS r_vec FROM vtop
+),
+fused AS (
+  SELECT coalesce(tr.id, vr.id) AS id, tr.r_text, vr.r_vec,
+         round(coalesce(1.0 / (60 + tr.r_text), 0)
+               + coalesce(1.0 / (60 + vr.r_vec), 0), 9) AS rrf
+  FROM tr FULL OUTER JOIN vr ON tr.id = vr.id
+)
+SELECT id, r_text, r_vec, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10""",
         "epoch_resample": """WITH d AS (
   SELECT doc_id,
          CASE WHEN doc_id % 7 < 4 THEN 'web'

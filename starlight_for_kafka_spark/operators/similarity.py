@@ -12,7 +12,7 @@ runs — and the DuckDB oracle — are reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from starlight_for_kafka_spark.functions.vectors import cosine_similarity
@@ -317,4 +317,72 @@ def quantization_recall(
             F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
             (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))).alias("recall"),
         )
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    rrf_k: int = 60,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: keyword relevance fused with vector similarity by
+    Reciprocal Rank Fusion (RRF, the standard score-free fusion:
+    score = Σ 1/(rrf_k + rank_side)).
+
+    Keyword side scores docs by exact token matches of the query terms;
+    vector side by cosine to the query embedding. Each side shortlists its
+    top-``shortlist`` via TakeOrderedAndProject — no global sort, no driver
+    collect — and ranking + fusion then run on the two tiny shortlists
+    (an outer join of ≤2·shortlist rows). At 100 TB the corpus is touched
+    exactly twice (one keyword scan, one vector scan), each a map-side
+    scan feeding a bounded top-k.
+    """
+    toks = F.split(F.col(text_col), " ")
+    tscore = None
+    for t in query_terms:
+        c = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+        tscore = c if tscore is None else tscore + c
+    ttop = (
+        docs.select(F.col(doc_id_col).alias("id"), tscore.alias("text_score"))
+        .filter(F.col("text_score") > 0)
+        .orderBy(F.col("text_score").desc(), "id")
+        .limit(shortlist)
+    )
+    wt = Window.orderBy(F.col("text_score").desc(), "id")
+    tranked = ttop.withColumn("r_text", F.row_number().over(wt))
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vtop = (
+        embeddings.select(
+            F.col(vec_id_col).alias("id"),
+            F.round(
+                cosine_similarity(F.col(vec_col).cast("array<double>"), q), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "id")
+        .limit(shortlist)
+    )
+    wv = Window.orderBy(F.col("cos_sim").desc(), "id")
+    vranked = vtop.withColumn("r_vec", F.row_number().over(wv))
+
+    fused = tranked.join(vranked, "id", "full_outer").withColumn(
+        "rrf",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("r_text")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("r_vec")), F.lit(0.0)),
+            9,
+        ),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "id")
+        .limit(k)
+        .select("id", "r_text", "r_vec", "rrf")
     )

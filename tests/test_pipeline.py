@@ -604,3 +604,28 @@ def test_epoch_resample_converges_to_epochs(spark, documents):
     # duplicates carry distinct copy indices
     dup = out.groupBy("doc_id", "copy").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_hybrid_search_rrf_fusion(spark):
+    from starlight_for_kafka_spark.operators.similarity import hybrid_search
+
+    docs = spark.createDataFrame(
+        [(0, "data data data"), (1, "data vector"), (2, "nothing here")],
+        ["doc_id", "text"],
+    )
+    # vectors: id 2 is identical to the query, id 1 close, id 0 orthogonal
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [0.9, 0.1]), (2, [1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = hybrid_search(docs, emb, ["data", "vector"], [1.0, 0.0], k=3).collect()
+    ranks = {r.id: (r.r_text, r.r_vec) for r in out}
+    # doc 0 wins keywords but loses vectors; doc 2 wins vectors with no text
+    assert ranks[0] == (1, 3)
+    assert ranks[2] == (None, 1)
+    assert ranks[1] == (2, 2)
+    # RRF convexity: a #1 on one side (plus #3) edges out double #2 —
+    # 1/61 + 1/63 > 2/62
+    assert out[0].id == 0 and out[1].id == 1
+    # doc 2 never scored on text, still fused in via vectors
+    assert out[2].id == 2
