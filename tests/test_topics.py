@@ -69,3 +69,33 @@ def test_describe_cluster(spark):
     row = describe_cluster(spark).first()
     assert row.engine == "spark" and row.is_controller
     assert row.parallelism >= 1 and row.cluster_id
+
+
+def test_normalize_kafka_records_matches_log_schema(spark):
+    """The Kafka-source column mapping must yield a LogTable-compatible
+    frame (same shape the reference serves over the wire), with null
+    headers normalized to an empty array."""
+    import datetime
+
+    from starlight_for_kafka_spark.sources import LogTable
+    from starlight_for_kafka_spark.sources.kafka import normalize_kafka_records
+
+    raw = spark.createDataFrame(
+        [
+            (
+                b"k1", b"v1", "t", 0, 7,
+                datetime.datetime(2024, 1, 1), 0,
+                [("h1", b"x")],
+            ),
+            (b"k2", None, "t", 1, 9, datetime.datetime(2024, 1, 2), 0, None),
+        ],
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, timestampType int, "
+        "headers array<struct<key:string,value:binary>>",
+    )
+    log = LogTable(normalize_kafka_records(raw))  # schema gate
+    rows = {r.offset: r for r in log.df.collect()}
+    assert rows[9].value is None and rows[9].headers == []
+    assert [h.key for h in rows[7].headers] == ["h1"]
+    # operators run unchanged on the normalized frame
+    assert {r.partition: r.offset for r in log.latest_offsets().collect()} == {0: 8, 1: 10}
