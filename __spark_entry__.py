@@ -203,6 +203,30 @@ def q_log_fetch(spark, sf_dir):
     )
 
 
+def q_list_offsets_max_ts(spark, sf_dir):
+    """LIST_OFFSETS MAX_TIMESTAMP (KIP-734): per partition, the offset
+    carrying the max timestamp (min offset on ties)."""
+    return _log(spark, sf_dir).max_timestamp_offsets().select(
+        "partition", "offset", F.expr(_MS.format(c="timestamp")).alias("ts_ms")
+    )
+
+
+def q_txn_sequence_gaps(spark, sf_dir):
+    """OutOfOrderSequence detection: per-partition producer sequences with
+    every 13th record dropped; the validator must flag exactly the
+    successors of the holes."""
+    from pyspark.sql import Window
+
+    log = _log(spark, sf_dir).df
+    pid = (F.col("key").cast("string").cast("long") % 16).alias("pid")
+    w = Window.partitionBy("partition", "pid").orderBy("offset")
+    r = log.select("partition", pid, "offset").withColumn(
+        "seq", (F.row_number().over(w) - 1).cast("int")
+    )
+    kept = r.filter(F.col("seq") % 13 != 7)
+    return tx_ops.sequence_gaps(kept)
+
+
 def q_fetch_max_bytes(spark, sf_dir):
     """KIP-74 bounded fetch: records from offset 5 of partition 2 while
     cumulative payload stays within 300 bytes (first record always
@@ -1516,6 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offset_reset": q_offset_reset,
         "fetch_max_bytes": q_fetch_max_bytes,
         "txn_purge_aborted": q_txn_purge_aborted,
+        "list_offsets_max_ts": q_list_offsets_max_ts,
+        "txn_sequence_gaps": q_txn_sequence_gaps,
         "assign_roundrobin": q_assign_roundrobin,
         "retention_bytes": q_retention_bytes,
         "throughput_metrics": q_throughput_metrics,
@@ -1644,6 +1670,23 @@ SELECT "partition", pid, txn_group, min("offset") AS first_offset, max("offset")
 FROM txn3 WHERE txn_status = 'abort' GROUP BY "partition", pid, txn_group""",
         "txn_last_stable_offsets": f"""WITH {TXN_CTE}
 SELECT * FROM lso""",
+        "list_offsets_max_ts": f"""WITH {LOG_CTE}
+SELECT "partition", "offset", {ms.format(c='"timestamp"')} AS ts_ms FROM log
+QUALIFY row_number() OVER (PARTITION BY "partition"
+                           ORDER BY "timestamp" DESC, "offset") = 1""",
+        "txn_sequence_gaps": f"""WITH {LOG_CTE},
+r AS (
+  SELECT "partition", CAST(key AS BIGINT) % 16 AS pid, "offset",
+         CAST(row_number() OVER (PARTITION BY "partition", CAST(key AS BIGINT) % 16
+                                 ORDER BY "offset") - 1 AS INT) AS seq
+  FROM log
+),
+k AS (SELECT * FROM r WHERE seq % 13 <> 7)
+SELECT "partition", pid, "offset", seq,
+       coalesce(lag(seq) OVER (PARTITION BY "partition", pid ORDER BY "offset") + 1, 0)
+         AS expected_seq
+FROM k
+QUALIFY seq <> expected_seq""",
         "txn_purge_aborted": f"""WITH {TXN_CTE}
 SELECT * FROM (
   SELECT "partition", pid, txn_group,

@@ -253,3 +253,25 @@ def purge_aborted_txns(aborted: DataFrame, log_start_offsets: DataFrame) -> Data
         )
         .drop("log_start_offset")
     )
+
+
+def sequence_gaps(records: DataFrame) -> DataFrame:
+    """Idempotent-producer sequence validation: per (partition, pid), flag
+    records whose sequence number does not directly follow the previous one
+    — the broker's OutOfOrderSequenceException check
+    (ProducerAppendInfo.checkSequence via
+    PartitionLog.analyzeAndValidateProducerState:436-470). A gap means lost
+    or reordered batches; a repeat means a duplicate the idempotence layer
+    must drop.
+
+    One shuffle on (partition, pid) for the lag window; emits only the
+    violating records with expected vs observed sequence.
+    """
+    w = Window.partitionBy("partition", "pid").orderBy("offset")
+    prev = F.lag("seq").over(w)
+    expected = F.coalesce(prev + 1, F.lit(0))
+    return (
+        records.withColumn("expected_seq", expected)
+        .filter(F.col("seq") != F.col("expected_seq"))
+        .select("partition", "pid", "offset", "seq", "expected_seq")
+    )

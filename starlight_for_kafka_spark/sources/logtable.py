@@ -246,6 +246,21 @@ class LogTable:
             .agg(F.min("offset").alias("offset"))
         )
 
+    def max_timestamp_offsets(self) -> DataFrame:
+        """LIST_OFFSETS MAX_TIMESTAMP (KIP-734, ListOffsets v7): per
+        partition, the offset holding the maximum timestamp (earliest such
+        offset on ties — Kafka returns the first record carrying the max).
+        One map-side-combinable aggregation; the same ledger walk the
+        reference's OffsetFinder does, but as an argmax."""
+        neg_ts = -F.unix_micros(F.col("timestamp"))
+        return self.df.groupBy("partition").agg(
+            F.min_by(
+                F.col("offset"),
+                F.struct(neg_ts.alias("neg_ts"), F.col("offset").alias("o")),
+            ).alias("offset"),
+            F.max("timestamp").alias("timestamp"),
+        )
+
     # ------------------------------------------------------------------ #
     # DELETE_RECORDS — truncate before offset
     # ------------------------------------------------------------------ #

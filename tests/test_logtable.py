@@ -276,3 +276,14 @@ def test_compact_segments_reduces_files_preserves_content(tmp_path, spark, log):
     got = after.fetch(partition=2, start_offset=0).count()
     want = sum(1 for p, _, _ in before_hash if p == 2)
     assert got == want
+
+
+def test_max_timestamp_offsets(log):
+    got = {r.partition: (r.offset, r.timestamp) for r in log.max_timestamp_offsets().collect()}
+    for p, (off, ts) in got.items():
+        part = log.df.filter(F.col("partition") == p)
+        max_ts = part.agg(F.max("timestamp")).first()[0]
+        min_off = (
+            part.filter(F.col("timestamp") == max_ts).agg(F.min("offset")).first()[0]
+        )
+        assert (off, ts) == (min_off, max_ts)

@@ -81,3 +81,19 @@ def test_describe_producers_and_list_transactions(log):
     # every txn spans at most TXN_SIZE records
     assert txns.filter(F.col("n_records") > tx.TXN_SIZE).count() == 0
     txn_log.unpersist()
+
+
+def test_sequence_gaps_flags_exactly_the_holes(spark):
+    from starlight_for_kafka_spark.operators.transactions import sequence_gaps
+
+    rows = [
+        # (partition, pid, offset, seq): pid 1 clean, pid 2 missing seq 2
+        (0, 1, 0, 0), (0, 1, 1, 1), (0, 1, 2, 2),
+        (0, 2, 3, 0), (0, 2, 4, 1), (0, 2, 5, 3), (0, 2, 6, 4),
+        # pid 3 starts at nonzero (epoch bump without reset -> flagged)
+        (1, 3, 0, 5),
+    ]
+    df = spark.createDataFrame(rows, ["partition", "pid", "offset", "seq"])
+    out = {(r.partition, r.pid, r.offset): (r.seq, r.expected_seq)
+           for r in sequence_gaps(df).collect()}
+    assert out == {(0, 2, 5): (3, 2), (1, 3, 0): (5, 0)}
