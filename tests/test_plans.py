@@ -355,3 +355,39 @@ def test_epoch_resample_no_corpus_shuffle(spark, documents):
     assert "BroadcastHashJoin" in plan, plan
     # weights agg: 1 exchange + its single-partition window = bounded small
     assert exchange_count(df) <= 2, plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Scale contract: a skewed shuffle join must be rewritten at runtime
+    into SortMergeJoin(skew=true) with a split AQEShuffleRead — the
+    engine-side complement to the explicit salted operators (thresholds
+    dropped to trigger at toy scale; at 100 TB the defaults fire)."""
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in zip(keys, ("16KB", "8KB", "2", "-1", "8")):
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("v"),
+        )
+        dim = spark.range(97).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k").groupBy().count()
+        assert j.collect()[0][0] == 200_000  # every fact row matches one dim
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
