@@ -179,3 +179,66 @@ def test_pack_sequences_tiles_the_stream(spark, docs, n_shards, capacity):
         assert r.n_packs_spanned == last // capacity - r.pack_id + 1
         acc += r.n_tokens
     assert acc == sum(n for _, n in docs)  # total stream length preserved
+
+
+@_spark_settings
+@given(
+    n_members=st.integers(1, 9),
+    n_partitions=st.integers(1, 17),
+)
+def test_assignors_balanced_and_complete(spark, n_members, n_partitions):
+    """For ANY group size and partition count, both assignors cover every
+    partition exactly once and no member holds more than ceil(np/nm)
+    (range) / differ by more than 1 (roundrobin within a topic)."""
+    from starlight_for_kafka_spark.operators.groups import (
+        assign_partitions_range,
+        assign_partitions_roundrobin,
+    )
+
+    members = spark.createDataFrame(
+        [("g", f"m{i:02d}") for i in range(n_members)], ["group", "member"]
+    )
+    parts = spark.createDataFrame(
+        [("t", p) for p in range(n_partitions)], ["topic", "partition"]
+    )
+    for fn in (assign_partitions_range, assign_partitions_roundrobin):
+        rows = fn(members, parts).collect()
+        covered = sorted(r.partition for r in rows)
+        assert covered == list(range(n_partitions)), (fn.__name__, covered)
+        loads = {}
+        for r in rows:
+            loads[r.member] = loads.get(r.member, 0) + 1
+        assert max(loads.values()) - min(loads.values() or [0]) <= 1, (
+            fn.__name__, loads,
+        )
+
+
+@_spark_settings
+@given(budget=st.integers(1, 4000))
+def test_retain_bytes_suffix_and_monotone(spark, budget):
+    """For ANY budget: kept offsets are a per-partition suffix, the newest
+    record always survives, and a larger budget never keeps fewer rows."""
+    import datetime
+
+    from starlight_for_kafka_spark.sources import LogTable
+    from starlight_for_kafka_spark.sources.logtable import KAFKA_RECORD_SCHEMA
+
+    rows = []
+    for p in range(3):
+        for off in range(12):
+            size = (off * 7 + p) % 40 + 1
+            rows.append(
+                (None, bytes([65]) * size, None,
+                 datetime.datetime(2024, 1, 1 + off), p, off)
+            )
+    log = LogTable(spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA))
+    kept = log.retain_bytes(budget).df.collect()
+    by_part = {}
+    for r in kept:
+        by_part.setdefault(r.partition, []).append(r.offset)
+    for p in range(3):
+        offs = sorted(by_part.get(p, []))
+        assert offs and offs[-1] == 11, (p, offs)          # newest survives
+        assert offs == list(range(offs[0], 12)), (p, offs)  # contiguous suffix
+    bigger = log.retain_bytes(budget + 500).df.count()
+    assert bigger >= len(kept)
