@@ -1386,6 +1386,30 @@ def q_ts_similarity(spark, sf_dir):
     return analytics_ops.ts_similarity_search(series, TS_PATTERN, k=25)
 
 
+def q_cogroup(spark, sf_dir):
+    """KStream cogroup: view/click/purchase streams folded into one keyed
+    state per user in a single shuffle (counts + exact decimal sums)."""
+    events = load_table(spark, sf_dir, "events")
+
+    def stream(t):
+        return events.filter(F.col("event_type") == t).select(
+            "user_id", F.col("value").cast("decimal(18,6)").alias("v")
+        )
+
+    out = win_ops.cogroup_aggregate(
+        {"view": stream("view"), "click": stream("click"), "purchase": stream("purchase")},
+        ["user_id"],
+        "v",
+    )
+    cols = [F.col("user_id"), F.col("total_count")]
+    for t in ("view", "click", "purchase"):
+        cols.append(F.col(f"{t}_count"))
+        cols.append(
+            F.coalesce(F.col(f"{t}_sum"), F.lit(0)).cast("double").alias(f"{t}_sum")
+        )
+    return out.select(*cols)
+
+
 def q_hybrid_search(spark, sf_dir):
     """Hybrid retrieval: token-exact keyword score for ['data','vector']
     fused with cosine-to-query-vector by Reciprocal Rank Fusion."""
@@ -1550,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
+        "cogroup": q_cogroup,
         "migrate_offsets": q_migrate_offsets,
         "log_compact": q_log_compact,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -2152,6 +2177,18 @@ c AS (
   FROM log
 )
 SELECT "partition", "offset" FROM c WHERE cum <= 600 OR rn = 1""",
+        "cogroup": """WITH t AS (
+  SELECT user_id, event_type, CAST(value AS DECIMAL(18,6)) AS v FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+)
+SELECT user_id, count(*) AS total_count,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN v END), 0) AS DOUBLE) AS view_sum,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click_count,
+       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN v END), 0) AS DOUBLE) AS click_sum,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN v END), 0) AS DOUBLE) AS purchase_sum
+FROM t GROUP BY user_id""",
         "hybrid_search": """WITH ttop AS (
   SELECT id, text_score FROM (
     SELECT doc_id AS id,

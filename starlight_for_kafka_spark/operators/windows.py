@@ -174,3 +174,39 @@ def sliding_window_agg(
         .withColumn("window_start_ms", F.expr("unix_micros(win.start) DIV 1000"))
         .drop("win")
     )
+
+
+def cogroup_aggregate(
+    streams: dict[str, DataFrame],
+    key_cols: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """KStream cogroup (the Kafka Streams 2.5+ DSL: several co-keyed
+    streams folded into ONE aggregate state per key). Spark-first: tag each
+    stream, union, and aggregate once — a single shuffle on the key with
+    map-side partial aggregation, instead of N separate groupBys joined
+    after the fact (N shuffles + an N-way join).
+
+    Emits per key: per-stream record counts and value sums, plus the
+    total — the cogroup state a multi-input aggregator maintains.
+    """
+    tags = sorted(streams)
+    tagged = None
+    for tag in tags:
+        t = streams[tag].select(
+            *key_cols,
+            F.lit(tag).alias("__src"),
+            # no cast: callers pick the sum dtype (DECIMAL for exact
+            # cross-engine aggregation, double when speed wins)
+            F.col(value_col).alias("__v"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    aggs = []
+    for tag in tags:
+        is_tag = F.col("__src") == tag
+        aggs.append(F.count(F.when(is_tag, 1)).alias(f"{tag}_count"))
+        aggs.append(
+            F.sum(F.when(is_tag, F.col("__v"))).alias(f"{tag}_sum")
+        )
+    aggs.append(F.count("*").alias("total_count"))
+    return tagged.groupBy(*key_cols).agg(*aggs)

@@ -187,3 +187,18 @@ def test_stream_table_join_versioned_semantics(spark):
         ).collect()
     }
     assert left == {"s1": None, "s2": "v1", "s3": "v2", "s4": None}
+
+
+def test_cogroup_single_shuffle_and_state(spark):
+    from starlight_for_kafka_spark.operators.windows import cogroup_aggregate
+    from starlight_for_kafka_spark.plans.inspect import exchange_count
+
+    a = spark.createDataFrame([("u1", 1.0), ("u1", 2.0), ("u2", 5.0)], ["k", "value"])
+    b = spark.createDataFrame([("u1", 10.0)], ["k", "value"])
+    out = cogroup_aggregate({"a": a, "b": b}, ["k"])
+    rows = {r.k: r for r in out.collect()}
+    assert (rows["u1"].a_count, rows["u1"].a_sum, rows["u1"].b_count, rows["u1"].b_sum) == (2, 3.0, 1, 10.0)
+    assert (rows["u2"].a_count, rows["u2"].b_count, rows["u2"].b_sum) == (1, 0, None)
+    assert rows["u1"].total_count == 3
+    # one shuffle for N streams, not N
+    assert exchange_count(out) == 1
