@@ -335,3 +335,49 @@ def test_end_to_end_pipeline_stream_dedupe_window_sink(tmp_path, spark, log):
     mtimes = {f: os.path.getmtime(f) for f in glob.glob(out + "/*.parquet")}
     run(ckpt)
     assert {f: os.path.getmtime(f) for f in glob.glob(out + "/*.parquet")} == mtimes
+
+
+def test_txn_offset_commit_data_and_offsets_atomic(tmp_path, spark, log):
+    """TXN_OFFSET_COMMIT parity (GroupCoordinator.handleTxnCommitOffsets:
+    719): consumed offsets commit in the SAME unit as the output data —
+    foreachBatch writes both per epoch behind one idempotence marker, so a
+    replayed epoch updates neither, and offsets always equal exactly what
+    the landed data covers."""
+    import os
+
+    src = _write_log(tmp_path, log)
+    out = str(tmp_path / "txn_out")
+    stream = stream_ops.read_log_stream(spark, src)
+
+    def sink(df, epoch_id):
+        path = os.path.join(out, f"epoch={epoch_id}")
+        if os.path.exists(os.path.join(path, "data", "_SUCCESS")):
+            return  # replayed epoch: neither data nor offsets move
+        df.persist()
+        offsets = df.groupBy("partition").agg(
+            (F.max("offset") + 1).alias("offset")
+        ).withColumn("group", F.lit("g-pipe"))
+        # offsets first, data (with marker) last: a crash between the two
+        # re-runs the epoch, overwriting both — never data without offsets
+        offsets.write.mode("overwrite").parquet(os.path.join(path, "offsets"))
+        df.write.mode("overwrite").parquet(os.path.join(path, "data"))
+        df.unpersist()
+
+    q = stream_ops.write_exactly_once(stream, sink, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    data = spark.read.parquet(out + "/epoch=*/data")
+    committed = spark.read.parquet(out + "/epoch=*/offsets")
+    assert data.count() == log.df.count()
+    # committed offsets == exactly the high watermark of landed data
+    landed = {
+        r.partition: r.hwm
+        for r in data.groupBy("partition").agg((F.max("offset") + 1).alias("hwm")).collect()
+    }
+    got = {
+        r.partition: r.offset
+        for r in committed.groupBy("partition").agg(F.max("offset").alias("offset")).collect()
+    }
+    assert got == landed
+    # replay an epoch: both stay untouched
+    sink(log.df.limit(5), 0)
+    assert spark.read.parquet(out + "/epoch=*/data").count() == data.count()
