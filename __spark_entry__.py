@@ -1332,6 +1332,17 @@ def q_group_members(spark, sf_dir):
     return group_ops.list_members(m)
 
 
+def q_offset_commit_tombstones(spark, sf_dir):
+    """Compacted offset view with tombstone semantics: every commit with
+    offset % 10 >= 7 is a deletion marker; keys whose latest record is a
+    tombstone vanish from the view."""
+    events = load_table(spark, sf_dir, "events")
+    commits = group_ops.derive_commits_from_events(events).withColumn(
+        "tombstone", F.col("offset") % 10 >= 7
+    )
+    return group_ops.committed_offsets(commits, tombstone_col="tombstone")
+
+
 def q_offset_reset(spark, sf_dir):
     """Offset reset (OffsetResetTest): rewind group g1 to the
     offsets-for-time positions at TS_CUTOFF, then read the compacted
@@ -1562,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_members": q_group_members,
         "assign_range": q_assign_range,
         "offset_reset": q_offset_reset,
+        "offset_commit_tombstones": q_offset_commit_tombstones,
         "fetch_max_bytes": q_fetch_max_bytes,
         "txn_purge_aborted": q_txn_purge_aborted,
         "list_offsets_max_ts": q_list_offsets_max_ts,
@@ -2097,6 +2109,11 @@ SELECT pred_lang, rk, doc_id, n_chars FROM (
         "sql_surface_q10": Q10_SQL,
         "sql_surface_q18": Q18_SQL,
         "sql_surface_rollup": ROLLUP_SQL,
+        "offset_commit_tombstones": f"""WITH {COMMITS_CTE}
+SELECT "group", topic, "partition", "offset", metadata, commit_ts FROM commits
+QUALIFY row_number() OVER (PARTITION BY "group", topic, "partition"
+                           ORDER BY commit_ts DESC, "offset" DESC) = 1
+        AND NOT ("offset" % 10 >= 7)""",
         "offset_reset": f"""WITH {COMMITS_CTE},{LOG_CTE},
 positions AS (
   SELECT "partition", min("offset") AS "offset" FROM log

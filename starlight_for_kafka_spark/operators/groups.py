@@ -38,10 +38,18 @@ def derive_commits_from_events(
     )
 
 
-def committed_offsets(commits: DataFrame) -> DataFrame:
+def committed_offsets(
+    commits: DataFrame, tombstone_col: str | None = None
+) -> DataFrame:
     """OFFSET_FETCH / group recovery: latest commit per (group, topic,
     partition), ties broken by offset (reference replays the compacted log
     in order — last write wins, GroupMetadataManager.java:718).
+
+    ``tombstone_col`` (boolean) enables Kafka's offsets-topic tombstone
+    semantics: a tombstone is a *deletion marker* written on group removal
+    or offset expiry (GroupMetadataManager appendForGroup with null value;
+    replay path doLoadGroupsAndOffsets:718 `removedOffsets`), so a key
+    whose LATEST record is a tombstone disappears from the compacted view.
 
     One shuffle on the composite key; at scale this is the same plan as the
     reference's recovery scan, but parallel over partitions.
@@ -49,12 +57,12 @@ def committed_offsets(commits: DataFrame) -> DataFrame:
     w = Window.partitionBy("group", "topic", "partition").orderBy(
         F.col("commit_ts").desc(), F.col("offset").desc()
     )
-    return (
-        commits.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-        .select(*COMMIT_COLUMNS)
+    latest = commits.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
     )
+    if tombstone_col is not None:
+        latest = latest.filter(~F.coalesce(F.col(tombstone_col), F.lit(False)))
+    return latest.drop("__rn").select(*COMMIT_COLUMNS)
 
 
 def offset_fetch(commits: DataFrame, group: str) -> DataFrame:

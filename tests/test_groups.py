@@ -244,3 +244,29 @@ def test_reset_offsets_supersedes_group_history(spark, events, log):
     before = committed_offsets(commits).filter(F.col("group") != "g1")
     after = compacted.filter(F.col("group") != "g1")
     assert sorted(map(tuple, before.collect())) == sorted(map(tuple, after.collect()))
+
+
+def test_committed_offsets_tombstone_removes_key(spark):
+    import datetime
+
+    from starlight_for_kafka_spark.operators.groups import committed_offsets
+
+    t = datetime.datetime
+    rows = [
+        # key A: commit then tombstone (latest) -> gone
+        ("g", "t", 0, 5, "m", t(2024, 1, 1), False),
+        ("g", "t", 0, 9, "m", t(2024, 1, 2), True),
+        # key B: tombstone then commit (latest) -> resurrected
+        ("g", "t", 1, 3, "m", t(2024, 1, 1), True),
+        ("g", "t", 1, 8, "m", t(2024, 1, 2), False),
+    ]
+    commits = spark.createDataFrame(
+        rows,
+        "group string, topic string, partition int, offset long, "
+        "metadata string, commit_ts timestamp, tombstone boolean",
+    )
+    out = {r.partition: r.offset
+           for r in committed_offsets(commits, tombstone_col="tombstone").collect()}
+    assert out == {1: 8}
+    # without tombstone handling both keys survive (back-compat)
+    assert {r.partition for r in committed_offsets(commits).collect()} == {0, 1}
