@@ -1506,6 +1506,19 @@ def q_log_compact(spark, sf_dir):
     )
 
 
+def q_log_compact_tombstone_window(spark, sf_dir):
+    """Two-phase compaction (delete.retention.ms): every 9th offset is a
+    tombstone; young tombstones (ts >= cutoff) stay visible in the
+    compacted view, settled ones vanish."""
+    log = _log(spark, sf_dir).df.withColumn(
+        "value", F.when(F.col("offset") % 9 == 0, F.lit(None)).otherwise(F.col("value"))
+    ).withColumn("key", F.col("key").cast("string"))
+    out = ktable_ops.compact_topic(log, tombstone_horizon=TS_CUTOFF)
+    return out.select(
+        "partition", "key", "offset", F.col("value").isNull().alias("is_tombstone")
+    )
+
+
 def q_multimodal_frames(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     frames = mm_ops.sample_frames(mm_ops.synthesize_media(docs), every_ms=500)
@@ -1574,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_range": q_assign_range,
         "offset_reset": q_offset_reset,
         "offset_commit_tombstones": q_offset_commit_tombstones,
+        "log_compact_tombstone_window": q_log_compact_tombstone_window,
         "fetch_max_bytes": q_fetch_max_bytes,
         "txn_purge_aborted": q_txn_purge_aborted,
         "list_offsets_max_ts": q_list_offsets_max_ts,
@@ -2114,6 +2128,19 @@ SELECT "group", topic, "partition", "offset", metadata, commit_ts FROM commits
 QUALIFY row_number() OVER (PARTITION BY "group", topic, "partition"
                            ORDER BY commit_ts DESC, "offset" DESC) = 1
         AND NOT ("offset" % 10 >= 7)""",
+        "log_compact_tombstone_window": f"""WITH {LOG_CTE},
+l2 AS (
+  SELECT "partition", key,
+         CASE WHEN "offset" % 9 = 0 THEN NULL ELSE value END AS value,
+         "timestamp", "offset"
+  FROM log
+),
+latest AS (
+  SELECT * FROM l2
+  QUALIFY row_number() OVER (PARTITION BY "partition", key ORDER BY "offset" DESC) = 1
+)
+SELECT "partition", key, "offset", value IS NULL AS is_tombstone FROM latest
+WHERE value IS NOT NULL OR "timestamp" >= TIMESTAMP '2024-01-15'""",
         "offset_reset": f"""WITH {COMMITS_CTE},{LOG_CTE},
 positions AS (
   SELECT "partition", min("offset") AS "offset" FROM log

@@ -52,12 +52,23 @@ def stream_global_table_join(
     ).drop("__join_key")
 
 
-def compact_topic(log: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+def compact_topic(
+    log: DataFrame,
+    key_cols: list[str] | None = None,
+    tombstone_horizon=None,
+) -> DataFrame:
     """Kafka log compaction: per (partition, key) keep only the record at
     the highest offset; a null value (tombstone) deletes the key
     (KopLogValidator.validateKey:446 requires keys on compacted topics;
     compaction itself is the broker-side analog of the coordinator's
     latest-wins recovery).
+
+    ``tombstone_horizon`` models ``delete.retention.ms``: tombstones
+    YOUNGER than the horizon timestamp are retained in the compacted
+    output so lagging read-from-compacted consumers still observe the
+    deletion; tombstones at/older than the horizon are removed outright
+    (Kafka's two-phase delete). ``None`` drops all tombstones — the
+    fully-settled view.
 
     Unlike :func:`ktable_latest` (a global per-key view), compaction is
     per-partition — the same scope the broker compacts in. One shuffle on
@@ -66,12 +77,15 @@ def compact_topic(log: DataFrame, key_cols: list[str] | None = None) -> DataFram
     """
     key_cols = key_cols or ["key"]
     w = Window.partitionBy("partition", *key_cols).orderBy(F.col("offset").desc())
-    return (
+    latest = (
         log.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .filter(F.col("value").isNotNull())
     )
+    keep = F.col("value").isNotNull()
+    if tombstone_horizon is not None:
+        keep = keep | (F.col("timestamp") >= F.lit(tombstone_horizon))
+    return latest.filter(keep)
 
 
 def table_table_join(left: DataFrame, right: DataFrame, on, how: str = "inner") -> DataFrame:
