@@ -1506,6 +1506,34 @@ def q_log_compact(spark, sf_dir):
     )
 
 
+def q_connected_components_chain(spark, sf_dir):
+    """Exact oracle for the ITERATIVE min-label CC: chain edges (consecutive
+    ids within each exact-duplicate digest group, so propagation must cross
+    diameter > 1), closed-form answer = min doc_id of the digest group."""
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "documents")
+    docs = _docs_with_clones(base)
+    # second clone generation: doc_id%20==0 groups get a third member, so
+    # the chain a-b-c forces label propagation across diameter 2
+    second = (
+        base.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 3_000_000)
+        .select("doc_id", "text")
+    )
+    docs = docs.unionByName(second)
+    d = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("dg"))
+    w = Window.partitionBy("dg").orderBy("doc_id")
+    edges = (
+        d.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("a"), F.col("doc_id").alias("b"))
+    )
+    return dedup_ops.connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 def q_log_compact_tombstone_window(spark, sf_dir):
     """Two-phase compaction (delete.retention.ms): every 9th offset is a
     tombstone; young tombstones (ts >= cutoff) stay visible in the
@@ -1588,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offset_reset": q_offset_reset,
         "offset_commit_tombstones": q_offset_commit_tombstones,
         "log_compact_tombstone_window": q_log_compact_tombstone_window,
+        "connected_components_chain": q_connected_components_chain,
         "fetch_max_bytes": q_fetch_max_bytes,
         "txn_purge_aborted": q_txn_purge_aborted,
         "list_offsets_max_ts": q_list_offsets_max_ts,
@@ -2128,6 +2157,20 @@ SELECT "group", topic, "partition", "offset", metadata, commit_ts FROM commits
 QUALIFY row_number() OVER (PARTITION BY "group", topic, "partition"
                            ORDER BY commit_ts DESC, "offset" DESC) = 1
         AND NOT ("offset" % 10 >= 7)""",
+        "connected_components_chain": f"""WITH {DOCS_WITH_CLONES_CTE},
+docs3 AS (
+  SELECT doc_id, text FROM docs
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 20 = 0
+),
+d AS (SELECT doc_id, md5(text) AS dg FROM docs3),
+g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY dg) AS component,
+         count(*) OVER (PARTITION BY dg) AS n
+  FROM d
+)
+SELECT doc_id, component FROM g WHERE n > 1""",
         "log_compact_tombstone_window": f"""WITH {LOG_CTE},
 l2 AS (
   SELECT "partition", key,
