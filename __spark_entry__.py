@@ -1455,6 +1455,25 @@ def q_bpe_token_count(spark, sf_dir):
     return text_ops.bpe_token_count(docs).select("doc_id", "n_bpe_tokens")
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of: each view joined to the user's NEXT purchase at or
+    after it (time-to-next-event; oracle: DuckDB ASOF with <=)."""
+    from starlight_for_kafka_spark.operators.asof import as_of_join_forward
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts"
+    )
+    joined = as_of_join_forward(
+        views, purchases, ["user_id"], "ts", "ts",
+        ["purchase_event_id"], tiebreak="purchase_event_id",
+    )
+    return joined.select("event_id", "user_id", "purchase_event_id")
+
+
 def q_stream_table_join(spark, sf_dir):
     """KStream ⋈ KTable (co-partitioned, versioned): each click joined to
     the user's purchase-state as of the click time (inner: clicks before
@@ -1625,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_bytes": q_retention_bytes,
         "throughput_metrics": q_throughput_metrics,
         "stream_table_join": q_stream_table_join,
+        "asof_forward": q_asof_forward,
         "ts_similarity": q_ts_similarity,
         "bpe_token_count": q_bpe_token_count,
         "epoch_resample": q_epoch_resample,
@@ -2360,6 +2380,13 @@ FROM l
 WHERE c0 IS NOT NULL
 ORDER BY dist2, user_id, day
 LIMIT 25""",
+        "asof_forward": """WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT v.event_id, v.user_id, p.purchase_event_id
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts""",
         "stream_table_join": """WITH c AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
 ), s AS (

@@ -81,3 +81,70 @@ def as_of_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
     )
     return carried.filter(F.col("__tag") == 1).drop("__tag")
+
+
+def as_of_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Forward as-of: every ``left`` row joined to the EARLIEST ``right``
+    row with ``right_ts >= left_ts`` per key — time-to-next-event queries
+    (next purchase after a view, next error after a deploy).
+
+    Same one-shuffle union+window plan as the backward join, reflected:
+    the window runs unbounded-following and carries the right payload
+    BACKWARD with first(ignorenulls). No range join, no per-key cross
+    product — cost identical to the backward variant at any scale.
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    overlap = set(right_payload) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right payload columns collide with left columns: {sorted(overlap)}; "
+            "rename the right side first"
+        )
+    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__tag", F.lit(1))
+    for c in right_payload:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = (
+        right.select(*on, F.col(right_ts).alias("__ts"), *right_payload)
+        .withColumn("__tag", F.lit(2))
+    )
+    left_cols = [c for c in left.columns]
+    combined = l_tagged.select(
+        *on, "__ts", "__tag", *[c for c in left_cols if c not in on], *right_payload
+    ).unionByName(
+        r_tagged.select(
+            *on,
+            "__ts",
+            "__tag",
+            *[F.lit(None).cast(l_tagged.schema[c].dataType).alias(c)
+              for c in left_cols if c not in on],
+            *right_payload,
+        )
+    )
+    # ascending (ts, tag): at equal ts the left row (tag 1) sorts before the
+    # right row (tag 2), so first() over the FOLLOWING frame includes the
+    # same-timestamp right row — inclusive >= semantics
+    order = [F.col("__ts"), F.col("__tag")]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = combined.select(
+        *on,
+        "__tag",
+        *[c for c in left_cols if c not in on],
+        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+    )
+    return carried.filter(F.col("__tag") == 1).drop("__tag")

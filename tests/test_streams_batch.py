@@ -202,3 +202,20 @@ def test_cogroup_single_shuffle_and_state(spark):
     assert rows["u1"].total_count == 3
     # one shuffle for N streams, not N
     assert exchange_count(out) == 1
+
+
+def test_as_of_forward_semantics(spark):
+    from starlight_for_kafka_spark.operators.asof import as_of_join_forward
+
+    left = spark.createDataFrame(
+        [("u", 10, "l1"), ("u", 20, "l2"), ("u", 30, "l3")], ["k", "ts", "lid"]
+    )
+    right = spark.createDataFrame(
+        [("u", 20, "r20"), ("u", 25, "r25")], ["k", "ts", "val"]
+    )
+    out = {
+        r.lid: r.val
+        for r in as_of_join_forward(left, right, ["k"], "ts", "ts", ["val"]).collect()
+    }
+    # inclusive >=: l2@20 sees r20; l3@30 has no later right -> null
+    assert out == {"l1": "r20", "l2": "r20", "l3": None}
