@@ -1701,9 +1701,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ===================================================================== #
 
 
+def _minhash_oracle_sql() -> str:
+    """Full MinHash+LSH+verify pipeline in DuckDB — mirrors minhash_dedup
+    (word 3-shingles, 16 hashes, 4 bands, Jaccard >= 0.7) exactly: same
+    md5-based hash family (coefficients from the same LCG construction),
+    same banding buckets, same one-pass drop rule."""
+    from starlight_for_kafka_spark.operators.dedup import (
+        MINHASH_PRIME as P,
+        _minhash_coeffs,
+    )
+
+    a, b = _minhash_coeffs(16)
+    sig_exprs = ",\n    ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {P})), {P})"
+        for i in range(16)
+    )
+    band_expr = ", ".join(
+        f"md5(CAST(sg[{bb*4+1}] AS VARCHAR) || ',' || CAST(sg[{bb*4+2}] AS VARCHAR)"
+        f" || ',' || CAST(sg[{bb*4+3}] AS VARCHAR) || ',' || CAST(sg[{bb*4+4}] AS VARCHAR))"
+        for bb in range(4)
+    )
+    return f"""WITH {DOCS_WITH_NEAR_CTE},
+w AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM docs
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [] END) AS sset
+  FROM w
+),
+h AS (
+  SELECT doc_id,
+         list_transform(sset, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {P}) AS hs
+  FROM s
+),
+sig AS (SELECT doc_id, [{sig_exprs}] AS sg FROM h),
+banded AS (
+  SELECT doc_id, bt.band,
+         CASE bt.band WHEN 0 THEN bk[1] WHEN 1 THEN bk[2]
+                      WHEN 2 THEN bk[3] ELSE bk[4] END AS bucket
+  FROM (SELECT doc_id, [{band_expr}] AS bk FROM sig) t
+  CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bt
+),
+sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bs FROM banded),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM (SELECT * FROM sized WHERE bs <= 200) x
+  JOIN (SELECT * FROM sized WHERE bs <= 200) y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id
+),
+ver AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN s sa ON sa.doc_id = c.a
+  JOIN s sb ON sb.doc_id = c.b
+  WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+        / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))) >= 0.7
+),
+losers AS (SELECT DISTINCT b AS doc_id FROM ver)
+SELECT d.doc_id FROM docs d ANTI JOIN losers l USING (doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     ms = 'epoch_us({c}) // 1000'
     return {
+        "dedup_minhash": _minhash_oracle_sql(),
         "log_fetch": f"""WITH {LOG_CTE}
 SELECT key, value, {ms.format(c='"timestamp"')} AS ts_ms, "partition", "offset"
 FROM log WHERE "partition" = 3 AND "offset" >= 10 AND "offset" < 40""",

@@ -82,11 +82,10 @@ def test_query_matches_oracle(name, spark, duck):
 def test_every_query_has_oracle_or_is_flagged():
     no_oracle = set(QUERIES) - set(ORACLES)
     # rows-only checks must be deliberate (probabilistic ANN, stubbed decode,
-    # pure-Spark near-dup pipeline)
+    # LSH-derived iterative grouping)
     assert no_oracle == {
         "similarity_lsh_top5",
         "multimodal_features",
-        "dedup_minhash",
         "dedup_minhash_cc",
         "dedup_embedding_lsh",
     }
