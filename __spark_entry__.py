@@ -499,8 +499,8 @@ def q_dedup_minhash(spark, sf_dir):
 
 def q_dedup_minhash_cc(spark, sf_dir):
     """minhash dedup with exact transitive grouping (connected components
-    over verified pairs, iterative min-label propagation) — rows-only:
-    genuinely iterative; exactness pinned against union-find in tests."""
+    over verified pairs, iterative min-label propagation); oracle: the same
+    pipeline + a recursive-CTE transitive closure in DuckDB."""
     docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
     return dedup_ops.minhash_dedup_exact_groups(
         docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.7,
@@ -1701,11 +1701,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ===================================================================== #
 
 
-def _minhash_oracle_sql() -> str:
-    """Full MinHash+LSH+verify pipeline in DuckDB — mirrors minhash_dedup
-    (word 3-shingles, 16 hashes, 4 bands, Jaccard >= 0.7) exactly: same
+def _minhash_pipeline_cte() -> str:
+    """Full MinHash+LSH+verify pipeline in DuckDB CTEs ending at ``ver``
+    (verified near-dup pairs) — mirrors the Spark pipeline (word
+    3-shingles, 16 hashes, 4 bands, Jaccard >= 0.7) exactly: same
     md5-based hash family (coefficients from the same LCG construction),
-    same banding buckets, same one-pass drop rule."""
+    same banding buckets, same hot-bucket cap."""
     from starlight_for_kafka_spark.operators.dedup import (
         MINHASH_PRIME as P,
         _minhash_coeffs,
@@ -1721,7 +1722,7 @@ def _minhash_oracle_sql() -> str:
         f" || ',' || CAST(sg[{bb*4+3}] AS VARCHAR) || ',' || CAST(sg[{bb*4+4}] AS VARCHAR))"
         for bb in range(4)
     )
-    return f"""WITH {DOCS_WITH_NEAR_CTE},
+    return f"""{DOCS_WITH_NEAR_CTE},
 w AS (
   SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
   FROM docs
@@ -1759,8 +1760,29 @@ ver AS (
   JOIN s sb ON sb.doc_id = c.b
   WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
         / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))) >= 0.7
-),
+)"""
+
+
+def _minhash_oracle_sql() -> str:
+    """minhash_dedup: drop any doc with a verified near-dup of smaller id."""
+    return f"""WITH {_minhash_pipeline_cte()},
 losers AS (SELECT DISTINCT b AS doc_id FROM ver)
+SELECT d.doc_id FROM docs d ANTI JOIN losers l USING (doc_id)"""
+
+
+def _minhash_cc_oracle_sql() -> str:
+    """minhash_dedup_exact_groups: transitive closure over verified pairs
+    (recursive CTE — near-dup components are short chains, so the closure
+    is tiny), keep each component's minimum id."""
+    return f"""WITH RECURSIVE {_minhash_pipeline_cte()},
+edges AS (SELECT a AS x, b AS y FROM ver UNION SELECT b, a FROM ver),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comp AS (SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x),
+losers AS (SELECT node AS doc_id FROM comp WHERE node <> component)
 SELECT d.doc_id FROM docs d ANTI JOIN losers l USING (doc_id)"""
 
 
@@ -1768,6 +1790,7 @@ def oracle_sql() -> dict[str, str]:
     ms = 'epoch_us({c}) // 1000'
     return {
         "dedup_minhash": _minhash_oracle_sql(),
+        "dedup_minhash_cc": _minhash_cc_oracle_sql(),
         "log_fetch": f"""WITH {LOG_CTE}
 SELECT key, value, {ms.format(c='"timestamp"')} AS ts_ms, "partition", "offset"
 FROM log WHERE "partition" = 3 AND "offset" >= 10 AND "offset" < 40""",
