@@ -203,6 +203,27 @@ def q_log_fetch(spark, sf_dir):
     )
 
 
+def q_describe_log(spark, sf_dir):
+    """DESCRIBE_LOG_DIRS-style per-partition size/health report."""
+    from starlight_for_kafka_spark.sources.logtable import describe_log
+
+    out = describe_log(_log(spark, sf_dir).df)
+    return out.select(
+        "partition", "n_records", "payload_bytes",
+        "log_start_offset", "log_end_offset",
+        F.expr(_MS.format(c="earliest_ts")).alias("earliest_ms"),
+        F.expr(_MS.format(c="latest_ts")).alias("latest_ms"),
+    )
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Skew diagnostic: top-10 users by record share (run before salting)."""
+    from starlight_for_kafka_spark.operators.skew import heavy_hitters
+
+    events = load_table(spark, sf_dir, "events")
+    return heavy_hitters(events.select("user_id"), ["user_id"], k=10)
+
+
 def q_list_offsets_max_ts(spark, sf_dir):
     """LIST_OFFSETS MAX_TIMESTAMP (KIP-734): per partition, the offset
     carrying the max timestamp (min offset on ties)."""
@@ -1639,6 +1660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_max_bytes": q_fetch_max_bytes,
         "txn_purge_aborted": q_txn_purge_aborted,
         "list_offsets_max_ts": q_list_offsets_max_ts,
+        "describe_log": q_describe_log,
+        "heavy_hitters": q_heavy_hitters,
         "txn_sequence_gaps": q_txn_sequence_gaps,
         "assign_roundrobin": q_assign_roundrobin,
         "retention_bytes": q_retention_bytes,
@@ -1857,6 +1880,18 @@ SELECT "partition", pid, txn_group, min("offset") AS first_offset, max("offset")
 FROM txn3 WHERE txn_status = 'abort' GROUP BY "partition", pid, txn_group""",
         "txn_last_stable_offsets": f"""WITH {TXN_CTE}
 SELECT * FROM lso""",
+        "describe_log": f"""WITH {LOG_CTE}
+SELECT "partition", count(*) AS n_records,
+       sum(strlen(value)) AS payload_bytes,
+       min("offset") AS log_start_offset,
+       max("offset") + 1 AS log_end_offset,
+       min({ms.format(c='"timestamp"')}) AS earliest_ms,
+       max({ms.format(c='"timestamp"')}) AS latest_ms
+FROM log GROUP BY "partition\"""",
+        "heavy_hitters": """SELECT user_id, count(*) AS n,
+       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
+FROM events GROUP BY user_id
+ORDER BY n DESC, user_id LIMIT 10""",
         "list_offsets_max_ts": f"""WITH {LOG_CTE}
 SELECT "partition", "offset", {ms.format(c='"timestamp"')} AS ts_ms FROM log
 QUALIFY row_number() OVER (PARTITION BY "partition"

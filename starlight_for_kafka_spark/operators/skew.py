@@ -95,3 +95,23 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return big.join(rep, keys + ["__salt"], how).drop("__salt")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Exact heavy-hitter report: the k keys carrying the most records,
+    with their absolute and fractional share — the diagnostic you run
+    BEFORE reaching for salted_aggregate/salted_join or trusting AQE's
+    skew split. One map-side-combinable shuffle on the key plus a
+    broadcast of the single-row total; top-k via TakeOrderedAndProject.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    total = df.count()  # one scalar job; reuses the same scan
+    return (
+        counts.withColumn("share", (F.col("n") / F.lit(total)).cast("double"))
+        .orderBy(F.col("n").desc(), *key_cols)
+        .limit(k)
+    )

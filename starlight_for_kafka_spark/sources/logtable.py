@@ -425,3 +425,19 @@ def validate_records(
         )
         err = F.when(bad_ts, F.lit("InvalidTimestampException")).otherwise(err)
     return records.withColumn("_error", err)
+
+
+def describe_log(log_df: DataFrame) -> DataFrame:
+    """DESCRIBE_LOG_DIRS-style per-partition report: record count, payload
+    bytes, offset and timestamp bounds — the per-partition size/health view
+    every Kafka ops tool derives from log-dir metadata; here it is one
+    map-side-combinable aggregation over the log."""
+    size = F.coalesce(F.octet_length("value"), F.lit(0)).cast("long")
+    return log_df.groupBy("partition").agg(
+        F.count("*").alias("n_records"),
+        F.sum(size).alias("payload_bytes"),
+        F.min("offset").alias("log_start_offset"),
+        (F.max("offset") + 1).alias("log_end_offset"),
+        F.min("timestamp").alias("earliest_ts"),
+        F.max("timestamp").alias("latest_ts"),
+    )

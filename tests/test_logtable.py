@@ -287,3 +287,14 @@ def test_max_timestamp_offsets(log):
             part.filter(F.col("timestamp") == max_ts).agg(F.min("offset")).first()[0]
         )
         assert (off, ts) == (min_off, max_ts)
+
+
+def test_describe_log_bounds(log):
+    from starlight_for_kafka_spark.sources.logtable import describe_log
+
+    rows = {r.partition: r for r in describe_log(log.df).collect()}
+    latest = {r.partition: r.offset for r in log.latest_offsets().collect()}
+    for p, r in rows.items():
+        assert r.log_start_offset == 0
+        assert r.log_end_offset == latest[p] == r.n_records
+        assert r.payload_bytes > 0 and r.earliest_ts <= r.latest_ts
