@@ -391,3 +391,26 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_time_retention_filter_reaches_atrest_scan(spark, log, tmp_path):
+    """retention.ms as a pruned delete: on an at-rest log the horizon
+    predicate must reach the parquet reader as a pushed filter so expired
+    segments are footer-pruned, not scanned."""
+    import datetime
+
+    from starlight_for_kafka_spark.sources import LogTable
+
+    path = str(tmp_path / "ret_log")
+    log.write(path)
+    kept = LogTable.read(spark, path).retain_since(datetime.datetime(2024, 1, 10))
+    pushed = pushed_filters(kept.df)
+    assert any("timestamp" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
+
+
+def test_hybrid_search_shortlists_are_takeordered(spark):
+    """Both retrieval sides must shortlist via TakeOrderedAndProject (no
+    global sort of the corpus before fusion)."""
+    df = QUERIES["hybrid_search"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
