@@ -1406,6 +1406,13 @@ def q_assign_roundrobin(spark, sf_dir):
 TS_PATTERN = [1, 2, 3, 2, 1]
 
 
+def q_active_users(spark, sf_dir):
+    """Exact DAU + trailing-7-day active users via contribution explode
+    (rolling distinct with no running state)."""
+    events = load_table(spark, sf_dir, "events")
+    return analytics_ops.active_users(events)
+
+
 def q_ts_similarity(spark, sf_dir):
     """Top-25 per-user daily-activity windows nearest a 5-day query pattern
     (distributed subsequence similarity search, exact integer distances)."""
@@ -1669,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_table_join": q_stream_table_join,
         "asof_forward": q_asof_forward,
         "ts_similarity": q_ts_similarity,
+        "active_users": q_active_users,
         "bpe_token_count": q_bpe_token_count,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
@@ -2482,6 +2490,20 @@ SELECT doc_id, grp, unnest(range(1, n + 1)) AS copy FROM j WHERE n >= 1""",
            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9'']+|\\s+'))
          AS n_bpe_tokens
 FROM documents""",
+        "active_users": """WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+contrib AS (
+  SELECT user_id, day + i.i AS wday
+  FROM ud CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS i) i
+),
+wau AS (
+  SELECT c.wday, count(DISTINCT c.user_id) AS wau
+  FROM contrib c JOIN dau d ON c.wday = d.day
+  GROUP BY c.wday
+)
+SELECT d.day, d.dau, w.wau FROM dau d JOIN wau w ON d.day = w.wday""",
         "ts_similarity": """WITH s AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt
   FROM events GROUP BY 1, 2

@@ -143,3 +143,46 @@ def ts_similarity_search(
         .limit(k)
         .select(key_col, t_col, val_col, "dist2")
     )
+
+
+def active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact DAU + trailing-window active users (WAU-style) per day.
+
+    Rolling DISTINCT cannot be summed from daily distincts, and a running
+    per-window set is state the size of the user base. Spark-first instead:
+    each (user, active-day) pair CONTRIBUTES to the ``window_days`` windows
+    ending on day..day+w-1 — a map-only explode — and the trailing count
+    is then one plain count-distinct per window end. Cost is w× the
+    (user, day) pair count (already deduplicated, tiny vs the event log),
+    all map-side until the final keyed aggregation; no per-day self-joins,
+    no running state.
+
+    Reported only for days with activity (window ends align with the DAU
+    series).
+    """
+    ud = (
+        df.select(
+            F.col(user_col).alias("user"),
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("day"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user").alias("dau"))
+    contrib = ud.select(
+        "user",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_days - 1))
+        ).alias("__i"),
+        "day",
+    ).select("user", F.date_add(F.col("day"), F.col("__i")).alias("wday"))
+    wau = (
+        contrib.join(dau.select(F.col("day").alias("wday")), "wday")
+        .groupBy("wday")
+        .agg(F.countDistinct("user").alias("wau"))
+    )
+    return dau.join(wau, dau["day"] == wau["wday"]).select("day", "dau", "wau")

@@ -107,3 +107,23 @@ def test_ts_similarity_exact_match_ranks_first(spark):
     out = ts_similarity_search(series, [1, 2, 3], k=2).collect()
     assert (out[0].user_id, out[0].day, out[0].dist2) == ("u1", 4, 0)
     assert (out[1].user_id, out[1].day, out[1].dist2) == ("u2", 2, 1)
+
+
+def test_active_users_rolling_window_semantics(spark):
+    import datetime
+
+    from starlight_for_kafka_spark.operators.analytics import active_users
+
+    t = datetime.datetime
+    rows = [
+        ("u1", t(2024, 1, 1)), ("u2", t(2024, 1, 1)),
+        ("u1", t(2024, 1, 3)),
+        ("u3", t(2024, 1, 10)),  # u1/u2 aged out of the 7-day window by now
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {str(r.day): (r.dau, r.wau) for r in active_users(df).collect()}
+    assert out == {
+        "2024-01-01": (2, 2),
+        "2024-01-03": (1, 2),   # trailing window still holds u1+u2
+        "2024-01-10": (1, 1),   # old users aged out
+    }
