@@ -605,16 +605,25 @@ def q_kmeans_step(spark, sf_dir):
 
 
 def q_similarity_lsh_top5(spark, sf_dir):
-    # rows-only check: ANN recall is probabilistic by design
+    """ANN top-5 in the query's 4-plane LSH bucket. Recall is approximate
+    by design, but the md5-derived hyperplanes make the candidate set —
+    and hence the result — fully deterministic and oracle-checkable."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.lsh_top_k(emb, _query_vec(spark, sf_dir, 7), k=5, n_planes=4)
 
 
 def q_multimodal_features(spark, sf_dir):
-    # rows-only check: decode kernel is a stub (no codec libs in container)
+    """Multimodal decode plumbing (mapInPandas, Arrow batches). The stub
+    kernel samples 8 payload bytes — fully deterministic, and since the
+    payload is the UTF-8 text bytes (ASCII in this corpus) the same bytes
+    are reachable from SQL, so this oracle-checks exactly. The array column
+    is posexploded to (dim, feature) rows for a hashable compare shape."""
     docs = load_table(spark, sf_dir, "documents")
     media = mm_ops.synthesize_media(docs)
-    return mm_ops.extract_features(media)
+    feats = mm_ops.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.posexplode("features").alias("dim", "feature")
+    )
 
 
 def q_produce_validation(spark, sf_dir):
@@ -764,9 +773,13 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_dedup_embedding_lsh(spark, sf_dir):
-    # rows-only check: LSH bucket boundaries are FP-sign sensitive by design
+    """LSH-bucketed near-dup pairs. The hyperplane signs are md5-derived
+    (operators/similarity.py:hyperplane_bucket), so the bucketing — and
+    therefore the exact candidate set — is reproducible in DuckDB; the
+    oracle replays the identical ±1 projection fold per plane."""
     emb = _emb_with_near(load_table(spark, sf_dir, "embeddings"))
-    return dedup_ops.embedding_cosine_dups(emb, threshold=0.95, n_planes=4)
+    pairs = dedup_ops.embedding_cosine_dups(emb, threshold=0.95, n_planes=4)
+    return pairs.select("a", "b", F.round("cos", 6).alias("cos"))
 
 
 def q_top_docs_per_lang(spark, sf_dir):
@@ -1817,11 +1830,76 @@ losers AS (SELECT node AS doc_id FROM comp WHERE node <> component)
 SELECT d.doc_id FROM docs d ANTI JOIN losers l USING (doc_id)"""
 
 
+def _hp_bucket_sql(v: str, n_planes: int) -> str:
+    """DuckDB expression for operators/similarity.py:hyperplane_bucket over a
+    DOUBLE[] column ``v`` (1-indexed): per plane p, fold Σ ±v[d] where the
+    sign is the parity of ('0x'||substr(md5('hp{p}:'||d),1,15))::BIGINT —
+    identical md5 bytes and identical left-to-right double fold as Spark's
+    F.aggregate, so bucket ids match bit-for-bit."""
+    bits = []
+    for p in range(n_planes):
+        proj = (
+            f"list_reduce(list_transform(range(len({v})), d -> "
+            f"CASE WHEN ('0x' || substr(md5('hp{p}:' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 "
+            f"THEN {v}[d + 1] ELSE -{v}[d + 1] END), (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_top5_oracle_sql() -> str:
+    """similarity_lsh_top5: bucket every vector with 4 md5 hyperplanes,
+    keep the query's (vec_id=7) bucket, exact cosine top-5 inside it."""
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, {_hp_bucket_sql('v', 4)} AS bkt FROM e
+), q AS (
+  SELECT v AS qv, bkt AS qb FROM b WHERE vec_id = 7
+), scored AS (
+  SELECT b.vec_id,
+         round(list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+  FROM b, q WHERE b.bkt = q.qb
+)
+SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5"""
+
+
+def _dedup_embedding_lsh_oracle_sql() -> str:
+    """dedup_embedding_lsh: same base+perturbed corpus as dedup_embedding,
+    candidate pairs restricted to equal 4-plane LSH buckets."""
+    return f"""WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), pert AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         [CASE WHEN i = 1 THEN v[i] * 1.1 ELSE v[i] END FOR i IN range(1, len(v) + 1)] AS v
+  FROM base WHERE vec_id % 20 = 0
+), allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM pert
+), bk AS (
+  SELECT vec_id, v, {_hp_bucket_sql('v', 4)} AS bkt FROM allv
+), pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+  FROM bk x JOIN bk y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+)
+SELECT a, b, cos FROM pairs WHERE cos >= 0.95"""
+
+
 def oracle_sql() -> dict[str, str]:
     ms = 'epoch_us({c}) // 1000'
     return {
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_minhash_cc": _minhash_cc_oracle_sql(),
+        "similarity_lsh_top5": _lsh_top5_oracle_sql(),
+        "dedup_embedding_lsh": _dedup_embedding_lsh_oracle_sql(),
+        "multimodal_features": """SELECT doc_id AS media_id,
+       (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(d.dim AS INT) AS dim,
+       CAST(ord(substr(text, CAST(d.dim * length(text) // 8 AS INT) + 1, 1)) AS DOUBLE) AS feature
+FROM documents, (SELECT unnest(range(8)) AS dim) d""",
         "log_fetch": f"""WITH {LOG_CTE}
 SELECT key, value, {ms.format(c='"timestamp"')} AS ts_ms, "partition", "offset"
 FROM log WHERE "partition" = 3 AND "offset" >= 10 AND "offset" < 40""",
