@@ -731,6 +731,88 @@ def q_registry_compat(spark, sf_dir):
     return spark.createDataFrame(rows, "mode string, candidate string, compatible boolean")
 
 
+AVRO_NESTED_V1 = (
+    '{"type":"record","name":"Outer","fields":['
+    '{"name":"a","type":"long"},'
+    '{"name":"inner","type":{"type":"record","name":"Inner","fields":['
+    '{"name":"x","type":"int"}]}}]}'
+)
+PROTO_V1 = """message Evt {
+  optional int64 id = 1;
+  optional string name = 2;
+}"""
+JSON_V1 = (
+    '{"type":"object","properties":{"id":{"type":"integer"},'
+    '"name":{"type":"string"}},"required":["id"]}'
+)
+
+
+def q_registry_compat_full(spark, sf_dir):
+    """Per-type compatibility verdicts over fixed histories — AVRO full
+    resolution (nested-record promotion, union widening, nested add
+    without default), JSON Schema structural widening, and PROTOBUF
+    field-number rules with only-BACKWARD support (reference:
+    CompatibilityChecker.createChecker:125-136, Mode.SUPPORTED_FOR_PROTOBUF
+    :148-149). Oracle = the hand-derived truth table, not this code path."""
+    cases = {
+        "AVRO": (
+            [AVRO_NESTED_V1],
+            {
+                "nested_promote": AVRO_NESTED_V1.replace(
+                    '{"name":"x","type":"int"}', '{"name":"x","type":"long"}'
+                ),
+                "union_widen": AVRO_NESTED_V1.replace(
+                    '{"name":"a","type":"long"}', '{"name":"a","type":["null","long"]}'
+                ),
+                "nested_add_no_default": AVRO_NESTED_V1.replace(
+                    '{"name":"x","type":"int"}',
+                    '{"name":"x","type":"int"},{"name":"y","type":"int"}',
+                ),
+            },
+        ),
+        "JSON": (
+            [JSON_V1],
+            {
+                "relax_int_to_number": JSON_V1.replace(
+                    '"id":{"type":"integer"}', '"id":{"type":"number"}'
+                ),
+                "add_required": JSON_V1.replace(
+                    '"required":["id"]', '"required":["id","email"]'
+                ).replace(
+                    '"name":{"type":"string"}',
+                    '"name":{"type":"string"},"email":{"type":"string"}',
+                ),
+            },
+        ),
+        "PROTOBUF": (
+            [PROTO_V1],
+            {
+                "add_field": PROTO_V1.replace(
+                    "}", "  optional int32 n = 3;\n}"
+                ),
+                "type_change": PROTO_V1.replace(
+                    "optional string name = 2;", "optional int32 name = 2;"
+                ),
+                "remove_reserved": PROTO_V1.replace(
+                    "optional string name = 2;", "reserved 2;"
+                ),
+                "remove_unreserved": PROTO_V1.replace(
+                    "  optional string name = 2;\n", ""
+                ),
+            },
+        ),
+    }
+    rows = [
+        (stype, mode, name, reg_ops.check_compatibility(mode, cand, history, stype))
+        for stype, (history, cands) in cases.items()
+        for mode in ("BACKWARD", "FORWARD", "FULL")
+        for name, cand in cands.items()
+    ]
+    return spark.createDataFrame(
+        rows, "schema_type string, mode string, candidate string, compatible boolean"
+    )
+
+
 def q_registry_wire(spark, sf_dir):
     """Confluent wire-format round-trip: 0x00 + int32 id + payload
     (ByteBufUtils.prependSchemaId:301-312), then strip back."""
@@ -743,6 +825,79 @@ def q_registry_wire(spark, sf_dir):
         out_sid.alias("schema_id"),
         F.length(payload).alias("payload_len"),
         payload.cast("string").substr(1, 16).alias("payload_prefix"),
+    )
+
+
+AVRO_ORDER_V1 = (
+    '{"type":"record","name":"Order","fields":['
+    '{"name":"orderkey","type":"long"},{"name":"custkey","type":"long"},'
+    '{"name":"price_int","type":"int"},{"name":"status","type":"string"},'
+    '{"name":"legacy_note","type":"string"}]}'
+)
+AVRO_ORDER_V2 = (
+    '{"type":"record","name":"Order","fields":['
+    '{"name":"orderkey","type":"long"},{"name":"custkey","type":"long"},'
+    '{"name":"price_int","type":"long"},{"name":"status","type":"string"},'
+    '{"name":"tag","type":["null","string"],"default":null}]}'
+)
+AVRO_ORDER_READER = (
+    '{"type":"record","name":"Order","fields":['
+    '{"name":"orderkey","type":"long"},{"name":"custkey","type":"long"},'
+    '{"name":"price_int","type":"long"},{"name":"status","type":"string"},'
+    '{"name":"tag","type":["null","string"],"default":null},'
+    '{"name":"channel","type":"string","default":"web"}]}'
+)
+
+
+def q_typed_view_avro(spark, sf_dir):
+    """Real Confluent-framed Avro wire round-trip with schema RESOLUTION:
+    orders are encoded per-row under two different writer schemas (v1 has
+    an int price and a legacy field; v2 a long price and a nullable tag),
+    then decoded against a v3 reader — exercising int→long promotion,
+    writer-only field skipping, union branches, and reader defaults
+    (functions/avro_codec.py; reference ByteBufUtils.java:301-312 +
+    SchemaRegistryTest.java). The oracle recomputes the resolved values
+    straight from the source columns — any framing/codec bug breaks it."""
+    orders = load_table(spark, sf_dir, "orders")
+    rec1 = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.lit(1).cast("int").alias("schema_id"),
+            F.struct(
+                F.col("o_orderkey").alias("orderkey"),
+                F.col("o_custkey").alias("custkey"),
+                F.floor("o_totalprice").cast("int").alias("price_int"),
+                F.col("o_orderstatus").alias("status"),
+                F.concat(F.lit("note-"), F.col("o_orderkey")).alias("legacy_note"),
+            ).alias("record"),
+        )
+    )
+    rec2 = (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            F.lit(2).cast("int").alias("schema_id"),
+            F.struct(
+                F.col("o_orderkey").alias("orderkey"),
+                F.col("o_custkey").alias("custkey"),
+                F.floor("o_totalprice").alias("price_int"),
+                F.col("o_orderstatus").alias("status"),
+                F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("string"))
+                .otherwise(F.col("o_orderpriority"))
+                .alias("tag"),
+            ).alias("record"),
+        )
+    )
+    schemas = {1: AVRO_ORDER_V1, 2: AVRO_ORDER_V2}
+    enc = reg_ops.avro_encode(rec1, schemas).unionByName(reg_ops.avro_encode(rec2, schemas))
+    dec = reg_ops.avro_decode(enc, schemas, AVRO_ORDER_READER)
+    return dec.select(
+        "schema_id",
+        F.col("typed.orderkey").alias("orderkey"),
+        F.col("typed.custkey").alias("custkey"),
+        F.col("typed.price_int").alias("price_int"),
+        F.col("typed.status").alias("status"),
+        F.col("typed.tag").alias("tag"),
+        F.col("typed.channel").alias("channel"),
     )
 
 
@@ -1666,6 +1821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_subjects": q_registry_subjects,
         "registry_compat": q_registry_compat,
         "registry_wire": q_registry_wire,
+        "registry_compat_full": q_registry_compat_full,
+        "typed_view_avro": q_typed_view_avro,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -2307,6 +2464,46 @@ FROM log""",
        strlen(text) AS payload_len,
        substring(text, 1, 16) AS payload_prefix
 FROM documents""",
+        "registry_compat_full": """SELECT * FROM (VALUES
+  ('AVRO', 'BACKWARD', 'nested_promote', true),
+  ('AVRO', 'FORWARD', 'nested_promote', false),
+  ('AVRO', 'FULL', 'nested_promote', false),
+  ('AVRO', 'BACKWARD', 'union_widen', true),
+  ('AVRO', 'FORWARD', 'union_widen', false),
+  ('AVRO', 'FULL', 'union_widen', false),
+  ('AVRO', 'BACKWARD', 'nested_add_no_default', false),
+  ('AVRO', 'FORWARD', 'nested_add_no_default', true),
+  ('AVRO', 'FULL', 'nested_add_no_default', false),
+  ('JSON', 'BACKWARD', 'relax_int_to_number', true),
+  ('JSON', 'FORWARD', 'relax_int_to_number', false),
+  ('JSON', 'FULL', 'relax_int_to_number', false),
+  ('JSON', 'BACKWARD', 'add_required', false),
+  ('JSON', 'FORWARD', 'add_required', true),
+  ('JSON', 'FULL', 'add_required', false),
+  ('PROTOBUF', 'BACKWARD', 'add_field', true),
+  ('PROTOBUF', 'FORWARD', 'add_field', false),
+  ('PROTOBUF', 'FULL', 'add_field', false),
+  ('PROTOBUF', 'BACKWARD', 'type_change', false),
+  ('PROTOBUF', 'FORWARD', 'type_change', false),
+  ('PROTOBUF', 'FULL', 'type_change', false),
+  ('PROTOBUF', 'BACKWARD', 'remove_reserved', true),
+  ('PROTOBUF', 'FORWARD', 'remove_reserved', false),
+  ('PROTOBUF', 'FULL', 'remove_reserved', false),
+  ('PROTOBUF', 'BACKWARD', 'remove_unreserved', false),
+  ('PROTOBUF', 'FORWARD', 'remove_unreserved', false),
+  ('PROTOBUF', 'FULL', 'remove_unreserved', false)
+) AS t(schema_type, mode, candidate, compatible)""",
+        "typed_view_avro": """SELECT
+  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INT) AS schema_id,
+  o_orderkey AS orderkey,
+  o_custkey AS custkey,
+  CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+  o_orderstatus AS status,
+  CASE WHEN o_orderkey % 2 = 0 THEN NULL
+       WHEN o_orderkey % 3 = 0 THEN NULL
+       ELSE o_orderpriority END AS tag,
+  'web' AS channel
+FROM orders""",
         "dedup_simhash": """WITH norm AS (
   SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents
 ), sets AS (

@@ -26,51 +26,156 @@ MAGIC_BYTE = b"\x00"
 
 
 # --------------------------------------------------------------------- #
-# compatibility rules (CompatibilityChecker.java:88-163 semantics)
+# compatibility rules — per schema type, as the reference wires one
+# checker per type (CompatibilityChecker.createChecker:125-136: AVRO,
+# JSON, PROTOBUF; protobuf supports only BACKWARD modes, Mode
+# .SUPPORTED_FOR_PROTOBUF:148-149, unsupported levels verify false via
+# the IllegalStateException catch at :120-122)
 # --------------------------------------------------------------------- #
 
 
-def _avro_fields(definition: str) -> dict[str, dict]:
-    schema = json.loads(definition)
-    return {f["name"]: f for f in schema.get("fields", [])}
+def _avro_can_read(reader_def: str, writer_def: str) -> bool:
+    """Full Avro Schema Resolution verdict (nested records, unions,
+    defaults, numeric/string promotions) — functions/avro_codec.py is the
+    single authority for resolution, so the registration-time verdict and
+    the data-plane decode can never disagree."""
+    from starlight_for_kafka_spark.functions.avro_codec import can_read
+
+    return can_read(reader_def, writer_def)
 
 
-def _can_read(reader_def: str, writer_def: str) -> bool:
-    """Can data written with ``writer`` be read with ``reader``? (Avro
-    record-level resolution, simplified to the rules the reference's
-    checker enforces: reader-only fields need defaults; shared fields must
-    keep the same type.)"""
-    reader, writer = _avro_fields(reader_def), _avro_fields(writer_def)
-    for name, rf in reader.items():
-        if name not in writer:
-            if "default" not in rf:
-                return False
-        elif rf.get("type") != writer[name].get("type"):
+def _json_superset(sup, sub) -> bool:
+    """True if every instance valid under JSON Schema ``sub`` is valid
+    under ``sup`` (structural approximation in the spirit of the diffing
+    checker the reference delegates to): type sets may only widen
+    (integer ⊆ number), enums may only widen, ``sup``'s required set must
+    be ⊆ ``sub``'s, shared object properties / array items recurse, and a
+    closed object (additionalProperties=false) cannot accept an open one."""
+
+    def types(s):
+        t = s.get("type")
+        if t is None:
+            return None  # accepts anything
+        return {t} if isinstance(t, str) else set(t)
+
+    sup_t, sub_t = types(sup), types(sub)
+    if sup_t is not None:
+        if sub_t is None:
+            return False
+        widened = set(sup_t) | ({"integer"} if "number" in sup_t else set())
+        if not sub_t <= widened:
+            return False
+    if "enum" in sup:
+        if "enum" not in sub or not set(map(str, sub["enum"])) <= set(map(str, sup["enum"])):
+            return False
+    if "minimum" in sup and sub.get("minimum", float("-inf")) < sup["minimum"]:
+        return False
+    if "maximum" in sup and sub.get("maximum", float("inf")) > sup["maximum"]:
+        return False
+    sup_props = sup.get("properties", {})
+    sub_props = sub.get("properties", {})
+    if not set(sup.get("required", [])) <= set(sub.get("required", [])):
+        return False
+    if sup.get("additionalProperties", True) is False:
+        if sub.get("additionalProperties", True) is not False:
+            return False
+        if not set(sub_props) <= set(sup_props):
+            return False
+    for name in set(sup_props) & set(sub_props):
+        if not _json_superset(sup_props[name], sub_props[name]):
+            return False
+    if "items" in sup:
+        if "items" not in sub:
+            return False
+        if not _json_superset(sup["items"], sub["items"]):
             return False
     return True
 
 
-def check_compatibility(mode: str, new_def: str, prior_defs: list[str]) -> bool:
+def _json_can_read(reader_def: str, writer_def: str) -> bool:
+    """Reader (validating) schema accepts all data produced under the
+    writer schema."""
+    return _json_superset(json.loads(reader_def), json.loads(writer_def))
+
+
+_PROTO_FIELD = None  # compiled lazily
+
+
+def _proto_parse(definition: str) -> tuple[dict[int, tuple[str, str, str]], set[int]]:
+    """Parse a single-message .proto body into {number: (label, type,
+    name)} + the reserved number set. Regex-level parsing — enough for the
+    field-number/type/label rules the protobuf checker enforces."""
+    import re
+
+    global _PROTO_FIELD
+    if _PROTO_FIELD is None:
+        _PROTO_FIELD = re.compile(
+            r"^\s*(optional|required|repeated)?\s*([A-Za-z_][\w.]*)\s+(\w+)\s*=\s*(\d+)\s*;"
+        )
+    fields: dict[int, tuple[str, str, str]] = {}
+    reserved: set[int] = set()
+    for line in definition.splitlines():
+        m = _PROTO_FIELD.match(line)
+        if m and m.group(2) not in ("message", "enum", "syntax", "option"):
+            label, ftype, name, num = m.groups()
+            fields[int(num)] = (label or "optional", ftype, name)
+        rm = re.match(r"^\s*reserved\s+([\d,\s]+);", line)
+        if rm:
+            reserved |= {int(x) for x in rm.group(1).replace(",", " ").split()}
+    return fields, reserved
+
+
+def _proto_backward_ok(new_def: str, old_def: str) -> bool:
+    """Protobuf backward compatibility (new schema reads old data): a
+    field number present in both must keep its wire type and label; a
+    field number dropped by the new schema must be reserved there (so it
+    can never be reused with a different type)."""
+    new_fields, new_reserved = _proto_parse(new_def)
+    old_fields, _ = _proto_parse(old_def)
+    for num, (label, ftype, _name) in old_fields.items():
+        if num in new_fields:
+            nlabel, nftype, _n = new_fields[num]
+            if nftype != ftype or nlabel != label:
+                return False
+        elif num not in new_reserved:
+            return False
+    return True
+
+
+def check_compatibility(
+    mode: str, new_def: str, prior_defs: list[str], schema_type: str = "AVRO"
+) -> bool:
     """Verdict for registering ``new_def`` after ``prior_defs`` (oldest →
     newest) under ``mode`` — the reference's verify loop
-    (CompatibilityChecker.java:139-163): non-TRANSITIVE modes check only the
-    latest prior version; TRANSITIVE modes check all."""
+    (CompatibilityChecker.java:88-123): non-TRANSITIVE modes check only the
+    latest prior version; TRANSITIVE modes check all; the checker is
+    selected by schema type (:125-136). PROTOBUF supports only BACKWARD
+    modes — other modes report incompatible (:120-122, :148-149)."""
     if not prior_defs or mode == "NONE":
         return True
     mode = mode.upper()
     transitive = mode.endswith("_TRANSITIVE")
     base = mode.replace("_TRANSITIVE", "")
+    if base not in ("BACKWARD", "FORWARD", "FULL"):
+        raise ValueError(f"unknown compatibility mode: {mode}")
+    schema_type = schema_type.upper()
+    if schema_type == "PROTOBUF":
+        if base != "BACKWARD":
+            return False
+        can_read = _proto_backward_ok
+    elif schema_type == "JSON":
+        can_read = _json_can_read
+    else:
+        can_read = _avro_can_read
     against = prior_defs if transitive else prior_defs[-1:]
     for prior in against:
-        backward = _can_read(new_def, prior)  # new schema reads old data
-        forward = _can_read(prior, new_def)  # old schema reads new data
+        backward = can_read(new_def, prior)  # new schema reads old data
+        forward = can_read(prior, new_def)  # old schema reads new data
         ok = {
             "BACKWARD": backward,
             "FORWARD": forward,
             "FULL": backward and forward,
-        }.get(base)
-        if ok is None:
-            raise ValueError(f"unknown compatibility mode: {mode}")
+        }[base]
         if not ok:
             return False
     return True
@@ -94,7 +199,7 @@ def register_schema(
         r.definition
         for r in registry.filter(F.col("subject") == subject).orderBy("version").collect()
     ]
-    if not check_compatibility(mode, definition, history):
+    if not check_compatibility(mode, definition, history, schema_type):
         raise ValueError(f"incompatible schema for subject {subject} under {mode}")
     spark = registry.sparkSession
     next_version = len(history) + 1
@@ -144,10 +249,139 @@ def strip_schema_id(value: Column) -> tuple[Column, Column]:
 
 
 def typed_view(log: DataFrame, payload_schema: str) -> DataFrame:
-    """A typed view over a log table: parse JSON payloads with the subject's
-    schema (from_json; Avro payloads would use from_avro — the avro jar
-    isn't in this container, so JSON is the in-repo typed path and the Avro
-    call is the same one-line projection)."""
+    """A typed view over a log table with JSON payloads (from_json — the
+    JVM fast path for JSON subjects). Avro subjects use
+    :func:`typed_view_avro`, which decodes real Confluent-framed Avro
+    binary."""
     return log.withColumn(
         "typed", F.from_json(F.col("value").cast("string"), payload_schema)
     )
+
+
+# --------------------------------------------------------------------- #
+# Avro wire path (real binary decode, no external deps)
+# --------------------------------------------------------------------- #
+
+
+def _pickle_codec_by_value() -> None:
+    """Ship functions/avro_codec.py to executor Python workers by VALUE.
+
+    Executor workers don't have this package on sys.path (the driver adds
+    it to its own process only), so any closure referencing the module
+    by name would die with ModuleNotFoundError. register_pickle_by_value
+    makes cloudpickle embed the module source in the task closure — the
+    module equivalent of the define-kernels-inside-the-function rule.
+    """
+    from pyspark import cloudpickle
+
+    from starlight_for_kafka_spark.functions import avro_codec
+
+    cloudpickle.register_pickle_by_value(avro_codec)
+
+
+def avro_encode(
+    log: DataFrame,
+    schemas_by_id: dict[int, str],
+    schema_id_col: str = "schema_id",
+    record_col: str = "record",
+    out_col: str = "value",
+) -> DataFrame:
+    """Encode a struct column to Confluent-framed Avro binary:
+    ``0x00 + int32 schemaId + avro_binary(record)``, each row framed with
+    its own writer schema (``schemas_by_id[row[schema_id_col]]``).
+
+    Mirrors the reference's produce-side framing
+    (ByteBufUtils.prependSchemaId:301-312). Runs as mapInPandas over Arrow
+    batches — per-record byte encoding is inherently row-at-a-time, same
+    as the JVM reference; batches bound executor memory.
+    """
+    _pickle_codec_by_value()
+    from starlight_for_kafka_spark.functions import avro_codec as ac
+
+    import pandas as pd
+
+    parsed = {sid: ac.parse_schema(s) for sid, s in schemas_by_id.items()}
+    keep = [f for f in log.schema.fields if f.name not in (record_col, out_col)]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in keep] + [f"{out_col} binary"]
+    )
+    keep_names = [f.name for f in keep]
+
+    def op(batches):
+        import struct as _struct
+
+        for pdf in batches:
+            sids = pdf[schema_id_col]
+            recs = pdf[record_col]
+            framed = [
+                b"\x00"
+                + _struct.pack(">i", int(sid))
+                + ac.encode(rec, parsed[int(sid)])
+                for sid, rec in zip(sids, recs)
+            ]
+            out = pdf[keep_names].copy()
+            out[out_col] = framed
+            yield out
+
+    return log.mapInPandas(op, out_schema)
+
+
+def avro_decode(
+    log: DataFrame,
+    schemas_by_id: dict[int, str],
+    reader_schema: str,
+    value_col: str = "value",
+    out_col: str = "typed",
+) -> DataFrame:
+    """Decode Confluent-framed Avro payloads into a typed struct column.
+
+    Per record: strip the 5-byte wire header, look up the WRITER schema by
+    the embedded id (the registry is control-plane tiny — shipped in the
+    task closure, the moral equivalent of a broadcast dim), then decode
+    with full reader/writer resolution (promotions, defaults, unions —
+    functions/avro_codec.py). This is the reference's consume-side schema
+    path (ByteBufUtils.java:301-312, format/PulsarAdminSchemaManager.java)
+    re-expressed as an Arrow-batched operator; with the spark-avro jar
+    available, ``from_avro`` replaces the kernel one-for-one.
+    """
+    _pickle_codec_by_value()
+    from pyspark.sql import types as T
+
+    from starlight_for_kafka_spark.functions import avro_codec as ac
+
+    parsed = {sid: ac.parse_schema(s) for sid, s in schemas_by_id.items()}
+    reader = ac.parse_schema(reader_schema)
+    typed_ddl = ac.to_spark_type(reader)
+    # schema_id is re-derived from the wire header — drop any stale column
+    keep = [
+        f for f in log.schema.fields if f.name not in (value_col, out_col, "schema_id")
+    ]
+    out_fields = list(keep) + [
+        T.StructField("schema_id", T.IntegerType(), True),
+        T.StructField(out_col, T._parse_datatype_string(typed_ddl), True),
+    ]
+    out_schema = T.StructType(out_fields)
+    keep_names = [f.name for f in keep]
+
+    def op(batches):
+        import struct as _struct
+
+        for pdf in batches:
+            sids, typed = [], []
+            for raw in pdf[value_col]:
+                buf = bytes(raw)
+                if len(buf) < 5 or buf[0:1] != b"\x00":
+                    sids.append(None)
+                    typed.append(None)
+                    continue
+                sid = _struct.unpack(">i", buf[1:5])[0]
+                sids.append(sid)
+                typed.append(ac.decode(buf[5:], parsed[sid], reader))
+            out = pdf[keep_names].copy()
+            out["schema_id"] = pd.Series(sids, dtype="object")
+            out[out_col] = pd.Series(typed, dtype="object")
+            yield out
+
+    import pandas as pd
+
+    return log.mapInPandas(op, out_schema)

@@ -81,3 +81,59 @@ def test_typed_view_over_log(spark, log):
     typed = reg.typed_view(log.df, "k int")
     row = typed.filter(F.col("typed.k").isNotNull()).first()
     assert row is not None and isinstance(row.typed.k, int)
+
+
+# --------------------------------------------------------------------- #
+# per-type checkers (CompatibilityChecker.createChecker:125-136)
+# --------------------------------------------------------------------- #
+
+J1 = ('{"type":"object","properties":{"id":{"type":"integer"},'
+      '"name":{"type":"string"}},"required":["id"]}')
+P1 = "message Evt {\n  optional int64 id = 1;\n  optional string name = 2;\n}"
+
+
+def test_json_compat_widening():
+    relaxed = J1.replace('"id":{"type":"integer"}', '"id":{"type":"number"}')
+    assert reg.check_compatibility("BACKWARD", relaxed, [J1], "JSON")
+    assert not reg.check_compatibility("FORWARD", relaxed, [J1], "JSON")
+    # new required field breaks backward (old data may lack it)
+    stricter = J1.replace('"required":["id"]', '"required":["id","name"]')
+    assert not reg.check_compatibility("BACKWARD", stricter, [J1], "JSON")
+    assert reg.check_compatibility("FORWARD", stricter, [J1], "JSON")
+
+
+def test_json_compat_enum_and_closed_object():
+    base = '{"type":"object","properties":{"s":{"type":"string","enum":["a","b"]}}}'
+    wider = base.replace('["a","b"]', '["a","b","c"]')
+    assert reg.check_compatibility("BACKWARD", wider, [base], "JSON")
+    assert not reg.check_compatibility("BACKWARD", base, [wider], "JSON")
+    closed = '{"type":"object","properties":{"x":{"type":"integer"}},"additionalProperties":false}'
+    open_ = closed.replace(',"additionalProperties":false', "")
+    assert reg.check_compatibility("BACKWARD", open_, [closed], "JSON")
+    assert not reg.check_compatibility("BACKWARD", closed, [open_], "JSON")
+
+
+def test_proto_compat_rules():
+    added = P1.replace("}", "  optional int32 n = 3;\n}")
+    assert reg.check_compatibility("BACKWARD", added, [P1], "PROTOBUF")
+    retyped = P1.replace("optional string name = 2;", "optional int32 name = 2;")
+    assert not reg.check_compatibility("BACKWARD", retyped, [P1], "PROTOBUF")
+    relabeled = P1.replace("optional string name = 2;", "repeated string name = 2;")
+    assert not reg.check_compatibility("BACKWARD", relabeled, [P1], "PROTOBUF")
+    removed_ok = P1.replace("optional string name = 2;", "reserved 2;")
+    assert reg.check_compatibility("BACKWARD", removed_ok, [P1], "PROTOBUF")
+    removed_bad = P1.replace("  optional string name = 2;\n", "")
+    assert not reg.check_compatibility("BACKWARD", removed_bad, [P1], "PROTOBUF")
+    # only BACKWARD modes are supported for protobuf — reference returns
+    # incompatible for the rest (CompatibilityChecker.java:120-122,148-149)
+    assert not reg.check_compatibility("FORWARD", added, [P1], "PROTOBUF")
+    assert not reg.check_compatibility("FULL", added, [P1], "PROTOBUF")
+    assert reg.check_compatibility("BACKWARD_TRANSITIVE", added, [P1], "PROTOBUF")
+
+
+def test_avro_compat_nested_resolution():
+    n1 = ('{"type":"record","name":"O","fields":[{"name":"inner","type":'
+          '{"type":"record","name":"I","fields":[{"name":"x","type":"int"}]}}]}')
+    promoted = n1.replace('"type":"int"', '"type":"long"')
+    assert reg.check_compatibility("BACKWARD", promoted, [n1], "AVRO")
+    assert not reg.check_compatibility("FORWARD", promoted, [n1], "AVRO")
