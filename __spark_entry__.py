@@ -504,7 +504,7 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
     return dedup_ops.ngram_jaccard_pairs(
-        docs, threshold=0.6, max_postings=1_000_000_000
+        docs, threshold=0.6, shingle_k=3, shingle_mode="word"
     )
 
 
@@ -2239,13 +2239,16 @@ d AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS dig F
 SELECT doc_id FROM d
 QUALIFY row_number() OVER (PARTITION BY dig ORDER BY doc_id) = 1""",
         "dedup_ngram_jaccard": f"""WITH {DOCS_WITH_NEAR_CTE},
-norm AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM docs),
+w AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM docs
+),
 sets AS (
   SELECT doc_id,
-         list_distinct(CASE WHEN length(t) >= 5
-                            THEN [substring(t, i, 5) FOR i IN range(1, length(t) - 3)]
-                            ELSE [] END) AS sh
-  FROM norm
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [] END) AS sh
+  FROM w
 ),
 postings AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sets),
 shared AS (

@@ -48,6 +48,7 @@ def main() -> None:
         "q1_pricing_summary",       # TPC-H Q1 style scan+agg
         "top_revenue_orders",       # 3-way join + top-k
         "dedup_exact",              # exact dedup
+        "dedup_ngram_jaccard",      # exact Jaccard pairs (prefix-filter join)
         "dedup_minhash",            # MinHash-LSH near dedup
         "similarity_top10",         # brute-force cosine top-k
         "text_stats",               # text quality scan

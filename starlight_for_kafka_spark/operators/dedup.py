@@ -264,34 +264,129 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.5,
-    max_postings: int = 500,
+    shingle_mode: str = "char",
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
-    explode distinct shingles, self-join on shingle (bounded by
-    ``max_postings`` per shingle to kill stop-shingle skew), count shared
-    shingles per pair, then Jaccard = shared / (|A| + |B| − shared).
+    """EXACT n-gram Jaccard near-dup pairs (recall 1) via a prefix-filtered
+    set-similarity join (the PPJoin family: SIGMOD'06 all-pairs /
+    ICDE'08 ppjoin — public literature): Jaccard = |A∩B| / |A∪B| over
+    distinct char ``shingle_k``-grams, all pairs ≥ ``threshold``.
 
-    This is the exact (non-probabilistic) sibling of MinHash-LSH — O(sum of
-    posting-list² ) instead of O(n²); correct choice when recall must be 1.
+    Plan shape — the one that survives 100×. A naive inverted-index
+    self-join does Σ df(sh)² work; stop-shingles make that quadratic in
+    corpus size (at sf0.1 this corpus has 769M raw shingle pairs, 94% from
+    shingles in >500 docs) and it cliffs on a stock heap. Instead:
+
+    1. order every doc's shingle set by GLOBAL rarity (document frequency
+       asc, shingle asc) — one keyed count with map-side combine, joined
+       back (AQE broadcasts the df side when small);
+    2. index only each doc's PREFIX — its |A| − ⌈t·|A|⌉ + 1 rarest
+       shingles. Theorem (prefix filtering): two sets with Jaccard ≥ t
+       must share at least one prefix shingle under any consistent global
+       order, so recall stays exactly 1. Rarity order means stop-shingles
+       are never indexed — the hot keys prune themselves;
+    3. candidate pairs from the prefix self-join, cut further by the size
+       filter (t·|A| ≤ |B|) and the positional filter
+       (min(|A|−rank_A, |B|−rank_B)+1 ≥ ⌈t/(1+t)·(|A|+|B|)⌉), both
+       exact-safe (they only discard pairs that cannot reach t); at sf0.1
+       this is 4.6M distinct candidates instead of 769M raw pairs;
+    4. verify candidates exactly: join the (localCheckpointed) sets back
+       — broadcast when small, keyed otherwise — and compute
+       size(array_intersect) JVM-side.
+
+    Epsilon slack on the three bounds only LOOSENS them (float rounding
+    can then never shrink a prefix or over-prune), so exactness is
+    preserved by construction; the verify step owns precision.
+
+    Two micro-decisions that dominate wall-clock: (a) the normalized text
+    is PROJECTED once before shingling — substr inside the transform
+    lambda then reads an attribute, instead of re-running the
+    regexp_replace per position; (b) shingles are hashed to int64
+    (xxhash64) at birth, so every downstream compare — distinct, df
+    count, prefix join, array_intersect verify — works on longs, not
+    5-char strings. Jaccard over distinct hashes equals Jaccard over
+    distinct shingles barring a 64-bit collision (≈n²/2⁶⁴ — negligible,
+    and deterministic if it ever happens).
     """
-    sets_df = df.select(
+    t = float(threshold)
+    eps = 1e-9
+    norm = df.select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("__set"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("__t"),
+    )
+    if shingle_mode == "word":
+        # Broder-style w-shingling (same choice minhash_dedup made, same
+        # rationale): the word-gram vocabulary is orders of magnitude
+        # larger than the char-k-gram space, so document frequencies —
+        # and with them the prefix-join pair space — collapse.
+        ws = F.split(F.trim(F.col("__t")), " ")
+        ngrams = F.size(ws) - F.lit(shingle_k - 1)
+        hashed = F.when(
+            ngrams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), ngrams),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(ws, i, F.lit(shingle_k)))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+    else:
+        npos = F.length("__t") - F.lit(shingle_k - 1)
+        hashed = F.when(
+            npos >= 1,
+            F.transform(
+                F.sequence(F.lit(1), npos),
+                lambda i: F.xxhash64(F.col("__t").substr(i, F.lit(shingle_k))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+    sets_df = norm.select(
+        "__id", F.array_distinct(hashed).alias("__set")
     ).withColumn("__n", F.size("__set"))
+    sets_df = sets_df.localCheckpoint(eager=True)  # reused: postings + verify
+
     postings = sets_df.select("__id", "__n", F.explode("__set").alias("sh"))
-    postings = postings.withColumn(
-        "__df", F.count("*").over(Window.partitionBy("sh"))
-    ).filter(F.col("__df") <= max_postings)
-    a = postings.select(F.col("__id").alias("a"), F.col("__n").alias("na"), "sh")
-    b = postings.select(F.col("__id").alias("b"), F.col("__n").alias("nb"), "sh")
-    shared = (
+    dfreq = postings.groupBy("sh").agg(F.count("*").alias("__df"))
+    ranked = postings.join(dfreq, "sh").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("__id").orderBy("__df", "sh")),
+    )
+    prefix_len = F.col("__n") - F.ceil(F.col("__n") * t - eps) + 1
+    prefix = ranked.filter(F.col("rk") <= prefix_len)
+
+    a = prefix.select(
+        F.col("__id").alias("a"), F.col("__n").alias("na"), F.col("rk").alias("ra"), "sh"
+    )
+    b = prefix.select(
+        F.col("__id").alias("b"), F.col("__n").alias("nb"), F.col("rk").alias("rb"), "sh"
+    )
+    min_overlap = F.ceil((F.col("na") + F.col("nb")) * (t / (1.0 + t)) - eps)
+    cand = (
         a.join(b, "sh")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
+        .filter(F.least("na", "nb") >= F.greatest("na", "nb") * t - eps)
+        .filter(
+            F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")) + 1
+            >= min_overlap
+        )
+        .select("a", "b", "na", "nb")
+        .distinct()
     )
+
+    sa = sets_df.select(F.col("__id").alias("a"), F.col("__set").alias("__sa"))
+    sb = sets_df.select(F.col("__id").alias("b"), F.col("__set").alias("__sb"))
+    # verify-join strategy: the candidate side is millions of NARROW rows;
+    # sort-merge joining them twice against array-carrying sets costs two
+    # full sorts. When the set table fits a broadcast (sets_df is already
+    # checkpointed, so count() is a cheap scan), pin broadcast-hash joins —
+    # verify then runs map-side over the candidate stream. Past the
+    # threshold (~100s of MB of sets) fall back to keyed joins.
+    if sets_df.count() <= 50_000:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
-        shared.withColumn(
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("inter", inter)
+        .withColumn(
             "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
         )
         .filter(F.col("jaccard") >= threshold)
