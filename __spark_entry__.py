@@ -1142,6 +1142,33 @@ def q_quantile_filter(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_quantile_filter_approx(spark, sf_dir):
+    """Per-language quantile filter on the 100 TB path: per-group threshold
+    from the approx_percentile sketch, broadcast back, two linear scans —
+    no per-group sort. Oracle-exact at this SF because the sketch's rank
+    error is bounded by n/accuracy < 1 row for groups under 10k rows, so
+    the cut equals the discrete 75th percentile DuckDB computes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_ops.quantile_filter(
+        docs, ["lang"], "n_chars", 0.25, "doc_id", mode="approx"
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the LSH bucket, multi-probe LSH, and IVF probe indexes
+    vs exact brute force, per query — deterministic (md5 hyperplanes,
+    9-dp-rounded centroid assignment), so the oracle replays the full
+    harness in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return sim_ops.ann_recall(
+        emb, [0, 17, 42, 99, 123], cents, k=10, n_planes=4, nprobe=2
+    )
+
+
 def q_repetition_score(spark, sf_dir):
     """Gopher-style repetition filter inputs: type-token ratio (map-only)
     and top-bigram fraction (explode + two partial-combining aggs)."""
@@ -1866,6 +1893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "decontaminate": q_decontaminate,
         "quantile_filter": q_quantile_filter,
+        "quantile_filter_approx": q_quantile_filter_approx,
+        "ann_recall": q_ann_recall,
         "cap_per_source": q_cap_per_source,
         "corpus_stats": q_corpus_stats,
         "scrub_pii": q_scrub_pii,
@@ -2042,6 +2071,73 @@ def _dedup_embedding_lsh_oracle_sql() -> str:
   FROM bk x JOIN bk y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
 )
 SELECT a, b, cos FROM pairs WHERE cos >= 0.95"""
+
+
+def _ann_recall_oracle_sql() -> str:
+    """ann_recall: replay the whole harness — brute-force truth, LSH
+    bucket, Hamming-1 multi-probe, IVF nprobe=2 — and report n_hit /
+    recall@10 per (method, query)."""
+    cos6 = (
+        "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    cos9 = cos6.replace(", 6)", ", 9)")
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 17, 42, 99, 123)
+), scored AS (
+  SELECT q.qid, e.vec_id, {cos6.format(a='e.v', b='q.qv')} AS sim FROM e, q
+), truth AS (
+  SELECT qid, vec_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) <= 10
+), b AS (
+  SELECT vec_id, {_hp_bucket_sql('v', 4)} AS bkt FROM e
+), qbk AS (
+  SELECT q.qid, b.bkt AS qb FROM q JOIN b ON b.vec_id = q.qid
+), lsh_top AS (
+  SELECT s.qid, s.vec_id FROM scored s
+  JOIN b ON b.vec_id = s.vec_id JOIN qbk ON qbk.qid = s.qid
+  WHERE b.bkt = qbk.qb
+  QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.vec_id) <= 10
+), probe_top AS (
+  SELECT s.qid, s.vec_id FROM scored s
+  JOIN b ON b.vec_id = s.vec_id JOIN qbk ON qbk.qid = s.qid
+  WHERE bit_count(xor(b.bkt, qbk.qb)) <= 1
+  QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.vec_id) <= 10
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4
+), cells AS (
+  SELECT t.vec_id, CAST(t.cid AS INT) AS ivf_cell FROM (
+    SELECT e.vec_id, c.cid, {cos9.format(a='e.v', b='c.cv')} AS sim FROM e CROSS JOIN c
+  ) t
+  QUALIFY row_number() OVER (PARTITION BY t.vec_id ORDER BY t.sim DESC, t.cid) = 1
+), qcells AS (
+  SELECT t.qid, CAST(t.cid AS INT) AS cid FROM (
+    SELECT q.qid, c.cid, {cos9.format(a='q.qv', b='c.cv')} AS sim FROM q CROSS JOIN c
+  ) t
+  QUALIFY row_number() OVER (PARTITION BY t.qid ORDER BY t.sim DESC, t.cid) <= 2
+), ivf_top AS (
+  SELECT s.qid, s.vec_id FROM scored s
+  JOIN cells ON cells.vec_id = s.vec_id
+  JOIN qcells ON qcells.qid = s.qid AND qcells.cid = cells.ivf_cell
+  QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.vec_id) <= 10
+), h_lsh AS (
+  SELECT t.qid, count(*) AS n_hit FROM truth t JOIN lsh_top m USING (qid, vec_id) GROUP BY t.qid
+), h_probe AS (
+  SELECT t.qid, count(*) AS n_hit FROM truth t JOIN probe_top m USING (qid, vec_id) GROUP BY t.qid
+), h_ivf AS (
+  SELECT t.qid, count(*) AS n_hit FROM truth t JOIN ivf_top m USING (qid, vec_id) GROUP BY t.qid
+)
+SELECT 'lsh' AS method, q.qid, coalesce(h.n_hit, 0) AS n_hit,
+       coalesce(h.n_hit, 0) / 10.0 AS recall
+FROM q LEFT JOIN h_lsh h USING (qid)
+UNION ALL
+SELECT 'lsh_probe', q.qid, coalesce(h.n_hit, 0), coalesce(h.n_hit, 0) / 10.0
+FROM q LEFT JOIN h_probe h USING (qid)
+UNION ALL
+SELECT 'ivf', q.qid, coalesce(h.n_hit, 0), coalesce(h.n_hit, 0) / 10.0
+FROM q LEFT JOIN h_ivf h USING (qid)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3129,6 +3225,13 @@ GROUP BY lang""",
          percent_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS pr
   FROM documents
 ) WHERE pr <= 0.25""",
+        "quantile_filter_approx": """WITH cuts AS (
+  SELECT lang, quantile_disc(n_chars, 0.75) AS cut FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN cuts c USING (lang)
+WHERE d.n_chars >= c.cut""",
+        "ann_recall": _ann_recall_oracle_sql(),
         "decontaminate": """WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
   UNION ALL

@@ -320,6 +320,115 @@ def quantization_recall(
     )
 
 
+def ann_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_planes: int = 4,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of every ANN index against exact brute force, per query:
+    the evaluation harness that turns "LSH/IVF recall is probabilistic"
+    into a measured, re-checkable number (the quantization_recall pattern
+    applied to the index structures).
+
+    Methods evaluated per query id: ``lsh`` (single hyperplane bucket),
+    ``lsh_probe`` (multi-probe, Hamming-1 buckets), ``ivf`` (``nprobe``
+    nearest cells). Because the hyperplanes are md5-derived and the
+    centroid assignment uses the same 9-dp rounding as ivf_assign, every
+    candidate set — hence every recall value — is exactly deterministic
+    and oracle-checkable.
+
+    Plan shape: queries are a handful of rows (control-plane: collected
+    and broadcast); each method is ONE scan of the corpus filtered by its
+    index predicate, ranked per query with a window partitioned by query
+    id — only (query, candidate) pairs shuffle. At 100 TB with the table
+    written bucket-/cell-partitioned, the same predicates partition-prune.
+    """
+    x = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__x")
+    )
+    queries = x.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col("__x").alias("__qv")
+    )
+    qrows = queries.collect()  # control-plane: len(query_ids) rows
+
+    bucketed = x.withColumn("__b", hyperplane_bucket(F.col("__x"), n_planes))
+    qb = queries.withColumn("__qb", hyperplane_bucket(F.col("__qv"), n_planes))
+
+    sim = F.round(cosine_similarity(F.col("__x"), F.col("__qv")), 6)
+
+    def top_k(cand: DataFrame) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(F.desc("__sim"), F.asc(id_col))
+        return (
+            cand.withColumn("__sim", sim)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("qid", id_col)
+        )
+
+    truth = top_k(x.join(F.broadcast(queries)))
+    lsh = top_k(
+        bucketed.join(F.broadcast(qb), F.col("__b") == F.col("__qb"))
+    )
+    probe = top_k(
+        bucketed.join(
+            F.broadcast(qb), F.bit_count(F.col("__b").bitwiseXOR(F.col("__qb"))) <= 1
+        )
+    )
+
+    import math
+
+    def _cos(a, b):
+        dot = sum(p * q for p, q in zip(a, b))
+        return round(
+            dot
+            / (math.sqrt(sum(p * p for p in a)) * math.sqrt(sum(q * q for q in b))),
+            9,
+        )
+
+    probe_cells = [
+        (
+            r["qid"],
+            sorted(
+                range(len(centroids)),
+                key=lambda i: (-_cos(centroids[i], list(r["__qv"])), i),
+            )[:nprobe],
+        )
+        for r in qrows
+    ]
+    spark = embeddings.sparkSession
+    qcells = spark.createDataFrame(probe_cells, "qid bigint, __cells array<int>")
+    assigned = ivf_assign(x, centroids, id_col, "__x")
+    ivf = top_k(
+        assigned.join(F.broadcast(queries))
+        .join(F.broadcast(qcells), "qid")
+        .filter(F.array_contains(F.col("__cells"), F.col("ivf_cell")))
+    )
+
+    truth_n = truth.groupBy("qid").agg(F.count("*").alias("__nt"))
+
+    def recall_of(cand_top: DataFrame, method: str) -> DataFrame:
+        hits = truth.join(cand_top, ["qid", id_col]).groupBy("qid").agg(
+            F.count("*").alias("n_hit")
+        )
+        return truth_n.join(hits, "qid", "left").select(
+            F.lit(method).alias("method"),
+            "qid",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))).alias("recall"),
+        )
+
+    return (
+        recall_of(lsh, "lsh")
+        .unionByName(recall_of(probe, "lsh_probe"))
+        .unionByName(recall_of(ivf, "ivf"))
+    )
+
+
 def hybrid_search(
     docs: DataFrame,
     embeddings: DataFrame,
