@@ -303,6 +303,122 @@ def assign_partitions_roundrobin(members: DataFrame, partitions: DataFrame) -> D
     )
 
 
+def assign_partitions_sticky(
+    members: DataFrame, partitions: DataFrame, prior: DataFrame
+) -> DataFrame:
+    """Sticky assignor: balanced quotas with maximal retention of the
+    previous generation's assignment (Kafka's StickyAssignor /
+    CooperativeStickyAssignor target state under identical subscriptions —
+    the constrained path; the reference admits whatever assignor the
+    client leader negotiates, GroupCoordinator.java:215-438, so the
+    leader-side computation is what this models).
+
+    Deterministic rules (each one a documented tie-break so the verdict is
+    SQL-replayable):
+    - quotas: with P partitions and N live members, every member is
+      allowed floor(P/N); the P mod N max-quota slots go to members with
+      the MOST still-valid prior partitions (ties: member id asc) — the
+      movement-minimizing choice;
+    - retention: each member keeps its valid prior partitions in (topic,
+      partition) order up to its allowance;
+    - placement: partitions that are new, orphaned by departed members, or
+      revoked over-quota are dealt in (topic, partition) order to members'
+      remaining capacity in member-id order.
+
+    Counts always land on floor(P/N) or ceil(P/N) (balance), and a member
+    never loses a partition unless its quota demands it (stickiness).
+    Coordinator-scale data: everything broadcasts, no large shuffle.
+    """
+    m = _ranked_members(members)
+    wg = Window.orderBy("topic", "partition")
+    p0 = (
+        partitions.select("topic", "partition")
+        .distinct()
+        .withColumn("gidx", F.row_number().over(wg) - 1)
+    )
+    np_total = p0.count()  # control-plane: partition table is tiny
+    groups = m.select("group", "nm").distinct()
+    p = p0.crossJoin(F.broadcast(groups)).withColumn("np", F.lit(np_total))
+
+    # still-valid prior claims: live member + existing partition, deduped
+    valid = (
+        prior.select("group", "topic", "partition", "member")
+        .join(F.broadcast(m.select("group", "member")), ["group", "member"])
+        .join(F.broadcast(p0.select("topic", "partition")), ["topic", "partition"])
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("group", "topic", "partition").orderBy("member")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    owned = valid.groupBy("group", "member").agg(F.count("*").alias("__owned"))
+    quotas = (
+        m.join(F.broadcast(owned), ["group", "member"], "left")
+        .withColumn("__owned", F.coalesce(F.col("__owned"), F.lit(0)))
+        .withColumn("__minq", F.floor(F.lit(np_total) / F.col("nm")))
+        .withColumn("__extra", F.lit(np_total) % F.col("nm"))
+        .withColumn(
+            "__xrank",
+            F.row_number().over(
+                Window.partitionBy("group").orderBy(F.desc("__owned"), F.asc("member"))
+            ),
+        )
+        .withColumn(
+            "allowed",
+            (F.col("__minq") + F.when(F.col("__xrank") <= F.col("__extra"), 1).otherwise(0)).cast("int"),
+        )
+        .select("group", "member", "midx", "allowed")
+    )
+
+    retained = (
+        valid.join(F.broadcast(quotas), ["group", "member"])
+        .withColumn(
+            "__rr",
+            F.row_number().over(
+                Window.partitionBy("group", "member").orderBy("topic", "partition")
+            ),
+        )
+        .filter(F.col("__rr") <= F.col("allowed"))
+        .select("group", "topic", "partition", "member")
+    )
+
+    kept_counts = retained.groupBy("group", "member").agg(F.count("*").alias("__kept"))
+    capacity = (
+        quotas.join(F.broadcast(kept_counts), ["group", "member"], "left")
+        .withColumn("__kept", F.coalesce(F.col("__kept"), F.lit(0)))
+        .withColumn("__deficit", F.col("allowed") - F.col("__kept"))
+        .withColumn(
+            "__hi",
+            F.sum("__deficit").over(
+                Window.partitionBy("group").orderBy("midx").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .withColumn("__lo", F.col("__hi") - F.col("__deficit"))
+        .select("group", "member", "__lo", "__hi")
+    )
+
+    unassigned = (
+        p.select("group", "topic", "partition")
+        .join(retained.select("group", "topic", "partition"), ["group", "topic", "partition"], "left_anti")
+        .withColumn(
+            "__ur",
+            F.row_number().over(Window.partitionBy("group").orderBy("topic", "partition")),
+        )
+    )
+    filled = (
+        unassigned.join(F.broadcast(capacity), "group")
+        .filter((F.col("__ur") > F.col("__lo")) & (F.col("__ur") <= F.col("__hi")))
+        .select("group", "topic", "partition", "member")
+    )
+    return retained.unionByName(filled)
+
+
 def list_members(membership: DataFrame) -> DataFrame:
     """DESCRIBE_GROUPS member list: live members with their last-seen time
     (the coordinator's heartbeat bookkeeping, DelayedHeartbeat expiry —

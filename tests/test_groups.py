@@ -270,3 +270,47 @@ def test_committed_offsets_tombstone_removes_key(spark):
     assert out == {1: 8}
     # without tombstone handling both keys survive (back-compat)
     assert {r.partition for r in committed_offsets(commits).collect()} == {0, 1}
+
+
+def test_sticky_assignor_balance_and_stickiness(spark):
+    from pyspark.sql import functions as F
+
+    members = spark.createDataFrame(
+        [("g", m) for m in ["m1", "m2", "m3"]], "group string, member string"
+    )
+    old_members = spark.createDataFrame(
+        [("g", m) for m in ["m1", "m2", "m3", "m4"]], "group string, member string"
+    )
+    parts = spark.createDataFrame(
+        [("t", p) for p in range(10)], "topic string, partition int"
+    )
+    prior = groups.assign_partitions_roundrobin(old_members, parts)
+    out = groups.assign_partitions_sticky(members, parts, prior)
+    rows = out.collect()
+    # every partition assigned exactly once
+    assert sorted((r.topic, r.partition) for r in rows) == [("t", p) for p in range(10)]
+    # balance: 10 partitions / 3 members → counts {4, 3, 3}
+    counts = out.groupBy("member").count().collect()
+    assert sorted(r["count"] for r in counts) == [3, 3, 4]
+    # stickiness: every partition a surviving member owned before is kept
+    prior_live = {(r.topic, r.partition): r.member
+                  for r in prior.collect() if r.member != "m4"}
+    now = {(r.topic, r.partition): r.member for r in rows}
+    moved = [k for k, v in prior_live.items() if now[k] != v]
+    assert moved == [], f"partitions moved off surviving owners: {moved}"
+
+
+def test_sticky_assignor_no_prior_is_balanced(spark):
+    members = spark.createDataFrame(
+        [("g", m) for m in ["a", "b"]], "group string, member string"
+    )
+    parts = spark.createDataFrame(
+        [("t", p) for p in range(5)], "topic string, partition int"
+    )
+    empty_prior = spark.createDataFrame(
+        [], "group string, topic string, partition int, member string"
+    )
+    out = groups.assign_partitions_sticky(members, parts, empty_prior)
+    counts = {r.member: r["count"] for r in out.groupBy("member").count().collect()}
+    assert sorted(counts.values()) == [2, 3]
+    assert out.count() == 5
