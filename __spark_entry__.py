@@ -209,7 +209,7 @@ def q_describe_log(spark, sf_dir):
 
     out = describe_log(_log(spark, sf_dir).df)
     return out.select(
-        "partition", "n_records", "payload_bytes",
+        "partition", "n_records", "record_bytes",
         "log_start_offset", "log_end_offset",
         F.expr(_MS.format(c="earliest_ts")).alias("earliest_ms"),
         F.expr(_MS.format(c="latest_ts")).alias("latest_ms"),
@@ -250,10 +250,13 @@ def q_txn_sequence_gaps(spark, sf_dir):
 
 def q_fetch_max_bytes(spark, sf_dir):
     """KIP-74 bounded fetch: records from offset 5 of partition 2 while
-    cumulative payload stays within 300 bytes (first record always
-    served)."""
+    cumulative RECORD bytes (key + value, the same accounting Kafka's
+    max.bytes uses — sources/logtable.py:record_size) stay within 300;
+    first record always served."""
+    from starlight_for_kafka_spark.sources.logtable import record_size
+
     return _log(spark, sf_dir).fetch(2, 5, max_bytes=300).select(
-        "partition", "offset", F.octet_length("value").alias("n_bytes")
+        "partition", "offset", record_size().alias("n_bytes")
     )
 
 
@@ -2174,8 +2177,8 @@ SELECT key, value, {ms.format(c='"timestamp"')} AS ts_ms, "partition", "offset"
 FROM log WHERE "partition" = 3 AND "offset" >= 10 AND "offset" < 40""",
         "fetch_max_bytes": f"""WITH {LOG_CTE},
 f AS (
-  SELECT "partition", "offset", strlen(value) AS n_bytes,
-         sum(strlen(value)) OVER (ORDER BY "offset"
+  SELECT "partition", "offset", strlen(key) + strlen(value) AS n_bytes,
+         sum(strlen(key) + strlen(value)) OVER (ORDER BY "offset"
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
          row_number() OVER (ORDER BY "offset") AS rn
   FROM log WHERE "partition" = 2 AND "offset" >= 5
@@ -2237,7 +2240,7 @@ FROM txn3 WHERE txn_status = 'abort' GROUP BY "partition", pid, txn_group""",
 SELECT * FROM lso""",
         "describe_log": f"""WITH {LOG_CTE}
 SELECT "partition", count(*) AS n_records,
-       sum(strlen(value)) AS payload_bytes,
+       sum(strlen(key) + strlen(value)) AS record_bytes,
        min("offset") AS log_start_offset,
        max("offset") + 1 AS log_end_offset,
        min({ms.format(c='"timestamp"')}) AS earliest_ms,
@@ -2874,7 +2877,7 @@ FROM unassigned u JOIN cap c ON c."group" = u."group" AND u.ur > c.lo AND u.ur <
         "retention_bytes": f"""WITH {LOG_CTE},
 c AS (
   SELECT "partition", "offset",
-         sum(strlen(value)) OVER (
+         sum(strlen(key) + strlen(value)) OVER (
            PARTITION BY "partition" ORDER BY "offset" DESC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
          row_number() OVER (PARTITION BY "partition" ORDER BY "offset" DESC) AS rn

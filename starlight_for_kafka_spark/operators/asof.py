@@ -28,6 +28,7 @@ def as_of_join(
     right_ts: str = "ts",
     right_payload: list[str] | None = None,
     tiebreak: str | None = None,
+    match_col: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row joined to the latest ``right``
     row with ``right_ts <= left_ts`` per key (inclusive, matching DuckDB's
@@ -35,11 +36,17 @@ def as_of_join(
 
     ``right_payload`` names the right columns to carry (default: all
     non-key, non-ts columns). ``tiebreak`` orders same-timestamp rows
-    deterministically when provided.
+    deterministically when provided. ``match_col``, when set, adds a
+    boolean column that is true iff a right row matched — the ONLY
+    reliable match signal, since a matched right row may legitimately
+    carry all-null payload fields.
     """
     right_payload = right_payload or [
         c for c in right.columns if c not in on and c != right_ts
     ]
+    if match_col is not None:
+        right = right.withColumn("__m", F.lit(True))
+        right_payload = list(right_payload) + ["__m"]
     overlap = set(right_payload) & set(left.columns)
     if overlap:
         raise ValueError(
@@ -80,7 +87,12 @@ def as_of_join(
         *[c for c in left_cols if c not in on],
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
     )
-    return carried.filter(F.col("__tag") == 1).drop("__tag")
+    out = carried.filter(F.col("__tag") == 1).drop("__tag")
+    if match_col is not None:
+        out = out.withColumn(
+            match_col, F.coalesce(F.col("__m"), F.lit(False))
+        ).drop("__m")
+    return out
 
 
 def as_of_join_forward(

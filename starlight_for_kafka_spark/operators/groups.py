@@ -95,6 +95,10 @@ def reset_offsets(
     existing commits for latest-wins compaction to pick them — the same
     mechanism the broker uses: a reset IS a commit).
 
+    The reset is PER-TOPIC, as kafka-consumer-groups' --reset-offsets is:
+    only the target group's commits for the reset topic are superseded; the
+    same group's other topics keep their history untouched.
+
     Scale: ``positions`` is num_partitions rows; the rewrite is a filter +
     tiny union, no shuffle of the commit log.
     """
@@ -106,7 +110,7 @@ def reset_offsets(
         F.lit("reset").alias("metadata"),
         F.lit(reset_ts).cast("timestamp").alias("commit_ts"),
     )
-    kept = commits.filter(F.col("group") != group)
+    kept = commits.filter((F.col("group") != group) | (F.col("topic") != topic))
     return kept.select(*COMMIT_COLUMNS).unionByName(fresh)
 
 

@@ -116,20 +116,23 @@ def stream_table_join(
     the join key, which is exactly Kafka Streams' co-partitioning
     requirement for this join; no range-join or per-key cross product.
     ``how``: 'inner' drops stream records with no table value yet (Kafka
-    Streams inner stream-table join), 'left' keeps them with nulls.
+    Streams inner stream-table join), 'left' keeps them with nulls. The
+    inner filter uses an explicit match marker carried through the as-of
+    window — NOT payload nullability, which would misdrop a genuinely
+    matched changelog row whose payload fields are legitimately null.
     """
     from .asof import as_of_join
 
     joined = as_of_join(
-        stream, changelog, on, stream_ts, changelog_ts, payload, tiebreak=tiebreak
+        stream,
+        changelog,
+        on,
+        stream_ts,
+        changelog_ts,
+        payload,
+        tiebreak=tiebreak,
+        match_col="__matched",
     )
     if how == "inner":
-        cols = payload or [
-            c for c in changelog.columns if c not in on and c != changelog_ts
-        ]
-        cond = None
-        for c in cols:
-            nn = F.col(c).isNotNull()
-            cond = nn if cond is None else (cond & nn)
-        joined = joined.filter(cond)
-    return joined
+        joined = joined.filter(F.col("__matched"))
+    return joined.drop("__matched")

@@ -28,9 +28,9 @@ def throughput_metrics(log: DataFrame, bucket: str = "hour") -> DataFrame:
     meters on produce; ``avg_record_bytes`` is the derived per-record cost
     the dashboard plots as BYTES_IN/MESSAGE_IN.
     """
-    size = F.coalesce(F.octet_length("key"), F.lit(0)) + F.coalesce(
-        F.octet_length("value"), F.lit(0)
-    )
+    from starlight_for_kafka_spark.sources.logtable import record_size
+
+    size = record_size()
     return (
         log.groupBy(
             F.date_trunc(bucket, "timestamp").alias("bucket"),

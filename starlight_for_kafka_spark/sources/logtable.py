@@ -64,6 +64,21 @@ KAFKA_RECORD_SCHEMA = T.StructType(
 LOG_COLUMNS = [f.name for f in KAFKA_RECORD_SCHEMA.fields]
 
 
+def record_size(key_col: str = "key", value_col: str = "value"):
+    """Full record byte accounting: key + value bytes (nulls count 0).
+
+    The single size expression every byte budget shares — fetch
+    ``max_bytes`` (KIP-74), ``retention.bytes``, DESCRIBE_LOG sizing, and
+    throughput metrics — because Kafka's limits count whole records, and
+    internally inconsistent accounting (value-only in one place, key+value
+    in another) makes budgets impossible to reason about.
+    """
+    return (
+        F.coalesce(F.octet_length(key_col), F.lit(0))
+        + F.coalesce(F.octet_length(value_col), F.lit(0))
+    ).cast("long")
+
+
 class LogTable:
     """A partitioned offset-addressed log as a DataFrame.
 
@@ -135,6 +150,19 @@ class LogTable:
         the row_number; the current watermarks are a num_partitions-row
         aggregate joined with a broadcast hint — no driver collect, no
         global ordering dependency between partitions.
+
+        Contracts:
+        - Appending to an EMPTY log is well-defined: high_watermarks() on
+          an empty df is zero rows, the left join leaves the watermark
+          null, and the coalesce starts every partition at offset 0
+          (pinned by test_append_to_empty_log_starts_at_zero).
+        - Appends are NOT safe to run concurrently against the same
+          at-rest path: both writers would read the same watermarks and
+          assign overlapping offsets (classic lost update). Single-writer
+          per log — the same rule Kafka's partition leader enforces by
+          construction; a multi-writer deployment needs a table-format
+          commit (Delta/Iceberg optimistic transaction) around
+          read-watermark → write.
         """
         order = order_col or "__arrival"
         batch = records
@@ -216,7 +244,7 @@ class LogTable:
         if max_bytes is not None:
             wo = Window.partitionBy("partition").orderBy("offset")
             w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            size = F.coalesce(F.octet_length("value"), F.lit(0)).cast("long")
+            size = record_size()
             out = (
                 out.withColumn("__cum", F.sum(size).over(w))
                 .withColumn("__rn", F.row_number().over(wo))
@@ -305,7 +333,7 @@ class LogTable:
         """
         wo = Window.partitionBy("partition").orderBy(F.col("offset").desc())
         w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        size = F.coalesce(F.octet_length("value"), F.lit(0)).cast("long")
+        size = record_size()
         kept = (
             self.df.withColumn("__cum", F.sum(size).over(w))
             .withColumn("__rn", F.row_number().over(wo))
@@ -332,27 +360,59 @@ class LogTable:
         output file stays sorted so offset-range fetches still prune.
         """
         import glob as _glob
+        import shutil
 
         files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         bytes_total = sum(os.path.getsize(f) for f in files)
         log = LogTable.read(spark, path)
-        n_files = max(1, -(-bytes_total // target_file_bytes))
+
+        # per-partition segment plan (control-plane: num_partitions rows).
+        # On-disk bytes are apportioned by each partition's raw record
+        # bytes, so a partition bigger than target_file_bytes splits into
+        # ceil(share / target) offset-contiguous segments instead of one
+        # oversized file.
+        stats = log.df.groupBy("partition").agg(
+            F.count("*").alias("n_rows"), F.sum(record_size()).alias("raw")
+        ).collect()
+        total_raw = sum(r.raw or 0 for r in stats) or 1
+        plan = [
+            (
+                r.partition,
+                r.n_rows,
+                max(1, -(-(bytes_total * (r.raw or 0) // total_raw) // target_file_bytes)),
+            )
+            for r in stats
+        ]
+        total_segs = sum(int(s) for _, _, s in plan)
+        seg_map = spark.createDataFrame(
+            plan, "partition int, n_rows long, segs long"
+        )
+        rn = F.row_number().over(Window.partitionBy("partition").orderBy("offset"))
         tmp = path.rstrip("/") + ".__compacting__"
-        # hash all rows of a partition value into one task → one file per
-        # partition dir (a partition bigger than target would need salted
-        # splitting — at that point it should be re-partitioned anyway)
         (
-            log.df.repartition(int(n_files), "partition")
+            log.df.withColumn("__rn", rn)
+            .join(F.broadcast(seg_map), "partition")
+            .withColumn(
+                "__seg", F.floor((F.col("__rn") - 1) * F.col("segs") / F.col("n_rows"))
+            )
+            .repartitionByRange(int(total_segs), F.col("partition"), F.col("__seg"))
             .sortWithinPartitions("partition", "offset")
+            .select(*LOG_COLUMNS)
             .write.mode("overwrite")
             .partitionBy("partition")
             .parquet(tmp)
         )
-        # atomic-ish swap (a real deployment would use a table format commit)
-        import shutil
-
-        shutil.rmtree(path)
+        # crash-safe swap (a real deployment would use a table-format
+        # commit): the old data is renamed ASIDE first, so `path` is never
+        # absent without a recoverable adjacent copy, and a crash between
+        # the two renames leaves either old-at-.__old__ + new-at-path or
+        # old-at-.__old__ + new-at-.__compacting__ — never zero copies.
+        old = path.rstrip("/") + ".__old__"
+        if os.path.exists(old):  # debris from a crashed prior swap
+            shutil.rmtree(old)
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old)
         files_after = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         return {
             "files_before": len(files),
@@ -432,10 +492,9 @@ def describe_log(log_df: DataFrame) -> DataFrame:
     bytes, offset and timestamp bounds — the per-partition size/health view
     every Kafka ops tool derives from log-dir metadata; here it is one
     map-side-combinable aggregation over the log."""
-    size = F.coalesce(F.octet_length("value"), F.lit(0)).cast("long")
     return log_df.groupBy("partition").agg(
         F.count("*").alias("n_records"),
-        F.sum(size).alias("payload_bytes"),
+        F.sum(record_size()).alias("record_bytes"),
         F.min("offset").alias("log_start_offset"),
         (F.max("offset") + 1).alias("log_end_offset"),
         F.min("timestamp").alias("earliest_ts"),

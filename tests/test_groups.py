@@ -314,3 +314,34 @@ def test_sticky_assignor_no_prior_is_balanced(spark):
     counts = {r.member: r["count"] for r in out.groupBy("member").count().collect()}
     assert sorted(counts.values()) == [2, 3]
     assert out.count() == 5
+
+
+def test_reset_offsets_is_per_topic(spark):
+    import datetime
+
+    from starlight_for_kafka_spark.operators.groups import (
+        committed_offsets,
+        reset_offsets,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    commits = spark.createDataFrame(
+        [
+            ("g1", "t1", 0, 100, "x", ts),
+            ("g1", "t2", 0, 200, "x", ts),
+            ("g2", "t1", 0, 300, "x", ts),
+        ],
+        "group string, topic string, partition int, offset long, metadata string, commit_ts timestamp",
+    )
+    positions = spark.createDataFrame([(0, 5)], "partition int, offset long")
+    reset = reset_offsets(
+        commits, positions, "g1", datetime.datetime(2030, 1, 1), topic="t1"
+    )
+    got = {
+        (r.group, r.topic, r.partition): r.offset
+        for r in committed_offsets(reset).collect()
+    }
+    # t1 rewound; g1's OTHER topic and other groups untouched
+    assert got[("g1", "t1", 0)] == 5
+    assert got[("g1", "t2", 0)] == 200
+    assert got[("g2", "t1", 0)] == 300

@@ -238,7 +238,11 @@ def test_retain_bytes_kept_set_is_contiguous_tail(log):
 
 def test_fetch_max_bytes_bounds_response(log):
     full = log.fetch(1, 0).collect()
-    sizes = {r.offset: len(bytes(r.value or b"")) for r in full}
+    # max.bytes counts whole records (key + value), like Kafka's budgets
+    sizes = {
+        r.offset: len(bytes(r.key or b"")) + len(bytes(r.value or b""))
+        for r in full
+    }
     got = sorted(r.offset for r in log.fetch(1, 0, max_bytes=100).collect())
     # prefix of offsets, cumulative size within budget (except a lone first)
     assert got == list(range(len(got))) and got
@@ -297,4 +301,69 @@ def test_describe_log_bounds(log):
     for p, r in rows.items():
         assert r.log_start_offset == 0
         assert r.log_end_offset == latest[p] == r.n_records
-        assert r.payload_bytes > 0 and r.earliest_ts <= r.latest_ts
+        assert r.record_bytes > 0 and r.earliest_ts <= r.latest_ts
+
+
+def test_append_to_empty_log_starts_at_zero(spark):
+    from starlight_for_kafka_spark.sources.logtable import KAFKA_RECORD_SCHEMA
+
+    empty = LogTable(spark.createDataFrame([], KAFKA_RECORD_SCHEMA))
+    batch = spark.createDataFrame(
+        [(None, b"v%d" % i, None, None, i % 2) for i in range(6)],
+        "key binary, value binary, headers array<struct<key:string,value:binary>>, "
+        "timestamp timestamp, partition int",
+    )
+    out = empty.append(batch).df
+    got = sorted((r.partition, r.offset) for r in out.collect())
+    # dense offsets from 0 in every partition — the empty-watermark case
+    assert got == [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)]
+    # and appending again continues the sequence
+    again = LogTable(out).append(batch).df
+    hw = {r.partition: r.high_watermark
+          for r in LogTable(again).high_watermarks().collect()}
+    assert hw == {0: 6, 1: 6}
+
+
+def test_compact_segments_splits_oversized_partition(tmp_path, spark):
+    import glob
+
+    from starlight_for_kafka_spark.sources.logtable import KAFKA_RECORD_SCHEMA
+
+    import hashlib
+
+    def blob(seed: int, n: int) -> bytes:  # incompressible, deterministic
+        out = b""
+        h = hashlib.md5(str(seed).encode()).digest()
+        while len(out) < n:
+            h = hashlib.md5(h).digest()
+            out += h
+        return out[:n]
+
+    rows = []
+    for off in range(40):
+        rows.append((None, blob(off, 20_000), None, None, 0, off))  # ~800KB
+    for off in range(5):
+        rows.append((None, b"tiny", None, None, 1, off))
+    path = str(tmp_path / "log")
+    LogTable(spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)).write(path)
+
+    report = LogTable.compact_segments(spark, path, target_file_bytes=64 * 1024)
+    big = glob.glob(f"{path}/partition=0/*.parquet")
+    small = glob.glob(f"{path}/partition=1/*.parquet")
+    assert len(big) >= 2, "oversized partition must split into multiple files"
+    assert len(small) >= 1
+    back = LogTable.read(spark, path)
+    assert back.df.count() == 45
+    # offsets intact and each file internally sorted with disjoint ranges
+    offs = sorted(r.offset for r in back.df.filter("partition = 0").collect())
+    assert offs == list(range(40))
+    ranges = []
+    for f in big:
+        pdf = spark.read.parquet(f).select("offset").collect()
+        o = [r.offset for r in pdf]
+        assert o == sorted(o)
+        ranges.append((min(o), max(o)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "segment offset ranges must be disjoint"
+    assert report["files_after"] >= report["files_before"] - 100  # sanity

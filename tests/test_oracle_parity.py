@@ -80,14 +80,11 @@ def test_query_matches_oracle(name, spark, duck):
 
 
 def test_every_query_has_oracle_or_is_flagged():
-    no_oracle = set(QUERIES) - set(ORACLES)
-    # rows-only checks must be deliberate: probabilistic ANN recall (LSH
-    # buckets depend on FP sign, not portable) and the stubbed media decode
-    assert no_oracle == {
-        "similarity_lsh_top5",
-        "multimodal_features",
-        "dedup_embedding_lsh",
-    }
+    # every declared query carries a deterministic DuckDB oracle — the
+    # former rows-only trio (LSH bucketing, stubbed media decode) gained
+    # exact oracles in round 2 (md5-replayable hyperplanes; byte-sampling
+    # stub recomputed from the ASCII text)
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_entry_smoke(spark):

@@ -219,3 +219,26 @@ def test_as_of_forward_semantics(spark):
     }
     # inclusive >=: l2@20 sees r20; l3@30 has no later right -> null
     assert out == {"l1": "r20", "l2": "r20", "l3": None}
+
+
+def test_stream_table_join_inner_keeps_null_payload_match(spark):
+    """A matched changelog row whose payload field is legitimately NULL
+    must survive the inner join; only truly unmatched stream rows drop."""
+    import datetime
+
+    from starlight_for_kafka_spark.operators.ktable import stream_table_join
+
+    t = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+    stream = spark.createDataFrame(
+        [("k1", t(5), "e1"), ("k2", t(5), "e2"), ("k3", t(5), "e3")],
+        "k string, ts timestamp, event string",
+    )
+    changelog = spark.createDataFrame(
+        [("k1", t(1), None), ("k2", t(2), "v2"), ("k3", t(9), "late")],
+        "k string, ts timestamp, val string",
+    )
+    out = stream_table_join(stream, changelog, ["k"], how="inner")
+    got = {r.k: r.val for r in out.collect()}
+    # k1 matched (null payload) → kept; k2 matched → kept; k3's only
+    # changelog row is in the future → no as-of match → dropped
+    assert got == {"k1": None, "k2": "v2"}
