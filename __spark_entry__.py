@@ -1616,6 +1616,19 @@ def q_assign_sticky(spark, sf_dir):
     return group_ops.assign_partitions_sticky(live, parts, prior)
 
 
+def q_assign_cooperative(spark, sf_dir):
+    """KIP-429 incremental cooperative rebalance: same departure scenario
+    as assign_sticky, but delivered in two phases — phase 1 assigns only
+    partitions needing no revocation (null member = revoked in flight),
+    phase 2 is the full sticky target."""
+    live, parts = _live_members_and_partitions(spark, sf_dir)
+    ghost = live.select("group").distinct().withColumn("member", F.lit("zz-departed"))
+    prior = group_ops.assign_partitions_roundrobin(
+        live.unionByName(ghost.select("group", "member")), parts
+    )
+    return group_ops.assign_partitions_cooperative(live, parts, prior)
+
+
 TS_PATTERN = [1, 2, 3, 2, 1]
 
 
@@ -1887,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_sequence_gaps": q_txn_sequence_gaps,
         "assign_roundrobin": q_assign_roundrobin,
         "assign_sticky": q_assign_sticky,
+        "assign_cooperative": q_assign_cooperative,
         "retention_bytes": q_retention_bytes,
         "throughput_metrics": q_throughput_metrics,
         "stream_table_join": q_stream_table_join,
@@ -2157,6 +2171,92 @@ FROM q LEFT JOIN h_probe h USING (qid)
 UNION ALL
 SELECT 'ivf', q.qid, coalesce(h.n_hit, 0), coalesce(h.n_hit, 0) / 10.0
 FROM q LEFT JOIN h_ivf h USING (qid)"""
+
+
+def _sticky_oracle_ctes() -> str:
+    """Shared CTE chain replaying assign_partitions_sticky in DuckDB,
+    ending in a ``sticky`` CTE of (group, topic, partition, member) plus a
+    ``valid`` CTE of still-valid prior ownership (used by the cooperative
+    two-phase oracle)."""
+    return f"""{MEMBERSHIP_CTE},
+last AS (
+  SELECT "group", member, action FROM m
+  QUALIFY row_number() OVER (PARTITION BY "group", member ORDER BY ts DESC, event_id DESC) = 1
+),
+mem AS (
+  SELECT "group", member,
+         row_number() OVER (PARTITION BY "group" ORDER BY member) - 1 AS midx,
+         count(*) OVER (PARTITION BY "group") AS nm
+  FROM last WHERE action <> 'leave'
+),
+memg AS (
+  SELECT "group", member,
+         row_number() OVER (PARTITION BY "group" ORDER BY member) - 1 AS midx,
+         count(*) OVER (PARTITION BY "group") AS nm
+  FROM (SELECT "group", member FROM mem
+        UNION ALL SELECT DISTINCT "group", 'zz-departed' FROM mem)
+),
+parts AS (SELECT DISTINCT 'events' AS topic, CAST(user_id % 8 AS INT) AS "partition" FROM events),
+p AS (
+  SELECT topic, "partition",
+         row_number() OVER (ORDER BY topic, "partition") - 1 AS gidx
+  FROM parts
+),
+gg AS (SELECT DISTINCT "group", nm FROM memg),
+prior AS (
+  SELECT a."group", a.topic, a."partition", memg.member
+  FROM (SELECT gg."group", p.topic, p."partition", p.gidx % gg.nm AS midx
+        FROM p CROSS JOIN gg) a
+  JOIN memg ON memg."group" = a."group" AND memg.midx = a.midx
+),
+np AS (SELECT count(*) AS np FROM p),
+valid AS (
+  SELECT v."group", v.topic, v."partition", v.member
+  FROM prior v JOIN mem ON mem."group" = v."group" AND mem.member = v.member
+),
+owned AS (SELECT "group", member, count(*) AS owned FROM valid GROUP BY 1, 2),
+quotas AS (
+  SELECT mem."group", mem.member, mem.midx,
+         (np.np // mem.nm)
+         + CASE WHEN row_number() OVER (PARTITION BY mem."group"
+                  ORDER BY coalesce(owned.owned, 0) DESC, mem.member)
+                <= (np.np % mem.nm) THEN 1 ELSE 0 END AS allowed
+  FROM mem CROSS JOIN np LEFT JOIN owned
+    ON owned."group" = mem."group" AND owned.member = mem.member
+),
+retained AS (
+  SELECT v."group", v.topic, v."partition", v.member FROM (
+    SELECT v.*, q.allowed,
+           row_number() OVER (PARTITION BY v."group", v.member
+                              ORDER BY v.topic, v."partition") AS rr
+    FROM valid v JOIN quotas q ON q."group" = v."group" AND q.member = v.member
+  ) v WHERE v.rr <= v.allowed
+),
+kept AS (SELECT "group", member, count(*) AS kept FROM retained GROUP BY 1, 2),
+cap AS (
+  SELECT "group", member, hi - deficit AS lo, hi FROM (
+    SELECT q."group", q.member, q.allowed - coalesce(k.kept, 0) AS deficit,
+           sum(q.allowed - coalesce(k.kept, 0)) OVER (
+             PARTITION BY q."group" ORDER BY q.midx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+    FROM quotas q LEFT JOIN kept k ON k."group" = q."group" AND k.member = q.member
+  )
+),
+unassigned AS (
+  SELECT u.*, row_number() OVER (PARTITION BY u."group"
+                                 ORDER BY u.topic, u."partition") AS ur
+  FROM (
+    SELECT gg."group", p.topic, p."partition" FROM p CROSS JOIN gg
+    ANTI JOIN retained r
+      ON r."group" = gg."group" AND r.topic = p.topic AND r."partition" = p."partition"
+  ) u
+),
+sticky AS (
+  SELECT "group", topic, "partition", member FROM retained
+  UNION ALL
+  SELECT u."group", u.topic, u."partition", c.member
+  FROM unassigned u JOIN cap c ON c."group" = u."group" AND u.ur > c.lo AND u.ur <= c.hi
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2797,83 +2897,16 @@ SELECT a."group", a.topic, a."partition", mem.member
 FROM (SELECT g."group", p.topic, p."partition", p.gidx % g.nm AS midx
       FROM p CROSS JOIN g) a
 JOIN mem ON mem."group" = a."group" AND mem.midx = a.midx""",
-        "assign_sticky": f"""WITH {MEMBERSHIP_CTE},
-last AS (
-  SELECT "group", member, action FROM m
-  QUALIFY row_number() OVER (PARTITION BY "group", member ORDER BY ts DESC, event_id DESC) = 1
-),
-mem AS (
-  SELECT "group", member,
-         row_number() OVER (PARTITION BY "group" ORDER BY member) - 1 AS midx,
-         count(*) OVER (PARTITION BY "group") AS nm
-  FROM last WHERE action <> 'leave'
-),
-memg AS (
-  SELECT "group", member,
-         row_number() OVER (PARTITION BY "group" ORDER BY member) - 1 AS midx,
-         count(*) OVER (PARTITION BY "group") AS nm
-  FROM (SELECT "group", member FROM mem
-        UNION ALL SELECT DISTINCT "group", 'zz-departed' FROM mem)
-),
-parts AS (SELECT DISTINCT 'events' AS topic, CAST(user_id % 8 AS INT) AS "partition" FROM events),
-p AS (
-  SELECT topic, "partition",
-         row_number() OVER (ORDER BY topic, "partition") - 1 AS gidx
-  FROM parts
-),
-gg AS (SELECT DISTINCT "group", nm FROM memg),
-prior AS (
-  SELECT a."group", a.topic, a."partition", memg.member
-  FROM (SELECT gg."group", p.topic, p."partition", p.gidx % gg.nm AS midx
-        FROM p CROSS JOIN gg) a
-  JOIN memg ON memg."group" = a."group" AND memg.midx = a.midx
-),
-np AS (SELECT count(*) AS np FROM p),
-valid AS (
-  SELECT v."group", v.topic, v."partition", v.member
-  FROM prior v JOIN mem ON mem."group" = v."group" AND mem.member = v.member
-),
-owned AS (SELECT "group", member, count(*) AS owned FROM valid GROUP BY 1, 2),
-quotas AS (
-  SELECT mem."group", mem.member, mem.midx,
-         (np.np // mem.nm)
-         + CASE WHEN row_number() OVER (PARTITION BY mem."group"
-                  ORDER BY coalesce(owned.owned, 0) DESC, mem.member)
-                <= (np.np % mem.nm) THEN 1 ELSE 0 END AS allowed
-  FROM mem CROSS JOIN np LEFT JOIN owned
-    ON owned."group" = mem."group" AND owned.member = mem.member
-),
-retained AS (
-  SELECT v."group", v.topic, v."partition", v.member FROM (
-    SELECT v.*, q.allowed,
-           row_number() OVER (PARTITION BY v."group", v.member
-                              ORDER BY v.topic, v."partition") AS rr
-    FROM valid v JOIN quotas q ON q."group" = v."group" AND q.member = v.member
-  ) v WHERE v.rr <= v.allowed
-),
-kept AS (SELECT "group", member, count(*) AS kept FROM retained GROUP BY 1, 2),
-cap AS (
-  SELECT "group", member, hi - deficit AS lo, hi FROM (
-    SELECT q."group", q.member, q.allowed - coalesce(k.kept, 0) AS deficit,
-           sum(q.allowed - coalesce(k.kept, 0)) OVER (
-             PARTITION BY q."group" ORDER BY q.midx
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
-    FROM quotas q LEFT JOIN kept k ON k."group" = q."group" AND k.member = q.member
-  )
-),
-unassigned AS (
-  SELECT u.*, row_number() OVER (PARTITION BY u."group"
-                                 ORDER BY u.topic, u."partition") AS ur
-  FROM (
-    SELECT gg."group", p.topic, p."partition" FROM p CROSS JOIN gg
-    ANTI JOIN retained r
-      ON r."group" = gg."group" AND r.topic = p.topic AND r."partition" = p."partition"
-  ) u
-)
-SELECT "group", topic, "partition", member FROM retained
+        "assign_sticky": f"""WITH {_sticky_oracle_ctes()}
+SELECT "group", topic, "partition", member FROM sticky""",
+        "assign_cooperative": f"""WITH {_sticky_oracle_ctes()}
+SELECT s."group", s.topic, s."partition",
+       CASE WHEN v.member IS NULL OR v.member = s.member THEN s.member END AS member,
+       1 AS phase
+FROM sticky s LEFT JOIN valid v
+  ON v."group" = s."group" AND v.topic = s.topic AND v."partition" = s."partition"
 UNION ALL
-SELECT u."group", u.topic, u."partition", c.member
-FROM unassigned u JOIN cap c ON c."group" = u."group" AND u.ur > c.lo AND u.ur <= c.hi""",
+SELECT "group", topic, "partition", member, 2 AS phase FROM sticky""",
         "retention_bytes": f"""WITH {LOG_CTE},
 c AS (
   SELECT "partition", "offset",

@@ -423,6 +423,60 @@ def assign_partitions_sticky(
     return retained.unionByName(filled)
 
 
+def assign_partitions_cooperative(
+    members: DataFrame, partitions: DataFrame, prior: DataFrame
+) -> DataFrame:
+    """CooperativeSticky assignor: same target assignment as
+    :func:`assign_partitions_sticky`, delivered over TWO rebalances
+    (KIP-429 incremental cooperative rebalancing — the client-side
+    protocol Kafka Streams uses; the reference relays whatever the
+    leader computes, GroupCoordinator.java:215-438).
+
+    Phase 1 (this rebalance): a partition is assigned only when no
+    revocation is needed — it is unowned (new, or its owner departed) or
+    its target member already owns it. A partition MOVING between two
+    surviving members is revoked first: it appears with a null member
+    until the follow-up rebalance.
+    Phase 2 (the follow-up): the full sticky target.
+
+    Output: (group, topic, partition, member, phase) with phase ∈ {1, 2};
+    null member marks a phase-1 revocation in flight.
+    """
+    target = assign_partitions_sticky(members, partitions, prior)
+    live = members.select("group", "member").distinct()
+    existing = partitions.select("topic", "partition").distinct()
+    valid_owner = (
+        prior.select("group", "topic", "partition", "member")
+        .join(F.broadcast(live), ["group", "member"])
+        .join(F.broadcast(existing), ["topic", "partition"])
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("group", "topic", "partition").orderBy("member")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("group", "topic", "partition", F.col("member").alias("__prior"))
+    )
+    phase1 = (
+        target.join(F.broadcast(valid_owner), ["group", "topic", "partition"], "left")
+        .select(
+            "group",
+            "topic",
+            "partition",
+            F.when(
+                F.col("__prior").isNull() | (F.col("__prior") == F.col("member")),
+                F.col("member"),
+            ).alias("member"),
+            F.lit(1).alias("phase"),
+        )
+    )
+    phase2 = target.select(
+        "group", "topic", "partition", "member", F.lit(2).alias("phase")
+    )
+    return phase1.unionByName(phase2)
+
+
 def list_members(membership: DataFrame) -> DataFrame:
     """DESCRIBE_GROUPS member list: live members with their last-seen time
     (the coordinator's heartbeat bookkeeping, DelayedHeartbeat expiry —

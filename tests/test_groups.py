@@ -345,3 +345,34 @@ def test_reset_offsets_is_per_topic(spark):
     assert got[("g1", "t1", 0)] == 5
     assert got[("g1", "t2", 0)] == 200
     assert got[("g2", "t1", 0)] == 300
+
+
+def test_cooperative_assignor_two_phases(spark):
+    from pyspark.sql import functions as F
+
+    members = spark.createDataFrame(
+        [("g", m) for m in ["m1", "m2", "m3"]], "group string, member string"
+    )
+    old_members = spark.createDataFrame(
+        [("g", m) for m in ["m1", "m2", "m3", "m4"]], "group string, member string"
+    )
+    parts = spark.createDataFrame(
+        [("t", p) for p in range(10)], "topic string, partition int"
+    )
+    prior = groups.assign_partitions_roundrobin(old_members, parts)
+    out = groups.assign_partitions_cooperative(members, parts, prior)
+    p1 = {(r.topic, r.partition): r.member for r in out.collect() if r.phase == 1}
+    p2 = {(r.topic, r.partition): r.member for r in out.collect() if r.phase == 2}
+    sticky = {(r.topic, r.partition): r.member
+              for r in groups.assign_partitions_sticky(members, parts, prior).collect()}
+    assert p2 == sticky                      # phase 2 IS the sticky target
+    assert len(p1) == 10 and len(p2) == 10
+    prior_owner = {(r.topic, r.partition): r.member for r in prior.collect()}
+    for k, m in p1.items():
+        if m is None:
+            # revoked in flight: target moves it between surviving members
+            assert prior_owner[k] in ("m1", "m2", "m3") and sticky[k] != prior_owner[k]
+        else:
+            # no revocation needed: unowned (ghost's) or staying put
+            assert prior_owner[k] == "m4" or prior_owner[k] == m
+            assert m == sticky[k]
