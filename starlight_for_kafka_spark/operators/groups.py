@@ -409,7 +409,11 @@ def assign_partitions_sticky(
 
     unassigned = (
         p.select("group", "topic", "partition")
-        .join(retained.select("group", "topic", "partition"), ["group", "topic", "partition"], "left_anti")
+        .join(
+            F.broadcast(retained.select("group", "topic", "partition")),
+            ["group", "topic", "partition"],
+            "left_anti",
+        )
         .withColumn(
             "__ur",
             F.row_number().over(Window.partitionBy("group").orderBy("topic", "partition")),

@@ -414,3 +414,54 @@ def test_hybrid_search_shortlists_are_takeordered(spark):
     df = QUERIES["hybrid_search"](spark, SF_DIR)
     plan = plan_string(df)
     assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_ngram_jaccard_no_cartesian_and_bounded_exchanges(spark):
+    """The prefix-filtered set-similarity join must stay a keyed-join plan:
+    no cartesian/nested-loop product anywhere, and the verify side uses
+    broadcast joins when the set table is small."""
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_broadcast_join(df), plan  # broadcast verify at this SF
+
+
+def test_avro_decode_is_map_only(spark):
+    """Confluent-framed Avro decode is a pure per-row transform: zero
+    exchanges on top of the scan — at 100 TB it pipelines with the read."""
+    from starlight_for_kafka_spark.operators import registry as reg
+    import __spark_entry__ as e
+
+    orders = load_table(spark, SF_DIR, "orders")
+    rec = orders.select(
+        F.lit(1).cast("int").alias("schema_id"),
+        F.struct(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.floor("o_totalprice").cast("int").alias("price_int"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit("n").alias("legacy_note"),
+        ).alias("record"),
+    )
+    enc = reg.avro_encode(rec, {1: e.AVRO_ORDER_V1})
+    dec = reg.avro_decode(enc, {1: e.AVRO_ORDER_V1}, e.AVRO_ORDER_READER)
+    assert exchange_count(dec) == 0, plan_string(dec)
+
+
+def test_sticky_assignor_broadcast_only(spark):
+    """Coordinator-scale assignment: every join in the sticky plan is a
+    broadcast join — no large shuffle of the (tiny) member/partition/prior
+    tables beyond the window sorts."""
+    df = QUERIES["assign_sticky"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quantile_filter_approx_no_pergroup_sort(spark):
+    """The sketch path must not window-sort the corpus: the only exchange
+    shape is the threshold aggregation + broadcast back."""
+    df = QUERIES["quantile_filter_approx"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert "percent_rank" not in plan.lower()
+    assert has_broadcast_join(df), plan
