@@ -521,6 +521,25 @@ def q_dedup_minhash(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split hash runs on each
+    doc's near-dup component representative (MinHash-LSH verified pairs →
+    transitive closure), so a document and all its near-copies land in
+    the same split — the composition that keeps held-out sets honest.
+    Oracle replays the full MinHash pipeline + recursive-CTE closure +
+    the same md5 bucket gate."""
+    docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
+    sigs = dedup_ops.minhash_signatures(
+        docs, num_hashes=16, shingle_k=3, shingle_mode="word"
+    )
+    cands = dedup_ops.minhash_lsh_candidates(sigs, bands=4, num_hashes=16)
+    pairs = dedup_ops.jaccard_verify(
+        docs, cands, shingle_k=3, threshold=0.7, shingle_mode="word"
+    )
+    out = sampling_ops.leakage_safe_split(docs, pairs)
+    return out.select("doc_id", "component", "split")
+
+
 def q_dedup_minhash_cc(spark, sf_dir):
     """minhash dedup with exact transitive grouping (connected components
     over verified pairs, iterative min-label propagation); oracle: the same
@@ -1859,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_cc": q_dedup_minhash_cc,
+        "split_leakage_safe": q_split_leakage_safe,
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
         "text_language_id": q_text_language_id,
@@ -2031,6 +2051,33 @@ def _minhash_oracle_sql() -> str:
     return f"""WITH {_minhash_pipeline_cte()},
 losers AS (SELECT DISTINCT b AS doc_id FROM ver)
 SELECT d.doc_id FROM docs d ANTI JOIN losers l USING (doc_id)"""
+
+
+def _leakage_safe_split_oracle_sql() -> str:
+    """split_leakage_safe: MinHash pipeline → transitive closure →
+    per-component md5 split gate (same 98/1/1 thresholds as assign_split,
+    hashed on the component representative)."""
+    return f"""WITH RECURSIVE {_minhash_pipeline_cte()},
+edges AS (SELECT a AS x, b AS y FROM ver UNION SELECT b, a FROM ver),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comp AS (SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x),
+tagged AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM docs d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, component,
+       CASE WHEN b < 980000 THEN 'train'
+            WHEN b < 990000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, component,
+         ('0x' || substr(md5('split42:' || CAST(component AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+  FROM tagged
+)"""
 
 
 def _minhash_cc_oracle_sql() -> str:
@@ -2264,6 +2311,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_minhash_cc": _minhash_cc_oracle_sql(),
+        "split_leakage_safe": _leakage_safe_split_oracle_sql(),
         "similarity_lsh_top5": _lsh_top5_oracle_sql(),
         "dedup_embedding_lsh": _dedup_embedding_lsh_oracle_sql(),
         "multimodal_features": """SELECT doc_id AS media_id,

@@ -250,6 +250,45 @@ def assign_split(
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Train/val/test split that keeps near-duplicate groups TOGETHER: the
+    split hash is computed on each document's near-dup component
+    representative (min id over the transitive closure of ``dup_pairs``)
+    instead of its own id, so a document and all its near-copies land in
+    the same split. A per-document split (assign_split) silently leaks:
+    an eval doc with a train-set near-copy is memorization disguised as
+    held-out performance — the split must be group-atomic, which is why
+    dedup and splitting have to compose.
+
+    Scale: components come from the (tiny relative to corpus) near-dup
+    pair set; the representative table joins back broadcast-style; the
+    gate itself stays the same map-only hash-bucket as assign_split.
+    Stability: a doc's split depends only on (seed, its component min id),
+    so adding unrelated docs never reshuffles existing membership; a NEW
+    near-dup edge can only pull docs INTO its group's split (the safe
+    direction — the group stays atomic).
+
+    Returns the input plus ``component`` (the representative id — the
+    doc's own id when it has no near-dups) and ``split``.
+    """
+    from starlight_for_kafka_spark.operators.dedup import connected_components
+
+    comps = connected_components(dup_pairs)
+    rep = comps.select(F.col("node").alias(id_col), F.col("component").alias("__rep"))
+    tagged = (
+        df.join(F.broadcast(rep), id_col, "left")
+        .withColumn("component", F.coalesce(F.col("__rep"), F.col(id_col)))
+        .drop("__rep")
+    )
+    return assign_split(tagged, splits, id_col="component", seed=seed)
+
+
 def shuffle_rank(
     df: DataFrame,
     id_col: str = "doc_id",

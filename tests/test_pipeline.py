@@ -629,3 +629,27 @@ def test_hybrid_search_rrf_fusion(spark):
     assert out[0].id == 0 and out[1].id == 1
     # doc 2 never scored on text, still fused in via vectors
     assert out[2].id == 2
+
+
+def test_leakage_safe_split_is_group_atomic(spark, documents):
+    """Every near-dup component lands in exactly one split, and docs with
+    no near-dups match plain assign_split on their own id."""
+    from starlight_for_kafka_spark.operators import sampling
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    out = sampling.leakage_safe_split(documents, pairs).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # chains collapse to min-id components and share one split
+    assert {by_doc[i].component for i in (1, 2, 3)} == {1}
+    assert len({by_doc[i].split for i in (1, 2, 3)}) == 1
+    assert {by_doc[i].component for i in (10, 11)} == {10}
+    assert by_doc[10].split == by_doc[11].split
+    # a doc outside any pair keeps its own id as component and the plain
+    # assign_split verdict
+    plain = {r.doc_id: r.split
+             for r in sampling.assign_split(documents).collect()}
+    for doc_id, r in by_doc.items():
+        if doc_id not in (1, 2, 3, 10, 11):
+            assert r.component == doc_id and r.split == plain[doc_id]
