@@ -101,6 +101,43 @@ def idempotent_stream(log_with_pid: DataFrame, watermark: str = "10 seconds") ->
     )
 
 
+def dedup_stream(log: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """Streaming exact content dedup for ingestion pipelines: drop records
+    whose (key, value) digest was already seen within the watermark
+    horizon. State is keyed by digest and EXPIRES with the watermark
+    (dropDuplicatesWithinWatermark), so state size is bounded by the
+    horizon's traffic, not corpus history — the streaming sibling of
+    operators/dedup.py:exact_dedup; cross-horizon dedup composes with the
+    batch incremental_dedup anti-join at rest."""
+    digest = F.md5(
+        F.concat(
+            F.coalesce(F.col("key"), F.lit(b"")),
+            F.lit(b"|"),
+            F.coalesce(F.col("value"), F.lit(b"")),
+        )
+    )
+    return (
+        log.withColumn("__digest", digest)
+        .withWatermark("timestamp", watermark)
+        .dropDuplicatesWithinWatermark(["__digest"])
+        .drop("__digest")
+    )
+
+
+def typed_avro_stream(
+    stream: DataFrame, schemas_by_id: dict[int, str], reader_schema: str
+) -> DataFrame:
+    """Streaming typed view over Confluent-framed Avro payloads: the same
+    Arrow-batched decode kernel as the batch path (operators/registry.py
+    avro_decode — mapInPandas composes with streaming microbatches
+    unchanged), resolving each record's writer schema against the reader.
+    This is the reference's consume-side schema path on a live stream
+    (SchemaRegistryTest.java end-to-end consume)."""
+    from starlight_for_kafka_spark.operators.registry import avro_decode
+
+    return avro_decode(stream, schemas_by_id, reader_schema)
+
+
 def stream_global_table_join(stream: DataFrame, table: DataFrame, on, how: str = "inner") -> DataFrame:
     """Streaming KStream ⋈ GlobalKTable: stream–static broadcast join
     (GlobalKTableTest.java) — the static side re-reads per microbatch,

@@ -381,3 +381,56 @@ def test_txn_offset_commit_data_and_offsets_atomic(tmp_path, spark, log):
     # replay an epoch: both stay untouched
     sink(log.df.limit(5), 0)
     assert spark.read.parquet(out + "/epoch=*/data").count() == data.count()
+
+
+def test_dedup_stream_drops_content_duplicates(tmp_path, spark, log):
+    """A log whose tail replays earlier (key, value) contents dedupes to
+    the batch-distinct digest count."""
+    from starlight_for_kafka_spark.sources import LogTable
+
+    dup_tail = log.df.filter(F.col("offset") < 20)
+    doubled = LogTable(log.df).append(
+        dup_tail.select("key", "value", "headers", "timestamp", "partition")
+    )
+    path = _write_log(tmp_path, doubled)
+    stream = stream_ops.read_log_stream(spark, path)
+    dd = stream_ops.dedup_stream(stream, watermark="0 seconds")
+    stream_ops.run_to_memory(dd, "dedup_out", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n FROM dedup_out").first().n
+    batch_distinct = (
+        doubled.df.select(
+            F.md5(F.concat(F.coalesce("key", F.lit(b"")), F.lit(b"|"),
+                           F.coalesce("value", F.lit(b"")))).alias("d")
+        ).distinct().count()
+    )
+    assert got == batch_distinct
+
+
+def test_typed_avro_stream_matches_batch_decode(tmp_path, spark):
+    """Streaming Avro decode over file microbatches equals the batch
+    decode of the same encoded log."""
+    import json
+
+    from starlight_for_kafka_spark.operators import registry as reg
+
+    v1 = json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "k", "type": "long"}, {"name": "n", "type": "int"}]})
+    rd = json.dumps({"type": "record", "name": "E", "fields": [
+        {"name": "k", "type": "long"}, {"name": "n", "type": "long"},
+        {"name": "src", "type": "string", "default": "s"}]})
+    base = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("int").alias("schema_id"),
+        F.struct(F.col("id").alias("k"), (F.col("id") * 3).cast("int").alias("n")).alias("record"),
+        F.lit(None).cast("timestamp").alias("timestamp"),
+    )
+    enc = reg.avro_encode(base, {1: v1})
+    path = str(tmp_path / "avro-log")
+    enc.write.parquet(path)
+
+    stream = spark.readStream.schema(enc.schema).parquet(path)
+    typed = stream_ops.typed_avro_stream(stream, {1: v1}, rd)
+    stream_ops.run_to_memory(typed, "avro_typed", output_mode="append")
+    rows = spark.sql("SELECT typed.k AS k, typed.n AS n, typed.src AS src FROM avro_typed").collect()
+    assert len(rows) == 50
+    assert all(r.n == r.k * 3 and r.src == "s" for r in rows)
