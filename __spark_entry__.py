@@ -648,6 +648,29 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_wire_roundtrip(spark, sf_dir):
+    """Kafka RecordBatch v2 wire roundtrip: the log encoded into real
+    varint-delta, CRC32C-verified record batches (applyInPandas per
+    partition) and decoded back (map-only, CRC checked per batch) —
+    functions/kafka_records.py implements the public protocol layout;
+    reference: ByteBufUtils.java:172-278, KafkaV1EntryFormatter.java.
+    The oracle recomputes the projected fields straight from the source
+    log; any header-layout, varint, delta, or CRC bug breaks parity.
+    Timestamps project at ms, Kafka's wire precision."""
+    from starlight_for_kafka_spark.sources import wire
+
+    log = _log(spark, sf_dir).df
+    batches = wire.encode_wire_batches(log, max_records_per_batch=50)
+    decoded = wire.decode_wire_batches(batches)
+    return decoded.select(
+        "partition",
+        "offset",
+        F.unix_millis("timestamp").alias("ts_ms"),
+        F.col("key").cast("string").alias("key"),
+        F.octet_length("value").alias("value_len"),
+    )
+
+
 def q_produce_validation(spark, sf_dir):
     """KopLogValidator semantics: compacted topics need keys; timestamps must
     sit within max.message.time.difference.ms of 'now'."""
@@ -1899,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_subjects": q_registry_subjects,
         "registry_compat": q_registry_compat,
         "registry_wire": q_registry_wire,
+        "wire_roundtrip": q_wire_roundtrip,
         "registry_compat_full": q_registry_compat_full,
         "typed_view_avro": q_typed_view_avro,
         "dedup_simhash": q_dedup_simhash,
@@ -2725,6 +2749,10 @@ FROM log""",
   ('FULL_TRANSITIVE', 'type_change', false),
   ('FULL_TRANSITIVE', 'add_field_with_default', true)
 ) AS t(mode, candidate, compatible)""",
+        "wire_roundtrip": f"""WITH {LOG_CTE}
+SELECT "partition", "offset", {ms.format(c='"timestamp"')} AS ts_ms,
+       key, strlen(value) AS value_len
+FROM log""",
         "registry_wire": """SELECT doc_id,
        CAST(doc_id % 4 + 1 AS INT) AS schema_id,
        strlen(text) AS payload_len,

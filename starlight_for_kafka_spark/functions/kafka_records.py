@@ -1,0 +1,339 @@
+"""Kafka record-batch wire codec (RecordBatch v2 + legacy v0/v1), pure
+Python, from the public Kafka protocol specification.
+
+The reference's core data-plane job is exactly this conversion: Kafka
+record batches ↔ broker storage entries, including magic down-conversion
+for old consumers (kafka-impl/.../utils/ByteBufUtils.java:172-278,
+format/KafkaV1EntryFormatter.java:40-64 zero-copy passthrough,
+format/AbstractEntryFormatter.java down-convert accounting). This module
+re-expresses the byte layer so the engine can ingest/serve real Kafka
+wire bytes without a broker or client jar:
+
+- RecordBatch v2 (magic 2): 61-byte header (baseOffset, batchLength,
+  partitionLeaderEpoch, magic, CRC32C, attributes, lastOffsetDelta,
+  baseTimestamp, maxTimestamp, producerId, producerEpoch, baseSequence,
+  recordCount) + varint-delta records with headers.
+- Legacy MessageSet v0/v1 (magic 0/1): per-message [offset, size, CRC32
+  (zlib), magic, attributes, (v1 timestamp), int32-prefixed key/value] —
+  the DOWN-CONVERSION target for pre-0.11 consumers (headers are dropped,
+  exactly as Kafka's down-converter drops them).
+
+CRC32C (Castagnoli) is implemented table-based from the public polynomial
+(reflected 0x82F63B78) — verified against the canonical check value
+crc32c(b"123456789") == 0xE3069283. Varints are zigzag, as in the Kafka
+record encoding.
+
+Compression attributes are declared but payloads are written uncompressed
+(codec bits 0) — transcode at the storage layer is parquet codec config,
+which is where this engine compresses.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+MAGIC_V2 = 2
+RECORD_BATCH_OVERHEAD = 61
+
+# ---------------------------------------------------------------------- #
+# CRC32C (Castagnoli), table-driven, public polynomial
+# ---------------------------------------------------------------------- #
+
+_CRC32C_POLY = 0x82F63B78
+_crc32c_table: list[int] = []
+
+
+def _build_table() -> None:
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ (_CRC32C_POLY if crc & 1 else 0)
+        _crc32c_table.append(crc)
+
+
+_build_table()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc = ~crc & 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _crc32c_table[(crc ^ b) & 0xFF]
+    return ~crc & 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------- #
+# zigzag varints (Kafka record encoding)
+# ---------------------------------------------------------------------- #
+
+
+def _write_varint(n: int, out: bytearray) -> None:
+    z = (n << 1) ^ (n >> 63)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    accum = 0
+    while True:
+        byte = buf[pos]
+        pos += 1
+        accum |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (accum >> 1) ^ -(accum & 1), pos
+
+
+# ---------------------------------------------------------------------- #
+# RecordBatch v2
+# ---------------------------------------------------------------------- #
+
+
+def encode_record_v2(
+    offset_delta: int,
+    timestamp_delta: int,
+    key: bytes | None,
+    value: bytes | None,
+    headers: list[tuple[str, bytes | None]] | None = None,
+) -> bytes:
+    body = bytearray()
+    body.append(0)  # record attributes (unused)
+    _write_varint(timestamp_delta, body)
+    _write_varint(offset_delta, body)
+    for blob in (key, value):
+        if blob is None:
+            _write_varint(-1, body)
+        else:
+            _write_varint(len(blob), body)
+            body += blob
+    headers = headers or []
+    _write_varint(len(headers), body)
+    for hk, hv in headers:
+        kb = hk.encode("utf-8")
+        _write_varint(len(kb), body)
+        body += kb
+        if hv is None:
+            _write_varint(-1, body)
+        else:
+            _write_varint(len(hv), body)
+            body += hv
+    out = bytearray()
+    _write_varint(len(body), out)
+    out += body
+    return bytes(out)
+
+
+def encode_batch_v2(
+    base_offset: int,
+    records: list[dict],
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
+    partition_leader_epoch: int = 0,
+    attributes: int = 0,
+) -> bytes:
+    """records: [{offset, timestamp_ms, key, value, headers}] sorted by
+    offset; offsets/timestamps are stored as deltas from the base, exactly
+    per the v2 layout."""
+    if not records:
+        raise ValueError("empty batch")
+    base_ts = min(r["timestamp_ms"] for r in records)
+    max_ts = max(r["timestamp_ms"] for r in records)
+    recs = bytearray()
+    for r in records:
+        recs += encode_record_v2(
+            r["offset"] - base_offset,
+            r["timestamp_ms"] - base_ts,
+            r.get("key"),
+            r.get("value"),
+            r.get("headers"),
+        )
+    last_offset_delta = records[-1]["offset"] - base_offset
+    # part covered by the CRC: attributes .. records
+    crc_part = bytearray()
+    crc_part += struct.pack(">h", attributes)
+    crc_part += struct.pack(">i", last_offset_delta)
+    crc_part += struct.pack(">q", base_ts)
+    crc_part += struct.pack(">q", max_ts)
+    crc_part += struct.pack(">q", producer_id)
+    crc_part += struct.pack(">h", producer_epoch)
+    crc_part += struct.pack(">i", base_sequence)
+    crc_part += struct.pack(">i", len(records))
+    crc_part += recs
+    crc = crc32c(bytes(crc_part))
+    # batchLength counts everything after the batchLength field itself
+    batch_length = 4 + 1 + 4 + len(crc_part)  # leaderEpoch + magic + crc + covered
+    out = bytearray()
+    out += struct.pack(">q", base_offset)
+    out += struct.pack(">i", batch_length)
+    out += struct.pack(">i", partition_leader_epoch)
+    out += struct.pack(">b", MAGIC_V2)
+    out += struct.pack(">I", crc)
+    out += crc_part
+    return bytes(out)
+
+
+def decode_batch_v2(buf: bytes, verify_crc: bool = True) -> dict:
+    """Decode one v2 batch → {base_offset, producer_id, producer_epoch,
+    base_sequence, attributes, records: [{offset, timestamp_ms, key,
+    value, headers}]}. Raises on magic/CRC mismatch."""
+    base_offset = struct.unpack_from(">q", buf, 0)[0]
+    batch_length = struct.unpack_from(">i", buf, 8)[0]
+    magic = struct.unpack_from(">b", buf, 16)[0]
+    if magic != MAGIC_V2:
+        raise ValueError(f"not a v2 batch (magic={magic})")
+    crc = struct.unpack_from(">I", buf, 17)[0]
+    covered = buf[21 : 12 + batch_length]
+    if verify_crc and crc32c(covered) != crc:
+        raise ValueError("CRC32C mismatch")
+    attributes = struct.unpack_from(">h", covered, 0)[0]
+    base_ts = struct.unpack_from(">q", covered, 6)[0]
+    producer_id = struct.unpack_from(">q", covered, 22)[0]
+    producer_epoch = struct.unpack_from(">h", covered, 30)[0]
+    base_sequence = struct.unpack_from(">i", covered, 32)[0]
+    record_count = struct.unpack_from(">i", covered, 36)[0]
+    pos = 40
+    records = []
+    for _ in range(record_count):
+        length, pos = _read_varint(covered, pos)
+        end = pos + length
+        pos += 1  # record attributes
+        ts_delta, pos = _read_varint(covered, pos)
+        off_delta, pos = _read_varint(covered, pos)
+        klen, pos = _read_varint(covered, pos)
+        key = None
+        if klen >= 0:
+            key = bytes(covered[pos : pos + klen])
+            pos += klen
+        vlen, pos = _read_varint(covered, pos)
+        value = None
+        if vlen >= 0:
+            value = bytes(covered[pos : pos + vlen])
+            pos += vlen
+        hcount, pos = _read_varint(covered, pos)
+        headers = []
+        for _ in range(hcount):
+            hklen, pos = _read_varint(covered, pos)
+            hk = covered[pos : pos + hklen].decode("utf-8")
+            pos += hklen
+            hvlen, pos = _read_varint(covered, pos)
+            hv = None
+            if hvlen >= 0:
+                hv = bytes(covered[pos : pos + hvlen])
+                pos += hvlen
+            headers.append((hk, hv))
+        assert pos == end, "record length mismatch"
+        records.append(
+            {
+                "offset": base_offset + off_delta,
+                "timestamp_ms": base_ts + ts_delta,
+                "key": key,
+                "value": value,
+                "headers": headers,
+            }
+        )
+    return {
+        "base_offset": base_offset,
+        "attributes": attributes,
+        "producer_id": producer_id,
+        "producer_epoch": producer_epoch,
+        "base_sequence": base_sequence,
+        "records": records,
+    }
+
+
+def decode_batches_v2(buf: bytes) -> list[dict]:
+    """Decode a sequence of concatenated v2 batches (a fetch response's
+    records blob)."""
+    out = []
+    pos = 0
+    while pos < len(buf):
+        batch_length = struct.unpack_from(">i", buf, pos + 8)[0]
+        total = 12 + batch_length
+        out.append(decode_batch_v2(buf[pos : pos + total]))
+        pos += total
+    return out
+
+
+# ---------------------------------------------------------------------- #
+# legacy MessageSet v0/v1 — the down-conversion target
+# ---------------------------------------------------------------------- #
+
+
+def _encode_message_v01(
+    offset: int, timestamp_ms: int, key: bytes | None, value: bytes | None, magic: int
+) -> bytes:
+    body = bytearray()
+    body += struct.pack(">b", magic)
+    body.append(0)  # attributes: no compression, CREATE_TIME
+    if magic == 1:
+        body += struct.pack(">q", timestamp_ms)
+    for blob in (key, value):
+        if blob is None:
+            body += struct.pack(">i", -1)
+        else:
+            body += struct.pack(">i", len(blob))
+            body += blob
+    crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
+    msg = struct.pack(">I", crc) + bytes(body)
+    return struct.pack(">q", offset) + struct.pack(">i", len(msg)) + msg
+
+
+def down_convert(batch_bytes: bytes, to_magic: int = 1) -> bytes:
+    """Magic down-conversion: a v2 batch re-encoded as a v0/v1 message set
+    for pre-0.11 consumers. Headers are dropped and per-message CRC32
+    (zlib) replaces the batch CRC32C — the same lossy mapping Kafka's
+    down-converter performs (and the reference meters as
+    CONSUME_MESSAGE_CONVERSIONS_TIME_NANOS)."""
+    if to_magic not in (0, 1):
+        raise ValueError("legacy magic must be 0 or 1")
+    batch = decode_batch_v2(batch_bytes)
+    out = bytearray()
+    for r in batch["records"]:
+        out += _encode_message_v01(
+            r["offset"], r["timestamp_ms"], r["key"], r["value"], to_magic
+        )
+    return bytes(out)
+
+
+def decode_message_set_v01(buf: bytes) -> list[dict]:
+    """Decode a legacy v0/v1 message set → [{offset, timestamp_ms|None,
+    key, value}] (verifying each per-message CRC32)."""
+    out = []
+    pos = 0
+    while pos < len(buf):
+        offset = struct.unpack_from(">q", buf, pos)[0]
+        size = struct.unpack_from(">i", buf, pos + 8)[0]
+        msg = buf[pos + 12 : pos + 12 + size]
+        crc = struct.unpack_from(">I", msg, 0)[0]
+        if zlib.crc32(msg[4:]) & 0xFFFFFFFF != crc:
+            raise ValueError("CRC32 mismatch")
+        magic = struct.unpack_from(">b", msg, 4)[0]
+        mpos = 6
+        ts = None
+        if magic == 1:
+            ts = struct.unpack_from(">q", msg, mpos)[0]
+            mpos += 8
+        klen = struct.unpack_from(">i", msg, mpos)[0]
+        mpos += 4
+        key = None
+        if klen >= 0:
+            key = bytes(msg[mpos : mpos + klen])
+            mpos += klen
+        vlen = struct.unpack_from(">i", msg, mpos)[0]
+        mpos += 4
+        value = None
+        if vlen >= 0:
+            value = bytes(msg[mpos : mpos + vlen])
+            mpos += vlen
+        out.append({"offset": offset, "timestamp_ms": ts, "key": key, "value": value})
+        pos += 12 + size
+    return out

@@ -1,0 +1,166 @@
+"""Kafka wire-format operators: log rows ↔ RecordBatch v2 bytes.
+
+The reference's data plane is exactly this layer — Kafka batches encoded
+into / decoded out of storage entries, plus magic down-conversion for old
+consumers (utils/ByteBufUtils.java:172-278, format/KafkaV1EntryFormatter
+.java:40-64, format/AbstractEntryFormatter.java:238-281). Here the byte
+codec is functions/kafka_records.py (pure Python, public protocol spec)
+and the operators are Arrow-batched:
+
+- encode: applyInPandas grouped by partition — each partition's records
+  are offset-sorted and chunked into batches of ``max_records_per_batch``,
+  mirroring how a producer's batches land on a partition leader. One
+  shuffle on ``partition`` (the same co-location produce needs anyway).
+- decode: mapInPandas — batches are self-contained blobs, so decoding is
+  embarrassingly parallel, no shuffle; CRC32C is verified per batch.
+
+Kafka timestamps are MILLISECONDS on the wire, so a roundtrip truncates
+sub-ms precision — that is wire semantics, not a codec defect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WIRE_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("base_offset", T.LongType(), False),
+        T.StructField("record_count", T.IntegerType(), False),
+        T.StructField("batch", T.BinaryType(), False),
+    ]
+)
+
+
+def _pickle_codec_by_value() -> None:
+    """Ship functions/kafka_records.py to executor workers by value (see
+    registry._pickle_codec_by_value for the rule)."""
+    from pyspark import cloudpickle
+
+    from starlight_for_kafka_spark.functions import kafka_records
+
+    cloudpickle.register_pickle_by_value(kafka_records)
+
+
+def encode_wire_batches(
+    log: DataFrame, max_records_per_batch: int = 100
+) -> DataFrame:
+    """Encode a log DataFrame into RecordBatch v2 blobs, one row per
+    batch: (partition, base_offset, record_count, batch binary)."""
+    _pickle_codec_by_value()
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    import pandas as pd
+
+    n = max_records_per_batch
+
+    def op(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("offset")
+        rows = []
+        part = int(pdf["partition"].iloc[0])
+        for i in range(0, len(pdf), n):
+            chunk = pdf.iloc[i : i + n]
+            records = []
+            for _, r in chunk.iterrows():
+                headers = None
+                if r["headers"] is not None and len(r["headers"]) > 0:
+                    headers = [
+                        (
+                            h["key"],
+                            bytes(h["value"]) if h["value"] is not None else None,
+                        )
+                        for h in r["headers"]
+                    ]
+                ts = r["timestamp"]
+                ts_ms = int(ts.value // 1_000_000) if ts is not None else 0
+                records.append(
+                    {
+                        "offset": int(r["offset"]),
+                        "timestamp_ms": ts_ms,
+                        "key": bytes(r["key"]) if r["key"] is not None else None,
+                        "value": bytes(r["value"]) if r["value"] is not None else None,
+                        "headers": headers,
+                    }
+                )
+            base = records[0]["offset"]
+            rows.append(
+                {
+                    "partition": part,
+                    "base_offset": base,
+                    "record_count": len(records),
+                    "batch": kr.encode_batch_v2(base, records),
+                }
+            )
+        return pd.DataFrame(rows, columns=["partition", "base_offset", "record_count", "batch"])
+
+    return log.groupBy("partition").applyInPandas(op, WIRE_BATCH_SCHEMA)
+
+
+def decode_wire_batches(batches: DataFrame) -> DataFrame:
+    """Decode RecordBatch v2 blobs back to log rows (CRC-verified).
+    Map-only — each blob is self-contained."""
+    _pickle_codec_by_value()
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    out_schema = (
+        "key binary, value binary, "
+        "headers array<struct<key:string,value:binary>>, "
+        "timestamp timestamp, partition int, offset long"
+    )
+
+    def op(batch_iter):
+        import datetime as _dt
+
+        import pandas as pd
+
+        for pdf in batch_iter:
+            rows = []
+            for _, r in pdf.iterrows():
+                decoded = kr.decode_batch_v2(bytes(r["batch"]))
+                for rec in decoded["records"]:
+                    rows.append(
+                        {
+                            "key": rec["key"],
+                            "value": rec["value"],
+                            "headers": [
+                                {"key": hk, "value": hv} for hk, hv in rec["headers"]
+                            ],
+                            "timestamp": _dt.datetime.utcfromtimestamp(
+                                rec["timestamp_ms"] / 1000.0
+                            ),
+                            "partition": int(r["partition"]),
+                            "offset": rec["offset"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "value", "headers", "timestamp", "partition", "offset"],
+            )
+
+    return batches.mapInPandas(op, out_schema)
+
+
+def down_convert_batches(batches: DataFrame, to_magic: int = 1) -> DataFrame:
+    """Magic down-conversion for legacy consumers: each v2 batch becomes a
+    v0/v1 message-set blob (headers dropped, per-message CRC32) — the
+    conversion the reference meters as CONSUME_MESSAGE_CONVERSIONS
+    (AbstractEntryFormatter.java:238-281). Map-only."""
+    _pickle_codec_by_value()
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    def op(batch_iter):
+        import pandas as pd
+
+        for pdf in batch_iter:
+            out = pdf[["partition", "base_offset", "record_count"]].copy()
+            out["message_set"] = [
+                kr.down_convert(bytes(b), to_magic) for b in pdf["batch"]
+            ]
+            yield out
+
+    return batches.mapInPandas(
+        op,
+        "partition int, base_offset long, record_count int, message_set binary",
+    )

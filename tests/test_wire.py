@@ -1,0 +1,86 @@
+"""Kafka wire-format codec + operators: spec-pinned bytes, CRC verify,
+roundtrip through Spark, magic down-conversion."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+from starlight_for_kafka_spark.functions import kafka_records as kr
+from starlight_for_kafka_spark.sources import wire
+
+
+def test_crc32c_check_value():
+    # canonical CRC32C test vector
+    assert kr.crc32c(b"123456789") == 0xE3069283
+
+
+def test_batch_v2_layout_fields():
+    b = kr.encode_batch_v2(
+        5, [{"offset": 5, "timestamp_ms": 1000, "key": b"k", "value": b"v", "headers": []}],
+        producer_id=9, producer_epoch=2, base_sequence=3,
+    )
+    assert struct.unpack_from(">q", b, 0)[0] == 5          # baseOffset
+    assert struct.unpack_from(">b", b, 16)[0] == 2         # magic
+    assert struct.unpack_from(">i", b, 8)[0] == len(b) - 12  # batchLength
+    d = kr.decode_batch_v2(b)
+    assert (d["producer_id"], d["producer_epoch"], d["base_sequence"]) == (9, 2, 3)
+
+
+def test_crc_corruption_detected():
+    import pytest
+
+    b = bytearray(kr.encode_batch_v2(
+        0, [{"offset": 0, "timestamp_ms": 1, "key": None, "value": b"x", "headers": []}]))
+    b[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        kr.decode_batch_v2(bytes(b))
+
+
+def test_down_convert_drops_headers_keeps_payload():
+    b = kr.encode_batch_v2(7, [
+        {"offset": 7, "timestamp_ms": 123, "key": b"k", "value": b"v",
+         "headers": [("h", b"x")]},
+        {"offset": 8, "timestamp_ms": 124, "key": None, "value": None, "headers": []},
+    ])
+    v1 = kr.decode_message_set_v01(kr.down_convert(b, 1))
+    assert [(m["offset"], m["key"], m["value"], m["timestamp_ms"]) for m in v1] == [
+        (7, b"k", b"v", 123), (8, None, None, 124)]
+    v0 = kr.decode_message_set_v01(kr.down_convert(b, 0))
+    assert all(m["timestamp_ms"] is None for m in v0)
+
+
+def test_wire_roundtrip_through_spark(spark, log):
+    batches = wire.encode_wire_batches(log.df, max_records_per_batch=16)
+    meta = batches.select("partition", "base_offset", "record_count").collect()
+    # batches chunk each partition's offset sequence from its base
+    by_part = {}
+    for r in sorted(meta, key=lambda r: (r.partition, r.base_offset)):
+        by_part.setdefault(r.partition, []).append((r.base_offset, r.record_count))
+    for p, chunks in by_part.items():
+        expect_base = 0
+        for base, count in chunks:
+            assert base == expect_base
+            expect_base += count
+
+    decoded = wire.decode_wire_batches(batches)
+    a = log.df.select(
+        "partition", "offset", F.col("key").cast("string").alias("k"),
+        F.octet_length("value").alias("vl"), F.unix_millis("timestamp").alias("ts"),
+    )
+    b = decoded.select(
+        "partition", "offset", F.col("key").cast("string").alias("k"),
+        F.octet_length("value").alias("vl"), F.unix_millis("timestamp").alias("ts"),
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_down_convert_batches_operator(spark, log):
+    batches = wire.encode_wire_batches(log.df.filter("partition = 0"),
+                                       max_records_per_batch=32)
+    legacy = wire.down_convert_batches(batches, to_magic=1)
+    row = legacy.first()
+    msgs = kr.decode_message_set_v01(bytes(row.message_set))
+    assert len(msgs) == row.record_count
+    assert msgs[0]["offset"] == row.base_offset
