@@ -655,12 +655,15 @@ def q_wire_roundtrip(spark, sf_dir):
     functions/kafka_records.py implements the public protocol layout;
     reference: ByteBufUtils.java:172-278, KafkaV1EntryFormatter.java.
     The oracle recomputes the projected fields straight from the source
-    log; any header-layout, varint, delta, or CRC bug breaks parity.
+    log; any header-layout, varint, delta, gzip-framing, or CRC bug
+    breaks parity. Batches are gzip-compressed then transcoded back to
+    clear before decode, so the compression path is in the loop too.
     Timestamps project at ms, Kafka's wire precision."""
     from starlight_for_kafka_spark.sources import wire
 
     log = _log(spark, sf_dir).df
-    batches = wire.encode_wire_batches(log, max_records_per_batch=50)
+    gz = wire.encode_wire_batches(log, max_records_per_batch=50, compression="gzip")
+    batches = wire.transcode_batches(gz, compression=None)
     decoded = wire.decode_wire_batches(batches)
     return decoded.select(
         "partition",

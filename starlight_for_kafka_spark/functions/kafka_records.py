@@ -131,6 +131,12 @@ def encode_record_v2(
     return bytes(out)
 
 
+# attributes bits 0-2: compression codec (Kafka protocol)
+COMPRESSION_NONE = 0
+COMPRESSION_GZIP = 1
+_CODEC_NAMES = {0: "none", 1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
+
+
 def encode_batch_v2(
     base_offset: int,
     records: list[dict],
@@ -139,10 +145,14 @@ def encode_batch_v2(
     base_sequence: int = -1,
     partition_leader_epoch: int = 0,
     attributes: int = 0,
+    compression: str | None = None,
 ) -> bytes:
     """records: [{offset, timestamp_ms, key, value, headers}] sorted by
     offset; offsets/timestamps are stored as deltas from the base, exactly
-    per the v2 layout."""
+    per the v2 layout. ``compression='gzip'`` compresses the records
+    section only (the v2 header stays clear, per the protocol) and sets
+    the codec bits in attributes; snappy/lz4/zstd codecs aren't bundled —
+    a clear error names them."""
     if not records:
         raise ValueError("empty batch")
     base_ts = min(r["timestamp_ms"] for r in records)
@@ -156,6 +166,13 @@ def encode_batch_v2(
             r.get("value"),
             r.get("headers"),
         )
+    if compression not in (None, "none"):
+        if compression != "gzip":
+            raise ValueError(
+                f"codec {compression!r} not bundled (stdlib has gzip only)"
+            )
+        recs = bytearray(zlib.compress(bytes(recs), 9, wbits=31))  # gzip framing
+        attributes = (attributes & ~0x07) | COMPRESSION_GZIP
     last_offset_delta = records[-1]["offset"] - base_offset
     # part covered by the CRC: attributes .. records
     crc_part = bytearray()
@@ -200,34 +217,42 @@ def decode_batch_v2(buf: bytes, verify_crc: bool = True) -> dict:
     producer_epoch = struct.unpack_from(">h", covered, 30)[0]
     base_sequence = struct.unpack_from(">i", covered, 32)[0]
     record_count = struct.unpack_from(">i", covered, 36)[0]
-    pos = 40
+    codec = attributes & 0x07
+    rbuf = covered[40:]
+    if codec == COMPRESSION_GZIP:
+        rbuf = zlib.decompress(bytes(rbuf), wbits=31)
+    elif codec != COMPRESSION_NONE:
+        raise ValueError(
+            f"codec {_CODEC_NAMES.get(codec, codec)!r} not bundled (stdlib has gzip only)"
+        )
+    pos = 0
     records = []
     for _ in range(record_count):
-        length, pos = _read_varint(covered, pos)
+        length, pos = _read_varint(rbuf, pos)
         end = pos + length
         pos += 1  # record attributes
-        ts_delta, pos = _read_varint(covered, pos)
-        off_delta, pos = _read_varint(covered, pos)
-        klen, pos = _read_varint(covered, pos)
+        ts_delta, pos = _read_varint(rbuf, pos)
+        off_delta, pos = _read_varint(rbuf, pos)
+        klen, pos = _read_varint(rbuf, pos)
         key = None
         if klen >= 0:
-            key = bytes(covered[pos : pos + klen])
+            key = bytes(rbuf[pos : pos + klen])
             pos += klen
-        vlen, pos = _read_varint(covered, pos)
+        vlen, pos = _read_varint(rbuf, pos)
         value = None
         if vlen >= 0:
-            value = bytes(covered[pos : pos + vlen])
+            value = bytes(rbuf[pos : pos + vlen])
             pos += vlen
-        hcount, pos = _read_varint(covered, pos)
+        hcount, pos = _read_varint(rbuf, pos)
         headers = []
         for _ in range(hcount):
-            hklen, pos = _read_varint(covered, pos)
-            hk = covered[pos : pos + hklen].decode("utf-8")
+            hklen, pos = _read_varint(rbuf, pos)
+            hk = rbuf[pos : pos + hklen].decode("utf-8")
             pos += hklen
-            hvlen, pos = _read_varint(covered, pos)
+            hvlen, pos = _read_varint(rbuf, pos)
             hv = None
             if hvlen >= 0:
-                hv = bytes(covered[pos : pos + hvlen])
+                hv = bytes(rbuf[pos : pos + hvlen])
                 pos += hvlen
             headers.append((hk, hv))
         assert pos == end, "record length mismatch"
@@ -261,6 +286,22 @@ def decode_batches_v2(buf: bytes) -> list[dict]:
         out.append(decode_batch_v2(buf[pos : pos + total]))
         pos += total
     return out
+
+
+def transcode(batch_bytes: bytes, compression: str | None = None) -> bytes:
+    """Compression transcode: decode a v2 batch (any bundled codec) and
+    re-encode with ``compression``, preserving base offset and producer
+    identity — the broker-side recompression the reference meters as
+    PRODUCE_MESSAGE_CONVERSIONS (AbstractEntryFormatter.java:238-281)."""
+    d = decode_batch_v2(batch_bytes)
+    return encode_batch_v2(
+        d["base_offset"],
+        d["records"],
+        producer_id=d["producer_id"],
+        producer_epoch=d["producer_epoch"],
+        base_sequence=d["base_sequence"],
+        compression=compression,
+    )
 
 
 # ---------------------------------------------------------------------- #

@@ -45,10 +45,12 @@ def _pickle_codec_by_value() -> None:
 
 
 def encode_wire_batches(
-    log: DataFrame, max_records_per_batch: int = 100
+    log: DataFrame, max_records_per_batch: int = 100, compression: str | None = None
 ) -> DataFrame:
     """Encode a log DataFrame into RecordBatch v2 blobs, one row per
-    batch: (partition, base_offset, record_count, batch binary)."""
+    batch: (partition, base_offset, record_count, batch binary);
+    ``compression='gzip'`` compresses each batch's records section per
+    the protocol."""
     _pickle_codec_by_value()
     from starlight_for_kafka_spark.functions import kafka_records as kr
 
@@ -90,7 +92,7 @@ def encode_wire_batches(
                     "partition": part,
                     "base_offset": base,
                     "record_count": len(records),
-                    "batch": kr.encode_batch_v2(base, records),
+                    "batch": kr.encode_batch_v2(base, records, compression=compression),
                 }
             )
         return pd.DataFrame(rows, columns=["partition", "base_offset", "record_count", "batch"])
@@ -140,6 +142,27 @@ def decode_wire_batches(batches: DataFrame) -> DataFrame:
             )
 
     return batches.mapInPandas(op, out_schema)
+
+
+def transcode_batches(batches: DataFrame, compression: str | None = None) -> DataFrame:
+    """Broker-side compression transcode: re-encode every batch with the
+    target codec, preserving offsets and producer identity (reference
+    meters this as PRODUCE_MESSAGE_CONVERSIONS,
+    AbstractEntryFormatter.java:238-281). Map-only."""
+    _pickle_codec_by_value()
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    def op(batch_iter):
+        import pandas as pd
+
+        for pdf in batch_iter:
+            out = pdf.copy()
+            out["batch"] = [
+                kr.transcode(bytes(b), compression) for b in pdf["batch"]
+            ]
+            yield out
+
+    return batches.mapInPandas(op, WIRE_BATCH_SCHEMA)
 
 
 def down_convert_batches(batches: DataFrame, to_magic: int = 1) -> DataFrame:

@@ -84,3 +84,53 @@ def test_down_convert_batches_operator(spark, log):
     msgs = kr.decode_message_set_v01(bytes(row.message_set))
     assert len(msgs) == row.record_count
     assert msgs[0]["offset"] == row.base_offset
+
+
+def test_gzip_batch_roundtrip_and_transcode():
+    recs = [{"offset": 10 + i, "timestamp_ms": 1000 + i,
+             "key": b"k%d" % i, "value": b"payload-" * 20 + bytes([i]),
+             "headers": [("h", b"x")]} for i in range(8)]
+    plain = kr.encode_batch_v2(10, recs)
+    gz = kr.encode_batch_v2(10, recs, compression="gzip")
+    assert len(gz) < len(plain)                    # it actually compressed
+    d = kr.decode_batch_v2(gz)
+    assert d["attributes"] & 0x07 == kr.COMPRESSION_GZIP
+    assert d["records"] == recs                    # lossless through gzip
+    # transcode gzip -> none preserves bytes-level equality with plain
+    assert kr.transcode(gz, compression=None) == plain
+    # and none -> gzip -> none is stable
+    assert kr.transcode(kr.transcode(plain, "gzip"), None) == plain
+
+
+def test_unbundled_codec_raises_clearly():
+    import pytest
+
+    recs = [{"offset": 0, "timestamp_ms": 1, "key": None, "value": b"v", "headers": []}]
+    with pytest.raises(ValueError, match="zstd"):
+        kr.encode_batch_v2(0, recs, compression="zstd")
+    # a batch claiming snappy (attributes bits) must fail loudly, not garble
+    b = bytearray(kr.encode_batch_v2(0, recs))
+    import struct as _s
+    covered = bytearray(b[21:])
+    covered[1] = (covered[1] & ~0x07) | 2          # snappy bits
+    crc = kr.crc32c(bytes(covered))
+    b[17:21] = _s.pack(">I", crc)
+    b[21:] = covered
+    with pytest.raises(ValueError, match="snappy"):
+        kr.decode_batch_v2(bytes(b))
+
+
+def test_down_convert_from_gzip_batch():
+    recs = [{"offset": 3, "timestamp_ms": 77, "key": b"k", "value": b"v", "headers": []}]
+    gz = kr.encode_batch_v2(3, recs, compression="gzip")
+    msgs = kr.decode_message_set_v01(kr.down_convert(gz, 1))
+    assert msgs[0] == {"offset": 3, "timestamp_ms": 77, "key": b"k", "value": b"v"}
+
+
+def test_transcode_batches_operator_roundtrip(spark, log):
+    gz = wire.encode_wire_batches(log.df.filter("partition = 1"),
+                                  max_records_per_batch=32, compression="gzip")
+    plain = wire.transcode_batches(gz, compression=None)
+    a = wire.decode_wire_batches(gz).select("partition", "offset", "value")
+    b = wire.decode_wire_batches(plain).select("partition", "offset", "value")
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
