@@ -504,6 +504,19 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_ops.exact_dedup(docs).select("doc_id")
 
 
+def q_dedup_stats(spark, sf_dir):
+    """Per-language duplication diagnostics over a corpus with known
+    exact clones — the health check run before a dedup pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    corpus = docs.select("doc_id", "lang", "text").unionByName(
+        clones.select("doc_id", "lang", "text")
+    )
+    return dedup_ops.dedup_stats(corpus, "lang")
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
     return dedup_ops.ngram_jaccard_pairs(
@@ -1905,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_cc": q_dedup_minhash_cc,
         "split_leakage_safe": q_split_leakage_safe,
+        "dedup_stats": q_dedup_stats,
         "text_stats": q_text_stats,
         "text_fingerprint": q_text_fingerprint,
         "text_language_id": q_text_language_id,
@@ -2339,6 +2353,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_minhash_cc": _minhash_cc_oracle_sql(),
         "split_leakage_safe": _leakage_safe_split_oracle_sql(),
+        "dedup_stats": """WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 10 = 0
+), d AS (
+  SELECT lang, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS dig FROM corpus
+)
+SELECT lang, count(*) AS n_docs, count(DISTINCT dig) AS n_distinct,
+       count(*) - count(DISTINCT dig) AS n_dups,
+       round((count(*) - count(DISTINCT dig)) / count(*), 6) AS dup_rate
+FROM d GROUP BY lang""",
         "similarity_lsh_top5": _lsh_top5_oracle_sql(),
         "dedup_embedding_lsh": _dedup_embedding_lsh_oracle_sql(),
         "multimodal_features": """SELECT doc_id AS media_id,

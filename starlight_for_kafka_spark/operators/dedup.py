@@ -37,6 +37,38 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_stats(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group duplication diagnostics: document count, distinct content
+    digests, duplicate count, and dup rate — the corpus-health view run
+    BEFORE committing to a dedup pass (sibling of skew.heavy_hitters: a
+    group with a runaway dup rate usually means a broken upstream crawler,
+    not real content). Same normalize→md5 digest as exact_dedup, two
+    map-side-combinable aggregations, no self-join."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    per_group = (
+        df.withColumn("__digest", F.md5(norm.cast("binary")))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("__digest").alias("n_distinct"),
+        )
+    )
+    return per_group.select(
+        group_col,
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct")).alias("n_dups"),
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus: DataFrame,
