@@ -687,6 +687,28 @@ def q_wire_roundtrip(spark, sf_dir):
     )
 
 
+def q_log_integrity(spark, sf_dir):
+    """Log-invariant audit over a log with injected corruption — holes
+    (every offset ≡ 5 mod 97 removed) and out-of-order timestamps (every
+    offset ≡ 7 mod 53 shifted back an hour): gap / duplicate /
+    ts-regression counters and the density verdict per partition, all
+    counters provably nonzero."""
+    from starlight_for_kafka_spark.sources.logtable import check_log_integrity
+
+    log = (
+        _log(spark, sf_dir)
+        .df.filter(F.col("offset") % 97 != 5)
+        .withColumn(
+            "timestamp",
+            F.when(
+                F.col("offset") % 53 == 7,
+                F.col("timestamp") - F.expr("INTERVAL 1 HOUR"),
+            ).otherwise(F.col("timestamp")),
+        )
+    )
+    return check_log_integrity(log)
+
+
 def q_produce_validation(spark, sf_dir):
     """KopLogValidator semantics: compacted topics need keys; timestamps must
     sit within max.message.time.difference.ms of 'now'."""
@@ -1940,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_compat": q_registry_compat,
         "registry_wire": q_registry_wire,
         "wire_roundtrip": q_wire_roundtrip,
+        "log_integrity": q_log_integrity,
         "registry_compat_full": q_registry_compat_full,
         "typed_view_avro": q_typed_view_avro,
         "dedup_simhash": q_dedup_simhash,
@@ -2777,6 +2800,29 @@ FROM log""",
   ('FULL_TRANSITIVE', 'type_change', false),
   ('FULL_TRANSITIVE', 'add_field_with_default', true)
 ) AS t(mode, candidate, compatible)""",
+        "log_integrity": f"""WITH {LOG_CTE},
+f AS (
+  SELECT "partition", "offset",
+         CASE WHEN "offset" % 53 = 7 THEN "timestamp" - INTERVAL 1 HOUR
+              ELSE "timestamp" END AS ts0
+  FROM log WHERE "offset" % 97 <> 5
+),
+x AS (
+  SELECT "partition", "offset",
+         lag("offset") OVER (PARTITION BY "partition" ORDER BY "offset") AS po,
+         lag(ts0) OVER (PARTITION BY "partition" ORDER BY "offset") AS pt,
+         ts0 AS ts
+  FROM f
+)
+SELECT "partition", count(*) AS n_records,
+       min("offset") AS log_start_offset,
+       max("offset") + 1 AS log_end_offset,
+       sum(CASE WHEN po IS NOT NULL AND "offset" <> po + 1 THEN 1 ELSE 0 END) AS n_offset_gaps,
+       sum(CASE WHEN po IS NOT NULL AND "offset" = po THEN 1 ELSE 0 END) AS n_duplicate_offsets,
+       sum(CASE WHEN pt IS NOT NULL AND ts < pt THEN 1 ELSE 0 END) AS n_ts_regressions,
+       (max("offset") - min("offset") + 1 = count(*)
+        AND sum(CASE WHEN po IS NOT NULL AND "offset" = po THEN 1 ELSE 0 END) = 0) AS dense
+FROM x GROUP BY "partition\"""",
         "wire_roundtrip": f"""WITH {LOG_CTE}
 SELECT "partition", "offset", {ms.format(c='"timestamp"')} AS ts_ms,
        key, strlen(value) AS value_len

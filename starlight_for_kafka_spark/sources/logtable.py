@@ -487,6 +487,47 @@ def validate_records(
     return records.withColumn("_error", err)
 
 
+def check_log_integrity(log_df: DataFrame) -> DataFrame:
+    """Per-partition log-invariant audit — the DumpLogSegments-style
+    health check an operator runs before trusting a log copy: offset
+    density (no gaps, no duplicates), and how many records have a
+    timestamp earlier than their predecessor (out-of-order append —
+    legal in Kafka with CreateTime, but a replication bug smell when it
+    spikes).
+
+    One window pass per partition (the log's natural key, so the sort is
+    the layout order at rest — on a written log this is a sorted-scan,
+    not a shuffle) + one map-side-combinable aggregation."""
+    w = Window.partitionBy("partition").orderBy("offset")
+    prev_off = F.lag("offset").over(w)
+    prev_ts = F.lag("timestamp").over(w)
+    rows = log_df.select(
+        "partition",
+        "offset",
+        F.when(prev_off.isNotNull() & (F.col("offset") != prev_off + 1), 1)
+        .otherwise(0)
+        .alias("__gap"),
+        F.when(prev_off.isNotNull() & (F.col("offset") == prev_off), 1)
+        .otherwise(0)
+        .alias("__dup"),
+        F.when(prev_ts.isNotNull() & (F.col("timestamp") < prev_ts), 1)
+        .otherwise(0)
+        .alias("__ts_regress"),
+    )
+    return rows.groupBy("partition").agg(
+        F.count("*").alias("n_records"),
+        F.min("offset").alias("log_start_offset"),
+        (F.max("offset") + 1).alias("log_end_offset"),
+        F.sum("__gap").alias("n_offset_gaps"),
+        F.sum("__dup").alias("n_duplicate_offsets"),
+        F.sum("__ts_regress").alias("n_ts_regressions"),
+        (
+            (F.max("offset") - F.min("offset") + 1 == F.count("*"))
+            & (F.sum("__dup") == 0)
+        ).alias("dense"),
+    )
+
+
 def describe_log(log_df: DataFrame) -> DataFrame:
     """DESCRIBE_LOG_DIRS-style per-partition report: record count, payload
     bytes, offset and timestamp bounds — the per-partition size/health view
