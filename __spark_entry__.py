@@ -830,6 +830,21 @@ JSON_V1 = (
 )
 
 
+def q_registry_delete(spark, sf_dir):
+    """Registry deletion surface: drop the click-value subject entirely
+    and user-value's v2, then list what remains plus the per-subject
+    latest — version numbers are never compacted (Confluent semantics)."""
+    reg = _built_registry(spark)
+    reg, _deleted = reg_ops.delete_subject(reg, "click-value")
+    reg = reg_ops.delete_version(reg, "user-value", 2)
+    latest = reg_ops.latest_schemas(reg).select(
+        "subject", F.col("version").alias("latest_version")
+    )
+    return reg.join(latest, "subject").select(
+        "subject", "version", "id", "latest_version"
+    )
+
+
 def q_registry_compat_full(spark, sf_dir):
     """Per-type compatibility verdicts over fixed histories — AVRO full
     resolution (nested-record promotion, union widening, nested add
@@ -1964,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wire_roundtrip": q_wire_roundtrip,
         "log_integrity": q_log_integrity,
         "registry_compat_full": q_registry_compat_full,
+        "registry_delete": q_registry_delete,
         "typed_view_avro": q_typed_view_avro,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -2832,6 +2848,10 @@ FROM log""",
        strlen(text) AS payload_len,
        substring(text, 1, 16) AS payload_prefix
 FROM documents""",
+        "registry_delete": """SELECT * FROM (VALUES
+  ('user-value', 1, 1, 3),
+  ('user-value', 3, 4, 3)
+) AS t(subject, version, id, latest_version)""",
         "registry_compat_full": """SELECT * FROM (VALUES
   ('AVRO', 'BACKWARD', 'nested_promote', true),
   ('AVRO', 'FORWARD', 'nested_promote', false),

@@ -225,6 +225,25 @@ def lookup_by_id(registry: DataFrame, schema_id: int) -> DataFrame:
     return registry.filter(F.col("id") == schema_id)
 
 
+def delete_subject(registry: DataFrame, subject: str) -> tuple[DataFrame, DataFrame]:
+    """DELETE /subjects/{s} (SchemaStorage.deleteSubject): remove every
+    version of the subject, returning (new registry, deleted versions) —
+    the deleted-version list is what the REST API answers with."""
+    deleted = registry.filter(F.col("subject") == subject).select(
+        "subject", "version", "id"
+    )
+    return registry.filter(F.col("subject") != subject), deleted
+
+
+def delete_version(registry: DataFrame, subject: str, version: int) -> DataFrame:
+    """DELETE /subjects/{s}/versions/{v}: drop one version; later versions
+    keep their numbers (Confluent semantics — version numbers are never
+    reused or compacted)."""
+    return registry.filter(
+        ~((F.col("subject") == subject) & (F.col("version") == version))
+    )
+
+
 # --------------------------------------------------------------------- #
 # Confluent wire format (ByteBufUtils.prependSchemaId:301-312)
 # --------------------------------------------------------------------- #

@@ -137,3 +137,18 @@ def test_avro_compat_nested_resolution():
     promoted = n1.replace('"type":"int"', '"type":"long"')
     assert reg.check_compatibility("BACKWARD", promoted, [n1], "AVRO")
     assert not reg.check_compatibility("FORWARD", promoted, [n1], "AVRO")
+
+
+def test_delete_subject_and_version(spark):
+    r = reg.create_registry(spark)
+    r = reg.register_schema(r, "a-value", "AVRO", V1)
+    r = reg.register_schema(r, "a-value", "AVRO", V2_ADD_DEFAULT)
+    r = reg.register_schema(r, "b-value", "AVRO", V1)
+    r2, deleted = reg.delete_subject(r, "b-value")
+    assert [(x.subject, x.version) for x in deleted.collect()] == [("b-value", 1)]
+    assert r2.filter(F.col("subject") == "b-value").count() == 0
+    r3 = reg.delete_version(r2, "a-value", 1)
+    rows = sorted((x.subject, x.version) for x in r3.collect())
+    assert rows == [("a-value", 2)]  # v2 keeps its number
+    latest = reg.latest_schemas(r3).first()
+    assert latest.version == 2
