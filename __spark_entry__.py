@@ -765,6 +765,57 @@ def q_table_table_join(spark, sf_dir):
     )
 
 
+def q_ktable_fk_join(spark, sf_dir):
+    """KIP-213 foreign-key KTable join: orders (left table, FK o_custkey in
+    the value) ⋈ customer (right table, PK c_custkey) restricted to
+    acctbal>5000 so the left join exercises real non-matches; result stays
+    keyed by the left PK (o_orderkey)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+    return ktable_ops.ktable_fk_join(
+        orders, cust, "o_custkey", "c_custkey",
+        payload=["c_name", "c_nationkey"], how="left",
+    ).select(
+        "o_orderkey", "o_custkey", "c_name",
+        F.col("c_nationkey").isNotNull().alias("matched"),
+    )
+
+
+def q_suppress_final(spark, sf_dir):
+    """Emit-final windowed count: tumbling 1h per event_type, 30-minute
+    grace — windows still open w.r.t. stream-time (max event ts) are
+    withheld, exactly Streams' suppress(untilWindowCloses)."""
+    return win_ops.suppress_final(
+        load_table(spark, sf_dir, "events"),
+        "ts", "1 hour",
+        ["event_type"],
+        [F.count("*").alias("cnt")],
+        grace_ms=1_800_000,
+    )
+
+
+def q_stream_branch(spark, sf_dir):
+    """KStream#split first-match-wins router + per-branch aggregate; no
+    default branch, so unmatched records drop (KStream#branch contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    branched = win_ops.branch_streams(
+        ev,
+        [
+            ("purchase", F.col("event_type") == "purchase"),
+            ("big", F.col("value") >= 100),
+        ],
+    )
+    return branched.groupBy("branch").agg(
+        F.count("*").alias("cnt"), _dec_sum("value").alias("total_value")
+    )
+
+
 def q_sliding_window_2h1h(spark, sf_dir):
     return win_ops.sliding_window_agg(
         load_table(spark, sf_dir, "events"),
@@ -1971,6 +2022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offset_expire": q_offset_expire,
         "delete_group": q_delete_group,
         "table_table_join": q_table_table_join,
+        "ktable_fk_join": q_ktable_fk_join,
+        "suppress_final": q_suppress_final,
+        "stream_branch": q_stream_branch,
         "sliding_window_2h1h": q_sliding_window_2h1h,
         "typed_view": q_typed_view,
         "registry_subjects": q_registry_subjects,
@@ -2777,6 +2831,27 @@ latest AS (
 ),
 counts AS (SELECT key, count(*) AS n_events FROM log GROUP BY key)
 SELECT key, latest_value, n_events FROM latest JOIN counts USING (key)""",
+        "ktable_fk_join": """SELECT o_orderkey, o_custkey, c_name,
+       c_nationkey IS NOT NULL AS matched
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+  ON o_custkey = c_custkey""",
+        "suppress_final": """WITH w AS (
+  SELECT event_type, count(*) AS cnt,
+         (epoch_us(ts) // 1000) - ((epoch_us(ts) // 1000) % 3600000) AS window_start_ms,
+         (epoch_us(ts) // 1000) - ((epoch_us(ts) // 1000) % 3600000) + 3600000 AS window_end_ms
+  FROM events GROUP BY event_type, window_start_ms, window_end_ms
+),
+st AS (SELECT max(epoch_us(ts) // 1000) AS stream_time_ms FROM events)
+SELECT event_type, cnt, window_start_ms, window_end_ms
+FROM w, st WHERE window_end_ms + 1800000 <= stream_time_ms""",
+        "stream_branch": """WITH b AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'purchase'
+              WHEN value >= 100 THEN 'big' END AS branch, value
+  FROM events
+)
+SELECT branch, count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM b WHERE branch IS NOT NULL GROUP BY branch""",
         "sliding_window_2h1h": """WITH j AS (SELECT unnest([0, 1]) AS j),
 e AS (SELECT event_type, value, epoch_us(ts) // 1000 AS ms FROM events)
 SELECT event_type, count(*) AS cnt,

@@ -94,6 +94,57 @@ def table_table_join(left: DataFrame, right: DataFrame, on, how: str = "inner") 
     return left.join(right, on, how)
 
 
+def ktable_fk_join(
+    left: DataFrame,
+    right: DataFrame,
+    fk_col: str,
+    right_key: str,
+    payload: list[str] | None = None,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """KTable ⋈ KTable on a FOREIGN key (KIP-213, Kafka Streams 2.4+
+    ``KTable#join(KTable, Function<V, KO>, ...)``) — the join the plain
+    ``table_table_join`` cannot express: each left-table row names its join
+    partner via a foreign-key *extracted from its value*, and the result
+    stays keyed by the LEFT table's primary key.
+
+    Kafka Streams implements this with two internal repartition topics —  a
+    "subscription" stream re-keyed by FK shipped to the right table's
+    partitions, and a "response" stream re-keyed back to the left PK —
+    because its state stores are key-partitioned and a lookup must run
+    where the data lives. Spark-first, that whole two-hop dataflow IS a
+    shuffle hash/sort-merge join on ``left.fk == right.pk``: Catalyst
+    co-partitions both sides on the FK in one exchange each, and when the
+    right table is dimension-sized it broadcasts, collapsing KIP-213's
+    machinery into a map-side hash join with zero shuffles of the big side.
+
+    Null-FK semantics match KIP-213: a left row whose FK is null is never
+    subscribed — dropped under ``how='inner'``, emitted with null right
+    payload under ``how='left'``. ``how`` ∈ {inner, left}.
+
+    ``payload`` selects the right-table columns to carry (default: all but
+    the key). Pass ``broadcast_right=True`` to force the broadcast plan
+    when statistics under-estimate the dimension side.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    payload = payload or [c for c in right.columns if c != right_key]
+    r = right.select(
+        F.col(right_key).alias("__fk_pk"),
+        *[F.col(c) for c in payload],
+        F.lit(True).alias("__fk_matched"),
+    )
+    if broadcast_right:
+        r = F.broadcast(r)
+    joined = left.join(r, left[fk_col] == r["__fk_pk"], "left")
+    if how == "inner":
+        # explicit marker, not payload nullability (a matched right row may
+        # legitimately carry null payload fields)
+        joined = joined.filter(F.col("__fk_matched"))
+    return joined.drop("__fk_pk", "__fk_matched")
+
+
 def stream_table_join(
     stream: DataFrame,
     changelog: DataFrame,

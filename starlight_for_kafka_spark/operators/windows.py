@@ -176,6 +176,77 @@ def sliding_window_agg(
     )
 
 
+def suppress_final(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list,
+    aggs: list[Column],
+    grace_ms: int = 0,
+) -> DataFrame:
+    """Windowed aggregate with final-result suppression — Kafka Streams
+    ``windowedBy(...).aggregate(...).suppress(Suppressed.untilWindowCloses)``
+    (the emit-once pattern the reference's Streams apps rely on for
+    exactly-one-result-per-window sinks).
+
+    A window is CLOSED once stream-time has passed its end plus the grace
+    period; only closed windows are emitted, open ones are withheld. In
+    batch, stream-time is the max observed event time: a one-row global
+    aggregate broadcast back over the windowed output (Catalyst plans the
+    cross join as BroadcastNestedLoopJoin over one row — free). In
+    streaming, Spark's append output mode + ``withWatermark(grace)`` IS
+    this operator: the watermark plays stream-time and append emits each
+    window exactly once when it closes.
+
+    Emits the same shape as :func:`tumbling_window_agg` (epoch-ms window
+    bounds) plus nothing else — suppression changes WHICH rows appear, not
+    their schema, so downstream operators are oblivious.
+    """
+    windowed = tumbling_window_agg(df, ts_col, duration, keys, aggs)
+    stream_time = df.agg(
+        F.expr(f"max(unix_micros({ts_col}) DIV 1000)").alias("__stream_time_ms")
+    )
+    return (
+        windowed.join(F.broadcast(stream_time))
+        .filter(F.col("window_end_ms") + F.lit(grace_ms) <= F.col("__stream_time_ms"))
+        .drop("__stream_time_ms")
+    )
+
+
+def branch_streams(
+    df: DataFrame, predicates: list[tuple[str, Column]], default: str | None = None
+) -> DataFrame:
+    """KStream#split / #branch (the Streams DSL router): tag each record
+    with the FIRST predicate it satisfies, in declaration order — a record
+    matches at most one branch. Records matching no predicate go to the
+    ``default`` branch, or are DROPPED when ``default`` is None (exactly
+    KStream#branch semantics, where unmatched records vanish).
+
+    Map-only: one CASE WHEN chain, no shuffle, fully codegen'd — branching
+    a 100 TB stream costs one projection. Returns the input with a
+    ``branch`` string column; callers ``.filter(col("branch") == tag)`` to
+    peel off a branch (Catalyst pushes that filter into the scan when the
+    branch expression is deterministic).
+    """
+    expr = F.lit(default).cast("string")
+    for tag, pred in reversed(predicates):
+        expr = F.when(pred, F.lit(tag)).otherwise(expr)
+    out = df.withColumn("branch", expr)
+    if default is None:
+        out = out.filter(F.col("branch").isNotNull())
+    return out
+
+
+def merge_streams(*streams: DataFrame) -> DataFrame:
+    """KStream#merge: interleave co-shaped streams into one (no ordering
+    guarantee between inputs — same contract as Streams). Spark-first this
+    is a union by name: zero shuffle, scans stay independent and parallel."""
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def cogroup_aggregate(
     streams: dict[str, DataFrame],
     key_cols: list[str],

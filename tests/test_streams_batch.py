@@ -242,3 +242,84 @@ def test_stream_table_join_inner_keeps_null_payload_match(spark):
     # k1 matched (null payload) → kept; k2 matched → kept; k3's only
     # changelog row is in the future → no as-of match → dropped
     assert got == {"k1": None, "k2": "v2"}
+
+
+def test_ktable_fk_join_semantics(spark):
+    """KIP-213: result keyed by left PK; null FK never matches (dropped on
+    inner, null payload on left); matched right rows may carry null payload."""
+    left = spark.createDataFrame(
+        [(1, 10, "x"), (2, 20, "y"), (3, None, "z"), (4, 99, "w")],
+        "pk int, fk int, lv string",
+    )
+    right = spark.createDataFrame(
+        [(10, "ten"), (20, None)], "rk int, rv string"
+    )
+    out_left = {
+        r.pk: (r.rv, r.matched)
+        for r in ktable.ktable_fk_join(left, right, "fk", "rk", how="left")
+        .withColumn("matched", F.col("rv").isNotNull())
+        .collect()
+    }
+    assert out_left[1] == ("ten", True)
+    assert out_left[2] == (None, False)  # matched but payload is null...
+    # ...which is why inner must use the marker, not payload nullability:
+    inner = ktable.ktable_fk_join(left, right, "fk", "rk", how="inner")
+    assert sorted(r.pk for r in inner.collect()) == [1, 2]
+    assert out_left[3] == (None, False)  # null FK -> no subscription
+    assert out_left[4] == (None, False)  # dangling FK
+
+
+def test_ktable_fk_join_broadcast_plan(spark):
+    left = spark.range(100).select(
+        F.col("id").alias("pk"), (F.col("id") % 10).alias("fk")
+    )
+    right = spark.range(10).select(F.col("id").alias("rk"), F.lit("v").alias("rv"))
+    plan = ktable.ktable_fk_join(
+        left, right, "fk", "rk", broadcast_right=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_suppress_final_grace_boundary(spark):
+    """Stream time = 02:30. 1h windows, 30min grace: [00,01) closes at
+    01:30 <= 02:30 -> emitted; [01,02) closes at 02:30 <= 02:30 -> emitted;
+    [02,03) closes at 03:30 -> withheld."""
+    df = _kv(
+        spark,
+        [
+            ("A", "a", _t(0)),
+            ("A", "b", _t(3_600_000)),
+            ("A", "c", _t(2 * 3_600_000 + 1_800_000)),
+        ],
+    )
+    out = windows.suppress_final(
+        df, "ts", "1 hour", ["key"], [F.count("*").alias("cnt")], grace_ms=1_800_000
+    )
+    starts = sorted(r.window_start_ms for r in out.collect())
+    base = int(T0.timestamp() * 1000)
+    assert starts == [base, base + 3_600_000]
+
+
+def test_branch_first_match_wins_and_drop(spark):
+    df = spark.createDataFrame(
+        [(1, "purchase", 900.0), (2, "view", 600.0), (3, "view", 10.0)],
+        "id int, event_type string, value double",
+    )
+    preds = [
+        ("purchase", F.col("event_type") == "purchase"),
+        ("big", F.col("value") >= 500),
+    ]
+    out = {r.id: r.branch for r in windows.branch_streams(df, preds).collect()}
+    # id=1 satisfies BOTH predicates -> first declared wins
+    assert out == {1: "purchase", 2: "big"}  # id=3 dropped (no default)
+    with_default = {
+        r.id: r.branch
+        for r in windows.branch_streams(df, preds, default="rest").collect()
+    }
+    assert with_default[3] == "rest"
+
+
+def test_merge_streams_union(spark):
+    a = _kv(spark, [("A", "a", _t(0))])
+    b = _kv(spark, [("B", "b", _t(1))])
+    assert windows.merge_streams(a, b).count() == 2
