@@ -1392,6 +1392,37 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-level duplicate-line removal (8-word tiles as lines):
+    per doc, tiles kept vs removed + md5 of the reassembled text."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.line_dedup(docs).select(
+        "doc_id", "n_lines", "n_kept", "cleaned_md5"
+    )
+
+
+def q_ccnet_bucket(spark, sf_dir):
+    """CCNet head/middle/tail: per-language terciles of the unigram-LM
+    score. approx_percentile is exact here (groups << accuracy), matching
+    DuckDB's quantile_disc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return text_ops.ccnet_bucket(docs).select(
+        "doc_id", "lang", "avg_logprob", "bucket"
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights toward the en slice: hashed word-bigram
+    (256 buckets, md5) target/raw log-ratios, per-doc sorted-fold sum."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = text_ops.dsir_weights(docs, F.col("lang") == "en")
+    return out.select(
+        "doc_id", "n_bigrams", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprint sets (k=5 char grams, w=4 windows): count and
     digest of each doc's sorted fingerprint set."""
@@ -2090,6 +2121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "quantization_recall": q_quantization_recall,
         "unigram_logprob": q_unigram_logprob,
+        "line_dedup": q_line_dedup,
+        "ccnet_bucket": q_ccnet_bucket,
+        "dsir_weights": q_dsir_weights,
         "winnow_fingerprints": q_winnow_fingerprints,
         "mixture_weights": q_mixture_weights,
         "quantize_embeddings": q_quantize_embeddings,
@@ -3508,6 +3542,90 @@ SELECT doc_id, n_tokens,
        round(exp(-avg_lp), 6) AS ppl,
        exp(-avg_lp) > 33 AS high_ppl
 FROM per_doc""",
+        "line_dedup": """WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), t AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(1, CAST(ceil(len(ws) / 8.0) AS BIGINT)))) AS line_no
+  FROM w
+), l AS (
+  SELECT doc_id, line_no,
+         array_to_string(ws[line_no * 8 + 1 : line_no * 8 + 8], ' ') AS line
+  FROM t
+), m AS (
+  SELECT doc_id, line_no, line,
+         row_number() OVER (
+           PARTITION BY ('0x' || substr(md5(line), 1, 15))::BIGINT
+           ORDER BY doc_id, line_no) = 1 AS kept
+  FROM l
+)
+SELECT doc_id, count(*) AS n_lines,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY line_no), '')) AS cleaned_md5
+FROM m GROUP BY doc_id""",
+        "ccnet_bucket": """WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), model AS (
+  SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS tot_tokens, count(*) AS vocab FROM model
+), scored AS (
+  SELECT doc_id, tf,
+         tf * ln((cnt + 1) / CAST(tot_tokens + vocab AS DOUBLE)) AS lp
+  FROM tf JOIN model USING (term), tot
+), per_doc AS (
+  SELECT doc_id, round(sum(lp) / sum(tf), 6) AS avg_logprob
+  FROM scored GROUP BY 1
+), sc AS (
+  SELECT d.doc_id, d.lang, p.avg_logprob
+  FROM documents d JOIN per_doc p USING (doc_id)
+), th AS (
+  SELECT lang, quantile_disc(avg_logprob, 1.0/3) AS t1,
+         quantile_disc(avg_logprob, 2.0/3) AS t2
+  FROM sc GROUP BY lang
+)
+SELECT doc_id, lang, avg_logprob,
+       CASE WHEN avg_logprob > t2 THEN 'head'
+            WHEN avg_logprob > t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc JOIN th USING (lang)""",
+        "dsir_weights": """WITH w AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), gi AS (
+  SELECT doc_id, (lang = 'en') AS is_t, ws, unnest(range(1, len(ws))) AS i FROM w
+), hb AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(array_to_string(ws[i : i + 1], ' ')), 1, 15))::BIGINT % 256 AS b
+  FROM gi
+), pdb AS (
+  SELECT doc_id, b, count(*) AS tf FROM hb GROUP BY 1, 2
+), raw AS (
+  SELECT b, count(*) AS raw_cnt FROM hb GROUP BY 1
+), tgt AS (
+  SELECT b, count(*) AS tgt_cnt FROM hb WHERE is_t GROUP BY 1
+), tot AS (
+  SELECT count(*) AS raw_tot, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_tot FROM hb
+), dist AS (
+  SELECT r.b,
+         ln((coalesce(tgt_cnt, 0) + 1) / CAST(tgt_tot + 256 AS DOUBLE))
+         - ln((raw_cnt + 1) / CAST(raw_tot + 256 AS DOUBLE)) AS log_ratio
+  FROM raw r LEFT JOIN tgt USING (b), tot
+), contrib AS (
+  SELECT doc_id, tf, b, tf * log_ratio AS c FROM pdb JOIN dist USING (b)
+)
+SELECT doc_id, sum(tf) AS n_bigrams,
+       round(list_reduce(
+         list_transform(list_sort(list(struct_pack(b := b, c := c))), x -> x.c),
+         (acc, x) -> acc + x), 6) AS log_weight
+FROM contrib GROUP BY doc_id""",
         "winnow_fingerprints": """WITH nrm AS (
   SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents
 ), g AS (

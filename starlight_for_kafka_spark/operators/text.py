@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from starlight_for_kafka_spark.functions.hashing import word_shingles
+from starlight_for_kafka_spark.functions.hashing import md5_hash64, word_shingles
 
 # tiny per-language stopword markers for the n-gram/stopword heuristic
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -329,6 +329,199 @@ def unigram_logprob(
         (F.sum("lp") / F.sum("tf")).alias("avg_logprob"),
     )
     return per_doc.withColumn("ppl", F.exp(-F.col("avg_logprob")))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 8,
+) -> DataFrame:
+    """Corpus-level duplicate-line removal — the C4/CCNet cleanup step that
+    deletes every repeated line (boilerplate, navbars, licence headers)
+    from all but its canonical first occurrence. This corpus has no
+    newlines, so a "line" is a fixed tile of ``line_words`` consecutive
+    words (the same tiling convention as :func:`chunk_documents`); swapping
+    the segmentation expression for ``split(text, '\\n')`` recovers literal
+    C4 behavior.
+
+    Scale shape: tile map-only, then ONE line-hash-keyed aggregation that
+    reduces each hash to its min (doc_id, line_no) — an agg with map-side
+    partial combine, deliberately NOT a row_number window per hash: a
+    boilerplate line repeated 10^9 times at 100 TB would serialize one
+    window partition, while min() folds it in the mappers. The keeper table
+    (distinct lines, Zipf-small vs corpus) joins back on the hash, and the
+    surviving tiles re-assemble per doc with a sorted in-row fold.
+
+    Emits per doc: n_lines, n_kept, cleaned text + md5 of it.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    words = F.split(F.trim(norm), " ")
+    n_lines = F.greatest(
+        F.lit(1), F.ceil(F.size(words) / F.lit(line_words)).cast("int")
+    )
+    tiles = df.select(
+        F.col(id_col).alias("__id"),
+        words.alias("__w"),
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_no"),
+    ).select(
+        "__id",
+        "line_no",
+        F.concat_ws(
+            " ", F.slice("__w", F.col("line_no") * line_words + 1, line_words)
+        ).alias("line"),
+    )
+    tiles = tiles.withColumn("lh", md5_hash64(F.col("line")))
+    keepers = tiles.groupBy("lh").agg(
+        F.min(F.struct("__id", "line_no")).alias("__keep")
+    )
+    kept_flag = (F.col("__keep.__id") == F.col("__id")) & (
+        F.col("__keep.line_no") == F.col("line_no")
+    )
+    marked = tiles.join(keepers, "lh").withColumn("__kept", kept_flag)
+    out = marked.groupBy("__id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("__kept").cast("int")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__kept"), F.struct("line_no", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_lines",
+        "n_kept",
+        "cleaned_text",
+        F.md5(F.col("cleaned_text").cast("binary")).alias("cleaned_md5"),
+    )
+
+
+def ccnet_bucket(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    accuracy: int = 1_000_000,
+) -> DataFrame:
+    """CCNet head/middle/tail bucketing: score every document with the
+    unigram-LM quality proxy (:func:`unigram_logprob`), then split EACH
+    LANGUAGE into terciles by that score — head = the best-scoring third
+    (highest avg log-prob = lowest perplexity), tail = the worst. CCNet
+    trains a KenLM per language on Wikipedia and buckets Common Crawl by
+    perplexity exactly this way; the model is swappable, the bucketing
+    dataflow is this operator.
+
+    Scale shape: the per-language tercile thresholds come from
+    ``approx_percentile`` (t-digest-style sketch, one pass, mergeable) —
+    NOT a per-language sort or ntile window, which would serialize the
+    dominant language's whole corpus through one task. The threshold table
+    is n_languages rows, broadcast back, and the bucket label is a map-side
+    comparison. With group sizes below ``accuracy`` the sketch is exact
+    (it keeps raw samples), which is what makes the oracle comparison
+    exact at test scale.
+    """
+    lp = unigram_logprob(df, text_col, id_col).withColumn(
+        # bucket on the 6dp-rounded score: ln() can differ in the last ulp
+        # across engines/libms, and a tercile boundary must not flip on it
+        "avg_logprob",
+        F.round(F.col("avg_logprob"), 6),
+    )
+    scored = df.select(id_col, F.col(lang_col).alias("lang")).join(lp, id_col)
+    th = scored.groupBy("lang").agg(
+        F.expr(
+            f"approx_percentile(avg_logprob, array(1.0D/3.0D, 2.0D/3.0D), {accuracy})"
+        ).alias("t")
+    )
+    out = scored.join(F.broadcast(th), "lang")
+    bucket = (
+        F.when(F.col("avg_logprob") > F.col("t")[1], "head")
+        .when(F.col("avg_logprob") > F.col("t")[0], "middle")
+        .otherwise("tail")
+    )
+    return out.select(
+        id_col, "lang", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): model the target domain
+    and the raw corpus as bag-of-hashed-bigram distributions, and score
+    each raw document with its log importance weight
+    ``sum_f count_f(doc) * ln(p_target(f) / p_raw(f))`` — documents whose
+    hashed-n-gram profile looks like the target domain get high weight,
+    and a downstream sampler (``stratified_sample`` / ``epoch_resample``)
+    resamples by it.
+
+    ``target_pred`` is a boolean Column over ``df`` selecting the target
+    slice (e.g. ``col("source") == "wiki"``). Features are word bigrams
+    hashed into ``n_buckets`` buckets (md5-based, engine-portable);
+    distributions are add-one smoothed so unseen buckets stay finite.
+
+    Scale shape: both distributions are ONE bucket-keyed aggregation each
+    (n_buckets rows — broadcast); the per-doc weight is a map-side join
+    plus a sorted in-row fold (deterministic summation order, so the
+    result is bit-identical across engines and across retries — a plain
+    double sum() over a shuffle is not).
+    """
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        target_pred.alias("__is_target"),
+        F.explode(word_shingles(F.col(text_col), 2)).alias("gram"),
+    ).withColumn("b", md5_hash64(F.col("gram")) % n_buckets)
+    per_doc_bucket = grams.groupBy("__id", "b").agg(
+        F.count("*").alias("tf"), F.first("__is_target").alias("__is_target")
+    )
+    raw = grams.groupBy("b").agg(F.count("*").alias("raw_cnt"))
+    tgt = (
+        grams.filter("__is_target")
+        .groupBy("b")
+        .agg(F.count("*").alias("tgt_cnt"))
+    )
+    totals = grams.agg(
+        F.count("*").alias("raw_tot"),
+        F.sum(F.col("__is_target").cast("long")).alias("tgt_tot"),
+    )
+    dist = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tgt_cnt"), F.lit(0)) + 1)
+                    / (F.col("tgt_tot") + n_buckets)
+                )
+                - F.log((F.col("raw_cnt") + 1) / (F.col("raw_tot") + n_buckets))
+            ).alias("log_ratio"),
+        )
+    )
+    contrib = per_doc_bucket.join(F.broadcast(dist), "b").select(
+        "__id", "tf", (F.col("tf") * F.col("log_ratio")).alias("c"), "b"
+    )
+    return contrib.groupBy("__id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "c"))), lambda s: s["c"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("log_weight"),
+    ).select(F.col("__id").alias(id_col), "n_bigrams", "log_weight")
 
 
 def winnow_fingerprints(

@@ -653,3 +653,58 @@ def test_leakage_safe_split_is_group_atomic(spark, documents):
     for doc_id, r in by_doc.items():
         if doc_id not in (1, 2, 3, 10, 11):
             assert r.component == doc_id and r.split == plain[doc_id]
+
+
+def test_line_dedup_removes_repeated_tile_keeps_first(spark):
+    from starlight_for_kafka_spark.operators import text as text_ops
+
+    tile_a = "a b c d e f g h"
+    tile_b = "p q r s t u v w"
+    docs = spark.createDataFrame(
+        [(1, tile_a), (2, f"{tile_a} {tile_b}"), (3, tile_b)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.line_dedup(docs, line_words=8).collect()}
+    # doc 1 owns tile_a (first occurrence by doc_id)
+    assert (out[1].n_lines, out[1].n_kept, out[1].cleaned_text) == (1, 1, tile_a)
+    # doc 2's tile_a is a corpus duplicate -> removed; tile_b is first here
+    assert (out[2].n_lines, out[2].n_kept, out[2].cleaned_text) == (2, 1, tile_b)
+    # doc 3's only tile was claimed by doc 2 -> empty cleaned text
+    assert (out[3].n_lines, out[3].n_kept, out[3].cleaned_text) == (1, 0, "")
+
+
+def test_ccnet_bucket_terciles_per_language(spark, documents):
+    from starlight_for_kafka_spark.operators import text as text_ops
+
+    out = text_ops.ccnet_bucket(documents).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        if len(rows) < 6:
+            continue
+        # ordering invariant: every head score > every tail score
+        heads = [r.avg_logprob for r in rows if r.bucket == "head"]
+        tails = [r.avg_logprob for r in rows if r.bucket == "tail"]
+        assert heads and tails and min(heads) > max(tails)
+        # terciles are roughly balanced
+        for b in ("head", "middle", "tail"):
+            n = sum(1 for r in rows if r.bucket == b)
+            assert n >= len(rows) // 6
+
+
+def test_dsir_weights_favor_target_lookalikes(spark):
+    from starlight_for_kafka_spark.operators import text as text_ops
+
+    target = "spark shuffle join agg " * 10
+    lookalike = "spark shuffle join agg " * 8 + "extra words here "
+    offdomain = "apples oranges bananas pears " * 10
+    docs = spark.createDataFrame(
+        [(1, target, "t"), (2, lookalike, "r"), (3, offdomain, "r")],
+        "doc_id long, text string, tag string",
+    )
+    out = {
+        r.doc_id: r.log_weight
+        for r in text_ops.dsir_weights(docs, F.col("tag") == "t").collect()
+    }
+    assert out[2] > out[3]  # target-lookalike outweighs off-domain
