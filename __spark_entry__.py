@@ -268,6 +268,35 @@ def q_produce_offsets_dense(spark, sf_dir):
     )
 
 
+def q_commitlog_append(spark, sf_dir):
+    """Optimistic-commit log (CommittedLog): two sequential appends (even
+    event_ids, then odd) through the manifest protocol, read back via the
+    snapshot — offsets must be dense per partition with batch 1 wholly
+    before batch 2, exactly what a leaderless multi-writer log must
+    guarantee (Delta-style commit replacing the broker's partition leader,
+    reference storage/PartitionLog.java:538)."""
+    import tempfile
+
+    from starlight_for_kafka_spark.sources import CommittedLog
+
+    ev = load_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.col("props").cast("binary").alias("value"),
+        F.array().cast("array<struct<key:string,value:binary>>").alias("headers"),
+        F.col("ts").alias("timestamp"),
+        (F.col("user_id") % N_PARTITIONS).cast("int").alias("partition"),
+        F.col("event_id"),
+    )
+    root = tempfile.mkdtemp(prefix="sfk_commitlog_q_")
+    log = CommittedLog(root)
+    log.append(records.filter(F.col("event_id") % 2 == 0), order_col="event_id")
+    log.append(records.filter(F.col("event_id") % 2 == 1), order_col="event_id")
+    return log.read(spark).select(
+        "partition", "offset", F.col("value").cast("string").alias("props")
+    )
+
+
 def q_list_offsets(spark, sf_dir):
     lt = _log(spark, sf_dir)
     return lt.df.groupBy("partition").agg(
@@ -2007,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_fetch": q_log_fetch,
         "produce_offsets_dense": q_produce_offsets_dense,
+        "commitlog_append": q_commitlog_append,
         "list_offsets": q_list_offsets,
         "offsets_for_times": q_offsets_for_times,
         "truncate_before": q_truncate_before,
@@ -2514,6 +2544,11 @@ SELECT "partition", "offset", n_bytes FROM f WHERE cum <= 300 OR rn = 1""",
         "produce_offsets_dense": f"""WITH {LOG_CTE}
 SELECT "partition", count(*) AS n_records, min("offset") AS min_offset, max("offset") AS max_offset
 FROM log GROUP BY "partition\"""",
+        "commitlog_append": """SELECT CAST(user_id % 8 AS INT) AS partition,
+       row_number() OVER (PARTITION BY user_id % 8
+                          ORDER BY (event_id % 2), event_id) - 1 AS offset,
+       props
+FROM events""",
         "list_offsets": f"""WITH {LOG_CTE}
 SELECT "partition", min("offset") AS earliest, max("offset") + 1 AS log_end_offset
 FROM log GROUP BY "partition\"""",

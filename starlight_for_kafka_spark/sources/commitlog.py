@@ -1,0 +1,265 @@
+"""CommittedLog — a multi-writer-safe at-rest log with optimistic commits.
+
+``LogTable.append`` is single-writer by contract: two concurrent appenders
+would snapshot the same high watermarks and assign overlapping offsets (the
+classic lost update; see sources/logtable.py:159-165). The reference never
+hits this because a Kafka partition has exactly one leader broker serializing
+appends (PartitionLog.appendRecords via PendingTopicFutures,
+storage/PartitionLog.java:538). On a data lake there is no leader, so this
+module supplies what Delta/Iceberg call an optimistic transaction log:
+
+Layout::
+
+    <root>/data/part=<p>/<writer>-<attempt>-<n>.parquet   (data files)
+    <root>/_log/00000000000000000042.json                 (manifest, one per version)
+
+Each manifest records the files its commit ADDED plus the post-commit
+per-partition next offsets (watermarks). A version commits by creating its
+manifest file with ``O_CREAT | O_EXCL`` — atomic on POSIX filesystems and on
+HDFS; on S3-style object stores swap in a conditional PUT (If-None-Match) or
+a coordination table, same protocol shape. Exactly one writer can win a
+version; the loser re-reads the new watermarks, REASSIGNS offsets, rewrites
+its data files, and retries — offsets depend on the watermark snapshot, so a
+conflict invalidates the data files themselves, not just the manifest
+(unlike a blind Delta append, which could simply re-commit).
+
+Readers list ``_log`` (tiny: one small JSON per commit), union the committed
+file lists, and read exactly those parquet files — snapshot isolation for
+free: files from in-flight or failed commits are on disk but invisible until
+their manifest lands. ``vacuum()`` deletes unreferenced (orphaned) data
+files from lost attempts.
+
+Scale notes: the commit path is O(files-in-batch) driver work plus one
+atomic create — no data-plane cost; offset assignment inside a batch is the
+same one-shuffle ``row_number`` plan as ``LogTable.append``. The manifest
+list grows one tiny file per commit; ``checkpoint`` folds the state into a
+single JSON every N commits the way Delta does (listing stays O(N)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .logtable import LOG_COLUMNS
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+_CHECKPOINT_EVERY = 10
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first."""
+
+
+class CommittedLog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+
+    # ------------------------------------------------------------------ #
+    # manifest plumbing (driver-side, tiny)
+    # ------------------------------------------------------------------ #
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, _LOG_DIR, f"{version:020d}.json")
+
+    def _versions(self) -> list[int]:
+        names = os.listdir(os.path.join(self.root, _LOG_DIR))
+        return sorted(
+            int(n[: -len(".json")]) for n in names if n.endswith(".json")
+        )
+
+    def snapshot(self) -> tuple[int, dict[int, int], list[str]]:
+        """(current version, per-partition next offset, committed files).
+        Version -1 = empty log. Reads the latest checkpoint (if any) then
+        only the manifests after it."""
+        versions = self._versions()
+        if not versions:
+            return -1, {}, []
+        watermarks: dict[int, int] = {}
+        files: list[str] = []
+        start = 0
+        # a checkpoint manifest carries the full state up to its version
+        for i in range(len(versions) - 1, -1, -1):
+            m = json.load(open(self._manifest_path(versions[i])))
+            if m.get("checkpoint"):
+                watermarks = {int(k): v for k, v in m["watermarks"].items()}
+                files = list(m["all_files"])
+                start = i + 1
+                break
+        for v in versions[start:]:
+            m = json.load(open(self._manifest_path(v)))
+            if m.get("checkpoint"):
+                continue
+            files.extend(m["files"])
+            for k, nxt in m["watermarks"].items():
+                watermarks[int(k)] = nxt
+        return versions[-1], watermarks, files
+
+    def _try_commit(self, version: int, manifest: dict) -> None:
+        path = self._manifest_path(version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(f"version {version} already committed")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+
+    # ------------------------------------------------------------------ #
+    # append (optimistic, retried)
+    # ------------------------------------------------------------------ #
+
+    def append(
+        self,
+        records: DataFrame,
+        order_col: str | None = None,
+        max_retries: int = 10,
+        writer_id: str | None = None,
+    ) -> int:
+        """Append a batch with dense per-partition offsets, safe under
+        concurrent writers. Returns the committed version.
+
+        Loop: snapshot watermarks → assign offsets (one shuffle) → write
+        data files → attempt the atomic manifest create. On conflict the
+        data files are orphaned (invisible to readers), the snapshot is
+        refreshed, and the whole batch re-runs with the new base offsets.
+        """
+        writer_id = writer_id or uuid.uuid4().hex[:8]
+        order = order_col or "__arrival"
+        batch = records
+        if order_col is None:
+            batch = batch.withColumn("__arrival", F.monotonically_increasing_id())
+        batch = batch.localCheckpoint(eager=True)  # pin inputs across retries
+
+        spark = records.sparkSession
+        for attempt in range(max_retries):
+            version, watermarks, _ = self.snapshot()
+            hwm = spark.createDataFrame(
+                [(int(p), int(n)) for p, n in watermarks.items()],
+                "partition int, high_watermark long",
+            )
+            w = Window.partitionBy("partition").orderBy(order)
+            assigned = (
+                batch.withColumn("__rel", (F.row_number().over(w) - 1).cast("long"))
+                .join(F.broadcast(hwm), "partition", "left")
+                .withColumn(
+                    "offset",
+                    F.coalesce(F.col("high_watermark"), F.lit(0)) + F.col("__rel"),
+                )
+                .select(*LOG_COLUMNS)
+            )
+            # stage the attempt, then move files into the ONE consistent
+            # data/partition=p/ tree (unique names per attempt) — mixed
+            # per-writer subtrees would break Spark's partition discovery,
+            # and a shared tree keeps partition pruning on reads. Renames
+            # are metadata-only locally/on HDFS; an object store pays a
+            # copy here (or writes direct with unique keys).
+            attempt_tag = f"{writer_id}-{attempt}"
+            stage_dir = os.path.join(self.root, "_staging", attempt_tag)
+            (
+                assigned.repartition("partition")
+                .sortWithinPartitions("offset")
+                .write.mode("overwrite")
+                .partitionBy("partition")
+                .parquet(stage_dir)
+            )
+            new_files = []
+            new_marks = dict(watermarks)
+            for pdir in sorted(os.listdir(stage_dir)):
+                if not pdir.startswith("partition="):
+                    continue
+                dest_dir = os.path.join(self.root, _DATA_DIR, pdir)
+                os.makedirs(dest_dir, exist_ok=True)
+                for i, fn in enumerate(
+                    sorted(os.listdir(os.path.join(stage_dir, pdir)))
+                ):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    dest_name = f"{attempt_tag}-{i}.parquet"
+                    os.rename(
+                        os.path.join(stage_dir, pdir, fn),
+                        os.path.join(dest_dir, dest_name),
+                    )
+                    new_files.append(f"{_DATA_DIR}/{pdir}/{dest_name}")
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            counts = {
+                int(r["partition"]): r["cnt"]
+                for r in assigned.groupBy("partition")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            for p, cnt in counts.items():
+                new_marks[p] = watermarks.get(p, 0) + cnt
+            manifest = {
+                "version": version + 1,
+                "writer": writer_id,
+                "files": new_files,
+                "watermarks": {str(p): n for p, n in new_marks.items()},
+            }
+            try:
+                self._try_commit(version + 1, manifest)
+            except CommitConflict:
+                continue  # orphan the attempt's files; re-snapshot and retry
+            if version + 1 > 0 and (version + 1) % _CHECKPOINT_EVERY == 0:
+                self._checkpoint(version + 1)
+            return version + 1
+        raise CommitConflict(f"lost {max_retries} commit races on {self.root}")
+
+    def _checkpoint(self, upto: int) -> None:
+        """Fold all state ≤ upto into one checkpoint manifest so snapshot()
+        stops replaying old manifests (Delta's checkpoint.parquet analog).
+        Best-effort: a conflict means someone else checkpointed."""
+        version, watermarks, files = self.snapshot()
+        manifest = {
+            "version": version + 1,
+            "checkpoint": True,
+            "watermarks": {str(p): n for p, n in watermarks.items()},
+            "all_files": files,
+        }
+        try:
+            self._try_commit(version + 1, manifest)
+        except CommitConflict:
+            pass
+
+    # ------------------------------------------------------------------ #
+    # read / maintenance
+    # ------------------------------------------------------------------ #
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Snapshot-isolated read: exactly the committed files. The
+        ``partition`` column is reconstructed from the directory layout
+        (basePath keeps partition pruning working)."""
+        _, _, files = self.snapshot()
+        if not files:
+            from .logtable import KAFKA_RECORD_SCHEMA
+
+            return spark.createDataFrame([], KAFKA_RECORD_SCHEMA)
+        paths = [os.path.join(self.root, f) for f in files]
+        return (
+            spark.read.option(
+                "basePath", os.path.join(self.root, _DATA_DIR)
+            ).parquet(*paths)
+        ).select(*LOG_COLUMNS)
+
+    def vacuum(self) -> list[str]:
+        """Delete data files no committed manifest references (debris from
+        lost commit races). Returns the deleted relative paths."""
+        _, _, files = self.snapshot()
+        live = set(files)
+        deleted = []
+        data_root = os.path.join(self.root, _DATA_DIR)
+        for dirpath, _dirs, names in os.walk(data_root):
+            for fn in names:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in live:
+                    os.remove(full)
+                    deleted.append(rel)
+        return sorted(deleted)

@@ -1,0 +1,145 @@
+"""CommittedLog: optimistic multi-writer commit protocol.
+
+The hazard under test is the one LogTable.append documents away (two
+writers snapshot the same watermarks -> overlapping offsets, reference has
+a per-partition leader instead: storage/PartitionLog.java:538). Here the
+loser of the manifest race must retry with fresh watermarks and the reader
+must never observe uncommitted files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from unittest import mock
+
+import pytest
+from pyspark.sql import functions as F
+
+from starlight_for_kafka_spark.sources import CommittedLog
+from starlight_for_kafka_spark.sources.logtable import KAFKA_RECORD_SCHEMA
+
+
+def _batch(spark, partition_rows):
+    """partition_rows: list of (partition, n) -> n records in that partition."""
+    rows = []
+    i = 0
+    for p, n in partition_rows:
+        for _ in range(n):
+            rows.append(
+                (
+                    str(i).encode(),
+                    f"v{i}".encode(),
+                    [],
+                    None,
+                    p,
+                    i,  # seq: deterministic order column
+                )
+            )
+            i += 1
+    return spark.createDataFrame(
+        rows,
+        "key binary, value binary, "
+        "headers array<struct<key:string,value:binary>>, "
+        "timestamp timestamp, partition int, seq long",
+    )
+
+
+def _offsets(df):
+    out = {}
+    for r in df.select("partition", "offset", "value").collect():
+        out.setdefault(r.partition, []).append((r.offset, bytes(r.value).decode()))
+    return {p: sorted(v) for p, v in out.items()}
+
+
+def test_sequential_appends_dense(spark, tmp_path):
+    log = CommittedLog(str(tmp_path / "log"))
+    v1 = log.append(_batch(spark, [(0, 2), (1, 1)]), order_col="seq")
+    v2 = log.append(_batch(spark, [(0, 1), (2, 2)]), order_col="seq")
+    assert (v1, v2) == (0, 1)
+    got = _offsets(log.read(spark))
+    assert [o for o, _ in got[0]] == [0, 1, 2]
+    assert [o for o, _ in got[1]] == [0]
+    assert [o for o, _ in got[2]] == [0, 1]
+    # batch 2's partition-0 record continues after batch 1's watermark
+    assert got[0][2][1] == "v0"  # first value of second batch (i restarts)
+
+
+def test_append_to_empty_and_read_empty(spark, tmp_path):
+    log = CommittedLog(str(tmp_path / "log"))
+    assert log.read(spark).count() == 0
+    log.append(_batch(spark, [(3, 2)]), order_col="seq")
+    assert [o for o, _ in _offsets(log.read(spark))[3]] == [0, 1]
+
+
+def test_commit_race_loser_retries_with_fresh_watermarks(spark, tmp_path):
+    """Writer B snapshots BEFORE writer A commits (a real interleaving,
+    forced via a stale first snapshot). B's first attempt must lose the
+    manifest race and the retry must build on A's watermarks — no
+    overlapping offsets, no lost update."""
+    root = str(tmp_path / "log")
+    log = CommittedLog(root)
+    log.append(_batch(spark, [(0, 2)]), order_col="seq")  # v0: offsets 0,1
+
+    stale = log.snapshot()  # what a racing writer B saw
+    log.append(_batch(spark, [(0, 3)]), order_col="seq")  # A wins v1: 2,3,4
+
+    real_snapshot = CommittedLog.snapshot
+    calls = {"n": 0}
+
+    def racy_snapshot(self):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real_snapshot(self)
+
+    with mock.patch.object(CommittedLog, "snapshot", racy_snapshot):
+        log.append(_batch(spark, [(0, 2)]), order_col="seq")  # B: must land 5,6
+
+    offs = [o for o, _ in _offsets(log.read(spark))[0]]
+    assert offs == [0, 1, 2, 3, 4, 5, 6]  # dense, no overlap
+    assert calls["n"] >= 2  # the conflict actually forced a re-snapshot
+
+
+def test_uncommitted_files_invisible_and_vacuumed(spark, tmp_path):
+    root = str(tmp_path / "log")
+    log = CommittedLog(root)
+    log.append(_batch(spark, [(0, 2)]), order_col="seq")
+    # orphan: a data file written by a writer that never committed
+    orphan_dir = os.path.join(root, "data", "partition=0", "deadbeef-orphan")
+    os.makedirs(orphan_dir)
+    _batch(spark, [(0, 5)]).drop("seq").withColumn(
+        "offset", F.lit(999).cast("long")
+    ).drop("partition").write.mode("overwrite").parquet(orphan_dir)
+    assert log.read(spark).count() == 2  # snapshot isolation
+    deleted = log.vacuum()
+    assert deleted and all("deadbeef" in d for d in deleted)
+    assert log.read(spark).count() == 2
+    # committed files survived
+    assert not [d for d in log.vacuum()]
+
+
+def test_checkpoint_folds_manifest_history(spark, tmp_path):
+    log = CommittedLog(str(tmp_path / "log"))
+    for _ in range(11):  # crosses the every-10 checkpoint boundary
+        log.append(_batch(spark, [(0, 1)]), order_col="seq")
+    manifests = [
+        json.load(open(os.path.join(log.root, "_log", n)))
+        for n in sorted(os.listdir(os.path.join(log.root, "_log")))
+    ]
+    assert any(m.get("checkpoint") for m in manifests)
+    version, marks, files = log.snapshot()
+    assert marks[0] == 11 and len(files) >= 11
+    assert [o for o, _ in _offsets(log.read(spark))[0]] == list(range(11))
+
+
+def test_append_exhausts_retries_raises(spark, tmp_path):
+    from starlight_for_kafka_spark.sources import CommitConflict
+
+    log = CommittedLog(str(tmp_path / "log"))
+    log.append(_batch(spark, [(0, 1)]), order_col="seq")
+    stale = log.snapshot()
+    with mock.patch.object(CommittedLog, "snapshot", lambda self: stale):
+        log.append(_batch(spark, [(0, 1)]), order_col="seq")  # wins v1 anyway
+        with pytest.raises(CommitConflict):
+            log.append(
+                _batch(spark, [(0, 1)]), order_col="seq", max_retries=3
+            )
