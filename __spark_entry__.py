@@ -1687,6 +1687,34 @@ def q_moving_avg_per_user(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transitions over per-user event sequences
+    (event_id breaks timestamp ties for cross-engine determinism)."""
+    return analytics_ops.event_transitions(
+        load_table(spark, sf_dir, "events"), order_tiebreak="event_id"
+    )
+
+
+def q_ts_anomaly(spark, sf_dir):
+    """Trailing-24h z-score anomaly flags on hourly per-type volumes;
+    explicit sum/sumsq variance is bit-identical across engines."""
+    return analytics_ops.ts_anomaly(load_table(spark, sf_dir, "events")).select(
+        "event_type", "bucket_ms", "cnt", "n_prev", "mean_prev", "z", "anomaly"
+    )
+
+
+def q_grouped_top_k(spark, sf_dir):
+    """Skew-resistant top-3 per source (longest docs, doc_id tie-break):
+    salted local top-k then exact re-rank — never ranks a hot group in one
+    task."""
+    from starlight_for_kafka_spark.operators import skew as skew_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return skew_ops.grouped_top_k(
+        docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id").asc()], 3
+    ).select("source", "doc_id", "n_chars", "rank")
+
+
 def q_funnel_steps(spark, sf_dir):
     """Ordered view->click->purchase funnel per user: earliest time each
     step is reached strictly after the previous one. Restricted to the
@@ -2169,6 +2197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_revenue": q_salted_join_revenue,
         "moving_avg_per_user": q_moving_avg_per_user,
         "funnel_steps": q_funnel_steps,
+        "event_transitions": q_event_transitions,
+        "ts_anomaly": q_ts_anomaly,
+        "grouped_top_k": q_grouped_top_k,
         "cohort_retention": q_cohort_retention,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "semantic_dedup": q_semantic_dedup,
@@ -3900,6 +3931,48 @@ SELECT * FROM (
   SELECT "partition", key, value, "offset" FROM log
   QUALIFY row_number() OVER (PARTITION BY "partition", key ORDER BY "offset" DESC) = 1
 ) WHERE value IS NOT NULL""",
+        "event_transitions": """WITH p AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, count(*) AS cnt FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT from_type, sum(cnt) AS ft FROM c GROUP BY 1
+)
+SELECT from_type, to_type, cnt, cnt / CAST(ft AS DOUBLE) AS prob
+FROM c JOIN t USING (from_type)""",
+        "ts_anomaly": """WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000) - ((epoch_us(ts) // 1000) % 3600000) AS bucket_ms,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, bucket_ms, cnt,
+         count(cnt) OVER win AS n,
+         sum(cnt) OVER win AS s,
+         sum(cnt * cnt) OVER win AS ss
+  FROM b
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ms
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), v AS (
+  SELECT event_type, bucket_ms, cnt, n, s,
+         (ss - (s * s) / CAST(n AS DOUBLE)) / (n - 1) AS var
+  FROM w
+)
+SELECT event_type, bucket_ms, cnt, n AS n_prev,
+       s / CAST(n AS DOUBLE) AS mean_prev,
+       CASE WHEN n >= 2 AND var > 0
+            THEN (cnt - s / CAST(n AS DOUBLE)) / sqrt(var) END AS z,
+       coalesce(abs(CASE WHEN n >= 2 AND var > 0
+            THEN (cnt - s / CAST(n AS DOUBLE)) / sqrt(var) END) > 3.0, false) AS anomaly
+FROM v""",
+        "grouped_top_k": """WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+)
+SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 3""",
         "funnel_steps": """WITH f AS (
   SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'
 ), t1 AS (

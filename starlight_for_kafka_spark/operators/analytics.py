@@ -186,3 +186,92 @@ def active_users(
         .agg(F.countDistinct("user").alias("wau"))
     )
     return dau.join(wau, dau["day"] == wau["wday"]).select("day", "dau", "wau")
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for every consecutive (event, next-event) pair within a user's
+    time-ordered history, the count and the conditional probability
+    P(to | from) — the session-flow / next-action model behind journey
+    analysis and behavioral anomaly detection.
+
+    Plan shape: ONE user-keyed shuffle for the ``lead`` window (the same
+    co-partitioning every per-user operator here rides), then a
+    (from, to)-keyed aggregation whose output is |event types|² rows —
+    tiny — and the per-``from`` totals join against it is a broadcast of a
+    |event types|-row table. The raw log is never shuffled twice and never
+    self-joined. ``order_tiebreak`` breaks timestamp ties deterministically
+    (pass the event id; without it equal-ts pairs are engine-dependent).
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        df.withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .select(F.col(type_col).alias("from_type"), F.col("__next").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy("from_type").agg(F.sum("cnt").alias("from_total"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .withColumn("prob", F.col("cnt") / F.col("from_total"))
+        .select("from_type", "to_type", "cnt", "prob")
+    )
+
+
+def ts_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket_ms: int = 3_600_000,
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection on bucketed event counts:
+    each (key, hour) volume is scored against the mean/std of its own
+    PREVIOUS ``trailing`` buckets (never including itself — no leakage),
+    and flagged when |z| exceeds the threshold. The on-call "did this
+    metric just spike" primitive, over the same metric vocabulary as
+    operators/metrics.py.
+
+    Variance is computed from explicit sum/sum-of-squares over the window
+    — not ``stddev_samp`` — for two reasons: the expression is identical
+    arithmetic in any engine (population of ints → IEEE-deterministic
+    doubles, no Welford implementation variance), and sum/sumsq partial-
+    aggregate map-side. The window state per key is ``trailing`` rows of
+    three longs; keys partition the tiny bucketed table, not the raw log.
+    """
+    ms = F.expr(f"unix_micros({ts_col}) DIV 1000")
+    bucketed = (
+        df.withColumn("bucket_ms", (ms - ms % F.lit(bucket_ms)).cast("long"))
+        .groupBy(key_col, "bucket_ms")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ms")
+        .rowsBetween(-trailing, -1)
+    )
+    n = F.count("cnt").over(w)
+    s = F.sum("cnt").over(w)
+    ss = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    mean = s / n
+    var = (ss - (s * s) / n) / (n - 1)
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        bucketed.withColumn("n_prev", n)
+        .withColumn("mean_prev", mean)
+        .withColumn("z", F.when((n >= 2) & (var > 0), z))
+        .withColumn(
+            "anomaly",
+            F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False)),
+        )
+    )

@@ -115,3 +115,43 @@ def heavy_hitters(
         .orderBy(F.col("n").desc(), *key_cols)
         .limit(k)
     )
+
+
+def grouped_top_k(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-resistant top-k per group, two-stage: a local top-k inside each
+    (group, salt) slice, then the exact top-k over the survivors. A hot
+    group's rows spread across ``n_salts`` reducers in stage 1, and stage 2
+    ranks at most ``k * n_salts`` rows per group — the same shape as
+    ``salted_aggregate``, applied to an order statistic. A single
+    ``row_number`` window (the textbook formulation) would funnel every row
+    of the hottest group through one task; this never ranks more than
+    ``max(rows_per_(group,salt), k * n_salts)`` rows anywhere.
+
+    Correct because top-k is a decomposable order statistic: any global
+    top-k row is also top-k within its salt slice. ``order_cols`` must be a
+    TOTAL order (include a unique id tie-break) or ranks are
+    nondeterministic — same contract every window/top-k operator in this
+    package pins.
+
+    Emits the group columns, the payload, and ``rank`` (1-based).
+    """
+    from pyspark.sql import Window
+
+    salted = df.withColumn("__salt", F.spark_partition_id() % n_salts)
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+    stage1 = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -127,3 +127,67 @@ def test_active_users_rolling_window_semantics(spark):
         "2024-01-03": (1, 2),   # trailing window still holds u1+u2
         "2024-01-10": (1, 1),   # old users aged out
     }
+
+
+def test_event_transitions_probabilities_sum_to_one(spark, events):
+    from starlight_for_kafka_spark.operators import analytics
+
+    out = analytics.event_transitions(events, order_tiebreak="event_id")
+    sums = (
+        out.groupBy("from_type").agg(F.sum("prob").alias("p")).collect()
+    )
+    assert sums and all(abs(r.p - 1.0) < 1e-9 for r in sums)
+    # counts conserve: sum(cnt) == total consecutive pairs
+    total = out.agg(F.sum("cnt")).collect()[0][0]
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
+def test_ts_anomaly_flags_injected_spike(spark):
+    import datetime
+
+    from starlight_for_kafka_spark.operators import analytics
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 30 calm hours of 10 events, then one 100-event spike hour
+    for h in range(30):
+        n = 100 if h == 29 else 10
+        for i in range(n):
+            rows.append((base + datetime.timedelta(hours=h, seconds=i), "click"))
+    # tiny jitter so variance is nonzero
+    rows.append((base + datetime.timedelta(hours=5, seconds=70), "click"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r.bucket_ms: r for r in analytics.ts_anomaly(df).collect()}
+    spike_ms = int((base + datetime.timedelta(hours=29)).timestamp() * 1000)
+    calm_ms = int((base + datetime.timedelta(hours=15)).timestamp() * 1000)
+    assert out[spike_ms].anomaly is True
+    assert out[calm_ms].anomaly is False
+    # the scoring window excludes the bucket itself (no leakage)
+    assert out[spike_ms].mean_prev < 15
+
+
+def test_grouped_top_k_equals_plain_window(spark, events):
+    from pyspark.sql import Window
+
+    from starlight_for_kafka_spark.operators import skew
+
+    out = skew.grouped_top_k(
+        events,
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        5,
+        n_salts=8,
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    plain = (
+        events.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    cols = ["event_type", "event_id", "rank"]
+    assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
