@@ -1332,6 +1332,45 @@ def q_quantile_filter_approx(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def _pq_fixture(spark, sf_dir):
+    """Codebooks from the first 8 corpus vectors (4 subspaces x 16 dims):
+    deterministic, data-derived, reproducible in SQL by joining vec_id<8."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {
+        int(r[0]): [float(v) for v in r[1]]
+        for r in emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    }
+    books = [
+        [rows[c][j * 16 : (j + 1) * 16] for c in range(8)] for j in range(4)
+    ]
+    return emb, books
+
+
+def q_pq_encode(spark, sf_dir):
+    """Product-quantize the corpus: 64-dim floats -> 4 codes (+ squared
+    reconstruction error), map-only."""
+    emb, books = _pq_fixture(spark, sf_dir)
+    return sim_ops.pq_encode(emb, books)
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-10 for the vec_id=100 query: the scan
+    reads 4 codes per row + a broadcast LUT, never the float vectors."""
+    emb, books = _pq_fixture(spark, sf_dir)
+    q = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 100).select("embedding").collect()[0][0]
+    ]
+    return sim_ops.pq_adc_top_k(emb, books, q, k=10).select("vec_id", "adc_dist")
+
+
+def q_pq_recall(spark, sf_dir):
+    """Recall@10 of PQ-ADC vs exact L2 for three queries — the codebook
+    acceptance harness (companion to quantization_recall / ann_recall)."""
+    emb, books = _pq_fixture(spark, sf_dir)
+    return sim_ops.pq_recall(emb, books, [100, 200, 300], k=10)
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@10 of the LSH bucket, multi-probe LSH, and IVF probe indexes
     vs exact brute force, per query — deterministic (md5 hyperplanes,
@@ -2171,6 +2210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": q_quantile_filter,
         "quantile_filter_approx": q_quantile_filter_approx,
         "ann_recall": q_ann_recall,
+        "pq_encode": q_pq_encode,
+        "pq_adc_topk": q_pq_adc_topk,
+        "pq_recall": q_pq_recall,
         "cap_per_source": q_cap_per_source,
         "corpus_stats": q_corpus_stats,
         "scrub_pii": q_scrub_pii,
@@ -3790,6 +3832,104 @@ SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN cuts c USING (lang)
 WHERE d.n_chars >= c.cut""",
         "ann_recall": _ann_recall_oracle_sql(),
+        "pq_encode": """WITH cb AS (
+  SELECT vec_id AS c, embedding FROM embeddings WHERE vec_id < 8
+), pqd AS (
+  SELECT e.vec_id, cb.c, CAST(t.i // 16 AS INT) AS j,
+         (CAST(e.embedding[t.i + 1] AS DOUBLE) - CAST(cb.embedding[t.i + 1] AS DOUBLE))
+       * (CAST(e.embedding[t.i + 1] AS DOUBLE) - CAST(cb.embedding[t.i + 1] AS DOUBLE)) AS sq
+  FROM embeddings e, cb, unnest(range(0, 64)) AS t(i)
+), pqdist AS (
+  SELECT vec_id, j, c, round(sum(sq), 9) AS dist FROM pqd GROUP BY 1, 2, 3
+), chosen AS (
+  SELECT vec_id, j, c, dist FROM (
+    SELECT vec_id, j, c, dist,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+    FROM pqdist
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN j = 0 THEN c END) AS INT) AS code_0,
+       CAST(max(CASE WHEN j = 1 THEN c END) AS INT) AS code_1,
+       CAST(max(CASE WHEN j = 2 THEN c END) AS INT) AS code_2,
+       CAST(max(CASE WHEN j = 3 THEN c END) AS INT) AS code_3,
+       round(sum(dist), 9) AS recon_sq_err
+FROM chosen GROUP BY vec_id""",
+        "pq_adc_topk": """WITH cb AS (
+  SELECT vec_id AS c, embedding FROM embeddings WHERE vec_id < 8
+), pqd AS (
+  SELECT e.vec_id, cb.c, CAST(t.i // 16 AS INT) AS j,
+         (CAST(e.embedding[t.i + 1] AS DOUBLE) - CAST(cb.embedding[t.i + 1] AS DOUBLE))
+       * (CAST(e.embedding[t.i + 1] AS DOUBLE) - CAST(cb.embedding[t.i + 1] AS DOUBLE)) AS sq
+  FROM embeddings e, cb, unnest(range(0, 64)) AS t(i)
+), pqdist AS (
+  SELECT vec_id, j, c, round(sum(sq), 9) AS dist FROM pqd GROUP BY 1, 2, 3
+), chosen AS (
+  SELECT vec_id, j, c, dist FROM (
+    SELECT vec_id, j, c, dist,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+    FROM pqdist
+  ) WHERE rn = 1
+), qlut AS (
+  SELECT q.vec_id AS qid, cb.c, CAST(t.i // 16 AS INT) AS j,
+         round(sum((CAST(q.embedding[t.i + 1] AS DOUBLE) - CAST(cb.embedding[t.i + 1] AS DOUBLE))
+                 * (CAST(q.embedding[t.i + 1] AS DOUBLE) - CAST(cb.embedding[t.i + 1] AS DOUBLE))), 9) AS lv
+  FROM embeddings q, cb, unnest(range(0, 64)) AS t(i)
+  WHERE q.vec_id IN (100, 200, 300)
+  GROUP BY 1, 2, 3
+)
+SELECT c2.vec_id, round(sum(l.lv), 9) AS adc_dist
+FROM chosen c2 JOIN qlut l ON c2.j = l.j AND c2.c = l.c AND l.qid = 100
+GROUP BY c2.vec_id
+ORDER BY adc_dist, c2.vec_id LIMIT 10""",
+        "pq_recall": """WITH cb AS (
+  SELECT vec_id AS c, embedding FROM embeddings WHERE vec_id < 8
+), pqd AS (
+  SELECT e.vec_id, cb.c, CAST(t.i // 16 AS INT) AS j,
+         (CAST(e.embedding[t.i + 1] AS DOUBLE) - CAST(cb.embedding[t.i + 1] AS DOUBLE))
+       * (CAST(e.embedding[t.i + 1] AS DOUBLE) - CAST(cb.embedding[t.i + 1] AS DOUBLE)) AS sq
+  FROM embeddings e, cb, unnest(range(0, 64)) AS t(i)
+), pqdist AS (
+  SELECT vec_id, j, c, round(sum(sq), 9) AS dist FROM pqd GROUP BY 1, 2, 3
+), chosen AS (
+  SELECT vec_id, j, c, dist FROM (
+    SELECT vec_id, j, c, dist,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+    FROM pqdist
+  ) WHERE rn = 1
+), qlut AS (
+  SELECT q.vec_id AS qid, cb.c, CAST(t.i // 16 AS INT) AS j,
+         round(sum((CAST(q.embedding[t.i + 1] AS DOUBLE) - CAST(cb.embedding[t.i + 1] AS DOUBLE))
+                 * (CAST(q.embedding[t.i + 1] AS DOUBLE) - CAST(cb.embedding[t.i + 1] AS DOUBLE))), 9) AS lv
+  FROM embeddings q, cb, unnest(range(0, 64)) AS t(i)
+  WHERE q.vec_id IN (100, 200, 300)
+  GROUP BY 1, 2, 3
+), qv AS (
+  SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id IN (100, 200, 300)
+), exd AS (
+  SELECT qv.qid, e.vec_id,
+         round(sum((CAST(e.embedding[t.i + 1] AS DOUBLE) - CAST(qv.embedding[t.i + 1] AS DOUBLE))
+                 * (CAST(e.embedding[t.i + 1] AS DOUBLE) - CAST(qv.embedding[t.i + 1] AS DOUBLE))), 9) AS d
+  FROM embeddings e, qv, unnest(range(0, 64)) AS t(i)
+  GROUP BY 1, 2
+), exact_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+    FROM exd
+  ) WHERE rn <= 10
+), adc AS (
+  SELECT l.qid, c2.vec_id, round(sum(l.lv), 9) AS adc_dist
+  FROM chosen c2 JOIN qlut l ON c2.j = l.j AND c2.c = l.c
+  GROUP BY 1, 2
+), adc_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 10
+)
+SELECT e2.qid, count(*) AS n_hits, count(*) / 10.0 AS recall_at_k
+FROM exact_top e2 JOIN adc_top a USING (qid, vec_id)
+GROUP BY e2.qid""",
         "decontaminate": """WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
   UNION ALL

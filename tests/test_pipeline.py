@@ -708,3 +708,29 @@ def test_dsir_weights_favor_target_lookalikes(spark):
         for r in text_ops.dsir_weights(docs, F.col("tag") == "t").collect()
     }
     assert out[2] > out[3]  # target-lookalike outweighs off-domain
+
+
+def test_pq_encode_codes_in_range_and_adc_orders_near_first(spark, embeddings):
+    from starlight_for_kafka_spark.operators import similarity as sim
+
+    rows = {
+        int(r.vec_id): [float(v) for v in r.embedding]
+        for r in embeddings.filter(F.col("vec_id") < 8).collect()
+    }
+    books = [[rows[c][j * 16 : (j + 1) * 16] for c in range(8)] for j in range(4)]
+    codes = sim.pq_encode(embeddings, books).collect()
+    assert all(0 <= r[f"code_{j}"] < 8 for r in codes for j in range(4))
+    # a codebook vector reconstructs itself exactly: zero error, own codes
+    own = {r.vec_id: r for r in codes if r.vec_id < 8}
+    for c in range(8):
+        assert own[c].recon_sq_err == 0.0
+        assert all(own[c][f"code_{j}"] == c for j in range(4))
+    # ADC with a codebook vector as query puts that vector first
+    q = rows[3]
+    top = sim.pq_adc_top_k(embeddings, books, q, k=5).collect()
+    assert top[0].vec_id == 3 and top[0].adc_dist == 0.0
+
+    rec = sim.pq_recall(embeddings, books, [3, 100], k=10).collect()
+    by_q = {r.qid: r.recall_at_k for r in rec}
+    assert set(by_q) == {3, 100}
+    assert all(0.0 <= v <= 1.0 for v in by_q.values())
