@@ -78,13 +78,20 @@ class CommittedLog:
 
     def snapshot(self) -> tuple[int, dict[int, int], list[str]]:
         """(current version, per-partition next offset, committed files).
-        Version -1 = empty log. Reads the latest checkpoint (if any) then
-        only the manifests after it."""
+        Version -1 = empty log."""
+        version, watermarks, files, _ = self._replay()
+        return version, watermarks, files
+
+    def _replay(self) -> tuple[int, dict[int, int], list[str], dict[str, int]]:
+        """Full state replay: also returns committed txn_id → version (the
+        sink-side exactly-once ledger). Reads the latest checkpoint (if
+        any) then only the manifests after it."""
         versions = self._versions()
         if not versions:
-            return -1, {}, []
+            return -1, {}, [], {}
         watermarks: dict[int, int] = {}
         files: list[str] = []
+        txns: dict[str, int] = {}
         start = 0
         # a checkpoint manifest carries the full state up to its version
         for i in range(len(versions) - 1, -1, -1):
@@ -92,6 +99,7 @@ class CommittedLog:
             if m.get("checkpoint"):
                 watermarks = {int(k): v for k, v in m["watermarks"].items()}
                 files = list(m["all_files"])
+                txns = dict(m.get("txn_ids", {}))
                 start = i + 1
                 break
         for v in versions[start:]:
@@ -101,7 +109,9 @@ class CommittedLog:
             files.extend(m["files"])
             for k, nxt in m["watermarks"].items():
                 watermarks[int(k)] = nxt
-        return versions[-1], watermarks, files
+            if m.get("txn_id") is not None:
+                txns[m["txn_id"]] = v
+        return versions[-1], watermarks, files, txns
 
     def _try_commit(self, version: int, manifest: dict) -> None:
         path = self._manifest_path(version)
@@ -122,6 +132,7 @@ class CommittedLog:
         order_col: str | None = None,
         max_retries: int = 10,
         writer_id: str | None = None,
+        txn_id: str | None = None,
     ) -> int:
         """Append a batch with dense per-partition offsets, safe under
         concurrent writers. Returns the committed version.
@@ -130,6 +141,16 @@ class CommittedLog:
         data files → attempt the atomic manifest create. On conflict the
         data files are orphaned (invisible to readers), the snapshot is
         refreshed, and the whole batch re-runs with the new base offsets.
+
+        ``txn_id`` makes the append IDEMPOTENT: the manifest records it,
+        and a later append carrying an already-committed txn_id no-ops and
+        returns the original version — the TXN_OFFSET_COMMIT/END_TXN
+        replay-dedup contract (§2.4), and exactly what a Structured
+        Streaming foreachBatch sink needs when a recovered checkpoint
+        re-delivers the last epoch (see streaming/stream_ops.commitlog_sink).
+        The check runs inside the retry loop, so two racing writers with
+        the SAME txn_id commit exactly once: the loser re-replays, sees
+        the txn landed, and no-ops.
         """
         writer_id = writer_id or uuid.uuid4().hex[:8]
         order = order_col or "__arrival"
@@ -140,7 +161,9 @@ class CommittedLog:
 
         spark = records.sparkSession
         for attempt in range(max_retries):
-            version, watermarks, _ = self.snapshot()
+            version, watermarks, _files, txns = self._replay()
+            if txn_id is not None and txn_id in txns:
+                return txns[txn_id]  # already committed: idempotent no-op
             hwm = spark.createDataFrame(
                 [(int(p), int(n)) for p, n in watermarks.items()],
                 "partition int, high_watermark long",
@@ -202,6 +225,7 @@ class CommittedLog:
                 "writer": writer_id,
                 "files": new_files,
                 "watermarks": {str(p): n for p, n in new_marks.items()},
+                "txn_id": txn_id,
             }
             try:
                 self._try_commit(version + 1, manifest)
@@ -216,12 +240,13 @@ class CommittedLog:
         """Fold all state ≤ upto into one checkpoint manifest so snapshot()
         stops replaying old manifests (Delta's checkpoint.parquet analog).
         Best-effort: a conflict means someone else checkpointed."""
-        version, watermarks, files = self.snapshot()
+        version, watermarks, files, txns = self._replay()
         manifest = {
             "version": version + 1,
             "checkpoint": True,
             "watermarks": {str(p): n for p, n in watermarks.items()},
             "all_files": files,
+            "txn_ids": txns,
         }
         try:
             self._try_commit(version + 1, manifest)

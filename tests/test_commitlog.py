@@ -81,17 +81,17 @@ def test_commit_race_loser_retries_with_fresh_watermarks(spark, tmp_path):
     log = CommittedLog(root)
     log.append(_batch(spark, [(0, 2)]), order_col="seq")  # v0: offsets 0,1
 
-    stale = log.snapshot()  # what a racing writer B saw
+    stale = log._replay()  # what a racing writer B saw
     log.append(_batch(spark, [(0, 3)]), order_col="seq")  # A wins v1: 2,3,4
 
-    real_snapshot = CommittedLog.snapshot
+    real_replay = CommittedLog._replay
     calls = {"n": 0}
 
-    def racy_snapshot(self):
+    def racy_replay(self):
         calls["n"] += 1
-        return stale if calls["n"] == 1 else real_snapshot(self)
+        return stale if calls["n"] == 1 else real_replay(self)
 
-    with mock.patch.object(CommittedLog, "snapshot", racy_snapshot):
+    with mock.patch.object(CommittedLog, "_replay", racy_replay):
         log.append(_batch(spark, [(0, 2)]), order_col="seq")  # B: must land 5,6
 
     offs = [o for o, _ in _offsets(log.read(spark))[0]]
@@ -136,10 +136,54 @@ def test_append_exhausts_retries_raises(spark, tmp_path):
 
     log = CommittedLog(str(tmp_path / "log"))
     log.append(_batch(spark, [(0, 1)]), order_col="seq")
-    stale = log.snapshot()
-    with mock.patch.object(CommittedLog, "snapshot", lambda self: stale):
+    stale = log._replay()
+    with mock.patch.object(CommittedLog, "_replay", lambda self: stale):
         log.append(_batch(spark, [(0, 1)]), order_col="seq")  # wins v1 anyway
         with pytest.raises(CommitConflict):
             log.append(
                 _batch(spark, [(0, 1)]), order_col="seq", max_retries=3
             )
+
+
+def test_txn_id_append_is_idempotent(spark, tmp_path):
+    log = CommittedLog(str(tmp_path / "log"))
+    v1 = log.append(_batch(spark, [(0, 2)]), order_col="seq", txn_id="e-1")
+    v_again = log.append(_batch(spark, [(0, 2)]), order_col="seq", txn_id="e-1")
+    assert v_again == v1  # replay no-ops, returns original version
+    assert log.read(spark).count() == 2
+    v2 = log.append(_batch(spark, [(0, 1)]), order_col="seq", txn_id="e-2")
+    assert v2 == v1 + 1 and log.read(spark).count() == 3
+
+
+def test_txn_ids_survive_checkpoint_fold(spark, tmp_path):
+    log = CommittedLog(str(tmp_path / "log"))
+    for i in range(11):  # crosses the checkpoint boundary
+        log.append(_batch(spark, [(0, 1)]), order_col="seq", txn_id=f"e-{i}")
+    # replaying an epoch folded INTO the checkpoint must still no-op
+    v = log.append(_batch(spark, [(0, 1)]), order_col="seq", txn_id="e-2")
+    assert v == 2
+    assert log.read(spark).count() == 11
+
+
+def test_commitlog_sink_exactly_once_streaming(spark, tmp_path):
+    from starlight_for_kafka_spark.streaming import stream_ops
+
+    src_dir = str(tmp_path / "src")
+    batch = _batch(spark, [(0, 6), (1, 4)]).drop("seq")
+    batch.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    root = str(tmp_path / "log")
+    sink = stream_ops.commitlog_sink(root)
+    q = stream_ops.write_exactly_once(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    log = CommittedLog(root)
+    got = _offsets(log.read(spark))
+    assert [o for o, _ in got[0]] == list(range(6))
+    assert [o for o, _ in got[1]] == list(range(4))
+    # a redelivered epoch (recovery replay) is a no-op
+    sink(_batch(spark, [(0, 6), (1, 4)]).drop("seq"), 0)
+    assert log.read(spark).count() == 10

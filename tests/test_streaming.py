@@ -434,3 +434,47 @@ def test_typed_avro_stream_matches_batch_decode(tmp_path, spark):
     rows = spark.sql("SELECT typed.k AS k, typed.n AS n, typed.src AS src FROM avro_typed").collect()
     assert len(rows) == 50
     assert all(r.n == r.k * 3 and r.src == "s" for r in rows)
+
+
+def test_append_mode_equals_batch_suppress_final(tmp_path, spark):
+    """Streaming append mode + watermark IS suppress(untilWindowCloses):
+    the memory sink must hold exactly the windows the batch suppress_final
+    emits for the same grace — open windows stay withheld in state."""
+    import datetime
+
+    from starlight_for_kafka_spark.operators import windows as win_ops
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("A", base + datetime.timedelta(minutes=m)) for m in (0, 10, 70, 130, 200)
+    ] + [("B", base + datetime.timedelta(minutes=m)) for m in (5, 65, 190)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    path = str(tmp_path / "suppress_src")
+    df.write.parquet(path)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .parquet(path)
+        .withWatermark("ts", "90 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("key"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "key",
+            "cnt",
+            F.expr("unix_micros(window.start) DIV 1000").alias("window_start_ms"),
+        )
+    )
+    stream_ops.run_to_memory(stream, "suppress_out", output_mode="append")
+    streamed = sorted(
+        map(tuple, spark.table("suppress_out").collect())
+    )
+    batch = win_ops.suppress_final(
+        df, "ts", "1 hour", ["key"], [F.count("*").alias("cnt")],
+        grace_ms=90 * 60 * 1000,
+    ).select("key", "cnt", "window_start_ms")
+    assert streamed == sorted(map(tuple, batch.collect()))
+    # suppression is real: the full batch agg has MORE windows than emitted
+    full = win_ops.tumbling_window_agg(
+        df, "ts", "1 hour", ["key"], [F.count("*").alias("cnt")]
+    )
+    assert full.count() > len(streamed) > 0
