@@ -1157,6 +1157,91 @@ def q_sql_surface_q5(spark, sf_dir):
     return spark.sql(Q5_SQL)
 
 
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+Q14_SQL = """
+SELECT 100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2))) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                  * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 25)
+   OR (p_brand = 'Brand#3'  AND l_quantity BETWEEN 20 AND 35 AND p_size BETWEEN 1 AND 35)
+"""
+
+
+def q_sql_surface_q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated semi-join (late-shipping orders
+    per priority) — Catalyst plans the EXISTS as a left-semi hash join."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q4_SQL)
+
+
+def q_sql_surface_q14(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue ratio (conditional aggregate over a
+    fact-dim join; exact DECIMAL sums, one double division)."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q14_SQL)
+
+
+def q_sql_surface_q15(spark, sf_dir):
+    """TPC-H Q15 shape: top supplier via scalar subquery over a CTE
+    (agg-of-agg; the revenue view computed once, reused twice)."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q15_SQL)
+
+
+def q_sql_surface_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-branch predicate over a join —
+    the pushdown/NAAJ stress; one-row exact DECIMAL revenue."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q19_SQL)
+
+
 Q3_SQL = """
 SELECT l_orderkey,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
@@ -2197,6 +2282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_compact": q_log_compact,
         "top_docs_per_lang": q_top_docs_per_lang,
         "sql_surface_q5": q_sql_surface_q5,
+        "sql_surface_q4": q_sql_surface_q4,
+        "sql_surface_q14": q_sql_surface_q14,
+        "sql_surface_q15": q_sql_surface_q15,
+        "sql_surface_q19": q_sql_surface_q19,
         "sql_surface_q3": q_sql_surface_q3,
         "sql_surface_q10": q_sql_surface_q10,
         "sql_surface_q18": q_sql_surface_q18,
@@ -3178,6 +3267,10 @@ SELECT pred_lang, rk, doc_id, n_chars FROM (
   FROM lang
 ) WHERE rk <= 3""",
         "sql_surface_q5": Q5_SQL,
+        "sql_surface_q4": Q4_SQL,
+        "sql_surface_q14": Q14_SQL,
+        "sql_surface_q15": Q15_SQL,
+        "sql_surface_q19": Q19_SQL,
         "sql_surface_q3": Q3_SQL,
         "sql_surface_q10": Q10_SQL,
         "sql_surface_q18": Q18_SQL,
