@@ -2178,6 +2178,31 @@ def q_log_compact_tombstone_window(spark, sf_dir):
     )
 
 
+def q_audio_chunks(spark, sf_dir):
+    """Overlapping audio segmentation (2s windows, 0.5s overlap) over the
+    synthetic media table — plan-arithmetic explode, payload untouched."""
+    media = mm_ops.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return mm_ops.audio_chunks(media, chunk_ms=2000, overlap_ms=500).select(
+        "media_id", "chunk_id", "chunk_start_ms", "chunk_end_ms"
+    )
+
+
+def q_caption_pairs(spark, sf_dir):
+    """(image, caption) pair construction: image media joined to source
+    docs, caption truncated to 32 tokens, short captions gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.synthesize_media(docs)
+    return mm_ops.caption_pairs(media, docs)
+
+
+def q_pack_multimodal(spark, sf_dir):
+    """Multimodal sequence packing: text + media items interleaved into a
+    4096-token stream via the sharded parallel prefix sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.synthesize_media(docs)
+    return mm_ops.pack_multimodal(media, docs, capacity=4096)
+
+
 def q_multimodal_frames(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     frames = mm_ops.sample_frames(mm_ops.synthesize_media(docs), every_ms=500)
@@ -2252,6 +2277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "multimodal_frames": q_multimodal_frames,
+        "audio_chunks": q_audio_chunks,
+        "caption_pairs": q_caption_pairs,
+        "pack_multimodal": q_pack_multimodal,
         "group_state_recovery": q_group_state_recovery,
         "group_members": q_group_members,
         "assign_range": q_assign_range,
@@ -4060,6 +4088,53 @@ FROM per""",
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
       CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'es' THEN 2500
                 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE 0 END""",
+        "audio_chunks": """WITH m AS (
+  SELECT doc_id AS media_id, length(text) * 10 AS duration_ms
+  FROM documents WHERE doc_id % 3 = 1
+), c AS (
+  SELECT media_id, duration_ms,
+         unnest(range(0, greatest(1, CAST(ceil((duration_ms - 500) / 1500.0) AS BIGINT)))) AS chunk_id
+  FROM m
+)
+SELECT media_id, chunk_id, chunk_id * 1500 AS chunk_start_ms,
+       least(chunk_id * 1500 + 2000, duration_ms) AS chunk_end_ms
+FROM c""",
+        "caption_pairs": """WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws,
+         length(text) AS nc
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       array_to_string(ws[1 : 32], ' ') AS caption,
+       least(len(ws), 32) AS n_caption_tokens,
+       nc AS payload_bytes,
+       nc % 1024 + 32 AS width,
+       nc % 768 + 32 AS height
+FROM w WHERE doc_id % 3 = 0 AND least(len(ws), 32) >= 3""",
+        "pack_multimodal": """WITH ti AS (
+  SELECT doc_id * 2 AS item_id, 'text' AS modality,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS cost
+  FROM documents
+), mi AS (
+  SELECT doc_id * 2 + 1 AS item_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 576
+              WHEN 1 THEN (length(text) * 10) // 80
+              ELSE (length(text) * 10) // 40 END AS BIGINT) AS cost
+  FROM documents
+), items AS (
+  SELECT * FROM ti UNION ALL SELECT * FROM mi
+), c AS (
+  SELECT item_id, modality, cost,
+         SUM(cost) OVER (ORDER BY item_id % 32, item_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cost AS start_tok
+  FROM items
+)
+SELECT item_id, modality, cost, start_tok,
+       start_tok // 4096 AS pack_id,
+       CAST((start_tok + cost - 1) // 4096 - start_tok // 4096 + 1 AS INT) AS n_packs_spanned
+FROM c""",
         "pack_sequences": """WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens

@@ -734,3 +734,46 @@ def test_pq_encode_codes_in_range_and_adc_orders_near_first(spark, embeddings):
     by_q = {r.qid: r.recall_at_k for r in rec}
     assert set(by_q) == {3, 100}
     assert all(0.0 <= v <= 1.0 for v in by_q.values())
+
+
+def test_audio_chunks_tile_and_clip(spark):
+    from starlight_for_kafka_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, "audio", b"x", (0, 0, 4600, "stub")), (2, "image", b"y", (0, 0, 99999, "stub"))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    out = mm.audio_chunks(media, chunk_ms=2000, overlap_ms=500).collect()
+    assert all(r.media_id == 1 for r in out)  # images excluded
+    spans = sorted((r.chunk_start_ms, r.chunk_end_ms) for r in out)
+    # stride 1500: [0,2000) [1500,3500) [3000,4600-clipped)
+    assert spans == [(0, 2000), (1500, 3500), (3000, 4600)]
+
+
+def test_caption_pairs_truncates_and_gates(spark):
+    from starlight_for_kafka_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(40))), (3, "too short"), (6, "a b c")],
+        "doc_id long, text string",
+    )
+    media = mm.synthesize_media(docs)  # doc_id%3==0 -> all images here
+    out = {r.media_id: r for r in mm.caption_pairs(media, docs).collect()}
+    assert out[0].n_caption_tokens == 32 and out[0].caption.split()[-1] == "w31"
+    assert 3 not in out  # 2 tokens < min 3
+    assert out[6].n_caption_tokens == 3
+
+
+def test_pack_multimodal_stream_is_gapless(spark, documents):
+    from starlight_for_kafka_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(documents)
+    out = mm.pack_multimodal(media, documents, capacity=1024).collect()
+    # the packed stream is a permutation-free gapless concatenation:
+    rows = sorted(out, key=lambda r: r.start_tok)
+    pos = 0
+    for r in rows:
+        assert r.start_tok == pos
+        pos += r.cost
+    assert {r.modality for r in rows} == {"text", "image", "audio", "video"}
