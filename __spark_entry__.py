@@ -1904,6 +1904,20 @@ def q_group_state_recovery(spark, sf_dir):
     return group_ops.recover_group_state(m)
 
 
+def q_group_state_static(spark, sf_dir):
+    """KIP-345 static membership: every third member carries a
+    group.instance.id; its rejoins-while-active must NOT bump the
+    generation, unlike the dynamic members' (compare group_state_recovery
+    over the same log)."""
+    mem = group_ops.derive_membership_from_events(load_table(spark, sf_dir, "events"))
+    idx = F.substring("member", 2, 10).cast("int")
+    mem = mem.withColumn(
+        "instance_id",
+        F.when(idx % 3 == 0, F.concat(F.lit("i"), idx.cast("string"))),
+    )
+    return group_ops.recover_group_state_static(mem)
+
+
 def q_group_members(spark, sf_dir):
     m = group_ops.derive_membership_from_events(load_table(spark, sf_dir, "events"))
     return group_ops.list_members(m)
@@ -2281,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": q_caption_pairs,
         "pack_multimodal": q_pack_multimodal,
         "group_state_recovery": q_group_state_recovery,
+        "group_state_static": q_group_state_static,
         "group_members": q_group_members,
         "assign_range": q_assign_range,
         "offset_reset": q_offset_reset,
@@ -4204,6 +4219,40 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        "group_state_static": f"""WITH {MEMBERSHIP_CTE},
+ms AS (
+  SELECT "group", member, action, ts, event_id,
+         CASE WHEN CAST(substr(member, 2) AS INT) % 3 = 0
+              THEN 'i' || substr(member, 2) END AS instance_id
+  FROM m
+), mi AS (
+  SELECT *, coalesce(instance_id, member) AS ident,
+         instance_id IS NOT NULL AS is_static
+  FROM ms
+), last AS (
+  SELECT "group", ident, is_static, action FROM mi
+  QUALIFY row_number() OVER (PARTITION BY "group", ident ORDER BY ts DESC, event_id DESC) = 1
+), alive AS (
+  SELECT "group", count(*) AS n_members,
+         sum(CASE WHEN is_static THEN 1 ELSE 0 END) AS n_static
+  FROM last WHERE action <> 'leave' GROUP BY "group"
+), jl AS (
+  SELECT "group", ident, is_static, action, ts, event_id,
+         lag(action) OVER (PARTITION BY "group", ident ORDER BY ts, event_id) AS prev
+  FROM mi WHERE action IN ('join', 'leave')
+), gen AS (
+  SELECT "group", count(*) AS generation FROM jl
+  WHERE (NOT is_static) OR action = 'leave' OR prev IS NULL OR prev = 'leave'
+  GROUP BY "group"
+)
+SELECT g."group",
+       coalesce(gen.generation, 0) AS generation,
+       coalesce(alive.n_members, 0) AS n_members,
+       coalesce(alive.n_static, 0) AS n_static,
+       CASE WHEN coalesce(alive.n_members, 0) = 0 THEN 'Empty' ELSE 'Stable' END AS state
+FROM (SELECT DISTINCT "group" FROM m) g
+LEFT JOIN gen USING ("group")
+LEFT JOIN alive USING ("group")""",
         "group_state_recovery": f"""WITH {MEMBERSHIP_CTE},
 last AS (
   SELECT "group", member, action FROM m

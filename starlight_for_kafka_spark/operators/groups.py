@@ -501,3 +501,71 @@ def list_members(membership: DataFrame) -> DataFrame:
         .join(last_seen, ["group", "member"])
         .select("group", "member", "last_seen_ms")
     )
+
+
+def recover_group_state_static(
+    membership: DataFrame, instance_col: str = "instance_id"
+) -> DataFrame:
+    """Group-state replay with KIP-345 STATIC MEMBERSHIP: members carrying
+    ``group.instance.id`` keep one logical identity across process
+    restarts, and a static member REJOINING while still registered does
+    NOT trigger a rebalance (the coordinator swaps the ephemeral member id
+    under the same identity — GroupCoordinator's static-member path; the
+    whole point of KIP-345 is rolling restarts without assignment churn).
+
+    Rebalance (generation-bump) rules replayed here:
+      * dynamic join or leave                          → bump (classic)
+      * static FIRST join, or join after a removal     → bump (new identity)
+      * static rejoin while active (prev event = join) → NO bump
+      * static leave                                   → bump (KIP-345 admin
+        removal via LeaveGroup-with-instance-id; timeouts replay as leaves)
+
+    Liveness is per logical identity (instance id when set, else member
+    id), latest-wins — the same one-shuffle replay shape as
+    :func:`recover_group_state`, plus one identity-keyed lag window over
+    join/leave events only (heartbeats never enter the generation math).
+    """
+    ident = F.coalesce(F.col(instance_col), F.col("member"))
+    m = membership.withColumn("__ident", ident).withColumn(
+        "__static", F.col(instance_col).isNotNull()
+    )
+    w = Window.partitionBy("group", "__ident").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        m.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("group", "__ident", "__static", "action")
+    )
+    alive = (
+        last.filter(F.col("action") != "leave")
+        .groupBy("group")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.col("__static").cast("int")).alias("n_static"),
+        )
+    )
+    jl = m.filter(F.col("action").isin("join", "leave"))
+    wseq = Window.partitionBy("group", "__ident").orderBy("ts", "event_id")
+    jl = jl.withColumn("__prev", F.lag("action").over(wseq))
+    bump = (
+        (~F.col("__static"))
+        | (F.col("action") == "leave")
+        | F.col("__prev").isNull()
+        | (F.col("__prev") == "leave")
+    )
+    gen = jl.filter(bump).groupBy("group").agg(F.count("*").alias("generation"))
+    groups = membership.select("group").distinct()
+    return (
+        groups.join(F.broadcast(gen), "group", "left")
+        .join(F.broadcast(alive), "group", "left")
+        .select(
+            "group",
+            F.coalesce(F.col("generation"), F.lit(0)).alias("generation"),
+            F.coalesce(F.col("n_members"), F.lit(0)).alias("n_members"),
+            F.coalesce(F.col("n_static"), F.lit(0)).alias("n_static"),
+            F.when(F.coalesce(F.col("n_members"), F.lit(0)) == 0, F.lit("Empty"))
+            .otherwise(F.lit("Stable"))
+            .alias("state"),
+        )
+    )

@@ -82,11 +82,16 @@ class CommittedLog:
         version, watermarks, files, _ = self._replay()
         return version, watermarks, files
 
-    def _replay(self) -> tuple[int, dict[int, int], list[str], dict[str, int]]:
+    def _replay(
+        self, at_version: int | None = None
+    ) -> tuple[int, dict[int, int], list[str], dict[str, int]]:
         """Full state replay: also returns committed txn_id → version (the
         sink-side exactly-once ledger). Reads the latest checkpoint (if
-        any) then only the manifests after it."""
+        any) then only the manifests after it. ``at_version`` replays only
+        manifests ≤ that version — time travel, Delta's VERSION AS OF."""
         versions = self._versions()
+        if at_version is not None:
+            versions = [v for v in versions if v <= at_version]
         if not versions:
             return -1, {}, [], {}
         watermarks: dict[int, int] = {}
@@ -257,11 +262,15 @@ class CommittedLog:
     # read / maintenance
     # ------------------------------------------------------------------ #
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, at_version: int | None = None) -> DataFrame:
         """Snapshot-isolated read: exactly the committed files. The
         ``partition`` column is reconstructed from the directory layout
-        (basePath keeps partition pruning working)."""
-        _, _, files = self.snapshot()
+        (basePath keeps partition pruning working). ``at_version`` reads
+        the log as of that committed version (time travel): manifests are
+        append-only and vacuum only deletes UNreferenced files, so every
+        historical version stays readable until its files are aged out by
+        an explicit retention pass."""
+        _, _, files, _ = self._replay(at_version)
         if not files:
             from .logtable import KAFKA_RECORD_SCHEMA
 

@@ -187,3 +187,18 @@ def test_commitlog_sink_exactly_once_streaming(spark, tmp_path):
     # a redelivered epoch (recovery replay) is a no-op
     sink(_batch(spark, [(0, 6), (1, 4)]).drop("seq"), 0)
     assert log.read(spark).count() == 10
+
+
+def test_time_travel_reads_historical_versions(spark, tmp_path):
+    log = CommittedLog(str(tmp_path / "log"))
+    log.append(_batch(spark, [(0, 2)]), order_col="seq")          # v0
+    log.append(_batch(spark, [(0, 3), (1, 1)]), order_col="seq")  # v1
+    log.append(_batch(spark, [(1, 2)]), order_col="seq")          # v2
+    assert log.read(spark, at_version=0).count() == 2
+    assert log.read(spark, at_version=1).count() == 6
+    assert log.read(spark).count() == 8
+    # historical watermarks too
+    v0 = log._replay(at_version=0)
+    assert v0[1] == {0: 2}
+    # a version before the first commit is the empty log
+    assert log.read(spark, at_version=-1).count() == 0

@@ -376,3 +376,36 @@ def test_cooperative_assignor_two_phases(spark):
             # no revocation needed: unowned (ghost's) or staying put
             assert prior_owner[k] == "m4" or prior_owner[k] == m
             assert m == sticky[k]
+
+
+def test_static_membership_rejoin_does_not_bump_generation(spark):
+    """KIP-345: s1's second join (while active) must not rebalance; d1's
+    identical pattern must. A static leave is an admin removal (bumps),
+    and a join after removal is a new incarnation (bumps)."""
+    import datetime
+
+    from starlight_for_kafka_spark.operators import groups as g
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i, (member, inst, action) in enumerate(
+        [
+            ("mA", "s1", "join"),    # static first join -> bump
+            ("mB", None, "join"),    # dynamic join -> bump
+            ("mC", "s1", "join"),    # static REJOIN (new ephemeral id) -> no bump
+            ("mB", None, "join"),    # dynamic rejoin -> bump
+            ("mC", "s1", "leave"),   # admin removal -> bump
+            ("mD", "s1", "join"),    # join after removal -> bump
+        ]
+    ):
+        rows.append(("g0", member, action, t0 + datetime.timedelta(seconds=i), i))
+    mem = spark.createDataFrame(
+        rows, "group string, member string, action string, ts timestamp, event_id long"
+    ).withColumn(
+        "instance_id",
+        F.when(F.col("member") != "mB", F.lit("s1")),
+    )
+    out = g.recover_group_state_static(mem).collect()[0]
+    assert out.generation == 5  # all but the rejoin-while-active
+    # identities: s1 (live, static) + mB (live, dynamic)
+    assert (out.n_members, out.n_static, out.state) == (2, 1, "Stable")
