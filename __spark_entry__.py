@@ -624,6 +624,22 @@ def q_similarity_top10(spark, sf_dir):
     return sim_ops.brute_force_top_k(emb, _query_vec(spark, sf_dir), k=10)
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Longest cross-document repeated passage per doc (suffix-array-free
+    substring-dedup signal; exact for passages >= 8 words)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_ops.repeated_spans(docs).select(
+        "doc_id", "n_grams", "longest_dup_run", "longest_dup_span_words"
+    )
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: 5 nearest different-label vectors for three
+    query embeddings (contrastive-training feed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.hard_negatives(emb, [5, 17, 42], k=5)
+
+
 def q_similarity_ivf_cells(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = [
@@ -2263,6 +2279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_language_id": q_text_language_id,
         "similarity_top10": q_similarity_top10,
+        "repeated_spans": q_repeated_spans,
+        "hard_negatives": q_hard_negatives,
         "similarity_ivf_cells": q_similarity_ivf_cells,
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "embedding_centroids": q_embedding_centroids,
@@ -3003,6 +3021,47 @@ SELECT doc_id,
        WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
        ELSE 'und' END AS pred_lang
 FROM scores""",
+        "repeated_spans": """WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), pg AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(ws[i : i + 7], ' ') AS g
+  FROM w, unnest(range(1, greatest(len(ws) - 6, 1))) AS t(i)
+), dg AS (
+  SELECT DISTINCT doc_id, g FROM pg
+), fr AS (
+  SELECT g, count(*) AS n_docs FROM dg GROUP BY g
+), fl AS (
+  SELECT pg.doc_id, pg.pos FROM pg JOIN fr USING (g) WHERE n_docs > 1
+), r1 AS (
+  SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM fl
+), r2 AS (
+  SELECT doc_id, grp, count(*) AS run FROM r1 GROUP BY 1, 2
+), runs AS (
+  SELECT doc_id, max(run) AS longest FROM r2 GROUP BY 1
+), tot AS (
+  SELECT doc_id, count(*) AS n_grams FROM pg GROUP BY 1
+)
+SELECT t.doc_id, t.n_grams,
+       coalesce(runs.longest, 0) AS longest_dup_run,
+       CASE WHEN coalesce(runs.longest, 0) > 0 THEN runs.longest + 7 ELSE 0 END AS longest_dup_span_words
+FROM tot t LEFT JOIN runs USING (doc_id)""",
+        "hard_negatives": """WITH x AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, label AS qlbl, v AS qv FROM x WHERE vec_id IN (5, 17, 42)
+), scored AS (
+  SELECT q.qid, x.vec_id, x.label AS neg_label,
+         round(list_dot_product(x.v, q.qv)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.qv, q.qv))), 9) AS sim
+  FROM x CROSS JOIN q
+  WHERE x.label <> q.qlbl
+)
+SELECT qid, vec_id, neg_label, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5""",
         "similarity_top10": """WITH q AS (
   SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
 ), scored AS (

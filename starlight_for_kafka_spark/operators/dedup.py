@@ -766,3 +766,60 @@ def semantic_dedup(
         .join(dup_of, id_col, "left")
         .withColumn("is_dup", F.col("dup_of").isNotNull())
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 8,
+) -> DataFrame:
+    """Longest cross-document repeated passage per doc (the signal behind
+    suffix-array substring dedup, Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): a maximal run of consecutive word
+    positions whose k-grams ALL occur in some other document marks a
+    copied passage of ``run + k - 1`` words — without building a suffix
+    array, which does not distribute. Exact for passages ≥ k words.
+
+    Shuffle shape: positional k-grams (map-only posexplode), the same
+    doc-distinct gram-frequency aggregation as duplicated_ngram_fraction
+    (one gram-keyed count, d rows per gram, never d²), a gram-keyed join
+    back to flag each position, then gaps-and-islands per doc (doc-keyed
+    windows over the doc's own positions — bounded by doc length).
+
+    Emits n_grams (positions), longest_dup_run (k-gram run), and
+    longest_dup_span_words (0 when the doc shares no k-gram).
+    """
+    pos_grams = df.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.col(text_col), ngram_k)).alias("pos", "g"),
+    )
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), ngram_k))).alias(
+            "g"
+        ),
+    )
+    freq = doc_grams.groupBy("g").agg(F.count("*").alias("n_docs"))
+    flagged = pos_grams.join(freq, "g").withColumn("dup", F.col("n_docs") > 1)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        flagged.filter("dup")
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "grp")
+        .agg(F.count("*").alias("run"))
+        .groupBy(id_col)
+        .agg(F.max("run").alias("longest_dup_run"))
+    )
+    totals = pos_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(runs, id_col, "left")
+        .withColumn("longest_dup_run", F.coalesce("longest_dup_run", F.lit(0)))
+        .withColumn(
+            "longest_dup_span_words",
+            F.when(
+                F.col("longest_dup_run") > 0,
+                F.col("longest_dup_run") + F.lit(ngram_k - 1),
+            ).otherwise(F.lit(0)),
+        )
+    )

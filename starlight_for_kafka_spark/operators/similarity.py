@@ -688,3 +688,49 @@ def pq_recall(
         .withColumn("recall_at_k", F.col("n_hits") / F.lit(k))
         .select("qid", "n_hits", "recall_at_k")
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    query vector, the k nearest corpus vectors with a DIFFERENT label —
+    the near-misses a triplet/InfoNCE loss learns most from (easy random
+    negatives carry no gradient signal).
+
+    One pass: broadcast the (tiny) query set, score every corpus row
+    against each query (map-side cosine, label filter applied before the
+    rank so pruned rows never enter the window), rank per query with an id
+    tie-break. Same shuffle shape as quantization_recall's ranking pass:
+    only (query, candidate) pairs move.
+    """
+    from pyspark.sql import Window
+
+    from starlight_for_kafka_spark.functions.vectors import cosine_similarity
+
+    x = df.select(
+        id_col,
+        F.col(label_col).alias("__lbl"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("__x"),
+    )
+    queries = x.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.col("__lbl").alias("__qlbl"),
+        F.col("__x").alias("__qv"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        x.join(F.broadcast(queries))
+        .filter(F.col("__lbl") != F.col("__qlbl"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("__x"), F.col("__qv")), 9)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, F.col("__lbl").alias("neg_label"), "sim", "rank")
+    )

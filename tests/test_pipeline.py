@@ -777,3 +777,31 @@ def test_pack_multimodal_stream_is_gapless(spark, documents):
         assert r.start_tok == pos
         pos += r.cost
     assert {r.modality for r in rows} == {"text", "image", "audio", "video"}
+
+
+def test_repeated_spans_detects_copied_passage(spark):
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-word copied passage
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one two three"),
+            (2, "other prefix words here " + shared),
+            (3, "totally different text with many distinct words in it ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.repeated_spans(docs).collect()}
+    # 12 shared words -> 5 consecutive dup 8-grams -> span 5 + 7 = 12
+    assert out[1].longest_dup_span_words == 12
+    assert out[2].longest_dup_span_words == 12
+    assert out[3].longest_dup_span_words == 0
+
+
+def test_hard_negatives_excludes_same_label(spark, embeddings):
+    from starlight_for_kafka_spark.operators import similarity as sim
+
+    qlabel = {r.vec_id: r.label for r in embeddings.filter(F.col("vec_id").isin([5, 17])).collect()}
+    out = sim.hard_negatives(embeddings, [5, 17], k=5).collect()
+    assert {r.qid for r in out} == {5, 17}
+    for r in out:
+        assert r.neg_label != qlabel[r.qid]
+        assert 1 <= r.rank <= 5
