@@ -465,3 +465,55 @@ def test_quantile_filter_approx_no_pergroup_sort(spark):
     plan = plan_string(df)
     assert "percent_rank" not in plan.lower()
     assert has_broadcast_join(df), plan
+
+
+def test_line_dedup_keeper_is_aggregate_not_window(spark):
+    # the canonical-keeper choice must be a partial-combining min() agg —
+    # a row_number window per line hash would serialize hot boilerplate
+    df = QUERIES["line_dedup"](spark, SF_DIR)
+    assert "Window" not in plan_string(df), plan_string(df)
+
+
+def test_dsir_weights_broadcast_distributions_no_window(spark):
+    df = QUERIES["dsir_weights"](spark, SF_DIR)
+    p = plan_string(df)
+    assert "Window" not in p, p
+    assert broadcast_join_count(df) >= 2, p  # totals + log-ratio table
+
+
+def test_event_transitions_single_user_window_broadcast_totals(spark):
+    with without_aqe(spark):
+        df = QUERIES["event_transitions"](spark, SF_DIR)
+        p = plan_string(df)
+        assert p.count("Window (") == 1, p  # one lead() pass over the log
+        assert broadcast_join_count(df) >= 1, p  # |types|-row totals broadcast
+
+
+def test_ts_anomaly_windows_over_bucketed_not_raw(spark):
+    # the z-score windows must run over the (key, hour) aggregate — the
+    # window input is post-aggregation, so a Window node sits above a
+    # HashAggregate pair, never directly on the scan
+    with without_aqe(spark):
+        df = QUERIES["ts_anomaly"](spark, SF_DIR)
+        p = plan_string(df)
+        # exactly two exchanges: the bucket aggregation + the key
+        # repartition for the windows; the (stacked) Window nodes reuse
+        # one sort, and they sit ABOVE the aggregate, never on the raw scan
+        assert exchange_count(df) == 2, p
+        assert "HashAggregate" in p, p
+        assert p.index("Window (") < p.index("HashAggregate"), p
+
+
+def test_suppress_final_stream_time_is_broadcast(spark):
+    df = QUERIES["suppress_final"](spark, SF_DIR)
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_pq_adc_scan_reads_no_embedding_after_encode(spark):
+    # ADC ranking runs on codes + literal LUT: the plan must be a
+    # TakeOrderedAndProject over a projection, no join, no extra shuffle
+    df = QUERIES["pq_adc_topk"](spark, SF_DIR)
+    p = plan_string(df)
+    assert "TakeOrderedAndProject" in p, p
+    assert exchange_count(df) == 0, p
