@@ -1561,6 +1561,22 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Logistic quality gate over the heuristic features (FineWeb-Edu-style
+    classifier stage; weights are a stand-in head, plan is the product)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.quality_classifier(docs).select("doc_id", "clf_score", "keep")
+
+
+def q_corpus_drift(spark, sf_dir):
+    """Jeffreys divergence between the en slice and the rest — corpus
+    drift monitoring over smoothed unigram models."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en").select("text")
+    b = docs.filter(F.col("lang") != "en").select("text")
+    return text_ops.corpus_drift(a, b)
+
+
 def q_line_dedup(spark, sf_dir):
     """C4-style corpus-level duplicate-line removal (8-word tiles as lines):
     per doc, tiles kept vs removed + md5 of the reassembled text."""
@@ -2372,6 +2388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantization_recall": q_quantization_recall,
         "unigram_logprob": q_unigram_logprob,
         "line_dedup": q_line_dedup,
+        "quality_classifier": q_quality_classifier,
+        "corpus_drift": q_corpus_drift,
         "ccnet_bucket": q_ccnet_bucket,
         "dsir_weights": q_dsir_weights,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3845,6 +3863,71 @@ SELECT doc_id, n_tokens,
        round(exp(-avg_lp), 6) AS ppl,
        exp(-avg_lp) > 33 AS high_ppl
 FROM per_doc""",
+        "quality_classifier": """WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         ' ' || lower(text) || ' ' AS padded
+  FROM documents
+), counted AS (
+  SELECT doc_id, n_chars, n_words,
+    CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' and ', ''))) / 5 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' of ', ''))) / 4 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' to ', ''))) / 4 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' a ', ''))) / 3 AS INT) AS n_stop,
+    CAST((length(text) - length(replace(text, '.', ''))) AS INT)
+      + CAST((length(text) - length(replace(text, ',', ''))) AS INT)
+      + CAST((length(text) - length(replace(text, '!', ''))) AS INT)
+      + CAST((length(text) - length(replace(text, '?', ''))) AS INT)
+      + CAST((length(text) - length(replace(text, ';', ''))) AS INT)
+      + CAST((length(text) - length(replace(text, ':', ''))) AS INT) AS n_punct,
+    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+  FROM base
+), z AS (
+  SELECT doc_id,
+         -1.0 + ((n_chars - n_words + 1) / n_words) * 0.2
+              + (n_punct / n_chars) * 2.0
+              + (n_stop / n_words) * 4.0
+              + (n_upper / n_chars) * (-3.0) AS z
+  FROM counted
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS clf_score,
+       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+FROM z""",
+        "corpus_drift": """WITH ta AS (
+  SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE lang = 'en'
+), tb AS (
+  SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE lang <> 'en'
+), ma AS (SELECT term, count(*) AS ca FROM ta GROUP BY 1),
+mb AS (SELECT term, count(*) AS cb FROM tb GROUP BY 1),
+j AS (
+  SELECT coalesce(ma.term, mb.term) AS term,
+         coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM ma FULL OUTER JOIN mb ON ma.term = mb.term
+), tot AS (
+  SELECT sum(ca) AS tot_a, sum(cb) AS tot_b, count(*) AS vocab FROM j
+), p AS (
+  SELECT term, tot_a, tot_b, vocab,
+         (ca + CAST(0.5 AS DOUBLE)) / (tot_a + CAST(0.5 AS DOUBLE) * vocab) AS pa,
+         (cb + CAST(0.5 AS DOUBLE)) / (tot_b + CAST(0.5 AS DOUBLE) * vocab) AS pb
+  FROM j, tot
+), c AS (
+  SELECT term, tot_a, tot_b, vocab,
+         pa * ln(pa / pb) AS kab, pb * ln(pb / pa) AS kba
+  FROM p
+), f AS (
+  SELECT vocab, tot_a AS tokens_a, tot_b AS tokens_b,
+         list_reduce(list_transform(list_sort(list(struct_pack(t := term, k := kab))), x -> x.k), (a, b) -> a + b) AS kl_ab,
+         list_reduce(list_transform(list_sort(list(struct_pack(t := term, k := kba))), x -> x.k), (a, b) -> a + b) AS kl_ba
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT vocab, tokens_a, tokens_b,
+       round(kl_ab, 6) AS kl_ab, round(kl_ba, 6) AS kl_ba,
+       round(kl_ab + kl_ba, 6) AS jeffreys
+FROM f""",
         "line_dedup": """WITH w AS (
   SELECT doc_id,
          regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws

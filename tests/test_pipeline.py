@@ -805,3 +805,29 @@ def test_hard_negatives_excludes_same_label(spark, embeddings):
     for r in out:
         assert r.neg_label != qlabel[r.qid]
         assert 1 <= r.rank <= 5
+
+
+def test_quality_classifier_monotone_in_stopwords(spark):
+    from starlight_for_kafka_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house went to a market"),
+            (2, "zxq wvu tsr qpo nml kji hgf edc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.quality_classifier(docs).collect()}
+    assert out[1].clf_score > out[2].clf_score
+    assert 0.0 <= out[2].clf_score <= out[1].clf_score <= 1.0
+
+
+def test_corpus_drift_zero_for_identical_slices(spark, documents):
+    from starlight_for_kafka_spark.operators import text as text_ops
+
+    same = text_ops.corpus_drift(documents, documents).collect()[0]
+    assert same.jeffreys == 0.0 and same.kl_ab == 0.0
+    a = documents.filter(F.col("lang") == "en")
+    b = documents.filter(F.col("lang") == "zh")
+    diff = text_ops.corpus_drift(a, b).collect()[0]
+    assert diff.jeffreys > 0.0
