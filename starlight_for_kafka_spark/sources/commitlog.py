@@ -111,6 +111,9 @@ class CommittedLog:
             m = json.load(open(self._manifest_path(v)))
             if m.get("checkpoint"):
                 continue
+            removes = set(m.get("removes", []))
+            if removes:
+                files = [f for f in files if f not in removes]
             files.extend(m["files"])
             for k, nxt in m["watermarks"].items():
                 watermarks[int(k)] = nxt
@@ -282,9 +285,71 @@ class CommittedLog:
             ).parquet(*paths)
         ).select(*LOG_COLUMNS)
 
+    def optimize(self, spark: SparkSession, max_retries: int = 10) -> int:
+        """Compact the log's committed files into one offset-sorted file
+        per partition, as an ATOMIC commit that removes the old files and
+        adds the new ones in a single manifest (Delta OPTIMIZE / Iceberg
+        rewrite-data-files). Readers never see a half-compacted log:
+        either the old file list or the new one, decided by the same
+        O_EXCL manifest race appends use — a concurrent append simply wins
+        or loses a version, and the loser (this job) re-reads and retries
+        over the appended data. Watermarks are untouched: compaction
+        rewrites bytes, not offsets.
+
+        Old files stay on disk for time travel until ``vacuum(retain)``
+        ages them out — exactly the Delta contract.
+        """
+        for attempt in range(max_retries):
+            version, watermarks, old_files, _ = self._replay()
+            if not old_files:
+                return version
+            current = self.read(spark)
+            attempt_tag = f"optimize-{uuid.uuid4().hex[:8]}-{attempt}"
+            stage_dir = os.path.join(self.root, "_staging", attempt_tag)
+            (
+                current.repartition("partition")
+                .sortWithinPartitions("offset")
+                .write.mode("overwrite")
+                .partitionBy("partition")
+                .parquet(stage_dir)
+            )
+            new_files = []
+            for pdir in sorted(os.listdir(stage_dir)):
+                if not pdir.startswith("partition="):
+                    continue
+                dest_dir = os.path.join(self.root, _DATA_DIR, pdir)
+                os.makedirs(dest_dir, exist_ok=True)
+                for i, fn in enumerate(
+                    sorted(os.listdir(os.path.join(stage_dir, pdir)))
+                ):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    dest_name = f"{attempt_tag}-{i}.parquet"
+                    os.rename(
+                        os.path.join(stage_dir, pdir, fn),
+                        os.path.join(dest_dir, dest_name),
+                    )
+                    new_files.append(f"{_DATA_DIR}/{pdir}/{dest_name}")
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            manifest = {
+                "version": version + 1,
+                "optimize": True,
+                "files": new_files,
+                "removes": old_files,
+                "watermarks": {str(p): n for p, n in watermarks.items()},
+            }
+            try:
+                self._try_commit(version + 1, manifest)
+            except CommitConflict:
+                continue  # someone appended; recompact over the new state
+            return version + 1
+        raise CommitConflict(f"optimize lost {max_retries} races on {self.root}")
+
     def vacuum(self) -> list[str]:
-        """Delete data files no committed manifest references (debris from
-        lost commit races). Returns the deleted relative paths."""
+        """Delete data files the CURRENT snapshot does not reference —
+        debris from lost commit races and files replaced by ``optimize``.
+        Like Delta's VACUUM, this ages out time travel: historical
+        versions whose files are gone stop being readable."""
         _, _, files = self.snapshot()
         live = set(files)
         deleted = []

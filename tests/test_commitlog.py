@@ -202,3 +202,44 @@ def test_time_travel_reads_historical_versions(spark, tmp_path):
     assert v0[1] == {0: 2}
     # a version before the first commit is the empty log
     assert log.read(spark, at_version=-1).count() == 0
+
+
+def test_optimize_compacts_atomically_preserving_data_and_history(spark, tmp_path):
+    log = CommittedLog(str(tmp_path / "log"))
+    for _ in range(4):
+        log.append(_batch(spark, [(0, 2), (1, 1)]), order_col="seq")
+    before = _offsets(log.read(spark))
+    pre_version, _, files_before, _ = log._replay()
+    v = log.optimize(spark)
+    _, _, files_after, _ = log._replay()
+    assert v == pre_version + 1
+    assert len(files_after) < len(files_before)  # one file per partition
+    assert len(files_after) == 2
+    assert _offsets(log.read(spark)) == before  # bytes moved, data identical
+    # time travel to the pre-compaction version still reads the old files
+    assert _offsets(log.read(spark, at_version=pre_version)) == before
+    # vacuum removes the replaced files (and ages out that history)
+    deleted = log.vacuum()
+    assert set(deleted) == set(files_before)
+    assert _offsets(log.read(spark)) == before
+
+
+def test_optimize_retries_after_losing_to_concurrent_append(spark, tmp_path):
+    log = CommittedLog(str(tmp_path / "log"))
+    log.append(_batch(spark, [(0, 2)]), order_col="seq")
+    stale = log._replay()
+    log.append(_batch(spark, [(0, 1)]), order_col="seq")  # concurrent append
+
+    real_replay = CommittedLog._replay
+    calls = {"n": 0}
+
+    def racy_replay(self, at_version=None):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real_replay(self, at_version)
+
+    with mock.patch.object(CommittedLog, "_replay", racy_replay):
+        log.optimize(spark)
+    # the retry compacted the POST-append state: all 3 records, 1 file
+    _, _, files, _ = log._replay()
+    assert len(files) == 1
+    assert [o for o, _ in _offsets(log.read(spark))[0]] == [0, 1, 2]
