@@ -792,6 +792,24 @@ def q_offset_expire(spark, sf_dir):
     return group_ops.committed_offsets(live).select("group", "topic", "partition", "offset")
 
 
+def q_offset_fetch_stable(spark, sf_dir):
+    """OFFSET_FETCH require_stable (KIP-447): partitions 2 and 5 carry
+    in-flight transactional commits -> unstable, offset withheld; aborted
+    txn commits never materialize; the rest answer latest-wins."""
+    commits = group_ops.derive_commits_from_events(load_table(spark, sf_dir, "events"))
+    status = (
+        F.when(
+            F.col("partition").isin(2, 5) & (F.col("offset") % 7 == 0), "open"
+        )
+        .when(F.col("offset") % 7 == 1, "abort")
+        .when(F.col("offset") % 2 == 0, "none")
+        .otherwise("commit")
+    )
+    return group_ops.offset_fetch_stable(
+        commits.withColumn("txn_status", status), "g1"
+    )
+
+
 def q_delete_group(spark, sf_dir):
     commits = group_ops.derive_commits_from_events(load_table(spark, sf_dir, "events"))
     return group_ops.list_groups(group_ops.delete_group(commits, "g2"))
@@ -2266,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_retention": q_log_retention,
         "offset_commit_compact": q_offset_commit_compact,
         "offset_fetch_g1": q_offset_fetch_g1,
+        "offset_fetch_stable": q_offset_fetch_stable,
         "describe_groups": q_describe_groups,
         "consumer_lag": q_consumer_lag,
         "find_coordinator": q_find_coordinator,
@@ -3169,6 +3188,25 @@ SELECT "partition", max("offset") + 1 AS log_end_offset,
        2000 AS fetch_offset,
        2000 > max("offset") + 1 AS out_of_range
 FROM log GROUP BY "partition\"""",
+        "offset_fetch_stable": f"""WITH {COMMITS_CTE},
+tc AS (
+  SELECT *, CASE WHEN "partition" IN (2, 5) AND "offset" % 7 = 0 THEN 'open'
+                 WHEN "offset" % 7 = 1 THEN 'abort'
+                 WHEN "offset" % 2 = 0 THEN 'none' ELSE 'commit' END AS txn_status
+  FROM commits WHERE "group" = 'g1'
+), latest AS (
+  SELECT "group", topic, "partition", "offset" FROM tc
+  WHERE txn_status IN ('none', 'commit')
+  QUALIFY row_number() OVER (PARTITION BY "group", topic, "partition"
+                             ORDER BY commit_ts DESC, "offset" DESC) = 1
+), pending AS (
+  SELECT DISTINCT "group", topic, "partition", true AS unstable
+  FROM tc WHERE txn_status = 'open'
+)
+SELECT "group", topic, "partition",
+       coalesce(unstable, false) AS unstable,
+       CASE WHEN coalesce(unstable, false) THEN NULL ELSE "offset" END AS "offset"
+FROM latest FULL OUTER JOIN pending USING ("group", topic, "partition")""",
         "offset_expire": f"""WITH {COMMITS_CTE}
 SELECT "group", topic, "partition", "offset"
 FROM commits WHERE commit_ts >= TIMESTAMP '2024-01-15 00:00:00'

@@ -569,3 +569,55 @@ def recover_group_state_static(
             .alias("state"),
         )
     )
+
+
+def offset_fetch_stable(
+    commits: DataFrame, group: str, status_col: str = "txn_status"
+) -> DataFrame:
+    """OFFSET_FETCH with ``require_stable=true`` (OffsetFetch v7+, KIP-447):
+    transactional offset commits are PENDING until their transaction's
+    marker lands — the reference parks them in
+    GroupMetadata.prepareTxnOffsetCommit (:470) and only materializes on
+    commit. Under require_stable a partition with an in-flight
+    transactional commit answers UNSTABLE_OFFSET_COMMIT, not a possibly-
+    about-to-change offset; aborted transactional commits are discarded
+    outright.
+
+    ``status_col``: 'none' (plain commit), 'commit'/'abort' (decided txn),
+    'open' (undecided). Materialized offset = latest-wins (commit_ts,
+    offset) over none+commit rows; partitions with ANY open commit are
+    flagged ``unstable`` and their offset withheld (null); abort-only
+    partitions vanish (nothing ever materialized).
+
+    ONE aggregation pass — latest-wins via max(struct) and the unstable
+    flag via a conditional max in the same groupBy, so the commit log is
+    scanned once and shuffles once, with map-side partial aggregation.
+    (A latest-view-JOIN-pending formulation scans twice and adds a join;
+    at 100 TB the single partial-combining agg is strictly better.)
+    """
+    eligible = F.col(status_col).isin("none", "commit")
+    agg = (
+        commits.filter(F.col("group") == group)
+        .groupBy("group", "topic", "partition")
+        .agg(
+            F.max(
+                F.when(
+                    eligible,
+                    F.struct(
+                        F.col("commit_ts").alias("ts"), F.col("offset").alias("o")
+                    ),
+                )
+            ).alias("__latest"),
+            F.max((F.col(status_col) == "open").cast("int")).alias("__open"),
+        )
+    )
+    return (
+        agg.filter((F.col("__open") == 1) | F.col("__latest").isNotNull())
+        .select(
+            "group", "topic", "partition",
+            (F.col("__open") == 1).alias("unstable"),
+            F.when(F.col("__open") == 1, F.lit(None))
+            .otherwise(F.col("__latest.o"))
+            .alias("offset"),
+        )
+    )

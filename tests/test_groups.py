@@ -409,3 +409,38 @@ def test_static_membership_rejoin_does_not_bump_generation(spark):
     assert out.generation == 5  # all but the rejoin-while-active
     # identities: s1 (live, static) + mB (live, dynamic)
     assert (out.n_members, out.n_static, out.state) == (2, 1, "Stable")
+
+
+def test_offset_fetch_stable_semantics(spark):
+    """KIP-447 require_stable: open txn -> unstable+withheld; aborts never
+    materialize; abort-only partitions vanish; plain+committed win latest."""
+    import datetime
+
+    from starlight_for_kafka_spark.operators import groups as g
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # partition 0: plain then committed txn -> latest committed wins
+        ("g1", "t", 0, 10, t0, "none"),
+        ("g1", "t", 0, 20, t0 + datetime.timedelta(seconds=1), "commit"),
+        # partition 1: committed then OPEN -> unstable, offset withheld
+        ("g1", "t", 1, 5, t0, "commit"),
+        ("g1", "t", 1, 9, t0 + datetime.timedelta(seconds=1), "open"),
+        # partition 2: only aborts -> absent
+        ("g1", "t", 2, 7, t0, "abort"),
+        # partition 3: abort after commit -> abort discarded, commit stands
+        ("g1", "t", 3, 3, t0, "commit"),
+        ("g1", "t", 3, 8, t0 + datetime.timedelta(seconds=1), "abort"),
+        # other group ignored
+        ("g2", "t", 0, 99, t0, "commit"),
+    ]
+    commits = spark.createDataFrame(
+        rows,
+        "group string, topic string, partition int, offset long, "
+        "commit_ts timestamp, txn_status string",
+    )
+    out = {r.partition: r for r in g.offset_fetch_stable(commits, "g1").collect()}
+    assert out[0].offset == 20 and out[0].unstable is False
+    assert out[1].offset is None and out[1].unstable is True
+    assert 2 not in out
+    assert out[3].offset == 3 and out[3].unstable is False
