@@ -242,3 +242,118 @@ def test_retain_bytes_suffix_and_monotone(spark, budget):
         assert offs == list(range(offs[0], 12)), (p, offs)  # contiguous suffix
     bigger = log.retain_bytes(budget + 500).df.count()
     assert bigger >= len(kept)
+
+
+@_spark_settings
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 3), min_size=1, max_size=6),  # tiles per doc
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_line_dedup_keeps_each_distinct_line_exactly_once(spark, docs):
+    """For ANY corpus, corpus-level line dedup keeps each distinct line
+    exactly once (sum of n_kept == number of distinct tiles) and never
+    invents or loses lines (sum of n_lines == total tiles)."""
+    from starlight_for_kafka_spark.operators.text import line_dedup
+
+    # tile id t -> a fixed 4-word line; docs are concatenations of tiles
+    def tile(t):
+        return f"w{t}a w{t}b w{t}c w{t}d"
+
+    rows = [
+        (i, " ".join(tile(t) for t in tiles)) for i, tiles in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = line_dedup(df, line_words=4).collect()
+    distinct_tiles = len({t for tiles in docs for t in tiles})
+    total_tiles = sum(len(tiles) for tiles in docs)
+    assert sum(r.n_kept for r in out) == distinct_tiles
+    assert sum(r.n_lines for r in out) == total_tiles
+
+
+@_spark_settings
+@given(
+    items=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 40)),  # (id, cost)
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    capacity=st.integers(4, 64),
+)
+def test_pack_sequences_stream_is_gapless_for_any_costs(spark, items, capacity):
+    from starlight_for_kafka_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(items, "doc_id long, n long")
+    out = sorted(
+        pack_sequences(df, "n", capacity).collect(), key=lambda r: r.start_tok
+    )
+    pos = 0
+    for r in out:
+        assert r.start_tok == pos
+        assert r.pack_id == pos // capacity
+        pos += r.n
+    assert pos == sum(c for _, c in items)
+
+
+@_spark_settings
+@given(
+    batches=st.lists(
+        st.lists(st.integers(0, 3), min_size=1, max_size=5),  # partitions hit
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_commitlog_offsets_dense_across_any_append_sequence(spark, tmp_path_factory, batches):
+    """ANY sequence of appends through the commit protocol yields dense
+    per-partition offsets with batch boundaries respected."""
+    from starlight_for_kafka_spark.sources import CommittedLog
+
+    root = str(tmp_path_factory.mktemp("cl"))
+    log = CommittedLog(root)
+    expected: dict[int, int] = {}
+    seq = 0
+    for parts in batches:
+        rows = []
+        for p in parts:
+            rows.append((str(seq).encode(), b"v", [], None, p, seq))
+            expected[p] = expected.get(p, 0) + 1
+            seq += 1
+        df = spark.createDataFrame(
+            rows,
+            "key binary, value binary, "
+            "headers array<struct<key:string,value:binary>>, "
+            "timestamp timestamp, partition int, seq long",
+        )
+        log.append(df, order_col="seq")
+    got = {}
+    for r in log.read(spark).select("partition", "offset").collect():
+        got.setdefault(r.partition, []).append(r.offset)
+    assert {p: sorted(v) for p, v in got.items()} == {
+        p: list(range(n)) for p, n in expected.items()
+    }
+
+
+@_spark_settings
+@given(
+    vals=st.lists(st.integers(0, 100), min_size=1, max_size=30),
+    k=st.integers(1, 5),
+    n_salts=st.integers(1, 8),
+)
+def test_grouped_top_k_equals_plain_window_for_any_k_salts(spark, vals, k, n_salts):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators.skew import grouped_top_k
+
+    df = spark.createDataFrame(
+        [(i, v % 3, v) for i, v in enumerate(vals)], "id long, g int, v int"
+    )
+    out = grouped_top_k(df, ["g"], [F.col("v").desc(), F.col("id").asc()], k, n_salts)
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+    plain = df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    assert sorted(map(tuple, out.select("g", "id", "rank").collect())) == sorted(
+        map(tuple, plain.select("g", "id", "rank").collect())
+    )
