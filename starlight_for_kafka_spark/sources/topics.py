@@ -15,6 +15,7 @@ production) without engine code.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from starlight_for_kafka_spark.sources.logtable import KAFKA_RECORD_SCHEMA
 
@@ -118,3 +119,39 @@ def describe_cluster(spark: SparkSession) -> DataFrame:
         "engine string, master string, cluster_id string, version string, "
         "parallelism int, is_controller boolean",
     )
+
+
+def read_topics(spark: SparkSession, names: list[str]) -> DataFrame:
+    """Multi-topic FETCH — ``consumer.subscribe([topics...])``: one
+    DataFrame over several topic tables with a ``topic`` discriminator
+    column, exactly the (topic, partition, offset)-keyed shape a Kafka
+    consumer polls. Spark-first this is a union of independent scans —
+    each topic's files stay separately partition-pruned and predicates on
+    ``topic`` prune entire subtrees at plan time (a filter
+    ``topic = 'x'`` collapses the union to one scan), so subscribing to
+    100 topics and reading one costs one.
+    """
+    out = None
+    for name in names:
+        t = read_topic(spark, name).withColumn("topic", F.lit(name))
+        out = t if out is None else out.unionByName(t)
+    if out is None:
+        raise ValueError("read_topics needs at least one topic")
+    return out
+
+
+def subscribe_pattern(spark: SparkSession, pattern: str) -> DataFrame:
+    """``consumer.subscribe(Pattern)`` — regex topic subscription
+    (KafkaConsumer's pattern mode; the reference resolves it in METADATA
+    topic discovery, KafkaRequestHandler.java:757-811): match the pattern
+    against the catalog listing, then read the matching set. Topic
+    discovery is a control-plane catalog call; the data plane is
+    :func:`read_topics`' pruned union.
+    """
+    import re
+
+    rx = re.compile(pattern)
+    names = [t for t in list_topics(spark) if rx.fullmatch(t)]
+    if not names:
+        raise ValueError(f"no topics match pattern {pattern!r}")
+    return read_topics(spark, sorted(names))

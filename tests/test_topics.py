@@ -99,3 +99,33 @@ def test_normalize_kafka_records_matches_log_schema(spark):
     assert [h.key for h in rows[7].headers] == ["h1"]
     # operators run unchanged on the normalized frame
     assert {r.partition: r.offset for r in log.latest_offsets().collect()} == {0: 8, 1: 10}
+
+
+def test_read_topics_and_subscribe_pattern(spark, log, tmp_path):
+    from starlight_for_kafka_spark.sources import topics as t
+
+    for name in ("sub_orders", "sub_clicks", "other_log"):
+        t.create_topic(spark, name, num_partitions=4, location=str(tmp_path / name))
+        t.append_records(spark, name, log.df.limit(10))
+    try:
+        multi = t.read_topics(spark, ["sub_orders", "sub_clicks"])
+        assert multi.count() == 20
+        assert set(r.topic for r in multi.select("topic").distinct().collect()) == {
+            "sub_orders", "sub_clicks"
+        }
+        # regex subscription resolves against the catalog
+        pat = t.subscribe_pattern(spark, "sub_.*")
+        assert pat.count() == 20
+        # a topic predicate collapses the union: only one scan survives
+        from starlight_for_kafka_spark.plans import plan_string
+
+        one = multi.filter(F.col("topic") == "sub_orders")
+        pruned = plan_string(one)
+        assert "sub_orders" in pruned and "sub_clicks" not in pruned
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            t.subscribe_pattern(spark, "nomatch_.*")
+    finally:
+        for name in ("sub_orders", "sub_clicks", "other_log"):
+            t.delete_topic(spark, name)
