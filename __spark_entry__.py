@@ -3077,8 +3077,11 @@ FROM scores""",
   SELECT doc_id, grp, count(*) AS run FROM r1 GROUP BY 1, 2
 ), runs AS (
   SELECT doc_id, max(run) AS longest FROM r2 GROUP BY 1
-), tot AS (
+), gc AS (
   SELECT doc_id, count(*) AS n_grams FROM pg GROUP BY 1
+), tot AS (
+  SELECT d.doc_id, coalesce(gc.n_grams, 0) AS n_grams
+  FROM documents d LEFT JOIN gc USING (doc_id)
 )
 SELECT t.doc_id, t.n_grams,
        coalesce(runs.longest, 0) AS longest_dup_run,
@@ -4243,9 +4246,14 @@ ORDER BY adc_dist, c2.vec_id LIMIT 10""",
     FROM adc
   ) WHERE rn <= 10
 )
-SELECT e2.qid, count(*) AS n_hits, count(*) / 10.0 AS recall_at_k
-FROM exact_top e2 JOIN adc_top a USING (qid, vec_id)
-GROUP BY e2.qid""",
+, hitc AS (
+  SELECT e2.qid, count(*) AS n_hits
+  FROM exact_top e2 JOIN adc_top a USING (qid, vec_id)
+  GROUP BY e2.qid
+)
+SELECT q2.qid, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) / 10.0 AS recall_at_k
+FROM (SELECT DISTINCT qid FROM qlut) q2 LEFT JOIN hitc h USING (qid)""",
         "decontaminate": """WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
   UNION ALL

@@ -787,7 +787,8 @@ def repeated_spans(
     back to flag each position, then gaps-and-islands per doc (doc-keyed
     windows over the doc's own positions — bounded by doc length).
 
-    Emits n_grams (positions), longest_dup_run (k-gram run), and
+    Emits one row per INPUT doc: n_grams (positions; 0 for docs shorter
+    than ``ngram_k`` words), longest_dup_run (k-gram run), and
     longest_dup_span_words (0 when the doc shares no k-gram).
     """
     pos_grams = df.select(
@@ -811,7 +812,14 @@ def repeated_spans(
         .groupBy(id_col)
         .agg(F.max("run").alias("longest_dup_run"))
     )
-    totals = pos_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    gram_counts = pos_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    # left-join from the INPUT ids: a doc shorter than ngram_k words has no
+    # shingles at all and would otherwise vanish from the output
+    totals = (
+        df.select(id_col)
+        .join(gram_counts, id_col, "left")
+        .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+    )
     return (
         totals.join(runs, id_col, "left")
         .withColumn("longest_dup_run", F.coalesce("longest_dup_run", F.lit(0)))

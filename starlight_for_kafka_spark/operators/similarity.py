@@ -682,9 +682,16 @@ def pq_recall(
         .select("qid", id_col)
     )
     hits = exact.join(approx, ["qid", id_col])
+    counts = hits.groupBy("qid").agg(F.count("*").alias("n_hits"))
+    # LEFT join from the query set: a codebook so bad that exact and ADC
+    # top-k share nothing must report recall 0, not silently drop the
+    # query (same contract as quantization_recall)
+    all_q = spark.createDataFrame(
+        [(int(q),) for q in sorted(qvecs)], "qid long"
+    )
     return (
-        hits.groupBy("qid")
-        .agg(F.count("*").alias("n_hits"))
+        all_q.join(counts, "qid", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
         .withColumn("recall_at_k", F.col("n_hits") / F.lit(k))
         .select("qid", "n_hits", "recall_at_k")
     )

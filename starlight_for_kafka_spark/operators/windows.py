@@ -241,6 +241,8 @@ def merge_streams(*streams: DataFrame) -> DataFrame:
     """KStream#merge: interleave co-shaped streams into one (no ordering
     guarantee between inputs — same contract as Streams). Spark-first this
     is a union by name: zero shuffle, scans stay independent and parallel."""
+    if not streams:
+        raise ValueError("merge_streams needs at least one stream")
     out = streams[0]
     for s in streams[1:]:
         out = out.unionByName(s)

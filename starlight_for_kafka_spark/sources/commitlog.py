@@ -122,13 +122,24 @@ class CommittedLog:
         return versions[-1], watermarks, files, txns
 
     def _try_commit(self, version: int, manifest: dict) -> None:
+        """Publish a manifest ATOMICALLY: write the full content to a temp
+        file (fsync'd), then hard-link it to the version name — the link
+        either creates the complete file or fails with EEXIST. A bare
+        O_CREAT|O_EXCL + write would expose an empty/partial manifest to
+        concurrent _replay (JSONDecodeError) and a writer crash mid-write
+        would brick the log with a truncated manifest forever."""
         path = self._manifest_path(version)
+        tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             raise CommitConflict(f"version {version} already committed")
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
+        finally:
+            os.unlink(tmp)
 
     # ------------------------------------------------------------------ #
     # append (optimistic, retried)
@@ -166,6 +177,13 @@ class CommittedLog:
         if order_col is None:
             batch = batch.withColumn("__arrival", F.monotonically_increasing_id())
         batch = batch.localCheckpoint(eager=True)  # pin inputs across retries
+        # per-partition counts don't depend on assigned offsets: compute
+        # ONCE from the pinned batch (re-running the assignment plan per
+        # attempt would pay the window shuffle twice per retry)
+        counts = {
+            int(r["partition"]): r["cnt"]
+            for r in batch.groupBy("partition").agg(F.count("*").alias("cnt")).collect()
+        }
 
         spark = records.sparkSession
         for attempt in range(max_retries):
@@ -220,12 +238,6 @@ class CommittedLog:
                     )
                     new_files.append(f"{_DATA_DIR}/{pdir}/{dest_name}")
             shutil.rmtree(stage_dir, ignore_errors=True)
-            counts = {
-                int(r["partition"]): r["cnt"]
-                for r in assigned.groupBy("partition")
-                .agg(F.count("*").alias("cnt"))
-                .collect()
-            }
             for p, cnt in counts.items():
                 new_marks[p] = watermarks.get(p, 0) + cnt
             manifest = {
@@ -248,7 +260,7 @@ class CommittedLog:
         """Fold all state ≤ upto into one checkpoint manifest so snapshot()
         stops replaying old manifests (Delta's checkpoint.parquet analog).
         Best-effort: a conflict means someone else checkpointed."""
-        version, watermarks, files, txns = self._replay()
+        version, watermarks, files, txns = self._replay(at_version=upto)
         manifest = {
             "version": version + 1,
             "checkpoint": True,
@@ -345,20 +357,34 @@ class CommittedLog:
             return version + 1
         raise CommitConflict(f"optimize lost {max_retries} races on {self.root}")
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Delete data files the CURRENT snapshot does not reference —
         debris from lost commit races and files replaced by ``optimize``.
         Like Delta's VACUUM, this ages out time travel: historical
-        versions whose files are gone stop being readable."""
+        versions whose files are gone stop being readable.
+
+        ``min_age_seconds`` is the safety window (Delta's retention
+        check): a file younger than it is NEVER deleted, because an
+        in-flight append may have renamed its files into ``data/`` but not
+        yet won its manifest race — deleting those would let the commit
+        land referencing vanished files. Only lower it when no writer can
+        be active."""
+        import time
+
         _, _, files = self.snapshot()
         live = set(files)
         deleted = []
+        now = time.time()
         data_root = os.path.join(self.root, _DATA_DIR)
         for dirpath, _dirs, names in os.walk(data_root):
             for fn in names:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
-                if fn.endswith(".parquet") and rel not in live:
+                if (
+                    fn.endswith(".parquet")
+                    and rel not in live
+                    and now - os.path.getmtime(full) >= min_age_seconds
+                ):
                     os.remove(full)
                     deleted.append(rel)
         return sorted(deleted)

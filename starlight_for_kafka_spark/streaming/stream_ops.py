@@ -314,21 +314,29 @@ def write_exactly_once(stream_df: DataFrame, batch_fn, checkpoint: str):
     )
 
 
-def commitlog_sink(log_root: str, order_col: str | None = None):
+def commitlog_sink(log_root: str, sink_id: str, order_col: str | None = None):
     """foreachBatch sink writing each microbatch through the CommittedLog
-    optimistic-commit protocol with ``txn_id = epoch-<id>`` — exactly-once
-    into a MULTI-WRITER log: checkpoint-recovery epoch replays no-op
-    (txn_id already in a manifest), and concurrent writers to the same log
-    (other streams, batch backfills) serialize through the manifest race
-    instead of clobbering offsets. This is the sink-side half the
-    reference's transaction coordinator provides via END_TXN +
-    WRITE_TXN_MARKERS (§2.4); here the manifest IS the marker.
+    optimistic-commit protocol with ``txn_id = <sink_id>-epoch-<id>`` —
+    exactly-once into a MULTI-WRITER log: checkpoint-recovery epoch
+    replays no-op (txn_id already in a manifest), and concurrent writers
+    to the same log (other streams, batch backfills) serialize through
+    the manifest race instead of clobbering offsets. This is the
+    sink-side half the reference's transaction coordinator provides via
+    END_TXN + WRITE_TXN_MARKERS (§2.4); here the manifest IS the marker.
+
+    ``sink_id`` namespaces the replay-dedup ledger PER QUERY — epoch
+    numbers restart at 0 for every new checkpoint, so without it a second
+    stream (or a stream whose checkpoint was recreated) writing the same
+    log would silently drop its first batches as "already committed".
+    Use a stable identifier tied to the query's checkpoint (e.g. the
+    checkpoint path or queryName); it must survive restarts of the SAME
+    query and differ between different queries.
     """
     from starlight_for_kafka_spark.sources import CommittedLog
 
     def write(df: DataFrame, epoch_id: int) -> None:
         CommittedLog(log_root).append(
-            df, order_col=order_col, txn_id=f"epoch-{epoch_id}"
+            df, order_col=order_col, txn_id=f"{sink_id}-epoch-{epoch_id}"
         )
 
     return write

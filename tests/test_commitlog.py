@@ -110,11 +110,11 @@ def test_uncommitted_files_invisible_and_vacuumed(spark, tmp_path):
         "offset", F.lit(999).cast("long")
     ).drop("partition").write.mode("overwrite").parquet(orphan_dir)
     assert log.read(spark).count() == 2  # snapshot isolation
-    deleted = log.vacuum()
+    deleted = log.vacuum(min_age_seconds=0)
     assert deleted and all("deadbeef" in d for d in deleted)
     assert log.read(spark).count() == 2
     # committed files survived
-    assert not [d for d in log.vacuum()]
+    assert not [d for d in log.vacuum(min_age_seconds=0)]
 
 
 def test_checkpoint_folds_manifest_history(spark, tmp_path):
@@ -177,7 +177,7 @@ def test_commitlog_sink_exactly_once_streaming(spark, tmp_path):
         .parquet(src_dir)
     )
     root = str(tmp_path / "log")
-    sink = stream_ops.commitlog_sink(root)
+    sink = stream_ops.commitlog_sink(root, sink_id="q1")
     q = stream_ops.write_exactly_once(stream, sink, str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     log = CommittedLog(root)
@@ -219,7 +219,7 @@ def test_optimize_compacts_atomically_preserving_data_and_history(spark, tmp_pat
     # time travel to the pre-compaction version still reads the old files
     assert _offsets(log.read(spark, at_version=pre_version)) == before
     # vacuum removes the replaced files (and ages out that history)
-    deleted = log.vacuum()
+    deleted = log.vacuum(min_age_seconds=0)
     assert set(deleted) == set(files_before)
     assert _offsets(log.read(spark)) == before
 
@@ -243,3 +243,32 @@ def test_optimize_retries_after_losing_to_concurrent_append(spark, tmp_path):
     _, _, files, _ = log._replay()
     assert len(files) == 1
     assert [o for o, _ in _offsets(log.read(spark))[0]] == [0, 1, 2]
+
+
+def test_vacuum_age_guard_spares_fresh_uncommitted_files(spark, tmp_path):
+    """An in-flight writer's files (renamed into data/ but not yet
+    committed) must survive vacuum: the retention window treats every
+    young file as potentially in-flight."""
+    log = CommittedLog(str(tmp_path / "log"))
+    log.append(_batch(spark, [(0, 1)]), order_col="seq")
+    orphan_dir = os.path.join(log.root, "data", "partition=0")
+    orphan = os.path.join(orphan_dir, "inflight-writer-0.parquet")
+    open(orphan, "wb").write(b"not yet committed")
+    assert log.vacuum() == []  # default window: fresh file spared
+    assert os.path.exists(orphan)
+    assert log.vacuum(min_age_seconds=0) == ["data/partition=0/inflight-writer-0.parquet"]
+
+
+def test_sink_namespace_keeps_two_queries_apart(spark, tmp_path):
+    """Two streaming queries both start at epoch 0; without per-sink
+    namespacing the second query's first batch would no-op as a replay."""
+    from starlight_for_kafka_spark.streaming import stream_ops
+
+    root = str(tmp_path / "log")
+    sink_a = stream_ops.commitlog_sink(root, sink_id="qa")
+    sink_b = stream_ops.commitlog_sink(root, sink_id="qb")
+    sink_a(_batch(spark, [(0, 2)]).drop("seq"), 0)
+    sink_b(_batch(spark, [(0, 3)]).drop("seq"), 0)  # same epoch id, distinct txn
+    assert CommittedLog(root).read(spark).count() == 5
+    sink_a(_batch(spark, [(0, 2)]).drop("seq"), 0)  # genuine replay: no-op
+    assert CommittedLog(root).read(spark).count() == 5

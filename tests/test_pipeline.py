@@ -831,3 +831,22 @@ def test_corpus_drift_zero_for_identical_slices(spark, documents):
     b = documents.filter(F.col("lang") == "zh")
     diff = text_ops.corpus_drift(a, b).collect()[0]
     assert diff.jeffreys > 0.0
+
+
+def test_repeated_spans_emits_short_docs_with_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "only four words here"), (2, " ".join(f"w{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.repeated_spans(docs).collect()}
+    assert out[1].n_grams == 0 and out[1].longest_dup_span_words == 0
+    assert out[2].n_grams == 3  # 10 words -> 3 8-grams, none shared
+
+
+def test_merge_streams_empty_raises(spark):
+    import pytest as _pytest
+
+    from starlight_for_kafka_spark.operators import windows
+
+    with _pytest.raises(ValueError):
+        windows.merge_streams()
