@@ -372,6 +372,26 @@ def q_txn_read_committed(spark, sf_dir):
     return tx_ops.read_committed(txn_log).select("partition", "offset", "pid", "seq")
 
 
+def q_txn_state_machine(spark, sf_dir):
+    """Coordinator state-machine replay per transactional id: deterministic
+    action grammar from the events table, folded by the in-row automaton
+    (invalid transitions counted, fencing aborts in-flight txns)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("txn-"), (F.col("user_id") % 12).cast("string")).alias(
+            "transactional_id"
+        ),
+        "ts", "event_id",
+        F.element_at(
+            F.array(
+                F.lit("init"), F.lit("add_partitions"), F.lit("add_offsets"),
+                F.lit("end_commit"), F.lit("end_abort"),
+            ),
+            (F.col("event_id") % 5).cast("int") + 1,
+        ).alias("action"),
+    )
+    return tx_ops.txn_state_machine(ev)
+
+
 def q_txn_aborted_index(spark, sf_dir):
     txn_log = tx_ops.derive_txn_log(_log(spark, sf_dir).df)
     return tx_ops.aborted_txn_index(txn_log)
@@ -2290,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "find_coordinator": q_find_coordinator,
         "txn_read_committed": q_txn_read_committed,
         "txn_aborted_index": q_txn_aborted_index,
+        "txn_state_machine": q_txn_state_machine,
         "txn_last_stable_offsets": q_txn_last_stable_offsets,
         "txn_idempotent_dedupe": q_txn_idempotent_dedupe,
         "txn_describe_producers": q_txn_describe_producers,
@@ -2855,6 +2876,43 @@ FROM commits""",
 SELECT t."partition", t."offset", t.pid, t.seq
 FROM txn3 t JOIN lso USING ("partition")
 WHERE t."offset" < lso.last_stable_offset AND t.txn_status <> 'abort'""",
+        # NOTE: deliberately a RECURSIVE-CTE fold, not list_reduce —
+        # DuckDB 1.0's vectorized list_reduce returns wrong results when
+        # folding struct accumulators across MULTIPLE groups in one query
+        # (verified: correct for any single tid, wrong for 12); the
+        # recursion also keeps the oracle independent of the Spark
+        # higher-order-aggregate implementation.
+        "txn_state_machine": """WITH RECURSIVE ev AS (
+  SELECT 'txn-' || CAST(user_id % 12 AS VARCHAR) AS tid, ts, event_id,
+         CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 'init' WHEN 1 THEN 'add_partitions'
+              WHEN 2 THEN 'add_offsets' WHEN 3 THEN 'end_commit' ELSE 'end_abort' END AS a
+  FROM events
+), steps AS (
+  SELECT tid, a, row_number() OVER (PARTITION BY tid ORDER BY ts, event_id) AS i FROM ev
+), n AS (
+  SELECT tid, max(i) AS m FROM steps GROUP BY tid
+), fold AS (
+  SELECT tid, 0 AS i, 0 AS state, 0 AS epochs, 0 AS committed, 0 AS aborted, 0 AS invalid FROM n
+  UNION ALL
+  SELECT f.tid, f.i + 1,
+         CASE WHEN s.a = 'init' THEN 0
+              WHEN s.a IN ('add_partitions', 'add_offsets') AND f.epochs > 0 THEN 1
+              WHEN s.a = 'end_commit' AND f.state = 1 THEN 2
+              WHEN s.a = 'end_abort' AND f.state = 1 THEN 3
+              ELSE f.state END,
+         f.epochs + CASE WHEN s.a = 'init' THEN 1 ELSE 0 END,
+         f.committed + CASE WHEN s.a = 'end_commit' AND f.state = 1 THEN 1 ELSE 0 END,
+         f.aborted + CASE WHEN s.a = 'end_abort' AND f.state = 1 THEN 1 ELSE 0 END
+                   + CASE WHEN s.a = 'init' AND f.state = 1 THEN 1 ELSE 0 END,
+         f.invalid + CASE WHEN (s.a IN ('add_partitions', 'add_offsets') AND f.epochs = 0)
+                           OR (s.a IN ('end_commit', 'end_abort') AND f.state <> 1) THEN 1 ELSE 0 END
+  FROM fold f JOIN steps s ON s.tid = f.tid AND s.i = f.i + 1
+)
+SELECT f.tid AS transactional_id,
+       ['Empty', 'Ongoing', 'CompleteCommit', 'CompleteAbort'][f.state + 1] AS final_state,
+       f.epochs AS epochs, f.committed AS n_committed,
+       f.aborted AS n_aborted, f.invalid AS n_invalid
+FROM fold f JOIN n ON n.tid = f.tid AND f.i = n.m""",
         "txn_aborted_index": f"""WITH {TXN_CTE}
 SELECT "partition", pid, txn_group, min("offset") AS first_offset, max("offset") AS last_offset
 FROM txn3 WHERE txn_status = 'abort' GROUP BY "partition", pid, txn_group""",

@@ -275,3 +275,97 @@ def sequence_gaps(records: DataFrame) -> DataFrame:
         .filter(F.col("seq") != F.col("expected_seq"))
         .select("partition", "pid", "offset", "seq", "expected_seq")
     )
+
+
+def txn_state_machine(
+    events: DataFrame,
+    txn_col: str = "transactional_id",
+    action_col: str = "action",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Replay the transaction coordinator's state machine per
+    transactional id (TransactionCoordinator.handleEndTransaction:658;
+    states TransactionState.java:19-69 — Empty → Ongoing →
+    PrepareCommit/PrepareAbort → CompleteCommit/CompleteAbort, prepare
+    states collapsing in a quiescent batch replay exactly as group
+    recovery collapses rebalance states). Actions:
+
+      * ``init``          — INIT_PRODUCER_ID: epoch bump, state Empty;
+                            fences an ONGOING txn by aborting it (the
+                            coordinator's abort-on-init path)
+      * ``add_partitions`` / ``add_offsets`` — valid after an init;
+                            Empty/Complete* → Ongoing
+      * ``end_commit`` / ``end_abort`` — valid only from Ongoing
+                            (INVALID_TXN_STATE otherwise — counted)
+
+    Emits per txn id: final state, epochs, committed/aborted txn counts,
+    and the invalid-transition count.
+
+    Scale shape: ONE shuffle on the txn id; each id's (tiny, bounded)
+    action sequence folds IN-ROW with a JVM higher-order aggregate — a
+    sequential automaton without a Python UDF, the same sorted-fold trick
+    the deterministic-sum operators use, so the replay is reproducible
+    and engine-portable (the oracle folds the identical lambda).
+    """
+    o1, o2 = order_cols
+    seq = F.array_sort(
+        F.collect_list(F.struct(F.col(o1), F.col(o2), F.col(action_col).alias("a")))
+    )
+    actions = F.transform(seq, lambda s: s["a"])
+
+    def step(acc, a):
+        st = acc["state"]
+        inited = acc["epochs"] > 0
+        is_add = (a == "add_partitions") | (a == "add_offsets")
+        is_end = (a == "end_commit") | (a == "end_abort")
+        new_state = (
+            F.when(a == "init", F.lit(0))
+            .when(is_add & inited, F.lit(1))
+            .when((a == "end_commit") & (st == 1), F.lit(2))
+            .when((a == "end_abort") & (st == 1), F.lit(3))
+            .otherwise(st)
+        )
+        return F.struct(
+            new_state.alias("state"),
+            (acc["epochs"] + F.when(a == "init", 1).otherwise(0)).alias("epochs"),
+            (
+                acc["committed"]
+                + F.when((a == "end_commit") & (st == 1), 1).otherwise(0)
+            ).alias("committed"),
+            (
+                acc["aborted"]
+                + F.when((a == "end_abort") & (st == 1), 1).otherwise(0)
+                + F.when((a == "init") & (st == 1), 1).otherwise(0)
+            ).alias("aborted"),
+            (
+                acc["invalid"]
+                + F.when((is_add & ~inited) | (is_end & (st != 1)), 1).otherwise(0)
+            ).alias("invalid"),
+        )
+
+    init = F.struct(
+        F.lit(0).alias("state"),
+        F.lit(0).alias("epochs"),
+        F.lit(0).alias("committed"),
+        F.lit(0).alias("aborted"),
+        F.lit(0).alias("invalid"),
+    )
+    folded = (
+        events.groupBy(F.col(txn_col).alias("transactional_id"))
+        .agg(F.aggregate(actions, init, step).alias("__m"))
+    )
+    state_name = F.element_at(
+        F.array(
+            F.lit("Empty"), F.lit("Ongoing"),
+            F.lit("CompleteCommit"), F.lit("CompleteAbort"),
+        ),
+        F.col("__m.state") + 1,
+    )
+    return folded.select(
+        "transactional_id",
+        state_name.alias("final_state"),
+        F.col("__m.epochs").alias("epochs"),
+        F.col("__m.committed").alias("n_committed"),
+        F.col("__m.aborted").alias("n_aborted"),
+        F.col("__m.invalid").alias("n_invalid"),
+    )

@@ -97,3 +97,40 @@ def test_sequence_gaps_flags_exactly_the_holes(spark):
     out = {(r.partition, r.pid, r.offset): (r.seq, r.expected_seq)
            for r in sequence_gaps(df).collect()}
     assert out == {(0, 2, 5): (3, 2), (1, 3, 0): (5, 0)}
+
+
+def test_txn_state_machine_transitions(spark):
+    """TransactionState.java:19-69 transition rules: add-before-init and
+    end-from-non-ongoing are invalid; init fences an ongoing txn."""
+    import datetime
+
+    from starlight_for_kafka_spark.operators import transactions as tx
+
+    t0 = datetime.datetime(2024, 1, 1)
+    seqs = {
+        # add before init invalid; then a clean commit cycle; end after
+        # complete invalid
+        "t1": ["add_partitions", "init", "add_offsets", "end_commit", "end_abort"],
+        # init while ongoing fences (aborts) the open txn
+        "t2": ["init", "add_partitions", "init", "add_partitions", "end_abort"],
+        # never inited: everything invalid, state Empty
+        "t3": ["add_partitions", "end_commit"],
+    }
+    rows = []
+    for tid, actions in seqs.items():
+        for i, a in enumerate(actions):
+            rows.append((tid, t0 + datetime.timedelta(seconds=i), i, a))
+    ev = spark.createDataFrame(
+        rows, "transactional_id string, ts timestamp, event_id long, action string"
+    )
+    out = {r.transactional_id: r for r in tx.txn_state_machine(ev).collect()}
+    t1 = out["t1"]
+    assert (t1.final_state, t1.epochs, t1.n_committed, t1.n_aborted, t1.n_invalid) == (
+        "CompleteCommit", 1, 1, 0, 2
+    )
+    t2 = out["t2"]
+    assert (t2.final_state, t2.epochs, t2.n_committed, t2.n_aborted, t2.n_invalid) == (
+        "CompleteAbort", 2, 0, 2, 0
+    )
+    t3 = out["t3"]
+    assert (t3.final_state, t3.n_invalid) == ("Empty", 2)
