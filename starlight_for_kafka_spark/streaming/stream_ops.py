@@ -340,3 +340,70 @@ def commitlog_sink(log_root: str, sink_id: str, order_col: str | None = None):
         )
 
     return write
+
+
+TXN_STATE_OUTPUT = (
+    "transactional_id string, final_state string, epochs int, "
+    "n_committed int, n_aborted int, n_invalid int"
+)
+TXN_STATE_SCHEMA = "state int, epochs int, committed int, aborted int, invalid int"
+
+
+def txn_coordinator_stream(txn_events: DataFrame) -> DataFrame:
+    """The transaction coordinator state machine as a custom stateful
+    streaming operator (applyInPandasWithState keyed by transactional id) —
+    the streaming form of operators/transactions.txn_state_machine, modeling
+    TransactionCoordinator.handleInitProducerId/handleAddPartitionsToTransaction/
+    handleEndTransaction (TransactionCoordinator.java:317,569,658; states
+    TransactionState.java:19-69). Same transition rules as the batch fold
+    (init fences an ongoing txn, ends from non-Ongoing are
+    INVALID_TXN_STATE), so a finite stream must converge to the batch
+    replay of the same event log — pinned by test.
+
+    Input columns: (transactional_id, ts, event_id, action). State per txn
+    id is five ints; events shuffle once on the id.
+    """
+    import pandas as pd
+
+    names = ["Empty", "Ongoing", "CompleteCommit", "CompleteAbort"]
+
+    def update(key, pdfs, state):
+        st, ep, com, ab, inv = state.get if state.exists else (0, 0, 0, 0, 0)
+        for pdf in pdfs:
+            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+                a = r.action
+                is_add = a in ("add_partitions", "add_offsets")
+                is_end = a in ("end_commit", "end_abort")
+                if is_add and ep == 0:
+                    inv += 1
+                if is_end and st != 1:
+                    inv += 1
+                if a == "end_commit" and st == 1:
+                    com += 1
+                if a == "end_abort" and st == 1:
+                    ab += 1
+                if a == "init" and st == 1:
+                    ab += 1  # fencing aborts the in-flight txn
+                if a == "init":
+                    st, ep = 0, ep + 1
+                elif is_add and ep > 0:
+                    st = 1
+                elif a == "end_commit" and st == 1:
+                    st = 2
+                elif a == "end_abort" and st == 1:
+                    st = 3
+        state.update((st, ep, com, ab, inv))
+        yield pd.DataFrame(
+            {
+                "transactional_id": [key[0]],
+                "final_state": [names[st]],
+                "epochs": [ep],
+                "n_committed": [com],
+                "n_aborted": [ab],
+                "n_invalid": [inv],
+            }
+        )
+
+    return txn_events.groupBy("transactional_id").applyInPandasWithState(
+        update, TXN_STATE_OUTPUT, TXN_STATE_SCHEMA, "update", "NoTimeout"
+    )

@@ -478,3 +478,42 @@ def test_append_mode_equals_batch_suppress_final(tmp_path, spark):
         df, "ts", "1 hour", ["key"], [F.count("*").alias("cnt")]
     )
     assert full.count() > len(streamed) > 0
+
+
+def test_txn_coordinator_stream_converges_to_batch_fold(tmp_path, spark):
+    """The streaming txn state machine over several microbatches must land
+    on the batch fold's result for the same event log."""
+    from starlight_for_kafka_spark.operators import transactions as tx
+
+    events = spark.range(200).select(
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
+            "transactional_id"
+        ),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.element_at(
+            F.array(
+                F.lit("init"), F.lit("add_partitions"), F.lit("add_offsets"),
+                F.lit("end_commit"), F.lit("end_abort"),
+            ),
+            ((F.col("id") * 7) % 5).cast("int") + 1,
+        ).alias("action"),
+    )
+    path = str(tmp_path / "txnev")
+    events.repartition(5).write.parquet(path)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_ops.txn_coordinator_stream(stream)
+    stream_ops.run_to_memory(out, "txn_coord_out", output_mode="update")
+    import pandas as pd
+
+    snap = spark.table("txn_coord_out").toPandas()
+    final = snap.groupby("transactional_id").last().reset_index()
+    batch = tx.txn_state_machine(events).toPandas()
+    merged = final.merge(batch, on="transactional_id", suffixes=("_s", "_b"))
+    assert len(merged) == 5
+    for col in ("final_state", "epochs", "n_committed", "n_aborted", "n_invalid"):
+        assert (merged[f"{col}_s"] == merged[f"{col}_b"]).all(), merged
