@@ -272,3 +272,27 @@ def test_sink_namespace_keeps_two_queries_apart(spark, tmp_path):
     assert CommittedLog(root).read(spark).count() == 5
     sink_a(_batch(spark, [(0, 2)]).drop("seq"), 0)  # genuine replay: no-op
     assert CommittedLog(root).read(spark).count() == 5
+
+
+def test_batch_backfill_and_stream_interleave_through_one_log(spark, tmp_path):
+    """Kappa-style: a batch backfill writer and a streaming sink share one
+    CommittedLog; the manifest race serializes them and offsets stay dense
+    per partition regardless of interleaving."""
+    from starlight_for_kafka_spark.streaming import stream_ops
+
+    root = str(tmp_path / "log")
+    log = CommittedLog(root)
+    # batch backfill lands first
+    log.append(_batch(spark, [(0, 3), (1, 2)]), order_col="seq")
+    # a streaming query then appends two epochs
+    sink = stream_ops.commitlog_sink(root, sink_id="live")
+    sink(_batch(spark, [(0, 2)]).drop("seq"), 0)
+    # ...interleaved with another batch correction job
+    log.append(_batch(spark, [(1, 1)]), order_col="seq")
+    sink(_batch(spark, [(0, 1), (1, 1)]).drop("seq"), 1)
+    got = _offsets(log.read(spark))
+    assert [o for o, _ in got[0]] == [0, 1, 2, 3, 4, 5]
+    assert [o for o, _ in got[1]] == [0, 1, 2, 3]
+    # four data commits in the manifest log
+    version, _, _, _ = log._replay()
+    assert version == 3
