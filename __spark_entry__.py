@@ -3426,14 +3426,20 @@ FROM orders""",
                             ELSE [] END) AS sh
   FROM norm
 ), hashes AS (
-  SELECT doc_id, ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h FROM sets
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5('b:' || unnest(sh)), 1, 15))::BIGINT AS h2
+  FROM sets
 ), votes AS (
   SELECT doc_id, b,
-         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-  FROM hashes CROSS JOIN (SELECT unnest(range(16)) AS b) bits
+         sum(CASE WHEN b < 60 THEN (CASE WHEN (h1 >> b) & 1 = 1 THEN 1 ELSE -1 END)
+                  ELSE (CASE WHEN (h2 >> (b - 60)) & 1 = 1 THEN 1 ELSE -1 END) END) AS v
+  FROM hashes CROSS JOIN (SELECT unnest(range(64)) AS b) bits
   GROUP BY doc_id, b
 )
-SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS simhash_hi,
+       CAST(sum(CASE WHEN v > 0 AND b < 32 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash_lo
 FROM votes GROUP BY doc_id""",
         "dedup_embedding": """WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -54,7 +54,7 @@ def test_simhash_identical_docs_same_fp(spark, documents):
             F.col("o.doc_id") + 4_000_000 == F.col("c.doc_id"),
         )
     )
-    assert joined.filter(F.col("o.simhash") != F.col("c.simhash")).count() == 0
+    assert joined.filter((F.col("o.simhash_hi") != F.col("c.simhash_hi")) | (F.col("o.simhash_lo") != F.col("c.simhash_lo"))).count() == 0
 
 
 def test_brute_force_top_k(spark, embeddings):
