@@ -1137,6 +1137,16 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup_ops.simhash64(load_table(spark, sf_dir, "documents"), shingle_k=4)
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash hamming<=3 near-dup pairs over the corpus-with-clones
+    fixture (4-block pigeonhole candidates, XOR-popcount verify)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup_ops.simhash_near_dups(docs.unionByName(clones))
+
+
 def _emb_with_near(emb):
     pert = (
         emb.filter(F.col("vec_id") % 20 == 0)
@@ -2362,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_delete": q_registry_delete,
         "typed_view_avro": q_typed_view_avro,
         "dedup_simhash": q_dedup_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "multimodal_frames": q_multimodal_frames,
@@ -3417,6 +3428,64 @@ FROM documents""",
        ELSE o_orderpriority END AS tag,
   'web' AS channel
 FROM orders""",
+        "simhash_near_dups": """WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+), norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM docs
+), sets AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN length(t) >= 4
+                            THEN [substring(t, i, 4) FOR i IN range(1, length(t) - 2)]
+                            ELSE [] END) AS sh
+  FROM norm
+), hashes AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5('b:' || unnest(sh)), 1, 15))::BIGINT AS h2
+  FROM sets
+), votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN b < 60 THEN (CASE WHEN (h1 >> b) & 1 = 1 THEN 1 ELSE -1 END)
+                  ELSE (CASE WHEN (h2 >> (b - 60)) & 1 = 1 THEN 1 ELSE -1 END) END) AS v
+  FROM hashes CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+  GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS simhash_hi,
+         CAST(sum(CASE WHEN v > 0 AND b < 32 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash_lo
+  FROM votes GROUP BY doc_id
+), blocks AS (
+  SELECT doc_id, simhash_hi, simhash_lo,
+         simhash_lo & 65535 AS b0, (simhash_lo >> 16) & 65535 AS b1,
+         simhash_hi & 65535 AS b2, (simhash_hi >> 16) & 65535 AS b3
+  FROM fp
+), cand AS (
+  SELECT x.doc_id AS a, x.simhash_hi AS ha, x.simhash_lo AS la,
+         y.doc_id AS b, y.simhash_hi AS hb, y.simhash_lo AS lb
+  FROM blocks x JOIN blocks y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
+  WHERE x.b0 NOT IN (SELECT b0 FROM blocks GROUP BY b0 HAVING count(*) > 200)
+  UNION ALL
+  SELECT x.doc_id AS a, x.simhash_hi AS ha, x.simhash_lo AS la,
+         y.doc_id AS b, y.simhash_hi AS hb, y.simhash_lo AS lb
+  FROM blocks x JOIN blocks y ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+  WHERE x.b1 NOT IN (SELECT b1 FROM blocks GROUP BY b1 HAVING count(*) > 200)
+  UNION ALL
+  SELECT x.doc_id AS a, x.simhash_hi AS ha, x.simhash_lo AS la,
+         y.doc_id AS b, y.simhash_hi AS hb, y.simhash_lo AS lb
+  FROM blocks x JOIN blocks y ON x.b2 = y.b2 AND x.doc_id < y.doc_id
+  WHERE x.b2 NOT IN (SELECT b2 FROM blocks GROUP BY b2 HAVING count(*) > 200)
+  UNION ALL
+  SELECT x.doc_id AS a, x.simhash_hi AS ha, x.simhash_lo AS la,
+         y.doc_id AS b, y.simhash_hi AS hb, y.simhash_lo AS lb
+  FROM blocks x JOIN blocks y ON x.b3 = y.b3 AND x.doc_id < y.doc_id
+  WHERE x.b3 NOT IN (SELECT b3 FROM blocks GROUP BY b3 HAVING count(*) > 200)
+)
+SELECT a, b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
+FROM (SELECT DISTINCT a, b, ha, hb, la, lb FROM cand)
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""",
         "dedup_simhash": """WITH norm AS (
   SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents
 ), sets AS (

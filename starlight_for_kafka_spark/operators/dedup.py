@@ -860,3 +860,64 @@ def repeated_spans(
             ).otherwise(F.lit(0)),
         )
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_k: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """SimHash near-dup pairs at hamming distance ≤ ``max_hamming`` —
+    Manku/Jain/Sarma's WWW'07 web-dedup search, the operator that makes
+    the 64-bit fingerprint useful at corpus scale. Pigeonhole: split the
+    fingerprint into 4 16-bit blocks; two fingerprints within hamming 3
+    must agree on at least one whole block, so candidates come from FOUR
+    block-keyed equi-joins (each a hash join on a 16-bit key) instead of
+    an all-pairs scan — recall is exactly 1 for ``max_hamming`` ≤ 3, and
+    the XOR-popcount verify owns precision.
+
+    ``max_bucket`` caps degenerate blocks (a block value shared by more
+    than this many docs is skipped in the candidate stage — same
+    hot-bucket bound minhash_lsh_candidates uses; boilerplate-heavy
+    corpora otherwise quadratic-blow a single join key). Verify touches
+    fingerprints only — the 100 TB join moves 3 longs per row.
+    """
+    if max_hamming > 3:
+        raise ValueError("4-block pigeonhole guarantees recall only for max_hamming <= 3")
+    fps = simhash64(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
+    blocks = fps.select(
+        F.col(id_col).alias("__id"), "simhash_hi", "simhash_lo",
+        F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)).alias("b0"),
+        F.shiftright("simhash_lo", 16).bitwiseAND(F.lit(0xFFFF)).alias("b1"),
+        F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)).alias("b2"),
+        F.shiftright("simhash_hi", 16).bitwiseAND(F.lit(0xFFFF)).alias("b3"),
+    )
+    cand = None
+    for k in range(4):
+        keyed = blocks.select("__id", "simhash_hi", "simhash_lo", F.col(f"b{k}").alias("bv"))
+        hot = keyed.groupBy("bv").agg(F.count("*").alias("__n")).filter(
+            F.col("__n") > max_bucket
+        )
+        cold = keyed.join(F.broadcast(hot.select("bv")), "bv", "left_anti")
+        a = cold.select(
+            F.col("__id").alias("a"), F.col("simhash_hi").alias("ha"),
+            F.col("simhash_lo").alias("la"), "bv",
+        )
+        b = cold.select(
+            F.col("__id").alias("b"), F.col("simhash_hi").alias("hb"),
+            F.col("simhash_lo").alias("lb"), "bv",
+        )
+        pairs = a.join(b, "bv").filter(F.col("a") < F.col("b")).drop("bv")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return (
+        cand.distinct()
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -850,3 +850,13 @@ def test_merge_streams_empty_raises(spark):
 
     with _pytest.raises(ValueError):
         windows.merge_streams()
+
+
+def test_simhash_near_dups_finds_clones_and_near_edits(spark, documents):
+    docs = documents.select("doc_id", "text").limit(40)
+    clones = docs.limit(5).select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    out = dedup.simhash_near_dups(docs.unionByName(clones))
+    pairs = {(r.a, r.b): r.hamming for r in out.collect()}
+    for r in docs.limit(5).collect():
+        assert pairs.get((r.doc_id, r.doc_id + 5000)) == 0  # exact clone: hamming 0
+    assert all(h <= 3 for h in pairs.values())
