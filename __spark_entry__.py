@@ -1625,6 +1625,13 @@ def q_corpus_drift(spark, sf_dir):
     return text_ops.corpus_drift(a, b)
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM score per doc (the KenLM-shaped upgrade of
+    unigram_logprob): sequence-level quality, 6 dp."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.bigram_logprob(docs)
+
+
 def q_line_dedup(spark, sf_dir):
     """C4-style corpus-level duplicate-line removal (8-word tiles as lines):
     per doc, tiles kept vs removed + md5 of the reassembled text."""
@@ -2438,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "quantization_recall": q_quantization_recall,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
         "line_dedup": q_line_dedup,
         "quality_classifier": q_quality_classifier,
         "corpus_drift": q_corpus_drift,
@@ -4102,6 +4110,41 @@ SELECT vocab, tokens_a, tokens_b,
        round(kl_ab, 6) AS kl_ab, round(kl_ba, 6) AS kl_ba,
        round(kl_ab + kl_ba, 6) AS jeffreys
 FROM f""",
+        "bigram_logprob": """WITH ws AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS w,
+         CASE WHEN i > 1 THEN w[i - 1] END AS prev
+  FROM ws, unnest(range(1, len(w) + 1)) AS t(i)
+), uni AS (
+  SELECT w, count(*) AS uc FROM toks GROUP BY 1
+), ut AS (
+  SELECT sum(uc) AS tot, count(*) AS vocab FROM uni
+), bi AS (
+  SELECT prev, w, count(*) AS bc FROM toks WHERE prev IS NOT NULL GROUP BY 1, 2
+), ctx AS (
+  SELECT prev, sum(bc) AS cc FROM bi GROUP BY 1
+), sc AS (
+  SELECT t.doc_id, t.pos,
+         CASE WHEN t.prev IS NULL THEN ln((uc + 1) / CAST(tot + vocab AS DOUBLE))
+              ELSE ln(CAST(0.7 AS DOUBLE) * ((coalesce(bc, 0) + 1) / CAST(cc + vocab AS DOUBLE))
+                      + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                        * ((uc + 1) / CAST(tot + vocab AS DOUBLE))) END AS lp
+  FROM toks t
+  JOIN uni USING (w)
+  LEFT JOIN bi ON bi.prev = t.prev AND bi.w = t.w
+  LEFT JOIN ctx ON ctx.prev = t.prev, ut
+), agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         list_reduce(list_transform(list_sort(list(struct_pack(p := pos, l := lp))), x -> x.l),
+                     (a, b) -> a + b) / count(*) AS raw_avg
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(raw_avg, 6) AS avg_logprob,
+       round(exp(-raw_avg), 6) AS ppl
+FROM agg""",
         "line_dedup": """WITH w AS (
   SELECT doc_id,
          regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws

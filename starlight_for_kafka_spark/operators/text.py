@@ -704,3 +704,80 @@ def corpus_drift(
         F.round("kl_ba", 6).alias("kl_ba"),
         F.round(F.col("kl_ab") + F.col("kl_ba"), 6).alias("jeffreys"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram-LM quality proxy — one order up from
+    :func:`unigram_logprob`, the same shape CCNet's 5-gram KenLM scorer
+    takes: each word is scored ``ln(λ·P(w|prev) + (1−λ)·P(w))`` with
+    add-one-smoothed ML estimates from the corpus itself, averaged per
+    document (the first word scores under the unigram term alone). Docs
+    whose word SEQUENCES are unusual — not just their vocabulary — rank
+    high-perplexity, which is what separates shuffled-word junk from
+    fluent text where a unigram model cannot.
+
+    Scale shape: one (prev, w) bigram aggregation and one unigram
+    aggregation (both Zipf-small), the bigram table joined back on its
+    composite key, the context-count table on prev — all vocabulary-sized
+    joins against (doc, gram) pairs; raw text never shuffles. The per-doc
+    average folds in sorted order (deterministic doubles), emitted at
+    6 dp.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    words = F.split(F.trim(norm), " ")
+    tokens = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(words).alias("pos", "w"),
+    )
+    prev = tokens.select(
+        "__id", (F.col("pos") + 1).alias("pos"), F.col("w").alias("prev")
+    )
+    seq = tokens.join(prev, ["__id", "pos"], "left")
+
+    uni = tokens.groupBy("w").agg(F.count("*").alias("uc"))
+    uni_tot = uni.agg(F.sum("uc").alias("tot"), F.count("*").alias("vocab"))
+    bi = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count("*").alias("bc"))
+    )
+    ctx = bi.groupBy("prev").agg(F.sum("bc").alias("cc"))
+
+    scored = (
+        seq.join(uni, "w")
+        .join(bi, ["prev", "w"], "left")
+        .join(ctx, "prev", "left")
+        .crossJoin(F.broadcast(uni_tot))
+    )
+    p_uni = (F.col("uc") + 1) / (F.col("tot") + F.col("vocab"))
+    p_bi = (F.coalesce(F.col("bc"), F.lit(0)) + 1) / (
+        F.col("cc") + F.col("vocab")
+    )
+    lp = F.when(
+        F.col("prev").isNull(), F.log(p_uni)
+    ).otherwise(F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni))
+    per_doc = scored.select("__id", "pos", lp.alias("lp")).groupBy("__id").agg(
+        F.count("*").alias("n_tokens"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                    lambda s: s["lp"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.count("*")
+        ).alias("avg_logprob"),
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
+    )

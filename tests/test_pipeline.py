@@ -860,3 +860,21 @@ def test_simhash_near_dups_finds_clones_and_near_edits(spark, documents):
     for r in docs.limit(5).collect():
         assert pairs.get((r.doc_id, r.doc_id + 5000)) == 0  # exact clone: hamming 0
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_bigram_logprob_ranks_fluent_above_shuffled(spark):
+    """A doc with corpus-typical word SEQUENCES must outscore one with the
+    same vocabulary in a shuffled (unseen-bigram) order — exactly what the
+    unigram model cannot distinguish."""
+    from starlight_for_kafka_spark.operators import text as text_ops
+
+    base = "the spark engine reads the parquet table and joins the result "
+    fluent = (1, base * 5)
+    shuffled = (2, " ".join(reversed((base * 5).split())))
+    background = [(i + 10, base * 3) for i in range(5)]
+    docs = spark.createDataFrame(
+        [fluent, shuffled] + background, "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text_ops.bigram_logprob(docs).collect()}
+    assert out[1].avg_logprob > out[2].avg_logprob
+    assert out[1].ppl < out[2].ppl
