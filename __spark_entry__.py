@@ -1481,6 +1481,19 @@ def q_quantile_filter_approx(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_binarize_embeddings(spark, sf_dir):
+    """Sign quantization: 64 dims -> two 32-bit halves (8 bytes/vector)."""
+    return sim_ops.binarize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_binary_recall(spark, sf_dir):
+    """Recall@10 of symmetric hamming search vs exact cosine for three
+    queries — the sign-quantization acceptance harness."""
+    return sim_ops.binary_recall(
+        load_table(spark, sf_dir, "embeddings"), [100, 200, 300], k=10
+    )
+
+
 def _pq_fixture(spark, sf_dir):
     """Codebooks from the first 8 corpus vectors (4 subspaces x 16 dims):
     deterministic, data-derived, reproducible in SQL by joining vec_id<8."""
@@ -2435,6 +2448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter_approx": q_quantile_filter_approx,
         "ann_recall": q_ann_recall,
         "pq_encode": q_pq_encode,
+        "binarize_embeddings": q_binarize_embeddings,
+        "binary_recall": q_binary_recall,
         "pq_adc_topk": q_pq_adc_topk,
         "pq_recall": q_pq_recall,
         "cap_per_source": q_cap_per_source,
@@ -4327,6 +4342,56 @@ SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN cuts c USING (lang)
 WHERE d.n_chars >= c.cut""",
         "ann_recall": _ann_recall_oracle_sql(),
+        "binarize_embeddings": """WITH bq AS (
+  SELECT vec_id,
+         CAST((SELECT coalesce(sum(CASE WHEN CAST(embedding[i + 33] AS DOUBLE) > 0
+                      THEN 1::BIGINT << i ELSE 0 END), 0)
+               FROM range(0, 32) t(i)) AS BIGINT) AS bq_hi,
+         CAST((SELECT coalesce(sum(CASE WHEN CAST(embedding[i + 1] AS DOUBLE) > 0
+                      THEN 1::BIGINT << i ELSE 0 END), 0)
+               FROM range(0, 32) t(i)) AS BIGINT) AS bq_lo
+  FROM embeddings
+)
+SELECT vec_id, bq_hi, bq_lo FROM bq""",
+        "binary_recall": """WITH bq AS (
+  SELECT vec_id,
+         CAST((SELECT coalesce(sum(CASE WHEN CAST(embedding[i + 33] AS DOUBLE) > 0
+                      THEN 1::BIGINT << i ELSE 0 END), 0)
+               FROM range(0, 32) t(i)) AS BIGINT) AS bq_hi,
+         CAST((SELECT coalesce(sum(CASE WHEN CAST(embedding[i + 1] AS DOUBLE) > 0
+                      THEN 1::BIGINT << i ELSE 0 END), 0)
+               FROM range(0, 32) t(i)) AS BIGINT) AS bq_lo
+  FROM embeddings
+), x AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM x WHERE vec_id IN (100, 200, 300)
+), exact_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, x.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             round(list_dot_product(x.v, q.qv)
+                   / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.qv, q.qv))), 9) DESC,
+             x.vec_id) AS rn
+    FROM x CROSS JOIN q
+  ) WHERE rn <= 10
+), qc AS (
+  SELECT vec_id AS qid, bq_hi AS q_hi, bq_lo AS q_lo FROM bq WHERE vec_id IN (100, 200, 300)
+), ham_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT qc.qid, bq.vec_id,
+           row_number() OVER (PARTITION BY qc.qid ORDER BY
+             bit_count(xor(bq.bq_hi, qc.q_hi)) + bit_count(xor(bq.bq_lo, qc.q_lo)),
+             bq.vec_id) AS rn
+    FROM bq CROSS JOIN qc
+  ) WHERE rn <= 10
+), hits AS (
+  SELECT e.qid, count(*) AS n_hits
+  FROM exact_top e JOIN ham_top h USING (qid, vec_id) GROUP BY e.qid
+)
+SELECT q2.qid, coalesce(hits.n_hits, 0) AS n_hits,
+       coalesce(hits.n_hits, 0) / 10.0 AS recall_at_k
+FROM (SELECT DISTINCT qid FROM qc) q2 LEFT JOIN hits USING (qid)""",
         "pq_encode": """WITH cb AS (
   SELECT vec_id AS c, embedding FROM embeddings WHERE vec_id < 8
 ), pqd AS (

@@ -741,3 +741,95 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("qid", id_col, F.col("__lbl").alias("neg_label"), "sim", "rank")
     )
+
+
+def binarize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Binary (sign) quantization: bit i = (x_i > 0), a 64-dim float32
+    vector becomes 8 bytes — the most aggressive rung of the quantization
+    ladder (float32 → int8 → PQ codes → 1 bit/dim), 32x smaller than the
+    floats, searched with XOR+popcount at register speed. Map-only, one
+    in-row fold; packed as two unsigned 32-bit halves (same engine-portable
+    layout as simhash64).
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+
+    def pack(offset):
+        pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+        return F.aggregate(
+            F.zip_with(
+                F.slice(x, offset + 1, 32), pow2,
+                lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        )
+
+    return df.select(
+        id_col, pack(32).alias("bq_hi"), pack(0).alias("bq_lo")
+    )
+
+
+def binary_recall(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of symmetric binary-hamming search against exact cosine
+    search — the accept/reject harness for sign quantization (companion to
+    quantization_recall / pq_recall / ann_recall). Corpus and queries are
+    both binarized; candidates rank by XOR-popcount ascending with an id
+    tie-break. The hamming scan reads 8 bytes/vector.
+    """
+    from pyspark.sql import Window
+
+    from starlight_for_kafka_spark.functions.vectors import cosine_similarity
+
+    x = df.select(
+        id_col, F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("x")
+    )
+    queries = x.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col("x").alias("qv")
+    )
+    exact_w = Window.partitionBy("qid").orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    exact = (
+        x.join(F.broadcast(queries))
+        .withColumn("sim", F.round(cosine_similarity(F.col("x"), F.col("qv")), 9))
+        .withColumn("rn", F.row_number().over(exact_w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    codes = binarize_embeddings(df, vec_col, id_col)
+    qcodes = codes.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.col("bq_hi").alias("q_hi"),
+        F.col("bq_lo").alias("q_lo"),
+    )
+    hamming = F.bit_count(F.col("bq_hi").bitwiseXOR(F.col("q_hi"))) + F.bit_count(
+        F.col("bq_lo").bitwiseXOR(F.col("q_lo"))
+    )
+    ham_w = Window.partitionBy("qid").orderBy(F.asc("hd"), F.asc(id_col))
+    approx = (
+        codes.join(F.broadcast(qcodes))
+        .withColumn("hd", hamming)
+        .withColumn("rn", F.row_number().over(ham_w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col)
+    )
+    counts = exact.join(approx, ["qid", id_col]).groupBy("qid").agg(
+        F.count("*").alias("n_hits")
+    )
+    all_q = df.sparkSession.createDataFrame(
+        [(int(q),) for q in sorted(query_ids)], "qid long"
+    )
+    return (
+        all_q.join(counts, "qid", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .withColumn("recall_at_k", F.col("n_hits") / F.lit(k))
+        .select("qid", "n_hits", "recall_at_k")
+    )

@@ -878,3 +878,16 @@ def test_bigram_logprob_ranks_fluent_above_shuffled(spark):
     out = {r.doc_id: r for r in text_ops.bigram_logprob(docs).collect()}
     assert out[1].avg_logprob > out[2].avg_logprob
     assert out[1].ppl < out[2].ppl
+
+
+def test_binarize_and_binary_recall(spark, embeddings):
+    from starlight_for_kafka_spark.operators import similarity as sim
+
+    codes = {r.vec_id: (r.bq_hi, r.bq_lo) for r in sim.binarize_embeddings(embeddings).collect()}
+    # halves stay in unsigned-32 range
+    assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for hi, lo in codes.values())
+    # recall is defined for every query; a vector is its own nearest under
+    # both metrics so recall@10 > 0 generically
+    rec = {r.qid: r.recall_at_k for r in sim.binary_recall(embeddings, [3, 7], k=10).collect()}
+    assert set(rec) == {3, 7} and all(0.0 <= v <= 1.0 for v in rec.values())
+    assert any(v > 0 for v in rec.values())
