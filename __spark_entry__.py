@@ -2922,7 +2922,7 @@ WHERE t."offset" < lso.last_stable_offset AND t.txn_status <> 'abort'""",
               WHEN 2 THEN 'add_offsets' WHEN 3 THEN 'end_commit' ELSE 'end_abort' END AS a
   FROM events
 ), steps AS (
-  SELECT tid, a, row_number() OVER (PARTITION BY tid ORDER BY ts, event_id) AS i FROM ev
+  SELECT tid, a, row_number() OVER (PARTITION BY tid ORDER BY ts, event_id, a) AS i FROM ev
 ), n AS (
   SELECT tid, max(i) AS m FROM steps GROUP BY tid
 ), fold AS (

@@ -41,8 +41,9 @@ def main() -> None:
     # consumer groups: committed offsets (latest-wins compacted view) + lag
     commits = groups.derive_commits_from_events(load_table(spark, SF, "events"))
     print("consumer lag per (group, partition):")
-    log_ends = log.df.groupBy("partition").agg((F.max("offset") + 1).alias("offset"))
-    groups.consumer_lag(commits, log_ends).orderBy("group", "partition").show(8)
+    groups.consumer_lag(commits, log.latest_offsets()).orderBy(
+        "group", "partition"
+    ).show(8)
 
     # transactions: read-committed scan (LSO + aborted-range anti-join)
     txn_log = tx.derive_txn_log(log.df)

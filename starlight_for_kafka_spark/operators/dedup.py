@@ -868,7 +868,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_k: int = 4,
-    max_bucket: int = 200,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """SimHash near-dup pairs at hamming distance ≤ ``max_hamming`` —
     Manku/Jain/Sarma's WWW'07 web-dedup search, the operator that makes
@@ -882,7 +882,13 @@ def simhash_near_dups(
     ``max_bucket`` caps degenerate blocks (a block value shared by more
     than this many docs is skipped in the candidate stage — same
     hot-bucket bound minhash_lsh_candidates uses; boilerplate-heavy
-    corpora otherwise quadratic-blow a single join key). Verify touches
+    corpora otherwise quadratic-blow a single join key). The cap TRADES
+    recall: a document duplicated more than ``max_bucket`` times shares
+    ALL FOUR blocks with its clones, so every one of its blocks is hot
+    and none of its pairs are emitted — the recall-1 guarantee holds for
+    pairs whose fingerprints keep at least one sub-cap block. Pass
+    ``max_bucket=None`` for exact recall (route mega-clusters to
+    exact_dedup first — identical payloads are ITS job). Verify touches
     fingerprints only — the 100 TB join moves 3 longs per row.
     """
     if max_hamming > 3:
@@ -898,10 +904,13 @@ def simhash_near_dups(
     cand = None
     for k in range(4):
         keyed = blocks.select("__id", "simhash_hi", "simhash_lo", F.col(f"b{k}").alias("bv"))
-        hot = keyed.groupBy("bv").agg(F.count("*").alias("__n")).filter(
-            F.col("__n") > max_bucket
-        )
-        cold = keyed.join(F.broadcast(hot.select("bv")), "bv", "left_anti")
+        if max_bucket is None:
+            cold = keyed
+        else:
+            hot = keyed.groupBy("bv").agg(F.count("*").alias("__n")).filter(
+                F.col("__n") > max_bucket
+            )
+            cold = keyed.join(F.broadcast(hot.select("bv")), "bv", "left_anti")
         a = cold.select(
             F.col("__id").alias("a"), F.col("simhash_hi").alias("ha"),
             F.col("simhash_lo").alias("la"), "bv",

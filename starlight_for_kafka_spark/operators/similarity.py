@@ -824,9 +824,10 @@ def binary_recall(
     counts = exact.join(approx, ["qid", id_col]).groupBy("qid").agg(
         F.count("*").alias("n_hits")
     )
-    all_q = df.sparkSession.createDataFrame(
-        [(int(q),) for q in sorted(query_ids)], "qid long"
-    )
+    # query universe = ids actually PRESENT in the corpus (deduped) — a
+    # requested id with no vector has no defined recall and must not emit
+    # a phantom zero row (same convention as pq_recall and the oracle)
+    all_q = queries.select("qid").distinct()
     return (
         all_q.join(counts, "qid", "left")
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))

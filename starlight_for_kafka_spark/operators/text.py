@@ -730,16 +730,23 @@ def bigram_logprob(
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     words = F.split(F.trim(norm), " ")
-    tokens = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(words).alias("pos", "w"),
+    # (w, prev) pairs formed INSIDE the row's own word array (w[i-1] —
+    # the same trick the oracle uses): map-only, no self-join of the
+    # exploded token table, which would shuffle every token twice before
+    # the model joins even start
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(words)),
+        lambda i: F.struct(
+            (i - 1).alias("pos"),
+            F.element_at(words, i).alias("w"),
+            F.when(i > 1, F.element_at(words, i - 1)).alias("prev"),
+        ),
     )
-    prev = tokens.select(
-        "__id", (F.col("pos") + 1).alias("pos"), F.col("w").alias("prev")
-    )
-    seq = tokens.join(prev, ["__id", "pos"], "left")
+    seq = df.select(
+        F.col(id_col).alias("__id"), F.explode(pairs).alias("t")
+    ).select("__id", "t.pos", "t.w", "t.prev")
 
-    uni = tokens.groupBy("w").agg(F.count("*").alias("uc"))
+    uni = seq.groupBy("w").agg(F.count("*").alias("uc"))
     uni_tot = uni.agg(F.sum("uc").alias("tot"), F.count("*").alias("vocab"))
     bi = (
         seq.filter(F.col("prev").isNotNull())

@@ -301,6 +301,11 @@ def txn_state_machine(
     Emits per txn id: final state, epochs, committed/aborted txn counts,
     and the invalid-transition count.
 
+    ``order_cols`` must totally order each id's events (a unique event id
+    as the second column); ties beyond it break on the action string —
+    the same final tie-break the oracle and streaming forms use, so all
+    three stay byte-identical even on degenerate orderings.
+
     Scale shape: ONE shuffle on the txn id; each id's (tiny, bounded)
     action sequence folds IN-ROW with a JVM higher-order aggregate — a
     sequential automaton without a Python UDF, the same sorted-fold trick

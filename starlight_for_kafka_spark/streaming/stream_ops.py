@@ -357,8 +357,16 @@ def txn_coordinator_stream(txn_events: DataFrame) -> DataFrame:
     handleEndTransaction (TransactionCoordinator.java:317,569,658; states
     TransactionState.java:19-69). Same transition rules as the batch fold
     (init fences an ongoing txn, ends from non-Ongoing are
-    INVALID_TXN_STATE), so a finite stream must converge to the batch
-    replay of the same event log — pinned by test.
+    INVALID_TXN_STATE).
+
+    ORDERING CONTRACT: events are applied in ARRIVAL order across
+    microbatches (each batch is sorted by (ts, event_id, action) before
+    folding, but an event arriving in a later batch folds later even if
+    its timestamp is older) — exactly how the reference coordinator
+    applies requests, which arrive in socket order, not event-time order.
+    Convergence to the batch replay (txn_state_machine's global sort) is
+    guaranteed when each key's events arrive in event order or within a
+    single microbatch — pinned by test with whole-key microbatches.
 
     Input columns: (transactional_id, ts, event_id, action). State per txn
     id is five ints; events shuffle once on the id.
@@ -370,7 +378,7 @@ def txn_coordinator_stream(txn_events: DataFrame) -> DataFrame:
     def update(key, pdfs, state):
         st, ep, com, ab, inv = state.get if state.exists else (0, 0, 0, 0, 0)
         for pdf in pdfs:
-            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+            for r in pdf.sort_values(["ts", "event_id", "action"]).itertuples():
                 a = r.action
                 is_add = a in ("add_partitions", "add_offsets")
                 is_end = a in ("end_commit", "end_abort")

@@ -481,8 +481,12 @@ def test_append_mode_equals_batch_suppress_final(tmp_path, spark):
 
 
 def test_txn_coordinator_stream_converges_to_batch_fold(tmp_path, spark):
-    """The streaming txn state machine over several microbatches must land
-    on the batch fold's result for the same event log."""
+    """The streaming txn state machine must land on the batch fold's result
+    when each key's events arrive within one microbatch (the documented
+    convergence condition). Action index = id DIV 5 so every key cycles
+    through ALL five actions (init/add/commit/abort/fence paths all fire —
+    a key-constant action stream would make this test vacuous), and the
+    repartition is BY KEY so each microbatch carries whole keys."""
     from starlight_for_kafka_spark.operators import transactions as tx
 
     events = spark.range(200).select(
@@ -496,11 +500,11 @@ def test_txn_coordinator_stream_converges_to_batch_fold(tmp_path, spark):
                 F.lit("init"), F.lit("add_partitions"), F.lit("add_offsets"),
                 F.lit("end_commit"), F.lit("end_abort"),
             ),
-            ((F.col("id") * 7) % 5).cast("int") + 1,
+            ((F.col("id") / 5).cast("int") % 5) + 1,
         ).alias("action"),
     )
     path = str(tmp_path / "txnev")
-    events.repartition(5).write.parquet(path)
+    events.repartition(5, "transactional_id").write.parquet(path)
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
