@@ -1134,7 +1134,12 @@ def q_typed_view_avro(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dedup_ops.simhash64(load_table(spark, sf_dir, "documents"), shingle_k=4)
+    # heavy map: spread the fingerprint pass over every core (the corpus
+    # arrives as a couple of parquet splits — see simhash64's docstring)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup_ops.simhash64(docs, shingle_k=4)
 
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -3466,7 +3471,7 @@ FROM orders""",
 ), hashes AS (
   SELECT doc_id,
          ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h1,
-         ('0x' || substr(md5('b:' || unnest(sh)), 1, 15))::BIGINT AS h2
+         ('0x' || substr(md5(unnest(sh)), 16, 1))::BIGINT AS h2
   FROM sets
 ), votes AS (
   SELECT doc_id, b,
@@ -3520,7 +3525,7 @@ WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""",
 ), hashes AS (
   SELECT doc_id,
          ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h1,
-         ('0x' || substr(md5('b:' || unnest(sh)), 1, 15))::BIGINT AS h2
+         ('0x' || substr(md5(unnest(sh)), 16, 1))::BIGINT AS h2
   FROM sets
 ), votes AS (
   SELECT doc_id, b,

