@@ -1684,7 +1684,14 @@ def q_dsir_weights(spark, sf_dir):
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing fingerprint sets (k=5 char grams, w=4 windows): count and
     digest of each doc's sorted fingerprint set."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # heavy map (per-char md5 + windowed mins): spread over every core —
+    # the corpus arrives as a couple of parquet splits (same rationale as
+    # dedup_simhash; 20s -> ~2s at sf0.1 on local[32])
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     out = text_ops.winnow_fingerprints(docs, k=5, w=4)
     return out.select(
         "doc_id", "n_fps",
