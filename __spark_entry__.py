@@ -1720,6 +1720,17 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_packing_stats(spark, sf_dir):
+    """Packing-efficiency report at capacity 2048: boundary-crosser and
+    fill fractions over the whitespace-token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return sampling_ops.packing_stats(toks, "n_tokens", 2048)
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling: per-language keep rates, hash-gated
     on doc_id so the sample is reproducible across runs and engines."""
@@ -2483,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "source_overlap": q_source_overlap,
         "pack_sequences": q_pack_sequences,
+        "packing_stats": q_packing_stats,
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
         "txn_markers": q_txn_markers,
@@ -4591,6 +4603,36 @@ SELECT item_id, modality, cost, start_tok,
        start_tok // 4096 AS pack_id,
        CAST((start_tok + cost - 1) // 4096 - start_tok // 4096 + 1 AS INT) AS n_packs_spanned
 FROM c""",
+        "packing_stats": """WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           ORDER BY doc_id % 32, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+  FROM t
+), packed AS (
+  SELECT doc_id, n_tokens, start_tok,
+         start_tok // 2048 AS pack_id,
+         (start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1 AS n_packs_spanned
+  FROM c
+), per_pack AS (
+  SELECT pack_id, count(*) AS docs_starting FROM packed GROUP BY 1
+), agg1 AS (
+  SELECT count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         sum(CASE WHEN n_packs_spanned > 1 THEN 1 ELSE 0 END) AS boundary_crossers,
+         CAST(ceil(max(start_tok + n_tokens) / CAST(2048 AS DOUBLE)) AS BIGINT) AS n_packs
+  FROM packed
+), agg2 AS (
+  SELECT count(*) AS packs_with_starts, max(docs_starting) AS max_docs_per_pack FROM per_pack
+)
+SELECT n_docs, total_tokens, n_packs, boundary_crossers,
+       boundary_crossers / CAST(n_docs AS DOUBLE) AS crosser_frac,
+       total_tokens / CAST(n_packs * 2048 AS DOUBLE) AS fill_frac,
+       packs_with_starts, max_docs_per_pack
+FROM agg1, agg2""",
         "pack_sequences": """WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens

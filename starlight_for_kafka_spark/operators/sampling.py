@@ -369,3 +369,61 @@ def epoch_resample(
         .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n", "epochs")
     )
+
+
+def packing_stats(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    order_col: str = "doc_id",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Packing-efficiency diagnostics over :func:`pack_sequences`: the
+    one-row report a pipeline checks before committing a capacity choice —
+    how many documents cross pack boundaries (each crossing is a truncated
+    or padded training example, the cost packing exists to minimize), how
+    full the stream's final pack is, and docs-per-pack dispersion.
+
+    Derived entirely from the pack assignment (already computed in one
+    shuffle + broadcast); the stats are two tiny aggregations over
+    (docs) and (packs) — the packed stream itself is gapless by
+    construction, so per-pack utilization is ``capacity`` everywhere
+    except the final pack and needs no per-pack scan.
+    """
+    packed = pack_sequences(df, token_col, capacity, order_col, n_shards)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.count("*").alias("docs_starting")
+    )
+    return (
+        packed.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_col).alias("total_tokens"),
+            F.sum((F.col("n_packs_spanned") > 1).cast("long")).alias(
+                "boundary_crossers"
+            ),
+            (F.max(F.col("start_tok") + F.col(token_col)) / capacity).alias(
+                "__packs_frac"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_pack.agg(
+                    F.count("*").alias("packs_with_starts"),
+                    F.max("docs_starting").alias("max_docs_per_pack"),
+                )
+            )
+        )
+        .select(
+            "n_docs",
+            "total_tokens",
+            F.ceil("__packs_frac").cast("long").alias("n_packs"),
+            "boundary_crossers",
+            (F.col("boundary_crossers") / F.col("n_docs")).alias("crosser_frac"),
+            (
+                F.col("total_tokens")
+                / (F.ceil("__packs_frac") * F.lit(capacity))
+            ).alias("fill_frac"),
+            "packs_with_starts",
+            "max_docs_per_pack",
+        )
+    )

@@ -891,3 +891,18 @@ def test_binarize_and_binary_recall(spark, embeddings):
     rec = {r.qid: r.recall_at_k for r in sim.binary_recall(embeddings, [3, 7], k=10).collect()}
     assert set(rec) == {3, 7} and all(0.0 <= v <= 1.0 for v in rec.values())
     assert any(v > 0 for v in rec.values())
+
+
+def test_packing_stats_consistency(spark):
+    from starlight_for_kafka_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, 30) for i in range(10)], "doc_id long, n long"
+    )
+    r = sampling.packing_stats(df, "n", 100).collect()[0]
+    # 300 tokens at capacity 100 -> 3 packs, gapless fill 1.0
+    assert (r.n_docs, r.total_tokens, r.n_packs) == (10, 300, 3)
+    assert r.fill_frac == 1.0
+    # a doc crosses a boundary whenever 30 does not divide the cut
+    assert 0 < r.boundary_crossers < 10
+    assert abs(r.crosser_frac - r.boundary_crossers / 10) < 1e-12
