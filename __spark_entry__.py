@@ -275,7 +275,8 @@ def q_commitlog_append(spark, sf_dir):
     before batch 2, exactly what a leaderless multi-writer log must
     guarantee (Delta-style commit replacing the broker's partition leader,
     reference storage/PartitionLog.java:538)."""
-    import tempfile
+    import os
+    import shutil
 
     from starlight_for_kafka_spark.sources import CommittedLog
 
@@ -288,7 +289,12 @@ def q_commitlog_append(spark, sf_dir):
         (F.col("user_id") % N_PARTITIONS).cast("int").alias("partition"),
         F.col("event_id"),
     )
-    root = tempfile.mkdtemp(prefix="sfk_commitlog_q_")
+    # deterministic per-SF path, recreated per run: repeated sweeps reuse
+    # one directory instead of leaking an events-sized log copy each call
+    root = os.path.join(
+        "/tmp", f"sfk_commitlog_q_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
     log = CommittedLog(root)
     log.append(records.filter(F.col("event_id") % 2 == 0), order_col="event_id")
     log.append(records.filter(F.col("event_id") % 2 == 1), order_col="event_id")

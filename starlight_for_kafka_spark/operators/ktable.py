@@ -130,6 +130,13 @@ def ktable_fk_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     payload = payload or [c for c in right.columns if c != right_key]
+    clash = sorted(set(payload) & set(left.columns))
+    if clash:
+        raise ValueError(
+            "right payload columns collide with left table columns "
+            f"{clash}: alias them on the right side first (the result is "
+            "keyed and shaped by the LEFT table, so its names win)"
+        )
     r = right.select(
         F.col(right_key).alias("__fk_pk"),
         *[F.col(c) for c in payload],

@@ -733,7 +733,9 @@ def hard_negatives(
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
     return (
         x.join(F.broadcast(queries))
-        .filter(F.col("__lbl") != F.col("__qlbl"))
+        # null-SAFE inequality: an unlabeled corpus row is "a different
+        # label" for any labeled query, not a silently dropped candidate
+        .filter(~F.col("__lbl").eqNullSafe(F.col("__qlbl")))
         .withColumn(
             "sim", F.round(cosine_similarity(F.col("__x"), F.col("__qv")), 9)
         )

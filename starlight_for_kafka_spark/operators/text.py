@@ -482,9 +482,7 @@ def dsir_weights(
         target_pred.alias("__is_target"),
         F.explode(word_shingles(F.col(text_col), 2)).alias("gram"),
     ).withColumn("b", md5_hash64(F.col("gram")) % n_buckets)
-    per_doc_bucket = grams.groupBy("__id", "b").agg(
-        F.count("*").alias("tf"), F.first("__is_target").alias("__is_target")
-    )
+    per_doc_bucket = grams.groupBy("__id", "b").agg(F.count("*").alias("tf"))
     raw = grams.groupBy("b").agg(F.count("*").alias("raw_cnt"))
     tgt = (
         grams.filter("__is_target")

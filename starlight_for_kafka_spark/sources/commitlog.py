@@ -210,7 +210,10 @@ class CommittedLog:
             # and a shared tree keeps partition pruning on reads. Renames
             # are metadata-only locally/on HDFS; an object store pays a
             # copy here (or writes direct with unique keys).
-            attempt_tag = f"{writer_id}-{attempt}"
+            # unique per CALL and attempt: a reused writer_id (a stable
+            # process identity is the natural reading) must never rename
+            # over a previous append's committed files
+            attempt_tag = f"{writer_id}-{uuid.uuid4().hex[:8]}-{attempt}"
             stage_dir = os.path.join(self.root, "_staging", attempt_tag)
             (
                 assigned.repartition("partition")
@@ -368,23 +371,45 @@ class CommittedLog:
         in-flight append may have renamed its files into ``data/`` but not
         yet won its manifest race — deleting those would let the commit
         land referencing vanished files. Only lower it when no writer can
-        be active."""
+        be active.
+
+        Also sweeps crash debris outside ``data/``: abandoned ``_staging``
+        attempt dirs (a writer that died between its parquet write and the
+        renames) and orphaned ``_log/*.tmp`` manifests (died between the
+        tmp write and the link), under the same age guard."""
         import time
 
         _, _, files = self.snapshot()
         live = set(files)
         deleted = []
         now = time.time()
+
+        def old_enough(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) >= min_age_seconds
+            except OSError:
+                return False
+
         data_root = os.path.join(self.root, _DATA_DIR)
         for dirpath, _dirs, names in os.walk(data_root):
             for fn in names:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
-                if (
-                    fn.endswith(".parquet")
-                    and rel not in live
-                    and now - os.path.getmtime(full) >= min_age_seconds
-                ):
+                if fn.endswith(".parquet") and rel not in live and old_enough(full):
                     os.remove(full)
                     deleted.append(rel)
+        stage_root = os.path.join(self.root, "_staging")
+        if os.path.isdir(stage_root):
+            for d in os.listdir(stage_root):
+                full = os.path.join(stage_root, d)
+                if old_enough(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(os.path.relpath(full, self.root))
+        log_root = os.path.join(self.root, _LOG_DIR)
+        for fn in os.listdir(log_root):
+            if fn.endswith(".tmp"):
+                full = os.path.join(log_root, fn)
+                if old_enough(full):
+                    os.unlink(full)
+                    deleted.append(os.path.relpath(full, self.root))
         return sorted(deleted)

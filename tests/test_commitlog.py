@@ -296,3 +296,30 @@ def test_batch_backfill_and_stream_interleave_through_one_log(spark, tmp_path):
     # four data commits in the manifest log
     version, _, _, _ = log._replay()
     assert version == 3
+
+
+def test_reused_writer_id_never_clobbers_committed_files(spark, tmp_path):
+    """A stable writer identity across appends (the natural reading of
+    writer_id) must not rename over a previous append's committed files —
+    attempt tags are unique per call."""
+    log = CommittedLog(str(tmp_path / "log"))
+    log.append(_batch(spark, [(0, 2)]), order_col="seq", writer_id="w1")
+    log.append(_batch(spark, [(0, 2)]), order_col="seq", writer_id="w1")
+    got = _offsets(log.read(spark))
+    assert [o for o, _ in got[0]] == [0, 1, 2, 3]  # nothing clobbered
+    _, _, files, _ = log._replay()
+    assert len(files) == len(set(files))  # no path referenced twice
+
+
+def test_vacuum_sweeps_staging_and_tmp_manifest_debris(spark, tmp_path):
+    log = CommittedLog(str(tmp_path / "log"))
+    log.append(_batch(spark, [(0, 1)]), order_col="seq")
+    stage = os.path.join(log.root, "_staging", "dead-writer-0")
+    os.makedirs(stage)
+    open(os.path.join(stage, "part.parquet"), "wb").write(b"x")
+    open(os.path.join(log.root, "_log", "00000000000000000009.json.ab12.tmp"), "w").write("{}")
+    deleted = log.vacuum(min_age_seconds=0)
+    assert any("_staging" in d for d in deleted)
+    assert any(d.endswith(".tmp") for d in deleted)
+    assert not os.path.exists(stage)
+    assert log.read(spark).count() == 1
