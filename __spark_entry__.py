@@ -608,6 +608,24 @@ def q_split_leakage_safe(spark, sf_dir):
     return out.select("doc_id", "component", "split")
 
 
+def _dedup_cluster_stats_oracle_sql() -> str:
+    """Cluster-size histogram over the same recursive transitive closure
+    the dedup_minhash_cc oracle uses."""
+    return f"""WITH RECURSIVE {_minhash_pipeline_cte()},
+edges AS (SELECT a AS x, b AS y FROM ver UNION SELECT b, a FROM ver),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comp AS (SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters,
+       cluster_size * count(*) AS n_docs,
+       cluster_size * count(*) - count(*) AS docs_dropped
+FROM sizes GROUP BY cluster_size"""
+
+
 def q_dedup_minhash_cc(spark, sf_dir):
     """minhash dedup with exact transitive grouping (connected components
     over verified pairs, iterative min-label propagation); oracle: the same
@@ -617,6 +635,16 @@ def q_dedup_minhash_cc(spark, sf_dir):
         docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.7,
         shingle_mode="word",
     ).select("doc_id")
+
+
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Near-dup cluster-size distribution over the corpus-with-near-dups
+    fixture: full MinHash pipeline + exact components + size histogram."""
+    docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
+    return dedup_ops.dedup_cluster_stats(
+        docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.7,
+        shingle_mode="word",
+    )
 
 
 def q_text_stats(spark, sf_dir):
@@ -2388,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_cc": q_dedup_minhash_cc,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
         "split_leakage_safe": q_split_leakage_safe,
         "dedup_stats": q_dedup_stats,
         "text_stats": q_text_stats,
@@ -2854,6 +2883,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_minhash_cc": _minhash_cc_oracle_sql(),
+        "dedup_cluster_stats": _dedup_cluster_stats_oracle_sql(),
         "split_leakage_safe": _leakage_safe_split_oracle_sql(),
         "dedup_stats": """WITH corpus AS (
   SELECT doc_id, lang, text FROM documents

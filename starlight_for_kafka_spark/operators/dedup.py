@@ -943,3 +943,42 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def dedup_cluster_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    shingle_mode: str = "char",
+) -> DataFrame:
+    """Near-dup cluster health report: run the full MinHash pipeline,
+    resolve exact transitive components, and emit the per-cluster-size
+    distribution — the summary a curation run publishes (how much of the
+    corpus is duplicated, how big the worst cluster is) before anyone
+    commits to the drop decision. One row per cluster size ≥ 2:
+    (cluster_size, n_clusters, n_docs, docs_dropped = n_docs − n_clusters),
+    ordered by size.
+
+    Scale shape: everything up to the components is the (already
+    scale-shaped) minhash pipeline; the stats are two aggregations over
+    the component table — |docs-in-clusters| rows, tiny next to the
+    corpus.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingle_mode)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes=num_hashes)
+    verified = jaccard_verify(
+        df, cands, text_col, id_col, shingle_k, threshold, shingle_mode
+    )
+    comps = connected_components(verified)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
+        .withColumn("docs_dropped", F.col("n_docs") - F.col("n_clusters"))
+        .select("cluster_size", "n_clusters", "n_docs", "docs_dropped")
+    )

@@ -906,3 +906,15 @@ def test_packing_stats_consistency(spark):
     # a doc crosses a boundary whenever 30 does not divide the cut
     assert 0 < r.boundary_crossers < 10
     assert abs(r.crosser_frac - r.boundary_crossers / 10) < 1e-12
+
+
+def test_dedup_cluster_stats_counts_clone_chains(spark, documents):
+    base = documents.limit(30).select("doc_id", "text")
+    # two exact clones of doc A (3-cluster) and one of doc B (2-cluster)
+    rows = base.collect()
+    extra = [(9001, rows[0].text), (9002, rows[0].text), (9003, rows[1].text)]
+    du = base.unionByName(spark.createDataFrame(extra, "doc_id long, text string"))
+    out = {r.cluster_size: r for r in dedup.dedup_cluster_stats(
+        du, shingle_k=3, threshold=0.7, shingle_mode="word").collect()}
+    assert out[3].n_clusters >= 1 and out[3].docs_dropped == out[3].n_docs - out[3].n_clusters
+    assert out[2].n_clusters >= 1
