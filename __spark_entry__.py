@@ -2115,6 +2115,14 @@ def _live_members_and_partitions(spark, sf_dir):
     return live, parts
 
 
+def q_describe_group_full(spark, sf_dir):
+    """Full DESCRIBE_GROUPS: per-member Range assignment spans joined with
+    the recovered group state/generation."""
+    mem = group_ops.derive_membership_from_events(load_table(spark, sf_dir, "events"))
+    _, parts = _live_members_and_partitions(spark, sf_dir)
+    return group_ops.describe_group_full(mem, parts)
+
+
 def q_assign_range(spark, sf_dir):
     """Range-assignor assignment the SYNC_GROUP leader would upload
     (GroupCoordinator.java:439-563): live members get contiguous partition
@@ -2393,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "offset_fetch_g1": q_offset_fetch_g1,
         "offset_fetch_stable": q_offset_fetch_stable,
         "describe_groups": q_describe_groups,
+        "describe_group_full": q_describe_group_full,
         "consumer_lag": q_consumer_lag,
         "find_coordinator": q_find_coordinator,
         "txn_read_committed": q_txn_read_committed,
@@ -3700,6 +3709,56 @@ reset AS (
 SELECT "group", topic, "partition", "offset", metadata, commit_ts FROM reset
 QUALIFY row_number() OVER (PARTITION BY "group", topic, "partition"
                            ORDER BY commit_ts DESC, "offset" DESC) = 1""",
+        "describe_group_full": f"""WITH {MEMBERSHIP_CTE},
+last AS (
+  SELECT "group", member, action FROM m
+  QUALIFY row_number() OVER (PARTITION BY "group", member ORDER BY ts DESC, event_id DESC) = 1
+),
+mem AS (
+  SELECT "group", member,
+         row_number() OVER (PARTITION BY "group" ORDER BY member) - 1 AS midx,
+         count(*) OVER (PARTITION BY "group") AS nm
+  FROM last WHERE action <> 'leave'
+),
+parts AS (SELECT DISTINCT 'events' AS topic, CAST(user_id % 8 AS INT) AS "partition" FROM events),
+p AS (
+  SELECT topic, "partition",
+         row_number() OVER (PARTITION BY topic ORDER BY "partition") - 1 AS pidx,
+         count(*) OVER (PARTITION BY topic) AS np
+  FROM parts
+),
+g AS (SELECT DISTINCT "group", nm FROM mem),
+a AS (
+  SELECT g."group", p.topic, p."partition", p.pidx, g.nm,
+         p.np // g.nm AS q, p.np % g.nm AS extra
+  FROM p CROSS JOIN g
+),
+a2 AS (
+  SELECT "group", topic, "partition",
+         CASE WHEN pidx < (q + 1) * extra THEN pidx // (q + 1)
+              ELSE extra + (pidx - (q + 1) * extra) // q END AS midx
+  FROM a
+),
+per_member AS (
+  SELECT a2."group", mem.member, count(*) AS n_partitions,
+         min(a2."partition") AS first_partition, max(a2."partition") AS last_partition
+  FROM a2 JOIN mem ON mem."group" = a2."group" AND mem.midx = a2.midx
+  GROUP BY 1, 2
+),
+gen AS (
+  SELECT "group", count(*) AS generation FROM m
+  WHERE action IN ('join', 'leave') GROUP BY "group"
+),
+alive AS (
+  SELECT "group", count(*) AS n_members FROM last WHERE action <> 'leave' GROUP BY "group"
+)
+SELECT pm."group", pm.member,
+       coalesce(gen.generation, 0) AS generation,
+       CASE WHEN coalesce(alive.n_members, 0) = 0 THEN 'Empty' ELSE 'Stable' END AS state,
+       pm.n_partitions, pm.first_partition, pm.last_partition
+FROM per_member pm
+LEFT JOIN gen USING ("group")
+LEFT JOIN alive USING ("group")""",
         "assign_range": f"""WITH {MEMBERSHIP_CTE},
 last AS (
   SELECT "group", member, action FROM m

@@ -621,3 +621,34 @@ def offset_fetch_stable(
             .alias("offset"),
         )
     )
+
+
+def describe_group_full(
+    membership: DataFrame, partitions: DataFrame
+) -> DataFrame:
+    """DESCRIBE_GROUPS with per-member assignments — the full admin
+    response a `kafka-consumer-groups --describe --members --verbose`
+    issues (KafkaRequestHandler.java:2019 → GroupCoordinator.java:596-656
+    attaches each member's assignment to the description): one row per
+    live (group, member) with the group's recovered state/generation and
+    the member's Range-assigned partition count + span.
+
+    Composition of the replay operators this module already pins:
+    recover_group_state × assign_partitions_range, joined group-keyed —
+    the group table is tiny, everything broadcasts.
+    """
+    state = recover_group_state(membership)
+    live = membership
+    assigns = assign_partitions_range(live, partitions)
+    per_member = assigns.groupBy("group", "member").agg(
+        F.count("*").alias("n_partitions"),
+        F.min("partition").alias("first_partition"),
+        F.max("partition").alias("last_partition"),
+    )
+    return (
+        per_member.join(F.broadcast(state), "group")
+        .select(
+            "group", "member", "generation", "state",
+            "n_partitions", "first_partition", "last_partition",
+        )
+    )
