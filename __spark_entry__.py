@@ -1260,6 +1260,36 @@ def q_sql_surface_q5(spark, sf_dir):
     return spark.sql(Q5_SQL)
 
 
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+def q_sql_surface_q21(spark, sf_dir):
+    """TPC-H Q21 shape: the only-supplier-who-was-late query — correlated
+    EXISTS (left-semi) plus NOT EXISTS (null-aware left-anti) in one
+    block, the hardest decorrelation shape in the dialect."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q21_SQL)
+
+
 Q4_SQL = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
@@ -2498,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "sql_surface_q5": q_sql_surface_q5,
         "sql_surface_q4": q_sql_surface_q4,
+        "sql_surface_q21": q_sql_surface_q21,
         "sql_surface_q14": q_sql_surface_q14,
         "sql_surface_q15": q_sql_surface_q15,
         "sql_surface_q19": q_sql_surface_q19,
@@ -3654,6 +3685,7 @@ SELECT pred_lang, rk, doc_id, n_chars FROM (
 ) WHERE rk <= 3""",
         "sql_surface_q5": Q5_SQL,
         "sql_surface_q4": Q4_SQL,
+        "sql_surface_q21": Q21_SQL,
         "sql_surface_q14": Q14_SQL,
         "sql_surface_q15": Q15_SQL,
         "sql_surface_q19": Q19_SQL,
