@@ -1784,6 +1784,23 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_token_length_histogram(spark, sf_dir):
+    """Doc token-length distribution in 64-token buckets (the capacity-
+    picking input for pack_sequences): bucket bounds, doc count, token
+    mass. Map-side bucket + one tiny agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n")
+    )
+    return (
+        toks.withColumn("bucket_lo", (F.expr("n DIV 64") * 64))
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("total_tokens"))
+        .withColumn("bucket_hi", F.col("bucket_lo") + 63)
+        .select("bucket_lo", "bucket_hi", "n_docs", "total_tokens")
+    )
+
+
 def q_packing_stats(spark, sf_dir):
     """Packing-efficiency report at capacity 2048: boundary-crosser and
     fill fractions over the whitespace-token stream."""
@@ -2570,6 +2587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
+        "token_length_histogram": q_token_length_histogram,
         "keyed_count_salted": q_keyed_count_salted,
         "init_producer_ids": q_init_producer_ids,
         "txn_markers": q_txn_markers,
@@ -4730,6 +4748,12 @@ SELECT item_id, modality, cost, start_tok,
        start_tok // 4096 AS pack_id,
        CAST((start_tok + cost - 1) // 4096 - start_tok // 4096 + 1 AS INT) AS n_packs_spanned
 FROM c""",
+        "token_length_histogram": """WITH t AS (
+  SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n FROM documents
+)
+SELECT (n // 64) * 64 AS bucket_lo, (n // 64) * 64 + 63 AS bucket_hi,
+       count(*) AS n_docs, sum(n) AS total_tokens
+FROM t GROUP BY 1, 2""",
         "packing_stats": """WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
