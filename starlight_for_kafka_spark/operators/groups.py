@@ -638,7 +638,17 @@ def describe_group_full(
     the group table is tiny, everything broadcasts.
     """
     state = recover_group_state(membership)
-    live = membership
+    # only LIVE members receive assignments (a member whose last event is
+    # a leave is out of the group — the same latest-wins filter every
+    # replay here applies)
+    w = Window.partitionBy("group", "member").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    live = (
+        membership.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("action") != "leave"))
+        .select("group", "member")
+    )
     assigns = assign_partitions_range(live, partitions)
     per_member = assigns.groupBy("group", "member").agg(
         F.count("*").alias("n_partitions"),
