@@ -786,6 +786,29 @@ def q_wire_roundtrip(spark, sf_dir):
     )
 
 
+def q_wire_transcode_codecs(spark, sf_dir):
+    """Full Kafka codec chain (KopLogValidator.java:495-520 source/target
+    codecs): the log encoded snappy (snappy-java framing), transcoded
+    snappy→lz4 (LZ4 frame)→zstd→gzip→clear, then decoded. Every hop
+    decompresses with one codec and recompresses with the next, so a
+    framing bug in ANY of the four codecs breaks parity with the oracle,
+    which recomputes the projection straight from the source log."""
+    from starlight_for_kafka_spark.sources import wire
+
+    log = _log(spark, sf_dir).df.filter(F.col("partition") < 2)
+    b = wire.encode_wire_batches(log, max_records_per_batch=50, compression="snappy")
+    for codec in ("lz4", "zstd", "gzip", None):
+        b = wire.transcode_batches(b, compression=codec)
+    decoded = wire.decode_wire_batches(b)
+    return decoded.select(
+        "partition",
+        "offset",
+        F.unix_millis("timestamp").alias("ts_ms"),
+        F.col("key").cast("string").alias("key"),
+        F.octet_length("value").alias("value_len"),
+    )
+
+
 def q_log_integrity(spark, sf_dir):
     """Log-invariant audit over a log with injected corruption — holes
     (every offset ≡ 5 mod 97 removed) and out-of-order timestamps (every
@@ -2501,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_compat": q_registry_compat,
         "registry_wire": q_registry_wire,
         "wire_roundtrip": q_wire_roundtrip,
+        "wire_transcode_codecs": q_wire_transcode_codecs,
         "log_integrity": q_log_integrity,
         "registry_compat_full": q_registry_compat_full,
         "registry_delete": q_registry_delete,
@@ -3520,6 +3544,10 @@ FROM x GROUP BY "partition\"""",
 SELECT "partition", "offset", {ms.format(c='"timestamp"')} AS ts_ms,
        key, strlen(value) AS value_len
 FROM log""",
+        "wire_transcode_codecs": f"""WITH {LOG_CTE}
+SELECT "partition", "offset", {ms.format(c='"timestamp"')} AS ts_ms,
+       key, strlen(value) AS value_len
+FROM log WHERE "partition" < 2""",
         "registry_wire": """SELECT doc_id,
        CAST(doc_id % 4 + 1 AS INT) AS schema_id,
        strlen(text) AS payload_len,

@@ -23,15 +23,32 @@ CRC32C (Castagnoli) is implemented table-based from the public polynomial
 crc32c(b"123456789") == 0xE3069283. Varints are zigzag, as in the Kafka
 record encoding.
 
-Compression attributes are declared but payloads are written uncompressed
-(codec bits 0) — transcode at the storage layer is parquet codec config,
-which is where this engine compresses.
+Compression covers every Kafka wire codec (KopLogValidator.java:495-520
+getSourceCodec/getTargetCodec): gzip via stdlib zlib (gzip framing),
+snappy / lz4 / zstd via pyarrow's bundled codecs (pyarrow ships inside
+pyspark's dependency set — no extra install). Framing follows the Kafka
+conventions per codec:
+
+- gzip: standard gzip stream (zlib wbits=31).
+- snappy: snappy-java framed stream (magic ``\\x82SNAPPY\\x00`` + version
+  ints + [int32 length | raw snappy block] chunks of 32 KiB), the format
+  Kafka's SnappyOutputStream writes; bare raw-snappy blocks are also
+  accepted on decode, as Kafka's decompressor does.
+- lz4: LZ4 Frame format — correct for v2 batches (the pre-v2 broken-HC
+  frame checksum variant applies only to legacy magic, which this module
+  never compresses).
+- zstd: standard zstd frame (v2-only codec per KIP-110).
 """
 
 from __future__ import annotations
 
 import struct
 import zlib
+
+try:  # snappy/lz4/zstd come from pyarrow; gate so gzip-only still works
+    import pyarrow as _pa
+except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+    _pa = None
 
 MAGIC_V2 = 2
 RECORD_BATCH_OVERHEAD = 61
@@ -134,7 +151,89 @@ def encode_record_v2(
 # attributes bits 0-2: compression codec (Kafka protocol)
 COMPRESSION_NONE = 0
 COMPRESSION_GZIP = 1
+COMPRESSION_SNAPPY = 2
+COMPRESSION_LZ4 = 3
+COMPRESSION_ZSTD = 4
 _CODEC_NAMES = {0: "none", 1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
+_CODEC_IDS = {v: k for k, v in _CODEC_NAMES.items() if k}
+
+# snappy-java framed stream constants (the container Kafka's snappy
+# writer emits): 8-byte magic, two int32 version fields, then
+# [int32 compressed-length | raw snappy block] chunks.
+_SNAPPY_JAVA_MAGIC = b"\x82SNAPPY\x00"
+_SNAPPY_BLOCK_SIZE = 32 * 1024
+
+
+def _require_pyarrow(codec: str) -> None:
+    if _pa is None:
+        raise ValueError(f"codec {codec!r} needs pyarrow, which is not importable")
+
+
+def _snappy_raw_size(block: bytes) -> int:
+    """Raw snappy blocks start with a little-endian varint of the
+    uncompressed length (public snappy format description) — parse it so
+    pyarrow's decompress gets the exact output size."""
+    pos = size = shift = 0
+    while True:
+        b = block[pos]
+        pos += 1
+        size |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return size
+        shift += 7
+
+
+def _compress(codec: str, data: bytes) -> bytes:
+    if codec == "gzip":
+        return zlib.compress(data, 9, wbits=31)
+    _require_pyarrow(codec)
+    if codec in ("lz4", "zstd"):
+        # pyarrow's 'lz4' codec is the LZ4 Frame format — the Kafka v2
+        # on-wire framing; zstd frames are self-describing.
+        return _pa.Codec(codec).compress(data, asbytes=True)
+    if codec == "snappy":
+        c = _pa.Codec("snappy")
+        out = bytearray(_SNAPPY_JAVA_MAGIC)
+        out += struct.pack(">ii", 1, 1)  # version, min-compatible version
+        for i in range(0, len(data), _SNAPPY_BLOCK_SIZE):
+            blk = c.compress(data[i : i + _SNAPPY_BLOCK_SIZE], asbytes=True)
+            out += struct.pack(">i", len(blk))
+            out += blk
+        return bytes(out)
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+def _decompress(codec_id: int, data: bytes) -> bytes:
+    if codec_id == COMPRESSION_GZIP:
+        return zlib.decompress(bytes(data), wbits=31)
+    name = _CODEC_NAMES.get(codec_id)
+    if name is None:
+        raise ValueError(f"unknown codec id {codec_id}")
+    _require_pyarrow(name)
+    if codec_id in (COMPRESSION_LZ4, COMPRESSION_ZSTD):
+        # frame formats don't carry a total uncompressed size we can trust
+        # up front; stream-decompress instead of guessing.
+        stream = _pa.CompressedInputStream(_pa.BufferReader(bytes(data)), name)
+        return bytes(stream.read())
+    if codec_id == COMPRESSION_SNAPPY:
+        c = _pa.Codec("snappy")
+        data = bytes(data)
+        if data[: len(_SNAPPY_JAVA_MAGIC)] == _SNAPPY_JAVA_MAGIC:
+            out = bytearray()
+            pos = 16  # magic + 2 version ints
+            while pos < len(data):
+                (clen,) = struct.unpack_from(">i", data, pos)
+                pos += 4
+                blk = data[pos : pos + clen]
+                pos += clen
+                out += c.decompress(
+                    blk, decompressed_size=_snappy_raw_size(blk), asbytes=True
+                )
+            return bytes(out)
+        return c.decompress(
+            data, decompressed_size=_snappy_raw_size(data), asbytes=True
+        )
+    raise ValueError(f"codec {name!r} not handled")
 
 
 def encode_batch_v2(
@@ -149,10 +248,11 @@ def encode_batch_v2(
 ) -> bytes:
     """records: [{offset, timestamp_ms, key, value, headers}] sorted by
     offset; offsets/timestamps are stored as deltas from the base, exactly
-    per the v2 layout. ``compression='gzip'`` compresses the records
-    section only (the v2 header stays clear, per the protocol) and sets
-    the codec bits in attributes; snappy/lz4/zstd codecs aren't bundled —
-    a clear error names them."""
+    per the v2 layout. ``compression`` of 'gzip' | 'snappy' | 'lz4' |
+    'zstd' compresses the records section only (the v2 header stays
+    clear, per the protocol) and sets the codec bits in attributes —
+    the full Kafka codec set, as KopLogValidator.getTargetCodec:510
+    supports."""
     if not records:
         raise ValueError("empty batch")
     base_ts = min(r["timestamp_ms"] for r in records)
@@ -167,12 +267,10 @@ def encode_batch_v2(
             r.get("headers"),
         )
     if compression not in (None, "none"):
-        if compression != "gzip":
-            raise ValueError(
-                f"codec {compression!r} not bundled (stdlib has gzip only)"
-            )
-        recs = bytearray(zlib.compress(bytes(recs), 9, wbits=31))  # gzip framing
-        attributes = (attributes & ~0x07) | COMPRESSION_GZIP
+        if compression not in _CODEC_IDS:
+            raise ValueError(f"unknown codec {compression!r}")
+        recs = bytearray(_compress(compression, bytes(recs)))
+        attributes = (attributes & ~0x07) | _CODEC_IDS[compression]
     last_offset_delta = records[-1]["offset"] - base_offset
     # part covered by the CRC: attributes .. records
     crc_part = bytearray()
@@ -219,12 +317,8 @@ def decode_batch_v2(buf: bytes, verify_crc: bool = True) -> dict:
     record_count = struct.unpack_from(">i", covered, 36)[0]
     codec = attributes & 0x07
     rbuf = covered[40:]
-    if codec == COMPRESSION_GZIP:
-        rbuf = zlib.decompress(bytes(rbuf), wbits=31)
-    elif codec != COMPRESSION_NONE:
-        raise ValueError(
-            f"codec {_CODEC_NAMES.get(codec, codec)!r} not bundled (stdlib has gzip only)"
-        )
+    if codec != COMPRESSION_NONE:
+        rbuf = _decompress(codec, bytes(rbuf))
     pos = 0
     records = []
     for _ in range(record_count):

@@ -49,8 +49,9 @@ def encode_wire_batches(
 ) -> DataFrame:
     """Encode a log DataFrame into RecordBatch v2 blobs, one row per
     batch: (partition, base_offset, record_count, batch binary);
-    ``compression='gzip'`` compresses each batch's records section per
-    the protocol."""
+    ``compression`` of 'gzip' | 'snappy' | 'lz4' | 'zstd' compresses each
+    batch's records section per the protocol (full Kafka codec set,
+    KopLogValidator.java:495-520)."""
     _pickle_codec_by_value()
     from starlight_for_kafka_spark.functions import kafka_records as kr
 

@@ -102,21 +102,92 @@ def test_gzip_batch_roundtrip_and_transcode():
     assert kr.transcode(kr.transcode(plain, "gzip"), None) == plain
 
 
-def test_unbundled_codec_raises_clearly():
+def _codec_recs():
+    return [{"offset": 10 + i, "timestamp_ms": 1000 + i,
+             "key": b"k%d" % i, "value": b"payload-" * 20 + bytes([i]),
+             "headers": [("h", b"x")]} for i in range(8)]
+
+
+def test_snappy_lz4_zstd_roundtrip_and_codec_bits():
+    """Full Kafka codec set (KopLogValidator.java:495-520): each codec
+    roundtrips losslessly, sets its protocol codec bits, and transcodes
+    byte-identically back to the clear encoding."""
+    recs = _codec_recs()
+    plain = kr.encode_batch_v2(10, recs)
+    for name, bits in [("snappy", 2), ("lz4", 3), ("zstd", 4)]:
+        comp = kr.encode_batch_v2(10, recs, compression=name)
+        assert len(comp) < len(plain), name          # it actually compressed
+        d = kr.decode_batch_v2(comp)
+        assert d["attributes"] & 0x07 == bits, name
+        assert d["records"] == recs, name            # lossless
+        assert kr.transcode(comp, compression=None) == plain, name
+
+
+def test_codec_framing_magics_spec_pinned():
+    """The compressed records section must carry each codec's on-wire
+    framing: snappy-java stream magic, LZ4 frame magic, zstd frame magic —
+    so real Kafka clients could decode these batches."""
+    recs = _codec_recs()
+    def records_section(b):
+        return b[61:]                                # after the 61-byte v2 header
+    assert records_section(kr.encode_batch_v2(10, recs, compression="snappy"))[
+        :8] == b"\x82SNAPPY\x00"
+    assert records_section(kr.encode_batch_v2(10, recs, compression="lz4"))[
+        :4] == bytes.fromhex("04224d18")             # LZ4 frame magic (LE)
+    assert records_section(kr.encode_batch_v2(10, recs, compression="zstd"))[
+        :4] == bytes.fromhex("28b52ffd")             # zstd frame magic (LE)
+    assert records_section(kr.encode_batch_v2(10, recs, compression="gzip"))[
+        :2] == b"\x1f\x8b"                           # gzip magic
+
+
+def test_snappy_multi_chunk_roundtrip():
+    """Records sections beyond the 32 KiB snappy-java block size span
+    multiple framed chunks and still roundtrip losslessly."""
+    recs = [{"offset": i, "timestamp_ms": i,
+             "key": None, "value": bytes([i & 0xFF]) * 2000, "headers": []}
+            for i in range(64)]                      # ~128 KiB of records
+    comp = kr.encode_batch_v2(0, recs, compression="snappy")
+    assert kr.decode_batch_v2(comp)["records"] == recs
+
+
+def test_snappy_raw_block_accepted_on_decode():
+    """Kafka's decompressor accepts bare raw-snappy blocks (no java
+    framing); so do we."""
+    import pyarrow as pa
+    import struct as _s
+
+    recs = _codec_recs()
+    framed = bytearray(kr.encode_batch_v2(10, recs))
+    # rebuild the covered section with a raw snappy records blob
+    covered = bytearray(framed[21:])
+    raw = pa.Codec("snappy").compress(bytes(covered[40:]), asbytes=True)
+    covered[1] = (covered[1] & ~0x07) | kr.COMPRESSION_SNAPPY
+    covered = covered[:40] + bytearray(raw)
+    batch_length = 4 + 1 + 4 + len(covered)
+    out = bytearray(framed[:8])
+    out += _s.pack(">i", batch_length)
+    out += framed[12:16]                             # leader epoch
+    out += framed[16:17]                             # magic
+    out += _s.pack(">I", kr.crc32c(bytes(covered)))
+    out += covered
+    assert kr.decode_batch_v2(bytes(out))["records"] == recs
+
+
+def test_unknown_codec_raises_clearly():
     import pytest
 
     recs = [{"offset": 0, "timestamp_ms": 1, "key": None, "value": b"v", "headers": []}]
-    with pytest.raises(ValueError, match="zstd"):
-        kr.encode_batch_v2(0, recs, compression="zstd")
-    # a batch claiming snappy (attributes bits) must fail loudly, not garble
+    with pytest.raises(ValueError, match="brotli"):
+        kr.encode_batch_v2(0, recs, compression="brotli")
+    # a batch claiming a reserved codec id must fail loudly, not garble
     b = bytearray(kr.encode_batch_v2(0, recs))
     import struct as _s
     covered = bytearray(b[21:])
-    covered[1] = (covered[1] & ~0x07) | 2          # snappy bits
+    covered[1] = (covered[1] & ~0x07) | 5            # reserved codec id
     crc = kr.crc32c(bytes(covered))
     b[17:21] = _s.pack(">I", crc)
     b[21:] = covered
-    with pytest.raises(ValueError, match="snappy"):
+    with pytest.raises(ValueError, match="codec id 5"):
         kr.decode_batch_v2(bytes(b))
 
 
