@@ -26,14 +26,27 @@ from starlight_for_kafka_spark.functions.hashing import md5_hash64, shingles, wo
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: normalize → md5 → keep lowest-id doc per digest."""
+    """Exact dedup: normalize → md5 → keep lowest-id doc per digest.
+
+    Keep-first is a ``min_by`` aggregation, not a per-digest window: the
+    aggregate partial-combines map-side, so a digest duplicated 10⁸ times
+    reduces to one candidate row per map task before the shuffle instead
+    of serializing one reducer (same shape as text.line_dedup's keeper
+    agg). Assumes ``id_col`` is unique (it is the document key)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    w = Window.partitionBy("__digest").orderBy(id_col)
+    return _keep_min_id_per_digest(
+        df.withColumn("__digest", F.md5(norm.cast("binary"))), df.columns, id_col
+    )
+
+
+def _keep_min_id_per_digest(
+    tagged: DataFrame, out_cols: list[str], id_col: str
+) -> DataFrame:
+    """Skew-safe keep-first: one partial-combining min_by per __digest."""
     return (
-        df.withColumn("__digest", F.md5(norm.cast("binary")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__digest", "__rn")
+        tagged.groupBy("__digest")
+        .agg(F.min_by(F.struct(*out_cols), F.col(id_col)).alias("__row"))
+        .select("__row.*")
     )
 
 
@@ -87,12 +100,8 @@ def incremental_dedup(
         new_docs.withColumn("__digest", digest)
         .join(seen, "__digest", "left_anti")
     )
-    w = Window.partitionBy("__digest").orderBy(id_col)
-    return (
-        fresh.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__digest", "__rn")
-    )
+    # same skew-safe min_by keep-first as exact_dedup (no per-digest window)
+    return _keep_min_id_per_digest(fresh, new_docs.columns, id_col)
 
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; a*h + b stays inside int64
@@ -202,9 +211,19 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    sized = banded.withColumn(
-        "__sz", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("__sz") <= max_bucket)
+    # Hot-bucket cap as groupBy + broadcast anti-join, NOT a window count:
+    # a window over (band, bucket) serializes a mega-hot bucket into one
+    # task *before* the cap can drop it, while the groupBy partial-combines
+    # map-side so the hot key never concentrates (same shape as
+    # simhash_near_dups below).
+    hot = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+    )
+    sized = banded.join(
+        F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
+    )
     # materialize before the self-join: both sides reference this subtree,
     # and without a barrier the full signature pass runs once per side
     # (AQE does not reliably reuse the exchange). Banded rows are

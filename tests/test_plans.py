@@ -88,6 +88,21 @@ def test_exact_dedup_single_shuffle(spark):
     assert exchange_count(df) == 1, plan_string(df)
 
 
+def test_exact_dedup_keep_first_is_aggregate_not_window(spark):
+    # keep-first must be the partial-combining min_by agg — a per-digest
+    # row_number window serializes a 10^8-duplicate digest into one task
+    for name in ("dedup_exact", "dedup_incremental"):
+        df = QUERIES[name](spark, SF_DIR)
+        assert "Window" not in plan_string(df), (name, plan_string(df))
+
+
+def test_minhash_bucket_cap_is_agg_anti_join_not_window(spark):
+    # the hot-bucket cap must partial-combine (groupBy + broadcast
+    # anti-join), never a count window over (band, bucket)
+    df = QUERIES["dedup_minhash"](spark, SF_DIR)
+    assert "Window" not in plan_string(df), plan_string(df)
+
+
 def test_scan_heavy_queries_stay_in_codegen(spark):
     # whole-stage codegen must cover the hot scan+agg paths (AQE hides the
     # static plan's codegen annotations pre-execution, so inspect without it)
