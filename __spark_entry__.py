@@ -438,6 +438,31 @@ def q_txn_list_transactions(spark, sf_dir):
     return tx_ops.list_transactions(tx_ops.derive_txn_log(_log(spark, sf_dir).df))
 
 
+def q_txn_describe_transactions(spark, sf_dir):
+    """DESCRIBE_TRANSACTIONS per-id detail (TransactionCoordinator.java:
+    250-306): same deterministic coordinator-event grammar as
+    txn_state_machine, extended with a partition payload on add events and
+    a pid payload on init events; the fold emits producer id/epoch, admin
+    state, txn start time, and the registered-partition set of the current
+    transaction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("txn-"), (F.col("user_id") % 12).cast("string")).alias(
+            "transactional_id"
+        ),
+        "ts", "event_id",
+        F.element_at(
+            F.array(
+                F.lit("init"), F.lit("add_partitions"), F.lit("add_offsets"),
+                F.lit("end_commit"), F.lit("end_abort"),
+            ),
+            (F.col("event_id") % 5).cast("int") + 1,
+        ).alias("action"),
+        (F.col("event_id") % 8).cast("int").alias("partition"),
+        (F.col("event_id") % 97 + 100).cast("long").alias("pid"),
+    )
+    return tx_ops.describe_transactions(ev)
+
+
 def q_keyed_count(spark, sf_dir):
     return win_ops.keyed_count(load_table(spark, sf_dir, "events"), "event_type")
 
@@ -2481,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_idempotent_dedupe": q_txn_idempotent_dedupe,
         "txn_describe_producers": q_txn_describe_producers,
         "txn_list_transactions": q_txn_list_transactions,
+        "txn_describe_transactions": q_txn_describe_transactions,
         "keyed_count": q_keyed_count,
         "keyed_reduce": q_keyed_reduce,
         "tumbling_window_1h": q_tumbling_window_1h,
@@ -3139,6 +3165,54 @@ FROM txn3 GROUP BY "partition", pid""",
 SELECT pid, txn_group, max(txn_status) AS txn_status,
        min("offset") AS first_offset, max("offset") AS last_offset, count(*) AS n_records
 FROM txn3 GROUP BY pid, txn_group""",
+        "txn_describe_transactions": """WITH RECURSIVE ev AS (
+  SELECT 'txn-' || CAST(user_id % 12 AS VARCHAR) AS tid, ts, event_id,
+         CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 'init' WHEN 1 THEN 'add_partitions'
+              WHEN 2 THEN 'add_offsets' WHEN 3 THEN 'end_commit' ELSE 'end_abort' END AS a,
+         CAST(event_id % 8 AS INT) AS p,
+         CAST(event_id % 97 + 100 AS BIGINT) AS pid,
+         CAST(epoch_us(ts) // 1000 AS BIGINT) AS ts_ms
+  FROM events
+), steps AS (
+  SELECT tid, a, p, pid, ts_ms,
+         row_number() OVER (PARTITION BY tid ORDER BY ts, event_id, a) AS i FROM ev
+), n AS (
+  SELECT tid, max(i) AS m FROM steps GROUP BY tid
+), fold AS (
+  SELECT tid, 0 AS i, 0 AS state, 0 AS epochs, CAST(NULL AS BIGINT) AS pid,
+         CAST([] AS INT[]) AS parts, CAST(NULL AS BIGINT) AS start_ts FROM n
+  UNION ALL
+  SELECT f.tid, f.i + 1,
+         CASE WHEN s.a = 'init' THEN 0
+              WHEN s.a IN ('add_partitions', 'add_offsets') AND f.epochs > 0 THEN 1
+              WHEN s.a = 'end_commit' AND f.state = 1 THEN 2
+              WHEN s.a = 'end_abort' AND f.state = 1 THEN 3
+              ELSE f.state END,
+         f.epochs + CASE WHEN s.a = 'init' THEN 1 ELSE 0 END,
+         CASE WHEN s.a = 'init' THEN s.pid ELSE f.pid END,
+         CASE WHEN s.a = 'init' OR (s.a IN ('end_commit', 'end_abort') AND f.state = 1)
+                THEN CAST([] AS INT[])
+              WHEN s.a IN ('add_partitions', 'add_offsets') AND f.epochs > 0 THEN
+                CASE WHEN list_contains(f.parts,
+                            CASE WHEN s.a = 'add_offsets' THEN -1 ELSE s.p END)
+                     THEN f.parts
+                     ELSE list_append(f.parts,
+                            CASE WHEN s.a = 'add_offsets' THEN -1 ELSE s.p END) END
+              ELSE f.parts END,
+         CASE WHEN s.a IN ('add_partitions', 'add_offsets') AND f.epochs > 0
+                   AND f.state <> 1 THEN s.ts_ms
+              WHEN s.a = 'init' THEN CAST(NULL AS BIGINT)
+              ELSE f.start_ts END
+  FROM fold f JOIN steps s ON s.tid = f.tid AND s.i = f.i + 1
+)
+SELECT f.tid AS transactional_id, f.pid AS producer_id,
+       CAST(f.epochs - 1 AS INT) AS producer_epoch,
+       ['Empty', 'Ongoing', 'CompleteCommit', 'CompleteAbort'][f.state + 1]
+         AS transaction_state,
+       f.start_ts AS txn_start_ts_ms,
+       CAST(len(f.parts) AS INT) AS n_partitions,
+       coalesce(array_to_string(list_sort(f.parts), ','), '') AS partitions
+FROM fold f JOIN n ON n.tid = f.tid AND f.i = n.m""",
         "keyed_count": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
         "keyed_reduce": """SELECT user_id,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -52,6 +52,12 @@ def main() -> None:
         "dedup_minhash",            # MinHash-LSH near dedup
         "similarity_top10",         # brute-force cosine top-k
         "text_stats",               # text quality scan
+        # round-3 additions: the four slowest round-2 ops, promoted so
+        # regressions are driver-visible (VERDICT r2 next-round item 3)
+        "ktable_fk_join",           # KIP-213 FK join (shuffle join on FK)
+        "commitlog_append",         # optimistic-commit storage rewrite (I/O)
+        "line_dedup",               # per-line dedup + doc reassembly
+        "dsir_weights",             # DSIR importance weights (n-gram LM ratio)
     ]
 
     # warm the JVM + file listing once

@@ -231,6 +231,114 @@ def list_transactions(txn_log: DataFrame) -> DataFrame:
     )
 
 
+def describe_transactions(
+    events: DataFrame,
+    txn_col: str = "transactional_id",
+    action_col: str = "action",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    partition_col: str = "partition",
+    pid_col: str = "pid",
+) -> DataFrame:
+    """DESCRIBE_TRANSACTIONS per-id detail (TransactionCoordinator.java:
+    250-306 handleDescribeTransactions, mirroring upstream Kafka's
+    TransactionCoordinator.scala:270): for each transactional id, the
+    current coordinator metadata — producer id/epoch, admin state name,
+    transaction start time, and the partitions registered in the CURRENT
+    transaction (TransactionMetadata.topicPartitions; cleared when a
+    transaction completes and on epoch bump, exactly as completeTransitionTo
+    clears the set).
+
+    Same replay model as ``txn_state_machine`` (one shuffle on the txn id,
+    in-row JVM fold), with three more accumulator fields:
+
+      * ``pid`` — assigned by the last ``init`` event's ``pid_col``
+        (INIT_PRODUCER_ID response); epoch = init count - 1.
+      * ``parts`` — distinct partitions from valid ``add_partitions``
+        events since the txn became Ongoing; ``add_offsets`` registers the
+        sentinel -1 (the offsets-topic partition the reference registers
+        via ADD_OFFSETS_TO_TXN). Cleared on completion and on init.
+      * ``start_ts`` — ms timestamp of the Empty/Complete* → Ongoing
+        transition (TransactionMetadata.txnStartTimestamp); null until the
+        first transaction and after an epoch bump.
+
+    ``partitions`` is emitted as a sorted CSV string so the result is
+    hashable for exact cross-engine comparison.
+    """
+    o1, o2 = order_cols
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(o1),
+                F.col(o2),
+                F.col(action_col).alias("a"),
+                F.col(partition_col).cast("int").alias("p"),
+                F.col(pid_col).cast("long").alias("pid"),
+                F.unix_millis(F.col(o1)).alias("ts_ms"),
+            )
+        )
+    )
+
+    def step(acc, s):
+        a = s["a"]
+        st = acc["state"]
+        inited = acc["epochs"] > 0
+        is_add = (a == "add_partitions") | (a == "add_offsets")
+        is_end = (a == "end_commit") | (a == "end_abort")
+        valid_add = is_add & inited
+        valid_end = is_end & (st == 1)
+        new_state = (
+            F.when(a == "init", F.lit(0))
+            .when(valid_add, F.lit(1))
+            .when((a == "end_commit") & (st == 1), F.lit(2))
+            .when((a == "end_abort") & (st == 1), F.lit(3))
+            .otherwise(st)
+        )
+        reg = F.when(a == "add_offsets", F.lit(-1)).otherwise(s["p"])
+        empty = F.array().cast("array<int>")
+        return F.struct(
+            new_state.alias("state"),
+            (acc["epochs"] + F.when(a == "init", 1).otherwise(0)).alias("epochs"),
+            F.when(a == "init", s["pid"]).otherwise(acc["pid"]).alias("pid"),
+            F.when((a == "init") | valid_end, empty)
+            .when(valid_add, F.array_union(acc["parts"], F.array(reg)))
+            .otherwise(acc["parts"])
+            .alias("parts"),
+            F.when(valid_add & (st != 1), s["ts_ms"])
+            .when(a == "init", F.lit(None).cast("long"))
+            .otherwise(acc["start_ts"])
+            .alias("start_ts"),
+        )
+
+    init = F.struct(
+        F.lit(0).alias("state"),
+        F.lit(0).alias("epochs"),
+        F.lit(None).cast("long").alias("pid"),
+        F.array().cast("array<int>").alias("parts"),
+        F.lit(None).cast("long").alias("start_ts"),
+    )
+    folded = events.groupBy(F.col(txn_col).alias("transactional_id")).agg(
+        F.aggregate(seq, init, step).alias("__m")
+    )
+    state_name = F.element_at(
+        F.array(
+            F.lit("Empty"), F.lit("Ongoing"),
+            F.lit("CompleteCommit"), F.lit("CompleteAbort"),
+        ),
+        F.col("__m.state") + 1,
+    )
+    return folded.select(
+        "transactional_id",
+        F.col("__m.pid").alias("producer_id"),
+        (F.col("__m.epochs") - 1).cast("int").alias("producer_epoch"),
+        state_name.alias("transaction_state"),
+        F.col("__m.start_ts").alias("txn_start_ts_ms"),
+        F.size("__m.parts").alias("n_partitions"),
+        F.array_join(
+            F.transform(F.array_sort("__m.parts"), lambda x: x.cast("string")), ","
+        ).alias("partitions"),
+    )
+
+
 def purge_aborted_txns(aborted: DataFrame, log_start_offsets: DataFrame) -> DataFrame:
     """Aborted-index compaction (PartitionLog.updatePurgeAbortedTxnsOffset
     :1102, forcePurgeAbortTx:1206): once retention/truncation has advanced a

@@ -134,3 +134,56 @@ def test_txn_state_machine_transitions(spark):
     )
     t3 = out["t3"]
     assert (t3.final_state, t3.n_invalid) == ("Empty", 2)
+
+
+def test_describe_transactions_per_id_detail(spark):
+    """DESCRIBE_TRANSACTIONS detail (TransactionCoordinator.java:250-306):
+    registered partitions accumulate per ongoing txn, add_offsets registers
+    the -1 offsets-topic sentinel, completion and epoch bumps clear the
+    set, and txn_start_ts marks the Empty/Complete* -> Ongoing edge."""
+    import datetime
+
+    from starlight_for_kafka_spark.operators import transactions as tx
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # (tid, action, partition, pid-on-init)
+    seqs = {
+        # ongoing txn with three distinct partitions (one repeated) + offsets
+        "t1": [("init", 0, 7), ("add_partitions", 3, None),
+               ("add_partitions", 5, None), ("add_partitions", 3, None),
+               ("add_offsets", 0, None)],
+        # completed txn: partitions cleared, state CompleteCommit,
+        # start_ts survives completion
+        "t2": [("init", 0, 9), ("add_partitions", 1, None),
+               ("end_commit", 0, None)],
+        # epoch bump mid-txn: fencing clears partitions and start_ts
+        "t3": [("init", 0, 2), ("add_partitions", 4, None), ("init", 0, 12)],
+        # never inited: adds invalid, nothing registered
+        "t4": [("add_partitions", 6, None)],
+    }
+    rows = []
+    for tid, actions in seqs.items():
+        for i, (a, p, pid) in enumerate(actions):
+            rows.append((tid, t0 + datetime.timedelta(seconds=i), i, a, p, pid))
+    ev = spark.createDataFrame(
+        rows,
+        "transactional_id string, ts timestamp, event_id long, action string,"
+        " partition int, pid long",
+    )
+    out = {r.transactional_id: r for r in tx.describe_transactions(ev).collect()}
+    t1 = out["t1"]
+    assert (t1.producer_id, t1.producer_epoch, t1.transaction_state) == (7, 0, "Ongoing")
+    assert (t1.n_partitions, t1.partitions) == (3, "-1,3,5")
+    assert t1.txn_start_ts_ms == int(
+        (t0 + datetime.timedelta(seconds=1)).replace(
+            tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    t2 = out["t2"]
+    assert (t2.transaction_state, t2.n_partitions, t2.partitions) == (
+        "CompleteCommit", 0, "")
+    assert t2.txn_start_ts_ms is not None
+    t3 = out["t3"]
+    assert (t3.producer_id, t3.producer_epoch, t3.transaction_state) == (12, 1, "Empty")
+    assert (t3.n_partitions, t3.partitions, t3.txn_start_ts_ms) == (0, "", None)
+    t4 = out["t4"]
+    assert (t4.producer_id, t4.producer_epoch, t4.transaction_state,
+            t4.n_partitions) == (None, -1, "Empty", 0)
