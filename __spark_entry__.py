@@ -1030,6 +1030,79 @@ def q_registry_compat(spark, sf_dir):
     return spark.createDataFrame(rows, "mode string, candidate string, compatible boolean")
 
 
+def q_registry_subject_config(spark, sf_dir):
+    """Per-subject compatibility config (ConfigResource.java GET/PUT
+    /config/{subject}; MemorySchemaStorage.java:133-151 resolves the
+    subject's stored mode — default NONE per :187 — at registration).
+    Each subject replays the same candidate sequence with mode=None so
+    register_schema reads the mode from the config table; accepted
+    schemas join the subject's history, so later verdicts check against
+    the evolved latest version exactly as the real registry would."""
+    cfg = reg_ops.create_config(spark)
+    cfg = reg_ops.set_compatibility(cfg, "user-backward", "BACKWARD")
+    cfg = reg_ops.set_compatibility(cfg, "user-forward", "FORWARD")
+    cfg = reg_ops.set_compatibility(cfg, "user-full", "FULL")
+    cands = [
+        ("no_default", CAND_NO_DEFAULT),
+        ("with_default", SCHEMA_USER_V3),
+        ("type_change", CAND_TYPE_CHANGE),
+    ]
+    rows = []
+    for subject in ["user-none", "user-backward", "user-forward", "user-full"]:
+        reg = reg_ops.create_registry(spark)
+        reg = reg_ops.register_schema(
+            reg, subject, "AVRO", SCHEMA_USER_V1, mode=None, config=cfg
+        )
+        mode = reg_ops.get_compatibility(cfg, subject)
+        for name, cand in cands:
+            try:
+                reg = reg_ops.register_schema(
+                    reg, subject, "AVRO", cand, mode=None, config=cfg
+                )
+                rows.append((subject, mode, name, True))
+            except ValueError:
+                rows.append((subject, mode, name, False))
+    return spark.createDataFrame(
+        rows, "subject string, mode string, candidate string, accepted boolean"
+    )
+
+
+SCHEMA_INNER_V1 = '{"type":"record","name":"Inner","fields":[{"name":"x","type":"int"}]}'
+SCHEMA_OUTER_REF = (
+    '{"type":"record","name":"Outer","fields":[{"name":"id","type":"long"},'
+    '{"name":"inner","type":"Inner"}]}'
+)
+
+
+def q_registry_references(spark, sf_dir):
+    """Schema references (SubjectResource.CreateSchemaRequest.references):
+    Outer registers against inner-value/latest, the referenced Inner
+    definition is inlined into the stored schema, and an unresolvable
+    reference is rejected at registration."""
+    reg = reg_ops.create_registry(spark)
+    reg = reg_ops.register_schema(reg, "inner-value", "AVRO", SCHEMA_INNER_V1, mode="NONE")
+    reg = reg_ops.register_schema(
+        reg, "outer-value", "AVRO", SCHEMA_OUTER_REF, mode="NONE",
+        references=[{"name": "Inner", "subject": "inner-value", "version": "latest"}],
+    )
+    try:
+        reg_ops.register_schema(
+            reg, "bad-value", "AVRO", SCHEMA_OUTER_REF, mode="NONE",
+            references=[{"name": "Inner", "subject": "missing", "version": 1}],
+        )
+        bad_rejected = False
+    except ValueError:
+        bad_rejected = True
+    listing = reg.select(
+        "subject", "version", "id", "type",
+        F.col("definition").contains('"name": "Inner"').alias("inlined"),
+    )
+    flag = spark.createDataFrame(
+        [("__unresolvable_rejected__", 0, 0, "", bad_rejected)], listing.schema
+    )
+    return listing.unionByName(flag)
+
+
 AVRO_NESTED_V1 = (
     '{"type":"record","name":"Outer","fields":['
     '{"name":"a","type":"long"},'
@@ -2548,6 +2621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_view": q_typed_view,
         "registry_subjects": q_registry_subjects,
         "registry_compat": q_registry_compat,
+        "registry_subject_config": q_registry_subject_config,
+        "registry_references": q_registry_references,
         "registry_wire": q_registry_wire,
         "wire_roundtrip": q_wire_roundtrip,
         "wire_transcode_codecs": q_wire_transcode_codecs,
@@ -3591,6 +3666,25 @@ FROM log""",
   ('FULL_TRANSITIVE', 'type_change', false),
   ('FULL_TRANSITIVE', 'add_field_with_default', true)
 ) AS t(mode, candidate, compatible)""",
+        "registry_subject_config": """SELECT * FROM (VALUES
+  ('user-none', 'NONE', 'no_default', true),
+  ('user-none', 'NONE', 'with_default', true),
+  ('user-none', 'NONE', 'type_change', true),
+  ('user-backward', 'BACKWARD', 'no_default', false),
+  ('user-backward', 'BACKWARD', 'with_default', true),
+  ('user-backward', 'BACKWARD', 'type_change', false),
+  ('user-forward', 'FORWARD', 'no_default', true),
+  ('user-forward', 'FORWARD', 'with_default', true),
+  ('user-forward', 'FORWARD', 'type_change', false),
+  ('user-full', 'FULL', 'no_default', false),
+  ('user-full', 'FULL', 'with_default', true),
+  ('user-full', 'FULL', 'type_change', false)
+) AS t(subject, mode, candidate, accepted)""",
+        "registry_references": """SELECT * FROM (VALUES
+  ('inner-value', 1, 1, 'AVRO', false),
+  ('outer-value', 1, 2, 'AVRO', true),
+  ('__unresolvable_rejected__', 0, 0, '', true)
+) AS t(subject, version, id, type, inlined)""",
         "log_integrity": f"""WITH {LOG_CTE},
 f AS (
   SELECT "partition", "offset",

@@ -190,22 +190,121 @@ def create_registry(spark: SparkSession, rows: list | None = None) -> DataFrame:
     return spark.createDataFrame(rows or [], SUBJECT_SCHEMA)
 
 
+# --------------------------------------------------------------------- #
+# per-subject compatibility config (ConfigResource.java GET/PUT
+# /config/{subject}; MemorySchemaStorage.get/setCompatibilityMode:186-193
+# — unset subjects default to NONE, exactly as :187's getOrDefault)
+# --------------------------------------------------------------------- #
+
+CONFIG_SCHEMA = "subject string, compatibility string"
+_VALID_MODES = {
+    "NONE", "BACKWARD", "FORWARD", "FULL",
+    "BACKWARD_TRANSITIVE", "FORWARD_TRANSITIVE", "FULL_TRANSITIVE",
+}
+
+
+def create_config(spark: SparkSession, rows: list | None = None) -> DataFrame:
+    """The compat-config dimension table: one (subject, compatibility) row
+    per configured subject. Subjects without a row resolve to NONE."""
+    return spark.createDataFrame(rows or [], CONFIG_SCHEMA)
+
+
+def set_compatibility(config: DataFrame, subject: str, mode: str) -> DataFrame:
+    """PUT /config/{subject} (ConfigResource.PutConfig): upsert the
+    subject's compatibility mode."""
+    mode = mode.upper()
+    if mode not in _VALID_MODES:
+        raise ValueError(f"unknown compatibility mode: {mode}")
+    spark = config.sparkSession
+    new_row = spark.createDataFrame([(subject, mode)], CONFIG_SCHEMA)
+    return config.filter(F.col("subject") != subject).unionByName(new_row)
+
+
+def get_compatibility(config: DataFrame, subject: str) -> str:
+    """GET /config/{subject}: the subject's mode, NONE when unset
+    (MemorySchemaStorage.getCompatibilityMode:187)."""
+    row = config.filter(F.col("subject") == subject).select("compatibility").first()
+    return row[0] if row else "NONE"
+
+
+# --------------------------------------------------------------------- #
+# schema references (SubjectResource.CreateSchemaRequest.references —
+# [{name, subject, version}]): referenced subjects' definitions are
+# resolved from the registry and inlined wherever the new schema uses the
+# reference's name as a type, so compatibility sees the full schema
+# --------------------------------------------------------------------- #
+
+
+def resolve_references(
+    registry: DataFrame, definition: str, references: list[dict] | None
+) -> str:
+    """Resolve each reference {name, subject, version} against the
+    registry ('latest' or -1 picks the subject's newest version) and
+    inline the referenced definition wherever ``definition`` uses the
+    reference name as a type. Raises if a reference doesn't resolve —
+    the registration-time guard a registry must enforce. Control-plane:
+    the registry is a handful of rows."""
+    if not references:
+        return definition
+    resolved: dict[str, object] = {}
+    for ref in references:
+        name, subj = ref["name"], ref["subject"]
+        version = ref.get("version", "latest")
+        rows = registry.filter(F.col("subject") == subj)
+        if version in ("latest", -1, "-1"):
+            row = rows.orderBy(F.col("version").desc()).first()
+        else:
+            row = rows.filter(F.col("version") == int(version)).first()
+        if row is None:
+            raise ValueError(
+                f"unresolvable schema reference {name!r} -> {subj}/{version}"
+            )
+        resolved[name] = json.loads(row.definition)
+
+    def inline(node):
+        if isinstance(node, str) and node in resolved:
+            return resolved[node]
+        if isinstance(node, list):
+            return [inline(x) for x in node]
+        if isinstance(node, dict):
+            return {k: (inline(v) if k in ("type", "items", "values", "fields") else v)
+                    for k, v in node.items()}
+        return node
+
+    return json.dumps(inline(json.loads(definition)))
+
+
 def register_schema(
-    registry: DataFrame, subject: str, schema_type: str, definition: str, mode: str = "BACKWARD"
+    registry: DataFrame,
+    subject: str,
+    schema_type: str,
+    definition: str,
+    mode: str | None = "BACKWARD",
+    config: DataFrame | None = None,
+    references: list[dict] | None = None,
 ) -> DataFrame:
     """CREATE version: validate compatibility against the subject's history,
-    then append with the next version/id (SchemaStorage.create path)."""
+    then append with the next version/id (SchemaStorage.create path).
+
+    ``mode=None`` resolves the mode from the per-subject ``config`` table
+    (CompatibilityChecker.verify:44-50 reads schemaStorage
+    .getCompatibilityMode before checking; unset → NONE). ``references``
+    are resolved and inlined before the check (SubjectResource
+    .CreateSchemaRequest.references)."""
+    if mode is None:
+        mode = get_compatibility(config, subject) if config is not None else "NONE"
+    checked = resolve_references(registry, definition, references)
     history = [
         r.definition
         for r in registry.filter(F.col("subject") == subject).orderBy("version").collect()
     ]
-    if not check_compatibility(mode, definition, history, schema_type):
+    if not check_compatibility(mode, checked, history, schema_type):
         raise ValueError(f"incompatible schema for subject {subject} under {mode}")
     spark = registry.sparkSession
     next_version = len(history) + 1
     next_id = (registry.agg(F.coalesce(F.max("id"), F.lit(0))).first()[0] or 0) + 1
     new_row = spark.createDataFrame(
-        [(subject, next_version, next_id, schema_type, definition)], SUBJECT_SCHEMA
+        [(subject, next_version, next_id, schema_type, checked)], SUBJECT_SCHEMA
     )
     return registry.unionByName(new_row)
 

@@ -152,3 +152,65 @@ def test_delete_subject_and_version(spark):
     assert rows == [("a-value", 2)]  # v2 keeps its number
     latest = reg.latest_schemas(r3).first()
     assert latest.version == 2
+
+
+def test_per_subject_compat_config(spark):
+    """ConfigResource GET/PUT /config/{subject} + MemorySchemaStorage
+    default: unset subjects resolve NONE; set modes gate registration."""
+    from starlight_for_kafka_spark.operators import registry as reg_ops
+
+    cfg = reg_ops.create_config(spark)
+    assert reg_ops.get_compatibility(cfg, "anything") == "NONE"
+    cfg = reg_ops.set_compatibility(cfg, "s1", "BACKWARD")
+    cfg = reg_ops.set_compatibility(cfg, "s1", "FULL")  # upsert, not append
+    assert reg_ops.get_compatibility(cfg, "s1") == "FULL"
+    assert cfg.filter("subject = 's1'").count() == 1
+    import pytest
+    with pytest.raises(ValueError, match="mode"):
+        reg_ops.set_compatibility(cfg, "s1", "SIDEWAYS")
+
+    v1 = '{"type":"record","name":"U","fields":[{"name":"id","type":"long"}]}'
+    bad = ('{"type":"record","name":"U","fields":[{"name":"id","type":"long"},'
+           '{"name":"x","type":"long"}]}')
+    reg = reg_ops.create_registry(spark)
+    reg = reg_ops.register_schema(reg, "s1", "AVRO", v1, mode=None, config=cfg)
+    with pytest.raises(ValueError, match="incompatible"):
+        reg_ops.register_schema(reg, "s1", "AVRO", bad, mode=None, config=cfg)
+    # same candidate sails through on an unconfigured (NONE) subject
+    reg = reg_ops.register_schema(reg, "s2", "AVRO", v1, mode=None, config=cfg)
+    reg_ops.register_schema(reg, "s2", "AVRO", bad, mode=None, config=cfg)
+
+
+def test_schema_references_resolve_and_gate_compat(spark):
+    """SubjectResource.CreateSchemaRequest.references: referenced
+    definitions inline into the stored schema; compat checks see the
+    resolved form; unresolvable references reject registration."""
+    import pytest
+
+    from starlight_for_kafka_spark.operators import registry as reg_ops
+
+    inner_v1 = '{"type":"record","name":"Inner","fields":[{"name":"x","type":"int"}]}'
+    outer = ('{"type":"record","name":"Outer","fields":['
+             '{"name":"inner","type":"Inner"}]}')
+    reg = reg_ops.create_registry(spark)
+    reg = reg_ops.register_schema(reg, "inner-value", "AVRO", inner_v1, mode="NONE")
+    reg = reg_ops.register_schema(
+        reg, "outer-value", "AVRO", outer, mode="BACKWARD",
+        references=[{"name": "Inner", "subject": "inner-value", "version": "latest"}],
+    )
+    stored = reg.filter("subject = 'outer-value'").first().definition
+    assert '"Inner"' in stored and '"x"' in stored  # inlined, not a bare name
+    # a v2 Outer whose reference resolves to an Inner that DROPPED x (no
+    # default) is backward-incompatible THROUGH the reference
+    inner_v2 = '{"type":"record","name":"Inner","fields":[{"name":"y","type":"int"}]}'
+    reg2 = reg_ops.register_schema(reg, "inner2-value", "AVRO", inner_v2, mode="NONE")
+    with pytest.raises(ValueError, match="incompatible"):
+        reg_ops.register_schema(
+            reg2, "outer-value", "AVRO", outer, mode="BACKWARD",
+            references=[{"name": "Inner", "subject": "inner2-value", "version": 1}],
+        )
+    with pytest.raises(ValueError, match="unresolvable"):
+        reg_ops.register_schema(
+            reg, "outer-value", "AVRO", outer, mode="NONE",
+            references=[{"name": "Inner", "subject": "nope", "version": 1}],
+        )
