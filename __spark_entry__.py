@@ -3479,7 +3479,7 @@ FROM tot t LEFT JOIN runs USING (doc_id)""",
          round(list_dot_product(x.v, q.qv)
                / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.qv, q.qv))), 9) AS sim
   FROM x CROSS JOIN q
-  WHERE x.label <> q.qlbl
+  WHERE x.label IS DISTINCT FROM q.qlbl
 )
 SELECT qid, vec_id, neg_label, sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
@@ -3998,13 +3998,15 @@ gen AS (
 alive AS (
   SELECT "group", count(*) AS n_members FROM last WHERE action <> 'leave' GROUP BY "group"
 )
-SELECT pm."group", pm.member,
+SELECT mem."group", mem.member,
        coalesce(gen.generation, 0) AS generation,
        CASE WHEN coalesce(alive.n_members, 0) = 0 THEN 'Empty' ELSE 'Stable' END AS state,
-       pm.n_partitions, pm.first_partition, pm.last_partition
-FROM per_member pm
-LEFT JOIN gen USING ("group")
-LEFT JOIN alive USING ("group")""",
+       coalesce(pm.n_partitions, 0) AS n_partitions,
+       pm.first_partition, pm.last_partition
+FROM mem
+LEFT JOIN per_member pm ON pm."group" = mem."group" AND pm.member = mem.member
+LEFT JOIN gen ON gen."group" = mem."group"
+LEFT JOIN alive ON alive."group" = mem."group\"""",
         "assign_range": f"""WITH {MEMBERSHIP_CTE},
 last AS (
   SELECT "group", member, action FROM m
@@ -5129,11 +5131,19 @@ SELECT * FROM (
 )
 SELECT from_type, to_type, cnt, cnt / CAST(ft AS DOUBLE) AS prob
 FROM c JOIN t USING (from_type)""",
-        "ts_anomaly": """WITH b AS (
+        "ts_anomaly": """WITH obs AS (
   SELECT event_type,
          (epoch_us(ts) // 1000) - ((epoch_us(ts) // 1000) % 3600000) AS bucket_ms,
          count(*) AS cnt
   FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(bucket_ms) AS lo, max(bucket_ms) AS hi FROM obs GROUP BY 1
+), dense AS (
+  SELECT event_type, unnest(generate_series(lo, hi, 3600000)) AS bucket_ms FROM span
+), b AS (
+  SELECT d.event_type, d.bucket_ms, coalesce(o.cnt, 0) AS cnt
+  FROM dense d LEFT JOIN obs o
+    ON o.event_type = d.event_type AND o.bucket_ms = d.bucket_ms
 ), w AS (
   SELECT event_type, bucket_ms, cnt,
          count(cnt) OVER win AS n,
@@ -5152,7 +5162,8 @@ SELECT event_type, bucket_ms, cnt, n AS n_prev,
        CASE WHEN n >= 2 AND var > 0
             THEN (cnt - s / CAST(n AS DOUBLE)) / sqrt(var) END AS z,
        coalesce(abs(CASE WHEN n >= 2 AND var > 0
-            THEN (cnt - s / CAST(n AS DOUBLE)) / sqrt(var) END) > 3.0, false) AS anomaly
+            THEN (cnt - s / CAST(n AS DOUBLE)) / sqrt(var) END) > 3.0, false)
+         OR (n >= 2 AND var = 0 AND cnt <> s / CAST(n AS DOUBLE)) AS anomaly
 FROM v""",
         "grouped_top_k": """WITH r AS (
   SELECT source, doc_id, n_chars,

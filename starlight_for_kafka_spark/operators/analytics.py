@@ -248,12 +248,33 @@ def ts_anomaly(
     doubles, no Welford implementation variance), and sum/sumsq partial-
     aggregate map-side. The window state per key is ``trailing`` rows of
     three longs; keys partition the tiny bucketed table, not the raw log.
+
+    Buckets are DENSIFIED per key (sequence over the key's min→max
+    bucket, zero-filled): a metric that drops to nothing mid-series emits
+    zero-count rows that score as negative-z anomalies, instead of the
+    trailing window silently stretching across the gap — the
+    silent-outage case a rows-based window over observed buckets cannot
+    see. The dense series is bounded by span/bucket_ms rows per key
+    (tiny — it's the bucketed table, not the log).
     """
     ms = F.expr(f"unix_micros({ts_col}) DIV 1000")
-    bucketed = (
+    observed = (
         df.withColumn("bucket_ms", (ms - ms % F.lit(bucket_ms)).cast("long"))
         .groupBy(key_col, "bucket_ms")
         .agg(F.count("*").alias("cnt"))
+    )
+    dense = (
+        observed.groupBy(key_col)
+        .agg(F.min("bucket_ms").alias("__lo"), F.max("bucket_ms").alias("__hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("__lo", "__hi", F.lit(bucket_ms).cast("long"))
+            ).alias("bucket_ms"),
+        )
+    )
+    bucketed = dense.join(observed, [key_col, "bucket_ms"], "left").withColumn(
+        "cnt", F.coalesce("cnt", F.lit(0).cast("long"))
     )
     w = (
         Window.partitionBy(key_col)
@@ -272,6 +293,10 @@ def ts_anomaly(
         .withColumn("z", F.when((n >= 2) & (var > 0), z))
         .withColumn(
             "anomaly",
-            F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False)),
+            # |z| beyond threshold, or ANY deviation from a zero-variance
+            # baseline (a constant metric that moves has z = ±inf; z stays
+            # null, the flag still fires)
+            F.coalesce(F.abs(F.col("z")) > z_threshold, F.lit(False))
+            | ((n >= 2) & (var == 0) & (F.col("cnt") != mean)),
         )
     )

@@ -655,8 +655,17 @@ def describe_group_full(
         F.min("partition").alias("first_partition"),
         F.max("partition").alias("last_partition"),
     )
+    # every LIVE member appears in the response — members beyond the
+    # partition count (nm > np) get an explicitly EMPTY assignment, as
+    # real Kafka returns them, so left-join from the live set rather than
+    # building the output from assignment rows alone
+    full = live.join(per_member, ["group", "member"], "left").select(
+        "group", "member",
+        F.coalesce("n_partitions", F.lit(0).cast("long")).alias("n_partitions"),
+        "first_partition", "last_partition",
+    )
     return (
-        per_member.join(F.broadcast(state), "group")
+        full.join(F.broadcast(state), "group")
         .select(
             "group", "member", "generation", "state",
             "n_partitions", "first_partition", "last_partition",

@@ -123,6 +123,7 @@ def grouped_top_k(
     order_cols: list[Column],
     k: int,
     n_salts: int = 32,
+    salt_cols: list | None = None,
 ) -> DataFrame:
     """Skew-resistant top-k per group, two-stage: a local top-k inside each
     (group, salt) slice, then the exact top-k over the survivors. A hot
@@ -140,10 +141,21 @@ def grouped_top_k(
     package pins.
 
     Emits the group columns, the payload, and ``rank`` (1-based).
+
+    The salt is DETERMINISTIC — ``pmod(xxhash64(salt_cols), n_salts)``
+    (default: every input column) — never ``spark_partition_id()``: under
+    shuffle-fetch-failure recomputation or an AQE replan a row's physical
+    partition can differ between attempts, silently changing which salt
+    slice ranked it (the round-robin-repartition class of retry hazard).
+    A row-content hash gives the same slice on every attempt.
     """
     from pyspark.sql import Window
 
-    salted = df.withColumn("__salt", F.spark_partition_id() % n_salts)
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*(salt_cols if salt_cols is not None else df.columns)),
+               F.lit(n_salts)),
+    )
     w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
     stage1 = (
         salted.withColumn("__r1", F.row_number().over(w1))

@@ -121,6 +121,32 @@ class CommittedLog:
                 txns[m["txn_id"]] = v
         return versions[-1], watermarks, files, txns
 
+    def _publish_staged(self, stage_dir: str, attempt_tag: str) -> list[str]:
+        """Move staged parquet files into data/, refreshing each file's
+        mtime (os.utime) at PUBLISH time: vacuum's min-age window keys off
+        mtime, and os.rename preserves the write-time stamp — a writer
+        stalled longer than min_age_seconds between staging and winning
+        the manifest race would otherwise have its just-published files
+        vacuumed out from under the manifest it then commits."""
+        new_files = []
+        for pdir in sorted(os.listdir(stage_dir)):
+            if not pdir.startswith("partition="):
+                continue
+            dest_dir = os.path.join(self.root, _DATA_DIR, pdir)
+            os.makedirs(dest_dir, exist_ok=True)
+            for i, fn in enumerate(
+                sorted(os.listdir(os.path.join(stage_dir, pdir)))
+            ):
+                if not fn.endswith(".parquet"):
+                    continue
+                dest_name = f"{attempt_tag}-{i}.parquet"
+                dest = os.path.join(dest_dir, dest_name)
+                os.rename(os.path.join(stage_dir, pdir, fn), dest)
+                os.utime(dest)
+                new_files.append(f"{_DATA_DIR}/{pdir}/{dest_name}")
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        return new_files
+
     def _try_commit(self, version: int, manifest: dict) -> None:
         """Publish a manifest ATOMICALLY: write the full content to a temp
         file (fsync'd), then hard-link it to the version name — the link
@@ -222,25 +248,8 @@ class CommittedLog:
                 .partitionBy("partition")
                 .parquet(stage_dir)
             )
-            new_files = []
             new_marks = dict(watermarks)
-            for pdir in sorted(os.listdir(stage_dir)):
-                if not pdir.startswith("partition="):
-                    continue
-                dest_dir = os.path.join(self.root, _DATA_DIR, pdir)
-                os.makedirs(dest_dir, exist_ok=True)
-                for i, fn in enumerate(
-                    sorted(os.listdir(os.path.join(stage_dir, pdir)))
-                ):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    dest_name = f"{attempt_tag}-{i}.parquet"
-                    os.rename(
-                        os.path.join(stage_dir, pdir, fn),
-                        os.path.join(dest_dir, dest_name),
-                    )
-                    new_files.append(f"{_DATA_DIR}/{pdir}/{dest_name}")
-            shutil.rmtree(stage_dir, ignore_errors=True)
+            new_files = self._publish_staged(stage_dir, attempt_tag)
             for p, cnt in counts.items():
                 new_marks[p] = watermarks.get(p, 0) + cnt
             manifest = {
@@ -328,24 +337,7 @@ class CommittedLog:
                 .partitionBy("partition")
                 .parquet(stage_dir)
             )
-            new_files = []
-            for pdir in sorted(os.listdir(stage_dir)):
-                if not pdir.startswith("partition="):
-                    continue
-                dest_dir = os.path.join(self.root, _DATA_DIR, pdir)
-                os.makedirs(dest_dir, exist_ok=True)
-                for i, fn in enumerate(
-                    sorted(os.listdir(os.path.join(stage_dir, pdir)))
-                ):
-                    if not fn.endswith(".parquet"):
-                        continue
-                    dest_name = f"{attempt_tag}-{i}.parquet"
-                    os.rename(
-                        os.path.join(stage_dir, pdir, fn),
-                        os.path.join(dest_dir, dest_name),
-                    )
-                    new_files.append(f"{_DATA_DIR}/{pdir}/{dest_name}")
-            shutil.rmtree(stage_dir, ignore_errors=True)
+            new_files = self._publish_staged(stage_dir, attempt_tag)
             manifest = {
                 "version": version + 1,
                 "optimize": True,

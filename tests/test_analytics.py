@@ -191,3 +191,32 @@ def test_grouped_top_k_equals_plain_window(spark, events):
     assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
         map(tuple, plain.select(*cols).collect())
     )
+
+
+def test_ts_anomaly_gap_hours_surface_as_zero_count_anomalies(spark):
+    """A metric that silently drops to nothing mid-series must emit
+    zero-count bucket rows (negative z), not stretch the trailing window
+    across the gap (r2 ADVICE fix)."""
+    import datetime
+
+    from starlight_for_kafka_spark.operators.analytics import ts_anomaly
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # steady 10 events/hour for 30 hours, except hour 27 is silent
+    for h in range(30):
+        if h == 27:
+            continue
+        for i in range(10):
+            rows.append(("api", t0 + datetime.timedelta(hours=h, minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.bucket_ms: r for r in ts_anomaly(df, z_threshold=3.0).collect()}
+    assert len(out) == 30                      # densified: the gap row exists
+    gap_ms = int((t0 + datetime.timedelta(hours=27)).replace(
+        tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    gap = out[gap_ms]
+    # 24 constant predecessors -> var 0, z undefined (null); the
+    # zero-variance deviation still flags
+    assert gap.cnt == 0 and gap.z is None and gap.anomaly
+    # steady hours stay unflagged
+    assert sum(r.anomaly for r in out.values()) == 1

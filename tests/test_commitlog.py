@@ -323,3 +323,24 @@ def test_vacuum_sweeps_staging_and_tmp_manifest_debris(spark, tmp_path):
     assert any(d.endswith(".tmp") for d in deleted)
     assert not os.path.exists(stage)
     assert log.read(spark).count() == 1
+
+
+def test_publish_refreshes_mtime_so_vacuum_cannot_race_staged_files(spark, tmp_path):
+    """Staged parquet keeps its WRITE-time mtime through os.rename; the
+    publish step must re-stamp it, or a writer stalled past the vacuum
+    min-age between staging and manifest-commit can have live files
+    deleted (r2 ADVICE fix)."""
+    import os
+    import time
+
+    from starlight_for_kafka_spark.sources.commitlog import CommittedLog
+
+    log = CommittedLog(str(tmp_path / "cl"))
+    log.append(_batch(spark, [(0, 3), (1, 2)]), order_col="seq")
+    _, _, files = log.snapshot()
+    now = time.time()
+    for rel in files:
+        age = now - os.path.getmtime(os.path.join(log.root, rel))
+        assert age < 300, f"{rel} carries a stale pre-publish mtime ({age:.0f}s)"
+    # and vacuum with a generous min-age still deletes nothing live
+    assert log.vacuum(min_age_seconds=0.0) == []

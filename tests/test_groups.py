@@ -444,3 +444,25 @@ def test_offset_fetch_stable_semantics(spark):
     assert out[1].offset is None and out[1].unstable is True
     assert 2 not in out
     assert out[3].offset == 3 and out[3].unstable is False
+
+
+def test_describe_group_full_includes_zero_assignment_members(spark):
+    """When a group has more live members than partitions, the members
+    with no partitions still appear in the DESCRIBE_GROUPS response with
+    an empty assignment (real Kafka returns them; r2 ADVICE fix)."""
+    import datetime
+
+    from starlight_for_kafka_spark.operators.groups import describe_group_full
+
+    t0 = datetime.datetime(2024, 1, 1)
+    membership = spark.createDataFrame(
+        [("g", m, t0, i, "join") for i, m in enumerate(["c1", "c2", "c3"])],
+        "group string, member string, ts timestamp, event_id long, action string",
+    )
+    parts = spark.createDataFrame([("t", 0), ("t", 1)], "topic string, partition int")
+    rows = {r.member: r for r in describe_group_full(membership, parts).collect()}
+    assert set(rows) == {"c1", "c2", "c3"}
+    assert rows["c3"].n_partitions == 0
+    assert rows["c3"].first_partition is None and rows["c3"].last_partition is None
+    assert rows["c1"].n_partitions == 1 and rows["c2"].n_partitions == 1
+    assert all(r.state == "Stable" for r in rows.values())
