@@ -14,11 +14,14 @@ Layout::
     <root>/_log/00000000000000000042.json                 (manifest, one per version)
 
 Each manifest records the files its commit ADDED plus the post-commit
-per-partition next offsets (watermarks). A version commits by creating its
-manifest file with ``O_CREAT | O_EXCL`` — atomic on POSIX filesystems and on
-HDFS; on S3-style object stores swap in a conditional PUT (If-None-Match) or
-a coordination table, same protocol shape. Exactly one writer can win a
-version; the loser re-reads the new watermarks, REASSIGNS offsets, rewrites
+per-partition next offsets (watermarks). A version commits through the
+``ManifestBackend`` seam's single atomic primitive, PUT-if-absent:
+``PosixManifestBackend`` (tmp+fsync+hard-link, atomic on POSIX and HDFS) and
+``InMemoryConditionalPutBackend`` (the S3 If-None-Match / GCS
+if-generation-match=0 shape, as tested code) both ship; a real object-store
+deployment drops in the latter's protocol against the bucket API. Exactly
+one writer can win a version; the loser re-reads the new watermarks,
+REASSIGNS offsets, rewrites
 its data files, and retries — offsets depend on the watermark snapshot, so a
 conflict invalidates the data files themselves, not just the manifest
 (unlike a blind Delta append, which could simply re-commit).
@@ -57,9 +60,98 @@ class CommitConflict(Exception):
     """Another writer committed this version first."""
 
 
+class ManifestBackend:
+    """The three object-store operations the commit protocol needs over
+    the manifest namespace: LIST keys, GET an object, and PUT-if-absent.
+    The conditional PUT is the ONLY mutation and the only primitive that
+    must be atomic — every other guarantee (snapshot isolation, loser
+    retry, checkpointing) is protocol, not storage."""
+
+    def list_keys(self) -> list[str]:
+        raise NotImplementedError
+
+    def get(self, key: str) -> bytes:
+        raise NotImplementedError
+
+    def put_if_absent(self, key: str, payload: bytes) -> bool:
+        """Publish the FULL payload under ``key`` iff the key does not
+        exist. True = this writer won the version."""
+        raise NotImplementedError
+
+
+class PosixManifestBackend(ManifestBackend):
+    """Filesystem backend: PUT-if-absent is tmp-write + fsync + hard-link
+    — the link either creates the complete file or fails with EEXIST
+    (atomic on POSIX and HDFS). A bare O_CREAT|O_EXCL + write would
+    expose an empty/partial manifest to a concurrent reader, and a crash
+    mid-write would brick the log with a truncated manifest forever."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+
+    def list_keys(self) -> list[str]:
+        return sorted(n for n in os.listdir(self.log_dir) if n.endswith(".json"))
+
+    def get(self, key: str) -> bytes:
+        with open(os.path.join(self.log_dir, key), "rb") as f:
+            return f.read()
+
+    def put_if_absent(self, key: str, payload: bytes) -> bool:
+        path = os.path.join(self.log_dir, key)
+        tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+class InMemoryConditionalPutBackend(ManifestBackend):
+    """Object-store-shaped backend: a dict under a lock models a bucket
+    whose PUT honors If-None-Match:* (the S3 conditional write that either
+    lands the full object or fails 412-PreconditionFailed; same shape as
+    GCS if-generation-match=0 or an ABS If-None-Match ETag). This is the
+    documented non-POSIX deployment path of the commit protocol as TESTED
+    CODE: the race tests run the identical protocol against this backend
+    and the hard-link one."""
+
+    def __init__(self):
+        import threading
+
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def list_keys(self) -> list[str]:
+        with self._lock:
+            return sorted(self._objects)
+
+    def get(self, key: str) -> bytes:
+        with self._lock:
+            return self._objects[key]
+
+    def put_if_absent(self, key: str, payload: bytes) -> bool:
+        with self._lock:
+            if key in self._objects:
+                return False
+            self._objects[key] = payload
+            return True
+
+
 class CommittedLog:
-    def __init__(self, root: str):
+    def __init__(self, root: str, backend: ManifestBackend | None = None):
         self.root = root
+        self.backend = (
+            backend
+            if backend is not None
+            else PosixManifestBackend(os.path.join(root, _LOG_DIR))
+        )
         os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
 
@@ -67,13 +159,12 @@ class CommittedLog:
     # manifest plumbing (driver-side, tiny)
     # ------------------------------------------------------------------ #
 
-    def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.root, _LOG_DIR, f"{version:020d}.json")
+    def _manifest_key(self, version: int) -> str:
+        return f"{version:020d}.json"
 
     def _versions(self) -> list[int]:
-        names = os.listdir(os.path.join(self.root, _LOG_DIR))
         return sorted(
-            int(n[: -len(".json")]) for n in names if n.endswith(".json")
+            int(n[: -len(".json")]) for n in self.backend.list_keys()
         )
 
     def snapshot(self) -> tuple[int, dict[int, int], list[str]]:
@@ -100,7 +191,7 @@ class CommittedLog:
         start = 0
         # a checkpoint manifest carries the full state up to its version
         for i in range(len(versions) - 1, -1, -1):
-            m = json.load(open(self._manifest_path(versions[i])))
+            m = json.loads(self.backend.get(self._manifest_key(versions[i])))
             if m.get("checkpoint"):
                 watermarks = {int(k): v for k, v in m["watermarks"].items()}
                 files = list(m["all_files"])
@@ -108,7 +199,7 @@ class CommittedLog:
                 start = i + 1
                 break
         for v in versions[start:]:
-            m = json.load(open(self._manifest_path(v)))
+            m = json.loads(self.backend.get(self._manifest_key(v)))
             if m.get("checkpoint"):
                 continue
             removes = set(m.get("removes", []))
@@ -148,24 +239,12 @@ class CommittedLog:
         return new_files
 
     def _try_commit(self, version: int, manifest: dict) -> None:
-        """Publish a manifest ATOMICALLY: write the full content to a temp
-        file (fsync'd), then hard-link it to the version name — the link
-        either creates the complete file or fails with EEXIST. A bare
-        O_CREAT|O_EXCL + write would expose an empty/partial manifest to
-        concurrent _replay (JSONDecodeError) and a writer crash mid-write
-        would brick the log with a truncated manifest forever."""
-        path = self._manifest_path(version)
-        tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
+        """Publish a manifest ATOMICALLY via the backend's conditional
+        PUT: exactly one writer can land a given version key (hard-link
+        EEXIST on POSIX/HDFS, If-None-Match on object stores)."""
+        key = self._manifest_key(version)
+        if not self.backend.put_if_absent(key, json.dumps(manifest).encode()):
             raise CommitConflict(f"version {version} already committed")
-        finally:
-            os.unlink(tmp)
 
     # ------------------------------------------------------------------ #
     # append (optimistic, retried)

