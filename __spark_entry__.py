@@ -2229,6 +2229,18 @@ def q_group_state_recovery(spark, sf_dir):
     return group_ops.recover_group_state(m)
 
 
+def q_group_rebalance_timeline(spark, sf_dir):
+    """DelayedJoin admission-window replay (GroupCoordinator.java:
+    1113-1123): joins during PreparingRebalance coalesce into one
+    generation bump, later rebalances complete early once all known
+    members rejoined, generation-0 windows always wait out the timeout
+    (InitialDelayedJoin). The oracle folds the identical event-time
+    automaton as a recursive CTE (struct+list state — the shape DuckDB's
+    list_reduce gets wrong across groups)."""
+    m = group_ops.derive_membership_from_events(load_table(spark, sf_dir, "events"))
+    return group_ops.recover_group_state_rebalance(m, rebalance_timeout_ms=3_600_000)
+
+
 def q_group_state_static(spark, sf_dir):
     """KIP-345 static membership: every third member carries a
     group.instance.id; its rejoins-while-active must NOT bump the
@@ -2639,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": q_caption_pairs,
         "pack_multimodal": q_pack_multimodal,
         "group_state_recovery": q_group_state_recovery,
+        "group_rebalance_timeline": q_group_rebalance_timeline,
         "group_state_static": q_group_state_static,
         "group_members": q_group_members,
         "assign_range": q_assign_range,
@@ -5085,6 +5098,78 @@ SELECT g."group",
 FROM (SELECT DISTINCT "group" FROM m) g
 LEFT JOIN gen USING ("group")
 LEFT JOIN alive USING ("group")""",
+        "group_rebalance_timeline": f"""WITH RECURSIVE {MEMBERSHIP_CTE.strip().lstrip()},
+steps AS (
+  SELECT "group" AS g, action AS a, member AS mm,
+         CAST(epoch_us(ts) // 1000 AS BIGINT) AS ts_ms,
+         row_number() OVER (PARTITION BY "group" ORDER BY ts, event_id) AS i
+  FROM m
+), n AS (
+  SELECT g, max(i) AS mx FROM steps GROUP BY g
+), fold AS (
+  SELECT g, 0 AS i, 0 AS st, 0 AS gen,
+         CAST([] AS VARCHAR[]) AS members, CAST([] AS VARCHAR[]) AS known,
+         CAST([] AS VARCHAR[]) AS rejoined, CAST(NULL AS BIGINT) AS deadline
+  FROM n
+  UNION ALL
+  SELECT g, i,
+         CASE WHEN early THEN (CASE WHEN len(rejoined2) > 0 THEN 2 ELSE 0 END) ELSE st2 END,
+         CASE WHEN early THEN gen2 + 1 ELSE gen2 END,
+         CASE WHEN early THEN list_sort(rejoined2) ELSE members2 END,
+         CASE WHEN early THEN CAST([] AS VARCHAR[]) ELSE known2 END,
+         CASE WHEN early THEN CAST([] AS VARCHAR[]) ELSE rejoined2 END,
+         CASE WHEN early THEN CAST(NULL AS BIGINT) ELSE deadline2 END
+  FROM (
+    SELECT *, (st2 = 1 AND gen2 > 0 AND list_has_all(rejoined2, known2)) AS early
+    FROM (
+      SELECT g, i, a, mm, ts_ms,
+             CASE WHEN a = 'join' AND st1 <> 1 THEN 1
+                  WHEN a = 'leave' AND st1 <> 1 AND list_contains(members1, mm) THEN 1
+                  ELSE st1 END AS st2,
+             gen1 AS gen2,
+             members1 AS members2,
+             CASE WHEN a = 'join' AND st1 <> 1 THEN
+                    (CASE WHEN st1 = 2 THEN members1 ELSE CAST([] AS VARCHAR[]) END)
+                  WHEN a = 'leave' AND st1 = 1 THEN list_filter(known1, x -> x <> mm)
+                  WHEN a = 'leave' AND list_contains(members1, mm) THEN
+                    list_filter(members1, x -> x <> mm)
+                  ELSE known1 END AS known2,
+             CASE WHEN a = 'join' AND st1 = 1 THEN
+                    (CASE WHEN list_contains(rejoined1, mm) THEN rejoined1
+                          ELSE list_append(rejoined1, mm) END)
+                  WHEN a = 'join' THEN [mm]
+                  WHEN a = 'leave' AND st1 = 1 THEN list_filter(rejoined1, x -> x <> mm)
+                  WHEN a = 'leave' AND list_contains(members1, mm) THEN CAST([] AS VARCHAR[])
+                  ELSE rejoined1 END AS rejoined2,
+             CASE WHEN a = 'join' AND st1 <> 1 THEN ts_ms + 3600000
+                  WHEN a = 'leave' AND st1 <> 1 AND list_contains(members1, mm) THEN ts_ms + 3600000
+                  ELSE deadline1 END AS deadline2
+      FROM (
+        SELECT f.g, f.i AS i, f.a, f.mm, f.ts_ms,
+               CASE WHEN closed THEN (CASE WHEN len(f.rejoined) > 0 THEN 2 ELSE 0 END)
+                    ELSE f.st END AS st1,
+               CASE WHEN closed THEN f.gen + 1 ELSE f.gen END AS gen1,
+               CASE WHEN closed THEN list_sort(f.rejoined) ELSE f.members END AS members1,
+               CASE WHEN closed THEN CAST([] AS VARCHAR[]) ELSE f.known END AS known1,
+               CASE WHEN closed THEN CAST([] AS VARCHAR[]) ELSE f.rejoined END AS rejoined1,
+               CASE WHEN closed THEN CAST(NULL AS BIGINT) ELSE f.deadline END AS deadline1
+        FROM (
+          SELECT f0.g, f0.i + 1 AS i, s0.a, s0.mm, s0.ts_ms,
+                 f0.st, f0.gen, f0.members, f0.known, f0.rejoined, f0.deadline,
+                 (f0.st = 1 AND f0.deadline IS NOT NULL
+                  AND s0.ts_ms >= f0.deadline) AS closed
+          FROM fold f0 JOIN steps s0 ON s0.g = f0.g AND s0.i = f0.i + 1
+        ) f
+      )
+    )
+  )
+)
+SELECT f.g AS "group", f.gen AS generation,
+       ['Empty', 'PreparingRebalance', 'Stable'][f.st + 1] AS state,
+       CAST(len(f.members) AS INT) AS n_members,
+       coalesce(array_to_string(list_sort(f.members), ','), '') AS members,
+       CAST(len(f.rejoined) AS INT) AS n_rejoining
+FROM fold f JOIN n ON n.g = f.g AND f.i = n.mx""",
         "group_state_recovery": f"""WITH {MEMBERSHIP_CTE},
 last AS (
   SELECT "group", member, action FROM m

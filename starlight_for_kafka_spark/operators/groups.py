@@ -671,3 +671,149 @@ def describe_group_full(
             "n_partitions", "first_partition", "last_partition",
         )
     )
+
+
+def recover_group_state_rebalance(
+    membership: DataFrame, rebalance_timeout_ms: int = 60_000
+) -> DataFrame:
+    """Rebalance-window group recovery: the DelayedJoin admission-window
+    semantics the simple ``recover_group_state`` replay flattens away
+    (GroupCoordinator.java:1113-1123 — InitialDelayedJoin for a group's
+    FIRST rebalance, DelayedJoin with all-members-rejoined early
+    completion after; prepareRebalance :933, DelayedJoin.tryComplete via
+    hasAllMembersJoined).
+
+    Event-time automaton per group (events totally ordered by
+    (ts, event_id)):
+
+      * a join/leave against a quiescent group opens PreparingRebalance
+        with deadline = ts + ``rebalance_timeout_ms``; the prior live
+        members (minus a leaver) become the KNOWN set that must rejoin.
+      * joins DURING the window are admitted into the SAME rebalance —
+        no extra generation bump (the coalescing a per-event bump model
+        cannot express).
+      * the rebalance completes — generation += 1, members = rejoined
+        set, state Stable (or Empty if nobody survived) — either EARLY
+        when every known member has rejoined (DelayedJoin.tryComplete;
+        disabled for generation 0, where InitialDelayedJoin always waits
+        out the window so late first joiners can coalesce), or when the
+        first event at/after the deadline arrives (event-time, so the
+        replay is deterministic and engine-portable).
+      * heartbeats only advance event time (they can close a window).
+
+    A timeline that ends mid-rebalance reports state PreparingRebalance
+    with the pre-rebalance generation — the transient state IS observable
+    here, unlike the quiescent batch replay.
+
+    Scale shape: identical to txn_state_machine — ONE shuffle on the
+    group key, each group's bounded event list folds IN-ROW with a JVM
+    higher-order aggregate; no Python in the loop.
+    """
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_millis("ts").alias("ts_ms"),
+                F.col("event_id"),
+                F.col("action").alias("a"),
+                F.col("member").alias("m"),
+            )
+        )
+    )
+
+    empty_arr = F.array().cast("array<string>")
+
+    def completed(acc):
+        """The post-completion state (gen bump, rejoined become members)."""
+        return F.struct(
+            F.when(F.size(acc["rejoined"]) > 0, F.lit(2)).otherwise(F.lit(0)).alias("st"),
+            (acc["gen"] + 1).alias("gen"),
+            F.array_sort(acc["rejoined"]).alias("members"),
+            empty_arr.alias("known"),
+            empty_arr.alias("rejoined"),
+            F.lit(None).cast("long").alias("deadline"),
+        )
+
+    def step(acc, e):
+        a, m = e["a"], e["m"]
+        # phase 1: an event at/after the deadline closes the open window
+        timed_out = (
+            (acc["st"] == 1)
+            & acc["deadline"].isNotNull()
+            & (e["ts_ms"] >= acc["deadline"])
+        )
+        acc = F.when(timed_out, completed(acc)).otherwise(acc)
+        # phase 2: apply the event
+        preparing = acc["st"] == 1
+        is_member = F.array_contains(acc["members"], m)
+        # join: open a window (known = current members) or admit into the
+        # open one
+        join_open = F.struct(
+            F.lit(1).alias("st"),
+            acc["gen"].alias("gen"),
+            acc["members"].alias("members"),
+            F.when(acc["st"] == 2, acc["members"]).otherwise(empty_arr).alias("known"),
+            F.array(m).alias("rejoined"),
+            (e["ts_ms"] + F.lit(rebalance_timeout_ms)).cast("long").alias("deadline"),
+        )
+        join_admit = F.struct(
+            acc["st"].alias("st"),
+            acc["gen"].alias("gen"),
+            acc["members"].alias("members"),
+            acc["known"].alias("known"),
+            F.array_union(acc["rejoined"], F.array(m)).alias("rejoined"),
+            acc["deadline"].alias("deadline"),
+        )
+        # leave: drop from the open window's books, or open a window the
+        # remaining members must rejoin (ignore leaves of unknown members)
+        leave_open = F.struct(
+            F.lit(1).alias("st"),
+            acc["gen"].alias("gen"),
+            acc["members"].alias("members"),
+            F.array_remove(acc["members"], m).alias("known"),
+            empty_arr.alias("rejoined"),
+            (e["ts_ms"] + F.lit(rebalance_timeout_ms)).cast("long").alias("deadline"),
+        )
+        leave_admit = F.struct(
+            acc["st"].alias("st"),
+            acc["gen"].alias("gen"),
+            acc["members"].alias("members"),
+            F.array_remove(acc["known"], m).alias("known"),
+            F.array_remove(acc["rejoined"], m).alias("rejoined"),
+            acc["deadline"].alias("deadline"),
+        )
+        nxt = (
+            F.when((a == "join") & preparing, join_admit)
+            .when(a == "join", join_open)
+            .when((a == "leave") & preparing, leave_admit)
+            .when((a == "leave") & is_member, leave_open)
+            .otherwise(acc)
+        )
+        # phase 3: DelayedJoin early completion — every known member has
+        # rejoined (subset test); InitialDelayedJoin (gen 0) always waits
+        all_rejoined = F.forall(
+            nxt["known"], lambda x: F.array_contains(nxt["rejoined"], x)
+        )
+        early = (nxt["st"] == 1) & (nxt["gen"] > 0) & all_rejoined
+        return F.when(early, completed(nxt)).otherwise(nxt)
+
+    init = F.struct(
+        F.lit(0).alias("st"),
+        F.lit(0).alias("gen"),
+        F.array().cast("array<string>").alias("members"),
+        F.array().cast("array<string>").alias("known"),
+        F.array().cast("array<string>").alias("rejoined"),
+        F.lit(None).cast("long").alias("deadline"),
+    )
+    folded = membership.groupBy("group").agg(F.aggregate(seq, init, step).alias("__m"))
+    state_name = F.element_at(
+        F.array(F.lit("Empty"), F.lit("PreparingRebalance"), F.lit("Stable")),
+        F.col("__m.st") + 1,
+    )
+    return folded.select(
+        "group",
+        F.col("__m.gen").alias("generation"),
+        state_name.alias("state"),
+        F.size("__m.members").alias("n_members"),
+        F.array_join(F.array_sort("__m.members"), ",").alias("members"),
+        F.size("__m.rejoined").alias("n_rejoining"),
+    )

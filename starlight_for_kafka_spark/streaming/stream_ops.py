@@ -235,6 +235,91 @@ def group_coordinator_stream(membership: DataFrame) -> DataFrame:
     )
 
 
+REBALANCE_OUTPUT = (
+    "group string, generation int, state string, n_members int,"
+    " members string, n_rejoining int"
+)
+REBALANCE_STATE_SCHEMA = (
+    "st int, gen int, members array<string>, known array<string>,"
+    " rejoined array<string>, deadline bigint"
+)
+
+
+def group_coordinator_rebalance_stream(
+    membership: DataFrame, rebalance_timeout_ms: int = 60_000
+) -> DataFrame:
+    """Streaming form of groups.recover_group_state_rebalance — the
+    DelayedJoin admission-window coordinator (GroupCoordinator.java:
+    1113-1123: InitialDelayedJoin for generation 0, DelayedJoin with
+    all-members-rejoined early completion after; prepareRebalance :933).
+
+    Identical event-time automaton as the batch fold (joins during
+    PreparingRebalance coalesce into one generation bump; the window
+    closes early when every known member rejoined — gen 0 always waits —
+    or at the first event at/after the deadline), carried across
+    microbatches in the state store, so a finite stream converges to the
+    batch fold of the same log — pinned by test. State per group is a
+    handful of member ids + a deadline; events shuffle once on the group
+    key."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        if state.exists:
+            st, gen, members, known, rejoined, deadline = state.get
+            members, known, rejoined = list(members), list(known), list(rejoined)
+        else:
+            st, gen, members, known, rejoined, deadline = 0, 0, [], [], [], None
+
+        def complete():
+            nonlocal st, gen, members, known, rejoined, deadline
+            gen += 1
+            members = sorted(rejoined)
+            st = 2 if members else 0
+            known, rejoined, deadline = [], [], None
+
+        for pdf in pdfs:
+            for r in pdf.sort_values(["ts", "event_id"]).itertuples():
+                ts_ms = int(r.ts.value // 1_000_000)
+                if st == 1 and deadline is not None and ts_ms >= deadline:
+                    complete()
+                if r.action == "join":
+                    if st == 1:
+                        if r.member not in rejoined:
+                            rejoined.append(r.member)
+                    else:
+                        known = list(members) if st == 2 else []
+                        rejoined = [r.member]
+                        deadline = ts_ms + rebalance_timeout_ms
+                        st = 1
+                elif r.action == "leave":
+                    if st == 1:
+                        known = [m for m in known if m != r.member]
+                        rejoined = [m for m in rejoined if m != r.member]
+                    elif r.member in members:
+                        known = [m for m in members if m != r.member]
+                        rejoined = []
+                        deadline = ts_ms + rebalance_timeout_ms
+                        st = 1
+                # heartbeat: only advances event time (handled above)
+                if st == 1 and gen > 0 and all(m in rejoined for m in known):
+                    complete()
+        state.update((st, gen, members, known, rejoined, deadline))
+        yield pd.DataFrame(
+            {
+                "group": [key[0]],
+                "generation": [gen],
+                "state": [["Empty", "PreparingRebalance", "Stable"][st]],
+                "n_members": [len(members)],
+                "members": [",".join(sorted(members))],
+                "n_rejoining": [len(rejoined)],
+            }
+        )
+
+    return membership.groupBy("group").applyInPandasWithState(
+        update, REBALANCE_OUTPUT, REBALANCE_STATE_SCHEMA, "update", "NoTimeout"
+    )
+
+
 EMA_OUTPUT = "key string, ema double, n long"
 EMA_STATE_SCHEMA = "ema double, n long"
 

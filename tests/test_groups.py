@@ -466,3 +466,64 @@ def test_describe_group_full_includes_zero_assignment_members(spark):
     assert rows["c3"].first_partition is None and rows["c3"].last_partition is None
     assert rows["c1"].n_partitions == 1 and rows["c2"].n_partitions == 1
     assert all(r.state == "Stable" for r in rows.values())
+
+
+def _rebalance_timeline(spark):
+    """GroupCoordinatorTest-shaped timeline (ms offsets from t0):
+
+    g1: m1 join@0 opens the group's FIRST window (InitialDelayedJoin —
+        never completes early), m2 join@4s coalesces into it, a
+        heartbeat@12s crosses the 10s deadline and closes it (gen 1,
+        {m1,m2}); late joiner m3@20s opens a NEW window, m1@21s and
+        m2@22s rejoin -> all known rejoined -> DelayedJoin completes
+        EARLY (gen 2, {m1,m2,m3}).
+    g2: m1 join@0, heartbeat@15s closes (gen 1, {m1}); m1 leave@20s
+        leaves nobody to await -> completes immediately (gen 2, Empty).
+    g3: m1 join@0 and nothing else -> still PreparingRebalance, gen 0.
+    """
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+
+    def ev(group, member, action, ms, eid):
+        rows.append(
+            (group, member, action, t0 + datetime.timedelta(milliseconds=ms), eid)
+        )
+
+    ev("g1", "m1", "join", 0, 0)
+    ev("g1", "m2", "join", 4_000, 1)
+    ev("g1", "m1", "heartbeat", 12_000, 2)
+    ev("g1", "m3", "join", 20_000, 3)
+    ev("g1", "m1", "join", 21_000, 4)
+    ev("g1", "m2", "join", 22_000, 5)
+    ev("g2", "m1", "join", 0, 6)
+    ev("g2", "m1", "heartbeat", 15_000, 7)
+    ev("g2", "m1", "leave", 20_000, 8)
+    ev("g3", "m1", "join", 0, 9)
+    return spark.createDataFrame(
+        rows, "group string, member string, action string, ts timestamp, event_id long"
+    )
+
+
+def test_rebalance_window_coalesces_joins_and_completes_early(spark):
+    """DelayedJoin admission-window semantics (GroupCoordinator.java:
+    1113-1123): joins during PreparingRebalance coalesce into ONE
+    generation bump; a later rebalance completes early once every known
+    member has rejoined; generation 0 always waits out the window."""
+    from starlight_for_kafka_spark.operators.groups import (
+        recover_group_state_rebalance,
+    )
+
+    out = {
+        r.group: r
+        for r in recover_group_state_rebalance(
+            _rebalance_timeline(spark), rebalance_timeout_ms=10_000
+        ).collect()
+    }
+    g1 = out["g1"]
+    assert (g1.generation, g1.state, g1.members) == (2, "Stable", "m1,m2,m3")
+    g2 = out["g2"]
+    assert (g2.generation, g2.state, g2.n_members) == (2, "Empty", 0)
+    g3 = out["g3"]
+    assert (g3.generation, g3.state, g3.n_rejoining) == (0, "PreparingRebalance", 1)

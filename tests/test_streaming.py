@@ -521,3 +521,45 @@ def test_txn_coordinator_stream_converges_to_batch_fold(tmp_path, spark):
     assert len(merged) == 5
     for col in ("final_state", "epochs", "n_committed", "n_aborted", "n_invalid"):
         assert (merged[f"{col}_s"] == merged[f"{col}_b"]).all(), merged
+
+
+def test_group_coordinator_rebalance_stream_converges_to_batch_fold(
+    tmp_path, spark, events
+):
+    """The DelayedJoin admission-window coordinator
+    (GroupCoordinator.java:1113-1123) carried across microbatches must
+    land on exactly the batch fold of the same log — including the
+    coalesced generations and any group left mid-rebalance. The automaton
+    is order-sensitive, so each group's events are delivered whole
+    (repartition by group + one file per trigger)."""
+    from starlight_for_kafka_spark.operators import groups as g
+
+    membership = g.derive_membership_from_events(events)
+    path = str(tmp_path / "membership_rb")
+    membership.repartition(4, "group").write.parquet(path)
+    stream = (
+        spark.readStream.schema(membership.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_ops.group_coordinator_rebalance_stream(
+        stream, rebalance_timeout_ms=3_600_000
+    )
+    stream_ops.run_to_memory(out, "rebalance_out", output_mode="update")
+    got = {
+        r.group: (r.generation, r.state, r.n_members, r.members, r.n_rejoining)
+        for r in spark.sql("SELECT * FROM rebalance_out").collect()
+    }
+    batch = {
+        r.group: (r.generation, r.state, r.n_members, r.members, r.n_rejoining)
+        for r in g.recover_group_state_rebalance(
+            membership, rebalance_timeout_ms=3_600_000
+        ).collect()
+    }
+    assert got == batch
+    # the window semantics must actually coalesce: strictly fewer
+    # generations than the per-event bump model
+    per_event = {
+        r.group: r.generation for r in g.recover_group_state(membership).collect()
+    }
+    assert all(got[grp][0] < per_event[grp] for grp in got)
