@@ -1401,6 +1401,105 @@ LIMIT 10
 """
 
 
+def q_sql_surface_q2(spark, sf_dir):
+    """TPC-H Q2 shape: min-unit-price supplier per qualifying part: correlated scalar MIN subquery over a 4-table join (partsupp adapted to the lineitem supply relation).
+    Same SQL text runs on both engines."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q2_SQL)
+
+
+def q_sql_surface_q7(spark, sf_dir):
+    """TPC-H Q7 shape: volume shipping between a nation pair, grouped by ship year: 6-table join with a symmetric nation-pair disjunction.
+    Same SQL text runs on both engines."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q7_SQL)
+
+
+def q_sql_surface_q8(spark, sf_dir):
+    """TPC-H Q8 shape: market share of one supplier nation inside a region per order year: conditional-sum ratio over an 8-table join.
+    Same SQL text runs on both engines."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q8_SQL)
+
+
+def q_sql_surface_q9(spark, sf_dir):
+    """TPC-H Q9 shape: product-type profit per nation and year (supply cost adapted to p_retailprice), LIKE-filtered part join.
+    Same SQL text runs on both engines."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q9_SQL)
+
+
+def q_sql_surface_q11(spark, sf_dir):
+    """TPC-H Q11 shape: important part values for one nation with a scalar-subquery HAVING threshold (partsupp adapted to lineitem supply value).
+    Same SQL text runs on both engines."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q11_SQL)
+
+
+def q_sql_surface_q12(spark, sf_dir):
+    """TPC-H Q12 shape: priority line counts per line status (shipmode adapted to returnflag classes): conditional-sum pivot over the order join.
+    Same SQL text runs on both engines."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q12_SQL)
+
+
+def q_sql_surface_q13(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution: LEFT JOIN with an extra ON filter, agg-of-agg (comment filter adapted to priority).
+    Same SQL text runs on both engines."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q13_SQL)
+
+
+def q_sql_surface_q16(spark, sf_dir):
+    """TPC-H Q16 shape: supplier count per part attribute combo with a NOT IN exclusion subquery (partsupp adapted to lineitem).
+    Same SQL text runs on both engines."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q16_SQL)
+
+
+def q_sql_surface_q17(spark, sf_dir):
+    """TPC-H Q17 shape: small-quantity-order revenue: correlated per-part 0.2*avg quantity threshold subquery.
+    Same SQL text runs on both engines."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q17_SQL)
+
+
+def q_sql_surface_q20(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers shipping excess volume of a part-name family: IN over a grouped HAVING subquery.
+    Same SQL text runs on both engines."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q20_SQL)
+
+
+def q_sql_surface_q22(spark, sf_dir):
+    """TPC-H Q22 shape: acctbal of rich never-ordered customers per country code: NOT EXISTS anti-join + uncorrelated scalar AVG subquery (phone prefix adapted to nationkey mod).
+    Same SQL text runs on both engines."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q22_SQL)
+
+
 def q_sql_surface_q21(spark, sf_dir):
     """TPC-H Q21 shape: the only-supplier-who-was-late query — correlated
     EXISTS (left-semi) plus NOT EXISTS (null-aware left-anti) in one
@@ -1543,6 +1642,183 @@ WHERE o_orderkey IN (
 GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
+"""
+
+
+Q2_SQL = """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part, supplier, lineitem, nation, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND p_size <= 10 AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND l_extendedprice / l_quantity = (
+      SELECT min(l2.l_extendedprice / l2.l_quantity)
+      FROM lineitem l2, supplier s2, nation n2, region r2
+      WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(9,2))
+           * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+Q8_SQL = """
+SELECT o_year,
+       round(CAST(coalesce(sum(CASE WHEN nation = 'NATION_3' THEN volume END), 0)
+                  AS DOUBLE) / CAST(sum(volume) AS DOUBLE), 9) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(9,2))
+           * (1 - CAST(l_discount AS DECIMAL(3,2))) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+"""
+
+
+Q9_SQL = """
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(9,2))
+           * (1 - CAST(l_discount AS DECIMAL(3,2)))
+           - CAST(p_retailprice AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))
+           AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+Q11_SQL = """
+SELECT l_partkey, CAST(sum(value) AS DOUBLE) AS part_value
+FROM (
+  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(9,2))
+                      * CAST(l_quantity AS DECIMAL(9,2)) AS value
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_5'
+) sup
+GROUP BY l_partkey
+HAVING CAST(sum(value) AS DOUBLE) > (
+  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))
+                  * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) * 0.001
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_5')
+"""
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_returnflag IN ('A', 'N')
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+Q17_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_type = 'SMALL'
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  / count(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem, part
+    WHERE l_partkey = p_partkey AND p_name LIKE 'small%'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 40
+  )
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+"""
+
+
+Q22_SQL = """
+SELECT cntrycode, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+    AND c_acctbal > (
+      SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+      FROM customer c2
+      WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey % 10 IN (1, 3, 5, 7))
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+) custsale
+GROUP BY cntrycode
 """
 
 
@@ -2683,6 +2959,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "sql_surface_q5": q_sql_surface_q5,
         "sql_surface_q4": q_sql_surface_q4,
+        "sql_surface_q2": q_sql_surface_q2,
+        "sql_surface_q7": q_sql_surface_q7,
+        "sql_surface_q8": q_sql_surface_q8,
+        "sql_surface_q9": q_sql_surface_q9,
+        "sql_surface_q11": q_sql_surface_q11,
+        "sql_surface_q12": q_sql_surface_q12,
+        "sql_surface_q13": q_sql_surface_q13,
+        "sql_surface_q16": q_sql_surface_q16,
+        "sql_surface_q17": q_sql_surface_q17,
+        "sql_surface_q20": q_sql_surface_q20,
+        "sql_surface_q22": q_sql_surface_q22,
         "sql_surface_q21": q_sql_surface_q21,
         "sql_surface_q14": q_sql_surface_q14,
         "sql_surface_q15": q_sql_surface_q15,
@@ -3912,6 +4199,17 @@ SELECT pred_lang, rk, doc_id, n_chars FROM (
 ) WHERE rk <= 3""",
         "sql_surface_q5": Q5_SQL,
         "sql_surface_q4": Q4_SQL,
+        "sql_surface_q2": Q2_SQL,
+        "sql_surface_q7": Q7_SQL,
+        "sql_surface_q8": Q8_SQL,
+        "sql_surface_q9": Q9_SQL,
+        "sql_surface_q11": Q11_SQL,
+        "sql_surface_q12": Q12_SQL,
+        "sql_surface_q13": Q13_SQL,
+        "sql_surface_q16": Q16_SQL,
+        "sql_surface_q17": Q17_SQL,
+        "sql_surface_q20": Q20_SQL,
+        "sql_surface_q22": Q22_SQL,
         "sql_surface_q21": Q21_SQL,
         "sql_surface_q14": Q14_SQL,
         "sql_surface_q15": Q15_SQL,
