@@ -254,9 +254,14 @@ def ts_anomaly(
     zero-count rows that score as negative-z anomalies, instead of the
     trailing window silently stretching across the gap — the
     silent-outage case a rows-based window over observed buckets cannot
-    see. The dense series is bounded by span/bucket_ms rows per key
-    (tiny — it's the bucketed table, not the log).
+    see. Densification is generated in TWO explode levels (8k-bucket
+    chunks, then buckets within a chunk) so no single row ever holds the
+    whole span as one array: one corrupt far-past timestamp against a
+    fine bucket_ms would otherwise ask ``sequence`` for a billions-wide
+    array and abort the job at Spark's array-length cap. The dense series
+    is still span/bucket_ms ROWS per key — same output, bounded memory.
     """
+    chunk = 8192
     ms = F.expr(f"unix_micros({ts_col}) DIV 1000")
     observed = (
         df.withColumn("bucket_ms", (ms - ms % F.lit(bucket_ms)).cast("long"))
@@ -268,8 +273,22 @@ def ts_anomaly(
         .agg(F.min("bucket_ms").alias("__lo"), F.max("bucket_ms").alias("__hi"))
         .select(
             key_col,
+            "__hi",
             F.explode(
-                F.sequence("__lo", "__hi", F.lit(bucket_ms).cast("long"))
+                F.sequence("__lo", "__hi", F.lit(bucket_ms * chunk).cast("long"))
+            ).alias("__cs"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    "__cs",
+                    F.least(
+                        F.col("__cs") + F.lit(bucket_ms * (chunk - 1)).cast("long"),
+                        F.col("__hi"),
+                    ),
+                    F.lit(bucket_ms).cast("long"),
+                )
             ).alias("bucket_ms"),
         )
     )

@@ -211,6 +211,13 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # materialize BEFORE deriving hot + probe: three consumers reference
+    # this subtree (the hot-bucket agg, the anti-join probe, and both
+    # self-join sides), and without a barrier the full minhash signature
+    # pass — the dominant cost — re-runs once per consumer (AQE does not
+    # reliably reuse the exchange). Banded rows are (id, band, bucket-hash)
+    # — tiny relative to the corpus at any scale.
+    banded = banded.localCheckpoint(eager=True)
     # Hot-bucket cap as groupBy + broadcast anti-join, NOT a window count:
     # a window over (band, bucket) serializes a mega-hot bucket into one
     # task *before* the cap can drop it, while the groupBy partial-combines
@@ -224,11 +231,6 @@ def minhash_lsh_candidates(
     sized = banded.join(
         F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
     )
-    # materialize before the self-join: both sides reference this subtree,
-    # and without a barrier the full signature pass runs once per side
-    # (AQE does not reliably reuse the exchange). Banded rows are
-    # (id, band, bucket-hash) — tiny relative to the corpus at any scale.
-    sized = sized.localCheckpoint(eager=True)
     a = sized.select(F.col(id_col).alias("a"), "band", "bucket")
     b = sized.select(F.col(id_col).alias("b"), "band", "bucket")
     return (

@@ -709,10 +709,16 @@ def recover_group_state_rebalance(
     group key, each group's bounded event list folds IN-ROW with a JVM
     higher-order aggregate; no Python in the loop.
     """
+    # sort key is FULL-precision micros + event_id — the streaming twin
+    # (pdf.sort_values(["ts","event_id"])) and the DuckDB oracle (ORDER BY
+    # ts, event_id) replay in that order; millis here would let sub-ms
+    # timestamp components reorder same-ms events differently across the
+    # three implementations. Deadline math stays in millis (epoch_us//1000)
+    # to match both twins bit-for-bit.
     seq = F.array_sort(
         F.collect_list(
             F.struct(
-                F.unix_millis("ts").alias("ts_ms"),
+                F.unix_micros("ts").alias("ts_us"),
                 F.col("event_id"),
                 F.col("action").alias("a"),
                 F.col("member").alias("m"),
@@ -735,11 +741,12 @@ def recover_group_state_rebalance(
 
     def step(acc, e):
         a, m = e["a"], e["m"]
+        ts_ms = F.floor(e["ts_us"] / F.lit(1000)).cast("long")
         # phase 1: an event at/after the deadline closes the open window
         timed_out = (
             (acc["st"] == 1)
             & acc["deadline"].isNotNull()
-            & (e["ts_ms"] >= acc["deadline"])
+            & (ts_ms >= acc["deadline"])
         )
         acc = F.when(timed_out, completed(acc)).otherwise(acc)
         # phase 2: apply the event
@@ -753,7 +760,7 @@ def recover_group_state_rebalance(
             acc["members"].alias("members"),
             F.when(acc["st"] == 2, acc["members"]).otherwise(empty_arr).alias("known"),
             F.array(m).alias("rejoined"),
-            (e["ts_ms"] + F.lit(rebalance_timeout_ms)).cast("long").alias("deadline"),
+            (ts_ms + F.lit(rebalance_timeout_ms)).cast("long").alias("deadline"),
         )
         join_admit = F.struct(
             acc["st"].alias("st"),
@@ -771,7 +778,7 @@ def recover_group_state_rebalance(
             acc["members"].alias("members"),
             F.array_remove(acc["members"], m).alias("known"),
             empty_arr.alias("rejoined"),
-            (e["ts_ms"] + F.lit(rebalance_timeout_ms)).cast("long").alias("deadline"),
+            (ts_ms + F.lit(rebalance_timeout_ms)).cast("long").alias("deadline"),
         )
         leave_admit = F.struct(
             acc["st"].alias("st"),

@@ -148,6 +148,16 @@ def grouped_top_k(
     partition can differ between attempts, silently changing which salt
     slice ranked it (the round-robin-repartition class of retry hazard).
     A row-content hash gives the same slice on every attempt.
+
+    A content hash maps IDENTICAL rows to one salt slice — so if a hot
+    group's rows were exact full-row duplicates, stage 1 would serialize
+    them into a single task again. The total-order contract above already
+    forbids that input (two identical rows tie on every order column), so
+    any DataFrame this function is correct for is also one it is
+    skew-safe for: the unique tie-break column that makes the order total
+    is part of the default salt hash and spreads duplicates. If your rows
+    can be full duplicates, attach a distinct id first (that id fixes the
+    rank nondeterminism too), or pass it as ``salt_cols``.
     """
     from pyspark.sql import Window
 

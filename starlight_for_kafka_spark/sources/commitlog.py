@@ -338,6 +338,19 @@ class CommittedLog:
                 "watermarks": {str(p): n for p, n in new_marks.items()},
                 "txn_id": txn_id,
             }
+            # re-stamp IMMEDIATELY before the manifest PUT: the publish-time
+            # stamp protects staging→publish, but a writer suspended between
+            # publish and here for longer than vacuum's min_age would still
+            # commit a manifest referencing vacuumed files. This shrinks the
+            # unprotected span to the stamp→PUT instructions; the residual
+            # invariant (vacuum min_age_seconds must exceed any possible
+            # writer pause inside that span, plus vacuum re-checks the log
+            # right before deleting) is documented on vacuum().
+            for rel in new_files:
+                try:
+                    os.utime(os.path.join(self.root, rel))
+                except OSError:
+                    pass
             try:
                 self._try_commit(version + 1, manifest)
             except CommitConflict:
@@ -441,8 +454,14 @@ class CommittedLog:
         check): a file younger than it is NEVER deleted, because an
         in-flight append may have renamed its files into ``data/`` but not
         yet won its manifest race — deleting those would let the commit
-        land referencing vanished files. Only lower it when no writer can
-        be active.
+        land referencing vanished files. Writers re-stamp their files'
+        mtimes immediately before the manifest PUT and vacuum re-reads the
+        log right before unlinking, so the hazard needs a writer suspended
+        longer than ``min_age_seconds`` between its final stamp and its
+        PUT *and* a vacuum replay inside that sliver. INVARIANT (same as
+        Delta's "retention must exceed the longest-running transaction"):
+        keep ``min_age_seconds`` above any believable writer pause; only
+        lower it when no writer can be active.
 
         Also sweeps crash debris outside ``data/``: abandoned ``_staging``
         attempt dirs (a writer that died between its parquet write and the
@@ -462,13 +481,29 @@ class CommittedLog:
                 return False
 
         data_root = os.path.join(self.root, _DATA_DIR)
+        candidates = []
         for dirpath, _dirs, names in os.walk(data_root):
             for fn in names:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
                 if fn.endswith(".parquet") and rel not in live and old_enough(full):
-                    os.remove(full)
-                    deleted.append(rel)
+                    candidates.append((full, rel))
+        if candidates:
+            # second look at the log right before deleting: a writer that
+            # committed between our snapshot above and now has its files
+            # referenced here, so they drop out of the candidate set. The
+            # age guard handles the remaining sliver (a commit landing
+            # between THIS replay and the unlink requires the writer to
+            # have stalled > min_age_seconds after its pre-commit mtime
+            # stamp — the documented retention invariant, same contract as
+            # Delta's VACUUM retention vs longest-running transaction).
+            _, _, files2, _ = self._replay()
+            live2 = set(files2)
+            for full, rel in candidates:
+                if rel in live2:
+                    continue
+                os.remove(full)
+                deleted.append(rel)
         stage_root = os.path.join(self.root, "_staging")
         if os.path.isdir(stage_root):
             for d in os.listdir(stage_root):
