@@ -345,13 +345,17 @@ def line_dedup(
     the segmentation expression for ``split(text, '\\n')`` recovers literal
     C4 behavior.
 
-    Scale shape: tile map-only, then ONE line-hash-keyed aggregation that
-    reduces each hash to its min (doc_id, line_no) — an agg with map-side
-    partial combine, deliberately NOT a row_number window per hash: a
-    boilerplate line repeated 10^9 times at 100 TB would serialize one
-    window partition, while min() folds it in the mappers. The keeper table
-    (distinct lines, Zipf-small vs corpus) joins back on the hash, and the
-    surviving tiles re-assemble per doc with a sorted in-row fold.
+    Scale shape: ONE pass over the tiled corpus. The line-hash-keyed
+    aggregation reduces each hash to its min (doc_id, line_no) keeper —
+    an agg with map-side partial combine, deliberately NOT a row_number
+    window per hash: a boilerplate line repeated 10^9 times at 100 TB
+    would serialize one window partition, while min() folds it in the
+    mappers. The keeper struct CARRIES ITS OWN LINE TEXT (identical for
+    every row sharing the hash), so no join-back of the corpus-sized tile
+    stream is ever needed: reassembly groups the Zipf-small keeper table
+    by doc, and per-doc line counts come map-only from the word count —
+    the full line text crosses the wire exactly once, in the keeper agg's
+    combined partials.
 
     Emits per doc: n_lines, n_kept, cleaned text + md5 of it.
     """
@@ -359,6 +363,10 @@ def line_dedup(
     words = F.split(F.trim(norm), " ")
     n_lines = F.greatest(
         F.lit(1), F.ceil(F.size(words) / F.lit(line_words)).cast("int")
+    )
+    # per-doc tile count needs no explode: it's a map-only expression
+    doc_lines = df.select(
+        F.col(id_col).alias("__id"), n_lines.cast("long").alias("n_lines")
     )
     tiles = df.select(
         F.col(id_col).alias("__id"),
@@ -372,27 +380,30 @@ def line_dedup(
         ).alias("line"),
     )
     tiles = tiles.withColumn("lh", md5_hash64(F.col("line")))
+    # (__id, line_no) is unique per tile, so the trailing line field never
+    # decides the min — it rides along so the keeper row IS the kept line
     keepers = tiles.groupBy("lh").agg(
-        F.min(F.struct("__id", "line_no")).alias("__keep")
+        F.min(F.struct("__id", "line_no", "line")).alias("__keep")
     )
-    kept_flag = (F.col("__keep.__id") == F.col("__id")) & (
-        F.col("__keep.line_no") == F.col("line_no")
-    )
-    marked = tiles.join(keepers, "lh").withColumn("__kept", kept_flag)
-    out = marked.groupBy("__id").agg(
-        F.count("*").alias("n_lines"),
-        F.sum(F.col("__kept").cast("int")).alias("n_kept"),
+    kept_per_doc = keepers.select(
+        F.col("__keep.__id").alias("__id"),
+        F.col("__keep.line_no").alias("line_no"),
+        F.col("__keep.line").alias("line"),
+    ).groupBy("__id").agg(
+        F.count("*").alias("n_kept"),
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("__kept"), F.struct("line_no", "line"))
-                    )
-                ),
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
                 lambda s: s["line"],
             ),
         ).alias("cleaned_text"),
+    )
+    out = doc_lines.join(kept_per_doc, "__id", "left").select(
+        "__id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
     return out.select(
         F.col("__id").alias(id_col),
@@ -471,27 +482,38 @@ def dsir_weights(
     hashed into ``n_buckets`` buckets (md5-based, engine-portable);
     distributions are add-one smoothed so unseen buckets stay finite.
 
-    Scale shape: both distributions are ONE bucket-keyed aggregation each
-    (n_buckets rows — broadcast); the per-doc weight is a map-side join
-    plus a sorted in-row fold (deterministic summation order, so the
-    result is bit-identical across engines and across retries — a plain
-    double sum() over a shuffle is not).
+    Scale shape: the corpus-sized bigram explode runs ONCE — it collapses
+    straight into the per-(doc, bucket) partial-combining aggregation,
+    which is then materialized (localCheckpoint: ≤ docs × n_buckets rows
+    of three longs + a flag) and every downstream consumer — both
+    distributions, the totals, and the per-doc fold — derives from that
+    tiny table instead of re-running the explode through lineage (four
+    consumers would otherwise mean four corpus passes). Distributions are
+    n_buckets rows — broadcast; the per-doc weight is a map-side join plus
+    a sorted in-row fold (deterministic summation order, so the result is
+    bit-identical across engines and across retries — a plain double
+    sum() over a shuffle is not).
     """
     grams = df.select(
         F.col(id_col).alias("__id"),
         target_pred.alias("__is_target"),
         F.explode(word_shingles(F.col(text_col), 2)).alias("gram"),
     ).withColumn("b", md5_hash64(F.col("gram")) % n_buckets)
-    per_doc_bucket = grams.groupBy("__id", "b").agg(F.count("*").alias("tf"))
-    raw = grams.groupBy("b").agg(F.count("*").alias("raw_cnt"))
-    tgt = (
-        grams.filter("__is_target")
-        .groupBy("b")
-        .agg(F.count("*").alias("tgt_cnt"))
+    per_doc_bucket = grams.groupBy("__id", "__is_target", "b").agg(
+        F.count("*").alias("tf")
     )
-    totals = grams.agg(
-        F.count("*").alias("raw_tot"),
-        F.sum(F.col("__is_target").cast("long")).alias("tgt_tot"),
+    per_doc_bucket = per_doc_bucket.localCheckpoint(eager=True)
+    raw = per_doc_bucket.groupBy("b").agg(F.sum("tf").alias("raw_cnt"))
+    tgt = (
+        per_doc_bucket.filter("__is_target")
+        .groupBy("b")
+        .agg(F.sum("tf").alias("tgt_cnt"))
+    )
+    totals = per_doc_bucket.agg(
+        F.sum("tf").alias("raw_tot"),
+        F.sum(F.when(F.col("__is_target"), F.col("tf")).otherwise(0)).alias(
+            "tgt_tot"
+        ),
     )
     dist = (
         raw.join(tgt, "b", "left")

@@ -320,9 +320,14 @@ class CommittedLog:
             # over a previous append's committed files
             attempt_tag = f"{writer_id}-{uuid.uuid4().hex[:8]}-{attempt}"
             stage_dir = os.path.join(self.root, "_staging", attempt_tag)
+            # NO repartition before the write: the row_number window above
+            # already hash-partitioned the batch by `partition`, so a
+            # repartition("partition") here would be a second full shuffle
+            # for the same layout. Tasks may hold several log partitions
+            # (hash collisions), so the within-task sort leads with the
+            # partition column to keep each parquet file offset-ordered.
             (
-                assigned.repartition("partition")
-                .sortWithinPartitions("offset")
+                assigned.sortWithinPartitions("partition", "offset")
                 .write.mode("overwrite")
                 .partitionBy("partition")
                 .parquet(stage_dir)
