@@ -32,28 +32,40 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     sketches use word shingles): ~6x fewer elements than character shingles
     on English text, so the per-shingle hash pass costs proportionally less.
     Same normalization as :func:`shingles`.
+
+    Built as a chain of k-1 ``zip_with`` joins over shifted slices of the
+    word array — NOT ``transform(sequence(1, n), i -> slice(words, i, k))``:
+    codegen does not share subexpressions into a lambda body, so that
+    formulation re-evaluates the regex-normalize + split (O(doc length))
+    once PER SHINGLE, turning the tokenize pass quadratic. The zip chain
+    evaluates the split k times per row and is ~10x faster end-to-end
+    (measured at sf0.1; identical output).
     """
     norm = F.regexp_replace(F.lower(text), r"\s+", " ")
     words = F.split(F.trim(norm), " ")
     n = F.size(words) - F.lit(k - 1)
-    return F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    acc = F.slice(words, 1, n)
+    for i in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(words, i + 1, n), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n >= 1, acc).otherwise(F.array().cast("array<string>"))
 
 
 def shingles(text: Column, k: int = 5) -> Column:
     """Character k-shingles of a normalized string as array<string>.
 
-    Normalization: lowercase + collapse whitespace. Built from sequence +
-    transform (JVM-side, no UDF). Produces length(text)-k+1 shingles.
+    Normalization: lowercase + collapse whitespace. Produces
+    length(text)-k+1 shingles. Same zip-chain construction (and same
+    reason) as :func:`word_shingles`: the substr-per-sequence-element
+    formulation re-runs the normalization regex once per CHARACTER —
+    O(len^2) per document; this is O(len·k) (~5x faster measured).
     """
     norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    # split("") appends a trailing empty element; slice to the true length
+    chars = F.slice(F.split(norm, ""), 1, F.length(norm))
     n = F.length(norm) - F.lit(k - 1)
-    return F.when(
-        n >= 1,
-        F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k))),
-    ).otherwise(F.array().cast("array<string>"))
+    acc = F.slice(chars, 1, n)
+    for i in range(1, k):
+        acc = F.zip_with(acc, F.slice(chars, i + 1, n), lambda a, b: F.concat(a, b))
+    return F.when(n >= 1, acc).otherwise(F.array().cast("array<string>"))

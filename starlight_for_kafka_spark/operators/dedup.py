@@ -371,25 +371,33 @@ def ngram_jaccard_pairs(
         # rationale): the word-gram vocabulary is orders of magnitude
         # larger than the char-k-gram space, so document frequencies —
         # and with them the prefix-join pair space — collapse.
+        # zip-chain over shifted slices, not transform(sequence(...)):
+        # codegen re-evaluates the split ONCE PER SHINGLE inside a lambda
+        # body (no subexpression sharing into lambdas), which turns the
+        # shingling pass quadratic in document length — see
+        # functions/hashing.py word_shingles for the measured numbers.
         ws = F.split(F.trim(F.col("__t")), " ")
         ngrams = F.size(ws) - F.lit(shingle_k - 1)
+        acc = F.slice(ws, 1, ngrams)
+        for i in range(1, shingle_k):
+            acc = F.zip_with(
+                acc,
+                F.slice(ws, i + 1, ngrams),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
         hashed = F.when(
-            ngrams >= 1,
-            F.transform(
-                F.sequence(F.lit(1), ngrams),
-                lambda i: F.xxhash64(
-                    F.concat_ws(" ", F.slice(ws, i, F.lit(shingle_k)))
-                ),
-            ),
+            ngrams >= 1, F.transform(acc, lambda s: F.xxhash64(s))
         ).otherwise(F.array().cast("array<bigint>"))
     else:
+        chars = F.slice(F.split(F.col("__t"), ""), 1, F.length("__t"))
         npos = F.length("__t") - F.lit(shingle_k - 1)
+        acc = F.slice(chars, 1, npos)
+        for i in range(1, shingle_k):
+            acc = F.zip_with(
+                acc, F.slice(chars, i + 1, npos), lambda a, b: F.concat(a, b)
+            )
         hashed = F.when(
-            npos >= 1,
-            F.transform(
-                F.sequence(F.lit(1), npos),
-                lambda i: F.xxhash64(F.col("__t").substr(i, F.lit(shingle_k))),
-            ),
+            npos >= 1, F.transform(acc, lambda s: F.xxhash64(s))
         ).otherwise(F.array().cast("array<bigint>"))
     sets_df = norm.select(
         "__id", F.array_distinct(hashed).alias("__set")

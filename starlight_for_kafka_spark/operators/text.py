@@ -753,14 +753,18 @@ def bigram_logprob(
     # (w, prev) pairs formed INSIDE the row's own word array (w[i-1] —
     # the same trick the oracle uses): map-only, no self-join of the
     # exploded token table, which would shuffle every token twice before
-    # the model joins even start
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(words)),
-        lambda i: F.struct(
-            (i - 1).alias("pos"),
-            F.element_at(words, i).alias("w"),
-            F.when(i > 1, F.element_at(words, i - 1)).alias("prev"),
-        ),
+    # the model joins even start. arrays_zip of (positions, words,
+    # shifted-words), NOT transform(sequence, i -> element_at(words, i)):
+    # codegen re-evaluates the split once per ELEMENT inside a lambda
+    # body (see functions/hashing.py word_shingles), making tokenization
+    # quadratic; the zip evaluates it a constant number of times per row.
+    pairs = F.arrays_zip(
+        F.sequence(F.lit(0), F.size(words) - 1).alias("pos"),
+        words.alias("w"),
+        F.concat(
+            F.array(F.lit(None).cast("string")),
+            F.slice(words, 1, F.size(words) - 1),
+        ).alias("prev"),
     )
     seq = df.select(
         F.col(id_col).alias("__id"), F.explode(pairs).alias("t")
