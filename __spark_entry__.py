@@ -2702,6 +2702,45 @@ def q_bpe_token_count(spark, sf_dir):
     return text_ops.bpe_token_count(docs).select("doc_id", "n_bpe_tokens")
 
 
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 relevance (k1=1.2, b=0.75, Lucene-default idf) of every
+    document matching a 3-term query — the principled scorer for
+    hybrid_search's keyword leg; per-doc score folds in sorted term order
+    so doubles are bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text_ops.bm25_scores(docs, ["join", "vector", "spark"])
+    return out.select(
+        "doc_id", "n_matched", "dl", F.round("score", 6).alias("score")
+    )
+
+
+def q_bpe_merge_pairs(spark, sf_dir):
+    """Top-20 BPE merge candidates: adjacent char pairs weighted by word
+    frequency (Sennrich'16 tokenizer-training inner step — corpus
+    collapses to its Zipf-small word-frequency table first)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return text_ops.bpe_merge_pairs(docs, top_k=20)
+
+
+def q_pagerank_event_graph(spark, sf_dir):
+    """Weighted PageRank (d=0.85, 10 power iterations, dangling-mass
+    redistribution) over the event-type transition graph — the
+    source-authority signal corpus curation gates on; oracle replays the
+    same fixed-point as a list-state recursive CTE. Ranks are compared at
+    6 dp: float contribution sums are partial-combining (map-side) so the
+    last ulps are engine-dependent, and the iteration is a contraction so
+    the noise shrinks rather than compounds."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = analytics_ops.event_transitions(ev, order_tiebreak="event_id")
+    out = analytics_ops.pagerank(
+        edges.select(
+            F.col("from_type").alias("src"), F.col("to_type").alias("dst"), "cnt"
+        ),
+        weight_col="cnt",
+    )
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_asof_forward(spark, sf_dir):
     """Forward as-of: each view joined to the user's NEXT purchase at or
     after it (time-to-next-event; oracle: DuckDB ASOF with <=)."""
@@ -2951,6 +2990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_similarity": q_ts_similarity,
         "active_users": q_active_users,
         "bpe_token_count": q_bpe_token_count,
+        "bm25_search": q_bm25_search,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
+        "pagerank_event_graph": q_pagerank_event_graph,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
         "cogroup": q_cogroup,
@@ -4665,6 +4707,81 @@ SELECT doc_id, chunk_id,
        least(32, n_words - (chunk_id * 24 + 1) + 1) AS n_chunk_tokens,
        md5(array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_digest
 FROM c""",
+        "bm25_search": """WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM base
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM lens
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT b.doc_id, l.dl, unnest(b.w) AS term
+        FROM base b JOIN lens l USING (doc_id))
+  WHERE term IN ('join', 'spark', 'vector')
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT doc_id, dl, term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+  FROM tf JOIN dfreq USING (term), stats
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched, dl,
+       round(list_reduce(list(c ORDER BY term), (acc, x) -> acc + x), 6) AS score
+FROM contrib GROUP BY doc_id, dl""",
+        "bpe_merge_pairs": """WITH wf AS (
+  SELECT word, count(*) AS wf FROM (
+    SELECT unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents) GROUP BY 1
+), pairs AS (
+  SELECT substr(word, CAST(x AS INT), 2) AS pair, wf
+  FROM (SELECT word, wf, unnest(range(1, length(word))) AS x
+        FROM wf WHERE length(word) >= 2)
+)
+SELECT pair, CAST(sum(wf) AS BIGINT) AS n
+FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
+        "pagerank_event_graph": """WITH RECURSIVE seqd AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), edges AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM seqd WHERE dst IS NOT NULL GROUP BY 1, 2
+), nodes AS (
+  -- subquery UNION ALL + DISTINCT, NOT a UNION CTE: under WITH RECURSIVE
+  -- DuckDB treats any top-level UNION CTE as recursive and duplicates it
+  SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS total_w FROM edges GROUP BY 1),
+ne AS (SELECT src, dst, w / total_w AS share FROM edges JOIN outw USING (src)),
+dangling AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM outw)),
+pr AS (
+  SELECT 0 AS it,
+         (SELECT list(struct_pack(node := node, rank := 1.0 / (SELECT n FROM nn)) ORDER BY node)
+          FROM nodes) AS state
+  UNION ALL
+  SELECT it + 1,
+    (SELECT list(struct_pack(
+         node := nd.node,
+         rank := (1 - 0.85) / (SELECT n FROM nn)
+                 + 0.85 * (COALESCE(inf.inflow, 0)
+                           + (SELECT COALESCE(sum(s2.r.rank), 0)
+                              FROM (SELECT unnest(state) AS r) s2
+                              WHERE s2.r.node IN (SELECT node FROM dangling)) / (SELECT n FROM nn))
+       ) ORDER BY nd.node)
+     FROM nodes nd
+     LEFT JOIN (
+       SELECT e.dst AS node, sum(s.r.rank * e.share) AS inflow
+       FROM (SELECT unnest(state) AS r) s JOIN ne e ON e.src = s.r.node
+       GROUP BY 1
+     ) inf ON inf.node = nd.node)
+  FROM pr WHERE it < 10
+)
+SELECT s.r.node AS node, round(s.r.rank, 6) AS rank
+FROM (SELECT unnest(state) AS r FROM pr WHERE it = 10) s""",
         "tfidf_terms": """WITH terms AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term

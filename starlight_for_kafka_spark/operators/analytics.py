@@ -319,3 +319,93 @@ def ts_anomaly(
             | ((n >= 2) & (var == 0) & (F.col("cnt") != mean)),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over an edge list, a FIXED number of power
+    iterations (Page et al. 1999) — the source-authority signal a web-scale
+    corpus curation pipeline ranks domains/hosts with (Common-Crawl-style
+    pipelines gate on exactly this class of centrality) before quality
+    sampling:
+
+        r'(v) = (1-d)/N + d · [ Σ_{u→v} r(u)·w(u,v)/W(u)  +  dangling/N ]
+
+    where W(u) is u's total out-weight and ``dangling`` is the rank mass
+    sitting on nodes with no out-edges (redistributed uniformly, the
+    standard correction). Unweighted graphs pass ``weight_col=None``
+    (every edge weighs 1).
+
+    Scale shape: the same driver-loop-over-distributed-steps idiom as
+    dedup.connected_components — each iteration is ONE join of the rank
+    table against the (pre-normalized, localCheckpointed) edge table plus
+    one dst-keyed partial-combining aggregation; ranks re-checkpoint per
+    round to cut lineage. Contribution sums use plain ``sum`` (map-side
+    combinable — an in-row sorted fold would collect_list a celebrity
+    node's 10^8 in-edges into one task); float summation order is
+    therefore engine/run-dependent in the last ulps, and ranks should be
+    compared ROUNDED (the fixed-point iteration is a contraction, so
+    low-bit noise shrinks rather than compounds).
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("total_w"))
+    # pre-normalize edge weights once: share(u,v) = w/W(u)
+    norm_e = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("total_w")).alias("share"))
+        .localCheckpoint(eager=True)
+    )
+    has_out = out_w.select(F.col("src").alias("node")).distinct()
+    dangling_nodes = nodes.join(has_out, "node", "left_anti").localCheckpoint(
+        eager=True
+    )
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        dangling = (
+            dangling_nodes.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+            or 0.0
+        )
+        contribs = (
+            norm_e.join(ranks, norm_e["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.lit(dangling / n_nodes)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -293,6 +293,91 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every matching document against a bag of
+    query terms (Robertson et al., TREC-3; the Lucene-default scoring
+    function) — the exact keyword-ranking baseline a retrieval or
+    RAG-data pipeline needs next to the vector side
+    (similarity.hybrid_search fuses shortlists; this is the principled
+    scorer for the keyword leg):
+
+        score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+
+    Emits one row per document containing at least one query term:
+    (id, n_matched terms, dl, score). Rank with an orderBy+limit on top —
+    TakeOrderedAndProject keeps top-k bounded at any corpus size.
+
+    Scale shape: the corpus token stream is scanned ONCE and filtered to
+    the broadcast query-term set BEFORE any shuffle, so only matching
+    (doc, term) pairs — a vanishing fraction at 100 TB — reach the tf
+    aggregation; document lengths are a map-only expression aggregated
+    into one broadcast scalar (N, avgdl); per-term df comes off the tiny
+    tf table. The per-doc score folds ≤|query| contributions in sorted
+    term order — deterministic double summation, bit-identical across
+    engines and retries.
+    """
+    qt = sorted({t.lower() for t in query_terms})
+    k1p1 = k1 + 1.0
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    words = F.split(F.trim(norm), " ")
+    base = df.select(F.col(id_col).alias("__id"), words.alias("__w"))
+    lens = base.select("__id", F.size("__w").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("__id", F.size("__w").cast("long").alias("dl"),
+                    F.explode("__w").alias("term"))
+        .filter(F.col("term").isin(qt))
+        .groupBy("__id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "c",
+            F.col("idf") * F.col("tf") * F.lit(k1p1)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scored = contrib.groupBy("__id", "dl").agg(
+        F.count("*").alias("n_matched"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                lambda s: s["c"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    return scored.select(
+        F.col("__id").alias(id_col), "n_matched", "dl", "score"
+    )
+
+
 def unigram_logprob(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -613,6 +698,43 @@ def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "n_bpe_tokens", F.regexp_count(F.col(text_col), F.lit(BPE_PRETOKEN_RE))
     )
+
+
+def bpe_merge_pairs(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """The inner statistic of BPE tokenizer TRAINING (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword Units"):
+    count every adjacent character pair weighted by word frequency and
+    rank the merge candidates — the pair the algorithm would fuse next is
+    row 1, and re-running after each merge replays exactly this
+    aggregation. Pairs are formed WITHIN words only (the standard
+    word-boundary constraint).
+
+    Scale shape: the corpus collapses to its word-frequency table first
+    (one token-keyed agg with map-side combine — Zipf: vastly fewer
+    distinct words than tokens), so the pair explode runs over the small
+    distinct-word table, never the corpus; per-word pair extraction is
+    substr over the word column (words are short — no quadratic hazard).
+    One tiny pair-keyed agg and a bounded top-k finish it.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    word_freq = (
+        df.select(F.explode(F.split(F.trim(norm), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.col("word").substr(i, F.lit(2)),
+    )
+    pair_counts = (
+        word_freq.filter(F.length("word") >= 2)
+        .select("wf", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wf").alias("n"))
+    )
+    return pair_counts.orderBy(F.desc("n"), F.asc("pair")).limit(top_k)
 
 
 def quality_classifier(

@@ -220,3 +220,44 @@ def test_ts_anomaly_gap_hours_surface_as_zero_count_anomalies(spark):
     assert gap.cnt == 0 and gap.z is None and gap.anomaly
     # steady hours stay unflagged
     assert sum(r.anomaly for r in out.values()) == 1
+
+
+def test_pagerank_ring_is_uniform_and_conserves_mass(spark):
+    from starlight_for_kafka_spark.operators.analytics import pagerank
+
+    # directed 4-ring: perfectly symmetric -> stationary = uniform 1/N at
+    # every iteration, so 10 power steps must return exactly 0.25 each
+    ring = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], "src string, dst string"
+    )
+    out = {r.node: r.rank for r in pagerank(ring).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    for v in out.values():
+        assert abs(v - 0.25) < 1e-12
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_and_dangling_redistribution(spark):
+    from starlight_for_kafka_spark.operators.analytics import pagerank
+
+    # a,b,c all point at hub; hub has NO out-edges (dangling) — its mass
+    # must redistribute uniformly, total stays 1, hub ranks highest
+    star = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub")], "src string, dst string"
+    )
+    out = {r.node: r.rank for r in pagerank(star, iterations=20).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out["hub"] > out["a"] == out["b"] == out["c"]
+
+
+def test_pagerank_weighted_edge_shifts_mass(spark):
+    from starlight_for_kafka_spark.operators.analytics import pagerank
+
+    # s splits 9:1 between x and y -> x must outrank y
+    g = spark.createDataFrame(
+        [("s", "x", 9.0), ("s", "y", 1.0), ("x", "s", 1.0), ("y", "s", 1.0)],
+        "src string, dst string, w double",
+    )
+    out = {r.node: r.rank for r in pagerank(g, weight_col="w").collect()}
+    assert out["x"] > out["y"]
+    assert abs(sum(out.values()) - 1.0) < 1e-9

@@ -918,3 +918,35 @@ def test_dedup_cluster_stats_counts_clone_chains(spark, documents):
         du, shingle_k=3, threshold=0.7, shingle_mode="word").collect()}
     assert out[3].n_clusters >= 1 and out[3].docs_dropped == out[3].n_docs - out[3].n_clusters
     assert out[2].n_clusters >= 1
+
+
+def test_bm25_tf_and_idf_ordering(spark):
+    from starlight_for_kafka_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark filler filler filler"),   # tf=2 for spark
+            (2, "spark filler filler filler filler"),  # tf=1, same length
+            (3, "rare filler filler filler filler"),   # rare term, one doc
+            (4, "filler filler filler filler filler"), # no match
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_scores(docs, ["spark", "rare"]).collect()}
+    assert 4 not in out                      # non-matching docs are absent
+    assert out[1].score > out[2].score       # higher tf, same dl -> higher
+    # 'rare' (df=1) carries more idf than 'spark' (df=2) at equal tf/dl
+    assert out[3].score > out[2].score
+    assert out[1].n_matched == 1 and out[1].dl == 5
+
+
+def test_bpe_merge_pairs_counts_weighted_by_word_freq(spark):
+    from starlight_for_kafka_spark.operators.text import bpe_merge_pairs
+
+    docs = spark.createDataFrame(
+        [("aab aab aab",), ("ab x",)], "text string"
+    )
+    out = {r.pair: r.n for r in bpe_merge_pairs(docs, top_k=10).collect()}
+    # 'aab' (freq 3) contributes aa x3 and ab x3; 'ab' (freq 1) adds ab x1;
+    # 'x' is single-char -> no pairs
+    assert out == {"aa": 3, "ab": 4}
