@@ -633,6 +633,60 @@ def q_split_leakage_safe(spark, sf_dir):
     return out.select("doc_id", "component", "split")
 
 
+def q_minhash_jaccard_estimate(spark, sf_dir):
+    """Signature-space Jaccard estimate for LSH candidate pairs (Broder'97
+    unbiased estimator: fraction of agreeing minhash components) — the
+    100 TB verify path that never re-reads document text. Oracle replays
+    the identical signatures and compares component agreement."""
+    docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
+    sigs = dedup_ops.minhash_signatures(
+        docs, num_hashes=16, shingle_k=3, shingle_mode="word"
+    )
+    cands = dedup_ops.minhash_lsh_candidates(sigs, bands=4, num_hashes=16)
+    return dedup_ops.minhash_jaccard_estimate(sigs, cands, threshold=0.5)
+
+
+def q_group_select_protocol(spark, sf_dir):
+    """JOIN_GROUP protocol election (GroupMetadata.selectProtocol:361):
+    candidates = intersection of all members' protocol sets, each member
+    votes its first supported preference, most votes wins (deterministic
+    (votes desc, protocol asc) tie-break pinned — the reference's HashMap
+    order is unstable). Membership derives from events: member m{u%24}
+    in group g{u%3} with preference lists keyed by member-number % 4, so
+    groups mix members with conflicting first choices and the vote-split
+    path is exercised."""
+    ev = load_table(spark, sf_dir, "events")
+    mnum = F.col("user_id") % 24
+    members = (
+        ev.select(
+            F.concat(F.lit("g"), (F.col("user_id") % 3).cast("string")).alias(
+                "group"
+            ),
+            F.concat(F.lit("m"), mnum.cast("string")).alias("member"),
+            mnum.alias("__mnum"),
+        )
+        .distinct()
+        .withColumn(
+            "protocols",
+            F.when(
+                F.col("__mnum") % 4 == 0,
+                F.array(F.lit("sticky"), F.lit("range")),
+            )
+            .when(
+                F.col("__mnum") % 4 == 1,
+                F.array(F.lit("range"), F.lit("sticky"), F.lit("roundrobin")),
+            )
+            .when(
+                F.col("__mnum") % 4 == 2,
+                F.array(F.lit("roundrobin"), F.lit("range"), F.lit("sticky")),
+            )
+            .otherwise(F.array(F.lit("range"), F.lit("roundrobin"))),
+        )
+        .drop("__mnum")
+    )
+    return group_ops.select_group_protocol(members)
+
+
 def _dedup_cluster_stats_oracle_sql() -> str:
     """Cluster-size histogram over the same recursive transitive closure
     the dedup_minhash_cc oracle uses."""
@@ -2920,6 +2974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+        "group_select_protocol": q_group_select_protocol,
         "dedup_minhash_cc": q_dedup_minhash_cc,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "split_leakage_safe": q_split_leakage_safe,
@@ -3407,6 +3463,48 @@ def oracle_sql() -> dict[str, str]:
     ms = 'epoch_us({c}) // 1000'
     return {
         "dedup_minhash": _minhash_oracle_sql(),
+        "minhash_jaccard_estimate": f"""WITH {_minhash_pipeline_cte()},
+est AS (
+  SELECT c.a, c.b,
+         CAST(len(list_filter(range(1, 17), i -> sa.sg[i] = sb.sg[i])) AS DOUBLE) / 16 AS j_est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b
+)
+SELECT a, b, j_est, j_est >= 0.5 AS near_dup FROM est""",
+        "group_select_protocol": """WITH mem AS (
+  SELECT DISTINCT 'g' || CAST(user_id % 3 AS VARCHAR) AS g,
+         'm' || CAST(user_id % 24 AS VARCHAR) AS member,
+         user_id % 24 AS mnum
+  FROM events
+), prefs AS (
+  SELECT g, member,
+         CASE mnum % 4
+           WHEN 0 THEN ['sticky', 'range']
+           WHEN 1 THEN ['range', 'sticky', 'roundrobin']
+           WHEN 2 THEN ['roundrobin', 'range', 'sticky']
+           ELSE ['range', 'roundrobin'] END AS protocols
+  FROM mem
+), pos AS (
+  SELECT g, member, protocols[CAST(i AS INT)] AS protocol, CAST(i AS INT) AS pos
+  FROM (SELECT g, member, protocols, unnest(range(1, len(protocols) + 1)) AS i FROM prefs)
+), sizes AS (
+  SELECT g, count(*) AS nm FROM prefs GROUP BY 1
+), support AS (
+  SELECT g, protocol, count(*) AS sup FROM pos GROUP BY 1, 2
+), cands AS (
+  SELECT s.g, s.protocol FROM support s JOIN sizes z USING (g) WHERE s.sup = z.nm
+), votes AS (
+  SELECT p.g, p.member, min_by(p.protocol, p.pos) AS protocol
+  FROM pos p JOIN cands c ON c.g = p.g AND c.protocol = p.protocol
+  GROUP BY 1, 2
+), tally AS (
+  SELECT g, protocol, count(*) AS votes FROM votes GROUP BY 1, 2
+)
+SELECT g AS "group", protocol, votes FROM (
+  SELECT g, protocol, votes,
+         row_number() OVER (PARTITION BY g ORDER BY votes DESC, protocol) AS rn
+  FROM tally) WHERE rn = 1""",
         "dedup_minhash_cc": _minhash_cc_oracle_sql(),
         "dedup_cluster_stats": _dedup_cluster_stats_oracle_sql(),
         "split_leakage_safe": _leakage_safe_split_oracle_sql(),

@@ -286,6 +286,45 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
+def minhash_jaccard_estimate(
+    signatures: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Estimate each candidate pair's Jaccard DIRECTLY from the MinHash
+    signatures — the fraction of agreeing components, the unbiased MinHash
+    estimator (Broder '97: P[min-hash collision] = J exactly). The
+    100 TB-scale alternative to :func:`jaccard_verify`: the verify pass
+    re-reads and re-shingles both TEXTS of every candidate pair, while
+    this joins two K-long integer arrays — the corpus never re-enters the
+    plan. The price is estimator noise ~ sqrt(J(1-J)/K) (K=16 → ±0.12 at
+    J=0.5), so use it when LSH banding already pre-filtered to plausible
+    pairs and the downstream decision tolerates soft boundaries — or as
+    the cheap first stage before an exact verify of the borderline band.
+
+    Emits (a, b, j_est, near_dup). Candidate pairs are materialized first
+    for the same three-consumer reason as jaccard_verify.
+    """
+    candidates = candidates.localCheckpoint(eager=True)
+    sa = signatures.select(F.col(id_col).alias("a"), F.col("signature").alias("__sa"))
+    sb = signatures.select(F.col(id_col).alias("b"), F.col("signature").alias("__sb"))
+    return (
+        candidates.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "j_est",
+            F.size(
+                F.filter(
+                    F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v
+                )
+            ).cast("double")
+            / F.size("__sa"),
+        )
+        .select("a", "b", "j_est", (F.col("j_est") >= threshold).alias("near_dup"))
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

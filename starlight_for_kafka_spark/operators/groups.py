@@ -824,3 +824,67 @@ def recover_group_state_rebalance(
         F.array_join(F.array_sort("__m.members"), ",").alias("members"),
         F.size("__m.rejoined").alias("n_rejoining"),
     )
+
+
+def select_group_protocol(
+    members: DataFrame,
+    group_col: str = "group",
+    member_col: str = "member",
+    protocols_col: str = "protocols",
+) -> DataFrame:
+    """JOIN_GROUP protocol election (GroupMetadata.selectProtocol:361 /
+    candidateProtocols:288, MemberMetadata.vote:150): the candidate set is
+    the INTERSECTION of every member's supported protocols, each member
+    votes for its first preference among the candidates, and the protocol
+    with the most votes wins. The reference's tie-break is HashMap
+    iteration order (unstable); this pins (votes desc, protocol asc) so
+    the election is deterministic and engine-portable. A group with no
+    common protocol emits no row — the coordinator's
+    INCONSISTENT_GROUP_PROTOCOL rejection (supportsProtocols:296 refuses
+    such a member at join time, so the state is unreachable there; here
+    the input is a plain table, so it surfaces as absence).
+
+    ``protocols`` is each member's list in PREFERENCE ORDER (position =
+    vote priority). Emits (group, protocol, votes).
+
+    Scale shape: every step is a group-keyed partial-combining aggregation
+    over the exploded (member, position, protocol) table — member counts,
+    per-protocol support counts, first-candidate votes (min struct), the
+    tally, and a min-struct winner. No windows, no driver logic; a million
+    groups elect in one pass.
+    """
+    m = members.select(group_col, member_col, protocols_col)
+    sizes = m.groupBy(group_col).agg(F.count("*").alias("__nm"))
+    pos = m.select(
+        group_col,
+        member_col,
+        F.posexplode(protocols_col).alias("pos", "protocol"),
+    )
+    support = pos.groupBy(group_col, "protocol").agg(F.count("*").alias("__sup"))
+    cands = (
+        support.join(sizes, group_col)
+        .filter(F.col("__sup") == F.col("__nm"))
+        .select(group_col, "protocol")
+    )
+    votes = (
+        pos.join(cands, [group_col, "protocol"])
+        .groupBy(group_col, member_col)
+        .agg(F.min(F.struct("pos", "protocol")).alias("__first"))
+        .select(group_col, F.col("__first.protocol").alias("protocol"))
+    )
+    tally = votes.groupBy(group_col, "protocol").agg(F.count("*").alias("votes"))
+    return (
+        tally.groupBy(group_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("votes")).alias("nv"), F.col("protocol").alias("p")
+                )
+            ).alias("__w")
+        )
+        .select(
+            group_col,
+            F.col("__w.p").alias("protocol"),
+            (-F.col("__w.nv")).alias("votes"),
+        )
+    )

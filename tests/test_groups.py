@@ -527,3 +527,29 @@ def test_rebalance_window_coalesces_joins_and_completes_early(spark):
     assert (g2.generation, g2.state, g2.n_members) == (2, "Empty", 0)
     g3 = out["g3"]
     assert (g3.generation, g3.state, g3.n_rejoining) == (0, "PreparingRebalance", 1)
+
+
+def test_select_group_protocol_vote_and_intersection(spark):
+    from starlight_for_kafka_spark.operators.groups import select_group_protocol
+
+    members = spark.createDataFrame(
+        [
+            # g1: candidates = {range, sticky} (roundrobin isn't common);
+            # m1/m3's first candidate is sticky, m2's is range (its own
+            # roundrobin preference isn't a candidate) -> sticky wins 2:1
+            ("g1", "m1", ["sticky", "range"]),
+            ("g1", "m2", ["roundrobin", "range", "sticky"]),
+            ("g1", "m3", ["sticky", "range", "roundrobin"]),
+            # g2: tie 1:1 between range and sticky -> lexicographic 'range'
+            ("g2", "m1", ["range", "sticky"]),
+            ("g2", "m2", ["sticky", "range"]),
+            # g3: no common protocol -> no row
+            ("g3", "m1", ["range"]),
+            ("g3", "m2", ["sticky"]),
+        ],
+        "group string, member string, protocols array<string>",
+    )
+    out = {r.group: (r.protocol, r.votes) for r in select_group_protocol(members).collect()}
+    assert out["g1"] == ("sticky", 2)
+    assert out["g2"] == ("range", 1)   # deterministic tie-break
+    assert "g3" not in out

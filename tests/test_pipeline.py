@@ -950,3 +950,26 @@ def test_bpe_merge_pairs_counts_weighted_by_word_freq(spark):
     # 'aab' (freq 3) contributes aa x3 and ab x3; 'ab' (freq 1) adds ab x1;
     # 'x' is single-char -> no pairs
     assert out == {"aa": 3, "ab": 4}
+
+
+def test_minhash_jaccard_estimate_identical_and_disjoint(spark):
+    from starlight_for_kafka_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different words about spark shuffles and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_k=3, shingle_mode="word")
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    out = {(r.a, r.b): r for r in minhash_jaccard_estimate(sigs, cands).collect()}
+    # identical docs -> identical signatures -> estimate exactly 1
+    assert out[(1, 2)].j_est == 1.0 and out[(1, 2)].near_dup
+    # disjoint shingle sets -> estimate ~0 (each component collides w.p. ~1/P)
+    assert out[(1, 3)].j_est < 0.5 and not out[(1, 3)].near_dup
