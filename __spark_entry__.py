@@ -25,6 +25,7 @@ from starlight_for_kafka_spark.operators import analytics as analytics_ops
 from starlight_for_kafka_spark.operators import dedup as dedup_ops
 from starlight_for_kafka_spark.operators import groups as group_ops
 from starlight_for_kafka_spark.operators import ktable as ktable_ops
+from starlight_for_kafka_spark.operators import layout as layout_ops
 from starlight_for_kafka_spark.operators import multimodal as mm_ops
 from starlight_for_kafka_spark.operators import registry as reg_ops
 from starlight_for_kafka_spark.operators import sampling as sampling_ops
@@ -644,6 +645,15 @@ def q_minhash_jaccard_estimate(spark, sf_dir):
     )
     cands = dedup_ops.minhash_lsh_candidates(sigs, bands=4, num_hashes=16)
     return dedup_ops.minhash_jaccard_estimate(sigs, cands, threshold=0.5)
+
+
+def q_zorder_events(spark, sf_dir):
+    """Morton Z-order key over (user_id, value), 16 bits/dim min-max
+    normalized — the multi-column clustering key behind OPTIMIZE ZORDER;
+    pure integer interleave over an exactly reproducible normalization, so
+    the oracle computes the identical key bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return layout_ops.zorder_key(ev, ["user_id", "value"]).select("event_id", "zkey")
 
 
 def q_group_select_protocol(spark, sf_dir):
@@ -2975,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
+        "zorder_events": q_zorder_events,
         "group_select_protocol": q_group_select_protocol,
         "dedup_minhash_cc": q_dedup_minhash_cc,
         "dedup_cluster_stats": q_dedup_cluster_stats,
@@ -3472,6 +3483,20 @@ est AS (
   JOIN sig sb ON sb.doc_id = c.b
 )
 SELECT a, b, j_est, j_est >= 0.5 AS near_dup FROM est""",
+        "zorder_events": """WITH stats AS (
+  SELECT CAST(min(user_id) AS DOUBLE) AS mn0, CAST(max(user_id) AS DOUBLE) AS mx0,
+         min("value") AS mn1, max("value") AS mx1
+  FROM events
+), normed AS (
+  SELECT event_id,
+         CASE WHEN mx0 = mn0 THEN 0
+              ELSE CAST(floor((CAST(user_id AS DOUBLE) - mn0) * 65535.0 / (mx0 - mn0)) AS BIGINT) END AS n0,
+         CASE WHEN mx1 = mn1 THEN 0
+              ELSE CAST(floor(("value" - mn1) * 65535.0 / (mx1 - mn1)) AS BIGINT) END AS n1
+  FROM events, stats
+)
+SELECT event_id, (((n0 >> 0) & 1) << 0) + (((n1 >> 0) & 1) << 1) + (((n0 >> 1) & 1) << 2) + (((n1 >> 1) & 1) << 3) + (((n0 >> 2) & 1) << 4) + (((n1 >> 2) & 1) << 5) + (((n0 >> 3) & 1) << 6) + (((n1 >> 3) & 1) << 7) + (((n0 >> 4) & 1) << 8) + (((n1 >> 4) & 1) << 9) + (((n0 >> 5) & 1) << 10) + (((n1 >> 5) & 1) << 11) + (((n0 >> 6) & 1) << 12) + (((n1 >> 6) & 1) << 13) + (((n0 >> 7) & 1) << 14) + (((n1 >> 7) & 1) << 15) + (((n0 >> 8) & 1) << 16) + (((n1 >> 8) & 1) << 17) + (((n0 >> 9) & 1) << 18) + (((n1 >> 9) & 1) << 19) + (((n0 >> 10) & 1) << 20) + (((n1 >> 10) & 1) << 21) + (((n0 >> 11) & 1) << 22) + (((n1 >> 11) & 1) << 23) + (((n0 >> 12) & 1) << 24) + (((n1 >> 12) & 1) << 25) + (((n0 >> 13) & 1) << 26) + (((n1 >> 13) & 1) << 27) + (((n0 >> 14) & 1) << 28) + (((n1 >> 14) & 1) << 29) + (((n0 >> 15) & 1) << 30) + (((n1 >> 15) & 1) << 31) AS zkey
+FROM normed""",
         "group_select_protocol": """WITH mem AS (
   SELECT DISTINCT 'g' || CAST(user_id % 3 AS VARCHAR) AS g,
          'm' || CAST(user_id % 24 AS VARCHAR) AS member,

@@ -532,3 +532,32 @@ def test_pq_adc_scan_reads_no_embedding_after_encode(spark):
     p = plan_string(df)
     assert "TakeOrderedAndProject" in p, p
     assert exchange_count(df) == 0, p
+
+
+def test_zorder_clustering_narrows_both_column_ranges(spark):
+    """cluster_by_zorder(x, y) must produce range partitions whose
+    per-partition spread is narrow in BOTH dimensions — a sort by x alone
+    leaves y's per-file min/max ranges at full width (no pruning)."""
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators.layout import cluster_by_zorder
+
+    n = 1 << 12
+    grid = spark.range(n).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def spreads(df, k=16):
+        parts = df.withColumn("__p", F.spark_partition_id()).groupBy("__p").agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        row = parts.agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay")).first()
+        return row.ax, row.ay
+
+    zx, zy = spreads(cluster_by_zorder(grid, ["x", "y"], 16))
+    sx, sy = spreads(grid.repartitionByRange(16, "x").sortWithinPartitions("x"))
+    # single-column sort: x is perfectly clustered but y spans ~full width
+    assert sy > 40
+    # z-order: BOTH dimensions stay well under half their full width (63)
+    assert zx < 32 and zy < 32
