@@ -58,6 +58,9 @@ def main() -> None:
         "commitlog_append",         # optimistic-commit storage rewrite (I/O)
         "line_dedup",               # per-line dedup + doc reassembly
         "dsir_weights",             # DSIR importance weights (n-gram LM ratio)
+        "wire_transcode_codecs",    # Kafka RecordBatch v2 snappy/lz4/zstd/gzip
+                                    # transcode chain (Arrow-batched kernels) —
+                                    # the codec subsystem was bench-invisible
     ]
 
     # warm the JVM + file listing once
