@@ -886,8 +886,9 @@ def q_wire_transcode_codecs(spark, sf_dir):
 
     log = _log(spark, sf_dir).df.filter(F.col("partition") < 2)
     b = wire.encode_wire_batches(log, max_records_per_batch=50, compression="snappy")
-    for codec in ("lz4", "zstd", "gzip", None):
-        b = wire.transcode_batches(b, compression=codec)
+    # fused chain: all four hops inside ONE Arrow-batched kernel pass
+    # (separate calls would serialize every blob through Arrow per hop)
+    b = wire.transcode_batches(b, compression=["lz4", "zstd", "gzip", None])
     decoded = wire.decode_wire_batches(b)
     return decoded.select(
         "partition",

@@ -51,17 +51,38 @@ def encode_wire_batches(
     batch: (partition, base_offset, record_count, batch binary);
     ``compression`` of 'gzip' | 'snappy' | 'lz4' | 'zstd' compresses each
     batch's records section per the protocol (full Kafka codec set,
-    KopLogValidator.java:495-520)."""
+    KopLogValidator.java:495-520).
+
+    Batch membership (positional chunks of ``max_records_per_batch`` rows
+    in offset order) is assigned JVM-side with a per-partition row_number,
+    and the Python kernel then runs per (partition, bucket-of-16-batches)
+    group — so encode parallelism scales with the DATA, not the number of
+    log partitions (a per-partition kernel would serialize a hot
+    partition's whole byte-assembly into one task: a 2-partition topic
+    would use 2 of 32 cores), while each kernel call still amortizes the
+    Python/Arrow invocation over 16 batches (one group per batch measured
+    slower than the per-partition kernel — per-group overhead dominates).
+    The batch boundaries produced are identical in all three shapes."""
     _pickle_codec_by_value()
+    from pyspark.sql import Window
+
     from starlight_for_kafka_spark.functions import kafka_records as kr
 
     import pandas as pd
 
     n = max_records_per_batch
+    batches_per_group = 16
+    w = Window.partitionBy("partition").orderBy("offset")
+    staged = log.withColumn(
+        "__grp",
+        F.floor(
+            (F.row_number().over(w) - 1) / F.lit(n * batches_per_group)
+        ).cast("long"),
+    )
 
-    def op(pdf: pd.DataFrame) -> pd.DataFrame:
+    def op(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("offset")
-        part = int(pdf["partition"].iloc[0])
+        part = int(key[0])
         # column-wise zip iteration, not iterrows (per-row Series
         # construction is ~5x slower and this kernel IS the conversion
         # hot path the reference meters)
@@ -100,9 +121,11 @@ def encode_wire_batches(
                     ),
                 }
             )
-        return pd.DataFrame(rows, columns=["partition", "base_offset", "record_count", "batch"])
+        return pd.DataFrame(
+            rows, columns=["partition", "base_offset", "record_count", "batch"]
+        )
 
-    return log.groupBy("partition").applyInPandas(op, WIRE_BATCH_SCHEMA)
+    return staged.groupBy("partition", "__grp").applyInPandas(op, WIRE_BATCH_SCHEMA)
 
 
 def decode_wire_batches(batches: DataFrame) -> DataFrame:
@@ -149,22 +172,37 @@ def decode_wire_batches(batches: DataFrame) -> DataFrame:
     return batches.mapInPandas(op, out_schema)
 
 
-def transcode_batches(batches: DataFrame, compression: str | None = None) -> DataFrame:
+def transcode_batches(
+    batches: DataFrame,
+    compression: str | None | list[str | None] = None,
+) -> DataFrame:
     """Broker-side compression transcode: re-encode every batch with the
     target codec, preserving offsets and producer identity (reference
     meters this as PRODUCE_MESSAGE_CONVERSIONS,
-    AbstractEntryFormatter.java:238-281). Map-only."""
+    AbstractEntryFormatter.java:238-281). Map-only.
+
+    ``compression`` may be a LIST of targets: the hops then apply
+    sequentially INSIDE one Arrow-batched kernel. A chain of separate
+    transcode_batches calls pays a full Arrow serialize/deserialize of
+    every batch blob per hop; the fused form crosses the Python boundary
+    once, which is the difference between N and 1 scans of the wire table
+    at 100 TB."""
     _pickle_codec_by_value()
     from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    hops = compression if isinstance(compression, (list, tuple)) else [compression]
 
     def op(batch_iter):
         import pandas as pd
 
+        def chain(b: bytes) -> bytes:
+            for target in hops:
+                b = kr.transcode(b, target)
+            return b
+
         for pdf in batch_iter:
             out = pdf.copy()
-            out["batch"] = [
-                kr.transcode(bytes(b), compression) for b in pdf["batch"]
-            ]
+            out["batch"] = [chain(bytes(b)) for b in pdf["batch"]]
             yield out
 
     return batches.mapInPandas(op, WIRE_BATCH_SCHEMA)
