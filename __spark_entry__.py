@@ -518,6 +518,23 @@ def q_ktable_latest(spark, sf_dir):
     )
 
 
+def q_table_aggregate(spark, sf_dir):
+    """KGroupedTable.aggregate (KTable.groupBy + adder/subtractor): the
+    latest-wins table re-keyed by key%5 and aggregated — batch form of the
+    retraction-maintained Streams aggregate (the subtractor machinery
+    vanishes once the compacted table is materialized first)."""
+    log = _log(spark, sf_dir).df.withColumn("key", F.col("key").cast("string"))
+    return ktable_ops.table_aggregate(
+        log,
+        ["key"],
+        group_key=[(F.col("key").cast("long") % 5).alias("grp")],
+        aggs=[
+            F.count("*").alias("n_keys"),
+            F.sum(F.octet_length("value")).alias("sum_len"),
+        ],
+    )
+
+
 def _clicks(events):
     return events.select(
         "event_id", "event_type", (F.col("user_id") * 50).alias("ck")
@@ -2779,6 +2796,19 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher rule-set quality flags (Rae'21 A1): per-rule booleans +
+    composite keep; the 50-word minimum sits inside this corpus's word-
+    count range so both verdicts are exercised. The stop set is adapted
+    to this synthetic corpus's register ('the'/'a' are its only function
+    words) — the canonical Gopher set would fire few_stopwords on every
+    document and degenerate the composite."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.gopher_quality_flags(
+        docs, stop_words=("the", "a", "of", "to", "and", "that", "have", "with")
+    )
+
+
 def q_bpe_merge_pairs(spark, sf_dir):
     """Top-20 BPE merge candidates: adjacent char pairs weighted by word
     frequency (Sennrich'16 tokenizer-training inner step — corpus
@@ -2978,6 +3008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "session_reduce": q_session_reduce,
         "ktable_latest": q_ktable_latest,
+        "table_aggregate": q_table_aggregate,
         "global_join_inner": q_global_join_inner,
         "global_join_left": q_global_join_left,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -3059,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users": q_active_users,
         "bpe_token_count": q_bpe_token_count,
         "bm25_search": q_bm25_search,
+        "gopher_quality": q_gopher_quality,
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "pagerank_event_graph": q_pagerank_event_graph,
         "epoch_resample": q_epoch_resample,
@@ -3793,6 +3825,15 @@ FROM s GROUP BY user_id, session_id""",
         "ktable_latest": f"""WITH {LOG_CTE}
 SELECT key, value, "offset" FROM log
 QUALIFY row_number() OVER (PARTITION BY key ORDER BY "partition" DESC, "offset" DESC) = 1""",
+        "table_aggregate": f"""WITH {LOG_CTE},
+latest AS (
+  SELECT key, value FROM log
+  QUALIFY row_number() OVER (PARTITION BY key ORDER BY "partition" DESC, "offset" DESC) = 1
+)
+SELECT CAST(key AS BIGINT) % 5 AS grp,
+       count(*) AS n_keys,
+       CAST(sum(octet_length(CAST(value AS BLOB))) AS BIGINT) AS sum_len
+FROM latest GROUP BY 1""",
         "global_join_inner": """SELECT e.event_id, e.event_type, c.c_name, c.c_mktsegment
 FROM (SELECT event_id, event_type, user_id * 50 AS ck FROM events) e
 JOIN customer c ON e.ck = c.c_custkey""",
@@ -4831,6 +4872,45 @@ SELECT doc_id, chunk_id,
        least(32, n_words - (chunk_id * 24 + 1) + 1) AS n_chunk_tokens,
        md5(array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_digest
 FROM c""",
+        "gopher_quality": """WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), feat AS (
+  SELECT doc_id, string_split(t, ' ') AS w, length(t) AS lent,
+         ' ' || t || ' ' AS pad
+  FROM base
+), calc AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CAST(lent - (len(w) - 1) AS DOUBLE) / len(w) AS mwl,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+         (length(pad) - length(replace(pad, '#', '')))
+           + (length(pad) - length(replace(pad, '...', ''))) / 3 AS n_symbols,
+         (CASE WHEN contains(pad, ' the ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(pad, ' a ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(pad, ' to ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(pad, ' of ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(pad, ' and ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(pad, ' that ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(pad, ' have ') THEN 1 ELSE 0 END
+          + CASE WHEN contains(pad, ' with ') THEN 1 ELSE 0 END) AS stop_present
+  FROM feat
+), flags AS (
+  SELECT doc_id, n_words,
+         round(mwl, 6) AS mean_word_len,
+         round(alpha_frac, 6) AS alpha_frac,
+         n_words < 50 AS too_short,
+         n_words > 100000 AS too_long,
+         (mwl < 3 OR mwl > 10) AS bad_mean_word_len,
+         (n_symbols / n_words) > 0.1 AS high_symbol_ratio,
+         alpha_frac < 0.8 AS low_alpha,
+         stop_present < 2 AS few_stopwords
+  FROM calc
+)
+SELECT *,
+       NOT (too_short OR too_long OR bad_mean_word_len OR high_symbol_ratio
+            OR low_alpha OR few_stopwords) AS keep
+FROM flags""",
         "bm25_search": """WITH base AS (
   SELECT doc_id,
          regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w

@@ -88,6 +88,36 @@ def compact_topic(
     return latest.filter(keep)
 
 
+def table_aggregate(
+    log: DataFrame,
+    key_cols: list[str],
+    group_key: list,
+    aggs: list,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """KGroupedTable aggregation — ``KTable.groupBy(mapper).aggregate/
+    reduce/count`` (the adder+SUBTRACTOR pattern of the Streams DSL):
+    aggregate the CURRENT table contents, re-keyed by a selector, not the
+    stream of updates.
+
+    Kafka Streams must maintain this incrementally with both an adder and
+    a subtractor because every upsert first RETRACTS the key's previous
+    value from its old group; expressed Spark-first the retraction
+    machinery vanishes — materialize the latest-wins table
+    (:func:`ktable_latest`, which already folds tombstones) and run a
+    plain aggregation over it. The streaming analog is an update-mode
+    aggregation over the compacted state, which the engine maintains
+    incrementally without user-written subtractors.
+
+    Scale: the latest-wins pass is one key shuffle; the re-keyed
+    aggregation partial-combines map-side. Two shuffles total — the same
+    count as the two changelog topics (repartition + changelog) Kafka
+    Streams materializes for this operation.
+    """
+    table = ktable_latest(log, key_cols, order_cols)
+    return table.groupBy(*group_key).agg(*aggs)
+
+
 def table_table_join(left: DataFrame, right: DataFrame, on, how: str = "inner") -> DataFrame:
     """KTable ⋈ KTable: both sides are latest-wins views; a plain relational
     join once materialized. Catalyst picks broadcast vs sort-merge by size."""

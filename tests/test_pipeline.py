@@ -973,3 +973,25 @@ def test_minhash_jaccard_estimate_identical_and_disjoint(spark):
     assert out[(1, 2)].j_est == 1.0 and out[(1, 2)].near_dup
     # disjoint shingle sets -> estimate ~0 (each component collides w.p. ~1/P)
     assert out[(1, 3)].j_est < 0.5 and not out[(1, 3)].near_dup
+
+
+def test_gopher_quality_rules_fire_individually(spark):
+    from starlight_for_kafka_spark.operators.text import gopher_quality_flags
+
+    fifty = " ".join(f"the quick brown fox and that have with word{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            (1, fifty),                                    # 54 words, clean
+            (2, "short doc with the and that"),            # < 50 words
+            (3, " ".join(["#"] * 60) + " the and of to"),  # symbol spam
+            (4, " ".join(["12345"] * 60) + " the and"),    # numeric words
+            (5, " ".join([f"word{i}" for i in range(60)])),  # no stop words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(docs).collect()}
+    assert out[1].keep
+    assert out[2].too_short and not out[2].keep
+    assert out[3].high_symbol_ratio and out[3].low_alpha and not out[3].keep
+    assert out[4].low_alpha and not out[4].keep
+    assert out[5].few_stopwords and not out[5].keep

@@ -323,3 +323,34 @@ def test_merge_streams_union(spark):
     a = _kv(spark, [("A", "a", _t(0))])
     b = _kv(spark, [("B", "b", _t(1))])
     assert windows.merge_streams(a, b).count() == 2
+
+
+def test_table_aggregate_counts_current_table_not_updates(spark):
+    """KGroupedTable semantics: only the LATEST value per key counts —
+    an upsert must move the key between groups, never double-count (the
+    retraction the Streams subtractor exists for)."""
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators.ktable import table_aggregate
+
+    rows = [
+        # key k1: v short then LONG (group by value length parity)
+        ("k1", "aa", 0, 0), ("k1", "bbb", 0, 1),
+        # key k2: single value
+        ("k2", "cc", 0, 2),
+        # key k3: tombstone deletes it
+        ("k3", "dd", 0, 3), ("k3", None, 0, 4),
+    ]
+    log = spark.createDataFrame(
+        rows, "key string, value string, partition int, offset long"
+    )
+    out = {
+        r.grp: r.n for r in table_aggregate(
+            log, ["key"],
+            group_key=[(F.length("value") % 2).alias("grp")],
+            aggs=[F.count("*").alias("n")],
+        ).collect()
+    }
+    # k1 counts ONCE, in its latest group (len 3 -> odd); k2 in even;
+    # k3 is gone entirely
+    assert out == {1: 1, 0: 1}
