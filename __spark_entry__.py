@@ -3549,7 +3549,9 @@ FROM normed""",
 ), sizes AS (
   SELECT g, count(*) AS nm FROM prefs GROUP BY 1
 ), support AS (
-  SELECT g, protocol, count(*) AS sup FROM pos GROUP BY 1, 2
+  -- DISTINCT member: a duplicate protocol entry in one member's list is
+  -- one unit of support (matches select_group_protocol's countDistinct)
+  SELECT g, protocol, count(DISTINCT member) AS sup FROM pos GROUP BY 1, 2
 ), cands AS (
   SELECT s.g, s.protocol FROM support s JOIN sizes z USING (g) WHERE s.sup = z.nm
 ), votes AS (
@@ -3822,18 +3824,24 @@ SELECT user_id, session_id, min(ms) AS session_start_ms, max(ms) AS session_end_
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
        min(event_id) AS first_event
 FROM s GROUP BY user_id, session_id""",
-        "ktable_latest": f"""WITH {LOG_CTE}
-SELECT key, value, "offset" FROM log
-QUALIFY row_number() OVER (PARTITION BY key ORDER BY "partition" DESC, "offset" DESC) = 1""",
+        "ktable_latest": f"""WITH {LOG_CTE},
+-- tombstone filter AFTER the latest-per-key pick: a null latest value
+-- deletes the key (it must not resurrect an older non-null value)
+latest AS (
+  SELECT key, value, "offset" FROM log
+  QUALIFY row_number() OVER (PARTITION BY key ORDER BY "partition" DESC, "offset" DESC) = 1
+)
+SELECT key, value, "offset" FROM latest WHERE value IS NOT NULL""",
         "table_aggregate": f"""WITH {LOG_CTE},
 latest AS (
   SELECT key, value FROM log
   QUALIFY row_number() OVER (PARTITION BY key ORDER BY "partition" DESC, "offset" DESC) = 1
-)
+),
+live AS (SELECT key, value FROM latest WHERE value IS NOT NULL)
 SELECT CAST(key AS BIGINT) % 5 AS grp,
        count(*) AS n_keys,
        CAST(sum(octet_length(CAST(value AS BLOB))) AS BIGINT) AS sum_len
-FROM latest GROUP BY 1""",
+FROM live GROUP BY 1""",
         "global_join_inner": """SELECT e.event_id, e.event_type, c.c_name, c.c_mktsegment
 FROM (SELECT event_id, event_type, user_id * 50 AS ck FROM events) e
 JOIN customer c ON e.ck = c.c_custkey""",
@@ -4885,7 +4893,8 @@ FROM c""",
          CAST(lent - (len(w) - 1) AS DOUBLE) / len(w) AS mwl,
          CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
          (length(pad) - length(replace(pad, '#', '')))
-           + (length(pad) - length(replace(pad, '...', ''))) / 3 AS n_symbols,
+           + (length(pad) - length(replace(pad, '...', ''))) / 3
+           + (length(pad) - length(replace(pad, '…', ''))) AS n_symbols,
          (CASE WHEN contains(pad, ' the ') THEN 1 ELSE 0 END
           + CASE WHEN contains(pad, ' a ') THEN 1 ELSE 0 END
           + CASE WHEN contains(pad, ' to ') THEN 1 ELSE 0 END
@@ -4959,7 +4968,7 @@ FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
   -- DuckDB treats any top-level UNION CTE as recursive and duplicates it
   SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
 ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-outw AS (SELECT src, sum(w) AS total_w FROM edges GROUP BY 1),
+outw AS (SELECT src, sum(w) AS total_w FROM edges GROUP BY 1 HAVING sum(w) <> 0),
 ne AS (SELECT src, dst, w / total_w AS share FROM edges JOIN outw USING (src)),
 dangling AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM outw)),
 pr AS (

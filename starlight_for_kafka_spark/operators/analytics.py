@@ -368,7 +368,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
-    out_w = e.groupBy("src").agg(F.sum("w").alias("total_w"))
+    # A node whose out-edges all weigh 0 has no usable out-links: keep it
+    # OUT of out_w so it classifies as dangling (its mass redistributes
+    # uniformly) instead of silently leaking rank through NULL w/0 shares.
+    out_w = (
+        e.groupBy("src")
+        .agg(F.sum("w").alias("total_w"))
+        .filter(F.col("total_w") != 0.0)
+    )
     # pre-normalize edge weights once: share(u,v) = w/W(u)
     norm_e = (
         e.join(out_w, "src")

@@ -303,10 +303,11 @@ def minhash_jaccard_estimate(
     pairs and the downstream decision tolerates soft boundaries — or as
     the cheap first stage before an exact verify of the borderline band.
 
-    Emits (a, b, j_est, near_dup). Candidate pairs are materialized first
-    for the same three-consumer reason as jaccard_verify.
+    Emits (a, b, j_est, near_dup). Candidates feed exactly one join chain
+    here (unlike jaccard_verify's three consumers), so they are NOT
+    checkpointed — a barrier would add a full materialization for zero
+    reuse.
     """
-    candidates = candidates.localCheckpoint(eager=True)
     sa = signatures.select(F.col(id_col).alias("a"), F.col("signature").alias("__sa"))
     sb = signatures.select(F.col(id_col).alias("b"), F.col("signature").alias("__sb"))
     return (

@@ -860,7 +860,13 @@ def select_group_protocol(
         member_col,
         F.posexplode(protocols_col).alias("pos", "protocol"),
     )
-    support = pos.groupBy(group_col, "protocol").agg(F.count("*").alias("__sup"))
+    # countDistinct, not count(*): a member listing a protocol twice must
+    # contribute one unit of support, or the intersection test elects a
+    # protocol some member never listed (each member's list is a SET in
+    # MemberMetadata — duplicates are a client artifact, not extra votes).
+    support = pos.groupBy(group_col, "protocol").agg(
+        F.countDistinct(member_col).alias("__sup")
+    )
     cands = (
         support.join(sizes, group_col)
         .filter(F.col("__sup") == F.col("__nm"))

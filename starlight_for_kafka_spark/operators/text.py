@@ -737,8 +737,11 @@ def gopher_quality_flags(
         F.size(F.filter("__w", lambda w: w.rlike("[a-z]"))).cast("double") / n_words
     )
     n_symbols = (
-        (F.length("__pad") - F.length(F.regexp_replace("__pad", r"#", ""))) +
-        (F.length("__pad") - F.length(F.regexp_replace("__pad", r"\.\.\.", ""))) / F.lit(3)
+        (F.length("__pad") - F.length(F.regexp_replace("__pad", r"#", "")))
+        + (F.length("__pad") - F.length(F.regexp_replace("__pad", r"\.\.\.", ""))) / F.lit(3)
+        # the Unicode ellipsis U+2026 is the form the A1 rule names; both
+        # spellings count (lengths are in characters, so '…' costs 1)
+        + (F.length("__pad") - F.length(F.regexp_replace("__pad", "…", "")))
     )
     # stop_words is the Gopher set by default; a corpus whose register
     # lacks English function words (code, tables, synthetic text) should

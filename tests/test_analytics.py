@@ -261,3 +261,16 @@ def test_pagerank_weighted_edge_shifts_mass(spark):
     out = {r.node: r.rank for r in pagerank(g, weight_col="w").collect()}
     assert out["x"] > out["y"]
     assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_zero_out_weight_node_is_dangling(spark):
+    from starlight_for_kafka_spark.operators.analytics import pagerank
+
+    # z's only out-edge weighs 0: it must classify as dangling (mass
+    # redistributed uniformly), not leak rank through NULL 0/0 shares
+    g = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0), ("a", "z", 1.0), ("z", "a", 0.0)],
+        "src string, dst string, w double",
+    )
+    out = {r.node: r.rank for r in pagerank(g, weight_col="w").collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9

@@ -546,6 +546,11 @@ def test_select_group_protocol_vote_and_intersection(spark):
             # g3: no common protocol -> no row
             ("g3", "m1", ["range"]),
             ("g3", "m2", ["sticky"]),
+            # g4: m1 lists 'range' TWICE — duplicate entries are one unit
+            # of support, so range still isn't common (m2 never lists it)
+            # and the only common protocol is sticky
+            ("g4", "m1", ["range", "range", "sticky"]),
+            ("g4", "m2", ["sticky"]),
         ],
         "group string, member string, protocols array<string>",
     )
@@ -553,3 +558,4 @@ def test_select_group_protocol_vote_and_intersection(spark):
     assert out["g1"] == ("sticky", 2)
     assert out["g2"] == ("range", 1)   # deterministic tie-break
     assert "g3" not in out
+    assert out["g4"] == ("sticky", 2)  # duplicate 'range' doesn't fake support

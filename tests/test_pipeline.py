@@ -986,6 +986,7 @@ def test_gopher_quality_rules_fire_individually(spark):
             (3, " ".join(["#"] * 60) + " the and of to"),  # symbol spam
             (4, " ".join(["12345"] * 60) + " the and"),    # numeric words
             (5, " ".join([f"word{i}" for i in range(60)])),  # no stop words
+            (6, " ".join(["word…"] * 60) + " the and"),    # U+2026 ellipsis spam
         ],
         "doc_id long, text string",
     )
@@ -995,3 +996,4 @@ def test_gopher_quality_rules_fire_individually(spark):
     assert out[3].high_symbol_ratio and out[3].low_alpha and not out[3].keep
     assert out[4].low_alpha and not out[4].keep
     assert out[5].few_stopwords and not out[5].keep
+    assert out[6].high_symbol_ratio and not out[6].keep
