@@ -2836,6 +2836,50 @@ def q_pagerank_event_graph(spark, sf_dir):
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement (n=100,
+    weight=n_chars, u from md5(doc_id)) — deterministic competition keys,
+    so the oracle replays the identical top-n in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return sampling_ops.weighted_sample(docs, "n_chars", 100, "doc_id")
+
+
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced prototype sampling (SemDeDup-style diversity cut):
+    nearest-centroid assignment over the 4 seed centroids, keep the 5 most
+    central vectors per cluster via the skew-safe two-stage top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    out = sim_ops.cluster_balanced_sample(emb, cents, m=5)
+    return out.select(
+        "cluster",
+        "vec_id",
+        F.round("centroid_sim", 6).alias("centroid_sim"),
+        "rank",
+    )
+
+
+def q_cluster_representatives(spark, sf_dir):
+    """Quality-aware canonical selection: the MinHash near-dup pipeline's
+    exact components, keeping each component's LONGEST member (tie ->
+    smallest doc_id) via one max(struct) aggregation — the keep-the-best-
+    copy refinement over the arbitrary min-id keeper."""
+    docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
+    sigs = dedup_ops.minhash_signatures(
+        docs, num_hashes=16, shingle_k=3, shingle_mode="word"
+    )
+    cands = dedup_ops.minhash_lsh_candidates(sigs, bands=4, num_hashes=16)
+    ver = dedup_ops.jaccard_verify(
+        docs, cands, shingle_k=3, threshold=0.7, shingle_mode="word"
+    )
+    comps = dedup_ops.connected_components(ver)
+    scores = docs.select("doc_id", F.length("text").alias("score"))
+    return dedup_ops.cluster_representatives(comps, scores)
+
+
 def q_asof_forward(spark, sf_dir):
     """Forward as-of: each view joined to the user's NEXT purchase at or
     after it (time-to-next-event; oracle: DuckDB ASOF with <=)."""
@@ -3093,6 +3137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "pagerank_event_graph": q_pagerank_event_graph,
+        "weighted_sample": q_weighted_sample,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "cluster_representatives": q_cluster_representatives,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
         "cogroup": q_cogroup,
@@ -3566,6 +3613,50 @@ SELECT g AS "group", protocol, votes FROM (
          row_number() OVER (PARTITION BY g ORDER BY votes DESC, protocol) AS rn
   FROM tally) WHERE rn = 1""",
         "dedup_minhash_cc": _minhash_cc_oracle_sql(),
+        "weighted_sample": """WITH h AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents
+), k AS (
+  -- E-S in log space: es = ln(u)/w with u = (h + 0.5) / 2^60, rounded to
+  -- 9 dp with a doc_id tie-break so the selection boundary is portable
+  SELECT doc_id, n_chars,
+         round(ln((hv + 0.5) / 1152921504606846976.0) / n_chars, 9) AS es
+  FROM h WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM k ORDER BY es DESC, doc_id LIMIT 100""",
+        "cluster_balanced_sample": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4
+), sims AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS sim
+  FROM e CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, CAST(cid AS INT) AS cluster, sim
+  FROM sims
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+)
+SELECT cluster, vec_id, round(sim, 6) AS centroid_sim,
+       row_number() OVER (PARTITION BY cluster ORDER BY sim DESC, vec_id) AS rank
+FROM assigned
+QUALIFY rank <= 5""",
+        "cluster_representatives": f"""WITH RECURSIVE {_minhash_pipeline_cte()},
+edges AS (SELECT a AS x, b AS y FROM ver UNION SELECT b, a FROM ver),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comp AS (SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x),
+scored AS (
+  SELECT comp.component, comp.node AS doc_id, CAST(length(d.text) AS DOUBLE) AS score
+  FROM comp JOIN docs d ON d.doc_id = comp.node
+)
+SELECT component, doc_id, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY component ORDER BY score DESC, doc_id) = 1""",
         "dedup_cluster_stats": _dedup_cluster_stats_oracle_sql(),
         "split_leakage_safe": _leakage_safe_split_oracle_sql(),
         "dedup_stats": """WITH corpus AS (

@@ -724,6 +724,51 @@ def minhash_dedup_exact_groups(
     return df.join(losers, id_col, "left_anti")
 
 
+def cluster_representatives(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    comp_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: keep each near-dup component's
+    BEST-scoring member (ties -> smallest id) instead of the arbitrary
+    min-id keeper — the curation refinement most pipelines run after
+    transitive grouping (keep the longest / highest-quality copy of every
+    duplicate cluster, drop the rest). ``components`` is
+    :func:`connected_components` output; ``scores`` maps ``id_col`` to a
+    numeric ``score_col``. Ids must be numeric (the argmax tie-break
+    negates them).
+
+    Emits (component, id, score) — one row per component.
+
+    Scale shape: one join on the node id plus ONE max(struct)
+    partial-combining aggregation — the agg-not-window keeper rule
+    exact_dedup and line_dedup pin. A component duplicated 10^8 times
+    partial-aggregates map-side; no window partition ever serializes it,
+    and the heavy document payloads never enter the plan.
+    """
+    joined = components.select(
+        F.col(node_col).alias("__n"), comp_col
+    ).join(
+        scores.select(
+            F.col(id_col).alias("__n"), F.col(score_col).cast("double").alias("__s")
+        ),
+        "__n",
+    )
+    won = joined.groupBy(comp_col).agg(
+        F.max(
+            F.struct(F.col("__s").alias("s"), (-F.col("__n")).alias("negid"))
+        ).alias("__w")
+    )
+    return won.select(
+        comp_col,
+        (-F.col("__w.negid")).alias(id_col),
+        F.col("__w.s").alias(score_col),
+    )
+
+
 def source_overlap(
     df: DataFrame,
     group_col: str = "source",

@@ -50,6 +50,46 @@ def stratified_sample(
     return df.filter(gate < cut)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-Res
+    (Efraimidis & Spirakis 2006): each row draws u ~ U(0,1) and competes
+    with key u^(1/w); the top-``n`` keys are exactly a weight-proportional
+    sample without replacement. Ranking runs in log space
+    (ln(u)/w, monotone in u^(1/w)) and u derives from md5(key) rather
+    than an RNG, so the sample is reproducible across runs, engines, and
+    repartitioning — the same determinism contract as stratified_sample
+    (an RNG-per-task sample silently changes membership under retries).
+
+    Rows with NULL or non-positive weight are excluded (E–S requires
+    w > 0; a zero-weight row can never win anyway). Ranking keys are
+    rounded to 9 dp with a ``key_col`` tie-break so the selection
+    boundary is engine-portable. ``key_col`` must be unique per row.
+
+    Scale: one map-side key computation + sort-limit, which Spark plans
+    as TakeOrderedAndProject — per-partition top-n then an n·P driver
+    merge, no full sort, no shuffle of the data. For sample sizes beyond
+    driver comfort (n in the hundreds of millions), switch to the
+    two-stage skew.grouped_top_k shape instead.
+    """
+    w = F.col(weight_col).cast("double")
+    h = md5_hash64(F.col(key_col).cast("string"))
+    # 60-bit hash -> u in (0,1); +0.5 keeps u strictly inside the interval
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    es = F.round(F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .withColumn("__es", es)
+        .orderBy(F.col("__es").desc(), F.col(key_col).asc())
+        .limit(n)
+        .drop("__es")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

@@ -175,6 +175,52 @@ def lloyd_step(
     return centroids(assigned, "ivf_cell", vec_col)
 
 
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced prototype sampling: assign every vector to its
+    nearest centroid (cosine, same 9 dp convention as ivf_assign) and keep
+    the ``m`` MOST CENTRAL members of each cluster — the diversity-
+    preserving downsampling step semantic-dedup pipelines run after
+    clustering (SemDeDup, Abbas et al. 2023, samples per-cluster rather
+    than globally so rare modes survive a 100× cut). Ties break on
+    ``id_col`` so selection is deterministic.
+
+    Emits (cluster, id, centroid_sim, rank), rank 1 = most central.
+
+    Scale: assignment is map-only against the broadcast centroid list
+    (same as ivf_assign); per-cluster selection goes through
+    skew.grouped_top_k — two bounded aggregations, never a full-cluster
+    window, so a mega-cluster (boilerplate mode) cannot serialize one
+    task.
+    """
+    from starlight_for_kafka_spark.operators.skew import grouped_top_k
+
+    v = F.col(vec_col).cast("array<double>")
+    sims = F.array(
+        *[
+            F.round(cosine_similarity(v, F.array(*[F.lit(float(x)) for x in c])), 9)
+            for c in centroids
+        ]
+    )
+    best = F.array_max(sims)
+    assigned = embeddings.select(
+        id_col,
+        (F.array_position(sims, best) - 1).cast("int").alias("cluster"),
+        best.alias("centroid_sim"),
+    )
+    return grouped_top_k(
+        assigned,
+        ["cluster"],
+        [F.col("centroid_sim").desc(), F.col(id_col).asc()],
+        k=m,
+    )
+
+
 def ivf_top_k(
     embeddings: DataFrame,
     centroids: list[list[float]],

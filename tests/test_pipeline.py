@@ -997,3 +997,66 @@ def test_gopher_quality_rules_fire_individually(spark):
     assert out[4].low_alpha and not out[4].keep
     assert out[5].few_stopwords and not out[5].keep
     assert out[6].high_symbol_ratio and not out[6].keep
+
+
+def test_weighted_sample_deterministic_and_weight_proportional(spark):
+    import hashlib
+    import math
+
+    from starlight_for_kafka_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i % 7))) for i in range(200)] + [(900, 0.0), (901, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sorted(r.id for r in weighted_sample(df, "w", 20, "id").collect())
+    # replicate the E-S competition in plain Python
+    def es_key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return round(math.log((h + 0.5) / 2**60) / w, 9)
+
+    expect = sorted(
+        sorted(
+            ((i, w) for i, w in rows if w), key=lambda t: (-es_key(*t), t[0])
+        )[:20]
+    )
+    assert got == sorted(i for i, _ in expect)
+    # zero/NULL-weight rows can never be sampled
+    assert 900 not in got and 901 not in got
+    # determinism across invocations
+    again = sorted(r.id for r in weighted_sample(df, "w", 20, "id").collect())
+    assert again == got
+
+
+def test_cluster_balanced_sample_keeps_m_most_central(spark):
+    from starlight_for_kafka_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    vecs = [
+        (0, [1.0, 0.0]),       # cluster 0, sim 1.0
+        (1, [1.0, 0.1]),       # cluster 0
+        (2, [1.0, 0.4]),       # cluster 0, least central of the three
+        (3, [0.0, 1.0]),       # cluster 1
+        (4, [0.2, 1.0]),       # cluster 1
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(df, cents, m=2)
+    got = {(r.cluster, r.vec_id): r.rank for r in out.collect()}
+    assert got == {(0, 0): 1, (0, 1): 2, (1, 3): 1, (1, 4): 2}
+
+
+def test_cluster_representatives_argmax_with_tiebreak(spark):
+    from starlight_for_kafka_spark.operators.dedup import cluster_representatives
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "node long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 1.0)],
+        "doc_id long, score double",
+    )
+    out = {r.component: (r.doc_id, r.score) for r in
+           cluster_representatives(comps, scores).collect()}
+    # component 1: max score 9.0 tie between 2 and 3 -> smallest id 2
+    assert out == {1: (2, 9.0), 10: (10, 1.0)}

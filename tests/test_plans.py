@@ -561,3 +561,20 @@ def test_zorder_clustering_narrows_both_column_ranges(spark):
     assert sy > 40
     # z-order: BOTH dimensions stay well under half their full width (63)
     assert zx < 32 and zy < 32
+
+
+def test_weighted_sample_is_take_ordered_no_full_sort(spark):
+    # E-S weighted sampling: per-partition top-n merged on the driver —
+    # no Exchange, no global Sort, the scan prunes to (key, weight)
+    df = QUERIES["weighted_sample"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert exchange_count(df) == 0, plan
+
+
+def test_cluster_balanced_sample_no_full_cluster_window(spark):
+    # per-cluster selection goes through the salted two-stage top-k: the
+    # stage-1 window partitions by (cluster, salt), never cluster alone
+    df = QUERIES["cluster_balanced_sample"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert "__salt" in plan, plan
