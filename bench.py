@@ -61,6 +61,10 @@ def main() -> None:
         "wire_transcode_codecs",    # Kafka RecordBatch v2 snappy/lz4/zstd/gzip
                                     # transcode chain (Arrow-batched kernels) —
                                     # the codec subsystem was bench-invisible
+        # round-3 additions #3: the two slowest iterative (driver-loop)
+        # ops, previously bench-invisible
+        "dedup_minhash_cc",         # MinHash pipeline + connected components
+        "pagerank_event_graph",     # 10 power iterations over the event graph
     ]
 
     # warm the JVM + file listing once
