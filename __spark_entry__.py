@@ -2880,6 +2880,36 @@ def q_cluster_representatives(spark, sf_dir):
     return dedup_ops.cluster_representatives(comps, scores)
 
 
+def q_hll_cardinality(spark, sf_dir):
+    """Mergeable HyperLogLog distinct-count sketch, md5-register variant
+    (engine-portable registers — Spark's own approx_count_distinct is the
+    same HLL++ family with private layout). Two columns exercise both
+    estimator branches: user_id lands in linear counting (empty
+    registers), event_id in the raw harmonic-mean regime."""
+    ev = load_table(spark, sf_dir, "events")
+    a = analytics_ops.hll_cardinality(ev, "user_id").withColumn(
+        "col", F.lit("user_id")
+    )
+    b = analytics_ops.hll_cardinality(ev, "event_id").withColumn(
+        "col", F.lit("event_id")
+    )
+    return a.unionByName(b).select(
+        "col", "m", "n_zero_registers", "estimate", "exact", "rel_err"
+    )
+
+
+def q_weighted_sample_per_lang(spark, sf_dir):
+    """Per-group E-S quota draw: 10 docs per language, weight n_chars —
+    the per-source mixture sampling step, through the skew-safe two-stage
+    top-k (no full-group window)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return sampling_ops.weighted_sample_per_group(
+        docs, ["lang"], "n_chars", 10, "doc_id"
+    )
+
+
 def q_asof_forward(spark, sf_dir):
     """Forward as-of: each view joined to the user's NEXT purchase at or
     after it (time-to-next-event; oracle: DuckDB ASOF with <=)."""
@@ -3140,6 +3170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "cluster_representatives": q_cluster_representatives,
+        "hll_cardinality": q_hll_cardinality,
+        "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
         "cogroup": q_cogroup,
@@ -3226,6 +3258,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ===================================================================== #
 # oracle SQL — DuckDB side
 # ===================================================================== #
+
+
+def _hll_branch_sql(col: str) -> str:
+    """One hll_cardinality(events, col, b=8) row in DuckDB — identical
+    md5 registers, identical FIXED-POINT register sum (BIGINT shifts, no
+    float summation-order drift), identical estimator constants (the
+    alpha literal below is the same Python-computed double the Spark
+    operator embeds)."""
+    mask = (1 << 52) - 1
+    scale = 1 << 53
+    alpha_num = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(scale)
+    return f"""(
+  WITH hh AS (
+    SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT AS hv
+    FROM events
+  ), rr AS (
+    SELECT hv >> 52 AS idx,
+           CASE WHEN (hv & {mask}) = 0 THEN 53
+                ELSE 53 - length(ltrim(bin(hv & {mask}), '0')) END AS rho
+    FROM hh
+  ), regs AS (SELECT idx, max(rho) AS M FROM rr GROUP BY 1),
+  summed AS (
+    SELECT sum(1::BIGINT << (53 - M)) AS s_present, count(*) AS n_present
+    FROM regs
+  ), stats AS (
+    SELECT s_present + (256 - n_present) * (1::BIGINT << 53) AS s_int,
+           256 - n_present AS n_zero
+    FROM summed
+  ), est AS (
+    SELECT n_zero,
+           {alpha_num!r} / s_int AS raw_e
+    FROM stats
+  ), ex AS (SELECT count(DISTINCT {col}) AS exact FROM events)
+  SELECT '{col}' AS col, 256 AS m, n_zero AS n_zero_registers,
+         round(CASE WHEN raw_e <= 640.0 AND n_zero > 0
+                    THEN 256.0 * ln(256.0 / n_zero) ELSE raw_e END, 4) AS estimate,
+         exact,
+         round((round(CASE WHEN raw_e <= 640.0 AND n_zero > 0
+                           THEN 256.0 * ln(256.0 / n_zero) ELSE raw_e END, 4)
+                - exact) / exact, 4) AS rel_err
+  FROM est, ex
+)"""
 
 
 def _minhash_pipeline_cte() -> str:
@@ -3625,6 +3699,18 @@ SELECT g AS "group", protocol, votes FROM (
   FROM h WHERE n_chars > 0
 )
 SELECT doc_id, n_chars FROM k ORDER BY es DESC, doc_id LIMIT 100""",
+        "hll_cardinality": f"""SELECT * FROM {_hll_branch_sql("user_id")}
+UNION ALL
+SELECT * FROM {_hll_branch_sql("event_id")}""",
+        "weighted_sample_per_lang": """WITH k AS (
+  SELECT lang, doc_id, n_chars,
+         round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+                  / 1152921504606846976.0) / n_chars, 9) AS es
+  FROM documents WHERE n_chars > 0
+)
+SELECT lang, doc_id, n_chars,
+       row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id) AS rank
+FROM k QUALIFY rank <= 10""",
         "cluster_balanced_sample": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), c AS (

@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from starlight_for_kafka_spark.functions.hashing import md5_hash64
+
 
 def funnel(
     df: DataFrame,
@@ -416,3 +418,104 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hll_cardinality(
+    df: DataFrame,
+    value_col: str,
+    b: int = 8,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Distinct-count estimation with a HyperLogLog sketch (Flajolet et
+    al. 2007) built entirely from DataFrame aggregations — the mergeable
+    cardinality sketch a 100 TB pipeline uses where countDistinct's
+    exact shuffle is unaffordable (vocabulary sizes, per-shard user
+    counts, dedup-rate monitoring). Spark's own approx_count_distinct is
+    the same HLL++ family but its RNG/register layout is engine-private;
+    this one derives every register from md5, so the estimate is
+    bit-reproducible across runs AND engines (the DuckDB oracle replays
+    the identical registers).
+
+    Layout: m = 2^``b`` registers; the 60-bit md5 hash splits into a
+    ``b``-bit register index (top bits) and a (60-b)-bit suffix whose
+    leading-zero count + 1 is the register rank. Register ranks come from
+    string-length-of-bin() — exact integer arithmetic, no float log2
+    boundary hazard. The register sum Σ 2^-M_j runs in FIXED-POINT
+    (Σ 2^(F-M_j) as BIGINT, F = suffix width + 1), so it is exact and
+    order-independent — a float sum would drift by summation order and
+    break cross-engine parity. Small-range correction: linear counting
+    when E <= 2.5m and empty registers exist (the standard estimator).
+
+    Emits ONE row: (m, n_zero_registers, estimate[, exact, rel_err]).
+    ``with_exact=True`` adds the exact countDistinct for harness/audit
+    use — turn it off at scale (it is the expensive shuffle the sketch
+    exists to avoid).
+
+    Scale: register construction is one partial-combining aggregation
+    to 2^b rows; registers merge across shards/streams with max() —
+    sketch union is register-wise max, which groupBy(max) gives for
+    free (see the mergeability test).
+    """
+    suffix_bits = 60 - b
+    field = suffix_bits + 1  # rho ranges 1..field
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    h = md5_hash64(F.col(value_col).cast("string"))
+    idx = F.shiftrightunsigned(h, suffix_bits).alias("idx")
+    suffix = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
+    # leading zeros of the suffix within its field = suffix_bits - bitlen;
+    # bitlen via length(bin()) is exact (bin() of 0 is '0', handled below)
+    rho = F.when(suffix == 0, F.lit(field)).otherwise(
+        F.lit(field) - F.length(F.regexp_replace(F.bin(suffix), "^0+", ""))
+    )
+    regs = (
+        df.select(idx, rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("M"))
+    )
+    summed = regs.agg(
+        F.sum(F.expr(f"shiftleft(1L, {field} - M)")).alias("__s_present"),
+        F.count("*").alias("__n_present"),
+    )
+    scale = float(1 << field)
+    stats = summed.select(
+        (F.col("__s_present") + (F.lit(m) - F.col("__n_present")) * F.lit(1 << field))
+        .alias("__s_int"),
+        (F.lit(m) - F.col("__n_present")).alias("n_zero_registers"),
+    )
+    raw_e = F.lit(alpha * m * m * scale) / F.col("__s_int")
+    v = F.col("n_zero_registers")
+    est = F.when(
+        (raw_e <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw_e)
+    out = stats.select(
+        F.lit(m).alias("m"),
+        "n_zero_registers",
+        F.round(est, 4).alias("estimate"),
+    )
+    if with_exact:
+        exact = df.agg(F.countDistinct(value_col).alias("exact"))
+        out = out.crossJoin(exact).withColumn(
+            "rel_err",
+            F.round((F.col("estimate") - F.col("exact")) / F.col("exact"), 4),
+        )
+    return out
+
+
+def hll_registers(df: DataFrame, value_col: str, b: int = 8) -> DataFrame:
+    """The raw (idx, M) register table of :func:`hll_cardinality` — the
+    mergeable form: union register tables from any number of shards and
+    fold with groupBy(idx).max(M) to sketch the union of the inputs."""
+    suffix_bits = 60 - b
+    field = suffix_bits + 1
+    h = md5_hash64(F.col(value_col).cast("string"))
+    suffix = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
+    rho = F.when(suffix == 0, F.lit(field)).otherwise(
+        F.lit(field) - F.length(F.regexp_replace(F.bin(suffix), "^0+", ""))
+    )
+    return (
+        df.select(F.shiftrightunsigned(h, suffix_bits).alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("M"))
+    )

@@ -90,6 +90,42 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    n: int,
+    key_col: str,
+) -> DataFrame:
+    """Per-group Efraimidis–Spirakis sampling: the :func:`weighted_sample`
+    competition run independently inside every group — the per-source /
+    per-language quota draw a mixture pipeline makes (sample n docs per
+    language, weight by quality or length) with the same determinism
+    contract.
+
+    Emits the group columns, the payload, and ``rank`` (1-based within
+    the group).
+
+    Scale: per-group top-n goes through skew.grouped_top_k — salted local
+    top-n then an exact re-rank over <= n * salts rows per group. A hot
+    group (one language dominating the corpus) never funnels through a
+    single task, unlike a plain per-group window.
+    """
+    from starlight_for_kafka_spark.operators.skew import grouped_top_k
+
+    w = F.col(weight_col).cast("double")
+    h = md5_hash64(F.col(key_col).cast("string"))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    es = F.round(F.log(u) / w, 9)
+    keyed = df.filter(w > 0).withColumn("__es", es)
+    return grouped_top_k(
+        keyed,
+        group_cols,
+        [F.col("__es").desc(), F.col(key_col).asc()],
+        k=n,
+    ).drop("__es")
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

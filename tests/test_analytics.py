@@ -274,3 +274,35 @@ def test_pagerank_zero_out_weight_node_is_dangling(spark):
     )
     out = {r.node: r.rank for r in pagerank(g, weight_col="w").collect()}
     assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_hll_cardinality_within_error_band_both_branches(spark):
+    from starlight_for_kafka_spark.operators.analytics import hll_cardinality
+
+    # raw-HLL regime: n >> 2.5m -> relative error ~ 1.04/sqrt(256) = 6.5%
+    big = spark.range(50_000).selectExpr("cast(id as string) as v")
+    r = hll_cardinality(big, "v").first()
+    assert r.exact == 50_000 and abs(r.rel_err) < 0.15
+    assert r.n_zero_registers == 0
+    # linear-counting regime: empty registers present
+    small = spark.range(80).selectExpr("cast(id as string) as v")
+    s = hll_cardinality(small, "v").first()
+    assert s.n_zero_registers > 0 and abs(s.rel_err) < 0.25
+
+
+def test_hll_registers_merge_equals_union_sketch(spark):
+    from starlight_for_kafka_spark.operators.analytics import hll_registers
+
+    a = spark.range(0, 3000).selectExpr("cast(id as string) as v")
+    b = spark.range(1500, 5000).selectExpr("cast(id as string) as v")
+    union = a.unionByName(b)
+    merged = (
+        hll_registers(a, "v")
+        .unionByName(hll_registers(b, "v"))
+        .groupBy("idx")
+        .agg(F.max("M").alias("M"))
+    )
+    direct = hll_registers(union, "v")
+    got = sorted((r.idx, r.M) for r in merged.collect())
+    want = sorted((r.idx, r.M) for r in direct.collect())
+    assert got == want  # sketch union IS register-wise max

@@ -1060,3 +1060,23 @@ def test_cluster_representatives_argmax_with_tiebreak(spark):
            cluster_representatives(comps, scores).collect()}
     # component 1: max score 9.0 tie between 2 and 3 -> smallest id 2
     assert out == {1: (2, 9.0), 10: (10, 1.0)}
+
+
+def test_weighted_sample_per_group_quota_and_determinism(spark):
+    from starlight_for_kafka_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(f"g{i % 3}", i, float(1 + i % 5)) for i in range(90)]
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+    out = weighted_sample_per_group(df, ["grp"], "w", 4, "id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.grp, []).append((r.rank, r.id))
+    assert set(per) == {"g0", "g1", "g2"}
+    for g, picks in per.items():
+        assert sorted(r for r, _ in picks) == [1, 2, 3, 4]
+    again = weighted_sample_per_group(df, ["grp"], "w", 4, "id").collect()
+    assert sorted((r.grp, r.rank, r.id) for r in again) == sorted(
+        (r.grp, r.rank, r.id) for r in out
+    )
