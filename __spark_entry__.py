@@ -2880,6 +2880,19 @@ def q_cluster_representatives(spark, sf_dir):
     return dedup_ops.cluster_representatives(comps, scores)
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-gated decontamination (map-only corpus side, broadcast
+    bitset): same eval-set fixture as `decontaminate`; clones must test
+    positive (no false negatives — the Bloom guarantee), clean docs pass
+    modulo the deterministic md5 false positives the oracle replays."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).unionByName(
+        benchmark.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    return dedup_ops.bloom_decontaminate(corpus, benchmark, ngram_k=8)
+
+
 def q_hll_cardinality(spark, sf_dir):
     """Mergeable HyperLogLog distinct-count sketch, md5-register variant
     (engine-portable registers — Spark's own approx_count_distinct is the
@@ -3172,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representatives": q_cluster_representatives,
         "hll_cardinality": q_hll_cardinality,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
         "cogroup": q_cogroup,
@@ -5713,6 +5727,46 @@ SELECT doc_id, n_ngrams, n_overlap,
        round(CASE WHEN n_ngrams > 0 THEN n_overlap / n_ngrams ELSE 0 END, 6) AS contamination,
        (CASE WHEN n_ngrams > 0 THEN n_overlap / n_ngrams ELSE 0 END) >= 0.5 AS contaminated
 FROM per""",
+        "bloom_decontaminate": """WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+), bnorm AS (
+  SELECT regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE doc_id % 10 = 0
+), bgrams AS (
+  SELECT DISTINCT unnest(CASE WHEN len(w) >= 8
+    THEN [array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]
+    ELSE [] END) AS g
+  FROM bnorm
+), pos AS (
+  -- the Bloom bitset's set bits, replayed exactly (md5 positions)
+  SELECT DISTINCT
+    ('0x' || substr(md5('bl' || CAST(i AS VARCHAR) || ':' || g), 1, 15))::BIGINT % 65536 AS p
+  FROM bgrams CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) s
+), cnorm AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM corpus
+), csets AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 8
+    THEN [array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]
+    ELSE [] END) AS sh
+  FROM cnorm
+), cgrams AS (
+  SELECT doc_id, len(sh) AS n_ngrams, unnest(sh) AS g FROM csets WHERE len(sh) > 0
+), ghit AS (
+  SELECT doc_id, n_ngrams,
+         (('0x' || substr(md5('bl0:' || g), 1, 15))::BIGINT % 65536 IN (SELECT p FROM pos))
+     AND (('0x' || substr(md5('bl1:' || g), 1, 15))::BIGINT % 65536 IN (SELECT p FROM pos))
+     AND (('0x' || substr(md5('bl2:' || g), 1, 15))::BIGINT % 65536 IN (SELECT p FROM pos)) AS hit
+  FROM cgrams
+), per AS (
+  SELECT doc_id, n_ngrams, bool_or(hit) AS bloom_hit FROM ghit GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, 0, false FROM csets WHERE len(sh) = 0
+)
+SELECT doc_id, n_ngrams, bloom_hit FROM per""",
         "sample_stratified": """SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
       CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'es' THEN 2500

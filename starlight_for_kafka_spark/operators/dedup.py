@@ -641,6 +641,75 @@ def benchmark_contamination(
     )
 
 
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 8,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-gated decontamination — the broadcast-BITSET scale path next
+    to :func:`benchmark_contamination`'s broadcast join. The benchmark's
+    distinct word n-grams fold ONCE into an ``n_bits`` Bloom filter (the
+    position collect is control-plane: eval sets are MBs); the corpus
+    side is then a PURE MAP — a doc is flagged iff any of its n-grams
+    tests positive, no join, no corpus-side shuffle at all beyond the
+    scan. This is the shape that wins when the corpus is 100 TB and the
+    filter must ride along with other map work.
+
+    One-sided error by construction: every true benchmark n-gram hits
+    (no false negatives); a ~(1 - e^(-kn/m))^k false-positive rate flags
+    some clean docs — size ``n_bits`` ≈ 16 bits/gram for ~0.1% FP at
+    k=3. Positions are md5-derived, so the filter — INCLUDING its false
+    positives — replays bit-for-bit in the oracle.
+
+    Emits (id, n_ngrams, bloom_hit).
+    """
+    grams = lambda c: F.array_distinct(word_shingles(c, ngram_k))  # noqa: E731
+
+    def positions(g, i: int):
+        return F.pmod(md5_hash64(F.concat(F.lit(f"bl{i}:"), g)), F.lit(n_bits))
+
+    bench = benchmark.select(F.explode(grams(F.col(text_col))).alias("g")).distinct()
+    pos_rows = bench.select(
+        F.explode(F.array(*[positions(F.col("g"), i) for i in range(n_hashes)])).alias(
+            "p"
+        )
+    ).distinct()
+    bitset = [0] * ((n_bits + 63) // 64)
+    for (p,) in pos_rows.collect():  # control-plane: <= n_bits ints
+        bitset[p // 64] |= 1 << (p % 64)
+
+    def signed64(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    bits_lit = F.array(*[F.lit(signed64(wd)).cast("long") for wd in bitset])
+    p2_lit = F.array(
+        *[F.lit(signed64(1 << j)).cast("long") for j in range(64)]
+    )
+
+    def test(g, i: int):
+        p = positions(g, i)
+        word = F.element_at(bits_lit, (p / 64).cast("int") + 1)
+        bit = F.element_at(p2_lit, F.pmod(p, F.lit(64)).cast("int") + 1)
+        return word.bitwiseAND(bit) != 0
+
+    def gram_hits(g):
+        out = test(g, 0)
+        for i in range(1, n_hashes):
+            out = out & test(g, i)
+        return out
+
+    sets = corpus.select(F.col(id_col), grams(F.col(text_col)).alias("__set"))
+    return sets.select(
+        id_col,
+        F.size("__set").alias("n_ngrams"),
+        F.coalesce(F.exists("__set", gram_hits), F.lit(False)).alias("bloom_hit"),
+    )
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25
 ) -> DataFrame:

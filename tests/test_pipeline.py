@@ -1080,3 +1080,24 @@ def test_weighted_sample_per_group_quota_and_determinism(spark):
     assert sorted((r.grp, r.rank, r.id) for r in again) == sorted(
         (r.grp, r.rank, r.id) for r in out
     )
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, documents):
+    from starlight_for_kafka_spark.operators.dedup import (
+        benchmark_contamination,
+        bloom_decontaminate,
+    )
+
+    docs = documents.select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).unionByName(
+        bench.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    bloom = {r.doc_id: r.bloom_hit
+             for r in bloom_decontaminate(corpus, bench).collect()}
+    exact = {r.doc_id: r.n_overlap > 0
+             for r in benchmark_contamination(corpus, bench).collect()}
+    # Bloom guarantee: every truly overlapping doc tests positive
+    assert all(bloom[d] for d, hit in exact.items() if hit)
+    # the clone fixture rows are all true hits
+    assert all(hit for d, hit in bloom.items() if d >= 1_000_000)
