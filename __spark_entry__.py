@@ -2880,6 +2880,25 @@ def q_cluster_representatives(spark, sf_dir):
     return dedup_ops.cluster_representatives(comps, scores)
 
 
+def q_cm_heavy_hitters(spark, sf_dir):
+    """Count-Min frequency sketch (md5-register variant): per-user event
+    counts estimated from the 4x1024 counter table vs the exact groupBy;
+    top-20 by estimate. One-sided by construction (est >= exact)."""
+    from starlight_for_kafka_spark.operators import skew as skew_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = skew_ops.cm_sketch(ev, "user_id")
+    keys = ev.select("user_id").distinct()
+    est = skew_ops.cm_estimate(sk, keys, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.col("est").desc(), "user_id")
+        .limit(20)
+        .select("user_id", "est", "exact")
+    )
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-gated decontamination (map-only corpus side, broadcast
     bitset): same eval-set fixture as `decontaminate`; clones must test
@@ -3186,6 +3205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": q_hll_cardinality,
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
         "cogroup": q_cogroup,
@@ -5727,6 +5747,24 @@ SELECT doc_id, n_ngrams, n_overlap,
        round(CASE WHEN n_ngrams > 0 THEN n_overlap / n_ngrams ELSE 0 END, 6) AS contamination,
        (CASE WHEN n_ngrams > 0 THEN n_overlap / n_ngrams ELSE 0 END) >= 0.5 AS contaminated
 FROM per""",
+        "cm_heavy_hitters": """WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS v FROM events
+), pos AS (
+  SELECT v, i, ('0x' || substr(md5('cm' || i || ':' || v), 1, 15))::BIGINT % 1024 AS col
+  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) s
+), counters AS (
+  SELECT i AS row, col, count(*) AS c FROM pos GROUP BY 1, 2
+), keys AS (SELECT DISTINCT v FROM ev),
+kpos AS (
+  SELECT v, i AS row, ('0x' || substr(md5('cm' || i || ':' || v), 1, 15))::BIGINT % 1024 AS col
+  FROM keys CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) s
+), est AS (
+  SELECT v, min(coalesce(c, 0)) AS est
+  FROM kpos LEFT JOIN counters USING (row, col) GROUP BY 1
+), exact AS (SELECT v, count(*) AS exact FROM ev GROUP BY 1)
+SELECT CAST(v AS BIGINT) AS user_id, est, exact
+FROM est JOIN exact USING (v)
+ORDER BY est DESC, user_id LIMIT 20""",
         "bloom_decontaminate": """WITH corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
   UNION ALL

@@ -177,3 +177,84 @@ def grouped_top_k(
         stage1.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def cm_sketch(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) as a
+    (row, col, c) counter table — the mergeable per-key frequency
+    estimator for streams/shards where an exact groupBy(key) is
+    unaffordable or must be unioned across jobs (sketches from any number
+    of shards merge by summing counters; see the mergeability test).
+    Positions are md5-derived, so counters — and every estimate —
+    reproduce across engines (the DuckDB oracle replays them exactly).
+
+    Guarantees: estimate >= true count always (one-sided), and the
+    overestimate is <= 2N/width with probability 1 - (1/2)^depth.
+
+    Scale: one map-side explode (depth rows per record, tiny structs) and
+    one partial-combining aggregation to <= width*depth counters. The
+    counter table is broadcast-sized by construction.
+    """
+    from starlight_for_kafka_spark.functions.hashing import md5_hash64
+
+    v = F.col(value_col).cast("string")
+    entries = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            md5_hash64(F.concat(F.lit(f"cm{i}:"), v)), F.lit(width)
+                        ).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("e")
+    )
+    return entries.groupBy(
+        F.col("e.row").alias("row"), F.col("e.col").alias("col")
+    ).agg(F.count("*").alias("c"))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the Count-Min sketch for every key in ``keys``:
+    estimate = min over the sketch's depth rows of the key's counter
+    (absent counter = 0 — the key was never seen). The sketch side
+    broadcasts (it is <= width*depth rows by construction), so the probe
+    costs one broadcast join + one per-key min."""
+    from starlight_for_kafka_spark.functions.hashing import md5_hash64
+
+    v = F.col(value_col).cast("string")
+    pos = keys.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            md5_hash64(F.concat(F.lit(f"cm{i}:"), v)), F.lit(width)
+                        ).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select(value_col, F.col("e.row").alias("row"), F.col("e.col").alias("col"))
+    joined = pos.join(F.broadcast(sketch), ["row", "col"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("est")
+    )

@@ -306,3 +306,29 @@ def test_hll_registers_merge_equals_union_sketch(spark):
     got = sorted((r.idx, r.M) for r in merged.collect())
     want = sorted((r.idx, r.M) for r in direct.collect())
     assert got == want  # sketch union IS register-wise max
+
+
+def test_cm_sketch_one_sided_and_mergeable(spark):
+    from starlight_for_kafka_spark.operators.skew import cm_estimate, cm_sketch
+
+    a = spark.range(5000).selectExpr("cast(id % 300 as long) as v")
+    b = spark.range(5000, 9000).selectExpr("cast(id % 450 as long) as v")
+    union = a.unionByName(b)
+    keys = union.select("v").distinct()
+    est = {r.v: r.est for r in cm_estimate(cm_sketch(union, "v"), keys, "v").collect()}
+    exact = {r.v: r.n for r in
+             union.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    # one-sided guarantee: never underestimates
+    assert all(est[k] >= n for k, n in exact.items())
+    # tight at this load factor (N/width ~ 9)
+    assert sum(est[k] - n for k, n in exact.items()) / len(exact) < 40
+    # mergeability: summed per-shard counters == whole-input sketch
+    merged = (
+        cm_sketch(a, "v")
+        .unionByName(cm_sketch(b, "v"))
+        .groupBy("row", "col")
+        .agg(F.sum("c").alias("c"))
+    )
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, cm_sketch(union, "v").collect()))
+    assert got == want
