@@ -454,28 +454,21 @@ def hll_cardinality(
     Scale: register construction is one partial-combining aggregation
     to 2^b rows; registers merge across shards/streams with max() —
     sketch union is register-wise max, which groupBy(max) gives for
-    free (see the mergeability test).
+    free (see the mergeability test). NULL values are not elements
+    (matching countDistinct) and are dropped before hashing. An empty
+    input reports estimate 0 via the linear-counting branch.
     """
-    suffix_bits = 60 - b
-    field = suffix_bits + 1  # rho ranges 1..field
+    field = (60 - b) + 1  # rho ranges 1..field
     m = 1 << b
     alpha = 0.7213 / (1.0 + 1.079 / m)
 
-    h = md5_hash64(F.col(value_col).cast("string"))
-    idx = F.shiftrightunsigned(h, suffix_bits).alias("idx")
-    suffix = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
-    # leading zeros of the suffix within its field = suffix_bits - bitlen;
-    # bitlen via length(bin()) is exact (bin() of 0 is '0', handled below)
-    rho = F.when(suffix == 0, F.lit(field)).otherwise(
-        F.lit(field) - F.length(F.regexp_replace(F.bin(suffix), "^0+", ""))
-    )
-    regs = (
-        df.select(idx, rho.alias("rho"))
-        .groupBy("idx")
-        .agg(F.max("rho").alias("M"))
-    )
+    regs = hll_registers(df, value_col, b)
+    # coalesce: an EMPTY register table sums to NULL; 0 makes s_int the
+    # all-empty m * 2^field, which lands in linear counting -> estimate 0
     summed = regs.agg(
-        F.sum(F.expr(f"shiftleft(1L, {field} - M)")).alias("__s_present"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, {field} - M)")), F.lit(0).cast("long")
+        ).alias("__s_present"),
         F.count("*").alias("__n_present"),
     )
     scale = float(1 << field)
@@ -498,7 +491,12 @@ def hll_cardinality(
         exact = df.agg(F.countDistinct(value_col).alias("exact"))
         out = out.crossJoin(exact).withColumn(
             "rel_err",
-            F.round((F.col("estimate") - F.col("exact")) / F.col("exact"), 4),
+            # NULL when exact == 0 (relative error is undefined; ANSI
+            # mode would otherwise throw on the empty-input divide)
+            F.when(
+                F.col("exact") > 0,
+                F.round((F.col("estimate") - F.col("exact")) / F.col("exact"), 4),
+            ),
         )
     return out
 
@@ -506,16 +504,22 @@ def hll_cardinality(
 def hll_registers(df: DataFrame, value_col: str, b: int = 8) -> DataFrame:
     """The raw (idx, M) register table of :func:`hll_cardinality` — the
     mergeable form: union register tables from any number of shards and
-    fold with groupBy(idx).max(M) to sketch the union of the inputs."""
+    fold with groupBy(idx).max(M) to sketch the union of the inputs.
+    NULLs are dropped (a NULL is not an element: it would otherwise mint
+    a phantom (NULL, NULL) register that deflates n_zero and poisons
+    cross-shard merges)."""
     suffix_bits = 60 - b
     field = suffix_bits + 1
     h = md5_hash64(F.col(value_col).cast("string"))
     suffix = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
+    # leading zeros of the suffix within its field = suffix_bits - bitlen;
+    # bitlen via length(bin()) is exact (no float log2 boundary hazard)
     rho = F.when(suffix == 0, F.lit(field)).otherwise(
         F.lit(field) - F.length(F.regexp_replace(F.bin(suffix), "^0+", ""))
     )
     return (
-        df.select(F.shiftrightunsigned(h, suffix_bits).alias("idx"), rho.alias("rho"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.shiftrightunsigned(h, suffix_bits).alias("idx"), rho.alias("rho"))
         .groupBy("idx")
         .agg(F.max("rho").alias("M"))
     )

@@ -65,8 +65,10 @@ def weighted_sample(
     repartitioning — the same determinism contract as stratified_sample
     (an RNG-per-task sample silently changes membership under retries).
 
-    Rows with NULL or non-positive weight are excluded (E–S requires
-    w > 0; a zero-weight row can never win anyway). Ranking keys are
+    Rows with NULL, NaN, or non-positive weight are excluded (E–S
+    requires finite w > 0; NaN would otherwise pass a plain ``w > 0``
+    filter under Spark's NaN-is-greatest ordering and saturate the
+    sample with NaN sort keys). Ranking keys are
     rounded to 9 dp with a ``key_col`` tie-break so the selection
     boundary is engine-portable. ``key_col`` must be unique per row.
 
@@ -82,7 +84,7 @@ def weighted_sample(
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
     es = F.round(F.log(u) / w, 9)
     return (
-        df.filter(w > 0)
+        df.filter((w > 0) & ~F.isnan(w))
         .withColumn("__es", es)
         .orderBy(F.col("__es").desc(), F.col(key_col).asc())
         .limit(n)
@@ -117,7 +119,7 @@ def weighted_sample_per_group(
     h = md5_hash64(F.col(key_col).cast("string"))
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
     es = F.round(F.log(u) / w, 9)
-    keyed = df.filter(w > 0).withColumn("__es", es)
+    keyed = df.filter((w > 0) & ~F.isnan(w)).withColumn("__es", es)
     return grouped_top_k(
         keyed,
         group_cols,

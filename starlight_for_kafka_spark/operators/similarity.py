@@ -108,6 +108,20 @@ def lsh_top_k(
     return brute_force_top_k(candidates, query_vec, k, id_col, vec_col)
 
 
+def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> Column:
+    """The per-centroid cosine array (9 dp, the cross-engine assignment
+    convention) — ONE definition shared by ivf_assign and
+    cluster_balanced_sample so the two paths (and their oracles) can
+    never desynchronize on rounding or tie-breaks."""
+    v = F.col(vec_col).cast("array<double>")
+    return F.array(
+        *[
+            F.round(cosine_similarity(v, F.array(*[F.lit(float(x)) for x in c])), 9)
+            for c in centroids
+        ]
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -118,13 +132,7 @@ def ivf_assign(
     (literal centroid list — in production, k-means trained and broadcast).
     Writing the table partitioned by ``ivf_cell`` makes probing partition-
     pruned at the parquet layer."""
-    v = F.col(vec_col).cast("array<double>")
-    sims = F.array(
-        *[
-            F.round(cosine_similarity(v, F.array(*[F.lit(float(x)) for x in c])), 9)
-            for c in centroids
-        ]
-    )
+    sims = _centroid_sims(vec_col, centroids)
     best = F.array_position(sims, F.array_max(sims)) - 1
     return embeddings.withColumn("ivf_cell", best.cast("int"))
 
@@ -200,13 +208,7 @@ def cluster_balanced_sample(
     """
     from starlight_for_kafka_spark.operators.skew import grouped_top_k
 
-    v = F.col(vec_col).cast("array<double>")
-    sims = F.array(
-        *[
-            F.round(cosine_similarity(v, F.array(*[F.lit(float(x)) for x in c])), 9)
-            for c in centroids
-        ]
-    )
+    sims = _centroid_sims(vec_col, centroids)
     best = F.array_max(sims)
     assigned = embeddings.select(
         id_col,

@@ -179,6 +179,28 @@ def grouped_top_k(
     )
 
 
+def _cm_positions(value_col: str, width: int, depth: int):
+    """The exploded (row, col) md5 position structs shared by cm_sketch
+    and cm_estimate — ONE definition, because the sketch and the probe
+    must hash bit-identically or every estimate is garbage."""
+    from starlight_for_kafka_spark.functions.hashing import md5_hash64
+
+    v = F.col(value_col).cast("string")
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(
+                        md5_hash64(F.concat(F.lit(f"cm{i}:"), v)), F.lit(width)
+                    ).alias("col"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+
+
 def cm_sketch(
     df: DataFrame,
     value_col: str,
@@ -198,25 +220,12 @@ def cm_sketch(
 
     Scale: one map-side explode (depth rows per record, tiny structs) and
     one partial-combining aggregation to <= width*depth counters. The
-    counter table is broadcast-sized by construction.
+    counter table is broadcast-sized by construction. NULL values are
+    NOT keys and are dropped (a NULL would mint counters at col=NULL no
+    probe can reach); the one-sided guarantee is over non-null values.
     """
-    from starlight_for_kafka_spark.functions.hashing import md5_hash64
-
-    v = F.col(value_col).cast("string")
-    entries = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        F.pmod(
-                            md5_hash64(F.concat(F.lit(f"cm{i}:"), v)), F.lit(width)
-                        ).alias("col"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("e")
+    entries = df.filter(F.col(value_col).isNotNull()).select(
+        _cm_positions(value_col, width, depth).alias("e")
     )
     return entries.groupBy(
         F.col("e.row").alias("row"), F.col("e.col").alias("col")
@@ -234,25 +243,10 @@ def cm_estimate(
     estimate = min over the sketch's depth rows of the key's counter
     (absent counter = 0 — the key was never seen). The sketch side
     broadcasts (it is <= width*depth rows by construction), so the probe
-    costs one broadcast join + one per-key min."""
-    from starlight_for_kafka_spark.functions.hashing import md5_hash64
-
-    v = F.col(value_col).cast("string")
-    pos = keys.select(
-        value_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        F.pmod(
-                            md5_hash64(F.concat(F.lit(f"cm{i}:"), v)), F.lit(width)
-                        ).alias("col"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("e"),
+    costs one broadcast join + one per-key min. NULL keys are dropped
+    (NULLs are not sketched — see :func:`cm_sketch`)."""
+    pos = keys.filter(F.col(value_col).isNotNull()).select(
+        value_col, _cm_positions(value_col, width, depth).alias("e")
     ).select(value_col, F.col("e.row").alias("row"), F.col("e.col").alias("col"))
     joined = pos.join(F.broadcast(sketch), ["row", "col"], "left")
     return joined.groupBy(value_col).agg(

@@ -332,3 +332,30 @@ def test_cm_sketch_one_sided_and_mergeable(spark):
     got = sorted(map(tuple, merged.collect()))
     want = sorted(map(tuple, cm_sketch(union, "v").collect()))
     assert got == want
+
+
+def test_hll_ignores_nulls_and_handles_empty_input(spark):
+    from starlight_for_kafka_spark.operators.analytics import hll_cardinality
+
+    vals = spark.createDataFrame(
+        [(str(i),) for i in range(50)] + [(None,)], "v string"
+    )
+    with_null = hll_cardinality(vals, "v").first()
+    without = hll_cardinality(vals.filter("v IS NOT NULL"), "v").first()
+    # a NULL is not an element: estimate and registers must not move
+    assert with_null.estimate == without.estimate
+    assert with_null.n_zero_registers == without.n_zero_registers
+    empty = hll_cardinality(vals.filter("v = 'nope'"), "v").first()
+    assert empty.estimate == 0.0 and empty.n_zero_registers == 256
+
+
+def test_cm_sketch_ignores_nulls(spark):
+    from starlight_for_kafka_spark.operators.skew import cm_estimate, cm_sketch
+
+    df = spark.createDataFrame([("a",), ("a",), (None,), (None,)], "v string")
+    sk = cm_sketch(df, "v")
+    # no counters at unreachable NULL positions
+    assert sk.filter("col IS NULL").count() == 0
+    est = {r.v: r.est for r in
+           cm_estimate(sk, df.select("v").distinct(), "v").collect()}
+    assert est == {"a": 2}  # NULL key dropped, not reported as est=0

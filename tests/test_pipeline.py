@@ -1101,3 +1101,14 @@ def test_bloom_decontaminate_no_false_negatives(spark, documents):
     assert all(bloom[d] for d, hit in exact.items() if hit)
     # the clone fixture rows are all true hits
     assert all(hit for d, hit in bloom.items() if d >= 1_000_000)
+
+
+def test_weighted_sample_excludes_nan_weights(spark):
+    from starlight_for_kafka_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(50)] + [(500, float("nan")), (501, float("nan"))],
+        "id long, w double",
+    )
+    got = {r.id for r in weighted_sample(df, "w", 5, "id").collect()}
+    assert not got & {500, 501}
