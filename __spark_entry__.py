@@ -2880,6 +2880,24 @@ def q_cluster_representatives(spark, sf_dir):
     return dedup_ops.cluster_representatives(comps, scores)
 
 
+def q_histogram_quantiles(spark, sf_dir):
+    """Prometheus-model histogram + histogram_quantile over per-record
+    byte sizes, grouped by log partition — the RequestStats/Grafana
+    latency-quantile pipeline (kop_server_..._REQUEST_LATENCY buckets)
+    recomputed from the log. p50 exercises in-bucket interpolation; p99
+    lands in the +Inf bucket and clamps to the highest finite bound."""
+    from starlight_for_kafka_spark.operators.metrics import (
+        histogram_quantile,
+        prom_histogram,
+    )
+    from starlight_for_kafka_spark.sources.logtable import record_size
+
+    log = _log(spark, sf_dir).df
+    sized = log.withColumn("rec_bytes", record_size())
+    h = prom_histogram(sized, "rec_bytes", [9.0, 10.0, 11.0], ["partition"])
+    return histogram_quantile(h, [0.5, 0.9, 0.99], ["partition"])
+
+
 def q_cm_heavy_hitters(spark, sf_dir):
     """Count-Min frequency sketch (md5-register variant): per-user event
     counts estimated from the 4x1024 counter table vs the exact groupBy;
@@ -3206,6 +3224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_per_lang": q_weighted_sample_per_lang,
         "bloom_decontaminate": q_bloom_decontaminate,
         "cm_heavy_hitters": q_cm_heavy_hitters,
+        "histogram_quantiles": q_histogram_quantiles,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
         "cogroup": q_cogroup,
@@ -5747,6 +5766,50 @@ SELECT doc_id, n_ngrams, n_overlap,
        round(CASE WHEN n_ngrams > 0 THEN n_overlap / n_ngrams ELSE 0 END, 6) AS contamination,
        (CASE WHEN n_ngrams > 0 THEN n_overlap / n_ngrams ELSE 0 END) >= 0.5 AS contaminated
 FROM per""",
+        "histogram_quantiles": f"""WITH {LOG_CTE},
+sized AS (
+  SELECT "partition", CAST(strlen(key) + strlen(value) AS DOUBLE) AS s FROM log
+), bucketed AS (
+  SELECT "partition",
+         CASE WHEN s <= 9 THEN 9.0 WHEN s <= 10 THEN 10.0 WHEN s <= 11 THEN 11.0
+              ELSE 'infinity'::DOUBLE END AS le
+  FROM sized
+), counts AS (
+  SELECT "partition", le, count(*) AS n FROM bucketed GROUP BY 1, 2
+), grid AS (
+  SELECT p."partition", b.le
+  FROM (SELECT DISTINCT "partition" FROM log) p
+  CROSS JOIN (SELECT unnest([9.0::DOUBLE, 10.0::DOUBLE, 11.0::DOUBLE, 'infinity'::DOUBLE]) AS le) b
+), dense AS (
+  SELECT g."partition", g.le, coalesce(c.n, 0) AS n
+  FROM grid g LEFT JOIN counts c ON c."partition" = g."partition" AND c.le = g.le
+), hist AS (
+  SELECT "partition", le,
+         sum(n) OVER (PARTITION BY "partition" ORDER BY le ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dense
+), aug AS (
+  SELECT "partition", le, cum,
+         coalesce(lag(cum) OVER w, 0) AS prev_cum,
+         coalesce(lag(le) OVER w, 0.0) AS prev_le,
+         max(cum) OVER (PARTITION BY "partition") AS total,
+         max(CASE WHEN le <> 'infinity'::DOUBLE THEN le END)
+           OVER (PARTITION BY "partition") AS fmax
+  FROM hist WINDOW w AS (PARTITION BY "partition" ORDER BY le)
+), probes AS (
+  SELECT a.*, qq.q, qq.q * a.total AS target
+  FROM aug a CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q) qq
+  WHERE a.total > 0
+), chosen AS (
+  SELECT "partition", q,
+         min_by(struct_pack(le := le, prev_le := prev_le, prev_cum := prev_cum,
+                            cum := cum, target := target, fmax := fmax), le) AS b
+  FROM probes WHERE cum >= target GROUP BY 1, 2
+)
+SELECT "partition", q,
+       round(CASE WHEN b.le = 'infinity'::DOUBLE THEN b.fmax
+                  ELSE b.prev_le + (b.le - b.prev_le) * (b.target - b.prev_cum)
+                       / (b.cum - b.prev_cum) END, 6) AS value
+FROM chosen""",
         "cm_heavy_hitters": """WITH ev AS (
   SELECT CAST(user_id AS VARCHAR) AS v FROM events
 ), pos AS (

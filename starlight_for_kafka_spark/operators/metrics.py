@@ -15,7 +15,7 @@ reduce side is trivially tiny at any corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -45,3 +45,109 @@ def throughput_metrics(log: DataFrame, bucket: str = "hour") -> DataFrame:
             (F.col("bytes_in") / F.col("messages_in")).cast("double"),
         )
     )
+
+
+def prom_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Prometheus-model cumulative histogram: one row per (group, le)
+    with the CUMULATIVE observation count — exactly the export shape the
+    reference's stats layer feeds Grafana (RequestStats.java latency
+    stats -> kop_server_..._REQUEST_LATENCY buckets; the dashboard reads
+    them with histogram_quantile()). A ``le = +Inf`` row closes every
+    series, and every configured bucket appears even when empty (the
+    densified grid is what makes histograms MERGEABLE: shard/window
+    histograms sum bucket-wise, then quantiles interpolate once).
+
+    Scale: one map-side bucket assignment (a when-chain, codegen'd), one
+    partial-combining (group, le) aggregation, then a cumulative sum over
+    the TINY densified grid (groups x |buckets|+1 rows — the window input
+    is post-aggregation, so no data-sized window partition exists).
+    """
+    group_cols = group_cols or []
+    bs = sorted(float(b) for b in buckets)
+    v = F.col(value_col).cast("double")
+    le = F.when(v <= bs[0], F.lit(bs[0]))
+    for b in bs[1:]:
+        le = le.when(v <= b, F.lit(b))
+    le = le.otherwise(F.lit(float("inf")))
+
+    counts = df.groupBy(*group_cols, le.alias("le")).agg(
+        F.count("*").alias("__n")
+    )
+    grid = (
+        (df.select(*group_cols).distinct() if group_cols else df.limit(1).select())
+        .crossJoin(
+            df.sparkSession.createDataFrame(
+                [(b,) for b in bs + [float("inf")]], "le double"
+            )
+        )
+    )
+    dense = grid.join(counts, [*group_cols, "le"], "left").select(
+        *group_cols, "le", F.coalesce("__n", F.lit(0).cast("long")).alias("__n")
+    )
+    parts = [F.col(c) for c in group_cols] or [F.lit(0)]
+    w = (
+        Window.partitionBy(*parts).orderBy("le")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(*group_cols, "le", F.sum("__n").over(w).alias("cum"))
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Prometheus ``histogram_quantile()`` over :func:`prom_histogram`
+    output: rank q*N lands in the first bucket whose cumulative count
+    reaches it; the estimate interpolates linearly inside that bucket
+    (lower bound = previous le, 0 for the first bucket). A rank landing
+    in the +Inf bucket clamps to the highest finite bound — the same
+    convention Prometheus uses. ``qs`` must be strictly positive (q=0 is
+    meaningless under this model and would divide by an empty bucket).
+
+    Emits (group..., q, value). Every step runs on the tiny bucket grid;
+    the observations never re-enter the plan.
+    """
+    if any(q <= 0 or q > 1 for q in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+    group_cols = group_cols or []
+    # constant partition key for the ungrouped case: the grid is tiny by
+    # construction, but an empty partitionBy still logs a WindowExec
+    # single-partition warning on every run
+    parts = [F.col(c) for c in group_cols] or [F.lit(0)]
+    w = Window.partitionBy(*parts).orderBy("le")
+    finite_max = F.max(
+        F.when(F.col("le") != float("inf"), F.col("le"))
+    ).over(Window.partitionBy(*parts))
+    h = (
+        hist.withColumn("__prev_cum", F.coalesce(F.lag("cum").over(w), F.lit(0).cast("long")))
+        .withColumn("__prev_le", F.coalesce(F.lag("le").over(w), F.lit(0.0)))
+        .withColumn("__total", F.max("cum").over(Window.partitionBy(*parts)))
+        .withColumn("__fmax", finite_max)
+        .filter(F.col("__total") > 0)
+    )
+    probes = h.crossJoin(
+        hist.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    ).withColumn("__target", F.col("q") * F.col("__total"))
+    chosen = (
+        probes.filter(F.col("cum") >= F.col("__target"))
+        .groupBy(*group_cols, "q")
+        .agg(
+            F.min(
+                F.struct("le", "__prev_le", "__prev_cum", "cum", "__target", "__fmax")
+            ).alias("__b")
+        )
+        .select(*group_cols, "q", "__b.*")
+    )
+    value = F.when(F.col("le") == float("inf"), F.col("__fmax")).otherwise(
+        F.col("__prev_le")
+        + (F.col("le") - F.col("__prev_le"))
+        * (F.col("__target") - F.col("__prev_cum"))
+        / (F.col("cum") - F.col("__prev_cum"))
+    )
+    return chosen.select(*group_cols, "q", F.round(value, 6).alias("value"))

@@ -359,3 +359,40 @@ def test_cm_sketch_ignores_nulls(spark):
     est = {r.v: r.est for r in
            cm_estimate(sk, df.select("v").distinct(), "v").collect()}
     assert est == {"a": 2}  # NULL key dropped, not reported as est=0
+
+
+def test_prom_histogram_and_quantile_known_values(spark):
+    from starlight_for_kafka_spark.operators.metrics import (
+        histogram_quantile,
+        prom_histogram,
+    )
+
+    # 100 values 1..100, buckets at 10/50/90: p50 interpolates inside
+    # (10,50], p99 lands in +Inf and clamps to the highest finite bound
+    df = spark.range(1, 101).selectExpr("cast(id as double) as v")
+    h = prom_histogram(df, "v", [10.0, 50.0, 90.0])
+    cums = {r.le: r.cum for r in h.collect()}
+    assert cums == {10.0: 10, 50.0: 50, 90.0: 90, float("inf"): 100}
+    q = {r.q: r.value for r in histogram_quantile(h, [0.5, 0.99]).collect()}
+    # rank 50 closes the (10,50] bucket exactly: 10 + 40 * (50-10)/40 = 50
+    assert q[0.5] == 50.0
+    assert q[0.99] == 90.0  # +Inf clamp
+
+
+def test_prom_histogram_mergeable_bucketwise(spark):
+    from starlight_for_kafka_spark.operators.metrics import prom_histogram
+
+    a = spark.range(1, 60).selectExpr("cast(id as double) as v")
+    b = spark.range(60, 101).selectExpr("cast(id as double) as v")
+    buckets = [25.0, 75.0]
+    # cumulative histograms sum bucket-wise across shards
+    merged = (
+        prom_histogram(a, "v", buckets)
+        .unionByName(prom_histogram(b, "v", buckets))
+        .groupBy("le")
+        .agg(F.sum("cum").alias("cum"))
+    )
+    whole = prom_histogram(a.unionByName(b), "v", buckets)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
