@@ -47,6 +47,18 @@ def throughput_metrics(log: DataFrame, bucket: str = "hour") -> DataFrame:
     )
 
 
+def bucket_le(value_col: str, buckets: list[float]):
+    """Prometheus le-bucket assignment (smallest configured bound >= v,
+    else +Inf) — ONE definition shared by the batch histogram and the
+    streaming twin so their bucket grids can never diverge."""
+    bs = sorted(float(b) for b in buckets)
+    v = F.col(value_col).cast("double")
+    le = F.when(v <= bs[0], F.lit(bs[0]))
+    for b in bs[1:]:
+        le = le.when(v <= b, F.lit(b))
+    return le.otherwise(F.lit(float("inf")))
+
+
 def prom_histogram(
     df: DataFrame,
     value_col: str,
@@ -69,11 +81,7 @@ def prom_histogram(
     """
     group_cols = group_cols or []
     bs = sorted(float(b) for b in buckets)
-    v = F.col(value_col).cast("double")
-    le = F.when(v <= bs[0], F.lit(bs[0]))
-    for b in bs[1:]:
-        le = le.when(v <= b, F.lit(b))
-    le = le.otherwise(F.lit(float("inf")))
+    le = bucket_le(value_col, bs)
 
     counts = df.groupBy(*group_cols, le.alias("le")).agg(
         F.count("*").alias("__n")

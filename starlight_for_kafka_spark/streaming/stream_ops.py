@@ -500,3 +500,30 @@ def txn_coordinator_stream(txn_events: DataFrame) -> DataFrame:
     return txn_events.groupBy("transactional_id").applyInPandasWithState(
         update, TXN_STATE_OUTPUT, TXN_STATE_SCHEMA, "update", "NoTimeout"
     )
+
+
+def latency_histogram_stream(
+    log: DataFrame,
+    value_col: str,
+    buckets: list[float],
+    duration: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Streaming twin of operators/metrics.prom_histogram: per-window
+    NON-cumulative le-bucket counts — the live form of the reference's
+    REQUEST_LATENCY export (RequestStats.java meters on the hot path;
+    here the windowed aggregation maintains the buckets incrementally and
+    the watermark bounds state). Bucket assignment is the SAME shared
+    bucket_le expression as the batch histogram, so window histograms
+    from the stream merge bucket-wise with (and converge to) the batch
+    grid; cumulative sums and histogram_quantile run downstream on the
+    tiny emitted bucket table.
+    """
+    from starlight_for_kafka_spark.operators.metrics import bucket_le
+
+    return (
+        log.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration), bucket_le(value_col, buckets).alias("le"))
+        .agg(F.count("*").alias("n"))
+    )

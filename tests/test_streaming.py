@@ -563,3 +563,35 @@ def test_group_coordinator_rebalance_stream_converges_to_batch_fold(
         r.group: r.generation for r in g.recover_group_state(membership).collect()
     }
     assert all(got[grp][0] < per_event[grp] for grp in got)
+
+
+def test_latency_histogram_stream_converges_to_batch(tmp_path, spark, log):
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators.metrics import bucket_le
+    from starlight_for_kafka_spark.sources.logtable import record_size
+    from starlight_for_kafka_spark.streaming import stream_ops
+
+    src = tmp_path / "histlog"
+    log.df.write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(log.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("rec_bytes", record_size())
+    )
+    buckets = [9.0, 10.0, 11.0]
+    hist = stream_ops.latency_histogram_stream(stream, "rec_bytes", buckets)
+    stream_ops.run_to_memory(hist, "hist_out", output_mode="complete")
+    got = sorted(
+        (r.window.start, r.le, r.n)
+        for r in spark.table("hist_out").collect()
+    )
+    batch = sorted(
+        (r.window.start, r.le, r.n)
+        for r in log.df.withColumn("rec_bytes", record_size())
+        .groupBy(F.window("timestamp", "1 hour"), bucket_le("rec_bytes", buckets).alias("le"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == batch and got
