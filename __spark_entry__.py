@@ -2917,6 +2917,16 @@ def q_cm_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_hll_dau(spark, sf_dir):
+    """Per-day distinct-user estimates from per-group HLL sketches (the
+    sliced cardinality report exact countDistinct-per-day cannot afford
+    at scale), each day's registers independently estimator-corrected."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    return analytics_ops.hll_cardinality_by(ev, "user_id", ["day"])
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-gated decontamination (map-only corpus side, broadcast
     bitset): same eval-set fixture as `decontaminate`; clones must test
@@ -3225,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "histogram_quantiles": q_histogram_quantiles,
+        "hll_dau": q_hll_dau,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
         "cogroup": q_cogroup,
@@ -3353,6 +3364,44 @@ def _hll_branch_sql(col: str) -> str:
                 - exact) / exact, 4) AS rel_err
   FROM est, ex
 )"""
+
+
+def _hll_dau_oracle_sql() -> str:
+    """hll_dau: the per-group register/estimator math of _hll_branch_sql
+    replayed with a GROUP BY day."""
+    mask = (1 << 52) - 1
+    alpha_num = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(1 << 53)
+    est_expr = (
+        "CASE WHEN raw_e <= 640.0 AND n_zero > 0 "
+        "THEN 256.0 * ln(256.0 / n_zero) ELSE raw_e END"
+    )
+    return f"""WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events WHERE user_id IS NOT NULL
+), hh AS (
+  SELECT day, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM ev
+), rr AS (
+  SELECT day, hv >> 52 AS idx,
+         CASE WHEN (hv & {mask}) = 0 THEN 53
+              ELSE 53 - length(ltrim(bin(hv & {mask}), '0')) END AS rho
+  FROM hh
+), regs AS (SELECT day, idx, max(rho) AS M FROM rr GROUP BY 1, 2),
+summed AS (
+  SELECT day, sum(1::BIGINT << (53 - M)) AS s_present, count(*) AS n_present
+  FROM regs GROUP BY 1
+), stats AS (
+  SELECT day, s_present + (256 - n_present) * (1::BIGINT << 53) AS s_int,
+         256 - n_present AS n_zero
+  FROM summed
+), est AS (
+  SELECT day, n_zero, {alpha_num!r} / s_int AS raw_e FROM stats
+), ex AS (SELECT day, count(DISTINCT user_id) AS exact FROM ev GROUP BY 1)
+SELECT e.day, e.n_zero AS n_zero_registers,
+       round({est_expr}, 4) AS estimate,
+       x.exact,
+       round((round({est_expr}, 4) - x.exact) / x.exact, 4) AS rel_err
+FROM est e JOIN ex x USING (day)"""
 
 
 def _minhash_pipeline_cte() -> str:
@@ -3752,6 +3801,7 @@ SELECT g AS "group", protocol, votes FROM (
   FROM h WHERE n_chars > 0
 )
 SELECT doc_id, n_chars FROM k ORDER BY es DESC, doc_id LIMIT 100""",
+        "hll_dau": _hll_dau_oracle_sql(),
         "hll_cardinality": f"""SELECT * FROM {_hll_branch_sql("user_id")}
 UNION ALL
 SELECT * FROM {_hll_branch_sql("event_id")}""",

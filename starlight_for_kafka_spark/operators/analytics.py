@@ -501,13 +501,21 @@ def hll_cardinality(
     return out
 
 
-def hll_registers(df: DataFrame, value_col: str, b: int = 8) -> DataFrame:
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    b: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """The raw (idx, M) register table of :func:`hll_cardinality` — the
     mergeable form: union register tables from any number of shards and
     fold with groupBy(idx).max(M) to sketch the union of the inputs.
-    NULLs are dropped (a NULL is not an element: it would otherwise mint
-    a phantom (NULL, NULL) register that deflates n_zero and poisons
-    cross-shard merges)."""
+    With ``group_cols`` the registers are per group (one sketch per day /
+    tenant / source — the per-slice distinct-count table). NULLs are
+    dropped (a NULL is not an element: it would otherwise mint a phantom
+    (NULL, NULL) register that deflates n_zero and poisons cross-shard
+    merges)."""
+    group_cols = group_cols or []
     suffix_bits = 60 - b
     field = suffix_bits + 1
     h = md5_hash64(F.col(value_col).cast("string"))
@@ -519,7 +527,71 @@ def hll_registers(df: DataFrame, value_col: str, b: int = 8) -> DataFrame:
     )
     return (
         df.filter(F.col(value_col).isNotNull())
-        .select(F.shiftrightunsigned(h, suffix_bits).alias("idx"), rho.alias("rho"))
-        .groupBy("idx")
+        .select(
+            *group_cols,
+            F.shiftrightunsigned(h, suffix_bits).alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "idx")
         .agg(F.max("rho").alias("M"))
     )
+
+
+def hll_cardinality_by(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    b: int = 8,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Per-group :func:`hll_cardinality` — one HLL estimate per group
+    (distinct users per DAY, vocabulary per SOURCE), the sliced
+    cardinality report a 100 TB pipeline cannot afford as exact
+    countDistinct per slice. Same register math, same fixed-point sum,
+    same linear-counting branch; emits one row per group.
+
+    Scale: the whole computation is two group-keyed partial-combining
+    aggregations (group x 2^b register rows, then group rows) — the
+    per-slice sketch table is also the mergeable artifact to persist for
+    rollups (day -> week = register-wise max across days).
+    """
+    field = (60 - b) + 1
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    regs = hll_registers(df, value_col, b, group_cols)
+    summed = regs.groupBy(*group_cols).agg(
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, {field} - M)")), F.lit(0).cast("long")
+        ).alias("__s_present"),
+        F.count("*").alias("__n_present"),
+    )
+    scale = float(1 << field)
+    stats = summed.select(
+        *group_cols,
+        (F.col("__s_present") + (F.lit(m) - F.col("__n_present")) * F.lit(1 << field))
+        .alias("__s_int"),
+        (F.lit(m) - F.col("__n_present")).alias("n_zero_registers"),
+    )
+    raw_e = F.lit(alpha * m * m * scale) / F.col("__s_int")
+    v = F.col("n_zero_registers")
+    est = F.when(
+        (raw_e <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw_e)
+    out = stats.select(
+        *group_cols,
+        "n_zero_registers",
+        F.round(est, 4).alias("estimate"),
+    )
+    if with_exact:
+        exact = df.groupBy(*group_cols).agg(
+            F.countDistinct(value_col).alias("exact")
+        )
+        out = out.join(exact, group_cols).withColumn(
+            "rel_err",
+            F.when(
+                F.col("exact") > 0,
+                F.round((F.col("estimate") - F.col("exact")) / F.col("exact"), 4),
+            ),
+        )
+    return out

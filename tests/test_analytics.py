@@ -396,3 +396,26 @@ def test_prom_histogram_mergeable_bucketwise(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_hll_cardinality_by_per_group_and_rollup(spark):
+    from starlight_for_kafka_spark.operators.analytics import (
+        hll_cardinality_by,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", str(i)) for i in range(400)]
+        + [("d2", str(i)) for i in range(200, 500)],
+        "day string, v string",
+    )
+    out = {r.day: r for r in hll_cardinality_by(df, "v", ["day"]).collect()}
+    assert out["d1"].exact == 400 and abs(out["d1"].rel_err) < 0.15
+    assert out["d2"].exact == 300 and abs(out["d2"].rel_err) < 0.15
+    # rollup: register-wise max across days == sketch of the union
+    per_day = hll_registers(df, "v", group_cols=["day"])
+    rolled = per_day.groupBy("idx").agg(F.max("M").alias("M"))
+    union = hll_registers(df, "v")
+    assert sorted(map(tuple, rolled.collect())) == sorted(
+        map(tuple, union.collect())
+    )
