@@ -2917,6 +2917,14 @@ def q_cm_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Distributed covariance of the embedding matrix, upper triangle as
+    (i, j, cov) — the one-pass d^2 summary that feeds driver-side PCA
+    (pca_fit eigendecomposes this; the corpus never leaves the cluster)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_covariance(emb)
+
+
 def q_hll_dau(spark, sf_dir):
     """Per-day distinct-user estimates from per-group HLL sketches (the
     sliced cardinality report exact countDistinct-per-day cannot afford
@@ -3236,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "histogram_quantiles": q_histogram_quantiles,
         "hll_dau": q_hll_dau,
+        "embedding_covariance": q_embedding_covariance,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
         "cogroup": q_cogroup,
@@ -3802,6 +3811,20 @@ SELECT g AS "group", protocol, votes FROM (
 )
 SELECT doc_id, n_chars FROM k ORDER BY es DESC, doc_id LIMIT 100""",
         "hll_dau": _hll_dau_oracle_sql(),
+        "embedding_covariance": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), x AS (
+  SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM e
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+mu AS (SELECT i, sum(x) / (SELECT n FROM n) AS mu FROM x GROUP BY 1),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
+       round(p.sxy / (SELECT n FROM n) - mi.mu * mj.mu, 6) AS cov
+FROM p JOIN mu mi ON mi.i = p.i JOIN mu mj ON mj.i = p.j""",
         "hll_cardinality": f"""SELECT * FROM {_hll_branch_sql("user_id")}
 UNION ALL
 SELECT * FROM {_hll_branch_sql("event_id")}""",

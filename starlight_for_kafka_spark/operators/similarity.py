@@ -884,3 +884,133 @@ def binary_recall(
         .withColumn("recall_at_k", F.col("n_hits") / F.lit(k))
         .select("qid", "n_hits", "recall_at_k")
     )
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed covariance matrix of an embedding column, upper
+    triangle as (i, j, cov) rows — the d^2-summary step that makes
+    driver-side spectral work (PCA whitening, anisotropy diagnostics)
+    feasible at 100 TB: the corpus collapses to d(d+1)/2 partial-
+    combining sums in ONE pass, and only that tiny summary ever reaches
+    the driver. Uses the computational formula cov = E[xy] - E[x]E[y]
+    (numerically fine for O(1) normalized embeddings; values are rounded
+    to 6 dp — float sums are partial-combining, so the last ulps are
+    summation-order-dependent by design).
+
+    Scale: per-row pair construction is a JVM HOF (no Python), the pair
+    explode emits d(d+1)/2 small structs per row, and both aggregations
+    partial-combine map-side; no shuffle ever carries the vectors.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    d = F.size(v)
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), d - 1),
+            lambda i: F.transform(
+                F.sequence(i, d - 1),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (F.element_at(v, i + 1) * F.element_at(v, j + 1)).alias("p"),
+                ),
+            ),
+        )
+    )
+    sums = (
+        embeddings.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(F.sum("e.p").alias("__sxy"), F.count("*").alias("__n"))
+    )
+    mu = (
+        embeddings.select(F.posexplode(v).alias("i", "x"))
+        .groupBy("i")
+        .agg((F.sum("x") / F.count("*")).alias("__mu"))
+    )
+    mi = mu.select(F.col("i").alias("i"), F.col("__mu").alias("__mi"))
+    mj = mu.select(F.col("i").alias("j"), F.col("__mu").alias("__mj"))
+    return (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("__sxy") / F.col("__n") - F.col("__mi") * F.col("__mj"), 6
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_fit(
+    embeddings: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """Fit a k-component PCA from the distributed covariance summary:
+    the d x d matrix (control-plane collect of d(d+1)/2 rows) is
+    eigendecomposed ON THE DRIVER with numpy — the standard big-data
+    PCA split (cluster computes the second-moment summary, driver does
+    the O(d^3) spectral step). Returns (components [k][d] — rows are
+    unit eigenvectors, largest eigenvalue first with a deterministic
+    sign convention — and the per-dimension mean vector)."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(embeddings, vec_col).collect()
+    d = max(r.j for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r.i][r.j] = cov[r.j][r.i] = r.cov
+    mu_rows = (
+        embeddings.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg((F.sum("x") / F.count("*")).alias("mu"))
+        .collect()
+    )
+    mean = [0.0] * d
+    for r in mu_rows:
+        mean[r.i] = float(r.mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        c = vecs[:, idx]
+        # deterministic sign: largest-|coord| component is positive
+        if c[int(np.argmax(np.abs(c)))] < 0:
+            c = -c
+        comps.append([float(x) for x in c])
+    return comps, mean
+
+
+def pca_project(
+    embeddings: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto fitted PCA components (map-only: the
+    k x d component matrix rides along as literals, each coordinate is
+    one JVM zip_with dot product of the centered vector). Emits
+    (id, pc array<double>)."""
+    v = F.col(vec_col).cast("array<double>")
+    centered = F.zip_with(
+        v, F.array(*[F.lit(float(x)) for x in mean]), lambda x, m: x - m
+    )
+    coords = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(x)) for x in comp]),
+                lambda x, c: x * c,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for comp in components
+    ]
+    return embeddings.select(id_col, F.array(*coords).alias("pc"))

@@ -1112,3 +1112,27 @@ def test_weighted_sample_excludes_nan_weights(spark):
     )
     got = {r.id for r in weighted_sample(df, "w", 5, "id").collect()}
     assert not got & {500, 501}
+
+
+def test_pca_fit_project_variance_descending_orthonormal(spark, embeddings):
+    import numpy as np
+
+    from starlight_for_kafka_spark.operators.similarity import (
+        embedding_covariance,
+        pca_fit,
+        pca_project,
+    )
+
+    comps, mean = pca_fit(embeddings, 4)
+    C = np.array(comps)
+    assert np.allclose(C @ C.T, np.eye(4), atol=1e-6)  # orthonormal rows
+    P = np.array([r.pc for r in pca_project(embeddings, comps, mean).collect()])
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(3))  # sorted spectrum
+    # covariance summary is symmetric-complete upper triangle: d(d+1)/2 rows
+    d = len(mean)
+    assert embedding_covariance(embeddings).count() == d * (d + 1) // 2
+    # diagonal of the summary equals the projected total variance budget
+    diag = {(r.i, r.j): r.cov for r in embedding_covariance(embeddings).collect()}
+    total_var = sum(diag[(i, i)] for i in range(d))
+    assert sum(var) <= total_var + 1e-6  # k components never exceed the budget
