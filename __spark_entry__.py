@@ -1923,6 +1923,25 @@ def q_sql_surface_rollup(spark, sf_dir):
     return spark.sql(ROLLUP_SQL)
 
 
+CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_sql_surface_cube(spark, sf_dir):
+    """GROUP BY CUBE — the full grouping-sets lattice (all four subsets of
+    the two keys), the sibling super-aggregate surface to ROLLUP."""
+    from starlight_for_kafka_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(CUBE_SQL)
+
+
 def q_sql_surface_q10(spark, sf_dir):
     """TPC-H Q10-shaped (returned-item reporting): date-windowed fact scan,
     returnflag filter, 4-way join, revenue top-20."""
@@ -2917,6 +2936,14 @@ def q_cm_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_random_projection(spark, sf_dir):
+    """JL reduction 64 -> 16 dims with the deterministic md5 ±1 matrix —
+    no stored projection, every engine regenerates it from (k, d); the
+    oracle replays the identical signed left-folds bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.random_projection(emb, 16)
+
+
 def q_embedding_covariance(spark, sf_dir):
     """Distributed covariance of the embedding matrix, upper triangle as
     (i, j, cov) — the one-pass d^2 summary that feeds driver-side PCA
@@ -3245,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_quantiles": q_histogram_quantiles,
         "hll_dau": q_hll_dau,
         "embedding_covariance": q_embedding_covariance,
+        "random_projection": q_random_projection,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
         "cogroup": q_cogroup,
@@ -3272,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_surface_q10": q_sql_surface_q10,
         "sql_surface_q18": q_sql_surface_q18,
         "sql_surface_rollup": q_sql_surface_rollup,
+        "sql_surface_cube": q_sql_surface_cube,
         "dedup_incremental": q_dedup_incremental,
         "curate_training_set": q_curate_training_set,
         "asof_attribution": q_asof_attribution,
@@ -3373,6 +3402,27 @@ def _hll_branch_sql(col: str) -> str:
                 - exact) / exact, 4) AS rel_err
   FROM est, ex
 )"""
+
+
+def _jl_oracle_sql(out_dim: int) -> str:
+    """random_projection: the identical md5-signed left folds (the
+    list_reduce == F.aggregate bit-exactness recipe), scaled and rounded
+    per output coordinate."""
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    coords = []
+    for k in range(out_dim):
+        fold = (
+            f"list_reduce(list_transform(range(len(v)), d -> "
+            f"CASE WHEN ('0x' || substr(md5('jl{k}:' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 "
+            f"THEN v[d + 1] ELSE -v[d + 1] END), (acc, x) -> acc + x)"
+        )
+        coords.append(f"round({fold} * {inv!r}, 6)")
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)\n"
+        "SELECT vec_id, [" + ",\n  ".join(coords) + "] AS jl FROM e"
+    )
 
 
 def _hll_dau_oracle_sql() -> str:
@@ -3811,6 +3861,7 @@ SELECT g AS "group", protocol, votes FROM (
 )
 SELECT doc_id, n_chars FROM k ORDER BY es DESC, doc_id LIMIT 100""",
         "hll_dau": _hll_dau_oracle_sql(),
+        "random_projection": _jl_oracle_sql(16),
         "embedding_covariance": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), x AS (
@@ -4736,6 +4787,7 @@ SELECT pred_lang, rk, doc_id, n_chars FROM (
         "sql_surface_q10": Q10_SQL,
         "sql_surface_q18": Q18_SQL,
         "sql_surface_rollup": ROLLUP_SQL,
+        "sql_surface_cube": CUBE_SQL,
         "offset_commit_tombstones": f"""WITH {COMMITS_CTE}
 SELECT "group", topic, "partition", "offset", metadata, commit_ts FROM commits
 QUALIFY row_number() OVER (PARTITION BY "group", topic, "partition"

@@ -1014,3 +1014,53 @@ def pca_project(
         for comp in components
     ]
     return embeddings.select(id_col, F.array(*coords).alias("pc"))
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a DETERMINISTIC
+    ±1 projection matrix (Achlioptas 2003: Rademacher entries preserve
+    pairwise distances within 1±eps like Gaussian ones): output coordinate
+    k is (1/sqrt(out_dim)) * Σ_d s(k,d)·x_d where the sign s(k,d) derives
+    from md5, so no projection matrix is stored or shipped — every
+    executor (and the DuckDB oracle) regenerates it from the (k, d)
+    index. The data-INDEPENDENT complement to pca_fit: no training pass,
+    apply-anywhere, the right tool when the corpus is too big to want a
+    second scan before reducing.
+
+    Map-only: one fused zip_with/aggregate fold per output dim, fully
+    codegen'd; emits (id, jl array<double>), coordinates rounded 6 dp.
+    """
+    import math
+
+    v = F.col(vec_col).cast("array<double>")
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+    inv = 1.0 / math.sqrt(out_dim)
+
+    def proj(k: int):
+        def signer(x, d):
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(f"jl{k}:"), d.cast("string")).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            return F.when(h % 2 == 0, x).otherwise(-x)
+
+        signed = F.zip_with(v, idx, signer)
+        return F.round(
+            F.aggregate(signed, F.lit(0.0), lambda a, x: a + x) * F.lit(inv), 6
+        )
+
+    return embeddings.select(
+        id_col, F.array(*[proj(k) for k in range(out_dim)]).alias("jl")
+    )

@@ -1136,3 +1136,22 @@ def test_pca_fit_project_variance_descending_orthonormal(spark, embeddings):
     diag = {(r.i, r.j): r.cov for r in embedding_covariance(embeddings).collect()}
     total_var = sum(diag[(i, i)] for i in range(d))
     assert sum(var) <= total_var + 1e-6  # k components never exceed the budget
+
+
+def test_random_projection_preserves_norms_in_expectation(spark, embeddings):
+    import numpy as np
+
+    from starlight_for_kafka_spark.operators.similarity import random_projection
+
+    out = {r.vec_id: np.array(r.jl) for r in
+           random_projection(embeddings, 32).collect()}
+    orig = {r.vec_id: np.array(r.embedding, dtype=float) for r in
+            embeddings.collect()}
+    ratios = [np.sum(out[i] ** 2) / np.sum(orig[i] ** 2) for i in orig]
+    # E[||y||^2] = ||x||^2; per-vector distortion is bounded w.h.p.
+    assert abs(float(np.mean(ratios)) - 1.0) < 0.15
+    assert min(ratios) > 0.3 and max(ratios) < 2.5
+    # determinism: the md5 matrix regenerates identically
+    again = {r.vec_id: np.array(r.jl) for r in
+             random_projection(embeddings, 32).collect()}
+    assert all(np.array_equal(out[i], again[i]) for i in out)
