@@ -527,3 +527,67 @@ def latency_histogram_stream(
         .groupBy(F.window(ts_col, duration), bucket_le(value_col, buckets).alias("le"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def hll_registers_stream(
+    log: DataFrame,
+    value_col: str,
+    duration: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "timestamp",
+    b: int = 8,
+) -> DataFrame:
+    """Streaming twin of operators/analytics.hll_registers: per-window
+    HLL register maxima maintained incrementally (max is a streaming-
+    supported aggregate, so no custom state operator is needed). The
+    emitted (window, idx, M) rows ARE the mergeable sketch artifact —
+    estimator math runs downstream on the tiny register table, and
+    window sketches roll up to coarser windows by register-wise max,
+    exactly like the batch form."""
+    from starlight_for_kafka_spark.functions.hashing import md5_hash64
+
+    suffix_bits = 60 - b
+    field = suffix_bits + 1
+    h = md5_hash64(F.col(value_col).cast("string"))
+    suffix = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
+    rho = F.when(suffix == 0, F.lit(field)).otherwise(
+        F.lit(field) - F.length(F.regexp_replace(F.bin(suffix), "^0+", ""))
+    )
+    return (
+        log.filter(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(ts_col, duration),
+            F.shiftrightunsigned(h, suffix_bits).alias("idx"),
+        )
+        .agg(F.max(rho).alias("M"))
+    )
+
+
+def cm_sketch_stream(
+    log: DataFrame,
+    value_col: str,
+    duration: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "timestamp",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Streaming twin of operators/skew.cm_sketch: per-window Count-Min
+    counters maintained incrementally (count is streaming-native). The
+    emitted (window, row, col, c) counters merge across windows by
+    summing — the live per-window frequency sketch the batch probe
+    (cm_estimate) reads downstream."""
+    from starlight_for_kafka_spark.operators.skew import _cm_positions
+
+    return (
+        log.filter(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(ts_col, _cm_positions(value_col, width, depth).alias("e"))
+        .groupBy(
+            F.window(ts_col, duration),
+            F.col("e.row").alias("row"),
+            F.col("e.col").alias("col"),
+        )
+        .agg(F.count("*").alias("c"))
+    )

@@ -595,3 +595,66 @@ def test_latency_histogram_stream_converges_to_batch(tmp_path, spark, log):
         .collect()
     )
     assert got == batch and got
+
+
+def test_sketch_streams_converge_to_batch(tmp_path, spark, log):
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.functions.hashing import md5_hash64
+    from starlight_for_kafka_spark.operators.skew import _cm_positions
+    from starlight_for_kafka_spark.streaming import stream_ops
+
+    src = tmp_path / "sketchlog"
+    log.df.write.parquet(str(src))
+
+    def stream():
+        return (
+            spark.readStream.schema(log.df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withColumn("k", F.col("key").cast("string"))
+        )
+
+    batch_df = log.df.withColumn("k", F.col("key").cast("string"))
+
+    hll = stream_ops.hll_registers_stream(stream(), "k")
+    stream_ops.run_to_memory(hll, "hll_regs", output_mode="complete")
+    got = sorted(
+        (r.window.start, r.idx, r.M) for r in spark.table("hll_regs").collect()
+    )
+    h = md5_hash64(F.col("k"))
+    suffix = h.bitwiseAND(F.lit((1 << 52) - 1))
+    rho = F.when(suffix == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.regexp_replace(F.bin(suffix), "^0+", ""))
+    )
+    want = sorted(
+        (r.window.start, r.idx, r.M)
+        for r in batch_df.groupBy(
+            F.window("timestamp", "1 hour"),
+            F.shiftrightunsigned(h, 52).alias("idx"),
+        )
+        .agg(F.max(rho).alias("M"))
+        .collect()
+    )
+    assert got == want and got
+
+    cm = stream_ops.cm_sketch_stream(stream(), "k")
+    stream_ops.run_to_memory(cm, "cm_out", output_mode="complete")
+    got_cm = sorted(
+        (r.window.start, r.row, r.col, r.c)
+        for r in spark.table("cm_out").collect()
+    )
+    want_cm = sorted(
+        (r.window.start, r.row, r.col, r.c)
+        for r in batch_df.select(
+            "timestamp", _cm_positions("k", 1024, 4).alias("e")
+        )
+        .groupBy(
+            F.window("timestamp", "1 hour"),
+            F.col("e.row").alias("row"),
+            F.col("e.col").alias("col"),
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    assert got_cm == want_cm and got_cm
