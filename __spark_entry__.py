@@ -3373,8 +3373,9 @@ def _hll_branch_sql(col: str) -> str:
     alpha_num = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 * float(scale)
     return f"""(
   WITH hh AS (
+    -- NULL is not an element (matches hll_registers' isNotNull drop)
     SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT AS hv
-    FROM events
+    FROM events WHERE {col} IS NOT NULL
   ), rr AS (
     SELECT hv >> 52 AS idx,
            CASE WHEN (hv & {mask}) = 0 THEN 53
@@ -5936,7 +5937,8 @@ SELECT "partition", q,
                        / (b.cum - b.prev_cum) END, 6) AS value
 FROM chosen""",
         "cm_heavy_hitters": """WITH ev AS (
-  SELECT CAST(user_id AS VARCHAR) AS v FROM events
+  -- NULL keys are not sketched (matches cm_sketch's isNotNull drop)
+  SELECT CAST(user_id AS VARCHAR) AS v FROM events WHERE user_id IS NOT NULL
 ), pos AS (
   SELECT v, i, ('0x' || substr(md5('cm' || i || ':' || v), 1, 15))::BIGINT % 1024 AS col
   FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) s

@@ -458,21 +458,38 @@ def hll_cardinality(
     (matching countDistinct) and are dropped before hashing. An empty
     input reports estimate 0 via the linear-counting branch.
     """
+    return _hll_estimate(df, value_col, [], b, with_exact, include_m=True)
+
+
+def _hll_estimate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    b: int,
+    with_exact: bool,
+    include_m: bool = False,
+) -> DataFrame:
+    """The ONE estimator shared by hll_cardinality and
+    hll_cardinality_by (fixed-point register sum, linear-counting
+    branch, ANSI-safe rel_err) — a correction applied to one must reach
+    both, and their oracles, by construction."""
     field = (60 - b) + 1  # rho ranges 1..field
     m = 1 << b
     alpha = 0.7213 / (1.0 + 1.079 / m)
 
-    regs = hll_registers(df, value_col, b)
+    regs = hll_registers(df, value_col, b, group_cols)
     # coalesce: an EMPTY register table sums to NULL; 0 makes s_int the
     # all-empty m * 2^field, which lands in linear counting -> estimate 0
-    summed = regs.agg(
+    aggs = [
         F.coalesce(
             F.sum(F.expr(f"shiftleft(1L, {field} - M)")), F.lit(0).cast("long")
         ).alias("__s_present"),
         F.count("*").alias("__n_present"),
-    )
+    ]
+    summed = regs.groupBy(*group_cols).agg(*aggs) if group_cols else regs.agg(*aggs)
     scale = float(1 << field)
     stats = summed.select(
+        *group_cols,
         (F.col("__s_present") + (F.lit(m) - F.col("__n_present")) * F.lit(1 << field))
         .alias("__s_int"),
         (F.lit(m) - F.col("__n_present")).alias("n_zero_registers"),
@@ -482,14 +499,22 @@ def hll_cardinality(
     est = F.when(
         (raw_e <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     ).otherwise(raw_e)
+    lead = [F.lit(m).alias("m")] if include_m else []
     out = stats.select(
-        F.lit(m).alias("m"),
+        *group_cols,
+        *lead,
         "n_zero_registers",
         F.round(est, 4).alias("estimate"),
     )
     if with_exact:
-        exact = df.agg(F.countDistinct(value_col).alias("exact"))
-        out = out.crossJoin(exact).withColumn(
+        if group_cols:
+            exact = df.groupBy(*group_cols).agg(
+                F.countDistinct(value_col).alias("exact")
+            )
+            out = out.join(exact, group_cols)
+        else:
+            out = out.crossJoin(df.agg(F.countDistinct(value_col).alias("exact")))
+        out = out.withColumn(
             "rel_err",
             # NULL when exact == 0 (relative error is undefined; ANSI
             # mode would otherwise throw on the empty-input divide)
@@ -516,6 +541,21 @@ def hll_registers(
     (NULL, NULL) register that deflates n_zero and poisons cross-shard
     merges)."""
     group_cols = group_cols or []
+    idx, rho = hll_register_cols(value_col, b)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, idx.alias("idx"), rho.alias("rho"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_register_cols(value_col: str, b: int = 8):
+    """The (idx, rho) register expressions of the md5 HLL — ONE
+    definition shared by the batch register table and the streaming
+    twin, because registers derived by even slightly different math are
+    silently non-mergeable (register-wise max of mismatched layouts
+    produces garbage with no error)."""
     suffix_bits = 60 - b
     field = suffix_bits + 1
     h = md5_hash64(F.col(value_col).cast("string"))
@@ -525,16 +565,7 @@ def hll_registers(
     rho = F.when(suffix == 0, F.lit(field)).otherwise(
         F.lit(field) - F.length(F.regexp_replace(F.bin(suffix), "^0+", ""))
     )
-    return (
-        df.filter(F.col(value_col).isNotNull())
-        .select(
-            *group_cols,
-            F.shiftrightunsigned(h, suffix_bits).alias("idx"),
-            rho.alias("rho"),
-        )
-        .groupBy(*group_cols, "idx")
-        .agg(F.max("rho").alias("M"))
-    )
+    return F.shiftrightunsigned(h, suffix_bits), rho
 
 
 def hll_cardinality_by(
@@ -555,43 +586,6 @@ def hll_cardinality_by(
     per-slice sketch table is also the mergeable artifact to persist for
     rollups (day -> week = register-wise max across days).
     """
-    field = (60 - b) + 1
-    m = 1 << b
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-
-    regs = hll_registers(df, value_col, b, group_cols)
-    summed = regs.groupBy(*group_cols).agg(
-        F.coalesce(
-            F.sum(F.expr(f"shiftleft(1L, {field} - M)")), F.lit(0).cast("long")
-        ).alias("__s_present"),
-        F.count("*").alias("__n_present"),
-    )
-    scale = float(1 << field)
-    stats = summed.select(
-        *group_cols,
-        (F.col("__s_present") + (F.lit(m) - F.col("__n_present")) * F.lit(1 << field))
-        .alias("__s_int"),
-        (F.lit(m) - F.col("__n_present")).alias("n_zero_registers"),
-    )
-    raw_e = F.lit(alpha * m * m * scale) / F.col("__s_int")
-    v = F.col("n_zero_registers")
-    est = F.when(
-        (raw_e <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
-    ).otherwise(raw_e)
-    out = stats.select(
-        *group_cols,
-        "n_zero_registers",
-        F.round(est, 4).alias("estimate"),
-    )
-    if with_exact:
-        exact = df.groupBy(*group_cols).agg(
-            F.countDistinct(value_col).alias("exact")
-        )
-        out = out.join(exact, group_cols).withColumn(
-            "rel_err",
-            F.when(
-                F.col("exact") > 0,
-                F.round((F.col("estimate") - F.col("exact")) / F.col("exact"), 4),
-            ),
-        )
-    return out
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; use hll_cardinality")
+    return _hll_estimate(df, value_col, group_cols, b, with_exact)

@@ -47,11 +47,23 @@ def throughput_metrics(log: DataFrame, bucket: str = "hour") -> DataFrame:
     )
 
 
+def _bounds(buckets: list[float]) -> list[float]:
+    """Normalized bucket bounds: deduplicated and sorted (a duplicate
+    bound would mint duplicate grid rows whose counts double under the
+    cumulative sum), non-empty enforced."""
+    bs = sorted({float(b) for b in buckets})
+    if not bs:
+        raise ValueError("at least one bucket bound is required")
+    return bs
+
+
 def bucket_le(value_col: str, buckets: list[float]):
     """Prometheus le-bucket assignment (smallest configured bound >= v,
     else +Inf) — ONE definition shared by the batch histogram and the
-    streaming twin so their bucket grids can never diverge."""
-    bs = sorted(float(b) for b in buckets)
+    streaming twin so their bucket grids can never diverge. NULL values
+    fall through to +Inf; callers that treat NULL as not-an-observation
+    (prom_histogram does) must filter first."""
+    bs = _bounds(buckets)
     v = F.col(value_col).cast("double")
     le = F.when(v <= bs[0], F.lit(bs[0]))
     for b in bs[1:]:
@@ -78,11 +90,19 @@ def prom_histogram(
     partial-combining (group, le) aggregation, then a cumulative sum over
     the TINY densified grid (groups x |buckets|+1 rows — the window input
     is post-aggregation, so no data-sized window partition exists).
+
+    NULL observations and NULL group keys are dropped (a NULL observed
+    nothing, and a NULL group would silently miss the null-unsafe grid
+    join) — the same not-an-element rule the sketch operators pin.
     """
     group_cols = group_cols or []
-    bs = sorted(float(b) for b in buckets)
+    bs = _bounds(buckets)
     le = bucket_le(value_col, bs)
 
+    clean = df.filter(F.col(value_col).isNotNull())
+    for g in group_cols:
+        clean = clean.filter(F.col(g).isNotNull())
+    df = clean
     counts = df.groupBy(*group_cols, le.alias("le")).agg(
         F.count("*").alias("__n")
     )
@@ -100,6 +120,48 @@ def prom_histogram(
     parts = [F.col(c) for c in group_cols] or [F.lit(0)]
     w = (
         Window.partitionBy(*parts).orderBy("le")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(*group_cols, "le", F.sum("__n").over(w).alias("cum"))
+
+
+def cumulative_from_sparse(
+    counts: DataFrame,
+    buckets: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Densify a SPARSE per-bucket count table — (group..., le, n) rows
+    with empty buckets absent, the shape streaming sketch maintenance
+    and shard merges emit — into the full cumulative grid
+    :func:`histogram_quantile` requires. Feeding sparse counts to the
+    quantile directly is WRONG: its lag(le) interpolation would take the
+    previous PRESENT bucket as the lower bound (stretching across empty
+    buckets), and an all-+Inf group would lose its finite-bound clamp.
+
+    Same grid/cumsum shape as prom_histogram's tail: tiny, post-
+    aggregation, mergeable input (sum sparse counts bucket-wise across
+    shards/windows first, then densify once).
+    """
+    group_cols = group_cols or []
+    bs = _bounds(buckets)
+    grid = (
+        (
+            counts.select(*group_cols).distinct()
+            if group_cols
+            else counts.limit(1).select()
+        ).crossJoin(
+            counts.sparkSession.createDataFrame(
+                [(b,) for b in bs + [float("inf")]], "le double"
+            )
+        )
+    )
+    dense = grid.join(counts, [*group_cols, "le"], "left").select(
+        *group_cols, "le", F.coalesce("n", F.lit(0).cast("long")).alias("__n")
+    )
+    parts = [F.col(c) for c in group_cols] or [F.lit(0)]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy("le")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return dense.select(*group_cols, "le", F.sum("__n").over(w).alias("cum"))

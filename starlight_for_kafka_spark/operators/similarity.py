@@ -52,13 +52,9 @@ def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 0) -> Column:
 
     def plane_sign(p: int):
         def signer(v, d):
-            h = F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"hp{p}:"), d.cast("string")).cast("binary")), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
+            from starlight_for_kafka_spark.functions.hashing import md5_hash64
+
+            h = md5_hash64(F.concat(F.lit(f"hp{p}:"), d.cast("string")))
             return F.when(h % 2 == 0, v).otherwise(-v)
 
         return signer
@@ -904,6 +900,31 @@ def embedding_covariance(
     explode emits d(d+1)/2 small structs per row, and both aggregations
     partial-combine map-side; no shuffle ever carries the vectors.
     """
+    moments = _second_moments(embeddings, vec_col)
+    mu = moments.filter(F.col("j") == -1).select(
+        "i", (F.col("__s") / F.col("__n")).alias("__mu")
+    )
+    mi = mu.select(F.col("i").alias("i"), F.col("__mu").alias("__mi"))
+    mj = mu.select(F.col("i").alias("j"), F.col("__mu").alias("__mj"))
+    return (
+        moments.filter(F.col("j") >= 0)
+        .join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("__s") / F.col("__n") - F.col("__mi") * F.col("__mj"), 6
+            ).alias("cov"),
+        )
+    )
+
+
+def _second_moments(embeddings: DataFrame, vec_col: str) -> DataFrame:
+    """One-pass first+second moment sums of an embedding column:
+    (i, j>=0) rows carry Σx_i·x_j over the upper triangle, (i, -1) rows
+    carry Σx_i — the single corpus scan both embedding_covariance and
+    pca_fit read (a fit must never cost a second pass at 100 TB)."""
     v = F.col(vec_col).cast("array<double>")
     d = F.size(v)
     pairs = F.flatten(
@@ -919,28 +940,18 @@ def embedding_covariance(
             ),
         )
     )
-    sums = (
-        embeddings.select(F.explode(pairs).alias("e"))
-        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
-        .agg(F.sum("e.p").alias("__sxy"), F.count("*").alias("__n"))
+    firsts = F.transform(
+        F.sequence(F.lit(0), d - 1),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.lit(-1).alias("j"),
+            F.element_at(v, i + 1).alias("p"),
+        ),
     )
-    mu = (
-        embeddings.select(F.posexplode(v).alias("i", "x"))
-        .groupBy("i")
-        .agg((F.sum("x") / F.count("*")).alias("__mu"))
-    )
-    mi = mu.select(F.col("i").alias("i"), F.col("__mu").alias("__mi"))
-    mj = mu.select(F.col("i").alias("j"), F.col("__mu").alias("__mj"))
     return (
-        sums.join(F.broadcast(mi), "i")
-        .join(F.broadcast(mj), "j")
-        .select(
-            "i",
-            "j",
-            F.round(
-                F.col("__sxy") / F.col("__n") - F.col("__mi") * F.col("__mj"), 6
-            ).alias("cov"),
-        )
+        embeddings.select(F.explode(F.concat(pairs, firsts)).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(F.sum("e.p").alias("__s"), F.count("*").alias("__n"))
     )
 
 
@@ -953,27 +964,25 @@ def pca_fit(
     the d x d matrix (control-plane collect of d(d+1)/2 rows) is
     eigendecomposed ON THE DRIVER with numpy — the standard big-data
     PCA split (cluster computes the second-moment summary, driver does
-    the O(d^3) spectral step). Returns (components [k][d] — rows are
-    unit eigenvectors, largest eigenvalue first with a deterministic
-    sign convention — and the per-dimension mean vector)."""
+    the O(d^3) spectral step). ONE corpus scan: the shared
+    _second_moments table carries both Σx_i·x_j and Σx_i. Returns
+    (components [k][d] — rows are unit eigenvectors, largest eigenvalue
+    first with a deterministic sign convention — and the per-dimension
+    mean vector)."""
     import numpy as np
 
-    cov_rows = embedding_covariance(embeddings, vec_col).collect()
-    d = max(r.j for r in cov_rows) + 1
-    cov = np.zeros((d, d))
-    for r in cov_rows:
-        cov[r.i][r.j] = cov[r.j][r.i] = r.cov
-    mu_rows = (
-        embeddings.select(
-            F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x")
-        )
-        .groupBy("i")
-        .agg((F.sum("x") / F.count("*")).alias("mu"))
-        .collect()
-    )
+    rows = _second_moments(embeddings, vec_col).collect()
+    d = max(r.j for r in rows) + 1
+    n = rows[0]["__n"]
     mean = [0.0] * d
-    for r in mu_rows:
-        mean[r.i] = float(r.mu)
+    sxy = np.zeros((d, d))
+    for r in rows:
+        if r.j == -1:
+            mean[r.i] = float(r["__s"]) / n
+        else:
+            sxy[r.i][r.j] = sxy[r.j][r.i] = float(r["__s"]) / n
+    mu = np.array(mean)
+    cov = sxy - np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:k]
     comps = []
@@ -1041,19 +1050,11 @@ def random_projection(
     idx = F.sequence(F.lit(0), F.size(v) - 1)
     inv = 1.0 / math.sqrt(out_dim)
 
+    from starlight_for_kafka_spark.functions.hashing import md5_hash64
+
     def proj(k: int):
         def signer(x, d):
-            h = F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(F.lit(f"jl{k}:"), d.cast("string")).cast("binary")
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
+            h = md5_hash64(F.concat(F.lit(f"jl{k}:"), d.cast("string")))
             return F.when(h % 2 == 0, x).otherwise(-x)
 
         signed = F.zip_with(v, idx, signer)

@@ -517,13 +517,18 @@ def latency_histogram_stream(
     the watermark bounds state). Bucket assignment is the SAME shared
     bucket_le expression as the batch histogram, so window histograms
     from the stream merge bucket-wise with (and converge to) the batch
-    grid; cumulative sums and histogram_quantile run downstream on the
-    tiny emitted bucket table.
+    grid. The emitted counts are SPARSE (empty buckets absent) — run
+    them through metrics.cumulative_from_sparse before
+    histogram_quantile, which requires the dense grid (feeding sparse
+    rows directly mis-anchors the interpolation lower bound across
+    empty buckets and loses the +Inf clamp for all-overflow windows).
+    NULL observations are dropped, matching prom_histogram.
     """
     from starlight_for_kafka_spark.operators.metrics import bucket_le
 
     return (
-        log.withWatermark(ts_col, watermark)
+        log.filter(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, duration), bucket_le(value_col, buckets).alias("le"))
         .agg(F.count("*").alias("n"))
     )
@@ -544,22 +549,13 @@ def hll_registers_stream(
     estimator math runs downstream on the tiny register table, and
     window sketches roll up to coarser windows by register-wise max,
     exactly like the batch form."""
-    from starlight_for_kafka_spark.functions.hashing import md5_hash64
+    from starlight_for_kafka_spark.operators.analytics import hll_register_cols
 
-    suffix_bits = 60 - b
-    field = suffix_bits + 1
-    h = md5_hash64(F.col(value_col).cast("string"))
-    suffix = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
-    rho = F.when(suffix == 0, F.lit(field)).otherwise(
-        F.lit(field) - F.length(F.regexp_replace(F.bin(suffix), "^0+", ""))
-    )
+    idx, rho = hll_register_cols(value_col, b)
     return (
         log.filter(F.col(value_col).isNotNull())
         .withWatermark(ts_col, watermark)
-        .groupBy(
-            F.window(ts_col, duration),
-            F.shiftrightunsigned(h, suffix_bits).alias("idx"),
-        )
+        .groupBy(F.window(ts_col, duration), idx.alias("idx"))
         .agg(F.max(rho).alias("M"))
     )
 

@@ -419,3 +419,36 @@ def test_hll_cardinality_by_per_group_and_rollup(spark):
     assert sorted(map(tuple, rolled.collect())) == sorted(
         map(tuple, union.collect())
     )
+
+
+def test_prom_histogram_null_and_duplicate_bucket_edges(spark):
+    from starlight_for_kafka_spark.operators.metrics import (
+        cumulative_from_sparse,
+        histogram_quantile,
+        prom_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 15.0), (None, 5.0), ("b", None)],
+        "g string, v double",
+    )
+    # NULL group rows and NULL observations are dropped, not mis-joined
+    h = prom_histogram(df, "v", [10.0, 20.0], ["g"])
+    cums = {(r.g, r.le): r.cum for r in h.collect()}
+    assert cums == {
+        ("a", 10.0): 1, ("a", 20.0): 2, ("a", float("inf")): 2,
+    }
+    # duplicate bucket bounds collapse instead of double-counting
+    d2 = spark.createDataFrame([(5.0,), (15.0,)], "v double")
+    h2 = {r.le: r.cum for r in
+          prom_histogram(d2, "v", [10.0, 10.0, 20.0]).collect()}
+    assert h2 == {10.0: 1, 20.0: 2, float("inf"): 2}
+    # sparse counts (stream/shard shape) densify to the same grid the
+    # quantile needs: the empty 10-bucket must anchor interpolation
+    sparse = spark.createDataFrame(
+        [(5.0, 5), (15.0, 0), (25.0, 5)], "le double, n long"
+    ).filter("n > 0")
+    dense = cumulative_from_sparse(sparse, [5.0, 15.0, 25.0])
+    q = {r.q: r.value for r in histogram_quantile(dense, [0.6]).collect()}
+    # rank 6 lands in the 25-bucket: lower bound must be 15, not 5
+    assert abs(q[0.6] - (15.0 + 10.0 * 1 / 5)) < 1e-9
