@@ -2944,6 +2944,34 @@ def q_random_projection(spark, sf_dir):
     return sim_ops.random_projection(emb, 16)
 
 
+def q_kmv_overlap(spark, sf_dir):
+    """KMV sketch set algebra — the audience-overlap estimate HLL cannot
+    do: odd-id viewers vs multiple-of-3 purchasers, union/intersection
+    estimated from two 64-hash sketches plus the exact counts for audit;
+    the oracle replays the identical k-smallest-hash competition."""
+    ev = load_table(spark, sf_dir, "events")
+    a_vals = ev.filter(
+        (F.col("event_type") == "view") & (F.col("user_id") % 2 == 1)
+    ).select("user_id")
+    b_vals = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 3 == 0)
+    ).select("user_id")
+    sa = analytics_ops.kmv_sketch(a_vals, "user_id", 64)
+    sb = analytics_ops.kmv_sketch(b_vals, "user_id", 64)
+    est = analytics_ops.kmv_intersection(sa, sb, 64)
+    exact = (
+        a_vals.distinct()
+        .join(b_vals.distinct(), "user_id")
+        .agg(F.count("*").alias("exact_intersection"))
+        .crossJoin(
+            a_vals.unionByName(b_vals)
+            .distinct()
+            .agg(F.count("*").alias("exact_union"))
+        )
+    )
+    return est.crossJoin(exact)
+
+
 def q_embedding_covariance(spark, sf_dir):
     """Distributed covariance of the embedding matrix, upper triangle as
     (i, j, cov) — the one-pass d^2 summary that feeds driver-side PCA
@@ -3273,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_dau": q_hll_dau,
         "embedding_covariance": q_embedding_covariance,
         "random_projection": q_random_projection,
+        "kmv_overlap": q_kmv_overlap,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
         "cogroup": q_cogroup,
@@ -3863,6 +3892,39 @@ SELECT g AS "group", protocol, votes FROM (
 SELECT doc_id, n_chars FROM k ORDER BY es DESC, doc_id LIMIT 100""",
         "hll_dau": _hll_dau_oracle_sql(),
         "random_projection": _jl_oracle_sql(16),
+        "kmv_overlap": """WITH av AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'view' AND user_id % 2 = 1
+), bv AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND user_id % 3 = 0
+), sa AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM av ORDER BY 1 LIMIT 64
+), sb AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM bv ORDER BY 1 LIMIT 64
+), un AS (
+  SELECT DISTINCT hv FROM (SELECT hv FROM sa UNION ALL SELECT hv FROM sb)
+  ORDER BY hv LIMIT 64
+), both_s AS (SELECT sa.hv FROM sa JOIN sb USING (hv)),
+stats AS (
+  SELECT (SELECT count(*) FROM un) AS n,
+         (SELECT max(hv) FROM un) AS mx,
+         (SELECT CAST(count(*) AS BIGINT) FROM un JOIN both_s USING (hv)) AS n_common
+), est AS (
+  SELECT n, mx, n_common,
+         CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+              ELSE 63.0 * 1152921504606846976.0 / mx END AS eu
+  FROM stats
+), ex AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM av JOIN bv USING (user_id)) AS exact_intersection,
+         (SELECT CAST(count(*) AS BIGINT) FROM (SELECT user_id FROM av UNION SELECT user_id FROM bv)) AS exact_union
+)
+SELECT 64 AS k, n_common, round(eu, 4) AS est_union,
+       round((CAST(n_common AS DOUBLE) / n) * eu, 4) AS est_intersection,
+       exact_intersection, exact_union
+FROM est, ex""",
         "embedding_covariance": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), x AS (

@@ -589,3 +589,75 @@ def hll_cardinality_by(
     if not group_cols:
         raise ValueError("group_cols must be non-empty; use hll_cardinality")
     return _hll_estimate(df, value_col, group_cols, b, with_exact)
+
+
+def kmv_sketch(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
+    """K-Minimum-Values sketch (Bar-Yossef et al. 2002): the k smallest
+    md5 hash values of the column's distinct elements — the member of
+    the sketch family that supports SET OPERATIONS: unions merge by
+    re-taking the k smallest of the combined sketches, and intersections
+    estimate via the Jaccard fraction inside the union sketch
+    (:func:`kmv_intersection`), which HLL registers cannot do. NULLs are
+    not elements. Deterministic md5 -> the sketch (and every estimate)
+    reproduces across runs and engines.
+
+    Scale: one distinct-hash shuffle bounded by the value cardinality,
+    then a k-row TakeOrderedAndProject — the sketch is k longs, a
+    control-plane object by construction.
+    """
+    h = md5_hash64(F.col(value_col).cast("string"))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(h.alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_estimate_distinct(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: if the sketch holds
+    fewer than k hashes the count is EXACT (every distinct element is in
+    it); otherwise est = (k-1) * 2^60 / max(hv) — the classic k-th
+    minimum spacing estimator over the 60-bit hash space."""
+    return sketch.agg(
+        F.count("*").alias("__n"), F.max("hv").alias("__mx")
+    ).select(
+        F.round(
+            F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("__mx")
+            ),
+            4,
+        ).alias("estimate")
+    )
+
+
+def kmv_intersection(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Intersection-size estimate from two KMV sketches: build the union
+    sketch (k smallest of both), count how many of its members appear in
+    BOTH inputs (c), estimate J = c/k, and |A ∩ B| = J * |A ∪ B| with
+    the union size from :func:`kmv_estimate_distinct`. Everything runs
+    on 3k rows — the sketches, never the data.
+
+    Emits one row (k, n_common, est_union, est_intersection)."""
+    union = (
+        sketch_a.unionByName(sketch_b).distinct().orderBy("hv").limit(k)
+    )
+    both = sketch_a.join(sketch_b, "hv").select("hv")
+    common = union.join(both, "hv")
+    stats = union.agg(
+        F.count("*").alias("__n"), F.max("hv").alias("__mx")
+    ).crossJoin(common.agg(F.count("*").alias("n_common")))
+    est_union = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("__mx"))
+    return stats.select(
+        F.lit(k).alias("k"),
+        "n_common",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(
+            (F.col("n_common").cast("double") / F.col("__n")) * est_union, 4
+        ).alias("est_intersection"),
+    )

@@ -452,3 +452,28 @@ def test_prom_histogram_null_and_duplicate_bucket_edges(spark):
     q = {r.q: r.value for r in histogram_quantile(dense, [0.6]).collect()}
     # rank 6 lands in the 25-bucket: lower bound must be 15, not 5
     assert abs(q[0.6] - (15.0 + 10.0 * 1 / 5)) < 1e-9
+
+
+def test_kmv_sketch_estimates_and_exact_small_path(spark):
+    from starlight_for_kafka_spark.operators.analytics import (
+        kmv_estimate_distinct,
+        kmv_intersection,
+        kmv_sketch,
+    )
+
+    a = spark.range(0, 3000).selectExpr("'a' || cast(id as string) as v")
+    b = spark.range(2000, 6000).selectExpr("'a' || cast(id as string) as v")
+    sa, sb = kmv_sketch(a, "v", 128), kmv_sketch(b, "v", 128)
+    est_a = kmv_estimate_distinct(sa, 128).first().estimate
+    assert abs(est_a / 3000 - 1) < 0.5  # ~1/sqrt(k) noise, generous band
+    r = kmv_intersection(sa, sb, 128).first()
+    assert abs(r.est_union / 6000 - 1) < 0.5
+    assert 0 <= r.est_intersection <= r.est_union
+    # under-k sketch: the estimate is EXACT
+    small = spark.range(40).selectExpr("cast(id as string) as v")
+    assert kmv_estimate_distinct(kmv_sketch(small, "v", 128), 128).first().estimate == 40.0
+    # NULLs are not elements
+    withnull = small.unionByName(
+        spark.createDataFrame([(None,)], "v string")
+    )
+    assert kmv_sketch(withnull, "v", 128).count() == 40
