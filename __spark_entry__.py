@@ -2944,6 +2944,20 @@ def q_random_projection(spark, sf_dir):
     return sim_ops.random_projection(emb, 16)
 
 
+def q_interleave_sources(spark, sf_dir):
+    """Mixture interleave of documents by language: stride keys
+    (rank+0.5)/w spread each language through the epoch at its mixture
+    rate; ranks follow the sharded (hash mod 32, hash, id) pseudorandom
+    order, replayed exactly by the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    out = sampling_ops.interleave_sources(
+        docs,
+        {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.15, "zh": 0.05},
+        source_col="lang",
+    )
+    return out.select("lang", "doc_id", "src_rank", "interleave_key")
+
+
 def q_kmv_overlap(spark, sf_dir):
     """KMV sketch set algebra — the audience-overlap estimate HLL cannot
     do: odd-id viewers vs multiple-of-3 purchasers, union/intersection
@@ -3302,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": q_embedding_covariance,
         "random_projection": q_random_projection,
         "kmv_overlap": q_kmv_overlap,
+        "interleave_sources": q_interleave_sources,
         "epoch_resample": q_epoch_resample,
         "hybrid_search": q_hybrid_search,
         "cogroup": q_cogroup,
@@ -3892,6 +3907,21 @@ SELECT g AS "group", protocol, votes FROM (
 SELECT doc_id, n_chars FROM k ORDER BY es DESC, doc_id LIMIT 100""",
         "hll_dau": _hll_dau_oracle_sql(),
         "random_projection": _jl_oracle_sql(16),
+        "interleave_sources": """WITH h AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5('il42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM documents
+), r AS (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY hv % 32, hv, doc_id) - 1 AS BIGINT) AS src_rank
+  FROM h
+)
+SELECT lang, doc_id, src_rank,
+       round((src_rank + 0.5::DOUBLE)
+             / CASE lang WHEN 'en' THEN 0.4::DOUBLE WHEN 'de' THEN 0.2::DOUBLE
+                         WHEN 'es' THEN 0.2::DOUBLE WHEN 'fr' THEN 0.15::DOUBLE
+                         ELSE 0.05::DOUBLE END, 6) AS interleave_key
+FROM r WHERE lang IN ('en', 'de', 'es', 'fr', 'zh')""",
         "kmv_overlap": """WITH av AS (
   SELECT DISTINCT user_id FROM events
   WHERE event_type = 'view' AND user_id % 2 = 1

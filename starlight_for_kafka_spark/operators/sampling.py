@@ -414,6 +414,73 @@ def shuffle_rank(
     )
 
 
+def interleave_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Deterministic mixture interleaving: assign every row a sortable
+    ``interleave_key`` such that reading the corpus in key order emits
+    sources at rates proportional to their mixture ``weights`` — the
+    training-data ORDERING step that pairs with mixture_weights /
+    epoch_resample (a weight-resampled corpus still needs its sources
+    spread evenly through the epoch, not concatenated). Source s's i-th
+    row (in a seeded pseudorandom per-source order) gets
+    key = (i + 0.5) / w_s — the classic stride interleave, so a source
+    with twice the weight appears twice as often in any key range.
+
+    Per-source ranks use the same sharded parallel-prefix construction
+    as shuffle_rank (rank order = (hash mod n_shards, hash, id)): no
+    per-source global window ever serializes a dominant source. Rows
+    whose source has no weight are dropped (weight 0). Emits the input
+    columns + (src_rank, interleave_key); the key is what you range-
+    partition + sortWithinPartitions on when writing the epoch.
+    """
+    h = md5_hash64(F.concat(F.lit(f"il{seed}:"), F.col(id_col).cast("string")))
+    local = df.withColumn("__h", h).withColumn(
+        "__shard", F.pmod(F.col("__h"), F.lit(n_shards))
+    )
+    w = Window.partitionBy(source_col, "__shard").orderBy("__h", id_col)
+    local = local.withColumn("__lr", F.row_number().over(w))
+    offsets = (
+        local.groupBy(source_col, "__shard")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.partitionBy(source_col)
+                    .orderBy("__shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(source_col, "__shard", "__offset")
+    )
+    wcol = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(float(wt)))
+            for s, wt in sorted(weights.items())
+            if wt > 0
+        ]
+    )
+    return (
+        local.join(F.broadcast(offsets), [source_col, "__shard"])
+        .withColumn("src_rank", F.col("__offset") + F.col("__lr") - 1)
+        .withColumn("__w", wcol)
+        .filter(F.col("__w").isNotNull())
+        .withColumn(
+            "interleave_key",
+            F.round((F.col("src_rank") + F.lit(0.5)) / F.col("__w"), 6),
+        )
+        .drop("__h", "__shard", "__lr", "__offset", "__w")
+    )
+
+
 def epoch_resample(
     df: DataFrame,
     weights: DataFrame,

@@ -1155,3 +1155,34 @@ def test_random_projection_preserves_norms_in_expectation(spark, embeddings):
     again = {r.vec_id: np.array(r.jl) for r in
              random_projection(embeddings, 32).collect()}
     assert all(np.array_equal(out[i], again[i]) for i in out)
+
+
+def test_interleave_sources_rates_and_determinism(spark):
+    from starlight_for_kafka_spark.operators.sampling import interleave_sources
+
+    rows = [(f"s{'ab'[i % 2]}", i) for i in range(300)]  # 150 each
+    df = spark.createDataFrame(rows, "src string, id long")
+    out = interleave_sources(
+        df, {"sa": 0.75, "sb": 0.25, "sc": 0.5}, source_col="src", id_col="id"
+    ).collect()
+    assert len(out) == 300
+    # per-source ranks are dense 0..n-1
+    for s in ("sa", "sb"):
+        ranks = sorted(r.src_rank for r in out if r.src == s)
+        assert ranks == list(range(150))
+    # stride property: in the first k keys, sources appear ~proportional
+    # to weight (3:1) — check the first 100 positions
+    first = sorted(out, key=lambda r: (r.interleave_key, r.src))[:100]
+    n_a = sum(1 for r in first if r.src == "sa")
+    assert 65 <= n_a <= 85  # 3:1 mix -> ~75
+    # determinism
+    again = interleave_sources(
+        df, {"sa": 0.75, "sb": 0.25, "sc": 0.5}, source_col="src", id_col="id"
+    ).collect()
+    assert sorted((r.id, r.interleave_key) for r in again) == sorted(
+        (r.id, r.interleave_key) for r in out
+    )
+    # zero/missing-weight sources drop
+    df2 = df.unionByName(spark.createDataFrame([("sz", 999)], "src string, id long"))
+    out2 = interleave_sources(df2, {"sa": 1.0, "sb": 1.0}, "src", "id")
+    assert out2.filter("src = 'sz'").count() == 0
