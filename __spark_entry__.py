@@ -5339,7 +5339,7 @@ FROM c""",
   SELECT doc_id,
          len(w) AS n_words,
          CAST(lent - (len(w) - 1) AS DOUBLE) / len(w) AS mwl,
-         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) AS alpha_frac,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE) / len(w) AS alpha_frac,
          (length(pad) - length(replace(pad, '#', '')))
            + (length(pad) - length(replace(pad, '...', ''))) / 3
            + (length(pad) - length(replace(pad, '…', ''))) AS n_symbols,

@@ -32,48 +32,56 @@ def funnel(
     equivalent to the per-step `JOIN ... WHERE ts > prev` cascade, but in
     one user-keyed shuffle).
 
-    Plan shape: filter to funnel event types (pushed to the scan), collect
-    each user's (ts, type) pairs — bounded per user — then resolve the step
-    chain with JVM-side array HOFs. No self-joins: k funnel steps cost the
-    same single shuffle as one.
+    Plan shape: filter to funnel event types (pushed to the scan), then k
+    chained RUNNING-MIN window expressions over one (user, ts-ordered)
+    sort: ``cand_i = ts WHEN type = step_i AND ts > running_min(cand_{i-1})``
+    and ``running_min(cand_i)`` feeds step i+1. The per-user final step
+    times fall out of a groupBy(user) min over the candidate columns, which
+    reuses the window's hash partitioning (no second exchange). State per
+    row is k longs — NEVER a per-user collect_list, whose size is bounded
+    only by a user's event count (the thing a bot account blows up at
+    100×). This is ClickHouse's windowFunnel state machine expressed as
+    Catalyst window algebra.
 
-    Each step's timestamp is materialized in its own projection: step i+1's
-    filter references step i's column, and inlining the chain would
-    replicate the array-scan subtree exponentially (CollapseProject keeps
-    them apart because each non-cheap step column is referenced twice —
-    by the next step and by the output).
+    Correctness of the chaining: the default RANGE frame (unbounded
+    preceding → current row, ties included) makes running_min(cand_{i-1})
+    at a step-i event equal the true earliest chain-eligible step-(i-1)
+    time whenever that time is < ts (the minimal eligible event sorts
+    strictly earlier); when it is = ts the strict ``>`` rejects the row
+    under either frame tie-handling, so the chain is deterministic.
 
     Returns one row per user who reached step 1: ``step_1..step_k``
     timestamps (null once the chain breaks) and ``steps_completed``.
     """
     steps = list(steps)
     ev = df.filter(F.col(type_col).isin(steps)).select(
-        F.col(user_col),
-        F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("e")).alias("s"),
+        F.col(user_col), F.col(ts_col).alias("__t"), F.col(type_col).alias("__e")
     )
-    out = ev.groupBy(user_col).agg(F.collect_list("s").alias("_evs"))
+    # Default RANGE frame: unbounded preceding -> current row, ties included.
+    w = Window.partitionBy(user_col).orderBy("__t")
 
-    def step_ts(step: str, prev: Column | None) -> Column:
-        def cond(x):
-            c = x["e"] == F.lit(step)
-            # x.t > NULL is NULL -> filtered out: chain breaks for free
-            return c & (x["t"] > prev) if prev is not None else c
-
-        return F.array_min(F.transform(F.filter(F.col("_evs"), cond), lambda x: x["t"]))
-
-    prev: Column | None = None
+    prev_run: Column | None = None
+    cands: list[Column] = []
     for i, st in enumerate(steps, 1):
-        out = out.select("*", step_ts(st, prev).alias(f"step_{i}"))
-        prev = F.col(f"step_{i}")
+        c = F.col("__e") == F.lit(st)
+        if prev_run is not None:
+            # __t > NULL is NULL -> when() yields NULL: chain breaks for free
+            c = c & (F.col("__t") > prev_run)
+        cand = F.when(c, F.col("__t")).alias(f"__cand_{i}")
+        ev = ev.select("*", cand)
+        cands.append(F.col(f"__cand_{i}"))
+        prev_run = F.min(F.col(f"__cand_{i}")).over(w)
 
+    agg = [
+        F.min(f"__cand_{i}").alias(f"step_{i}") for i in range(1, len(steps) + 1)
+    ]
+    out = ev.groupBy(user_col).agg(*agg)
     completed = sum(
         (F.col(f"step_{i}").isNotNull().cast("int") for i in range(1, len(steps) + 1)),
         start=F.lit(0),
     )
-    return (
-        out.drop("_evs")
-        .withColumn("steps_completed", completed.cast("long"))
-        .filter(F.col("step_1").isNotNull())
+    return out.withColumn("steps_completed", completed.cast("long")).filter(
+        F.col("step_1").isNotNull()
     )
 
 
@@ -475,7 +483,14 @@ def _hll_estimate(
     both, and their oracles, by construction."""
     field = (60 - b) + 1  # rho ranges 1..field
     m = 1 << b
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # Flajolet's bias constants: the closed form is the m >= 128 asymptote;
+    # small register counts use the paper's tabulated values (alpha_16/32/64)
+    # or the raw-estimate bias silently grows.
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
+    if m < 16:
+        raise ValueError(f"hll: b must be >= 4 (got b={b}, m={m})")
 
     regs = hll_registers(df, value_col, b, group_cols)
     # coalesce: an EMPTY register table sums to NULL; 0 makes s_int the

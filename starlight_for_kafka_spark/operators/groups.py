@@ -854,7 +854,11 @@ def select_group_protocol(
     groups elect in one pass.
     """
     m = members.select(group_col, member_col, protocols_col)
-    sizes = m.groupBy(group_col).agg(F.count("*").alias("__nm"))
+    # countDistinct, not count(*): duplicate (group, member) input rows
+    # must not inflate the member count past what ``support`` (also
+    # member-distinct) can ever reach, or the intersection test becomes
+    # unsatisfiable and the group silently elects nothing.
+    sizes = m.groupBy(group_col).agg(F.countDistinct(member_col).alias("__nm"))
     pos = m.select(
         group_col,
         member_col,

@@ -461,12 +461,13 @@ def interleave_sources(
         )
         .select(source_col, "__shard", "__offset")
     )
+    positive = [(s, wt) for s, wt in sorted(weights.items()) if wt > 0]
+    if not positive:
+        raise ValueError(
+            "interleave_sources: weights must contain at least one positive entry"
+        )
     wcol = F.coalesce(
-        *[
-            F.when(F.col(source_col) == s, F.lit(float(wt)))
-            for s, wt in sorted(weights.items())
-            if wt > 0
-        ]
+        *[F.when(F.col(source_col) == s, F.lit(float(wt))) for s, wt in positive]
     )
     return (
         local.join(F.broadcast(offsets), [source_col, "__shard"])

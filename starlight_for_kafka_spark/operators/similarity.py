@@ -972,6 +972,14 @@ def pca_fit(
     import numpy as np
 
     rows = _second_moments(embeddings, vec_col).collect()
+    if not rows:
+        raise ValueError("pca_fit: input has no embedding rows")
+    counts = {r["__n"] for r in rows}
+    if len(counts) != 1:
+        raise ValueError(
+            "pca_fit: ragged embeddings — per-cell counts differ "
+            f"({sorted(counts)[:4]}...); every vector must have the same dimension"
+        )
     d = max(r.j for r in rows) + 1
     n = rows[0]["__n"]
     mean = [0.0] * d

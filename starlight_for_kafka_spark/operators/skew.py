@@ -6,11 +6,17 @@ serializes the job no matter how many executors exist. Salting splits each
 key across ``n_salts`` reducers for a partial aggregate, then merges the
 (keys × n_salts)-row partials — the second stage is tiny by construction.
 
-The salt is ``spark_partition_id() % n_salts``: free to compute, spreads a
-hot key across however many input splits carry it, and is semantically
-invisible because the stage-2 merge collapses it. Results are identical to
-the unsalted aggregate for any decomposable aggregate (count/sum/min/max —
-the caller supplies the partial and merge expression pair).
+The salt is DETERMINISTIC — ``pmod(xxhash64(salt_cols), n_salts)`` with
+every input column as the default — the same rule ``grouped_top_k`` pins:
+under shuffle-fetch-failure recomputation or an AQE replan a row's physical
+partition can change between attempts, so a ``spark_partition_id()`` salt
+would route the same row through different salt slices on retry. Harmless
+for commutative merges, but a latent hazard the moment the idiom is reused
+for an order-sensitive partial — a content hash is retry-stable for both.
+The salt is semantically invisible because the stage-2 merge collapses it.
+Results are identical to the unsalted aggregate for any decomposable
+aggregate (count/sum/min/max — the caller supplies the partial and merge
+expression pair).
 
 AQE's skew-join handling covers JOIN skew at runtime; this covers
 AGGREGATION skew, which AQE does not re-plan (partial aggregation already
@@ -35,11 +41,20 @@ def salted_aggregate(
     partials: list[Column],
     merges: list[Column],
     n_salts: int = 32,
+    salt_cols: list | None = None,
 ) -> DataFrame:
     """Two-stage aggregate: groupBy(keys + salt).agg(partials) →
     groupBy(keys).agg(merges). ``merges`` must reference the aliases the
-    ``partials`` produce."""
-    salted = df.withColumn("__salt", F.spark_partition_id() % n_salts)
+    ``partials`` produce. ``salt_cols`` defaults to every input column;
+    pass a unique id column if rows can be exact full-row duplicates (a
+    content hash maps identical rows to one slice — see grouped_top_k)."""
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*(salt_cols if salt_cols is not None else df.columns)),
+            F.lit(n_salts),
+        ),
+    )
     stage1 = salted.groupBy(*keys, "__salt").agg(*partials)
     return stage1.groupBy(*keys).agg(*merges)
 

@@ -733,8 +733,11 @@ def gopher_quality_flags(
     )
     n_words = F.size("__w")
     mean_wl = (F.col("__len") - (n_words - F.lit(1))).cast("double") / n_words
+    # Unicode letter class, not [a-z]: Gopher's rule is "contains an
+    # alphabetic character" — an ASCII-only class fails low_alpha on every
+    # document of a non-Latin-script corpus (zh/ja/ru ...).
     alpha_frac = (
-        F.size(F.filter("__w", lambda w: w.rlike("[a-z]"))).cast("double") / n_words
+        F.size(F.filter("__w", lambda w: w.rlike(r"\p{L}"))).cast("double") / n_words
     )
     n_symbols = (
         (F.length("__pad") - F.length(F.regexp_replace("__pad", r"#", "")))

@@ -131,22 +131,53 @@ def read_committed(txn_log: DataFrame) -> DataFrame:
     )
 
 
-def allocate_producer_ids(txn_ids: DataFrame, id_col: str = "transactional_id") -> DataFrame:
+def allocate_producer_ids(
+    txn_ids: DataFrame, id_col: str = "transactional_id", n_shards: int = 32
+) -> DataFrame:
     """INIT_PRODUCER_ID (KafkaRequestHandler.java:2440,
     TransactionCoordinator.handleInitProducerId:317; block allocation in
     ProducerIdManagerImpl.java): allocate dense PIDs per transactional id.
 
-    Spark analog: a sequence table — row_number over the distinct id set.
-    This is a control-plane operation (ids number in the thousands, not
-    the data scale), so the single-partition window is fine; epoch starts
-    at 0 and a re-init bumps it (the fencing role Spark's checkpoint epoch
-    plays in streaming)."""
-    w = Window.orderBy(id_col)
+    Spark analog: a sequence table — dense rank of each id in the global
+    id order. A naive ``row_number() OVER (ORDER BY id)`` serializes every
+    id through ONE task (the "No Partition Defined for Window" trap); at
+    10^8 transactional ids that is the job. Instead the global order is
+    decomposed into a parallel prefix — the same sharded idiom as
+    sampling.shuffle_rank — but RANGE-sharded so the dense pid still
+    follows the exact lexicographic id order the sequence-table contract
+    (and the oracle) pins: ``repartitionByRange(id)`` puts shard i's ids
+    strictly below shard i+1's, per-shard ranks run as ``n_shards``
+    independent windows, and the n_shards-row count table gets a running
+    offset (control-plane window over ≤n_shards rows) broadcast back.
+    Range boundaries come from Spark's sampling job; boundary *placement*
+    cannot change the result because any range split yields the same
+    global order. Epoch starts at 0 and a re-init bumps it (the fencing
+    role Spark's checkpoint epoch plays in streaming)."""
+    ids = txn_ids.select(id_col).distinct().repartitionByRange(n_shards, F.col(id_col))
+    local = ids.withColumn("__shard", F.spark_partition_id())
+    w = Window.partitionBy("__shard").orderBy(id_col)
+    local = local.withColumn("__local", F.row_number().over(w))
+    offsets = (
+        local.groupBy("__shard")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__shard", "__offset")
+    )
     return (
-        txn_ids.select(id_col)
-        .distinct()
-        .withColumn("pid", (F.row_number().over(w) - 1).cast("long"))
+        local.join(F.broadcast(offsets), "__shard")
+        .withColumn("pid", (F.col("__offset") + F.col("__local") - 1).cast("long"))
         .withColumn("producer_epoch", F.lit(0).cast("int"))
+        .drop("__shard", "__local", "__offset")
     )
 
 

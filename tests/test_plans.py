@@ -291,6 +291,33 @@ def test_shuffle_rank_no_global_sort(spark, documents):
     assert "rangepartitioning" not in plan.lower(), plan
 
 
+def test_funnel_no_collect_list(spark):
+    """The funnel state per row is k running-min longs -- never a per-user
+    collect_list, whose size is bounded only by a user's event count (a
+    single bot account would OOM one reducer at 100x)."""
+    df = QUERIES["funnel_steps"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert "collect_list" not in plan.lower(), plan
+    # one user-keyed exchange: window sort + final agg reuse the same
+    # hash partitioning
+    assert exchange_count(df) == 1, plan
+
+
+def test_allocate_producer_ids_no_global_id_window(spark):
+    """PID allocation must not serialize the id set through one task: every
+    row_number window runs partitioned by the range shard; the only global
+    orderBy is the <=n_shards-row offset prefix (control plane)."""
+    import re
+
+    df = QUERIES["init_producer_ids"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert has_broadcast_join(df), plan
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        assert "__shard" in spec, plan
+
+
 def test_semantic_dedup_pairs_only_within_cells(spark):
     """The SemDeDup pair join must be an equi-join on ivf_cell -- never a
     cartesian/nested-loop product over the corpus."""
