@@ -853,11 +853,15 @@ def q_similarity_lsh_top5(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal decode plumbing (mapInPandas, Arrow batches). The stub
-    kernel samples 8 payload bytes — fully deterministic, and since the
-    payload is the UTF-8 text bytes (ASCII in this corpus) the same bytes
-    are reachable from SQL, so this oracle-checks exactly. The array column
-    is posexploded to (dim, feature) rows for a hashable compare shape."""
+    """Multimodal decode over REAL container bytes: synthesize_media
+    encodes actual WAV/PPM/BMP/Y4M payloads (functions/media_codec.py) and
+    extract_features parses them back — RIFF chunk walk, PCM s16 moments,
+    BGR/padding/bottom-up BMP handling, planar Y4M frame split. Sample and
+    pixel values are a pure function of (media_id, index), so the oracle
+    replays the decoded sums/extrema/zero-crossings in SQL without parsing
+    a byte — any header-layout or byte-order bug in the codec mismatches.
+    The array column is posexploded to (dim, feature) rows for a hashable
+    compare shape."""
     docs = load_table(spark, sf_dir, "documents")
     media = mm_ops.synthesize_media(docs)
     feats = mm_ops.extract_features(media)
@@ -4028,12 +4032,62 @@ SELECT lang, count(*) AS n_docs, count(DISTINCT dig) AS n_distinct,
 FROM d GROUP BY lang""",
         "similarity_lsh_top5": _lsh_top5_oracle_sql(),
         "dedup_embedding_lsh": _dedup_embedding_lsh_oracle_sql(),
-        "multimodal_features": """SELECT doc_id AS media_id,
-       (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       CAST(d.dim AS INT) AS dim,
-       CAST(ord(substr(text, CAST(d.dim * length(text) // 8 AS INT) + 1, 1)) AS DOUBLE) AS feature
-FROM documents, (SELECT unnest(range(8)) AS dim) d""",
+        "multimodal_features": """WITH ipx AS (
+  SELECT doc_id AS id, unnest(range(216)) AS idx FROM documents WHERE doc_id % 3 = 0
+), istat AS (
+  SELECT id,
+         sum((id*7 + idx*13) % 256) AS sum_r,
+         sum((id*7 + idx*13 + 101) % 256) AS sum_g,
+         sum((id*7 + idx*13 + 202) % 256) AS sum_b,
+         min(least((id*7+idx*13) % 256, (id*7+idx*13+101) % 256, (id*7+idx*13+202) % 256)) AS vmin,
+         max(greatest((id*7+idx*13) % 256, (id*7+idx*13+101) % 256, (id*7+idx*13+202) % 256)) AS vmax
+  FROM ipx GROUP BY id
+), ifeat AS (
+  SELECT id, 'image' AS kind,
+         CAST(CASE WHEN id % 2 = 0 THEN 661 ELSE 726 END AS BIGINT) AS n_bytes,
+         [18.0, 12.0, CAST(sum_r AS DOUBLE), CAST(sum_g AS DOUBLE),
+          CAST(sum_b AS DOUBLE), CAST(vmin AS DOUBLE), CAST(vmax AS DOUBLE), 3.0] AS arr
+  FROM istat
+), aval AS (
+  SELECT id, n, i, (id*31 + i*17) % 4096 - 2048 AS v FROM (
+    SELECT doc_id AS id, 20000 + (doc_id % 16) * 2048 AS n,
+           unnest(range(20000 + (doc_id % 16) * 2048)) AS i
+    FROM documents WHERE doc_id % 3 = 1)
+), azc AS (
+  SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM aval
+), astat AS (
+  SELECT id, max(n) AS n, sum(v) AS s, sum(v*v) AS sq, min(v) AS vmin, max(v) AS vmax
+  FROM aval GROUP BY id
+), zstat AS (
+  SELECT id, sum(CASE WHEN pv IS NOT NULL AND (v >= 0) <> (pv >= 0) THEN 1 ELSE 0 END) AS zc
+  FROM azc GROUP BY id
+), afeat AS (
+  SELECT s.id, 'audio' AS kind, CAST(44 + 2 * s.n AS BIGINT) AS n_bytes,
+         [8000.0, CAST(s.n AS DOUBLE), CAST(s.s AS DOUBLE), CAST(s.sq AS DOUBLE),
+          CAST(s.vmin AS DOUBLE), CAST(s.vmax AS DOUBLE), CAST(z.zc AS DOUBLE), 1.0] AS arr
+  FROM astat s JOIN zstat z USING (id)
+), vpx AS (
+  SELECT id, nf, f, unnest(range(128)) AS idx FROM (
+    SELECT doc_id AS id, 25 + doc_id % 25 AS nf,
+           unnest(range(25 + doc_id % 25)) AS f
+    FROM documents WHERE doc_id % 3 = 2)
+), vstat AS (
+  SELECT id, max(nf) AS nf,
+         sum((id*3 + f*29 + idx*13) % 256) AS sum_y,
+         sum((id*3 + f*29 + 101 + idx*13) % 256) AS sum_u,
+         sum((id*3 + f*29 + 202 + idx*13) % 256) AS sum_v
+  FROM vpx GROUP BY id
+), vfeat AS (
+  SELECT id, 'video' AS kind, CAST(36 + nf * 390 AS BIGINT) AS n_bytes,
+         [16.0, 8.0, CAST(nf AS DOUBLE), CAST(sum_y AS DOUBLE),
+          CAST(sum_u AS DOUBLE), CAST(sum_v AS DOUBLE), 25.0, 3.0] AS arr
+  FROM vstat
+), allf AS (
+  SELECT * FROM ifeat UNION ALL SELECT * FROM afeat UNION ALL SELECT * FROM vfeat
+)
+SELECT id AS media_id, kind, n_bytes, CAST(d.dim AS INT) AS dim,
+       arr[CAST(d.dim AS INT) + 1] AS feature
+FROM allf, (SELECT unnest(range(8)) AS dim) d""",
         "log_fetch": f"""WITH {LOG_CTE}
 SELECT key, value, {ms.format(c='"timestamp"')} AS ts_ms, "partition", "offset"
 FROM log WHERE "partition" = 3 AND "offset" >= 10 AND "offset" < 40""",
@@ -4825,7 +4879,7 @@ FROM votes GROUP BY doc_id""",
 )
 SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
-       unnest(range(0, length(text) * 10, 500)) AS frame_ms
+       unnest(range(0, (25 + doc_id % 25) * 40, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
         "top_docs_per_lang": """WITH padded AS (
   SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
@@ -6092,7 +6146,7 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
       CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'es' THEN 2500
                 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE 0 END""",
         "audio_chunks": """WITH m AS (
-  SELECT doc_id AS media_id, length(text) * 10 AS duration_ms
+  SELECT doc_id AS media_id, 2500 + (doc_id % 16) * 256 AS duration_ms
   FROM documents WHERE doc_id % 3 = 1
 ), c AS (
   SELECT media_id, duration_ms,
@@ -6111,9 +6165,8 @@ FROM c""",
 SELECT doc_id AS media_id,
        array_to_string(ws[1 : 32], ' ') AS caption,
        least(len(ws), 32) AS n_caption_tokens,
-       nc AS payload_bytes,
-       nc % 1024 + 32 AS width,
-       nc % 768 + 32 AS height
+       CASE WHEN doc_id % 2 = 0 THEN 661 ELSE 726 END AS payload_bytes,
+       18 AS width, 12 AS height
 FROM w WHERE doc_id % 3 = 0 AND least(len(ws), 32) >= 3""",
         "pack_multimodal": """WITH ti AS (
   SELECT doc_id * 2 AS item_id, 'text' AS modality,
@@ -6123,8 +6176,8 @@ FROM w WHERE doc_id % 3 = 0 AND least(len(ws), 32) >= 3""",
   SELECT doc_id * 2 + 1 AS item_id,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
          CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 576
-              WHEN 1 THEN (length(text) * 10) // 80
-              ELSE (length(text) * 10) // 40 END AS BIGINT) AS cost
+              WHEN 1 THEN (2500 + (doc_id % 16) * 256) // 80
+              ELSE 25 + doc_id % 25 END AS BIGINT) AS cost
   FROM documents
 ), items AS (
   SELECT * FROM ti UNION ALL SELECT * FROM mi

@@ -2,11 +2,14 @@
 
 Media payloads are opaque ``binary`` columns + typed metadata structs —
 the same model the log table uses for Kafka values. Decode/resize/feature
-steps run as Arrow-batched Pandas UDFs over ``mapInPandas``; the actual
-codec libraries (Pillow, ffmpeg, torchaudio) are NOT in this container, so
-the decode kernels are STUBBED with a deterministic fake, clearly marked —
-the Spark-side contract (schemas, batching, partition sizing) is real and
-tested.
+steps run as Arrow-batched Pandas UDFs over ``mapInPandas``; the decode
+kernel is a REAL pure-stdlib parser (functions/media_codec.py) for the
+public WAV, PPM, BMP, and YUV4MPEG2 container formats — header walk, PCM
+sample moments, BGR/padding/bottom-up handling, planar frame split. The
+heavyweight codec libraries (Pillow, ffmpeg, torchaudio) are NOT in this
+container, so formats beyond those four raise ValueError at the same seam
+(swap in a richer ``decode`` callable when the libs exist); a deterministic
+byte-sampling ``decode_stub`` is retained for plumbing-only tests.
 
 Scale notes: media rows are large (MBs); the operators repartition by an
 explicit ``target_rows_per_batch`` so a 100 TB corpus maps to bounded-memory
@@ -45,21 +48,65 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def synthesize_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Build a deterministic media table from documents (payload = text
-    bytes standing in for encoded media; metadata derived from doc stats).
-    Lets the multimodal plumbing be tested without codec libs."""
-    return df.select(
-        F.col(id_col).alias("media_id"),
-        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col(id_col) % 3 + 1).cast("int")).alias("kind"),
-        F.col(text_col).cast("binary").alias("payload"),
-        F.struct(
-            (F.length(text_col) % 1024 + 32).cast("int").alias("width"),
-            (F.length(text_col) % 768 + 32).cast("int").alias("height"),
-            (F.length(text_col) * 10).cast("int").alias("duration_ms"),
-            F.lit("stub").alias("codec"),
-        ).alias("meta"),
-    )
+def _pickle_media_codec_by_value() -> None:
+    """Ship functions/media_codec.py to executor Python workers by VALUE
+    (executor workers don't have this package on sys.path — same rule as
+    registry._pickle_codec_by_value)."""
+    from pyspark import cloudpickle
+
+    from starlight_for_kafka_spark.functions import media_codec
+
+    cloudpickle.register_pickle_by_value(media_codec)
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build a deterministic media table keyed by document id: REAL
+    encoded payloads — WAV (16-bit PCM), PPM/BMP (alternating, so both
+    image containers are exercised), YUV4MPEG2 (4:4:4 planar video) —
+    with sample/pixel values a pure function of (media_id, index), so the
+    DuckDB oracle replays the decoded feature arithmetic in SQL without
+    parsing a byte. Encoding runs as an Arrow-batched mapInPandas kernel
+    (byte-codec work with no JVM builtin — the package's codec rule).
+
+    Metadata is consistent with the encoded content (duration from sample
+    count / frame count, dimensions from the image constants), so the
+    metadata-only operators (sample_frames, audio_chunks, pack_multimodal)
+    stay pure plan arithmetic over the same numbers a decoder would see.
+    """
+    _pickle_media_codec_by_value()
+    from starlight_for_kafka_spark.functions import media_codec as mc
+
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                k = mid % 3
+                if k == 0:
+                    payload, codec = mc.synth_image(mid)
+                    meta = dict(
+                        width=mc.IMG_W, height=mc.IMG_H, duration_ms=0, codec=codec
+                    )
+                    rows.append((mid, "image", payload, meta))
+                elif k == 1:
+                    payload, dur = mc.synth_audio(mid)
+                    meta = dict(
+                        width=0, height=0, duration_ms=dur, codec="pcm_s16le"
+                    )
+                    rows.append((mid, "audio", payload, meta))
+                else:
+                    payload, dur = mc.synth_video(mid)
+                    meta = dict(
+                        width=mc.VID_W, height=mc.VID_H, duration_ms=dur, codec="y4m"
+                    )
+                    rows.append((mid, "video", payload, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return ids.mapInPandas(op, MEDIA_SCHEMA)
 
 
 FEATURE_SCHEMA = "media_id long, kind string, features array<double>, n_bytes long"
@@ -73,22 +120,22 @@ def extract_features(
     The iterator form processes one bounded Arrow batch at a time, so
     executor memory is ~batch_size × row_size regardless of corpus size.
 
-    ``decode`` swaps in a real kernel (Pillow/ffmpeg — not in this
-    container); the default is a deterministic STUB (8 'pixels' from byte
-    statistics; a real one would ``raise NotImplementedError`` without the
-    codec libs). The kernel is defined INSIDE this function on purpose:
-    cloudpickle then serializes it by value, so executor Python workers
-    never need this package importable on their own sys.path — the
-    closure-shipping rule for every Pandas-UDF operator here.
+    The default kernel is the REAL media_codec parser (WAV/PPM/BMP/Y4M by
+    magic bytes — see functions/media_codec.py for the 8-double feature
+    contract); it raises ValueError on formats it cannot parse. Pass
+    ``decode`` to swap in a richer kernel (Pillow/ffmpeg — not in this
+    container) or ``decode_stub`` for plumbing-only tests. The module is
+    shipped by value so executor Python workers never need this package
+    importable on their own sys.path — the closure-shipping rule for every
+    Pandas-UDF operator here.
     """
+    if decode is None:
+        _pickle_media_codec_by_value()
+        from starlight_for_kafka_spark.functions import media_codec as mc
 
-    def _decode_stub(payload: bytes) -> list[float]:
-        if payload is None:
-            return [0.0] * 8
-        n = len(payload)
-        return [float(payload[i * n // 8] if n else 0) for i in range(8)]
-
-    decode_fn = decode or _decode_stub
+        decode_fn = mc.decode_media
+    else:
+        decode_fn = decode
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -104,6 +151,16 @@ def extract_features(
     conf = media.sparkSession.conf
     conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(target_rows_per_batch))
     return media.mapInPandas(op, FEATURE_SCHEMA)
+
+
+def decode_stub(payload: bytes) -> list[float]:
+    """Deterministic byte-sampling fake (8 evenly-spaced payload bytes) —
+    retained ONLY for plumbing tests that need a decode seam without real
+    container bytes; the production default is media_codec.decode_media."""
+    if payload is None:
+        return [0.0] * 8
+    n = len(payload)
+    return [float(payload[i * n // 8] if n else 0) for i in range(8)]
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:

@@ -1,0 +1,140 @@
+"""media_codec: the real WAV/PPM/BMP/Y4M parsers behind the multimodal
+decode seam. Roundtrips pin encode->decode == closed-form arithmetic;
+robustness cases pin the header-walk behaviors a fixed-offset parser gets
+wrong (extra RIFF chunks, PPM comments, top-down BMPs, padded rows)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from starlight_for_kafka_spark.functions import media_codec as mc
+
+
+@pytest.mark.parametrize("mid", [1, 7, 16, 31])
+def test_wav_roundtrip_matches_closed_form(mid):
+    wav, dur = mc.synth_audio(mid)
+    f = mc.decode_media(wav)
+    n = 20000 + (mid % 16) * 2048
+    i = np.arange(n, dtype=np.int64)
+    s = (mid * 31 + i * 17) % 4096 - 2048
+    sign = s >= 0
+    assert f == [
+        8000.0, float(n), float(s.sum()), float((s * s).sum()),
+        float(s.min()), float(s.max()), float(np.sum(sign[1:] != sign[:-1])), 1.0,
+    ]
+    assert dur == n // 8
+
+
+@pytest.mark.parametrize("mid", [0, 3, 6, 9])
+def test_image_roundtrip_ppm_bmp_identical_stats(mid):
+    """PPM (RGB top-down) and BMP (BGR bottom-up padded) encode the SAME
+    logical pixels; the decoder must undo each container's layout so the
+    stats agree with the closed form regardless of container."""
+    img, codec = mc.synth_image(mid)
+    assert codec == ("ppm" if mid % 2 == 0 else "bmp")
+    f = mc.decode_media(img)
+    idx = np.arange(mc.IMG_W * mc.IMG_H, dtype=np.int64)
+    chans = [(mid * 7 + idx * 13 + c * 101) % 256 for c in range(3)]
+    allv = np.concatenate(chans)
+    assert f == [
+        float(mc.IMG_W), float(mc.IMG_H),
+        *[float(c.sum()) for c in chans],
+        float(allv.min()), float(allv.max()), 3.0,
+    ]
+
+
+@pytest.mark.parametrize("mid", [2, 5, 26])
+def test_y4m_roundtrip_matches_closed_form(mid):
+    v, dur = mc.synth_video(mid)
+    f = mc.decode_media(v)
+    nf = 25 + mid % 25
+    idx = np.arange(mc.VID_W * mc.VID_H, dtype=np.int64)
+    sums = [
+        float(sum(int(((mid * 3 + fr * 29 + p * 101 + idx * 13) % 256).sum())
+                  for fr in range(nf)))
+        for p in range(3)
+    ]
+    assert f == [float(mc.VID_W), float(mc.VID_H), float(nf), *sums, 25.0, 3.0]
+    assert dur == nf * 40
+
+
+def test_wav_chunk_walk_skips_list_chunk():
+    """Real WAVs carry LIST/fact chunks between fmt and data; a parser
+    that assumes data at byte 44 reads garbage."""
+    pcm = np.array([100, -200, 300], dtype="<i2").tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 12 + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 44100, 88200, 2, 16)
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    d = mc.decode_wav(wav)
+    assert (d["sample_rate"], d["n_samples"], d["sum"]) == (44100, 3, 200)
+    assert d["zero_crossings"] == 2
+
+
+def test_ppm_header_comments_and_whitespace():
+    ppm = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    d = mc.decode_ppm(ppm)
+    assert d == {
+        "width": 2, "height": 1, "sum_r": 5, "sum_g": 7, "sum_b": 9,
+        "min": 1, "max": 6,
+    }
+
+
+def test_bmp_top_down_negative_height():
+    """Negative biHeight = top-down row order; 1-px-wide rows carry 1 pad
+    byte each (row size rounds to 4)."""
+    rows = bytes([3, 2, 1, 0]) + bytes([6, 5, 4, 0])  # BGR + pad, two rows
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 14 + 40 + 8, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 24, 0, 8, 2835, 2835, 0, 0)
+        + rows
+    )
+    d = mc.decode_bmp(bmp)
+    assert d == {
+        "width": 1, "height": 2, "sum_r": 5, "sum_g": 7, "sum_b": 9,
+        "min": 1, "max": 6,
+    }
+
+
+def test_bmp_padding_excluded_from_stats():
+    """18-px rows are 54 bytes -> 2 pad bytes per row; a parser that reads
+    row_size*height as pixels pollutes every channel sum with zeros and
+    shifts channels across rows."""
+    bmp_img, codec = mc.synth_image(3)  # odd -> BMP, W=18
+    assert codec == "bmp"
+    assert (mc.IMG_W * 3 + 3) // 4 * 4 == 56  # 2 pad bytes per row present
+    rgb = bytes(
+        (3 * 7 + idx * 13 + c * 101) % 256
+        for idx in range(mc.IMG_W * mc.IMG_H)
+        for c in range(3)
+    )
+    ppm_img = mc.encode_ppm(mc.IMG_W, mc.IMG_H, rgb)  # same logical pixels
+    assert mc.decode_bmp(bmp_img) == mc.decode_ppm(ppm_img)
+
+
+def test_decode_media_rejects_unknown_format():
+    with pytest.raises(ValueError):
+        mc.decode_media(b"\x00\x01\x02\x03garbage")
+    with pytest.raises(ValueError):
+        mc.decode_media(None)
+
+
+def test_y4m_rejects_non_444():
+    payload = b"YUV4MPEG2 W4 H4 F25:1 C420\n" + b"FRAME\n" + b"\x00" * 24
+    with pytest.raises(ValueError):
+        mc.decode_y4m(payload)
+
+
+def test_wav_rejects_non_pcm():
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        mc.decode_wav(wav)
