@@ -3193,6 +3193,79 @@ def q_multimodal_frames(spark, sf_dir):
     return frames.select("media_id", "frame_ms")
 
 
+
+def q_offsets_wire_roundtrip(spark, sf_dir):
+    """__consumer_offsets binary at-rest codec round-trip: the typed commit
+    fixture serialized into versioned OffsetCommitKey/Value records (v1
+    values for even offsets, v3 for odd — both broker generations in one
+    stream), then recovered byte-level: decode_key routes by key version,
+    decode_offset_value dispatches per value version, latest-wins
+    compaction yields the committed view. The oracle computes the same
+    view from the TYPED table — so the wire layer must invert itself
+    field-for-field (offsets, metadata, ms-truncated timestamps,
+    leader_epoch presence by version) or rows mismatch. Reference:
+    GroupMetadataConstants.java:64-147 schemas,
+    GroupMetadataManager.doLoadGroupsAndOffsets:718 replay."""
+    commits = group_ops.derive_commits_from_events(load_table(spark, sf_dir, "events"))
+    even = commits.filter(F.col("offset") % 2 == 0)
+    odd = commits.filter(F.col("offset") % 2 == 1)
+    recs = group_ops.encode_offsets_topic(even, value_version=1).unionByName(
+        group_ops.encode_offsets_topic(odd, value_version=3)
+    )
+    out = group_ops.recover_offsets_from_wire(recs)
+    return out.select(
+        "group", "topic", "partition", "offset", "metadata",
+        F.expr(_MS.format(c="commit_ts")).alias("commit_ts_ms"),
+        "leader_epoch", "value_version",
+    )
+
+
+def q_group_metadata_wire(spark, sf_dir):
+    """GroupMetadataKey/Value v3 codec round-trip: per-group membership
+    folded into ONE binary record (members nested in the value array,
+    nullable group_instance_id exercising the v3 static-membership field),
+    then decoded and re-exploded to member rows. Oracle recomputes the
+    member table directly from events (GroupMetadataConstants
+    GROUP_METADATA_VALUE_SCHEMA_V3; recovery branch of
+    doLoadGroupsAndOffsets)."""
+    ev = load_table(spark, sf_dir, "events")
+    mnum = F.col("user_id") % 24
+    base = (
+        ev.select(
+            F.concat(F.lit("g"), (F.col("user_id") % 3).cast("string")).alias("group"),
+            F.concat(F.lit("m"), mnum.cast("string")).alias("member_id"),
+            mnum.alias("__m"),
+        )
+        .distinct()
+    )
+    members = base.select(
+        "group",
+        F.lit(5).cast("int").alias("generation"),
+        F.lit("consumer").alias("protocol_type"),
+        F.lit("range").alias("protocol"),
+        F.lit("m0").alias("leader"),
+        "member_id",
+        F.when(
+            F.col("__m") % 4 == 0, F.concat(F.lit("inst-"), F.col("member_id"))
+        ).alias("group_instance_id"),
+        F.concat(F.lit("client-"), F.col("member_id")).alias("client_id"),
+        F.lit("/10.0.0.1").alias("client_host"),
+        (F.lit(30000) + F.col("__m") * 100).cast("int").alias("rebalance_timeout_ms"),
+        F.lit(10000).cast("int").alias("session_timeout_ms"),
+        F.col("member_id").cast("binary").alias("subscription"),
+        F.col("group").cast("binary").alias("assignment"),
+    )
+    recs = group_ops.encode_group_metadata_records(members)
+    out = group_ops.decode_group_metadata_records(recs)
+    return out.select(
+        "group", "generation", "protocol_type", "protocol", "leader",
+        "member_id", "group_instance_id", "client_id", "client_host",
+        "rebalance_timeout_ms", "session_timeout_ms",
+        F.col("subscription").cast("string").alias("subscription_str"),
+        F.col("assignment").cast("string").alias("assignment_str"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_fetch": q_log_fetch,
@@ -3280,6 +3353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": q_caption_pairs,
         "pack_multimodal": q_pack_multimodal,
         "group_state_recovery": q_group_state_recovery,
+        "offsets_wire_roundtrip": q_offsets_wire_roundtrip,
+        "group_metadata_wire": q_group_metadata_wire,
         "group_rebalance_timeline": q_group_rebalance_timeline,
         "group_state_static": q_group_state_static,
         "group_members": q_group_members,
@@ -3896,6 +3971,29 @@ SELECT g AS "group", protocol, votes FROM (
   SELECT g, protocol, votes,
          row_number() OVER (PARTITION BY g ORDER BY votes DESC, protocol) AS rn
   FROM tally) WHERE rn = 1""",
+        "offsets_wire_roundtrip": f"""WITH {COMMITS_CTE}
+SELECT "group", topic, "partition", "offset", metadata,
+       {ms.format(c='commit_ts')} AS commit_ts_ms,
+       CASE WHEN "offset" % 2 = 1 THEN 0 END AS leader_epoch,
+       CAST(CASE WHEN "offset" % 2 = 0 THEN 1 ELSE 3 END AS INT) AS value_version
+FROM commits
+QUALIFY row_number() OVER (PARTITION BY "group", topic, "partition"
+  ORDER BY {ms.format(c='commit_ts')} DESC, "offset" DESC) = 1""",
+        "group_metadata_wire": """WITH mem AS (
+  SELECT DISTINCT 'g' || CAST(user_id % 3 AS VARCHAR) AS g,
+         'm' || CAST(user_id % 24 AS VARCHAR) AS member_id,
+         user_id % 24 AS mnum
+  FROM events
+)
+SELECT g AS "group", CAST(5 AS INT) AS generation, 'consumer' AS protocol_type,
+       'range' AS protocol, 'm0' AS leader, member_id,
+       CASE WHEN mnum % 4 = 0 THEN 'inst-' || member_id END AS group_instance_id,
+       'client-' || member_id AS client_id, '/10.0.0.1' AS client_host,
+       CAST(30000 + mnum * 100 AS INT) AS rebalance_timeout_ms,
+       CAST(10000 AS INT) AS session_timeout_ms,
+       member_id AS subscription_str,
+       g AS assignment_str
+FROM mem""",
         "dedup_minhash_cc": _minhash_cc_oracle_sql(),
         "weighted_sample": """WITH h AS (
   SELECT doc_id, n_chars,

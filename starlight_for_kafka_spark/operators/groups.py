@@ -898,3 +898,283 @@ def select_group_protocol(
             (-F.col("__w.nv")).alias("votes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# __consumer_offsets binary wire layer
+# ---------------------------------------------------------------------------
+
+
+def _pickle_offsets_wire_by_value() -> None:
+    """Ship functions/offsets_wire.py to executor Python workers by VALUE
+    (same rule as registry._pickle_codec_by_value — executor workers don't
+    have this package on sys.path)."""
+    from pyspark import cloudpickle
+
+    from starlight_for_kafka_spark.functions import offsets_wire
+
+    cloudpickle.register_pickle_by_value(offsets_wire)
+
+
+def encode_offsets_topic(
+    commits: DataFrame,
+    key_version: int = 1,
+    value_version: int = 3,
+    leader_epoch: int = 0,
+    tombstone_col: str | None = None,
+    expire_after_ms: int = 86_400_000,
+) -> DataFrame:
+    """Serialize a typed commit log into the broker's __consumer_offsets
+    at-rest binary records (versioned OffsetCommitKey/Value — reference
+    GroupMetadataConstants.java:64-147, written by
+    GroupMetadataManager.storeOffsets:415). Emits (key binary,
+    value binary) rows; a tombstone row carries a NULL value, exactly the
+    compaction deletion marker the broker writes on group delete / offset
+    expiry.
+
+    Arrow-batched mapInPandas (byte-codec work, no JVM builtin — the same
+    seam as the RecordBatch v2 wire layer in sources/wire.py). Map-only:
+    no shuffle; at 100 TB this parallelizes per input split.
+    """
+    _pickle_offsets_wire_by_value()
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from starlight_for_kafka_spark.functions import offsets_wire as ow
+
+    cols = commits.select(
+        "group",
+        "topic",
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("long").alias("offset"),
+        "metadata",
+        (F.unix_micros(F.col("commit_ts")) / 1000).cast("long").alias("commit_ms"),
+        (
+            F.coalesce(F.col(tombstone_col), F.lit(False))
+            if tombstone_col is not None
+            else F.lit(False)
+        ).alias("tomb"),
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, values = [], []
+            for r in pdf.itertuples(index=False):
+                keys.append(
+                    ow.encode_offset_key(r.group, r.topic, int(r.partition), key_version)
+                )
+                if r.tomb:
+                    values.append(None)
+                elif value_version == 1:
+                    values.append(
+                        ow.encode_offset_value(
+                            int(r.offset), r.metadata, int(r.commit_ms), version=1,
+                            expire_timestamp_ms=int(r.commit_ms) + expire_after_ms,
+                        )
+                    )
+                else:
+                    values.append(
+                        ow.encode_offset_value(
+                            int(r.offset), r.metadata, int(r.commit_ms),
+                            version=value_version, leader_epoch=leader_epoch,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"key": keys, "value": values, "append_ts": pdf["commit_ms"]}
+            )
+
+    return cols.mapInPandas(op, "key binary, value binary, append_ts long")
+
+
+def decode_offsets_topic(records: DataFrame) -> DataFrame:
+    """Parse __consumer_offsets (key, value) binary records back into the
+    typed commit-log columns — the broker's recovery path
+    (GroupMetadataManager.doLoadGroupsAndOffsets:718 routes by key version,
+    treats null values as removals). Group-metadata keys (version 2) are
+    passed through with kind='group_metadata' and a null offset so callers
+    can route them like the broker does; offset keys decode fully.
+
+    Map-only Arrow-batched kernel; emits (kind, group, topic, partition,
+    offset, metadata, commit_ts, expire_ts, leader_epoch, value_version,
+    tombstone)."""
+    _pickle_offsets_wire_by_value()
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from starlight_for_kafka_spark.functions import offsets_wire as ow
+
+    has_append_ts = "append_ts" in records.columns
+    schema = (
+        "kind string, group string, topic string, partition int, offset long, "
+        "metadata string, commit_ts_ms long, expire_ts_ms long, "
+        "leader_epoch int, value_version int, tombstone boolean"
+    )
+    if has_append_ts:
+        schema += ", append_ts long"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                k = ow.decode_key(bytes(r.key))
+                if k["kind"] != "offset":
+                    row = (k["kind"], k["group"], None, None, None, None,
+                           None, None, None, None, r.value is None)
+                    rows.append(row + (r.append_ts,) if has_append_ts else row)
+                    continue
+                v = ow.decode_offset_value(
+                    None if r.value is None else bytes(r.value)
+                )
+                if v is None:
+                    row = ("offset", k["group"], k["topic"], k["partition"],
+                           None, None, None, None, None, None, True)
+                else:
+                    row = ("offset", k["group"], k["topic"], k["partition"],
+                           v["offset"], v["metadata"], v["commit_timestamp_ms"],
+                           v["expire_timestamp_ms"], v["leader_epoch"],
+                           v["version"], False)
+                rows.append(row + (r.append_ts,) if has_append_ts else row)
+            cols_out = [
+                "kind", "group", "topic", "partition", "offset", "metadata",
+                "commit_ts_ms", "expire_ts_ms", "leader_epoch",
+                "value_version", "tombstone",
+            ]
+            if has_append_ts:
+                cols_out.append("append_ts")
+            yield pd.DataFrame(rows, columns=cols_out)
+
+    return records.mapInPandas(op, schema)
+
+
+def recover_offsets_from_wire(records: DataFrame) -> DataFrame:
+    """Full recovery from a raw __consumer_offsets dump: decode the binary
+    records, then latest-wins compaction with tombstone removal — the
+    byte-level twin of committed_offsets over the typed table (proved
+    equivalent by the offsets_wire_roundtrip oracle). One decode pass +
+    one group-keyed shuffle, same plan shape as the typed path."""
+    decoded = decode_offsets_topic(records).filter(F.col("kind") == "offset")
+    has_append_ts = "append_ts" in decoded.columns
+    ord_col = (
+        F.coalesce(F.col("append_ts"), F.col("commit_ts_ms"))
+        if has_append_ts
+        else F.col("commit_ts_ms")
+    )
+    typed = decoded.select(
+        "group", "topic", "partition", "offset", "metadata",
+        F.timestamp_millis(F.col("commit_ts_ms")).alias("commit_ts"),
+        "leader_epoch", "value_version", "tombstone",
+        ord_col.alias("__ord"),
+    )
+    # a tombstone's VALUE is null (no embedded timestamp) — the record's
+    # append timestamp is its only ordering signal, exactly as the broker
+    # relies on log order during doLoadGroupsAndOffsets replay
+    w = Window.partitionBy("group", "topic", "partition").orderBy(
+        F.col("__ord").desc(),
+        F.col("tombstone").desc(),
+        F.col("offset").desc_nulls_last(),
+    )
+    return (
+        typed.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & ~F.col("tombstone"))
+        .drop("__rn", "tombstone", "__ord")
+    )
+
+
+def encode_group_metadata_records(
+    members: DataFrame,
+    group_col: str = "group",
+    version: int = 3,
+) -> DataFrame:
+    """Serialize per-group membership into GroupMetadataKey/Value binary
+    records (one record per group, members nested in the value array —
+    GroupMetadataConstants GROUP_METADATA_VALUE_SCHEMA_V3). Input columns:
+    group, generation, protocol_type, protocol, leader, member_id,
+    group_instance_id, client_id, client_host, rebalance_timeout_ms,
+    session_timeout_ms, subscription (binary), assignment (binary).
+
+    applyInPandas per group (the record is per-group by construction);
+    group count bounds parallelism exactly as the offsets-topic partition
+    count does on the broker."""
+    _pickle_offsets_wire_by_value()
+    import pandas as pd
+
+    from starlight_for_kafka_spark.functions import offsets_wire as ow
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("member_id")
+        first = pdf.iloc[0]
+        mems = [
+            {
+                "member_id": r.member_id,
+                "group_instance_id": None
+                if pd.isna(r.group_instance_id)
+                else r.group_instance_id,
+                "client_id": r.client_id,
+                "client_host": r.client_host,
+                "rebalance_timeout_ms": int(r.rebalance_timeout_ms),
+                "session_timeout_ms": int(r.session_timeout_ms),
+                "subscription": b"" if r.subscription is None else bytes(r.subscription),
+                "assignment": b"" if r.assignment is None else bytes(r.assignment),
+            }
+            for r in pdf.itertuples(index=False)
+        ]
+        key = ow.encode_group_metadata_key(first["group"])
+        value = ow.encode_group_metadata_value(
+            first.protocol_type, int(first.generation),
+            None if pd.isna(first.protocol) else first.protocol,
+            None if pd.isna(first.leader) else first.leader,
+            mems, version=version,
+        )
+        return pd.DataFrame({"key": [key], "value": [value]})
+
+    return members.groupBy(group_col).applyInPandas(fold, "key binary, value binary")
+
+
+def decode_group_metadata_records(records: DataFrame) -> DataFrame:
+    """Parse GroupMetadataValue records and explode the member array to one
+    row per (group, member) — the recovery read the broker performs to
+    rebuild group state (doLoadGroupsAndOffsets group-metadata branch)."""
+    _pickle_offsets_wire_by_value()
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from starlight_for_kafka_spark.functions import offsets_wire as ow
+
+    schema = (
+        "group string, generation int, protocol_type string, protocol string, "
+        "leader string, member_id string, group_instance_id string, "
+        "client_id string, client_host string, rebalance_timeout_ms int, "
+        "session_timeout_ms int, subscription binary, assignment binary"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                k = ow.decode_key(bytes(r.key))
+                if k["kind"] != "group_metadata" or r.value is None:
+                    continue
+                v = ow.decode_group_metadata_value(bytes(r.value))
+                for m in v["members"]:
+                    rows.append(
+                        (k["group"], v["generation"], v["protocol_type"],
+                         v["protocol"], v["leader"], m["member_id"],
+                         m["group_instance_id"], m["client_id"],
+                         m["client_host"], m["rebalance_timeout_ms"],
+                         m["session_timeout_ms"], m["subscription"],
+                         m["assignment"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "group", "generation", "protocol_type", "protocol",
+                    "leader", "member_id", "group_instance_id", "client_id",
+                    "client_host", "rebalance_timeout_ms",
+                    "session_timeout_ms", "subscription", "assignment",
+                ],
+            )
+
+    return records.mapInPandas(op, schema)

@@ -559,3 +559,34 @@ def test_select_group_protocol_vote_and_intersection(spark):
     assert out["g2"] == ("range", 1)   # deterministic tie-break
     assert "g3" not in out
     assert out["g4"] == ("sticky", 2)  # duplicate 'range' doesn't fake support
+
+
+def test_offsets_wire_tombstone_removes_key(spark):
+    """A commit whose LATEST record is a wire tombstone (null value)
+    disappears from the recovered view; earlier tombstones are superseded
+    by later commits — byte-level twin of the typed tombstone test."""
+    ts = datetime.datetime(2024, 1, 1)
+
+    def t(sec):
+        return ts + datetime.timedelta(seconds=sec)
+
+    commits = spark.createDataFrame(
+        [
+            ("g0", "t", 0, 10, "a", t(1), False),
+            ("g0", "t", 0, 11, "b", t(2), True),   # latest for (g0,t,0): tomb
+            ("g0", "t", 1, 20, "c", t(1), True),
+            ("g0", "t", 1, 21, "d", t(2), False),  # commit after tombstone wins
+        ],
+        "group string, topic string, partition int, offset long, "
+        "metadata string, commit_ts timestamp, tomb boolean",
+    )
+    recs = groups.encode_offsets_topic(commits, tombstone_col="tomb")
+    out = {
+        (r.group, r.topic, r.partition): r
+        for r in groups.recover_offsets_from_wire(recs).collect()
+    }
+    assert ("g0", "t", 0) not in out
+    assert out[("g0", "t", 1)].offset == 21
+    assert out[("g0", "t", 1)].metadata == "d"
+    assert out[("g0", "t", 1)].leader_epoch == 0
+    assert out[("g0", "t", 1)].value_version == 3
