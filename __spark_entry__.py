@@ -3266,6 +3266,27 @@ def q_group_metadata_wire(spark, sf_dir):
     )
 
 
+
+def q_producer_state_snapshot(spark, sf_dir):
+    """Producer-state snapshot + tail replay (reference
+    storage/PartitionLog.takeProducerSnapshot:1194, recoverTxEntries:1244):
+    snapshot the per-txn summary over the log prefix (offset < 40), then
+    recover over the FULL log — the tail scan reads only offsets past the
+    per-partition snapshot watermarks, and the merged state must equal the
+    full-log recompute (the oracle), including transactions whose records
+    straddle the snapshot boundary (their two partial rows merge by
+    min/max/max)."""
+    import os
+    import tempfile
+    import uuid
+
+    txn = tx_ops.derive_txn_log(_log(spark, sf_dir).df)
+    root = os.path.join(tempfile.gettempdir(), f"slk-pstate-{uuid.uuid4().hex}")
+    store = tx_ops.ProducerStateStore(root)
+    store.take_snapshot(txn.filter(F.col("offset") < 40))
+    return store.recover(spark, txn)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_fetch": q_log_fetch,
@@ -3354,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_multimodal": q_pack_multimodal,
         "group_state_recovery": q_group_state_recovery,
         "offsets_wire_roundtrip": q_offsets_wire_roundtrip,
+        "producer_state_snapshot": q_producer_state_snapshot,
         "group_metadata_wire": q_group_metadata_wire,
         "group_rebalance_timeline": q_group_rebalance_timeline,
         "group_state_static": q_group_state_static,
@@ -3971,6 +3993,12 @@ SELECT g AS "group", protocol, votes FROM (
   SELECT g, protocol, votes,
          row_number() OVER (PARTITION BY g ORDER BY votes DESC, protocol) AS rn
   FROM tally) WHERE rn = 1""",
+        "producer_state_snapshot": f"""WITH {TXN_CTE}
+SELECT "partition", pid, txn_group,
+       min("offset") AS first_offset,
+       max("offset") AS last_offset,
+       max(txn_status) AS txn_status
+FROM txn3 GROUP BY 1, 2, 3""",
         "offsets_wire_roundtrip": f"""WITH {COMMITS_CTE}
 SELECT "group", topic, "partition", "offset", metadata,
        {ms.format(c='commit_ts')} AS commit_ts_ms,

@@ -513,3 +513,139 @@ def txn_state_machine(
         F.col("__m.aborted").alias("n_aborted"),
         F.col("__m.invalid").alias("n_invalid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# producer-state snapshots: bounded recovery instead of full-log recompute
+# ---------------------------------------------------------------------------
+
+
+class ProducerStateStore:
+    """Producer-state snapshot + tail-replay recovery.
+
+    The reference bounds transaction recovery by periodically snapshotting
+    the producer state map and replaying only the log tail past the
+    snapshot's offset (storage/PartitionLog.takeProducerSnapshot:1194,
+    recoverTxEntries:1244). The repo's ``txn_summary`` recomputes from the
+    full log — exact, but O(log) on every recovery; at a 100 TB log the
+    recompute IS the outage. This store persists the summary table plus
+    per-partition high watermarks, and recovery becomes
+    ``snapshot ∪ txn_summary(tail)`` re-aggregated — exact because every
+    column of the summary is decomposable (min first_offset /
+    max last_offset / max txn_status), so a transaction spanning the
+    snapshot boundary merges correctly from its two partial rows.
+
+    Layout (same discipline as CommittedLog, one dir per snapshot plus an
+    atomically-linked manifest so readers never see a half-written one)::
+
+        <root>/snap-<n>/*.parquet      summary rows
+        <root>/_manifests/<n>.json     {"watermarks": {"<partition>": next_offset}}
+
+    Scale: the snapshot is O(num-transactions) rows (tiny next to the
+    log); the tail scan is bounded by data-since-last-snapshot, and its
+    global ``offset >= min(watermark)`` prefilter is a plain comparison
+    Catalyst pushes to the parquet scan, with the exact per-partition
+    cutoff applied via a broadcast of the (num-partitions)-row watermark
+    table — the log never shuffles.
+    """
+
+    def __init__(self, root: str):
+        import os
+
+        self.root = root
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+
+    def _snapshot_ids(self) -> list[int]:
+        import os
+
+        d = os.path.join(self.root, "_manifests")
+        return sorted(
+            int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        )
+
+    def latest(self) -> tuple[int, dict[int, int]] | None:
+        """(snapshot_id, {partition: next_offset}) of the newest committed
+        snapshot, or None."""
+        import json
+        import os
+
+        ids = self._snapshot_ids()
+        if not ids:
+            return None
+        with open(os.path.join(self.root, "_manifests", f"{ids[-1]}.json")) as f:
+            manifest = json.load(f)
+        return ids[-1], {int(p): int(o) for p, o in manifest["watermarks"].items()}
+
+    def take_snapshot(self, txn_log: DataFrame) -> int:
+        """Persist txn_summary(txn_log) plus the per-partition high
+        watermarks it covers. Watermark collection is control-plane
+        (num-partitions rows); the summary write is one aggregation pass.
+        The manifest is hard-linked into place (atomic, PUT-if-absent) so
+        a racing snapshotter loses cleanly and retries with the next id."""
+        import json
+        import os
+
+        wm = {
+            int(r["partition"]): int(r["next_offset"])
+            for r in txn_log.groupBy("partition")
+            .agg((F.max("offset") + 1).alias("next_offset"))
+            .collect()
+        }
+        ids = self._snapshot_ids()
+        snap_id = (ids[-1] + 1) if ids else 1
+        while True:
+            data_dir = os.path.join(self.root, f"snap-{snap_id}")
+            txn_summary(txn_log).write.mode("overwrite").parquet(data_dir)
+            payload = json.dumps({"watermarks": {str(p): o for p, o in wm.items()}})
+            tmp = os.path.join(self.root, "_manifests", f".tmp-{snap_id}")
+            final = os.path.join(self.root, "_manifests", f"{snap_id}.json")
+            with open(tmp, "w") as f:
+                f.write(payload)
+            try:
+                os.link(tmp, final)  # atomic create: exactly one winner
+                os.unlink(tmp)
+                return snap_id
+            except FileExistsError:
+                os.unlink(tmp)
+                snap_id += 1  # lost the race: next id, rewrite
+
+    def snapshot_tail(self, txn_log: DataFrame, watermarks: dict[int, int]) -> DataFrame:
+        """The records NOT covered by the snapshot: a global
+        ``offset >= min(watermark)`` prefilter (a literal comparison —
+        reaches the parquet scan as a pushed filter) refined by the exact
+        per-partition cutoff via a broadcast join. Partitions unknown to
+        the snapshot (created since) replay in full."""
+        spark = txn_log.sparkSession
+        min_wm = min(watermarks.values(), default=0)
+        wm_df = spark.createDataFrame(
+            [(int(p), int(o)) for p, o in watermarks.items()],
+            "partition int, __wm long",
+        )
+        return (
+            txn_log.filter(F.col("offset") >= F.lit(min_wm))
+            .join(F.broadcast(wm_df), "partition", "left")
+            .filter(F.col("offset") >= F.coalesce(F.col("__wm"), F.lit(0)))
+            .drop("__wm")
+        )
+
+    def recover(self, spark, txn_log: DataFrame) -> DataFrame:
+        """Recovered producer state ≡ txn_summary(full log), computed as
+        snapshot + tail replay. The re-aggregation runs over
+        O(num-transactions) rows, never the log."""
+        latest = self.latest()
+        if latest is None:
+            return txn_summary(txn_log)
+        snap_id, watermarks = latest
+        import os
+
+        snap = spark.read.parquet(os.path.join(self.root, f"snap-{snap_id}"))
+        tail = txn_summary(self.snapshot_tail(txn_log, watermarks))
+        return (
+            snap.unionByName(tail)
+            .groupBy("partition", "pid", "txn_group")
+            .agg(
+                F.min("first_offset").alias("first_offset"),
+                F.max("last_offset").alias("last_offset"),
+                F.max("txn_status").alias("txn_status"),
+            )
+        )

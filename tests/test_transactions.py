@@ -187,3 +187,56 @@ def test_describe_transactions_per_id_detail(spark):
     t4 = out["t4"]
     assert (t4.producer_id, t4.producer_epoch, t4.transaction_state,
             t4.n_partitions) == (None, -1, "Empty", 0)
+
+
+def test_producer_state_snapshot_recovery_equals_full_recompute(spark, log, tmp_path):
+    """snapshot(prefix) + tail replay == txn_summary(full log), including
+    transactions straddling the snapshot boundary (their partial rows must
+    merge by min/max/max)."""
+    txn_log = tx.derive_txn_log(log.df).cache()
+    store = tx.ProducerStateStore(str(tmp_path / "pstate"))
+    store.take_snapshot(txn_log.filter(F.col("offset") < 13))  # mid-txn split
+    recovered = {
+        (r.partition, r.pid, r.txn_group): (r.first_offset, r.last_offset, r.txn_status)
+        for r in store.recover(spark, txn_log).collect()
+    }
+    full = {
+        (r.partition, r.pid, r.txn_group): (r.first_offset, r.last_offset, r.txn_status)
+        for r in tx.txn_summary(txn_log).collect()
+    }
+    assert recovered == full and len(full) > 0
+
+
+def test_snapshot_tail_reads_only_past_watermark(spark, log, tmp_path):
+    """The tail replay is bounded: its global offset prefilter reaches the
+    parquet scan as a pushed filter, and it yields exactly the rows past
+    each partition's watermark — never the whole log."""
+    from starlight_for_kafka_spark.plans import pushed_filters
+
+    src = str(tmp_path / "txnlog")
+    tx.derive_txn_log(log.df).write.parquet(src)
+    txn_log = spark.read.parquet(src)
+    store = tx.ProducerStateStore(str(tmp_path / "pstate"))
+    store.take_snapshot(txn_log.filter(F.col("offset") < 20))
+    _, watermarks = store.latest()
+    tail = store.snapshot_tail(txn_log, watermarks)
+    pushed = pushed_filters(tail)
+    min_wm = min(watermarks.values())
+    assert any(
+        "offset" in p and "GreaterThanOrEqual" in p for p in pushed
+    ), pushed
+    expected = txn_log.filter(F.col("offset") >= 20).count()
+    assert tail.count() == expected > 0
+    assert tail.count() < txn_log.count()
+
+
+def test_snapshot_race_loses_cleanly(spark, log, tmp_path):
+    """Two snapshots land under distinct ids; recovery uses the newest."""
+    txn_log = tx.derive_txn_log(log.df)
+    store = tx.ProducerStateStore(str(tmp_path / "pstate"))
+    a = store.take_snapshot(txn_log.filter(F.col("offset") < 10))
+    b = store.take_snapshot(txn_log.filter(F.col("offset") < 30))
+    assert b == a + 1
+    snap_id, watermarks = store.latest()
+    assert snap_id == b
+    assert all(wm <= 30 for wm in watermarks.values())
