@@ -97,38 +97,43 @@ def read_committed(txn_log: DataFrame) -> DataFrame:
     filter :690-712 + aborted-index anti-join).
 
     Scale: one aggregation pass builds the per-txn summary (num-txns rows —
-    small); LSO and the aborted index are derived from it and broadcast, so
-    the big side is scanned exactly twice (summary + filtered scan) with no
-    shuffle of the log. The summary is materialized (localCheckpoint) so
-    Spark doesn't inline its plan into both derived sides; at cluster scale
-    it would be the incrementally-maintained producer-state table.
+    small), folded straight into ONE per-partition broadcast row carrying
+    the LSO plus the partition's aborted (pid, first, last) spans. A single
+    broadcast hash join attaches it; the LSO cutoff and the aborted-range
+    check (an ``exists`` over the span array — whole-stage-codegen'd) run
+    as one filter. The log is scanned exactly twice (summary + filtered
+    scan), never shuffled, and the summary subtree exists ONCE in the plan
+    — the previous two-broadcast shape computed it once per broadcast or
+    needed a localCheckpoint barrier whose eager materialization cost more
+    than it saved (the round-3 bench-drift root cause). The span-array scan
+    is O(aborted txns in partition) per row, bounded by the same smallness
+    assumption that makes the index broadcastable at all; the reference
+    serves fetches from the identical in-memory structure
+    (PartitionLog.java:476-478).
     """
-    summary = txn_summary(txn_log).localCheckpoint(eager=True)
-    lso = summary.groupBy("partition").agg(
+    summary = txn_summary(txn_log)
+    per_part = summary.groupBy("partition").agg(
         F.coalesce(
             F.min(
                 F.when(F.col("txn_status") == "open", F.col("first_offset"))
             ),
             F.max("last_offset") + 1,
-        ).alias("last_stable_offset")
+        ).alias("last_stable_offset"),
+        F.collect_list(
+            F.when(
+                F.col("txn_status") == "abort",
+                F.struct("pid", "first_offset", "last_offset"),
+            )
+        ).alias("__aborted"),
     )
-    aborted = summary.filter(F.col("txn_status") == "abort").select(
-        F.col("partition").alias("a_partition"),
-        F.col("pid").alias("a_pid"),
-        "first_offset",
-        "last_offset",
+    joined = txn_log.join(F.broadcast(per_part), "partition")
+    keep = (F.col("offset") < F.col("last_stable_offset")) & ~F.exists(
+        "__aborted",
+        lambda a: (a["pid"] == F.col("pid"))
+        & (F.col("offset") >= a["first_offset"])
+        & (F.col("offset") <= a["last_offset"]),
     )
-    below_lso = txn_log.join(F.broadcast(lso), "partition").filter(
-        F.col("offset") < F.col("last_stable_offset")
-    )
-    cond = (
-        (F.col("partition") == F.col("a_partition"))
-        & (F.col("pid") == F.col("a_pid"))
-        & F.col("offset").between(F.col("first_offset"), F.col("last_offset"))
-    )
-    return below_lso.join(F.broadcast(aborted), cond, "left_anti").drop(
-        "last_stable_offset"
-    )
+    return joined.filter(keep).drop("last_stable_offset", "__aborted")
 
 
 def allocate_producer_ids(
