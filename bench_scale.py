@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Scale-stress harness: the heavy bench operators at SCALE x the sf0.1
+data volume, on the engine's stock configuration.
+
+The sf0.1 fixtures are ~17 MB; every 100 TB design claim in this repo
+deserves evidence at more than toy volume. This harness synthesizes a
+SCALE-times-replicated copy of the tables the heavy operators read
+(events, documents) with salted ids — deterministic, derived purely from
+the driver's own fixtures:
+
+  * events:    event_id' = event_id*S + r, user_id' = user_id*S + r
+               (per-user event counts stay constant — replication must not
+               manufacture hot keys the base data doesn't have),
+               ts' = ts + r seconds.
+  * documents: doc_id' = doc_id*S + r; replica texts get a distinct
+               prefix, so replicas are NEAR-duplicates (realistic bounded
+               clusters of size <= S for the dedup family) rather than S
+               exact copies (which would quadratically blow up every LSH
+               bucket by construction of the data, not the algorithm).
+
+Then it runs the heavy suite and records, per query: wall seconds, total
+shuffle-write bytes, and the largest single-stage shuffle write (from the
+Spark status REST API), plus the JVM peak heap — the numbers that expose
+a super-linear shuffle or a memory cliff before a real cluster does.
+
+Usage:
+  python bench_scale.py                 # SCALE=10 (sf1-equivalent)
+  SPARK_GRAFT_SCALE=30 python bench_scale.py
+  SPARK_GRAFT_SCALE=1 python bench_scale.py   # baseline on sf0.1 directly
+
+Prints ONE JSON line:
+  {"metric": "bench_scale_total_sec", "value": N, "unit": "sec",
+   "scale": S, "queries": {...}, "shuffle": {...}, "rows": {...},
+   "peak_jvm_heap_mb": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+os.environ.setdefault("SPARK_GRAFT_UI", "true")
+
+SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "10"))
+BASE = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+SCRATCH = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", f"/tmp/slk_scale_{SCALE}x"
+)
+
+# the heavy set: the slowest shuffle/iterative/codec plans in bench.py,
+# plus two cheap scan-shaped rows as linearity references
+SUITE = [
+    "produce_offsets_dense",   # full-shuffle offset assignment (reference row)
+    "session_windows",         # sessionization (reference row)
+    "dedup_exact",
+    "line_dedup",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_minhash_cc",
+    "pagerank_event_graph",
+    "commitlog_append",
+    "wire_transcode_codecs",
+]
+
+
+def synthesize(spark) -> dict[str, int]:
+    """Write the SCALE-x tables (idempotent per table per scale dir)."""
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark import load_table
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    rows: dict[str, int] = {}
+    reps = F.explode(F.sequence(F.lit(0), F.lit(SCALE - 1))).alias("r")
+
+    ev_path = os.path.join(SCRATCH, "events.parquet")
+    if not os.path.exists(ev_path):
+        ev = load_table(spark, BASE, "events").select("*", reps)
+        out = ev.select(
+            (F.col("event_id") * SCALE + F.col("r")).alias("event_id"),
+            F.expr("timestamp_micros(unix_micros(ts) + r * 1000000)").alias("ts"),
+            (F.col("user_id") * SCALE + F.col("r")).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        out.repartition(32).write.mode("overwrite").parquet(ev_path)
+    rows["events"] = spark.read.parquet(ev_path).count()
+
+    doc_path = os.path.join(SCRATCH, "documents.parquet")
+    if not os.path.exists(doc_path):
+        docs = load_table(spark, BASE, "documents").select("*", reps)
+        text = F.when(F.col("r") == 0, F.col("text")).otherwise(
+            F.concat(F.lit("replica "), F.col("r").cast("string"), F.lit(" "), F.col("text"))
+        )
+        out = docs.select(
+            (F.col("doc_id") * SCALE + F.col("r")).alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            "source",
+            F.length(text).cast("long").alias("n_chars"),
+        )
+        out.repartition(32).write.mode("overwrite").parquet(doc_path)
+    rows["documents"] = spark.read.parquet(doc_path).count()
+    return rows
+
+
+def _rest(path: str):
+    with urllib.request.urlopen(f"http://localhost:4040/api/v1/{path}") as r:
+        return json.load(r)
+
+
+class StageMetrics:
+    """Per-query shuffle accounting from the status REST API: new stages
+    since the last mark, their total and max-single-stage shuffle write."""
+
+    def __init__(self):
+        try:
+            self.app_id = _rest("applications")[0]["id"]
+        except Exception:
+            self.app_id = None
+        self.seen: set[int] = set()
+        self.mark()
+
+    def _stages(self):
+        if self.app_id is None:
+            return []
+        try:
+            return _rest(f"applications/{self.app_id}/stages?status=complete")
+        except Exception:
+            return []
+
+    def mark(self):
+        self.seen = {s["stageId"] for s in self._stages()}
+
+    def delta(self) -> dict:
+        new = [s for s in self._stages() if s["stageId"] not in self.seen]
+        writes = [int(s.get("shuffleWriteBytes", 0)) for s in new]
+        return {
+            "n_stages": len(new),
+            "shuffle_write_bytes": sum(writes),
+            "max_stage_shuffle_write_bytes": max(writes, default=0),
+        }
+
+    def peak_heap_mb(self) -> float | None:
+        if self.app_id is None:
+            return None
+        try:
+            execs = _rest(f"applications/{self.app_id}/executors")
+            peaks = [
+                e.get("peakMemoryMetrics", {}).get("JVMHeapMemory", 0)
+                for e in execs
+            ]
+            return round(max(peaks, default=0) / 1e6, 1)
+        except Exception:
+            return None
+
+
+def main() -> None:
+    from starlight_for_kafka_spark import get_session
+
+    import __spark_entry__ as entrymod
+
+    spark = get_session(app=f"starlight-scale-{SCALE}x")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if SCALE == 1:
+        sf_dir, rows = BASE, {}
+    else:
+        t0 = time.perf_counter()
+        rows = synthesize(spark)
+        print(
+            f"  synthesized {rows} in {round(time.perf_counter() - t0, 1)}s",
+            file=sys.stderr,
+        )
+        sf_dir = SCRATCH
+
+    queries = entrymod.queries()
+    entrymod.q_list_offsets(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    metrics = StageMetrics()
+    timings: dict[str, float] = {}
+    shuffle: dict[str, dict] = {}
+    for name in SUITE:
+        metrics.mark()
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        shuffle[name] = metrics.delta()
+        print(
+            f"  {name}: {timings[name]}s "
+            f"(shuffle {shuffle[name]['shuffle_write_bytes'] >> 20} MiB, "
+            f"max stage {shuffle[name]['max_stage_shuffle_write_bytes'] >> 20} MiB)",
+            file=sys.stderr,
+        )
+
+    result = {
+        "metric": "bench_scale_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "scale": SCALE,
+        "queries": timings,
+        "shuffle": shuffle,
+        "rows": rows,
+        "peak_jvm_heap_mb": metrics.peak_heap_mb(),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

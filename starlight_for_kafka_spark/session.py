@@ -68,7 +68,10 @@ def get_session(
         # rather than TIMESTAMP_NTZ so unix_micros()/window() accept them and
         # values match DuckDB's naive epoch_us exactly.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.ui.enabled", "false")
+        # UI off for tests/bench (startup cost); bench_scale.py turns it on
+        # via SPARK_GRAFT_UI to read per-stage shuffle metrics from the
+        # REST status API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     return builder.getOrCreate()
