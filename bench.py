@@ -65,6 +65,11 @@ def main() -> None:
         # ops, previously bench-invisible
         "dedup_minhash_cc",         # MinHash pipeline + connected components
         "pagerank_event_graph",     # 10 power iterations over the event graph
+        # round-4 additions: the slowest new round-4 operators (suite
+        # discipline: every new heavy op becomes driver-visible)
+        "offsets_wire_roundtrip",   # __consumer_offsets binary encode+decode
+        "producer_state_snapshot",  # snapshot write + bounded tail recovery
+        "multimodal_features",      # real WAV/PPM/BMP/Y4M decode kernels
     ]
 
     # warm the JVM + file listing once
