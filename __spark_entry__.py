@@ -3278,11 +3278,17 @@ def q_producer_state_snapshot(spark, sf_dir):
     straddle the snapshot boundary (their two partial rows merge by
     min/max/max)."""
     import os
+    import re
+    import shutil
     import tempfile
-    import uuid
 
     txn = tx_ops.derive_txn_log(_log(spark, sf_dir).df)
-    root = os.path.join(tempfile.gettempdir(), f"slk-pstate-{uuid.uuid4().hex}")
+    # one store dir per sf_dir, wiped before each build: repeated bench /
+    # oracle invocations must not accumulate /tmp garbage, and a stale
+    # snapshot from ANOTHER sf would carry that sf's watermarks
+    tag = re.sub(r"[^A-Za-z0-9.]+", "-", sf_dir.strip("/"))
+    root = os.path.join(tempfile.gettempdir(), f"slk-pstate-{tag}")
+    shutil.rmtree(root, ignore_errors=True)
     store = tx_ops.ProducerStateStore(root)
     store.take_snapshot(txn.filter(F.col("offset") < 40))
     return store.recover(spark, txn)

@@ -77,8 +77,12 @@ def synthesize(spark) -> dict[str, int]:
     rows: dict[str, int] = {}
     reps = F.explode(F.sequence(F.lit(0), F.lit(SCALE - 1))).alias("r")
 
+    def committed(path: str) -> bool:
+        # dir-exists alone would trust a partial write from a killed run
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+
     ev_path = os.path.join(SCRATCH, "events.parquet")
-    if not os.path.exists(ev_path):
+    if not committed(ev_path):
         ev = load_table(spark, BASE, "events").select("*", reps)
         out = ev.select(
             (F.col("event_id") * SCALE + F.col("r")).alias("event_id"),
@@ -92,7 +96,7 @@ def synthesize(spark) -> dict[str, int]:
     rows["events"] = spark.read.parquet(ev_path).count()
 
     doc_path = os.path.join(SCRATCH, "documents.parquet")
-    if not os.path.exists(doc_path):
+    if not committed(doc_path):
         docs = load_table(spark, BASE, "documents").select("*", reps)
         text = F.when(F.col("r") == 0, F.col("text")).otherwise(
             F.concat(F.lit("replica "), F.col("r").cast("string"), F.lit(" "), F.col("text"))
@@ -109,28 +113,31 @@ def synthesize(spark) -> dict[str, int]:
     return rows
 
 
-def _rest(path: str):
-    with urllib.request.urlopen(f"http://localhost:4040/api/v1/{path}") as r:
-        return json.load(r)
-
-
 class StageMetrics:
     """Per-query shuffle accounting from the status REST API: new stages
-    since the last mark, their total and max-single-stage shuffle write."""
+    since the last mark, their total and max-single-stage shuffle write.
 
-    def __init__(self):
-        try:
-            self.app_id = _rest("applications")[0]["id"]
-        except Exception:
-            self.app_id = None
+    The base URL comes from THIS session's uiWebUrl and the app id from
+    its applicationId — never a hardcoded :4040 — so a concurrent Spark
+    app holding the default port cannot get its stages attributed to this
+    run's published numbers."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self.base = sc.uiWebUrl  # e.g. http://host:4041
+        self.app_id = sc.applicationId if self.base else None
         self.seen: set[int] = set()
         self.mark()
+
+    def _rest(self, path: str):
+        with urllib.request.urlopen(f"{self.base}/api/v1/{path}") as r:
+            return json.load(r)
 
     def _stages(self):
         if self.app_id is None:
             return []
         try:
-            return _rest(f"applications/{self.app_id}/stages?status=complete")
+            return self._rest(f"applications/{self.app_id}/stages?status=complete")
         except Exception:
             return []
 
@@ -150,7 +157,7 @@ class StageMetrics:
         if self.app_id is None:
             return None
         try:
-            execs = _rest(f"applications/{self.app_id}/executors")
+            execs = self._rest(f"applications/{self.app_id}/executors")
             peaks = [
                 e.get("peakMemoryMetrics", {}).get("JVMHeapMemory", 0)
                 for e in execs
@@ -182,7 +189,7 @@ def main() -> None:
     queries = entrymod.queries()
     entrymod.q_list_offsets(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    metrics = StageMetrics()
+    metrics = StageMetrics(spark)
     timings: dict[str, float] = {}
     shuffle: dict[str, dict] = {}
     for name in SUITE:

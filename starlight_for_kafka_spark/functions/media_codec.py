@@ -225,6 +225,12 @@ def decode_y4m(payload: bytes) -> dict:
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError(f"bad FRAME marker at {pos}")
         pos = payload.index(b"\n", pos) + 1  # frame params run to newline
+        if pos + 3 * plane > len(payload):
+            # np.frombuffer would silently sum a short slice — fail loudly
+            raise ValueError(
+                f"truncated Y4M frame at {pos}: need {3 * plane} bytes, "
+                f"have {len(payload) - pos}"
+            )
         for p in range(3):
             sums[p] += int(
                 np.frombuffer(payload[pos : pos + plane], dtype=np.uint8).sum()

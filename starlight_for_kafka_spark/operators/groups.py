@@ -1050,10 +1050,18 @@ def decode_offsets_topic(records: DataFrame) -> DataFrame:
 
 def recover_offsets_from_wire(records: DataFrame) -> DataFrame:
     """Full recovery from a raw __consumer_offsets dump: decode the binary
-    records, then latest-wins compaction with tombstone removal — the
-    byte-level twin of committed_offsets over the typed table (proved
-    equivalent by the offsets_wire_roundtrip oracle). One decode pass +
-    one group-keyed shuffle, same plan shape as the typed path."""
+    records, then latest-wins compaction with tombstone removal. One
+    decode pass + one group-keyed shuffle, same plan shape as
+    committed_offsets over the typed table.
+
+    Equivalence caveat (inherent to the wire format, not a bug): the
+    at-rest schema stores MILLISECOND timestamps, so commits the typed
+    path would order by sub-millisecond commit_ts tie instead on
+    (append_ts ms, tombstone, offset) here — two same-millisecond commits
+    can compact differently than the typed path's microsecond order. The
+    offsets_wire_roundtrip oracle replays exactly this ms-granularity
+    rule; byte-for-byte recovery of a real dump cannot do better because
+    the finer ordering was never written."""
     decoded = decode_offsets_topic(records).filter(F.col("kind") == "offset")
     has_append_ts = "append_ts" in decoded.columns
     ord_col = (

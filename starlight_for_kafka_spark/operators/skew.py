@@ -6,17 +6,18 @@ serializes the job no matter how many executors exist. Salting splits each
 key across ``n_salts`` reducers for a partial aggregate, then merges the
 (keys × n_salts)-row partials — the second stage is tiny by construction.
 
-The salt is DETERMINISTIC — ``pmod(xxhash64(salt_cols), n_salts)`` with
-every input column as the default — the same rule ``grouped_top_k`` pins:
-under shuffle-fetch-failure recomputation or an AQE replan a row's physical
-partition can change between attempts, so a ``spark_partition_id()`` salt
-would route the same row through different salt slices on retry. Harmless
-for commutative merges, but a latent hazard the moment the idiom is reused
-for an order-sensitive partial — a content hash is retry-stable for both.
-The salt is semantically invisible because the stage-2 merge collapses it.
-Results are identical to the unsalted aggregate for any decomposable
-aggregate (count/sum/min/max — the caller supplies the partial and merge
-expression pair).
+The default salt is DETERMINISTIC — ``pmod(xxhash64(salt_cols), n_salts)``
+with every input column as the default — the same retry-stable rule
+``grouped_top_k`` pins (a ``spark_partition_id()`` salt can route the same
+row through different slices across task retries / AQE replans). A content
+hash cannot separate exact full-row duplicates, so ``salted_aggregate``
+also offers ``partition_salt=True`` for duplicate-heavy inputs — sound
+there and only there because this operator's correctness contract already
+restricts it to commutative decomposable merges (see the function
+docstring for the full trade-off). The salt is semantically invisible
+because the stage-2 merge collapses it. Results are identical to the
+unsalted aggregate for any decomposable aggregate (count/sum/min/max —
+the caller supplies the partial and merge expression pair).
 
 AQE's skew-join handling covers JOIN skew at runtime; this covers
 AGGREGATION skew, which AQE does not re-plan (partial aggregation already
@@ -42,19 +43,38 @@ def salted_aggregate(
     merges: list[Column],
     n_salts: int = 32,
     salt_cols: list | None = None,
+    partition_salt: bool = False,
 ) -> DataFrame:
     """Two-stage aggregate: groupBy(keys + salt).agg(partials) →
     groupBy(keys).agg(merges). ``merges`` must reference the aliases the
-    ``partials`` produce. ``salt_cols`` defaults to every input column;
-    pass a unique id column if rows can be exact full-row duplicates (a
-    content hash maps identical rows to one slice — see grouped_top_k)."""
-    salted = df.withColumn(
-        "__salt",
-        F.pmod(
+    ``partials`` produce.
+
+    Choosing the salt: no deterministic function of row CONTENT can
+    separate exact full-row duplicates, so the two options trade off:
+
+    * default (content hash over ``salt_cols``, all columns if None):
+      retry-stable, but a hot key whose rows are exact duplicates (e.g. a
+      bare ``select(key)`` projection, or a log of identical repeated
+      events) all land in ONE salt slice — the salting silently does
+      nothing. Pass a unique id column as ``salt_cols`` when you have one
+      (also cheaper than hashing wide text columns).
+    * ``partition_salt=True`` (``spark_partition_id() % n_salts``): always
+      spreads, but a row's slice can change across task retries / AQE
+      replans. That is provably harmless here — this operator is only
+      correct for decomposable COMMUTATIVE partial/merge pairs
+      (count/sum/min/max), for which any salt assignment merges to the
+      same result — so it is the right choice for duplicate-heavy inputs
+      with no id column. (grouped_top_k, an ORDER statistic, must never
+      use it: see skew.py:146's deterministic-salt rationale.)
+    """
+    if partition_salt:
+        salt = F.spark_partition_id() % n_salts
+    else:
+        salt = F.pmod(
             F.xxhash64(*(salt_cols if salt_cols is not None else df.columns)),
             F.lit(n_salts),
-        ),
-    )
+        )
+    salted = df.withColumn("__salt", salt)
     stage1 = salted.groupBy(*keys, "__salt").agg(*partials)
     return stage1.groupBy(*keys).agg(*merges)
 

@@ -127,11 +127,19 @@ def read_committed(txn_log: DataFrame) -> DataFrame:
         ).alias("__aborted"),
     )
     joined = txn_log.join(F.broadcast(per_part), "partition")
+    # coalesce(pred, false): a NULL-pid (non-transactional) record makes
+    # the element predicate NULL; without the coalesce, exists() would
+    # return NULL, ~NULL is NULL, and the filter would DROP the row —
+    # but read-committed consumers see non-transactional records (the old
+    # anti-join kept them because NULL never matches a join condition).
     keep = (F.col("offset") < F.col("last_stable_offset")) & ~F.exists(
         "__aborted",
-        lambda a: (a["pid"] == F.col("pid"))
-        & (F.col("offset") >= a["first_offset"])
-        & (F.col("offset") <= a["last_offset"]),
+        lambda a: F.coalesce(
+            (a["pid"] == F.col("pid"))
+            & (F.col("offset") >= a["first_offset"])
+            & (F.col("offset") <= a["last_offset"]),
+            F.lit(False),
+        ),
     )
     return joined.filter(keep).drop("last_stable_offset", "__aborted")
 
@@ -571,6 +579,13 @@ class ProducerStateStore:
     def latest(self) -> tuple[int, dict[int, int]] | None:
         """(snapshot_id, {partition: next_offset}) of the newest committed
         snapshot, or None."""
+        manifest = self._manifest()
+        if manifest is None:
+            return None
+        snap_id, m = manifest
+        return snap_id, {int(p): int(o) for p, o in m["watermarks"].items()}
+
+    def _manifest(self) -> tuple[int, dict] | None:
         import json
         import os
 
@@ -578,8 +593,7 @@ class ProducerStateStore:
         if not ids:
             return None
         with open(os.path.join(self.root, "_manifests", f"{ids[-1]}.json")) as f:
-            manifest = json.load(f)
-        return ids[-1], {int(p): int(o) for p, o in manifest["watermarks"].items()}
+            return ids[-1], json.load(f)
 
     def take_snapshot(self, txn_log: DataFrame) -> int:
         """Persist txn_summary(txn_log) plus the per-partition high
@@ -596,13 +610,27 @@ class ProducerStateStore:
             .agg((F.max("offset") + 1).alias("next_offset"))
             .collect()
         }
-        ids = self._snapshot_ids()
-        snap_id = (ids[-1] + 1) if ids else 1
+        import uuid
+
+        # data dir is writer-unique: two racing snapshotters must never
+        # share one (mode=overwrite is delete-then-write — a shared dir
+        # would let the winner's manifest point at the loser's or a
+        # corrupt interleaved mix). The manifest records which dir its
+        # commit covers; losers leave orphan dirs, invisible to readers
+        # (same discipline as CommittedLog's orphaned data files).
+        data_dir = f"snap-{uuid.uuid4().hex[:12]}"
+        txn_summary(txn_log).write.mode("overwrite").parquet(
+            os.path.join(self.root, data_dir)
+        )
+        payload = json.dumps(
+            {
+                "watermarks": {str(p): o for p, o in wm.items()},
+                "data_dir": data_dir,
+            }
+        )
+        snap_id = (self._snapshot_ids() or [0])[-1] + 1
         while True:
-            data_dir = os.path.join(self.root, f"snap-{snap_id}")
-            txn_summary(txn_log).write.mode("overwrite").parquet(data_dir)
-            payload = json.dumps({"watermarks": {str(p): o for p, o in wm.items()}})
-            tmp = os.path.join(self.root, "_manifests", f".tmp-{snap_id}")
+            tmp = os.path.join(self.root, "_manifests", f".tmp-{data_dir}")
             final = os.path.join(self.root, "_manifests", f"{snap_id}.json")
             with open(tmp, "w") as f:
                 f.write(payload)
@@ -612,22 +640,28 @@ class ProducerStateStore:
                 return snap_id
             except FileExistsError:
                 os.unlink(tmp)
-                snap_id += 1  # lost the race: next id, rewrite
+                snap_id += 1  # lost the race: same data, next manifest id
 
     def snapshot_tail(self, txn_log: DataFrame, watermarks: dict[int, int]) -> DataFrame:
-        """The records NOT covered by the snapshot: a global
-        ``offset >= min(watermark)`` prefilter (a literal comparison —
-        reaches the parquet scan as a pushed filter) refined by the exact
-        per-partition cutoff via a broadcast join. Partitions unknown to
-        the snapshot (created since) replay in full."""
+        """The records NOT covered by the snapshot: a literal prefilter
+        (pushed to the parquet scan) admits offsets past the global minimum
+        watermark OR any partition the snapshot has never seen — without
+        the isin() disjunct the global cutoff would silently drop a
+        post-snapshot partition's low offsets — then the exact
+        per-partition cutoff applies via a broadcast join (unknown
+        partitions coalesce to watermark 0: full replay)."""
         spark = txn_log.sparkSession
         min_wm = min(watermarks.values(), default=0)
+        known = [int(p) for p in watermarks]
         wm_df = spark.createDataFrame(
             [(int(p), int(o)) for p, o in watermarks.items()],
             "partition int, __wm long",
         )
+        prefilter = (F.col("offset") >= F.lit(min_wm)) | ~F.col("partition").isin(
+            known
+        )
         return (
-            txn_log.filter(F.col("offset") >= F.lit(min_wm))
+            txn_log.filter(prefilter)
             .join(F.broadcast(wm_df), "partition", "left")
             .filter(F.col("offset") >= F.coalesce(F.col("__wm"), F.lit(0)))
             .drop("__wm")
@@ -637,13 +671,14 @@ class ProducerStateStore:
         """Recovered producer state ≡ txn_summary(full log), computed as
         snapshot + tail replay. The re-aggregation runs over
         O(num-transactions) rows, never the log."""
-        latest = self.latest()
-        if latest is None:
+        manifest = self._manifest()
+        if manifest is None:
             return txn_summary(txn_log)
-        snap_id, watermarks = latest
+        _, m = manifest
+        watermarks = {int(p): int(o) for p, o in m["watermarks"].items()}
         import os
 
-        snap = spark.read.parquet(os.path.join(self.root, f"snap-{snap_id}"))
+        snap = spark.read.parquet(os.path.join(self.root, m["data_dir"]))
         tail = txn_summary(self.snapshot_tail(txn_log, watermarks))
         return (
             snap.unionByName(tail)

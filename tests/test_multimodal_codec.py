@@ -138,3 +138,9 @@ def test_wav_rejects_non_pcm():
     )
     with pytest.raises(ValueError):
         mc.decode_wav(wav)
+
+
+def test_y4m_truncated_frame_raises():
+    full, _ = mc.synth_video(2)
+    with pytest.raises(ValueError):
+        mc.decode_y4m(full[:-10])  # cut mid-plane

@@ -240,3 +240,44 @@ def test_snapshot_race_loses_cleanly(spark, log, tmp_path):
     snap_id, watermarks = store.latest()
     assert snap_id == b
     assert all(wm <= 30 for wm in watermarks.values())
+
+
+def test_snapshot_tail_replays_new_partition_in_full(spark, tmp_path):
+    """A partition created AFTER the snapshot has offsets below the global
+    minimum watermark; the tail prefilter must admit it anyway (review
+    finding: a bare offset >= min(wm) cutoff silently dropped it)."""
+    old = spark.createDataFrame(
+        [(0, o, 1, 0, "commit") for o in range(50)],
+        "partition int, offset long, pid long, txn_group long, txn_status string",
+    )
+    store = tx.ProducerStateStore(str(tmp_path / "pstate"))
+    store.take_snapshot(old)  # watermark {0: 50}; min_wm = 50
+    new_part = spark.createDataFrame(
+        [(9, o, 2, 0, "commit") for o in range(5)],  # offsets 0..4 < 50
+        "partition int, offset long, pid long, txn_group long, txn_status string",
+    )
+    full = old.unionByName(new_part)
+    recovered = {
+        (r.partition, r.pid): (r.first_offset, r.last_offset)
+        for r in store.recover(spark, full).collect()
+    }
+    assert recovered[(9, 2)] == (0, 4)
+    assert recovered[(0, 1)] == (0, 49)
+
+
+def test_read_committed_keeps_null_pid_records(spark):
+    """Non-transactional (NULL-pid) records inside an aborted txn's offset
+    range are still visible to read-committed consumers — the aborted
+    index suppresses only that PRODUCER's records (review finding: the
+    exists() rewrite dropped them via three-valued logic)."""
+    rows = [
+        (0, 0, 7, 0, "abort"),
+        (0, 1, None, None, "commit"),  # non-transactional, inside [0, 2]
+        (0, 2, 7, 0, "abort"),
+        (0, 3, 8, 0, "commit"),
+    ]
+    txn_log = spark.createDataFrame(
+        rows, "partition int, offset long, pid long, txn_group long, txn_status string"
+    )
+    kept = sorted(r.offset for r in tx.read_committed(txn_log).collect())
+    assert kept == [1, 3]
