@@ -357,3 +357,136 @@ def test_grouped_top_k_equals_plain_window_for_any_k_salts(spark, vals, k, n_sal
     assert sorted(map(tuple, out.select("g", "id", "rank").collect())) == sorted(
         map(tuple, plain.select("g", "id", "rank").collect())
     )
+
+
+# ---------------------------------------------------------------- #
+# at-rest codec roundtrips (pure python — fuzz hard)
+# ---------------------------------------------------------------- #
+
+
+_ident = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-._", min_size=0, max_size=40
+)
+
+
+@given(
+    group=_ident,
+    topic=_ident,
+    partition=st.integers(-(2**31), 2**31 - 1),
+    version=st.sampled_from([0, 1]),
+)
+def test_offset_key_roundtrip_any_strings(group, topic, partition, version):
+    from starlight_for_kafka_spark.functions import offsets_wire as ow
+
+    d = ow.decode_key(ow.encode_offset_key(group, topic, partition, version))
+    assert (d["group"], d["topic"], d["partition"], d["version"]) == (
+        group, topic, partition, version,
+    )
+
+
+@given(
+    offset=st.integers(0, 2**62),
+    metadata=st.one_of(st.none(), st.text(max_size=60)),
+    commit_ts=st.integers(0, 2**62),
+    expire=st.one_of(st.none(), st.integers(0, 2**62)),
+    epoch=st.integers(-1, 2**31 - 1),
+    version=st.sampled_from([0, 1, 2, 3]),
+)
+def test_offset_value_roundtrip_all_versions(
+    offset, metadata, commit_ts, expire, epoch, version
+):
+    from starlight_for_kafka_spark.functions import offsets_wire as ow
+
+    d = ow.decode_offset_value(
+        ow.encode_offset_value(
+            offset, metadata, commit_ts, version=version,
+            expire_timestamp_ms=expire, leader_epoch=epoch,
+        )
+    )
+    assert d["offset"] == offset and d["commit_timestamp_ms"] == commit_ts
+    assert d["metadata"] == metadata
+    if version == 3:
+        assert d["leader_epoch"] == epoch
+    if version == 1:
+        assert d["expire_timestamp_ms"] == expire
+
+
+@given(
+    generation=st.integers(0, 2**31 - 1),
+    protocol=st.one_of(st.none(), _ident),
+    leader=st.one_of(st.none(), _ident),
+    version=st.sampled_from([0, 1, 2, 3]),
+    members=st.lists(
+        st.tuples(
+            _ident,                                  # member_id
+            st.one_of(st.none(), _ident),            # group_instance_id
+            st.binary(max_size=24),                  # subscription
+            st.one_of(st.none(), st.binary(max_size=24)),  # assignment
+        ),
+        max_size=5,
+    ),
+)
+def test_group_metadata_roundtrip_fuzz(generation, protocol, leader, version, members):
+    from starlight_for_kafka_spark.functions import offsets_wire as ow
+
+    mems = [
+        {
+            "member_id": mid, "group_instance_id": gid, "client_id": "c",
+            "client_host": "/h", "rebalance_timeout_ms": 5,
+            "session_timeout_ms": 6, "subscription": sub, "assignment": asn,
+        }
+        for mid, gid, sub, asn in members
+    ]
+    d = ow.decode_group_metadata_value(
+        ow.encode_group_metadata_value(
+            "consumer", generation, protocol, leader, mems, version=version
+        )
+    )
+    assert d["generation"] == generation
+    assert d["protocol"] == protocol and d["leader"] == leader
+    assert len(d["members"]) == len(members)
+    for got, (mid, gid, sub, asn) in zip(d["members"], members):
+        assert got["member_id"] == mid
+        assert got["subscription"] == sub
+        if version >= 3:
+            assert got["group_instance_id"] == gid
+        assert got["assignment"] == asn
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), max_size=200),
+    rate=st.integers(1, 192000),
+)
+def test_wav_roundtrip_fuzz(samples, rate):
+    import numpy as np
+
+    from starlight_for_kafka_spark.functions import media_codec as mc
+
+    d = mc.decode_wav(mc.encode_wav(samples, rate))
+    s = np.array(samples, dtype=np.int64)
+    assert d["sample_rate"] == rate and d["n_samples"] == len(samples)
+    assert d["sum"] == int(s.sum()) if len(samples) else d["sum"] == 0
+    assert d["sum_sq"] == int((s * s).sum()) if len(samples) else True
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    data=st.data(),
+)
+def test_ppm_bmp_stats_agree_fuzz(w, h, data):
+    """For ANY pixel grid, the PPM and BMP encodings must decode to the
+    same channel stats — BGR order, row padding, and bottom-up layout all
+    cancel or the containers disagree."""
+    from starlight_for_kafka_spark.functions import media_codec as mc
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    assert mc.decode_ppm(mc.encode_ppm(w, h, rgb)) == mc.decode_bmp(
+        mc.encode_bmp(w, h, rgb)
+    )
