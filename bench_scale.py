@@ -66,6 +66,13 @@ SUITE = [
     "wire_transcode_codecs",
 ]
 
+# SPARK_GRAFT_SCALE_SUITE=a,b,c restricts the run (e.g. the linear rows
+# only at very high SCALE, where the pairwise-dedup rows' output volume
+# grows with cluster^2 by construction of the replicated data)
+_suite_env = os.environ.get("SPARK_GRAFT_SCALE_SUITE")
+if _suite_env:
+    SUITE = [q.strip() for q in _suite_env.split(",") if q.strip()]
+
 
 def synthesize(spark) -> dict[str, int]:
     """Write the SCALE-x tables (idempotent per table per scale dir)."""
