@@ -3294,6 +3294,20 @@ def q_producer_state_snapshot(spark, sf_dir):
     return store.recover(spark, txn)
 
 
+
+def q_multimodal_frame_features(spark, sf_dir):
+    """Frame-level video decode: sample_frames explodes (media, frame_ms)
+    rows from metadata, then each row decodes ONLY its own frame through
+    the Y4M byte-offset seek kernel (media_codec.decode_y4m_frame) — one
+    plane read per sampled frame, never a full-stream decode. The oracle
+    replays each frame's plane sums closed-form from the synthesis
+    arithmetic, so a seek that lands one frame (or one plane) off
+    mismatches immediately."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.synthesize_media(docs)
+    return mm_ops.frame_features(media, every_ms=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_fetch": q_log_fetch,
@@ -3377,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_frame_features": q_multimodal_frame_features,
         "audio_chunks": q_audio_chunks,
         "caption_pairs": q_caption_pairs,
         "pack_multimodal": q_pack_multimodal,
@@ -5014,6 +5029,20 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, (25 + doc_id % 25) * 40, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "multimodal_frame_features": """WITH fr AS (
+  SELECT doc_id AS id,
+         unnest(range(0, (25 + doc_id % 25) * 40, 500)) AS frame_ms
+  FROM documents WHERE doc_id % 3 = 2
+), fx AS (
+  SELECT id, frame_ms, CAST(frame_ms // 40 AS INT) AS f FROM fr
+), px AS (
+  SELECT id, frame_ms, f, unnest(range(128)) AS idx FROM fx
+)
+SELECT id AS media_id, frame_ms, CAST(f AS INT) AS frame_idx,
+       sum((id*3 + f*29 + idx*13) % 256) AS sum_y,
+       sum((id*3 + f*29 + 101 + idx*13) % 256) AS sum_u,
+       sum((id*3 + f*29 + 202 + idx*13) % 256) AS sum_v
+FROM px GROUP BY 1, 2, 3""",
         "top_docs_per_lang": """WITH padded AS (
   SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
 ), scores AS (

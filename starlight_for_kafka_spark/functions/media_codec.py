@@ -332,3 +332,64 @@ def synth_video(media_id: int) -> tuple[bytes, int]:
         ]
         frames.append(tuple(planes))
     return encode_y4m(VID_W, VID_H, VID_FPS, frames), nf * 1000 // VID_FPS
+
+
+def decode_y4m_frame(payload: bytes, frame_ms: int) -> dict:
+    """Decode ONE frame of a Y4M stream, located by timestamp: the frame
+    index is ``frame_ms * fps / 1000``, and the seek walks only FRAME
+    markers (header reads, no plane sums) until the target — so extracting
+    frame k costs O(k) header hops + ONE plane read, never a full-stream
+    decode. This is what makes a frame-sampling pipeline cheap: the
+    exploded (media, frame_ms) rows each decode just their own frame."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    fps_num = fps_den = None
+    colorspace = "C420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            num, den = t[1:].split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif t.startswith("C"):
+            colorspace = t
+    if w is None or h is None or not fps_num:
+        raise ValueError("Y4M header missing W/H/F")
+    if colorspace != "C444":
+        raise ValueError(f"only C444 supported (got {colorspace})")
+    plane = w * h
+    target = frame_ms * fps_num // (1000 * fps_den)
+    pos, idx = nl + 1, 0
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos = payload.index(b"\n", pos) + 1
+        if pos + 3 * plane > len(payload):
+            raise ValueError(f"truncated Y4M frame at {pos}")
+        if idx == target:
+            sums = [
+                int(
+                    np.frombuffer(
+                        payload[pos + p * plane : pos + (p + 1) * plane],
+                        dtype=np.uint8,
+                    ).sum()
+                )
+                for p in range(3)
+            ]
+            return {
+                "width": w,
+                "height": h,
+                "frame_idx": idx,
+                "sum_y": sums[0],
+                "sum_u": sums[1],
+                "sum_v": sums[2],
+                "fps": fps_num / fps_den,
+            }
+        pos += 3 * plane
+        idx += 1
+    raise ValueError(f"frame for t={frame_ms}ms (index {target}) past end of stream")

@@ -318,3 +318,50 @@ def pack_multimodal(
     ).select(
         "item_id", "modality", "cost", "start_tok", "pack_id", "n_packs_spanned"
     )
+
+
+FRAME_FEATURE_SCHEMA = (
+    "media_id long, frame_ms long, frame_idx int, "
+    "sum_y long, sum_u long, sum_v long"
+)
+
+
+def frame_features(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Per-sampled-frame features: explode videos to (media_id, frame_ms)
+    rows (plan arithmetic over metadata — sample_frames), then decode ONLY
+    each row's own frame via the Y4M seek kernel (O(frame_idx) header hops
+    + one plane read; never a full-stream decode per row). This is the
+    difference between frame sampling that scales and one that re-decodes
+    the whole video once per sampled frame — at 1 fps sampling of a 10-min
+    clip the naive form does 600x the plane reads.
+
+    The payload column is duplicated across a video's sampled rows by the
+    explode; Arrow batching bounds executor memory per batch, and at
+    cluster scale the explode runs AFTER any metadata predicate so pruned
+    videos never ship payload bytes at all.
+    """
+    _pickle_media_codec_by_value()
+    from starlight_for_kafka_spark.functions import media_codec as mc
+
+    frames = sample_frames(media, every_ms=every_ms)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = mc.decode_y4m_frame(bytes(r.payload), int(r.frame_ms))
+                rows.append(
+                    (int(r.media_id), int(r.frame_ms), d["frame_idx"],
+                     d["sum_y"], d["sum_u"], d["sum_v"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_ms", "frame_idx",
+                    "sum_y", "sum_u", "sum_v",
+                ],
+            )
+
+    return frames.select("media_id", "frame_ms", "payload").mapInPandas(
+        op, FRAME_FEATURE_SCHEMA
+    )

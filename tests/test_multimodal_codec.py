@@ -144,3 +144,21 @@ def test_y4m_truncated_frame_raises():
     full, _ = mc.synth_video(2)
     with pytest.raises(ValueError):
         mc.decode_y4m(full[:-10])  # cut mid-plane
+
+
+@pytest.mark.parametrize("mid,frame_ms", [(2, 0), (2, 80), (5, 1000)])
+def test_y4m_frame_seek_matches_closed_form(mid, frame_ms):
+    v, dur = mc.synth_video(mid)
+    assert frame_ms < dur
+    d = mc.decode_y4m_frame(v, frame_ms)
+    f = frame_ms * 25 // 1000
+    idx = np.arange(mc.VID_W * mc.VID_H, dtype=np.int64)
+    exp = [int(((mid * 3 + f * 29 + p * 101 + idx * 13) % 256).sum()) for p in range(3)]
+    assert (d["sum_y"], d["sum_u"], d["sum_v"]) == tuple(exp)
+    assert d["frame_idx"] == f
+
+
+def test_y4m_frame_seek_past_end_raises():
+    v, dur = mc.synth_video(2)
+    with pytest.raises(ValueError):
+        mc.decode_y4m_frame(v, dur + 1000)
