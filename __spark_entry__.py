@@ -3308,6 +3308,20 @@ def q_multimodal_frame_features(spark, sf_dir):
     return mm_ops.frame_features(media, every_ms=500)
 
 
+
+def q_multimodal_chunk_features(spark, sf_dir):
+    """Chunk-level audio decode: audio_chunks explodes overlapping
+    (media, chunk) rows from metadata, then each row decodes ONLY its own
+    PCM byte range through the WAV range-seek kernel
+    (media_codec.decode_wav_range) — a direct [start, end) sample slice
+    after the RIFF walk, never a whole-clip decode per chunk. The oracle
+    replays each chunk's sample moments closed-form, so an off-by-one in
+    the sample-offset arithmetic (or a byte-misaligned slice) mismatches."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.synthesize_media(docs)
+    return mm_ops.chunk_features(media, chunk_ms=2000, overlap_ms=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_fetch": q_log_fetch,
@@ -3392,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_frame_features": q_multimodal_frame_features,
+        "multimodal_chunk_features": q_multimodal_chunk_features,
         "audio_chunks": q_audio_chunks,
         "caption_pairs": q_caption_pairs,
         "pack_multimodal": q_pack_multimodal,
@@ -5029,6 +5044,29 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, (25 + doc_id % 25) * 40, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "multimodal_chunk_features": """WITH m AS (
+  SELECT doc_id AS id, 2500 + (doc_id % 16) * 256 AS duration_ms,
+         20000 + (doc_id % 16) * 2048 AS n
+  FROM documents WHERE doc_id % 3 = 1
+), c AS (
+  SELECT id, n, duration_ms,
+         unnest(range(0, greatest(1, CAST(ceil((duration_ms - 500) / 1500.0) AS BIGINT)))) AS chunk_id
+  FROM m
+), b AS (
+  SELECT id, chunk_id, chunk_id * 1500 AS cs,
+         least(chunk_id * 1500 + 2000, duration_ms) AS ce, n
+  FROM c
+), sx AS (
+  SELECT id, chunk_id, cs, ce,
+         unnest(range(cs * 8, least(ce * 8, n))) AS i
+  FROM b
+), v AS (
+  SELECT id, chunk_id, cs, ce, (id*31 + i*17) % 4096 - 2048 AS s FROM sx
+)
+SELECT id AS media_id, chunk_id, cs AS chunk_start_ms, ce AS chunk_end_ms,
+       count(*) AS n_samples, sum(s) AS sum, sum(s*s) AS sum_sq,
+       min(s) AS vmin, max(s) AS vmax
+FROM v GROUP BY 1, 2, 3, 4""",
         "multimodal_frame_features": """WITH fr AS (
   SELECT doc_id AS id,
          unnest(range(0, (25 + doc_id % 25) * 40, 500)) AS frame_ms

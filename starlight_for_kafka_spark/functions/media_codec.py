@@ -393,3 +393,43 @@ def decode_y4m_frame(payload: bytes, frame_ms: int) -> dict:
         pos += 3 * plane
         idx += 1
     raise ValueError(f"frame for t={frame_ms}ms (index {target}) past end of stream")
+
+
+def decode_wav_range(payload: bytes, start_ms: int, end_ms: int) -> dict:
+    """Decode ONE time slice of a PCM WAV: the RIFF walk locates the data
+    chunk, the sample range is [start_ms, end_ms) x sample_rate, and only
+    those bytes are read — an audio-chunk pipeline decodes each chunk's
+    own slice, never the whole clip per chunk. End is clipped to the clip
+    length (the final chunk of an overlap segmentation is short)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data_off, data_len = 12, None, None, 0
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+        elif cid == b"data":
+            data_off, data_len = pos + 8, size
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_off is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16 or n_channels != 1:
+        raise ValueError("only mono 16-bit PCM ranges supported")
+    total = data_len // 2
+    s0 = start_ms * sample_rate // 1000
+    s1 = min(end_ms * sample_rate // 1000, total)
+    if s0 < 0 or s0 > total:
+        raise ValueError(f"range start {start_ms}ms outside clip")
+    s = np.frombuffer(
+        payload[data_off + 2 * s0 : data_off + 2 * s1], dtype="<i2"
+    ).astype(np.int64)
+    return {
+        "sample_rate": sample_rate,
+        "n_samples": len(s),
+        "sum": int(s.sum()) if len(s) else 0,
+        "sum_sq": int((s * s).sum()) if len(s) else 0,
+        "min": int(s.min()) if len(s) else 0,
+        "max": int(s.max()) if len(s) else 0,
+    }

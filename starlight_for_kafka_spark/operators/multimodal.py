@@ -365,3 +365,45 @@ def frame_features(media: DataFrame, every_ms: int = 500) -> DataFrame:
     return frames.select("media_id", "frame_ms", "payload").mapInPandas(
         op, FRAME_FEATURE_SCHEMA
     )
+
+
+CHUNK_FEATURE_SCHEMA = (
+    "media_id long, chunk_id long, chunk_start_ms long, chunk_end_ms long, "
+    "n_samples long, sum long, sum_sq long, vmin long, vmax long"
+)
+
+
+def chunk_features(
+    media: DataFrame, chunk_ms: int = 5000, overlap_ms: int = 1000
+) -> DataFrame:
+    """Per-chunk audio features: explode clips into overlapping chunks
+    (audio_chunks — plan arithmetic over metadata), then decode ONLY each
+    chunk's own PCM byte range via the WAV range-seek kernel (RIFF walk to
+    the data chunk, then a direct [start, end) sample slice — never a
+    whole-clip decode per chunk). The audio twin of frame_features."""
+    _pickle_media_codec_by_value()
+    from starlight_for_kafka_spark.functions import media_codec as mc
+
+    chunks = audio_chunks(media, chunk_ms=chunk_ms, overlap_ms=overlap_ms)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = mc.decode_wav_range(
+                    bytes(r.payload), int(r.chunk_start_ms), int(r.chunk_end_ms)
+                )
+                rows.append(
+                    (int(r.media_id), int(r.chunk_id), int(r.chunk_start_ms),
+                     int(r.chunk_end_ms), d["n_samples"], d["sum"],
+                     d["sum_sq"], d["min"], d["max"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "chunk_id", "chunk_start_ms", "chunk_end_ms",
+                    "n_samples", "sum", "sum_sq", "vmin", "vmax",
+                ],
+            )
+
+    return chunks.mapInPandas(op, CHUNK_FEATURE_SCHEMA)

@@ -162,3 +162,19 @@ def test_y4m_frame_seek_past_end_raises():
     v, dur = mc.synth_video(2)
     with pytest.raises(ValueError):
         mc.decode_y4m_frame(v, dur + 1000)
+
+
+def test_wav_range_decode_matches_full_slice():
+    wav, dur = mc.synth_audio(7)
+    n = 20000 + (7 % 16) * 2048
+    i = np.arange(n, dtype=np.int64)
+    s = (7 * 31 + i * 17) % 4096 - 2048
+    d = mc.decode_wav_range(wav, 1000, 2000)
+    seg = s[8000:16000]
+    assert (d["n_samples"], d["sum"], d["min"], d["max"]) == (
+        len(seg), int(seg.sum()), int(seg.min()), int(seg.max())
+    )
+    # final-chunk clipping: end past the clip is truncated, not an error
+    start_ms = (dur // 1000) * 1000
+    d2 = mc.decode_wav_range(wav, start_ms, dur + 5000)
+    assert d2["n_samples"] == n - start_ms * 8  # 8 samples/ms at 8 kHz
