@@ -3322,6 +3322,23 @@ def q_multimodal_chunk_features(spark, sf_dir):
     return mm_ops.chunk_features(media, chunk_ms=2000, overlap_ms=500)
 
 
+
+def q_multimodal_resize(spark, sf_dir):
+    """Real nearest-neighbor image resize (18x12 -> 6x4): payloads decoded
+    (PPM and BMP alike), resampled on the integer grid src=(r*H//h,
+    c*W//w), re-encoded as PPM, then feature-extracted — the oracle
+    replays the resampled pixel sums closed-form, so a resample grid
+    off-by-one, a channel mixup, or a re-encode header bug mismatches."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.synthesize_media(docs)
+    small = mm_ops.resize_images(media, 6, 4)
+    feats = mm_ops.extract_features(small)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.posexplode("features").alias("dim", "feature"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_fetch": q_log_fetch,
@@ -3407,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_frame_features": q_multimodal_frame_features,
         "multimodal_chunk_features": q_multimodal_chunk_features,
+        "multimodal_resize": q_multimodal_resize,
         "audio_chunks": q_audio_chunks,
         "caption_pairs": q_caption_pairs,
         "pack_multimodal": q_pack_multimodal,
@@ -5044,6 +5062,31 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, (25 + doc_id % 25) * 40, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "multimodal_resize": """WITH g AS (
+  SELECT doc_id AS id, r.r, c.c
+  FROM documents,
+       (SELECT unnest(range(4)) AS r) r,
+       (SELECT unnest(range(6)) AS c) c
+  WHERE doc_id % 3 = 0
+), sidx AS (
+  SELECT id, ((r * 12) // 4) * 18 + ((c * 18) // 6) AS idx FROM g
+), st AS (
+  SELECT id,
+         sum((id*7 + idx*13) % 256) AS sum_r,
+         sum((id*7 + idx*13 + 101) % 256) AS sum_g,
+         sum((id*7 + idx*13 + 202) % 256) AS sum_b,
+         min(least((id*7+idx*13) % 256, (id*7+idx*13+101) % 256, (id*7+idx*13+202) % 256)) AS vmin,
+         max(greatest((id*7+idx*13) % 256, (id*7+idx*13+101) % 256, (id*7+idx*13+202) % 256)) AS vmax
+  FROM sidx GROUP BY id
+), feat AS (
+  SELECT id, 'image' AS kind, CAST(83 AS BIGINT) AS n_bytes,
+         [6.0, 4.0, CAST(sum_r AS DOUBLE), CAST(sum_g AS DOUBLE),
+          CAST(sum_b AS DOUBLE), CAST(vmin AS DOUBLE), CAST(vmax AS DOUBLE), 3.0] AS arr
+  FROM st
+)
+SELECT id AS media_id, kind, n_bytes, CAST(d.dim AS INT) AS dim,
+       arr[CAST(d.dim AS INT) + 1] AS feature
+FROM feat, (SELECT unnest(range(8)) AS dim) d""",
         "multimodal_chunk_features": """WITH m AS (
   SELECT doc_id AS id, 2500 + (doc_id % 16) * 256 AS duration_ms,
          20000 + (doc_id % 16) * 2048 AS n

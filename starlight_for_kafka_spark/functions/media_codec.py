@@ -433,3 +433,64 @@ def decode_wav_range(payload: bytes, start_ms: int, end_ms: int) -> dict:
         "min": int(s.min()) if len(s) else 0,
         "max": int(s.max()) if len(s) else 0,
     }
+
+
+def resize_rgb(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a PPM or BMP payload, re-encoded as PPM
+    (the canonical uncompressed output container). Source pixel for output
+    (r, c) is (r * H // out_h, c * W // out_w) — integer arithmetic, so
+    the result is bit-deterministic and an oracle can replay the
+    resampled grid closed-form."""
+    if payload[:2] == b"P6":
+        d = decode_ppm(payload)
+        src = _ppm_pixels(payload)
+    elif payload[:2] == b"BM":
+        d = decode_bmp(payload)
+        src = _bmp_pixels(payload)
+    else:
+        raise ValueError("resize_rgb supports PPM/BMP payloads")
+    w, h = d["width"], d["height"]
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    out = src[rows[:, None], cols[None, :], :]
+    return encode_ppm(out_w, out_h, out.astype(np.uint8).tobytes())
+
+
+def _ppm_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 array from a P6 payload (header grammar as
+    decode_ppm)."""
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1
+    w, h, _ = tokens
+    return np.frombuffer(payload[pos : pos + w * h * 3], dtype=np.uint8).reshape(
+        h, w, 3
+    )
+
+
+def _bmp_pixels(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB array from a 24bpp BMP (padding stripped,
+    bottom-up undone, BGR swapped)."""
+    (data_offset,) = struct.unpack("<I", payload[10:14])
+    width, height = struct.unpack("<ii", payload[18:26])
+    bottom_up = height > 0
+    h = abs(height)
+    row_size = (width * 3 + 3) // 4 * 4
+    rows = []
+    for r in range(h):
+        start = data_offset + r * row_size
+        row = np.frombuffer(payload[start : start + width * 3], dtype=np.uint8)
+        rows.append(row.reshape(width, 3)[:, ::-1])
+    if bottom_up:
+        rows.reverse()
+    return np.stack(rows)

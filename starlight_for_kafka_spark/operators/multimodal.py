@@ -164,18 +164,34 @@ def decode_stub(payload: bytes) -> list[float]:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: passes payload through, rewrites metadata. Filter is
-    metadata-only → evaluated before any payload read (column pruning)."""
+    """REAL nearest-neighbor resize: each image payload (PPM or BMP) is
+    decoded, resampled on the integer grid src=(r*H//h, c*W//w), and
+    re-encoded as PPM — bit-deterministic, so the oracle can replay the
+    resampled pixel sums closed-form. Arrow-batched mapInPandas (byte
+    work, no JVM builtin); the kind filter is metadata-only and runs
+    before any payload read (column pruning). Non-image rows are excluded
+    up front, so a 100 TB mixed corpus never ships audio/video payloads
+    through the resize stage."""
+    _pickle_media_codec_by_value()
+    from starlight_for_kafka_spark.functions import media_codec as mc
+
     images = media.filter(F.col("kind") == "image")
-    return images.withColumn(
-        "meta",
-        F.struct(
-            F.lit(width).cast("int").alias("width"),
-            F.lit(height).cast("int").alias("height"),
-            F.col("meta.duration_ms").alias("duration_ms"),
-            F.col("meta.codec").alias("codec"),
-        ),
-    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                resized = mc.resize_rgb(bytes(r.payload), width, height)
+                meta = dict(
+                    width=width, height=height,
+                    duration_ms=r.meta["duration_ms"], codec="ppm",
+                )
+                rows.append((int(r.media_id), r.kind, resized, meta))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return images.mapInPandas(op, MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -178,3 +178,24 @@ def test_wav_range_decode_matches_full_slice():
     start_ms = (dur // 1000) * 1000
     d2 = mc.decode_wav_range(wav, start_ms, dur + 5000)
     assert d2["n_samples"] == n - start_ms * 8  # 8 samples/ms at 8 kHz
+
+
+@pytest.mark.parametrize("mid", [0, 3])
+def test_resize_rgb_nearest_neighbor_closed_form(mid):
+    """Resize works identically from PPM and BMP sources and matches the
+    integer resample grid; upscale repeats source pixels."""
+    img, codec = mc.synth_image(mid)
+    small = mc.decode_ppm(mc.resize_rgb(img, 6, 4))
+    idxs = [(r * 12 // 4) * 18 + (c * 18 // 6) for r in range(4) for c in range(6)]
+    sums = [sum((mid * 7 + i * 13 + ch * 101) % 256 for i in idxs) for ch in range(3)]
+    assert (small["sum_r"], small["sum_g"], small["sum_b"]) == tuple(sums)
+    big = mc.decode_ppm(mc.resize_rgb(img, 36, 24))  # 2x upscale
+    assert (big["width"], big["height"]) == (36, 24)
+    full = mc.decode_ppm(img) if codec == "ppm" else mc.decode_bmp(img)
+    assert big["sum_r"] == full["sum_r"] * 4  # each src pixel appears 2x2 times
+
+
+def test_resize_rejects_non_image():
+    wav, _ = mc.synth_audio(1)
+    with pytest.raises(ValueError):
+        mc.resize_rgb(wav, 4, 4)
