@@ -587,3 +587,82 @@ def cm_sketch_stream(
         )
         .agg(F.count("*").alias("c"))
     )
+
+
+OFFSETS_WIRE_OUTPUT = (
+    "group string, topic string, partition int, offset long, metadata string,"
+    " commit_ts_ms long, leader_epoch int, value_version int, deleted boolean"
+)
+OFFSETS_WIRE_STATE = (
+    "ord bigint, tomb boolean, offset bigint, metadata string,"
+    " commit_ts_ms bigint, leader_epoch int, value_version int"
+)
+
+
+def offsets_wire_recovery_stream(records: DataFrame) -> DataFrame:
+    """Streaming __consumer_offsets recovery over raw binary records: the
+    byte-level twin of groups.recover_offsets_from_wire as a stateful
+    stream. Records (key/value binary + append_ts) decode in-stream
+    (mapInPandas works identically on streaming frames), then
+    applyInPandasWithState keyed by (group, topic, partition) keeps only
+    the winning record per key under the same (append_ts, tombstone,
+    offset) ranking the batch path uses.
+
+    The fold is a MAX over that ranking — order-independent — so arrival
+    order across microbatches cannot change the converged state (no
+    whole-key-per-batch delivery requirement; contrast the coordinator
+    state machine, which folds in arrival order). Each batch emits the
+    key's current winner with ``deleted`` = latest-is-tombstone, the
+    update-mode changelog a downstream compacted view consumes. State per
+    key is one small tuple; a real 100 TB offsets topic has O(groups x
+    partitions) keys — exactly the broker's cache size.
+    """
+    import pandas as pd
+
+    from starlight_for_kafka_spark.operators.groups import decode_offsets_topic
+
+    decoded = decode_offsets_topic(records).filter(F.col("kind") == "offset")
+    decoded = decoded.withColumn(
+        "ord_ms", F.coalesce(F.col("append_ts"), F.col("commit_ts_ms"))
+    )
+
+    def _rank(t):
+        # (ord, tombstone, offset) — same ordering as the batch window
+        return (
+            t[0] if t[0] is not None else -1,
+            1 if t[1] else 0,
+            t[2] if t[2] is not None else -1,
+        )
+
+    def update(key, pdfs, state):
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                cand = (
+                    None if pd.isna(r.ord_ms) else int(r.ord_ms),
+                    bool(r.tombstone),
+                    None if pd.isna(r.offset) else int(r.offset),
+                    None if r.metadata is None else str(r.metadata),
+                    None if pd.isna(r.commit_ts_ms) else int(r.commit_ts_ms),
+                    None if pd.isna(r.leader_epoch) else int(r.leader_epoch),
+                    None if pd.isna(r.value_version) else int(r.value_version),
+                )
+                if best is None or _rank(cand) > _rank(best):
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            [
+                (
+                    key[0], key[1], key[2], best[2], best[3], best[4],
+                    best[5], best[6], best[1],
+                )
+            ],
+            columns=[
+                "group", "topic", "partition", "offset", "metadata",
+                "commit_ts_ms", "leader_epoch", "value_version", "deleted",
+            ],
+        )
+
+    return decoded.groupBy("group", "topic", "partition").applyInPandasWithState(
+        update, OFFSETS_WIRE_OUTPUT, OFFSETS_WIRE_STATE, "update", "NoTimeout"
+    )

@@ -658,3 +658,59 @@ def test_sketch_streams_converge_to_batch(tmp_path, spark, log):
         .collect()
     )
     assert got_cm == want_cm and got_cm
+
+
+def test_offsets_wire_recovery_stream_converges_to_batch(tmp_path, spark, events):
+    """The streaming byte-level recovery over several microbatches (keys
+    deliberately SPLIT across batches — the fold is a max, order-free)
+    must converge to the batch recover_offsets_from_wire view, including
+    tombstone deletion."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators import groups as g
+
+    commits = g.derive_commits_from_events(events).limit(400)
+    # tombstone one key's latest record: group g1 partition 3
+    tomb = (F.col("group") == "g1") & (F.col("partition") == 3)
+    latest_ts = (
+        commits.filter(tomb).agg(F.max("commit_ts")).first()[0]
+        or datetime.datetime(2024, 1, 1)
+    )
+    extra = spark.createDataFrame(
+        [("g1", "events", 3, 10**9, "del",
+          latest_ts + datetime.timedelta(days=1), True)],
+        "group string, topic string, partition int, offset long, "
+        "metadata string, commit_ts timestamp, tomb boolean",
+    )
+    typed = commits.withColumn("tomb", F.lit(False)).unionByName(extra)
+    records = g.encode_offsets_topic(typed, tombstone_col="tomb")
+    path = str(tmp_path / "wire_records")
+    records.repartition(5).write.parquet(path)  # keys split across batches
+
+    stream = (
+        spark.readStream.schema(records.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_ops.offsets_wire_recovery_stream(stream)
+    stream_ops.run_to_memory(out, "wire_out", output_mode="update")
+    rows = spark.sql("SELECT * FROM wire_out").collect()
+    final = {}
+    for r in rows:  # memory sink appends; last emission per key wins
+        final[(r.group, r.topic, r.partition)] = r
+    streamed = {
+        k: (r.offset, r.metadata, r.commit_ts_ms)
+        for k, r in final.items()
+        if not r.deleted
+    }
+    batch = {
+        (r.group, r.topic, r.partition): (
+            r.offset, r.metadata,
+            int(r.commit_ts.timestamp() * 1000),
+        )
+        for r in g.recover_offsets_from_wire(records).collect()
+    }
+    assert ("g1", "events", 3) not in streamed  # tombstoned key gone
+    assert streamed == batch and len(batch) > 0
