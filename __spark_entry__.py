@@ -3339,6 +3339,18 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+
+def q_multimodal_patchify(spark, sf_dir):
+    """ViT-style patch grid: each image decoded once, one row per
+    non-overlapping 6x6 patch with per-channel sums (the vision-token
+    analog of tokenization). Oracle replays the patch partition of the
+    pixel grid closed-form — a tile-boundary bug or channel mixup
+    mismatches."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.synthesize_media(docs)
+    return mm_ops.patchify_images(media, patch=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_fetch": q_log_fetch,
@@ -3425,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_features": q_multimodal_frame_features,
         "multimodal_chunk_features": q_multimodal_chunk_features,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_patchify": q_multimodal_patchify,
         "audio_chunks": q_audio_chunks,
         "caption_pairs": q_caption_pairs,
         "pack_multimodal": q_pack_multimodal,
@@ -5062,6 +5075,21 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, (25 + doc_id % 25) * 40, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "multimodal_patchify": """WITH px AS (
+  SELECT doc_id AS id, r.r, c.c
+  FROM documents,
+       (SELECT unnest(range(12)) AS r) r,
+       (SELECT unnest(range(18)) AS c) c
+  WHERE doc_id % 3 = 0
+), t AS (
+  SELECT id, r // 6 AS pr, c // 6 AS pc, r * 18 + c AS idx FROM px
+)
+SELECT id AS media_id, CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
+       count(*) AS n_px,
+       sum((id*7 + idx*13) % 256) AS sum_r,
+       sum((id*7 + idx*13 + 101) % 256) AS sum_g,
+       sum((id*7 + idx*13 + 202) % 256) AS sum_b
+FROM t GROUP BY 1, 2, 3""",
         "multimodal_resize": """WITH g AS (
   SELECT doc_id AS id, r.r, c.c
   FROM documents,

@@ -494,3 +494,34 @@ def _bmp_pixels(payload: bytes) -> np.ndarray:
     if bottom_up:
         rows.reverse()
     return np.stack(rows)
+
+
+def patch_stats(payload: bytes, patch: int) -> list[dict]:
+    """ViT-style patch grid over a PPM/BMP image: non-overlapping
+    patch x patch tiles (edge tiles clipped), each reduced to per-channel
+    sums + pixel count — the image-side analog of tokenization (a
+    patch = one vision token; 18x12 at patch=6 -> a 3x2 token grid).
+    Returns one dict per (patch_row, patch_col), row-major."""
+    if payload[:2] == b"P6":
+        src = _ppm_pixels(payload)
+    elif payload[:2] == b"BM":
+        src = _bmp_pixels(payload)
+    else:
+        raise ValueError("patch_stats supports PPM/BMP payloads")
+    h, w = src.shape[0], src.shape[1]
+    out = []
+    for pr in range((h + patch - 1) // patch):
+        for pc in range((w + patch - 1) // patch):
+            tile = src[pr * patch : (pr + 1) * patch, pc * patch : (pc + 1) * patch]
+            flat = tile.reshape(-1, 3).astype(np.int64)
+            out.append(
+                {
+                    "patch_row": pr,
+                    "patch_col": pc,
+                    "n_px": int(flat.shape[0]),
+                    "sum_r": int(flat[:, 0].sum()),
+                    "sum_g": int(flat[:, 1].sum()),
+                    "sum_b": int(flat[:, 2].sum()),
+                }
+            )
+    return out

@@ -423,3 +423,42 @@ def chunk_features(
             )
 
     return chunks.mapInPandas(op, CHUNK_FEATURE_SCHEMA)
+
+
+PATCH_SCHEMA = (
+    "media_id long, patch_row int, patch_col int, n_px long, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def patchify_images(media: DataFrame, patch: int = 6) -> DataFrame:
+    """ViT-style patch grid: each image decodes ONCE and emits one row per
+    non-overlapping patch (edge patches clipped) with per-channel sums —
+    the vision-token analog of text tokenization, and the feed for a
+    patch-embedding kernel. Arrow-batched mapInPandas; the kind filter is
+    metadata-only so non-image payloads never reach the decoder. Output
+    volume is rows x (W/p)(H/p) — plan arithmetic bounds it up front, no
+    surprise explosion."""
+    _pickle_media_codec_by_value()
+    from starlight_for_kafka_spark.functions import media_codec as mc
+
+    images = media.filter(F.col("kind") == "image")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for p in mc.patch_stats(bytes(r.payload), patch):
+                    rows.append(
+                        (int(r.media_id), p["patch_row"], p["patch_col"],
+                         p["n_px"], p["sum_r"], p["sum_g"], p["sum_b"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "patch_row", "patch_col", "n_px",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return images.select("media_id", "payload").mapInPandas(op, PATCH_SCHEMA)

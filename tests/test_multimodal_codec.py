@@ -199,3 +199,15 @@ def test_resize_rejects_non_image():
     wav, _ = mc.synth_audio(1)
     with pytest.raises(ValueError):
         mc.resize_rgb(wav, 4, 4)
+
+
+def test_patch_stats_partition_pixels_exactly():
+    img, _ = mc.synth_image(0)
+    full = mc.decode_ppm(img)
+    for patch in (6, 8, 18):
+        ps = mc.patch_stats(img, patch)
+        assert sum(p["n_px"] for p in ps) == mc.IMG_W * mc.IMG_H
+        assert sum(p["sum_g"] for p in ps) == full["sum_g"]
+    ps8 = mc.patch_stats(img, 8)  # clipped edges: 3 cols x 2 rows
+    assert len(ps8) == 6
+    assert ps8[-1]["n_px"] == 2 * 4  # last col 2 wide, last row 4 tall
