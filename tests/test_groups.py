@@ -590,3 +590,32 @@ def test_offsets_wire_tombstone_removes_key(spark):
     assert out[("g0", "t", 1)].metadata == "d"
     assert out[("g0", "t", 1)].leader_epoch == 0
     assert out[("g0", "t", 1)].value_version == 3
+
+
+def test_mixed_offsets_topic_routes_by_key_version(spark):
+    """A real __consumer_offsets dump interleaves offset-commit records and
+    group-metadata records; each decoder must process its own kind and
+    skip the other (the broker's doLoadGroupsAndOffsets routing)."""
+    ts = datetime.datetime(2024, 1, 1)
+    commits = spark.createDataFrame(
+        [("g0", "t", 0, 5, "m", ts, False)],
+        "group string, topic string, partition int, offset long, "
+        "metadata string, commit_ts timestamp, tomb boolean",
+    )
+    offset_recs = groups.encode_offsets_topic(commits, tombstone_col="tomb")
+    members = spark.createDataFrame(
+        [("g0", 3, "consumer", "range", "m1", "m1", None, "c", "/h", 1, 2,
+          bytearray(b"s"), bytearray(b"a"))],
+        "group string, generation int, protocol_type string, protocol string, "
+        "leader string, member_id string, group_instance_id string, "
+        "client_id string, client_host string, rebalance_timeout_ms int, "
+        "session_timeout_ms int, subscription binary, assignment binary",
+    )
+    group_recs = groups.encode_group_metadata_records(members).withColumn(
+        "append_ts", F.lit(0).cast("long")
+    )
+    mixed = offset_recs.unionByName(group_recs)
+    offsets = groups.recover_offsets_from_wire(mixed).collect()
+    assert len(offsets) == 1 and offsets[0].offset == 5
+    mems = groups.decode_group_metadata_records(mixed).collect()
+    assert len(mems) == 1 and mems[0].member_id == "m1" and mems[0].generation == 3
