@@ -70,6 +70,8 @@ def main() -> None:
         "offsets_wire_roundtrip",   # __consumer_offsets binary encode+decode
         "producer_state_snapshot",  # snapshot write + bounded tail recovery
         "multimodal_features",      # real WAV/PPM/BMP/Y4M decode kernels
+        "multimodal_frame_features",  # Y4M per-frame seek decode (payload-bound)
+        "multimodal_chunk_features",  # WAV per-chunk range decode
     ]
 
     # warm the JVM + file listing once
