@@ -3351,6 +3351,27 @@ def q_multimodal_patchify(spark, sf_dir):
     return mm_ops.patchify_images(media, patch=6)
 
 
+
+def q_audio_periodicity(spark, sf_dir):
+    """Integer autocorrelation per audio clip at lags 1 and 241 (the
+    synthetic signal's step 17 satisfies 17*241 = 4097 == 1 mod 4096, so
+    lag 241 is a near-period and spikes — the periodicity signal an audio
+    curation filter gates on). Oracle replays sum(s_i * s_{i+k})
+    closed-form."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.synthesize_media(docs)
+    return mm_ops.audio_periodicity(media, lags=(1, 241))
+
+
+def q_video_motion(spark, sf_dir):
+    """Per-frame-pair motion energy (sum |delta plane|) — the scene-cut /
+    static-clip signal. Oracle replays the per-pair absolute plane
+    differences closed-form."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.synthesize_media(docs)
+    return mm_ops.video_motion_profile(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "log_fetch": q_log_fetch,
@@ -3438,6 +3459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_chunk_features": q_multimodal_chunk_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_patchify": q_multimodal_patchify,
+        "audio_periodicity": q_audio_periodicity,
+        "video_motion": q_video_motion,
         "audio_chunks": q_audio_chunks,
         "caption_pairs": q_caption_pairs,
         "pack_multimodal": q_pack_multimodal,
@@ -5075,6 +5098,35 @@ SELECT a, b, cos FROM pairs WHERE cos >= 0.95""",
         "multimodal_frames": """SELECT doc_id AS media_id,
        unnest(range(0, (25 + doc_id % 25) * 40, 500)) AS frame_ms
 FROM documents WHERE doc_id % 3 = 2""",
+        "audio_periodicity": """WITH a AS (
+  SELECT doc_id AS id, 20000 + (doc_id % 16) * 2048 AS n
+  FROM documents WHERE doc_id % 3 = 1
+), s1 AS (
+  SELECT id, n, unnest(range(n - 1)) AS i FROM a
+), p1 AS (
+  SELECT id, n, sum(((id*31 + i*17) % 4096 - 2048) * ((id*31 + (i+1)*17) % 4096 - 2048)) AS ac_1
+  FROM s1 GROUP BY id, n
+), s2 AS (
+  SELECT id, unnest(range(n - 241)) AS i FROM a
+), p2 AS (
+  SELECT id, sum(((id*31 + i*17) % 4096 - 2048) * ((id*31 + (i+241)*17) % 4096 - 2048)) AS ac_241
+  FROM s2 GROUP BY id
+)
+SELECT p1.id AS media_id, CAST(p1.n AS BIGINT) AS n_samples, p1.ac_1, p2.ac_241
+FROM p1 JOIN p2 ON p1.id = p2.id""",
+        "video_motion": """WITH v AS (
+  SELECT doc_id AS id, 25 + doc_id % 25 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+), fr AS (
+  SELECT id, unnest(range(1, nf)) AS f FROM v
+), px AS (
+  SELECT id, f, unnest(range(128)) AS idx FROM fr
+)
+SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
+       sum(abs((id*3 + f*29 + idx*13) % 256 - (id*3 + (f-1)*29 + idx*13) % 256)) AS motion_y,
+       sum(abs((id*3 + f*29 + 101 + idx*13) % 256 - (id*3 + (f-1)*29 + 101 + idx*13) % 256)) AS motion_u,
+       sum(abs((id*3 + f*29 + 202 + idx*13) % 256 - (id*3 + (f-1)*29 + 202 + idx*13) % 256)) AS motion_v
+FROM px GROUP BY 1, 2""",
         "multimodal_patchify": """WITH px AS (
   SELECT doc_id AS id, r.r, c.c
   FROM documents,

@@ -525,3 +525,91 @@ def patch_stats(payload: bytes, patch: int) -> list[dict]:
                 }
             )
     return out
+
+
+def audio_autocorr(payload: bytes, lags: list[int]) -> dict:
+    """Integer autocorrelation of a PCM WAV at the given lags:
+    ac[k] = sum_i s[i] * s[i+k] — the periodicity/silence signal an audio
+    curation filter gates on (pure tones spike at their period, silence is
+    ~0 everywhere). Integer-exact, so an oracle replays it closed-form."""
+    d_off = None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+        elif cid == b"data":
+            d_off, d_len = pos + 8, size
+        pos += 8 + size + (size & 1)
+    if fmt is None or d_off is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt[0] != 1 or fmt[5] != 16 or fmt[1] != 1:
+        raise ValueError("only mono 16-bit PCM supported")
+    s = np.frombuffer(payload[d_off : d_off + d_len], dtype="<i2").astype(np.int64)
+    out = {"n_samples": len(s)}
+    for k in lags:
+        out[f"ac_{k}"] = int((s[:-k] * s[k:]).sum()) if 0 < k < len(s) else 0
+    return out
+
+
+def video_motion(payload: bytes) -> list[dict]:
+    """Per consecutive-frame-pair motion energy of a Y4M stream:
+    sum |frame_f − frame_{f−1}| per plane — the scene-cut / static-video
+    signal a video curation filter gates on (a frozen clip scores ~0, a
+    cut spikes). One dict per pair (f >= 1); integer-exact."""
+    d = _y4m_planes(payload)
+    out = []
+    for f in range(1, len(d["frames"])):
+        prev, cur = d["frames"][f - 1], d["frames"][f]
+        out.append(
+            {
+                "frame_idx": f,
+                "motion_y": int(np.abs(cur[0] - prev[0]).sum()),
+                "motion_u": int(np.abs(cur[1] - prev[1]).sum()),
+                "motion_v": int(np.abs(cur[2] - prev[2]).sum()),
+            }
+        )
+    return out
+
+
+def _y4m_planes(payload: bytes) -> dict:
+    """Parse a C444 Y4M stream into per-frame int64 plane arrays."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    colorspace = "C420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            colorspace = t
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "C444":
+        raise ValueError(f"only C444 supported (got {colorspace})")
+    plane = w * h
+    pos, frames = nl + 1, []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos = payload.index(b"\n", pos) + 1
+        if pos + 3 * plane > len(payload):
+            raise ValueError(f"truncated Y4M frame at {pos}")
+        frames.append(
+            tuple(
+                np.frombuffer(
+                    payload[pos + p * plane : pos + (p + 1) * plane], dtype=np.uint8
+                ).astype(np.int64)
+                for p in range(3)
+            )
+        )
+        pos += 3 * plane
+    return {"width": w, "height": h, "frames": frames}

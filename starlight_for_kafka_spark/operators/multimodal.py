@@ -462,3 +462,67 @@ def patchify_images(media: DataFrame, patch: int = 6) -> DataFrame:
             )
 
     return images.select("media_id", "payload").mapInPandas(op, PATCH_SCHEMA)
+
+
+def audio_periodicity(media: DataFrame, lags: tuple = (1, 241)) -> DataFrame:
+    """Integer autocorrelation per clip at fixed lags — the
+    periodicity/silence curation signal (pure tones spike at their period,
+    silence scores ~0; a filter gates on ac[k]/ac[0]). Map-only
+    Arrow-batched decode; integer-exact, so the oracle replays it
+    closed-form."""
+    _pickle_media_codec_by_value()
+    from starlight_for_kafka_spark.functions import media_codec as mc
+
+    audio = media.filter(F.col("kind") == "audio")
+    lag_list = list(lags)
+    schema = "media_id long, n_samples long, " + ", ".join(
+        f"ac_{k} long" for k in lag_list
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = mc.audio_autocorr(bytes(r.payload), lag_list)
+                rows.append(
+                    (int(r.media_id), d["n_samples"])
+                    + tuple(d[f"ac_{k}"] for k in lag_list)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples"] + [f"ac_{k}" for k in lag_list],
+            )
+
+    return audio.select("media_id", "payload").mapInPandas(op, schema)
+
+
+MOTION_SCHEMA = (
+    "media_id long, frame_idx int, motion_y long, motion_u long, motion_v long"
+)
+
+
+def video_motion_profile(media: DataFrame) -> DataFrame:
+    """Per consecutive-frame-pair motion energy (sum |Δplane|) — the
+    scene-cut / static-clip curation signal (a frozen video scores ~0
+    everywhere; a cut spikes one pair). One decode pass per clip emitting
+    nf−1 rows; integer-exact and oracle-replayable."""
+    _pickle_media_codec_by_value()
+    from starlight_for_kafka_spark.functions import media_codec as mc
+
+    videos = media.filter(F.col("kind") == "video")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for m in mc.video_motion(bytes(r.payload)):
+                    rows.append(
+                        (int(r.media_id), m["frame_idx"], m["motion_y"],
+                         m["motion_u"], m["motion_v"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "motion_y", "motion_u", "motion_v"],
+            )
+
+    return videos.select("media_id", "payload").mapInPandas(op, MOTION_SCHEMA)

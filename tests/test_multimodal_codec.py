@@ -211,3 +211,28 @@ def test_patch_stats_partition_pixels_exactly():
     ps8 = mc.patch_stats(img, 8)  # clipped edges: 3 cols x 2 rows
     assert len(ps8) == 6
     assert ps8[-1]["n_px"] == 2 * 4  # last col 2 wide, last row 4 tall
+
+
+def test_audio_autocorr_detects_near_period():
+    """The synthetic signal's step 17 satisfies 17*241 == 1 (mod 4096), so
+    lag 241 is a near-period: normalized autocorrelation there must be far
+    higher than at an unrelated lag."""
+    wav, _ = mc.synth_audio(4)
+    d = mc.audio_autocorr(wav, [100, 241])
+    d0 = mc.decode_wav(wav)["sum_sq"]  # ac at lag 0
+    assert d["ac_241"] / d0 > 0.95  # shifted-by-1 signal: near-perfect
+    # a sawtooth has structured (but clearly weaker) off-period correlation
+    assert d["ac_100"] / d0 < 0.7 < d["ac_241"] / d0
+
+
+def test_video_motion_static_clip_scores_zero():
+    """A clip whose frames are identical scores zero motion everywhere;
+    the synthetic clips (frame-varying) never do."""
+    plane = bytes(range(128))
+    static = mc.encode_y4m(16, 8, 25, [(plane, plane, plane)] * 3)
+    assert all(
+        m["motion_y"] == m["motion_u"] == m["motion_v"] == 0
+        for m in mc.video_motion(static)
+    )
+    v, _ = mc.synth_video(2)
+    assert all(m["motion_y"] > 0 for m in mc.video_motion(v))
