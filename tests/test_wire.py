@@ -205,3 +205,31 @@ def test_transcode_batches_operator_roundtrip(spark, log):
     a = wire.decode_wire_batches(gz).select("partition", "offset", "value")
     b = wire.decode_wire_batches(plain).select("partition", "offset", "value")
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_transcode_header_patch_is_byte_identical_to_reencode():
+    """The header-patching transcode must produce byte-for-byte the same
+    batch as a full decode-to-dicts/re-encode — same attributes, CRC,
+    record bytes — and reject a corrupted source CRC."""
+    import pytest
+
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    recs = [
+        dict(offset=i, timestamp_ms=1_700_000_000_000 + i, key=b"k%d" % i,
+             value=b"v" * 50, headers=[("h", b"x")])
+        for i in range(20)
+    ]
+    b = kr.encode_batch_v2(7, recs, producer_id=3, producer_epoch=1,
+                           base_sequence=2, compression="snappy")
+    for target in ["lz4", "zstd", "gzip", None]:
+        d = kr.decode_batch_v2(b)
+        ref = kr.encode_batch_v2(
+            d["base_offset"], d["records"], producer_id=d["producer_id"],
+            producer_epoch=d["producer_epoch"], base_sequence=d["base_sequence"],
+            compression=target,
+        )
+        assert kr.transcode(b, target) == ref
+    corrupted = b[:30] + bytes([b[30] ^ 0xFF]) + b[31:]
+    with pytest.raises(ValueError):
+        kr.transcode(corrupted, "gzip")
