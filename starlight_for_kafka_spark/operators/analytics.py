@@ -399,11 +399,13 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
-        dangling = (
-            dangling_nodes.join(ranks, "node")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-            or 0.0
+        # dangling mass stays IN-PLAN as a broadcast 1-row aggregate — a
+        # .first() here would run a whole extra job per iteration just to
+        # ferry one scalar through the driver (measured ~2x the loop's
+        # wall time at sf0.1; at cluster scale it is also a per-iteration
+        # scheduling barrier)
+        dangling = dangling_nodes.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dmass")
         )
         contribs = (
             norm_e.join(ranks, norm_e["src"] == ranks["node"])
@@ -412,6 +414,7 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
@@ -419,7 +422,7 @@ def pagerank(
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.lit(dangling / n_nodes)
+                        + F.col("__dmass") / F.lit(float(n_nodes))
                     )
                 ).alias("rank"),
             )
