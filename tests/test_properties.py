@@ -490,3 +490,55 @@ def test_ppm_bmp_stats_agree_fuzz(w, h, data):
     assert mc.decode_ppm(mc.encode_ppm(w, h, rgb)) == mc.decode_bmp(
         mc.encode_bmp(w, h, rgb)
     )
+
+
+# ---------------------------------------------------------------- #
+# RecordBatch v2 wire codec (pure python — fuzz hard)
+# ---------------------------------------------------------------- #
+
+
+@st.composite
+def _wire_records(draw):
+    n = draw(st.integers(1, 12))
+    base = draw(st.integers(0, 2**40))
+    ts0 = draw(st.integers(0, 2**41))
+    recs = []
+    for i in range(n):
+        headers = [
+            (draw(st.text(alphabet="abcxyz", min_size=1, max_size=6)),
+             draw(st.one_of(st.none(), st.binary(max_size=8))))
+            for _ in range(draw(st.integers(0, 2)))
+        ]
+        recs.append(
+            {
+                "offset": base + i,
+                "timestamp_ms": ts0 + draw(st.integers(0, 10_000)),
+                "key": draw(st.one_of(st.none(), st.binary(max_size=20))),
+                "value": draw(st.one_of(st.none(), st.binary(max_size=60))),
+                "headers": headers,
+            }
+        )
+    return base, recs
+
+
+@given(data=_wire_records(), codec=st.sampled_from([None, "gzip", "snappy", "lz4", "zstd"]))
+@settings(max_examples=40, deadline=None)
+def test_wire_batch_roundtrip_fuzz(data, codec):
+    """Arbitrary records (null keys/values, binary headers, any codec)
+    must survive encode -> transcode chain -> decode exactly."""
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    base, recs = data
+    b = kr.encode_batch_v2(base, recs, compression=codec)
+    # hop through a different codec and back to clear
+    hop = "zstd" if codec != "zstd" else "lz4"
+    b2 = kr.transcode(kr.transcode(b, hop), None)
+    d = kr.decode_batch_v2(b2)
+    assert d["base_offset"] == base
+    got = d["records"]
+    assert len(got) == len(recs)
+    for g, r in zip(got, recs):
+        assert g["offset"] == r["offset"]
+        assert g["timestamp_ms"] == r["timestamp_ms"]
+        assert g["key"] == r["key"] and g["value"] == r["value"]
+        assert [(k, v) for k, v in g["headers"]] == r["headers"]
