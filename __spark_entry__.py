@@ -4614,11 +4614,12 @@ FROM shared WHERE inter / (na + nb - inter) >= 0.6""",
         "text_stats": """WITH base AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
+         length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nc_norm,
          len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
          ' ' || lower(text) || ' ' AS padded
   FROM documents
 ), counted AS (
-  SELECT doc_id, text, n_chars, n_words,
+  SELECT doc_id, text, n_chars, nc_norm, n_words,
     CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS INT)
       + CAST((length(padded) - length(replace(padded, ' and ', ''))) / 5 AS INT)
       + CAST((length(padded) - length(replace(padded, ' of ', ''))) / 4 AS INT)
@@ -4636,13 +4637,13 @@ FROM shared WHERE inter / (na + nb - inter) >= 0.6""",
 SELECT doc_id,
   n_words AS n_tokens,
   CAST(ceil(n_chars / 4) AS BIGINT) AS n_subwords_est,
-  (n_chars - n_words + 1) / n_words AS mean_word_len,
+  (nc_norm - n_words + 1) / n_words AS mean_word_len,
   n_stop / n_words AS stop_ratio,
-  n_punct / n_chars AS punct_density,
-  n_upper / n_chars AS upper_ratio,
+  CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_density,
+  CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END AS upper_ratio,
   least(1.0, (n_stop / n_words) * 2)
-    * (CASE WHEN (n_chars - n_words + 1) / n_words >= 3 AND (n_chars - n_words + 1) / n_words <= 10 THEN 1.0 ELSE 0.5 END)
-    * (1 - least(1.0, (n_upper / n_chars) * 5)) AS quality
+    * (CASE WHEN (nc_norm - n_words + 1) / n_words >= 3 AND (nc_norm - n_words + 1) / n_words <= 10 THEN 1.0 ELSE 0.5 END)
+    * (1 - least(1.0, (CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END) * 5)) AS quality
 FROM counted""",
         "text_fingerprint": """WITH norm AS (
   SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents
@@ -5497,7 +5498,7 @@ e AS (
 j AS (
   SELECT d.doc_id, d.grp,
          CAST(floor(e.epochs) AS INT)
-           + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+           + CASE WHEN ('0x' || substr(md5('epoch:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
                        < round((e.epochs - floor(e.epochs)) * 10000)
                   THEN 1 ELSE 0 END AS n
   FROM d JOIN e USING (grp)
@@ -5596,11 +5597,12 @@ QUALIFY row_number() OVER (PARTITION BY dig ORDER BY doc_id) = 1""",
 base AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
+         length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nc_norm,
          len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
          ' ' || lower(text) || ' ' AS padded
   FROM docs
 ), counted AS (
-  SELECT doc_id, text, n_chars, n_words,
+  SELECT doc_id, text, n_chars, nc_norm, n_words,
     CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS INT)
       + CAST((length(padded) - length(replace(padded, ' and ', ''))) / 5 AS INT)
       + CAST((length(padded) - length(replace(padded, ' of ', ''))) / 4 AS INT)
@@ -5623,8 +5625,8 @@ base AS (
 ), scored AS (
   SELECT doc_id, text, n_words AS n_tokens,
     least(1.0, (n_stop / n_words) * 2)
-      * (CASE WHEN (n_chars - n_words + 1) / n_words >= 3 AND (n_chars - n_words + 1) / n_words <= 10 THEN 1.0 ELSE 0.5 END)
-      * (1 - least(1.0, (n_upper / n_chars) * 5)) AS quality,
+      * (CASE WHEN (nc_norm - n_words + 1) / n_words >= 3 AND (nc_norm - n_words + 1) / n_words <= 10 THEN 1.0 ELSE 0.5 END)
+      * (1 - least(1.0, (CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END) * 5)) AS quality,
     CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
          WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
          WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
@@ -5896,11 +5898,12 @@ FROM per_doc""",
         "quality_classifier": """WITH base AS (
   SELECT doc_id, text,
          length(text) AS n_chars,
+         length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nc_norm,
          len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
          ' ' || lower(text) || ' ' AS padded
   FROM documents
 ), counted AS (
-  SELECT doc_id, n_chars, n_words,
+  SELECT doc_id, n_chars, nc_norm, n_words,
     CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS INT)
       + CAST((length(padded) - length(replace(padded, ' and ', ''))) / 5 AS INT)
       + CAST((length(padded) - length(replace(padded, ' of ', ''))) / 4 AS INT)
@@ -5916,10 +5919,10 @@ FROM per_doc""",
   FROM base
 ), z AS (
   SELECT doc_id,
-         -1.0 + ((n_chars - n_words + 1) / n_words) * 0.2
-              + (n_punct / n_chars) * 2.0
+         -1.0 + ((nc_norm - n_words + 1) / n_words) * 0.2
+              + (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 2.0
               + (n_stop / n_words) * 4.0
-              + (n_upper / n_chars) * (-3.0) AS z
+              + (CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END) * (-3.0) AS z
   FROM counted
 )
 SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS clf_score,
@@ -6465,7 +6468,7 @@ ORDER BY est DESC, user_id LIMIT 20""",
 )
 SELECT doc_id, n_ngrams, bloom_hit FROM per""",
         "sample_stratified": """SELECT doc_id, lang FROM documents
-WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
+WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
       CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'es' THEN 2500
                 WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE 0 END""",
         "audio_chunks": """WITH m AS (

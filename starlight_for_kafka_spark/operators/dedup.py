@@ -187,7 +187,25 @@ def minhash_lsh_candidates(
     by definition near-identical docs that the exact-dedup pass already
     collapses.
     """
-    n = num_hashes if num_hashes is not None else signatures.select(F.size("signature")).first()[0]
+    if num_hashes is None:
+        first = signatures.select(F.size("signature")).first()
+        if first is None:
+            # empty corpus (e.g. everything dropped by a quality gate):
+            # an empty candidate frame, not a TypeError three frames deep
+            return signatures.limit(0).select(
+                F.col(id_col).alias("a"), F.col(id_col).alias("b")
+            )
+        n = first[0]
+    else:
+        n = num_hashes
+    # a non-divisor silently ignores trailing signature components, and
+    # bands > n makes every band hash '' — ONE global bucket (then the
+    # hot-bucket cap drops it and the dedup silently becomes a no-op)
+    if bands < 1 or n % bands != 0:
+        raise ValueError(
+            f"bands must divide the signature length (bands={bands}, "
+            f"num_hashes={n})"
+        )
     rows_per_band = n // bands
     banded = signatures.select(
         id_col,
@@ -477,10 +495,16 @@ def ngram_jaccard_pairs(
     # verify-join strategy: the candidate side is millions of NARROW rows;
     # sort-merge joining them twice against array-carrying sets costs two
     # full sorts. When the set table fits a broadcast (sets_df is already
-    # checkpointed, so count() is a cheap scan), pin broadcast-hash joins —
-    # verify then runs map-side over the candidate stream. Past the
-    # threshold (~100s of MB of sets) fall back to keyed joins.
-    if sets_df.count() <= 50_000:
+    # checkpointed, so the stats scan is cheap), pin broadcast-hash joins —
+    # verify then runs map-side over the candidate stream. The gate is on
+    # estimated BYTES, not row count: 50k long documents can carry multi-GB
+    # shingle arrays, and F.broadcast bypasses the autoBroadcastJoinThreshold
+    # safety net, so a row-count gate would OOM instead of falling back.
+    stats = sets_df.agg(
+        F.count("*").alias("n"), F.sum(F.size("__set")).alias("elems")
+    ).first()
+    est_bytes = (stats["elems"] or 0) * 24 + (stats["n"] or 0) * 64
+    if est_bytes <= 256 * 1024 * 1024:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
@@ -768,6 +792,17 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means components
+        # wider than the iteration budget — returning the intermediate
+        # labels would silently split a near-dup group, which for
+        # leakage_safe_split is exactly the train/val leak the caller is
+        # trying to prevent. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); the graph has a chain "
+            f"longer than max_iter — raise max_iter"
+        )
     return labels
 
 

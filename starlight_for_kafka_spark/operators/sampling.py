@@ -17,6 +17,17 @@ from pyspark.sql import functions as F
 from starlight_for_kafka_spark.functions.hashing import md5_hash64
 
 
+def _es_key(weight_col: str, key_col: str):
+    """The ONE Efraimidis-Spirakis ranking key shared by weighted_sample
+    and weighted_sample_per_group: u = (md5_60bit + 0.5)/2^60, key =
+    round(ln(u)/w, 9). Shared so the global and per-group samplers can
+    never drift apart (and the oracles replay one formula, not two)."""
+    w = F.col(weight_col).cast("double")
+    h = md5_hash64(F.col(key_col).cast("string"))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    return w, F.round(F.log(u) / w, 9)
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -38,8 +49,15 @@ def stratified_sample(
     stratum.
     """
     # hash the STRING form of the key: md5(varchar) is the cross-engine
-    # common denominator (md5 of a long's raw bytes is not portable)
-    gate = F.pmod(md5_hash64(F.col(key_col).cast("string")), F.lit(10_000))
+    # common denominator (md5 of a long's raw bytes is not portable).
+    # SALTED ("strat:") like assign_split/shuffle_rank: an unsalted gate
+    # would correlate with epoch_resample's gate on the same key, so
+    # composing the two samplers (a recommended pipeline) would draw from
+    # the same hash stream and bias realized duplication rates.
+    gate = F.pmod(
+        md5_hash64(F.concat(F.lit("strat:"), F.col(key_col).cast("string"))),
+        F.lit(10_000),
+    )
     cut = F.coalesce(
         *[
             F.when(F.col(strata_col) == s, F.lit(int(round(f * 10_000))))
@@ -78,11 +96,8 @@ def weighted_sample(
     driver comfort (n in the hundreds of millions), switch to the
     two-stage skew.grouped_top_k shape instead.
     """
-    w = F.col(weight_col).cast("double")
-    h = md5_hash64(F.col(key_col).cast("string"))
     # 60-bit hash -> u in (0,1); +0.5 keeps u strictly inside the interval
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
-    es = F.round(F.log(u) / w, 9)
+    w, es = _es_key(weight_col, key_col)
     return (
         df.filter((w > 0) & ~F.isnan(w))
         .withColumn("__es", es)
@@ -115,10 +130,7 @@ def weighted_sample_per_group(
     """
     from starlight_for_kafka_spark.operators.skew import grouped_top_k
 
-    w = F.col(weight_col).cast("double")
-    h = md5_hash64(F.col(key_col).cast("string"))
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
-    es = F.round(F.log(u) / w, 9)
+    w, es = _es_key(weight_col, key_col)
     keyed = df.filter((w > 0) & ~F.isnan(w)).withColumn("__es", es)
     return grouped_top_k(
         keyed,
@@ -436,8 +448,14 @@ def interleave_sources(
     as shuffle_rank (rank order = (hash mod n_shards, hash, id)): no
     per-source global window ever serializes a dominant source. Rows
     whose source has no weight are dropped (weight 0). Emits the input
-    columns + (src_rank, interleave_key); the key is what you range-
-    partition + sortWithinPartitions on when writing the epoch.
+    columns + (src_rank, interleave_key).
+
+    TIE-BREAK CONTRACT: equal-weight sources collide on the key at every
+    rank ((i + 0.5)/w is identical for both), and 6-dp rounding can
+    collide unequal weights too — so a deterministic epoch write must
+    sort by (interleave_key, source, src_rank), never the key alone
+    (range-partition + sortWithinPartitions on all three). Both tie-break
+    columns are emitted for exactly this reason.
     """
     h = md5_hash64(F.concat(F.lit(f"il{seed}:"), F.col(id_col).cast("string")))
     local = df.withColumn("__h", h).withColumn(
@@ -505,7 +523,13 @@ def epoch_resample(
     would read.
     """
     e = weights.select(group_col, "epochs")
-    gate = F.pmod(md5_hash64(F.col(id_col).cast("string")), F.lit(10_000))
+    # salted distinctly from stratified_sample's gate (see its comment): a
+    # corpus pre-filtered by that sampler must still see an independent
+    # draw here, or frac(epochs) realizes as frac/fraction instead of frac
+    gate = F.pmod(
+        md5_hash64(F.concat(F.lit("epoch:"), F.col(id_col).cast("string"))),
+        F.lit(10_000),
+    )
     n_extra = (gate < F.round((F.col("epochs") - F.floor(F.col("epochs"))) * 10_000)).cast("int")
     n = (F.floor(F.col("epochs")).cast("int") + n_extra).alias("__n")
     return (

@@ -219,6 +219,28 @@ def cluster_balanced_sample(
     )
 
 
+def _rank_probe_cells(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ONE probe-selection rule shared by ivf_top_k and ann_recall:
+    centroid cosine rounded to 9 dp (same as ivf_assign, so selection is
+    engine-reproducible), ties broken by cell index. Shared on purpose —
+    a harness that re-implemented it would keep measuring the OLD probe
+    order if the operator's rule ever changed."""
+    import math
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return round(dot / (na * nb), 9)
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (-_cos(centroids[i], query_vec), i)
+    )
+    return ranked[:nprobe]
+
+
 def ivf_top_k(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -240,18 +262,7 @@ def ivf_top_k(
     Centroid similarity is rounded to 9 dp (same as ivf_assign) so probe
     selection is reproducible across engines.
     """
-    import math
-
-    def _cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(y * y for y in b))
-        return round(dot / (na * nb), 9)
-
-    ranked = sorted(
-        range(len(centroids)), key=lambda i: (-_cos(centroids[i], query_vec), i)
-    )
-    probe = ranked[:nprobe]
+    probe = _rank_probe_cells(centroids, query_vec, nprobe)
     assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
     candidates = assigned.filter(F.col("ivf_cell").isin(probe))
     return brute_force_top_k(candidates, query_vec, k, id_col, vec_col)
@@ -424,24 +435,8 @@ def ann_recall(
         )
     )
 
-    import math
-
-    def _cos(a, b):
-        dot = sum(p * q for p, q in zip(a, b))
-        return round(
-            dot
-            / (math.sqrt(sum(p * p for p in a)) * math.sqrt(sum(q * q for q in b))),
-            9,
-        )
-
     probe_cells = [
-        (
-            r["qid"],
-            sorted(
-                range(len(centroids)),
-                key=lambda i: (-_cos(centroids[i], list(r["__qv"])), i),
-            )[:nprobe],
-        )
+        (r["qid"], _rank_probe_cells(centroids, list(r["__qv"]), nprobe))
         for r in qrows
     ]
     spark = embeddings.sparkSession
@@ -498,6 +493,11 @@ def hybrid_search(
     exactly twice (one keyword scan, one vector scan), each a map-side
     scan feeding a bounded top-k.
     """
+    if not query_terms:
+        raise ValueError(
+            "hybrid_search: query_terms is empty — use brute_force_top_k / "
+            "ivf_top_k for vector-only search"
+        )
     toks = F.split(F.col(text_col), " ")
     tscore = None
     for t in query_terms:
@@ -812,9 +812,16 @@ def binarize_embeddings(
             lambda a, b: a + b,
         )
 
-    return df.select(
-        id_col, pack(32).alias("bq_hi"), pack(0).alias("bq_lo")
-    )
+    # the two-word layout encodes EXACTLY 64 dims; silently truncating a
+    # wider embedding would make binary_recall measure a code built from
+    # 1/6th of the vector with plausible-looking numbers
+    return df.filter(
+        F.assert_true(
+            F.size(vec_col) == 64,
+            "binarize_embeddings packs a fixed 64-dim layout; "
+            "got a different dimension — slice or project the vectors first",
+        ).isNull()
+    ).select(id_col, pack(32).alias("bq_hi"), pack(0).alias("bq_lo"))
 
 
 def binary_recall(

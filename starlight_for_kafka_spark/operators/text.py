@@ -103,11 +103,18 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
     # raw IEEE divisions (no rounding): int/int division is bit-identical
-    # across engines, so the oracle comparison is exact
-    mean_word_len = (n_chars - n_words + 1) / n_words
+    # across engines, so the oracle comparison is exact.
+    # mean word length uses the single-space identity over whitespace-
+    # NORMALIZED length (the same normalization gopher_quality_flags does)
+    # — on raw text a run of spaces/newlines counts every separator char
+    # as word length and silently inflates the metric.
+    n_chars_norm = F.length(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    mean_word_len = (n_chars_norm - n_words + 1) / n_words
     stop_ratio = n_stop / n_words
-    punct_density = n_punct / n_chars
-    upper_ratio = n_upper / n_chars
+    # empty text: 0/0 would be NULL and a null quality silently vanishes
+    # from any filter("keep") downstream — define the ratios as 0 instead
+    punct_density = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(0.0)
     score = (
         F.least(F.lit(1.0), stop_ratio * 2)
         * F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.5)
