@@ -4865,7 +4865,8 @@ FROM b WHERE branch IS NOT NULL GROUP BY branch""",
 e AS (SELECT event_type, value, epoch_us(ts) // 1000 AS ms FROM events)
 SELECT event_type, count(*) AS cnt,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-       (ms // 3600000 - j) * 3600000 AS window_start_ms
+       (ms // 3600000 - j) * 3600000 AS window_start_ms,
+       (ms // 3600000 - j) * 3600000 + 7200000 AS window_end_ms
 FROM e CROSS JOIN j
 GROUP BY event_type, window_start_ms""",
         "typed_view": f"""WITH {LOG_CTE}

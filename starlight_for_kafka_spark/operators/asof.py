@@ -53,16 +53,27 @@ def as_of_join(
             f"right payload columns collide with left columns: {sorted(overlap)}; "
             "rename the right side first"
         )
-    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__tag", F.lit(1))
-    for c in right_payload:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = (
-        right.select(*on, F.col(right_ts).alias("__ts"), *right_payload)
-        .withColumn("__tag", F.lit(0))
+    # the payload rides as ONE struct, carried atomically: per-column
+    # last(ignorenulls) would let a right row's NULL field resurrect the
+    # PREVIOUS version's value for that column — mixing table versions a
+    # changelog never contained (and hiding tombstoned values). The struct
+    # itself is non-null for every right row, so ignorenulls skips only
+    # the interleaved left rows.
+    r_struct = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.struct(*right_payload).alias("__rp"),
     )
+    rp_type = r_struct.schema["__rp"].dataType
+    l_tagged = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__tag", F.lit(1))
+        .withColumn("__rp", F.lit(None).cast(rp_type))
+    )
+    r_tagged = r_struct.withColumn("__tag", F.lit(0))
     left_cols = [c for c in left.columns]
     combined = l_tagged.select(
-        *on, "__ts", "__tag", *[c for c in left_cols if c not in on], *right_payload
+        *on, "__ts", "__tag", *[c for c in left_cols if c not in on], "__rp"
     ).unionByName(
         r_tagged.select(
             *on,
@@ -70,12 +81,17 @@ def as_of_join(
             "__tag",
             *[F.lit(None).cast(l_tagged.schema[c].dataType).alias(c)
               for c in left_cols if c not in on],
-            *right_payload,
+            "__rp",
         )
     )
     order = [F.col("__ts"), F.col("__tag")]
     if tiebreak:
-        order.append(F.col(tiebreak))
+        # the payload rides inside __rp now; a right-side tiebreak column
+        # is ordered via its struct field (left rows carry a null struct,
+        # but their relative order is already fixed by __tag)
+        order.append(
+            F.col(f"__rp.{tiebreak}") if tiebreak in right_payload else F.col(tiebreak)
+        )
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)
@@ -85,9 +101,15 @@ def as_of_join(
         *on,
         "__tag",
         *[c for c in left_cols if c not in on],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+        F.last("__rp", ignorenulls=True).over(w).alias("__rp"),
     )
-    out = carried.filter(F.col("__tag") == 1).drop("__tag")
+    out = (
+        carried.filter(F.col("__tag") == 1)
+        .select(
+            "*", *[F.col(f"__rp.{c}").alias(c) for c in right_payload]
+        )
+        .drop("__tag", "__rp")
+    )
     if match_col is not None:
         out = out.withColumn(
             match_col, F.coalesce(F.col("__m"), F.lit(False))
@@ -122,16 +144,22 @@ def as_of_join_forward(
             f"right payload columns collide with left columns: {sorted(overlap)}; "
             "rename the right side first"
         )
-    l_tagged = left.withColumn("__ts", F.col(left_ts)).withColumn("__tag", F.lit(1))
-    for c in right_payload:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r_tagged = (
-        right.select(*on, F.col(right_ts).alias("__ts"), *right_payload)
-        .withColumn("__tag", F.lit(2))
+    # same atomic-struct carry as the backward join (see comment there)
+    r_struct = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.struct(*right_payload).alias("__rp"),
     )
+    rp_type = r_struct.schema["__rp"].dataType
+    l_tagged = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__tag", F.lit(1))
+        .withColumn("__rp", F.lit(None).cast(rp_type))
+    )
+    r_tagged = r_struct.withColumn("__tag", F.lit(2))
     left_cols = [c for c in left.columns]
     combined = l_tagged.select(
-        *on, "__ts", "__tag", *[c for c in left_cols if c not in on], *right_payload
+        *on, "__ts", "__tag", *[c for c in left_cols if c not in on], "__rp"
     ).unionByName(
         r_tagged.select(
             *on,
@@ -139,7 +167,7 @@ def as_of_join_forward(
             "__tag",
             *[F.lit(None).cast(l_tagged.schema[c].dataType).alias(c)
               for c in left_cols if c not in on],
-            *right_payload,
+            "__rp",
         )
     )
     # ascending (ts, tag): at equal ts the left row (tag 1) sorts before the
@@ -147,7 +175,9 @@ def as_of_join_forward(
     # same-timestamp right row — inclusive >= semantics
     order = [F.col("__ts"), F.col("__tag")]
     if tiebreak:
-        order.append(F.col(tiebreak))
+        order.append(
+            F.col(f"__rp.{tiebreak}") if tiebreak in right_payload else F.col(tiebreak)
+        )
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)
@@ -157,6 +187,10 @@ def as_of_join_forward(
         *on,
         "__tag",
         *[c for c in left_cols if c not in on],
-        *[F.first(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+        F.first("__rp", ignorenulls=True).over(w).alias("__rp"),
     )
-    return carried.filter(F.col("__tag") == 1).drop("__tag")
+    return (
+        carried.filter(F.col("__tag") == 1)
+        .select("*", *[F.col(f"__rp.{c}").alias(c) for c in right_payload])
+        .drop("__tag", "__rp")
+    )

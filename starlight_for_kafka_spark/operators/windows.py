@@ -42,12 +42,17 @@ def keyed_aggregate(
 def tumbling_window(
     df: DataFrame, ts_col: str, duration: str, keys: list | None = None
 ) -> DataFrame:
-    """Epoch-aligned tumbling windows (TimeWindows.of, reference test :178).
-    Returns the grouped frame's window bounds as explicit columns so callers
-    aggregate over them.
-    """
-    keys = keys or []
-    return df.groupBy(F.window(F.col(ts_col), duration).alias("win"), *keys)
+    """Epoch-aligned tumbling-window ANNOTATION (TimeWindows.of, reference
+    test :178): each row gains explicit ``window_start``/``window_end``
+    bound columns — the pre-aggregation form for callers that window-tag
+    rows and aggregate themselves (use :func:`tumbling_window_agg` for the
+    grouped aggregate; an earlier version returned a bare GroupedData,
+    which supports none of the DataFrame API its docstring implied)."""
+    keys = keys or []  # kept for signature compatibility; tagging is per-row
+    win = F.window(F.col(ts_col), duration)
+    return df.withColumn("window_start", win["start"]).withColumn(
+        "window_end", win["end"]
+    )
 
 
 def tumbling_window_agg(
@@ -142,6 +147,12 @@ def interval_join(
     The streaming form (streaming/stream_ops.stream_stream_join) adds
     watermarks so state stays bounded by before+after+watermark.
     """
+    if how not in ("inner", "left", "left_outer"):
+        # right/full would surface unmatched right rows with NULL keys
+        # (their real key lives in the dropped right-side key columns) —
+        # refuse rather than silently destroy keys; Kafka Streams'
+        # KStream-KStream join is inner/left only as well
+        raise ValueError(f"interval_join supports inner/left joins, got {how!r}")
     l, r = left.alias("__l"), right.alias("__r")
     cond = None
     for k in keys:
@@ -172,6 +183,10 @@ def sliding_window_agg(
     return (
         grouped.agg(*aggs)
         .withColumn("window_start_ms", F.expr("unix_micros(win.start) DIV 1000"))
+        # end emitted too (same shape as tumbling_window_agg): hopping
+        # windows overlap, so the end bound is NOT derivable downstream
+        # without re-parsing the duration string
+        .withColumn("window_end_ms", F.expr("unix_micros(win.end) DIV 1000"))
         .drop("win")
     )
 

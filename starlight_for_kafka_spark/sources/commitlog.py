@@ -49,7 +49,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .logtable import LOG_COLUMNS
+from .logtable import LOG_COLUMNS, assign_dense_offsets
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
@@ -299,16 +299,7 @@ class CommittedLog:
                 [(int(p), int(n)) for p, n in watermarks.items()],
                 "partition int, high_watermark long",
             )
-            w = Window.partitionBy("partition").orderBy(order)
-            assigned = (
-                batch.withColumn("__rel", (F.row_number().over(w) - 1).cast("long"))
-                .join(F.broadcast(hwm), "partition", "left")
-                .withColumn(
-                    "offset",
-                    F.coalesce(F.col("high_watermark"), F.lit(0)) + F.col("__rel"),
-                )
-                .select(*LOG_COLUMNS)
-            )
+            assigned = assign_dense_offsets(batch, hwm, order)
             # stage the attempt, then move files into the ONE consistent
             # data/partition=p/ tree (unique names per attempt) — mixed
             # per-writer subtrees would break Spark's partition discovery,
@@ -442,6 +433,16 @@ class CommittedLog:
                 "removes": old_files,
                 "watermarks": {str(p): n for p, n in watermarks.items()},
             }
+            # re-stamp immediately before the PUT — the same invariant
+            # append holds (see its comment). Worse here than for append:
+            # this manifest also RETIRES the old files, so committing a
+            # reference to vacuumed new files would leave NO surviving
+            # copy of the data.
+            for rel in new_files:
+                try:
+                    os.utime(os.path.join(self.root, rel))
+                except OSError:
+                    pass
             try:
                 self._try_commit(version + 1, manifest)
             except CommitConflict:
@@ -513,7 +514,20 @@ class CommittedLog:
         if os.path.isdir(stage_root):
             for d in os.listdir(stage_root):
                 full = os.path.join(stage_root, d)
-                if old_enough(full):
+                # age by the NEWEST file inside, not the dir mtime: a dir's
+                # mtime reflects creation/early writes, so a large write
+                # still in flight after min_age would look abandoned and
+                # get rmtree'd under the writer
+                newest = full
+                for dirpath, _dirs, files in os.walk(full):
+                    for fn in files:
+                        fp = os.path.join(dirpath, fn)
+                        try:
+                            if os.path.getmtime(fp) > os.path.getmtime(newest):
+                                newest = fp
+                        except OSError:
+                            pass
+                if old_enough(newest):
                     shutil.rmtree(full, ignore_errors=True)
                     deleted.append(os.path.relpath(full, self.root))
         log_root = os.path.join(self.root, _LOG_DIR)

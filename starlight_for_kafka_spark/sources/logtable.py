@@ -79,6 +79,27 @@ def record_size(key_col: str = "key", value_col: str = "value"):
     ).cast("long")
 
 
+def assign_dense_offsets(batch, hwm, order):
+    """The ONE dense-offset-assignment plan shared by LogTable.append and
+    CommittedLog.append: per-partition row_number over ``order`` + a
+    broadcast watermark join, starting empty partitions at 0. Shared so
+    the single-writer and optimistic-commit paths can never drift on the
+    empty-log / ordering contracts their tests pin.
+
+    ``hwm`` is a (partition, high_watermark) frame (num-partitions rows).
+    Returns rows with ``offset`` assigned, projected to LOG_COLUMNS.
+    """
+    w = Window.partitionBy("partition").orderBy(order)
+    return (
+        batch.withColumn("__rel", (F.row_number().over(w) - 1).cast("long"))
+        .join(F.broadcast(hwm), "partition", "left")
+        .withColumn(
+            "offset", F.coalesce(F.col("high_watermark"), F.lit(0)) + F.col("__rel")
+        )
+        .select(*LOG_COLUMNS)
+    )
+
+
 class LogTable:
     """A partitioned offset-addressed log as a DataFrame.
 
@@ -168,17 +189,7 @@ class LogTable:
         batch = records
         if order_col is None:
             batch = batch.withColumn("__arrival", F.monotonically_increasing_id())
-        w = Window.partitionBy("partition").orderBy(order)
-        hwm = self.high_watermarks()
-        appended = (
-            batch.withColumn("__rel", (F.row_number().over(w) - 1).cast("long"))
-            .join(F.broadcast(hwm), "partition", "left")
-            .withColumn(
-                "offset", F.coalesce(F.col("high_watermark"), F.lit(0)) + F.col("__rel")
-            )
-            .drop("__rel", "high_watermark", "__arrival")
-            .select(*LOG_COLUMNS)
-        )
+        appended = assign_dense_offsets(batch, self.high_watermarks(), order)
         return LogTable(self.df.select(*LOG_COLUMNS).unionByName(appended))
 
     def write(self, path: str, mode: str = "overwrite") -> None:
@@ -279,14 +290,25 @@ class LogTable:
         partition, the offset holding the maximum timestamp (earliest such
         offset on ties — Kafka returns the first record carrying the max).
         One map-side-combinable aggregation; the same ledger walk the
-        reference's OffsetFinder does, but as an argmax."""
+        reference's OffsetFinder does, but as an argmax.
+
+        NULL-timestamp records are excluded BEFORE the argmax: struct
+        ordering sorts a null first field ahead of any value, so an
+        unfiltered min_by would pair a null-timestamp record's offset
+        with max(timestamp)'s value — an (offset, timestamp) pair no
+        record holds (max() already ignores nulls; the filter makes the
+        two aggregates agree)."""
         neg_ts = -F.unix_micros(F.col("timestamp"))
-        return self.df.groupBy("partition").agg(
-            F.min_by(
-                F.col("offset"),
-                F.struct(neg_ts.alias("neg_ts"), F.col("offset").alias("o")),
-            ).alias("offset"),
-            F.max("timestamp").alias("timestamp"),
+        return (
+            self.df.filter(F.col("timestamp").isNotNull())
+            .groupBy("partition")
+            .agg(
+                F.min_by(
+                    F.col("offset"),
+                    F.struct(neg_ts.alias("neg_ts"), F.col("offset").alias("o")),
+                ).alias("offset"),
+                F.max("timestamp").alias("timestamp"),
+            )
         )
 
     # ------------------------------------------------------------------ #

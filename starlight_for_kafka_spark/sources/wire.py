@@ -78,6 +78,15 @@ def encode_wire_batches(
         F.floor(
             (F.row_number().over(w) - 1) / F.lit(n * batches_per_group)
         ).cast("long"),
+    ).withColumn(
+        # epoch millis computed JVM-side: a pandas .astype('int64') on the
+        # timestamp column would encode SESSION-LOCAL wall-clock millis
+        # into the wire bytes (wrong for any non-UTC session, silently
+        # self-cancelling on roundtrip) and crashes/corrupts on NULL
+        # timestamps. unix_millis is an instant regardless of session TZ;
+        # NULL maps to Kafka's NO_TIMESTAMP (-1) in the kernel.
+        "__ts_ms",
+        F.unix_millis("timestamp"),
     )
 
     def op(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -86,7 +95,9 @@ def encode_wire_batches(
         # column-wise zip iteration, not iterrows (per-row Series
         # construction is ~5x slower and this kernel IS the conversion
         # hot path the reference meters)
-        ts_ms_col = (pdf["timestamp"].astype("int64") // 1_000_000).tolist()
+        ts_ms_col = [
+            -1 if pd.isna(t) else int(t) for t in pdf["__ts_ms"]
+        ]
         offs = pdf["offset"].tolist()
         keys = pdf["key"].tolist()
         vals = pdf["value"].tolist()
@@ -134,15 +145,13 @@ def decode_wire_batches(batches: DataFrame) -> DataFrame:
     _pickle_codec_by_value()
     from starlight_for_kafka_spark.functions import kafka_records as kr
 
-    out_schema = (
+    mid_schema = (
         "key binary, value binary, "
         "headers array<struct<key:string,value:binary>>, "
-        "timestamp timestamp, partition int, offset long"
+        "__ts_ms long, partition int, offset long"
     )
 
     def op(batch_iter):
-        import datetime as _dt
-
         import pandas as pd
 
         for pdf in batch_iter:
@@ -157,19 +166,28 @@ def decode_wire_batches(batches: DataFrame) -> DataFrame:
                             "headers": [
                                 {"key": hk, "value": hv} for hk, hv in rec["headers"]
                             ],
-                            "timestamp": _dt.datetime.utcfromtimestamp(
-                                rec["timestamp_ms"] / 1000.0
-                            ),
+                            "__ts_ms": rec["timestamp_ms"],
                             "partition": int(r["partition"]),
                             "offset": rec["offset"],
                         }
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["key", "value", "headers", "timestamp", "partition", "offset"],
+                columns=["key", "value", "headers", "__ts_ms", "partition", "offset"],
             )
 
-    return batches.mapInPandas(op, out_schema)
+    # millis -> TIMESTAMP converted JVM-side (timestamp_millis is an
+    # instant, immune to the session timezone — a Python utcfromtimestamp
+    # naive datetime would be re-interpreted session-locally on the way
+    # back in); Kafka's NO_TIMESTAMP sentinel (-1) decodes to NULL.
+    return (
+        batches.mapInPandas(op, mid_schema)
+        .withColumn(
+            "timestamp",
+            F.timestamp_millis(F.when(F.col("__ts_ms") >= 0, F.col("__ts_ms"))),
+        )
+        .select("key", "value", "headers", "timestamp", "partition", "offset")
+    )
 
 
 def transcode_batches(

@@ -354,3 +354,28 @@ def test_table_aggregate_counts_current_table_not_updates(spark):
     # k1 counts ONCE, in its latest group (len 3 -> odd); k2 in even;
     # k3 is gone entirely
     assert out == {1: 1, 0: 1}
+
+
+def test_stream_table_join_null_update_is_visible_not_resurrected(spark):
+    """A changelog update that sets a field to NULL must be what stream
+    records see as of that time — per-column carry would resurrect the
+    previous version's value (and mix fields across versions)."""
+    from starlight_for_kafka_spark.operators.ktable import stream_table_join
+
+    _t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    changelog = spark.createDataFrame(
+        [("k1", _t(1), "v1", 1), ("k1", _t(3), None, 2)],
+        "key string, ts timestamp, val string, ver int",
+    )
+    stream = spark.createDataFrame(
+        [("k1", _t(2), "e1"), ("k1", _t(5), "e2")],
+        "key string, ts timestamp, ev string",
+    )
+    out = {r.ev: (r.val, r.ver, r["__matched"] if "__matched" in r else True)
+           for r in stream_table_join(
+               stream, changelog, ["key"], payload=["val", "ver"], how="left"
+           ).collect()}
+    assert out["e1"][0] == "v1" and out["e1"][1] == 1
+    # as of t5 the table row is version 2 with val=NULL — both fields from
+    # the SAME version, never (val='v1', ver=2)
+    assert out["e2"][0] is None and out["e2"][1] == 2

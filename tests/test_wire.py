@@ -233,3 +233,41 @@ def test_transcode_header_patch_is_byte_identical_to_reencode():
     corrupted = b[:30] + bytes([b[30] ^ 0xFF]) + b[31:]
     with pytest.raises(ValueError):
         kr.transcode(corrupted, "gzip")
+
+
+def test_wire_timestamps_are_instants_not_session_local(spark, log):
+    """The encoded bytes must carry true epoch millis regardless of the
+    session timezone, and NULL timestamps must ride as Kafka's -1
+    sentinel and decode back to NULL."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+    from starlight_for_kafka_spark.sources import wire
+
+    rows = spark.createDataFrame(
+        [
+            (b"k1", b"v1", [], datetime.datetime(2024, 1, 1, 12, 0, 0), 0, 0),
+            (b"k2", b"v2", [], None, 0, 1),
+        ],
+        "key binary, value binary, headers array<struct<key:string,value:binary>>, "
+        "timestamp timestamp, partition int, offset long",
+    )
+    true_ms = rows.select(F.unix_millis("timestamp")).first()[0]
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        blob = wire.encode_wire_batches(rows, max_records_per_batch=10).first()["batch"]
+        decoded_raw = kr.decode_batch_v2(bytes(blob))["records"]
+        # the BYTES carry the instant, not New-York wall-clock millis
+        assert decoded_raw[0]["timestamp_ms"] == true_ms
+        assert decoded_raw[1]["timestamp_ms"] == -1
+        back = wire.decode_wire_batches(
+            wire.encode_wire_batches(rows, max_records_per_batch=10)
+        )
+        got = {r.offset: r.timestamp for r in back.collect()}
+        assert got[1] is None
+        assert back.filter(F.unix_millis("timestamp") == true_ms).count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
