@@ -529,7 +529,16 @@ def _hll_estimate(
             exact = df.groupBy(*group_cols).agg(
                 F.countDistinct(value_col).alias("exact")
             )
-            out = out.join(exact, group_cols)
+            # null-SAFE join: a NULL group key is a legitimate slice (the
+            # sketch side keeps it — only value NULLs are filtered), and a
+            # null-unsafe equi-join would silently drop it exactly when
+            # with_exact=True (prom_histogram filters null groups for the
+            # same reason; here the slice is kept instead)
+            cond = None
+            for g in group_cols:
+                eq = out[g].eqNullSafe(exact[g])
+                cond = eq if cond is None else (cond & eq)
+            out = out.join(exact, cond).drop(*[exact[g] for g in group_cols])
         else:
             out = out.crossJoin(df.agg(F.countDistinct(value_col).alias("exact")))
         out = out.withColumn(

@@ -106,8 +106,16 @@ def prom_histogram(
     counts = df.groupBy(*group_cols, le.alias("le")).agg(
         F.count("*").alias("__n")
     )
+    # group enumeration from the tiny COUNTS aggregate, not the raw
+    # observations — the distinct over post-aggregation rows (groups x
+    # buckets) is equivalent by construction and skips a second full
+    # data-sized scan (same shape cumulative_from_sparse uses)
     grid = (
-        (df.select(*group_cols).distinct() if group_cols else df.limit(1).select())
+        (
+            counts.select(*group_cols).distinct()
+            if group_cols
+            else df.limit(1).select()
+        )
         .crossJoin(
             df.sparkSession.createDataFrame(
                 [(b,) for b in bs + [float("inf")]], "le double"
@@ -196,7 +204,7 @@ def histogram_quantile(
     ).over(Window.partitionBy(*parts))
     h = (
         hist.withColumn("__prev_cum", F.coalesce(F.lag("cum").over(w), F.lit(0).cast("long")))
-        .withColumn("__prev_le", F.coalesce(F.lag("le").over(w), F.lit(0.0)))
+        .withColumn("__prev_le", F.lag("le").over(w))
         .withColumn("__total", F.max("cum").over(Window.partitionBy(*parts)))
         .withColumn("__fmax", finite_max)
         .filter(F.col("__total") > 0)
@@ -214,10 +222,23 @@ def histogram_quantile(
         )
         .select(*group_cols, "q", "__b.*")
     )
-    value = F.when(F.col("le") == float("inf"), F.col("__fmax")).otherwise(
-        F.col("__prev_le")
-        + (F.col("le") - F.col("__prev_le"))
-        * (F.col("__target") - F.col("__prev_cum"))
-        / (F.col("cum") - F.col("__prev_cum"))
+    # Prometheus's lowest-bucket rule: the FIRST bucket (null lag — a
+    # default of 0.0 would be indistinguishable from a real 0.0 bound)
+    # interpolates from an assumed lower bound of 0 only when its upper
+    # bound is positive; a non-positive lowest bound returns the bound
+    # itself (interpolating from 0 would land ABOVE the bucket for
+    # negative-bound histograms). Interior buckets anchor at the real
+    # previous bound as before.
+    first = F.col("__prev_le").isNull()
+    anchor = F.coalesce(F.col("__prev_le"), F.lit(0.0))
+    value = (
+        F.when(F.col("le") == float("inf"), F.col("__fmax"))
+        .when(first & (F.col("le") <= 0), F.col("le"))
+        .otherwise(
+            anchor
+            + (F.col("le") - anchor)
+            * (F.col("__target") - F.col("__prev_cum"))
+            / (F.col("cum") - F.col("__prev_cum"))
+        )
     )
     return chosen.select(*group_cols, "q", F.round(value, 6).alias("value"))

@@ -119,9 +119,16 @@ def _proto_parse(definition: str) -> tuple[dict[int, tuple[str, str, str]], set[
         if m and m.group(2) not in ("message", "enum", "syntax", "option"):
             label, ftype, name, num = m.groups()
             fields[int(num)] = (label or "optional", ftype, name)
-        rm = re.match(r"^\s*reserved\s+([\d,\s]+);", line)
+        rm = re.match(r"^\s*reserved\s+([\d,\sto]+);", line)
         if rm:
-            reserved |= {int(x) for x in rm.group(1).replace(",", " ").split()}
+            # both spellings: 'reserved 2, 15;' and 'reserved 15 to 20;'
+            for part in rm.group(1).split(","):
+                toks = part.split()
+                if "to" in toks:
+                    i = toks.index("to")
+                    reserved |= set(range(int(toks[i - 1]), int(toks[i + 1]) + 1))
+                else:
+                    reserved |= {int(x) for x in toks}
     return fields, reserved
 
 
@@ -151,9 +158,9 @@ def check_compatibility(
     latest prior version; TRANSITIVE modes check all; the checker is
     selected by schema type (:125-136). PROTOBUF supports only BACKWARD
     modes — other modes report incompatible (:120-122, :148-149)."""
+    mode = mode.upper()
     if not prior_defs or mode == "NONE":
         return True
-    mode = mode.upper()
     transitive = mode.endswith("_TRANSITIVE")
     base = mode.replace("_TRANSITIVE", "")
     if base not in ("BACKWARD", "FORWARD", "FULL"):
@@ -294,14 +301,17 @@ def register_schema(
     if mode is None:
         mode = get_compatibility(config, subject) if config is not None else "NONE"
     checked = resolve_references(registry, definition, references)
-    history = [
-        r.definition
-        for r in registry.filter(F.col("subject") == subject).orderBy("version").collect()
-    ]
+    rows = (
+        registry.filter(F.col("subject") == subject).orderBy("version").collect()
+    )
+    history = [r.definition for r in rows]
     if not check_compatibility(mode, checked, history, schema_type):
         raise ValueError(f"incompatible schema for subject {subject} under {mode}")
     spark = registry.sparkSession
-    next_version = len(history) + 1
+    # max+1, NOT len+1: after delete_version the count is smaller than the
+    # highest surviving number, and len+1 would re-issue an existing
+    # version - breaking delete_version's never-reused contract
+    next_version = max((r.version for r in rows), default=0) + 1
     next_id = (registry.agg(F.coalesce(F.max("id"), F.lit(0))).first()[0] or 0) + 1
     new_row = spark.createDataFrame(
         [(subject, next_version, next_id, schema_type, checked)], SUBJECT_SCHEMA
@@ -487,6 +497,14 @@ def avro_decode(
         for pdf in batches:
             sids, typed = [], []
             for raw in pdf[value_col]:
+                # tombstones (NULL value) and frames with an unregistered
+                # schema id null out like malformed frames do - one bad
+                # record must never kill the task (schema_id is emitted,
+                # so callers can quarantine unknown-id rows)
+                if raw is None:
+                    sids.append(None)
+                    typed.append(None)
+                    continue
                 buf = bytes(raw)
                 if len(buf) < 5 or buf[0:1] != b"\x00":
                     sids.append(None)
@@ -494,7 +512,11 @@ def avro_decode(
                     continue
                 sid = _struct.unpack(">i", buf[1:5])[0]
                 sids.append(sid)
-                typed.append(ac.decode(buf[5:], parsed[sid], reader))
+                typed.append(
+                    ac.decode(buf[5:], parsed[sid], reader)
+                    if sid in parsed
+                    else None
+                )
             out = pdf[keep_names].copy()
             out["schema_id"] = pd.Series(sids, dtype="object")
             out[out_col] = pd.Series(typed, dtype="object")

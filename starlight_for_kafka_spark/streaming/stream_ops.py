@@ -79,12 +79,18 @@ def session_window_count_stream(
     )
 
 
-def ktable_stream(log: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+def ktable_stream(log: DataFrame) -> DataFrame:
     """KTable changelog as a stream: latest value per key. Complete-output
     max_by keyed aggregation — the streaming analog of
     operators/ktable.ktable_latest (KTableTest.java:80). State restore on
     restart comes from the checkpoint, playing the role of the reference's
-    changelog-topic restore."""
+    changelog-topic restore.
+
+    NOTE: state here is one row per LIVE KEY forever — a KTable is the
+    full materialized latest view, so no watermark applies (an earlier
+    signature accepted a ``watermark`` argument it silently ignored,
+    implying bounded state this aggregation does not have; the bounded
+    siblings are idempotent_stream / dedup_stream)."""
     return log.groupBy("key").agg(
         F.max_by(F.col("value"), F.struct("partition", "offset")).alias("value"),
         F.max(F.struct("partition", "offset")).alias("last_position"),
@@ -109,11 +115,15 @@ def dedup_stream(log: DataFrame, watermark: str = "10 seconds") -> DataFrame:
     horizon's traffic, not corpus history — the streaming sibling of
     operators/dedup.py:exact_dedup; cross-horizon dedup composes with the
     batch incremental_dedup anti-join at rest."""
+    # hash key and value SEPARATELY, then combine: a raw concat with a
+    # separator byte lets distinct records collide (key=b'a|',value=b'b'
+    # vs key=b'a',value=b'|b' both concat to a||b) and silently drop one;
+    # per-side digests with distinct null sentinels cannot (b'' vs NULL
+    # also stay distinct)
     digest = F.md5(
         F.concat(
-            F.coalesce(F.col("key"), F.lit(b"")),
-            F.lit(b"|"),
-            F.coalesce(F.col("value"), F.lit(b"")),
+            F.coalesce(F.md5(F.col("key")), F.lit("null-key")),
+            F.coalesce(F.md5(F.col("value")), F.lit("null-value")),
         )
     )
     return (

@@ -214,3 +214,55 @@ def test_schema_references_resolve_and_gate_compat(spark):
             reg, "outer-value", "AVRO", outer, mode="NONE",
             references=[{"name": "Inner", "subject": "nope", "version": 1}],
         )
+
+
+def test_avro_decode_tombstone_and_unknown_id_null_out(spark):
+    """NULL values (tombstones) and frames with an unregistered schema id
+    must null out like malformed frames — never kill the task."""
+    import struct
+
+    from starlight_for_kafka_spark.functions import avro_codec as ac
+    from starlight_for_kafka_spark.operators import registry as reg
+
+    schema = '{"type":"record","name":"R","fields":[{"name":"k","type":"long"}]}'
+    good = b"\x00" + struct.pack(">i", 1) + ac.encode({"k": 7}, ac.parse_schema(schema))
+    unknown = b"\x00" + struct.pack(">i", 99) + b"\x02"
+    log = spark.createDataFrame(
+        [(0, 0, good), (0, 1, None), (0, 2, unknown)],
+        "partition int, offset long, value binary",
+    )
+    out = {r.offset: (r.schema_id, r.typed) for r in
+           reg.avro_decode(log, {1: schema}, schema).collect()}
+    assert out[0][0] == 1 and out[0][1] is not None
+    assert out[1] == (None, None)          # tombstone
+    assert out[2][0] == 99 and out[2][1] is None  # unknown id quarantined
+
+
+def test_register_after_delete_never_reuses_version(spark):
+    from starlight_for_kafka_spark.operators import registry as reg
+
+    s1 = '{"type":"record","name":"R","fields":[]}'
+    r = reg.create_registry(spark)
+    r = reg.register_schema(r, "s-value", "AVRO", s1, mode="NONE")
+    r = reg.register_schema(r, "s-value", "AVRO", s1, mode="NONE")
+    r = reg.register_schema(r, "s-value", "AVRO", s1, mode="NONE")
+    r = reg.delete_version(r, "s-value", 2)
+    r = reg.register_schema(r, "s-value", "AVRO", s1, mode="NONE")
+    versions = sorted(x.version for x in r.filter(r.subject == "s-value").collect())
+    assert versions == [1, 3, 4]  # 2 deleted, 3 NOT reissued
+
+
+def test_proto_reserved_range_syntax():
+    from starlight_for_kafka_spark.operators.registry import _proto_parse
+
+    _fields, reserved = _proto_parse(
+        "message M {\n  int64 a = 1;\n  reserved 2, 15;\n  reserved 16 to 20;\n}"
+    )
+    assert reserved == {2, 15, 16, 17, 18, 19, 20}
+
+
+def test_compatibility_mode_case_insensitive():
+    from starlight_for_kafka_spark.operators.registry import check_compatibility
+
+    s = '{"type":"record","name":"R","fields":[]}'
+    assert check_compatibility("none", s, [s]) is True

@@ -714,3 +714,29 @@ def test_offsets_wire_recovery_stream_converges_to_batch(tmp_path, spark, events
     }
     assert ("g1", "events", 3) not in streamed  # tombstoned key gone
     assert streamed == batch and len(batch) > 0
+
+
+def test_dedup_stream_digest_no_separator_collision(tmp_path, spark):
+    """key=b'a|'/value=b'b' and key=b'a'/value=b'|b' are DISTINCT records;
+    a raw concat digest collided them and silently dropped one."""
+    import datetime
+
+    rows = [
+        (b"a|", b"b", [], datetime.datetime(2024, 1, 1), 0, 0),
+        (b"a", b"|b", [], datetime.datetime(2024, 1, 1), 0, 1),
+        (b"a", b"|b", [], datetime.datetime(2024, 1, 1), 0, 2),  # true dup
+        (b"", b"x", [], datetime.datetime(2024, 1, 1), 0, 3),
+        (None, b"x", [], datetime.datetime(2024, 1, 1), 0, 4),  # NULL != b''
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "key binary, value binary, headers array<struct<key:string,value:binary>>, "
+        "timestamp timestamp, partition int, offset long",
+    )
+    path = str(tmp_path / "dd")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = stream_ops.dedup_stream(stream)
+    stream_ops.run_to_memory(out, "dd_out", output_mode="append")
+    kept = sorted(r.offset for r in spark.sql("SELECT * FROM dd_out").collect())
+    assert len(kept) == 4 and 0 in kept and 3 in kept and 4 in kept
