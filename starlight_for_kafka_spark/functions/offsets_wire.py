@@ -56,6 +56,13 @@ def _read_str(buf: bytes, pos: int) -> tuple[str | None, int]:
     pos += 2
     if n < 0:
         return None, pos
+    # bounds check: a slice past the end silently clamps in Python, so a
+    # truncated/corrupt record would decode to a plausible-looking shorter
+    # string instead of failing loudly like the media/batch codecs do
+    if pos + n > len(buf):
+        raise ValueError(
+            f"truncated string: declared {n} bytes, {len(buf) - pos} remain"
+        )
     return buf[pos : pos + n].decode("utf-8"), pos + n
 
 
@@ -64,6 +71,10 @@ def _read_bytes(buf: bytes, pos: int) -> tuple[bytes | None, int]:
     pos += 4
     if n < 0:
         return None, pos
+    if pos + n > len(buf):
+        raise ValueError(
+            f"truncated bytes: declared {n} bytes, {len(buf) - pos} remain"
+        )
     return buf[pos : pos + n], pos + n
 
 
@@ -158,6 +169,11 @@ def decode_offset_value(buf: bytes | None) -> dict | None:
     if buf is None:
         return None
     (version,) = struct.unpack_from(">h", buf, 0)
+    # version gate FIRST: an unknown future version must surface as the
+    # intended ValueError, not a struct.error from parsing the buffer with
+    # a v0-v3 field layout it does not have
+    if version < 0 or version > 3:
+        raise ValueError(f"unknown offset value version {version}")
     pos = 2
     (offset,) = struct.unpack_from(">q", buf, pos)
     pos += 8
@@ -172,8 +188,6 @@ def decode_offset_value(buf: bytes | None) -> dict | None:
     if version == 1:
         (expire_ts,) = struct.unpack_from(">q", buf, pos)
         expire_ts = None if expire_ts == -1 else expire_ts
-    if version > 3:
-        raise ValueError(f"unknown offset value version {version}")
     return {
         "version": version,
         "offset": offset,
@@ -228,7 +242,7 @@ def decode_group_metadata_value(buf: bytes | None) -> dict | None:
     if buf is None:
         return None
     (version,) = struct.unpack_from(">h", buf, 0)
-    if version > 3:
+    if version < 0 or version > 3:
         raise ValueError(f"unknown group metadata version {version}")
     pos = 2
     protocol_type, pos = _read_str(buf, pos)
@@ -242,6 +256,15 @@ def decode_group_metadata_value(buf: bytes | None) -> dict | None:
         pos += 8
     (n_members,) = struct.unpack_from(">i", buf, pos)
     pos += 4
+    # each member carries at least 2 strings + 1 int + 2 byte-arrays
+    # (>= 16 bytes even when everything is null/empty), so a declared
+    # count the remaining buffer cannot possibly hold is corruption —
+    # fail now instead of looping until a struct.error surfaces
+    if n_members < 0 or n_members * 16 > len(buf) - pos:
+        raise ValueError(
+            f"corrupt group metadata: {n_members} members declared, "
+            f"{len(buf) - pos} bytes remain"
+        )
     members = []
     for _ in range(n_members):
         member_id, pos = _read_str(buf, pos)

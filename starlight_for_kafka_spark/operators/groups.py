@@ -1128,7 +1128,7 @@ def encode_group_metadata_records(
             }
             for r in pdf.itertuples(index=False)
         ]
-        key = ow.encode_group_metadata_key(first["group"])
+        key = ow.encode_group_metadata_key(first[group_col])
         value = ow.encode_group_metadata_value(
             first.protocol_type, int(first.generation),
             None if pd.isna(first.protocol) else first.protocol,

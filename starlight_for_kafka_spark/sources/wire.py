@@ -179,12 +179,14 @@ def decode_wire_batches(batches: DataFrame) -> DataFrame:
     # millis -> TIMESTAMP converted JVM-side (timestamp_millis is an
     # instant, immune to the session timezone — a Python utcfromtimestamp
     # naive datetime would be re-interpreted session-locally on the way
-    # back in); Kafka's NO_TIMESTAMP sentinel (-1) decodes to NULL.
+    # back in); Kafka's NO_TIMESTAMP sentinel is EXACTLY -1 — any other
+    # negative value is a legitimate pre-1970 instant the encoder wrote
+    # faithfully and must round-trip, so the test is != -1, not >= 0.
     return (
         batches.mapInPandas(op, mid_schema)
         .withColumn(
             "timestamp",
-            F.timestamp_millis(F.when(F.col("__ts_ms") >= 0, F.col("__ts_ms"))),
+            F.timestamp_millis(F.when(F.col("__ts_ms") != -1, F.col("__ts_ms"))),
         )
         .select("key", "value", "headers", "timestamp", "partition", "offset")
     )

@@ -632,9 +632,15 @@ def offsets_wire_recovery_stream(records: DataFrame) -> DataFrame:
     from starlight_for_kafka_spark.operators.groups import decode_offsets_topic
 
     decoded = decode_offsets_topic(records).filter(F.col("kind") == "offset")
-    decoded = decoded.withColumn(
-        "ord_ms", F.coalesce(F.col("append_ts"), F.col("commit_ts_ms"))
+    # mirror the batch twin (groups.recover_offsets_from_wire): a raw
+    # (key, value)-only stream carries no append_ts column — the embedded
+    # commit timestamp is then the only ordering signal
+    ord_col = (
+        F.coalesce(F.col("append_ts"), F.col("commit_ts_ms"))
+        if "append_ts" in decoded.columns
+        else F.col("commit_ts_ms")
     )
+    decoded = decoded.withColumn("ord_ms", ord_col)
 
     def _rank(t):
         # (ord, tombstone, offset) — same ordering as the batch window

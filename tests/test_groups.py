@@ -619,3 +619,27 @@ def test_mixed_offsets_topic_routes_by_key_version(spark):
     assert len(offsets) == 1 and offsets[0].offset == 5
     mems = groups.decode_group_metadata_records(mixed).collect()
     assert len(mems) == 1 and mems[0].member_id == "m1" and mems[0].generation == 3
+
+
+def test_encode_group_metadata_records_custom_group_col(spark):
+    """The group_col parameter must actually work: a renamed group column
+    encodes the same record bytes as the default name."""
+    base = [(3, "consumer", "range", "m1", "m1", None, "c", "/h", 1, 2,
+             bytearray(b"s"), bytearray(b"a"))]
+    schema_tail = (
+        "generation int, protocol_type string, protocol string, "
+        "leader string, member_id string, group_instance_id string, "
+        "client_id string, client_host string, rebalance_timeout_ms int, "
+        "session_timeout_ms int, subscription binary, assignment binary"
+    )
+    default = spark.createDataFrame(
+        [("g0",) + base[0]], "group string, " + schema_tail
+    )
+    renamed = spark.createDataFrame(
+        [("g0",) + base[0]], "grp_name string, " + schema_tail
+    )
+    a = groups.encode_group_metadata_records(default).collect()
+    b = groups.encode_group_metadata_records(renamed, group_col="grp_name").collect()
+    assert len(a) == len(b) == 1
+    assert bytes(a[0].key) == bytes(b[0].key)
+    assert bytes(a[0].value) == bytes(b[0].value)

@@ -129,3 +129,41 @@ def test_unknown_versions_raise():
         ow.decode_key(bytes.fromhex("0009" + "0001" + "67"))
     with pytest.raises(ValueError):
         ow.encode_offset_value(1, "m", 1, version=9)
+
+
+def test_unknown_value_versions_raise_before_parsing():
+    # a future-versioned value must raise ValueError from the version gate,
+    # not a struct.error from parsing it with a v0-v3 layout
+    import struct
+
+    with pytest.raises(ValueError, match="version"):
+        ow.decode_offset_value(struct.pack(">h", 9))
+    with pytest.raises(ValueError, match="version"):
+        ow.decode_group_metadata_value(struct.pack(">h", 9))
+
+
+def test_truncated_records_raise_not_clamp():
+    # Python slices clamp silently; the codec must not — a truncated
+    # at-rest record decodes loudly, never to plausible shorter content
+    good = ow.encode_offset_value(42, "metadata-string", 1000, version=3)
+    with pytest.raises(ValueError, match="truncated"):
+        ow.decode_offset_value(good[:-20])  # cuts into the metadata string
+    gkey = ow.encode_group_metadata_key("group-with-a-long-name")
+    with pytest.raises(ValueError, match="truncated"):
+        ow.decode_key(gkey[:-5])
+
+
+def test_corrupt_member_count_raises():
+    b = ow.encode_group_metadata_value(
+        "consumer", 1, "range", "m0",
+        [{"member_id": "m0", "client_id": "c", "client_host": "/h",
+          "rebalance_timeout_ms": 1, "session_timeout_ms": 2,
+          "subscription": b"", "assignment": b""}],
+        version=3,
+    )
+    # patch the member-count int32 (directly before the first member's
+    # member_id) to a count the remaining bytes cannot hold
+    idx = b.index(b"\x00\x00\x00\x01\x00\x02m0")
+    corrupt = b[:idx] + b"\x00\x00\xff\xff" + b[idx + 4:]
+    with pytest.raises(ValueError, match="corrupt group metadata"):
+        ow.decode_group_metadata_value(corrupt)

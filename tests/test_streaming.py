@@ -740,3 +740,29 @@ def test_dedup_stream_digest_no_separator_collision(tmp_path, spark):
     stream_ops.run_to_memory(out, "dd_out", output_mode="append")
     kept = sorted(r.offset for r in spark.sql("SELECT * FROM dd_out").collect())
     assert len(kept) == 4 and 0 in kept and 3 in kept and 4 in kept
+
+
+def test_offsets_wire_recovery_stream_without_append_ts(tmp_path, spark):
+    """A raw (key, value)-only dump (no append_ts column) must recover via
+    the embedded commit timestamp, mirroring the batch twin's fallback."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators import groups as g
+
+    ts = datetime.datetime(2024, 1, 1)
+    commits = spark.createDataFrame(
+        [("g0", "t", 0, 5, "old", ts), ("g0", "t", 0, 9, "new",
+          ts + datetime.timedelta(hours=1))],
+        "group string, topic string, partition int, offset long, "
+        "metadata string, commit_ts timestamp",
+    )
+    records = g.encode_offsets_topic(commits).drop("append_ts")
+    path = str(tmp_path / "raw_records")
+    records.write.parquet(path)
+    stream = spark.readStream.schema(records.schema).parquet(path)
+    out = stream_ops.offsets_wire_recovery_stream(stream)
+    stream_ops.run_to_memory(out, "raw_wire_out", output_mode="update")
+    rows = spark.sql("SELECT * FROM raw_wire_out").collect()
+    assert len(rows) == 1 and rows[0].offset == 9 and rows[0].metadata == "new"

@@ -271,3 +271,32 @@ def test_wire_timestamps_are_instants_not_session_local(spark, log):
         assert back.filter(F.unix_millis("timestamp") == true_ms).count() == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_pre_1970_timestamp_roundtrips(spark):
+    """Kafka's NO_TIMESTAMP sentinel is exactly -1; any other negative
+    millis value is a legitimate pre-1970 instant and must round-trip
+    (only NULL maps to the sentinel)."""
+    import datetime
+
+    rows = [
+        ("k0", b"v", datetime.datetime(1969, 12, 31, 23, 59, 59), 0, 0),
+        ("k1", b"v", None, 0, 1),  # NULL -> wire -1 -> NULL
+        ("k2", b"v", datetime.datetime(1955, 6, 1), 0, 2),
+    ]
+    df = spark.createDataFrame(
+        [(k, bytearray(v), ts, p, o) for k, v, ts, p, o in rows],
+        "key string, value binary, timestamp timestamp, partition int, offset long",
+    ).withColumn("key", F.col("key").cast("binary")).withColumn(
+        "headers",
+        F.lit(None).cast("array<struct<key:string,value:binary>>"),
+    )
+    decoded = wire.decode_wire_batches(wire.encode_wire_batches(df))
+    got = {
+        r.offset: r.ts for r in decoded.select(
+            "offset", F.unix_millis("timestamp").alias("ts")
+        ).collect()
+    }
+    assert got[0] == -1000
+    assert got[1] is None
+    assert got[2] < -400_000_000_000  # 1955 stays 1955, not NULL
