@@ -80,7 +80,7 @@ TXN_CTE = (
     LOG_CTE
     + """,
 txn AS (
-  SELECT "partition", "offset",
+  SELECT "partition", "offset", "timestamp",
          CAST(key AS BIGINT) % 16 AS pid,
          CAST(row_number() OVER (PARTITION BY CAST(key AS BIGINT) % 16 ORDER BY "partition", "offset") - 1 AS INT) AS seq
   FROM log
@@ -258,6 +258,19 @@ def q_fetch_max_bytes(spark, sf_dir):
 
     return _log(spark, sf_dir).fetch(2, 5, max_bytes=300).select(
         "partition", "offset", record_size().alias("n_bytes")
+    )
+
+
+def q_fetch_response_budget(spark, sf_dir):
+    """Multi-partition FETCH under ONE response byte budget (KIP-74 /
+    MessageFetchContext): partitions served in request order, records
+    accrue while cumulative response bytes fit, first record always
+    returned. The oracle replays the cumulative-budget math in SQL."""
+    return _log(spark, sf_dir).fetch_multi(
+        [(5, 10), (1, 0), (7, 3)], response_max_bytes=4000
+    ).select(
+        "ridx", "partition", "offset",
+        F.col("key").cast("string").alias("key"),
     )
 
 
@@ -463,6 +476,50 @@ def q_txn_describe_transactions(spark, sf_dir):
         (F.col("event_id") % 97 + 100).cast("long").alias("pid"),
     )
     return tx_ops.describe_transactions(ev)
+
+
+# coordinator-janitor fixture: now = 2024-01-31T00:00:00Z (just past the
+# events horizon); txn timeout 12 days (opens started before Jan 19 abort,
+# later ones survive — both classes nonempty at every SF); transactional-id
+# expiration 1 hour (the idle tail of the per-id last-update distribution
+# expires, the active head is retained)
+JANITOR_NOW_MS = 1_706_659_200_000
+TXN_TIMEOUT_MS = 1_036_800_000
+TXN_ID_EXPIRATION_MS = 3_600_000
+
+
+def q_txn_timeout_abort(spark, sf_dir):
+    """Coordinator timeout-abort sweep (TransactionCoordinator.java:1034):
+    open transactions older than transaction.timeout.ms flip to aborted;
+    the aborted-txn index then carries their spans, so read-committed
+    consumers advance past a dead producer's records."""
+    txn_log = tx_ops.derive_txn_log(_log(spark, sf_dir).df)
+    swept = tx_ops.abort_timed_out_transactions(
+        txn_log, JANITOR_NOW_MS, TXN_TIMEOUT_MS
+    )
+    return tx_ops.aborted_txn_index(swept)
+
+
+def q_txn_id_expiry(spark, sf_dir):
+    """Transactional-id expiration (TransactionConfig.java:51): idle
+    non-Ongoing ids past transactional.id.expiration.ms are flagged for
+    purge from coordinator state — the txn-side twin of offset expiry."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("txn-"), (F.col("user_id") % 12).cast("string")).alias(
+            "transactional_id"
+        ),
+        "ts", "event_id",
+        F.element_at(
+            F.array(
+                F.lit("init"), F.lit("add_partitions"), F.lit("add_offsets"),
+                F.lit("end_commit"), F.lit("end_abort"),
+            ),
+            (F.col("event_id") % 5).cast("int") + 1,
+        ).alias("action"),
+    )
+    return tx_ops.expire_transactional_ids(
+        ev, JANITOR_NOW_MS, TXN_ID_EXPIRATION_MS
+    )
 
 
 def q_keyed_count(spark, sf_dir):
@@ -889,6 +946,29 @@ def q_wire_roundtrip(spark, sf_dir):
     batches = wire.transcode_batches(gz, compression=None)
     decoded = wire.decode_wire_batches(batches)
     return decoded.select(
+        "partition",
+        "offset",
+        F.unix_millis("timestamp").alias("ts_ms"),
+        F.col("key").cast("string").alias("key"),
+        F.octet_length("value").alias("value_len"),
+    )
+
+
+def q_wire_legacy_ingest(spark, sf_dir):
+    """Legacy MessageSet v0/v1 ingest (AbstractEntryFormatter.java:248-281
+    read side): the log down-converted to v1 message sets (headers
+    dropped, per-message CRC32) then ingested BACK into typed rows through
+    ingest_message_sets — the path a replay of a pre-0.11 dump takes. The
+    oracle recomputes the projected fields from the source log at ms
+    precision; any legacy-layout, CRC, or timestamp-sentinel bug breaks
+    parity."""
+    from starlight_for_kafka_spark.sources import wire
+
+    log = _log(spark, sf_dir).df
+    batches = wire.encode_wire_batches(log, max_records_per_batch=50)
+    legacy = wire.down_convert_batches(batches, to_magic=1)
+    typed = wire.ingest_message_sets(legacy)
+    return typed.select(
         "partition",
         "offset",
         F.unix_millis("timestamp").alias("ts_ms"),
@@ -3396,6 +3476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_describe_producers": q_txn_describe_producers,
         "txn_list_transactions": q_txn_list_transactions,
         "txn_describe_transactions": q_txn_describe_transactions,
+        "txn_timeout_abort": q_txn_timeout_abort,
+        "txn_id_expiry": q_txn_id_expiry,
         "keyed_count": q_keyed_count,
         "keyed_reduce": q_keyed_reduce,
         "tumbling_window_1h": q_tumbling_window_1h,
@@ -3445,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_references": q_registry_references,
         "registry_wire": q_registry_wire,
         "wire_roundtrip": q_wire_roundtrip,
+        "wire_legacy_ingest": q_wire_legacy_ingest,
         "wire_transcode_codecs": q_wire_transcode_codecs,
         "log_integrity": q_log_integrity,
         "registry_compat_full": q_registry_compat_full,
@@ -3477,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_compact_tombstone_window": q_log_compact_tombstone_window,
         "connected_components_chain": q_connected_components_chain,
         "fetch_max_bytes": q_fetch_max_bytes,
+        "fetch_response_budget": q_fetch_response_budget,
         "txn_purge_aborted": q_txn_purge_aborted,
         "list_offsets_max_ts": q_list_offsets_max_ts,
         "describe_log": q_describe_log,
@@ -4317,6 +4401,20 @@ f AS (
   FROM log WHERE "partition" = 2 AND "offset" >= 5
 )
 SELECT "partition", "offset", n_bytes FROM f WHERE cum <= 300 OR rn = 1""",
+        "fetch_response_budget": f"""WITH {LOG_CTE},
+req AS (SELECT * FROM (VALUES (0, 5, 10), (1, 1, 0), (2, 7, 3)) AS t(ridx, p, so)),
+cand AS (
+  SELECT r.ridx, l."partition", l."offset", l.key,
+         strlen(l.key) + strlen(l.value) AS sz
+  FROM log l JOIN req r ON l."partition" = r.p AND l."offset" >= r.so
+),
+cum AS (
+  SELECT *, sum(sz) OVER (ORDER BY ridx, "offset"
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         row_number() OVER (ORDER BY ridx, "offset") AS rn
+  FROM cand
+)
+SELECT ridx, "partition", "offset", key FROM cum WHERE c <= 4000 OR rn = 1""",
         "produce_offsets_dense": f"""WITH {LOG_CTE}
 SELECT "partition", count(*) AS n_records, min("offset") AS min_offset, max("offset") AS max_offset
 FROM log GROUP BY "partition\"""",
@@ -4411,6 +4509,61 @@ FROM fold f JOIN n ON n.tid = f.tid AND f.i = n.m""",
         "txn_aborted_index": f"""WITH {TXN_CTE}
 SELECT "partition", pid, txn_group, min("offset") AS first_offset, max("offset") AS last_offset
 FROM txn3 WHERE txn_status = 'abort' GROUP BY "partition", pid, txn_group""",
+        "txn_timeout_abort": f"""WITH {TXN_CTE},
+tstart AS (
+  SELECT pid, txn_group,
+         min(CAST(epoch_us("timestamp") // 1000 AS BIGINT)) AS start_ms
+  FROM txn3 WHERE txn_status = 'open' GROUP BY pid, txn_group
+),
+sweep AS (
+  SELECT pid, txn_group FROM tstart
+  WHERE start_ms + {TXN_TIMEOUT_MS} < {JANITOR_NOW_MS}
+),
+flipped AS (
+  SELECT t."partition", t.pid, t.txn_group, t."offset",
+         CASE WHEN s.pid IS NOT NULL THEN 'abort' ELSE t.txn_status END AS st
+  FROM txn3 t LEFT JOIN sweep s ON s.pid = t.pid AND s.txn_group = t.txn_group
+)
+SELECT "partition", pid, txn_group,
+       min("offset") AS first_offset, max("offset") AS last_offset
+FROM flipped WHERE st = 'abort' GROUP BY "partition", pid, txn_group""",
+        "txn_id_expiry": """WITH RECURSIVE ev AS (
+  SELECT 'txn-' || CAST(user_id % 12 AS VARCHAR) AS tid, ts, event_id,
+         CASE CAST(event_id % 5 AS INT) WHEN 0 THEN 'init' WHEN 1 THEN 'add_partitions'
+              WHEN 2 THEN 'add_offsets' WHEN 3 THEN 'end_commit' ELSE 'end_abort' END AS a
+  FROM events
+), steps AS (
+  SELECT tid, a, row_number() OVER (PARTITION BY tid ORDER BY ts, event_id, a) AS i FROM ev
+), n AS (
+  SELECT tid, max(i) AS m FROM steps GROUP BY tid
+), fold AS (
+  SELECT tid, 0 AS i, 0 AS state, 0 AS epochs, 0 AS committed, 0 AS aborted, 0 AS invalid FROM n
+  UNION ALL
+  SELECT f.tid, f.i + 1,
+         CASE WHEN s.a = 'init' THEN 0
+              WHEN s.a IN ('add_partitions', 'add_offsets') AND f.epochs > 0 THEN 1
+              WHEN s.a = 'end_commit' AND f.state = 1 THEN 2
+              WHEN s.a = 'end_abort' AND f.state = 1 THEN 3
+              ELSE f.state END,
+         f.epochs + CASE WHEN s.a = 'init' THEN 1 ELSE 0 END,
+         f.committed + CASE WHEN s.a = 'end_commit' AND f.state = 1 THEN 1 ELSE 0 END,
+         f.aborted + CASE WHEN s.a = 'end_abort' AND f.state = 1 THEN 1 ELSE 0 END
+                   + CASE WHEN s.a = 'init' AND f.state = 1 THEN 1 ELSE 0 END,
+         f.invalid + CASE WHEN (s.a IN ('add_partitions', 'add_offsets') AND f.epochs = 0)
+                           OR (s.a IN ('end_commit', 'end_abort') AND f.state <> 1) THEN 1 ELSE 0 END
+  FROM fold f JOIN steps s ON s.tid = f.tid AND s.i = f.i + 1
+), last AS (
+  SELECT tid, max(CAST(epoch_us(ts) // 1000 AS BIGINT)) AS last_update_ms
+  FROM ev GROUP BY tid
+)
+SELECT f.tid AS transactional_id,
+       ['Empty', 'Ongoing', 'CompleteCommit', 'CompleteAbort'][f.state + 1] AS final_state,
+       f.epochs AS epochs, f.committed AS n_committed,
+       f.aborted AS n_aborted, f.invalid AS n_invalid,
+       l.last_update_ms AS last_update_ms,
+       (f.state <> 1 AND l.last_update_ms + 3600000 < 1706659200000) AS expired
+FROM fold f JOIN n ON n.tid = f.tid AND f.i = n.m
+JOIN last l ON l.tid = f.tid""",
         "txn_last_stable_offsets": f"""WITH {TXN_CTE}
 SELECT * FROM lso""",
         "describe_log": f"""WITH {LOG_CTE}
@@ -4944,6 +5097,10 @@ SELECT "partition", count(*) AS n_records,
         AND sum(CASE WHEN po IS NOT NULL AND "offset" = po THEN 1 ELSE 0 END) = 0) AS dense
 FROM x GROUP BY "partition\"""",
         "wire_roundtrip": f"""WITH {LOG_CTE}
+SELECT "partition", "offset", {ms.format(c='"timestamp"')} AS ts_ms,
+       key, strlen(value) AS value_len
+FROM log""",
+        "wire_legacy_ingest": f"""WITH {LOG_CTE}
 SELECT "partition", "offset", {ms.format(c='"timestamp"')} AS ts_ms,
        key, strlen(value) AS value_len
 FROM log""",

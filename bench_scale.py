@@ -64,6 +64,11 @@ SUITE = [
     "pagerank_event_graph",
     "commitlog_append",
     "wire_transcode_codecs",
+    # round-5 addition: the heaviest media-decode plan — payload now
+    # crosses the Arrow boundary once per VIDEO (array-of-frames column),
+    # not once per sampled frame; this row tracks that the fix holds as
+    # payload volume scales
+    "multimodal_frame_features",
 ]
 
 # SPARK_GRAFT_SCALE_SUITE=a,b,c restricts the run (e.g. the linear rows

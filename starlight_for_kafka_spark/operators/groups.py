@@ -255,6 +255,42 @@ def _ranked_partitions(partitions: DataFrame) -> DataFrame:
     )
 
 
+def _global_partition_index(partitions: DataFrame) -> DataFrame:
+    """Dense 0-based rank of every (topic, partition) in (topic, partition)
+    order — the global deal order the round-robin and sticky assignors
+    share. Computed as a TOPIC-SHARDED parallel prefix, not one
+    unpartitioned window: per-topic local ranks run as independent windows
+    (topic is the natural range shard — the global order is topic-major by
+    construction), and the per-topic counts (#topics rows, control-plane)
+    get a running offset broadcast back — the same sharded-prefix idiom as
+    sampling.shuffle_rank / allocate_producer_ids, so a 10^5-partition
+    estate never funnels through one task inside every rebalance."""
+    p = partitions.select("topic", "partition").distinct()
+    w = Window.partitionBy("topic").orderBy("partition")
+    local = p.withColumn("__local", F.row_number().over(w))
+    offsets = (
+        local.groupBy("topic")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("topic").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("topic", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "topic")
+        .withColumn("gidx", F.col("__offset") + F.col("__local") - 1)
+        .drop("__local", "__offset")
+    )
+
+
 def assign_partitions_range(members: DataFrame, partitions: DataFrame) -> DataFrame:
     """Range assignor — the leader-side assignment computed during SYNC_GROUP
     (the reference stores whatever the elected leader uploads,
@@ -291,12 +327,7 @@ def assign_partitions_roundrobin(members: DataFrame, partitions: DataFrame) -> D
     circularly to members sorted by id — evens out skew across topics that
     the range assignor concentrates on low-ranked members."""
     m = _ranked_members(members)
-    wg = Window.orderBy("topic", "partition")
-    p = (
-        partitions.select("topic", "partition")
-        .distinct()
-        .withColumn("gidx", F.row_number().over(wg) - 1)
-    )
+    p = _global_partition_index(partitions)
     groups = m.select("group", "nm").distinct()
     assigned = p.crossJoin(F.broadcast(groups)).withColumn(
         "midx", (F.col("gidx") % F.col("nm")).cast("int")
@@ -334,12 +365,7 @@ def assign_partitions_sticky(
     Coordinator-scale data: everything broadcasts, no large shuffle.
     """
     m = _ranked_members(members)
-    wg = Window.orderBy("topic", "partition")
-    p0 = (
-        partitions.select("topic", "partition")
-        .distinct()
-        .withColumn("gidx", F.row_number().over(wg) - 1)
-    )
+    p0 = _global_partition_index(partitions)
     np_total = p0.count()  # control-plane: partition table is tiny
     groups = m.select("group", "nm").distinct()
     p = p0.crossJoin(F.broadcast(groups)).withColumn("np", F.lit(np_total))

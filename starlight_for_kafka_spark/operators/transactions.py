@@ -529,6 +529,111 @@ def txn_state_machine(
 
 
 # ---------------------------------------------------------------------------
+# coordinator janitors: timeout aborts + transactional-id expiration
+# ---------------------------------------------------------------------------
+
+
+def timed_out_transactions(
+    txn_log: DataFrame, now_ms: int, timeout_ms: int, ts_col: str = "timestamp"
+) -> DataFrame:
+    """Transactions still OPEN whose first record is older than the
+    transaction timeout — the set the reference coordinator's periodic
+    sweep aborts (TransactionCoordinator.java:1034 "Abort timeout
+    transactions": start + timeout < now ⇒ endTransaction(abort)).
+
+    Grain is the coordinator-level transaction (pid, txn_group) — a txn
+    spanning several partitions times out as ONE unit, from its earliest
+    record anywhere, exactly like txnStartTimestamp in coordinator state.
+    Epoch millis computed with integer DIV so the oracle replays the
+    boundary exactly. One aggregation over the open subset; output is
+    O(open transactions) rows — coordinator-scale tiny.
+    """
+    start_ms = F.expr(f"unix_micros({ts_col}) DIV 1000")
+    return (
+        txn_log.filter(F.col("txn_status") == "open")
+        .groupBy("pid", "txn_group")
+        .agg(
+            F.min(start_ms).alias("txn_start_ms"),
+            F.min("offset").alias("first_offset"),
+            F.count("*").alias("n_records"),
+        )
+        .filter(F.col("txn_start_ms") + F.lit(timeout_ms) < F.lit(now_ms))
+    )
+
+
+def abort_timed_out_transactions(
+    txn_log: DataFrame, now_ms: int, timeout_ms: int, ts_col: str = "timestamp"
+) -> DataFrame:
+    """The timeout-abort sweep applied to the log: every timed-out open
+    transaction's records flip to txn_status='abort' — the synthetic abort
+    markers the reference coordinator writes when a producer dies
+    mid-transaction (TransactionCoordinator.java:1034; config
+    transaction.timeout.ms, TransactionConfig.java). Without this sweep a
+    dead producer's open txn holds the LSO down FOREVER and read-committed
+    consumers stall — the exact incident the periodic abort prevents.
+
+    Composes downstream unchanged: aborted_txn_index picks up the flipped
+    spans, last_stable_offsets advances past them, read_committed unblocks
+    (pinned by test), and txn_markers emits their ABORT control rows.
+
+    Scale: the timed-out set is O(open transactions) rows, broadcast; the
+    log itself is never shuffled — one broadcast hash join + a projection.
+    """
+    sweep = timed_out_transactions(txn_log, now_ms, timeout_ms, ts_col).select(
+        "pid", "txn_group", F.lit(True).alias("__timed_out")
+    )
+    return (
+        txn_log.join(F.broadcast(sweep), ["pid", "txn_group"], "left")
+        .withColumn(
+            "txn_status",
+            # only open txns enter the sweep set, so every matched row is
+            # part of a still-open transaction — flip the whole txn
+            F.when(F.col("__timed_out"), F.lit("abort")).otherwise(
+                F.col("txn_status")
+            ),
+        )
+        .drop("__timed_out")
+    )
+
+
+def expire_transactional_ids(
+    events: DataFrame,
+    now_ms: int,
+    expiration_ms: int,
+    txn_col: str = "transactional_id",
+    action_col: str = "action",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Transactional-id expiration — the txn-side twin of
+    groups.expire_offsets (reference TransactionConfig.java:51
+    transactionalIdExpirationMs; TransactionStateManager's expiration task
+    removes ids idle past the horizon, but NEVER an id with an ongoing
+    transaction). Without it the coordinator state table grows with every
+    id ever seen.
+
+    Emits the coordinator state (txn_state_machine columns) plus
+    ``last_update_ms`` and the ``expired`` verdict:
+    expired ⇔ final_state ≠ Ongoing AND last_update + expiration < now.
+    Callers filter(~expired) for the retained state or filter(expired)
+    for the tombstones to write, mirroring the broker's tombstone append.
+
+    Same single-shuffle plan as txn_state_machine; the per-id last-update
+    aggregate is a second projection of the same shuffle grain, joined
+    broadcast (O(ids) rows).
+    """
+    o1 = order_cols[0]
+    state = txn_state_machine(events, txn_col, action_col, order_cols)
+    last = events.groupBy(F.col(txn_col).alias("transactional_id")).agg(
+        F.max(F.expr(f"unix_micros({o1}) DIV 1000")).alias("last_update_ms")
+    )
+    return state.join(F.broadcast(last), "transactional_id").withColumn(
+        "expired",
+        (F.col("final_state") != "Ongoing")
+        & (F.col("last_update_ms") + F.lit(expiration_ms) < F.lit(now_ms)),
+    )
+
+
+# ---------------------------------------------------------------------------
 # producer-state snapshots: bounded recovery instead of full-log recompute
 # ---------------------------------------------------------------------------
 

@@ -264,6 +264,74 @@ class LogTable:
             )
         return out.sortWithinPartitions("offset")
 
+    def fetch_multi(
+        self,
+        requests: "list[tuple[int, int]] | DataFrame",
+        response_max_bytes: int,
+    ) -> DataFrame:
+        """Multi-partition FETCH with ONE response-level byte budget — a
+        real Kafka FETCH spans many partitions with a single response
+        ``max.bytes`` apportioned across them in REQUEST ORDER (KIP-74;
+        reference MessageFetchContext / KafkaRequestHandler:1744-1858):
+        records accrue in (request-index, offset) order while cumulative
+        response bytes stay within the budget, and the FIRST record of the
+        response always returns even when it alone exceeds it — progress
+        is guaranteed, an oversized record can never wedge the consumer.
+        Per-partition bounds compose via ``fetch``'s own max_bytes.
+
+        ``requests``: ordered [(partition, start_offset), ...] (one entry
+        per partition, as in a Kafka fetch request), or an equivalent
+        DataFrame with (ridx, partition, start_offset).
+
+        Scale: the request list broadcasts; a PARTITION-PARALLEL
+        cumulative prefilter caps each partition's candidates at the full
+        budget (+ its first record) first, so the response-order running
+        sum — inherently sequential, one task — runs over
+        O(n_partitions x budget) bytes of survivors: a single consumer's
+        response, control-plane volume, never the log. Rows keep ``ridx``
+        so callers can regroup per-partition responses.
+        """
+        spark = self.df.sparkSession
+        if isinstance(requests, DataFrame):
+            req = requests.select(
+                F.col("ridx").cast("int"),
+                F.col("partition").cast("int"),
+                F.col("start_offset").cast("long"),
+            )
+        else:
+            req = spark.createDataFrame(
+                [(i, int(p), int(o)) for i, (p, o) in enumerate(requests)],
+                "ridx int, partition int, start_offset long",
+            )
+        size = record_size()
+        cand = self.df.join(F.broadcast(req), "partition").filter(
+            F.col("offset") >= F.col("start_offset")
+        )
+        wp = Window.partitionBy("partition").orderBy("offset")
+        run = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cand = (
+            cand.withColumn("__sz", size)
+            .withColumn("__pcum", F.sum("__sz").over(run))
+            .withColumn("__prn", F.row_number().over(wp))
+            .filter(
+                (F.col("__pcum") <= response_max_bytes) | (F.col("__prn") == 1)
+            )
+        )
+        wg = Window.orderBy("ridx", "offset")
+        out = (
+            cand.withColumn(
+                "__cum",
+                F.sum("__sz").over(
+                    wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .withColumn("__rn", F.row_number().over(wg))
+            .filter(
+                (F.col("__cum") <= response_max_bytes) | (F.col("__rn") == 1)
+            )
+        )
+        return out.drop("__sz", "__pcum", "__prn", "__cum", "__rn", "start_offset")
+
     # ------------------------------------------------------------------ #
     # LIST_OFFSETS — earliest / latest / by timestamp
     # ------------------------------------------------------------------ #

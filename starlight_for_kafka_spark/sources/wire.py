@@ -228,6 +228,61 @@ def transcode_batches(
     return batches.mapInPandas(op, WIRE_BATCH_SCHEMA)
 
 
+def ingest_message_sets(message_sets: DataFrame) -> DataFrame:
+    """Legacy v0/v1 MessageSet INGEST: read pre-0.11 message-set blobs
+    into typed log rows — the read side the reference performs via
+    passthrough + conversion accounting (AbstractEntryFormatter.java:
+    248-281), i.e. the up-conversion a replay of a pre-0.11 dump hits.
+    The inverse of down_convert_batches (roundtrip pinned by test).
+
+    Input: (partition int, message_set binary) rows (extra columns
+    ignored); output matches decode_wire_batches' typed schema. v0
+    messages carry no timestamp → NULL; v1's NO_TIMESTAMP sentinel (-1)
+    also decodes to NULL, any other value converts JVM-side as an instant
+    (same timezone discipline as decode_wire_batches). Headers don't
+    exist before v2 → empty array. Per-message CRC32 is verified in the
+    kernel. Map-only — each blob is self-contained, no shuffle."""
+    _pickle_codec_by_value()
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    mid_schema = (
+        "key binary, value binary, "
+        "headers array<struct<key:string,value:binary>>, "
+        "__ts_ms long, partition int, offset long"
+    )
+
+    def op(batch_iter):
+        import pandas as pd
+
+        for pdf in batch_iter:
+            rows = []
+            for part, blob in zip(pdf["partition"], pdf["message_set"]):
+                for rec in kr.decode_message_set_v01(bytes(blob)):
+                    rows.append(
+                        {
+                            "key": rec["key"],
+                            "value": rec["value"],
+                            "headers": [],
+                            "__ts_ms": rec["timestamp_ms"],
+                            "partition": int(part),
+                            "offset": rec["offset"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "value", "headers", "__ts_ms", "partition", "offset"],
+            )
+
+    return (
+        message_sets.mapInPandas(op, mid_schema)
+        .withColumn(
+            "timestamp",
+            F.timestamp_millis(F.when(F.col("__ts_ms") != -1, F.col("__ts_ms"))),
+        )
+        .select("key", "value", "headers", "timestamp", "partition", "offset")
+    )
+
+
 def down_convert_batches(batches: DataFrame, to_magic: int = 1) -> DataFrame:
     """Magic down-conversion for legacy consumers: each v2 batch becomes a
     v0/v1 message-set blob (headers dropped, per-message CRC32) — the

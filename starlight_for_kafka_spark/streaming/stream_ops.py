@@ -512,6 +512,92 @@ def txn_coordinator_stream(txn_events: DataFrame) -> DataFrame:
     )
 
 
+def txn_coordinator_timeout_stream(
+    txn_events: DataFrame,
+    timeout_ms: int = 60_000,
+    watermark: str = "0 seconds",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """txn_coordinator_stream + the coordinator's periodic timeout-abort
+    sweep (TransactionCoordinator.java:1034) as an EVENT-TIME STATE
+    TIMEOUT: after folding a key's events, the state re-arms a timeout at
+    last_event + timeout_ms; if the watermark passes it with no new
+    events, the in-flight transaction (state Ongoing) aborts — the
+    streaming twin of abort_timed_out_transactions, converging to the
+    batch sweep on a finite stream (pinned by test).
+
+    Requires a watermark on ``ts_col`` (event-time timeouts fire off the
+    watermark, exactly how the reference's sweep fires off the clock).
+    State per id is the same five ints; a timed-out id emits its
+    post-abort snapshot in the batch the watermark crosses the deadline.
+    """
+    import pandas as pd
+
+    names = ["Empty", "Ongoing", "CompleteCommit", "CompleteAbort"]
+
+    def update(key, pdfs, state):
+        st, ep, com, ab, inv = state.get if state.exists else (0, 0, 0, 0, 0)
+        if state.hasTimedOut:
+            # producer died mid-transaction: abort and do not re-arm
+            if st == 1:
+                st, ab = 3, ab + 1
+            state.update((st, ep, com, ab, inv))
+        else:
+            last_ms = None
+            for pdf in pdfs:
+                for r in pdf.sort_values([ts_col, "event_id", "action"]).itertuples():
+                    a = r.action
+                    ts_ms = int(getattr(r, ts_col).value // 1_000_000)
+                    last_ms = ts_ms if last_ms is None else max(last_ms, ts_ms)
+                    is_add = a in ("add_partitions", "add_offsets")
+                    is_end = a in ("end_commit", "end_abort")
+                    if is_add and ep == 0:
+                        inv += 1
+                    if is_end and st != 1:
+                        inv += 1
+                    if a == "end_commit" and st == 1:
+                        com += 1
+                    if a == "end_abort" and st == 1:
+                        ab += 1
+                    if a == "init" and st == 1:
+                        ab += 1  # fencing aborts the in-flight txn
+                    if a == "init":
+                        st, ep = 0, ep + 1
+                    elif is_add and ep > 0:
+                        st = 1
+                    elif a == "end_commit" and st == 1:
+                        st = 2
+                    elif a == "end_abort" and st == 1:
+                        st = 3
+            state.update((st, ep, com, ab, inv))
+            if last_ms is not None:
+                # deadline must sit strictly past the current watermark or
+                # Spark rejects it — a late-arriving key whose deadline
+                # already passed times out in the next batch either way
+                deadline = max(
+                    last_ms + timeout_ms, state.getCurrentWatermarkMs() + 1
+                )
+                state.setTimeoutTimestamp(deadline)
+        yield pd.DataFrame(
+            {
+                "transactional_id": [key[0]],
+                "final_state": [names[st]],
+                "epochs": [ep],
+                "n_committed": [com],
+                "n_aborted": [ab],
+                "n_invalid": [inv],
+            }
+        )
+
+    return (
+        txn_events.withWatermark(ts_col, watermark)
+        .groupBy("transactional_id")
+        .applyInPandasWithState(
+            update, TXN_STATE_OUTPUT, TXN_STATE_SCHEMA, "update", "EventTimeTimeout"
+        )
+    )
+
+
 def latency_histogram_stream(
     log: DataFrame,
     value_col: str,

@@ -367,3 +367,52 @@ def test_compact_segments_splits_oversized_partition(tmp_path, spark):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, "segment offset ranges must be disjoint"
     assert report["files_after"] >= report["files_before"] - 100  # sanity
+
+
+def test_fetch_multi_apportions_one_response_budget(log):
+    """The response budget fills in request order: the first-requested
+    partition drains first; later partitions get what remains; the greedy
+    sequential fill is exactly reproduced."""
+    from starlight_for_kafka_spark.sources.logtable import record_size
+
+    reqs = [(3, 5), (0, 0), (6, 2)]
+    budget = 3000
+    got = sorted(
+        (r.ridx, r.partition, r.offset)
+        for r in log.fetch_multi(reqs, budget).collect()
+    )
+    # replay greedily on the driver
+    cand = []
+    for i, (p, so) in enumerate(reqs):
+        for r in (
+            log.df.filter((F.col("partition") == p) & (F.col("offset") >= so))
+            .withColumn("sz", record_size())
+            .select("offset", "sz")
+            .collect()
+        ):
+            cand.append((i, p, r.offset, r.sz))
+    cand.sort()
+    expect, cum = [], 0
+    for i, p, o, sz in cand:
+        cum += sz
+        if cum <= budget or not expect:
+            expect.append((i, p, o))
+    assert got == sorted(expect) and got
+    # the budget actually cut somewhere (apportioning exercised)
+    assert len(got) < len(cand)
+    # request order honored: a later request only has rows if the earlier
+    # request's candidate set was fully admitted
+    served = {i for i, _, _ in got}
+    for i in range(1, len(reqs)):
+        if i in served:
+            n_before = sum(1 for c in cand if c[0] == i - 1)
+            assert sum(1 for g in got if g[0] == i - 1) == n_before
+
+
+def test_fetch_multi_first_record_guarantee(log):
+    """A budget smaller than any single record still returns exactly the
+    response's first record — progress, never a wedged consumer."""
+    out = log.fetch_multi([(4, 7), (2, 0)], response_max_bytes=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.ridx == 0 and r.partition == 4 and r.offset == 7

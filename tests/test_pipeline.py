@@ -1186,3 +1186,60 @@ def test_interleave_sources_rates_and_determinism(spark):
     df2 = df.unionByName(spark.createDataFrame([("sz", 999)], "src string, id long"))
     out2 = interleave_sources(df2, {"sa": 1.0, "sb": 1.0}, "src", "id")
     assert out2.filter("src = 'sz'").count() == 0
+
+
+def test_frame_and_chunk_features_identical_to_exploded_form(spark, documents):
+    """The payload-ships-once rewrites must emit EXACTLY the rows of the
+    exploded composition (sample_frames/audio_chunks + per-row seek
+    decode) — the explode shape is the semantic contract; only the Arrow
+    shipping changed."""
+    import pandas as pd
+
+    from starlight_for_kafka_spark.functions import media_codec as mc
+
+    media = multimodal.synthesize_media(documents.limit(60)).cache()
+
+    got_frames = sorted(
+        map(tuple, multimodal.frame_features(media, every_ms=700).collect())
+    )
+    expect_frames = []
+    for r in multimodal.sample_frames(media, every_ms=700).collect():
+        d = mc.decode_y4m_frame(bytes(r.payload), int(r.frame_ms))
+        expect_frames.append(
+            (r.media_id, r.frame_ms, d["frame_idx"], d["sum_y"], d["sum_u"],
+             d["sum_v"])
+        )
+    assert got_frames == sorted(expect_frames) and got_frames
+
+    got_chunks = sorted(
+        map(tuple,
+            multimodal.chunk_features(media, chunk_ms=1500, overlap_ms=400).collect())
+    )
+    expect_chunks = []
+    for r in multimodal.audio_chunks(media, chunk_ms=1500, overlap_ms=400).collect():
+        d = mc.decode_wav_range(
+            bytes(r.payload), int(r.chunk_start_ms), int(r.chunk_end_ms)
+        )
+        expect_chunks.append(
+            (r.media_id, r.chunk_id, r.chunk_start_ms, r.chunk_end_ms,
+             d["n_samples"], d["sum"], d["sum_sq"], d["min"], d["max"])
+        )
+    assert got_chunks == sorted(expect_chunks) and got_chunks
+    media.unpersist()
+
+
+def test_frame_features_payload_ships_once_no_explode_before_kernel(
+    spark, documents
+):
+    """The payload must cross the Arrow boundary once per VIDEO, not once
+    per sampled frame: the physical plan upstream of the Python kernel
+    must contain no Generate (explode) node — the fan-out happens inside
+    the kernel, after the single payload transfer."""
+    media = multimodal.synthesize_media(documents.limit(60))
+    for df in (
+        multimodal.frame_features(media, every_ms=500),
+        multimodal.chunk_features(media, chunk_ms=1500, overlap_ms=400),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert "Generate" not in plan, plan

@@ -766,3 +766,52 @@ def test_offsets_wire_recovery_stream_without_append_ts(tmp_path, spark):
     stream_ops.run_to_memory(out, "raw_wire_out", output_mode="update")
     rows = spark.sql("SELECT * FROM raw_wire_out").collect()
     assert len(rows) == 1 and rows[0].offset == 9 and rows[0].metadata == "new"
+
+
+def test_txn_coordinator_timeout_stream_aborts_dead_producer(tmp_path, spark):
+    """A producer that goes silent mid-transaction must be aborted by the
+    event-time state timeout once the watermark passes its deadline — the
+    streaming twin of tx.abort_timed_out_transactions; a live producer
+    whose events keep arriving is untouched."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(tid, i, action, minutes):
+        return (tid, t0 + datetime.timedelta(minutes=minutes), i, action)
+
+    schema = "transactional_id string, ts timestamp, event_id long, action string"
+    # batch 1: dead goes Ongoing then vanishes; alive merely inits (Empty
+    # never aborts on timeout)
+    b1 = [ev("dead", 1, "init", 0), ev("dead", 2, "add_partitions", 1),
+          ev("alive", 3, "init", 0)]
+    # batch 2: alive completes a txn 2h later -> watermark jumps past
+    # dead's 30-minute deadline for the NEXT batch
+    b2 = [ev("alive", 4, "add_partitions", 120), ev("alive", 5, "end_commit", 121)]
+    # batch 3: runs with watermark=121min > dead's deadline(31min) -> fire
+    b3 = [ev("alive", 6, "noop", 180)]
+    path = str(tmp_path / "txn_timeout_events")
+    for i, rows in enumerate([b1, b2, b3]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        # one file per batch, in order
+        import glob as _glob, os as _os
+        fs = sorted(_glob.glob(path + "/part-*"), key=_os.path.getmtime)
+        _os.rename(fs[-1], _os.path.join(path, f"batch-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_ops.txn_coordinator_timeout_stream(stream, timeout_ms=30 * 60_000)
+    stream_ops.run_to_memory(out, "txn_timeout_out", output_mode="update")
+    rows = spark.sql("SELECT * FROM txn_timeout_out").collect()
+    final = {}
+    for r in rows:  # update mode appends to memory sink; last emission wins
+        final[r.transactional_id] = r
+    assert final["dead"].final_state == "CompleteAbort"
+    assert final["dead"].n_aborted == 1 and final["dead"].epochs == 1
+    assert final["alive"].final_state == "CompleteCommit"
+    assert final["alive"].n_committed == 1 and final["alive"].n_aborted == 0

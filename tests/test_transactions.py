@@ -281,3 +281,119 @@ def test_read_committed_keeps_null_pid_records(spark):
     )
     kept = sorted(r.offset for r in tx.read_committed(txn_log).collect())
     assert kept == [1, 3]
+
+
+def test_timeout_abort_sweep_unblocks_read_committed(log):
+    """A producer that dies mid-transaction holds the LSO down; the
+    coordinator's timeout sweep (TransactionCoordinator.java:1034) aborts
+    it and read-committed consumers advance past the freed range."""
+    txn_log = tx.derive_txn_log(log.df).cache()
+    # horizon far past every record: every open txn times out
+    now_ms = 4_000_000_000_000  # ~2096
+    swept = tx.abort_timed_out_transactions(txn_log, now_ms, timeout_ms=1)
+
+    assert swept.filter(F.col("txn_status") == "open").count() == 0
+    # previously-open txns are now aborted spans in the index
+    open_txns = {
+        (r.pid, r.txn_group)
+        for r in txn_log.filter(F.col("txn_status") == "open")
+        .select("pid", "txn_group").distinct().collect()
+    }
+    assert open_txns  # fixture must actually have open txns
+    idx = {
+        (r.pid, r.txn_group)
+        for r in tx.aborted_txn_index(swept).collect()
+    }
+    assert open_txns <= idx
+
+    # LSO advances to the high watermark everywhere (no opens remain)
+    hw = {
+        r.partition: r.hw
+        for r in txn_log.groupBy("partition")
+        .agg((F.max("offset") + 1).alias("hw")).collect()
+    }
+    lso_after = {
+        r.partition: r.last_stable_offset
+        for r in tx.last_stable_offsets(swept).collect()
+    }
+    assert lso_after == hw
+
+    # read_committed now serves committed rows ABOVE the old LSO
+    lso_before = {
+        r.partition: r.last_stable_offset
+        for r in tx.last_stable_offsets(txn_log).collect()
+    }
+    rc_after = tx.read_committed(swept)
+    unblocked = [
+        r for r in rc_after.collect() if r.offset >= lso_before[r.partition]
+    ]
+    assert unblocked, "sweep must unblock rows the open txn was holding back"
+    # and never a record from an aborted (incl. newly-aborted) txn
+    assert rc_after.filter(F.col("txn_status") != "commit").count() == 0
+    txn_log.unpersist()
+
+
+def test_timeout_abort_respects_the_deadline(log):
+    """Only transactions whose start + timeout < now flip; younger opens
+    stay open (the sweep is a deadline check, not abort-all)."""
+    txn_log = tx.derive_txn_log(log.df).cache()
+    starts = (
+        txn_log.filter(F.col("txn_status") == "open")
+        .groupBy("pid", "txn_group")
+        .agg(F.expr("min(unix_micros(timestamp) DIV 1000)").alias("start_ms"))
+    )
+    rows = starts.collect()
+    ms = sorted(r.start_ms for r in rows)
+    assert len(ms) >= 2
+    mid = ms[len(ms) // 2]  # older half times out, younger half survives
+    now_ms, timeout_ms = mid, 0
+    swept = tx.abort_timed_out_transactions(txn_log, now_ms, timeout_ms)
+    still_open = {
+        (r.pid, r.txn_group)
+        for r in swept.filter(F.col("txn_status") == "open")
+        .select("pid", "txn_group").distinct().collect()
+    }
+    expect_open = {(r.pid, r.txn_group) for r in rows if not (r.start_ms + timeout_ms < now_ms)}
+    assert still_open == expect_open and 0 < len(still_open) < len(rows)
+    txn_log.unpersist()
+
+
+def test_expire_transactional_ids_keeps_ongoing(spark):
+    """Idle Empty/Complete* ids expire past the horizon; an id with an
+    ongoing transaction NEVER expires regardless of idleness
+    (TransactionConfig.transactionalIdExpirationMs semantics)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(tid, i, action, minutes):
+        return (tid, t0 + datetime.timedelta(minutes=minutes), i, action)
+
+    rows = [
+        # idle-complete: finished long ago -> expires
+        ev("idle-complete", 1, "init", 0),
+        ev("idle-complete", 2, "add_partitions", 1),
+        ev("idle-complete", 3, "end_commit", 2),
+        # idle-ongoing: mid-txn, equally old -> retained
+        ev("idle-ongoing", 4, "init", 0),
+        ev("idle-ongoing", 5, "add_partitions", 1),
+        # fresh-complete: recent -> retained
+        ev("fresh-complete", 6, "init", 100),
+        ev("fresh-complete", 7, "add_offsets", 101),
+        ev("fresh-complete", 8, "end_abort", 102),
+    ]
+    events = spark.createDataFrame(
+        rows, "transactional_id string, ts timestamp, event_id long, action string"
+    )
+    now_ms = int((t0 + datetime.timedelta(minutes=110)).timestamp() * 1000)
+    out = {
+        r.transactional_id: r
+        for r in tx.expire_transactional_ids(
+            events, now_ms, expiration_ms=60 * 60_000
+        ).collect()
+    }
+    assert out["idle-complete"].expired
+    assert not out["idle-ongoing"].expired
+    assert out["idle-ongoing"].final_state == "Ongoing"
+    assert not out["fresh-complete"].expired
+    assert out["idle-complete"].last_update_ms < out["fresh-complete"].last_update_ms

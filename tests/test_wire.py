@@ -300,3 +300,49 @@ def test_pre_1970_timestamp_roundtrips(spark):
     assert got[0] == -1000
     assert got[1] is None
     assert got[2] < -400_000_000_000  # 1955 stays 1955, not NULL
+
+
+def test_legacy_ingest_roundtrips_down_conversion(spark, log):
+    """down_convert (v2 -> v0/v1 message set) then ingest_message_sets must
+    reproduce the typed rows: v1 keeps ms timestamps, v0 has none; headers
+    are gone in both (pre-v2 has no header slot)."""
+    batches = wire.encode_wire_batches(log.df, max_records_per_batch=32)
+    src = log.df.select(
+        "partition", "offset", F.col("key").cast("string").alias("k"),
+        F.octet_length("value").alias("vl"),
+        F.unix_millis("timestamp").alias("ts"),
+    ).collect()
+
+    for magic, keep_ts in ((1, True), (0, False)):
+        typed = wire.ingest_message_sets(
+            wire.down_convert_batches(batches, to_magic=magic)
+        )
+        got = typed.select(
+            "partition", "offset", F.col("key").cast("string").alias("k"),
+            F.octet_length("value").alias("vl"),
+            F.unix_millis("timestamp").alias("ts"),
+        ).collect()
+        a = sorted((r.partition, r.offset, r.k, r.vl, r.ts if keep_ts else None)
+                   for r in src)
+        b = sorted(map(tuple, got))
+        assert a == b, f"magic={magic}"
+        assert typed.filter(F.size("headers") != 0).count() == 0
+
+
+def test_legacy_ingest_rejects_corrupt_crc(spark):
+    """A flipped payload byte must fail the per-message CRC32 check."""
+    import pytest as _pytest
+
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    ms = kr.down_convert(
+        kr.encode_batch_v2(0, [{"offset": 0, "timestamp_ms": 5,
+                                "key": b"k", "value": b"hello", "headers": None}]),
+        to_magic=1,
+    )
+    corrupt = ms[:-1] + bytes([ms[-1] ^ 0xFF])
+    df = spark.createDataFrame(
+        [(0, bytearray(corrupt))], "partition int, message_set binary"
+    )
+    with _pytest.raises(Exception, match="CRC32"):
+        wire.ingest_message_sets(df).collect()
