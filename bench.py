@@ -4,10 +4,15 @@
 
 Prints ONE JSON line:
   {"metric": "bench_total_sec", "value": N, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": 0.1}
+   "queries": {"q1": median_sec, ...}, "cold": {"q1": first_run_sec, ...},
+   "runs": 3, "sf": 0.1}
 
-Each query is forced with the noop sink (full computation, no driver
-collect) except explicit top-k queries where collect() is the semantics.
+Each query runs THREE times; "queries" carries the per-query MEDIAN (the
+comparable number — ambient-load noise on this host is +/-10-15% per single
+run, which repeatedly muddied cross-round comparison), "cold" the first
+run (plan compilation + file listing included). "value" is the sum of
+medians. Each run is forced with the noop sink (full computation, no
+driver collect).
 """
 
 from __future__ import annotations
@@ -72,18 +77,51 @@ def main() -> None:
         "multimodal_features",      # real WAV/PPM/BMP/Y4M decode kernels
         "multimodal_frame_features",  # Y4M per-frame seek decode (payload-bound)
         "multimodal_chunk_features",  # WAV per-chunk range decode
+        # round-5 additions (suite discipline: new heavy ops become
+        # driver-visible)
+        "wire_legacy_ingest",       # v2 -> v1 down-convert -> typed ingest
+        "txn_timeout_abort",        # coordinator timeout-abort sweep
     ]
 
     # warm the JVM + file listing once
     entrymod.q_list_offsets(spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
+    def release_leaked_state() -> None:
+        # the iterative operators (pagerank, connected components,
+        # commitlog retries) pin localCheckpoint RDDs that outlive their
+        # query; across runs x queries those accumulate into old-gen GC
+        # pressure that inflates LATER queries' times — exactly the
+        # cross-round noise the median protocol is meant to kill
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        # unpersisted blocks + shuffle referents linger in old-gen until a
+        # FULL gc; without this, a later query's large Arrow allocations
+        # thrash incremental GCs (measured 5-20x inflation on the media
+        # rows after the dedup/codec rows at 10x scale)
+        spark.sparkContext._jvm.System.gc()
+
+    # INTERLEAVED passes, not back-to-back runs: this host has bursty
+    # ambient co-tenant load (observed 30%+ swings between whole bench
+    # invocations); a burst during one query's three consecutive runs
+    # would poison its median, while across interleaved passes it hits
+    # one pass of many queries and the per-query median picks the quiet
+    # passes
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in suite}
+    for _ in range(runs):
+        for name in suite:
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+            release_leaked_state()
+    medians: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in suite:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+        ts = samples[name]
+        cold[name] = ts[0]
+        medians[name] = sorted(ts)[len(ts) // 2]
+        print(f"  {name}: median {medians[name]}s (runs {ts})", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -92,9 +130,11 @@ def main() -> None:
         sf_val = sf
     result = {
         "metric": "bench_total_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(medians.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": medians,
+        "cold": cold,
+        "runs": runs,
         "sf": sf_val,
     }
     print(json.dumps(result))

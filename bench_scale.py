@@ -179,6 +179,67 @@ class StageMetrics:
             return None
 
 
+def run_streaming_row(spark, sf_dir: str) -> dict:
+    """Stateful-streaming scale point: offsets_wire_recovery_stream (binary
+    decode kernel + applyInPandasWithState keyed by (group, topic,
+    partition)) over a SCALE-proportional key space — the state-store-size
+    and batch-duration telemetry the batch rows can't show. Key space
+    scales with the data (500*SCALE groups x 8 partitions), so state rows
+    grow ~linearly with SCALE; per-batch duration should stay flat across
+    microbatches (a growing trend would mean state-store pressure)."""
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from starlight_for_kafka_spark import load_table
+    from starlight_for_kafka_spark.operators import groups as g
+    from starlight_for_kafka_spark.streaming import stream_ops
+
+    scratch = f"/tmp/slk_scale_{SCALE}x"
+    os.makedirs(scratch, exist_ok=True)
+    src = os.path.join(scratch, "offsets_wire_src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        commits = g.derive_commits_from_events(
+            load_table(spark, sf_dir, "events"), n_groups=500 * SCALE
+        )
+        g.encode_offsets_topic(commits).repartition(16).write.mode(
+            "overwrite"
+        ).parquet(src)
+
+    ckpt = os.path.join(scratch, "offsets_wire_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)  # fresh state per invocation
+    schema = "key binary, value binary, append_ts long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    t0 = time.perf_counter()
+    q = (
+        stream_ops.offsets_wire_recovery_stream(stream)
+        .writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    progress = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+    q.stop()
+    wall = round(time.perf_counter() - t0, 3)
+    durations = [int(p["durationMs"]["triggerExecution"]) for p in progress]
+    state = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
+    return {
+        "query": "offsets_wire_recovery_stream",
+        "wall_sec": wall,
+        "n_batches": len(progress),
+        "batch_duration_ms": durations,
+        "input_rows": sum(int(p["numInputRows"]) for p in progress),
+        "state_rows_final": int(state[-1]["numRowsTotal"]) if state else None,
+        "state_memory_bytes_final": int(state[-1]["memoryUsedBytes"]) if state else None,
+    }
+
+
 def main() -> None:
     from starlight_for_kafka_spark import get_session
 
@@ -209,6 +270,15 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release the finished query's pinned checkpoint blocks, then
+        # force a FULL gc: unpersisted blocks + shuffle referents linger
+        # in old-gen and thrash a later query's large Arrow allocations
+        # (measured: media decode 34-61s behind the dedup/codec rows'
+        # residue vs 3.3s after a System.gc, identical plans)
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        spark.sparkContext._jvm.System.gc()
         shuffle[name] = metrics.delta()
         print(
             f"  {name}: {timings[name]}s "
@@ -216,6 +286,11 @@ def main() -> None:
             f"max stage {shuffle[name]['max_stage_shuffle_write_bytes'] >> 20} MiB)",
             file=sys.stderr,
         )
+
+    streaming = None
+    if os.environ.get("SPARK_GRAFT_SCALE_STREAMING", "1") == "1":
+        streaming = run_streaming_row(spark, sf_dir)
+        print(f"  streaming: {streaming}", file=sys.stderr)
 
     result = {
         "metric": "bench_scale_total_sec",
@@ -225,6 +300,7 @@ def main() -> None:
         "queries": timings,
         "shuffle": shuffle,
         "rows": rows,
+        "streaming": streaming,
         "peak_jvm_heap_mb": metrics.peak_heap_mb(),
     }
     print(json.dumps(result))

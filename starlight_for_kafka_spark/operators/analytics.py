@@ -363,6 +363,9 @@ def pagerank(
     compared ROUNDED (the fixed-point iteration is a contraction, so
     low-bit noise shrinks rather than compounds).
     """
+    from starlight_for_kafka_spark.plans.checkpoints import RollingCheckpoint
+
+    roll = RollingCheckpoint(edges.sparkSession)
     w = (
         F.col(weight_col).cast("double")
         if weight_col is not None
@@ -371,11 +374,10 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     )
-    nodes = (
+    nodes = roll.pin(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     # A node whose out-edges all weigh 0 has no usable out-links: keep it
@@ -387,15 +389,12 @@ def pagerank(
         .filter(F.col("total_w") != 0.0)
     )
     # pre-normalize edge weights once: share(u,v) = w/W(u)
-    norm_e = (
+    norm_e = roll.pin(
         e.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("total_w")).alias("share"))
-        .localCheckpoint(eager=True)
     )
     has_out = out_w.select(F.col("src").alias("node")).distinct()
-    dangling_nodes = nodes.join(has_out, "node", "left_anti").localCheckpoint(
-        eager=True
-    )
+    dangling_nodes = roll.pin(nodes.join(has_out, "node", "left_anti"))
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
@@ -426,8 +425,13 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = roll(ranks)
+    if iterations > 0:
+        # the final checkpoint holds the result; the edge/node inputs and
+        # superseded rank generations release their pinned blocks NOW
+        # instead of leaking into the rest of the session
+        roll.finish()
     return ranks
 
 

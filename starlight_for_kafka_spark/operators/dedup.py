@@ -756,17 +756,20 @@ def connected_components(
     Deterministic, but genuinely iterative, so the driver check is
     rows-only; exactness is pinned against a union-find in the test suite.
     """
-    edges = (
+    from starlight_for_kafka_spark.plans.checkpoints import RollingCheckpoint
+
+    # keep=2: the convergence count reads the PREVIOUS generation after
+    # the new one is checkpointed, so it must survive one extra round
+    roll = RollingCheckpoint(pairs.sparkSession, keep=2)
+    edges = roll.pin(
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = roll(
         edges.select(F.col("x").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -774,7 +777,7 @@ def connected_components(
             .groupBy("x")
             .agg(F.min("component").alias("nmin"))
         )
-        updated = (
+        updated = roll(
             labels.join(neighbor_min, labels["node"] == neighbor_min["x"], "left")
             .select(
                 "node",
@@ -782,7 +785,6 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             updated.join(labels.withColumnRenamed("component", "old"), "node")
@@ -791,6 +793,7 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
+            roll.finish()
             break
     else:
         # exhausting max_iter with labels still moving means components
