@@ -107,7 +107,9 @@ def main() -> None:
     # would poison its median, while across interleaved passes it hits
     # one pass of many queries and the per-query median picks the quiet
     # passes
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    import statistics
+
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in suite}
     for _ in range(runs):
         for name in suite:
@@ -120,7 +122,7 @@ def main() -> None:
     for name in suite:
         ts = samples[name]
         cold[name] = ts[0]
-        medians[name] = sorted(ts)[len(ts) // 2]
+        medians[name] = round(statistics.median(ts), 3)
         print(f"  {name}: median {medians[name]}s (runs {ts})", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

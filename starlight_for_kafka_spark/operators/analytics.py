@@ -374,11 +374,18 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     )
-    nodes = roll.pin(
+    nodes_plain = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if iterations == 0:
+        # degenerate case: uniform ranks, no loop — build it as a pure
+        # plan so no checkpoint is ever pinned (a pinned input with no
+        # rolling generation would have nothing to release it)
+        n0 = nodes_plain.count()
+        return nodes_plain.select("node", F.lit(1.0 / n0).alias("rank"))
+    nodes = roll.pin(nodes_plain)
     n_nodes = nodes.count()
     # A node whose out-edges all weigh 0 has no usable out-links: keep it
     # OUT of out_w so it classifies as dangling (its mass redistributes
@@ -397,41 +404,45 @@ def pagerank(
     dangling_nodes = roll.pin(nodes.join(has_out, "node", "left_anti"))
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(iterations):
-        # dangling mass stays IN-PLAN as a broadcast 1-row aggregate — a
-        # .first() here would run a whole extra job per iteration just to
-        # ferry one scalar through the driver (measured ~2x the loop's
-        # wall time at sf0.1; at cluster scale it is also a per-iteration
-        # scheduling barrier)
-        dangling = dangling_nodes.join(ranks, "node").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dmass")
-        )
-        contribs = (
-            norm_e.join(ranks, norm_e["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("inflow"), F.lit(0.0))
-                        + F.col("__dmass") / F.lit(float(n_nodes))
-                    )
-                ).alias("rank"),
+    try:
+        for _ in range(iterations):
+            # dangling mass stays IN-PLAN as a broadcast 1-row aggregate — a
+            # .first() here would run a whole extra job per iteration just to
+            # ferry one scalar through the driver (measured ~2x the loop's
+            # wall time at sf0.1; at cluster scale it is also a per-iteration
+            # scheduling barrier)
+            dangling = dangling_nodes.join(ranks, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dmass")
             )
-        )
-        ranks = roll(ranks)
-    if iterations > 0:
-        # the final checkpoint holds the result; the edge/node inputs and
-        # superseded rank generations release their pinned blocks NOW
-        # instead of leaking into the rest of the session
-        roll.finish()
+            contribs = (
+                norm_e.join(ranks, norm_e["src"] == ranks["node"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+            )
+            ranks = (
+                nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("inflow"), F.lit(0.0))
+                            + F.col("__dmass") / F.lit(float(n_nodes))
+                        )
+                    ).alias("rank"),
+                )
+            )
+            ranks = roll(ranks)
+    except BaseException:
+        # no result will be returned — nothing may stay pinned
+        roll.abort()
+        raise
+    # the final checkpoint holds the result; the edge/node inputs and
+    # superseded rank generations release their pinned blocks NOW
+    # instead of leaking into the rest of the session
+    roll.finish()
     return ranks
 
 

@@ -771,41 +771,46 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["y"] == labels["node"])
-            .groupBy("x")
-            .agg(F.min("component").alias("nmin"))
-        )
-        updated = roll(
-            labels.join(neighbor_min, labels["node"] == neighbor_min["x"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges["y"] == labels["node"])
+                .groupBy("x")
+                .agg(F.min("component").alias("nmin"))
             )
-        )
-        changed = (
-            updated.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            roll.finish()
-            break
-    else:
-        # exhausting max_iter with labels still moving means components
-        # wider than the iteration budget — returning the intermediate
-        # labels would silently split a near-dup group, which for
-        # leakage_safe_split is exactly the train/val leak the caller is
-        # trying to prevent. Fail loudly instead.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); the graph has a chain "
-            f"longer than max_iter — raise max_iter"
-        )
+            updated = roll(
+                labels.join(neighbor_min, labels["node"] == neighbor_min["x"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    ).alias("component"),
+                )
+            )
+            changed = (
+                updated.join(labels.withColumnRenamed("component", "old"), "node")
+                .filter(F.col("component") != F.col("old"))
+                .count()
+            )
+            labels = updated
+            if changed == 0:
+                break
+        else:
+            # exhausting max_iter with labels still moving means components
+            # wider than the iteration budget — returning the intermediate
+            # labels would silently split a near-dup group, which for
+            # leakage_safe_split is exactly the train/val leak the caller is
+            # trying to prevent. Fail loudly instead.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                f"({changed} labels still changing); the graph has a chain "
+                f"longer than max_iter — raise max_iter"
+            )
+    except BaseException:
+        # no result will be returned — nothing may stay pinned
+        roll.abort()
+        raise
+    roll.finish()
     return labels
 
 

@@ -194,14 +194,48 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return images.mapInPandas(op, MEDIA_SCHEMA)
 
 
+def _frame_ms_list(every_ms: int):
+    """Sampled frame timestamps [0, every_ms, ...] < duration — the ONE
+    expression sample_frames (exploded) and frame_features (array column)
+    share, so their sampling grids cannot drift apart."""
+    return F.sequence(
+        F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms)
+    )
+
+
+def _chunk_span_list(chunk_ms: int, overlap_ms: int):
+    """Overlapping chunk spans as array<struct<chunk_id,start_ms,end_ms>>:
+    chunk i covers [i*stride, i*stride + chunk_ms) clipped to the clip's
+    duration — the ONE expression audio_chunks (exploded) and
+    chunk_features (array column) share."""
+    if overlap_ms >= chunk_ms:
+        raise ValueError("overlap_ms must be smaller than chunk_ms")
+    stride = chunk_ms - overlap_ms
+    dur = F.col("meta.duration_ms")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((dur - F.lit(overlap_ms)) / F.lit(stride)).cast("int"),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            (i.cast("long") * stride).alias("start_ms"),
+            F.least(i.cast("long") * stride + chunk_ms, dur.cast("long")).alias(
+                "end_ms"
+            ),
+        ),
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: one output row per sampled frame index —
     pure plan arithmetic (sequence + explode), decode deferred to
-    extract_features on the exploded rows."""
+    extract_features on the exploded rows. Rows with NULL duration have
+    no sampling grid and drop (explode of a NULL array)."""
     videos = media.filter(F.col("kind") == "video")
     return videos.withColumn(
-        "frame_ms",
-        F.explode(F.sequence(F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms))),
+        "frame_ms", F.explode(_frame_ms_list(every_ms))
     ).select("media_id", "frame_ms", "payload", "meta")
 
 
@@ -215,25 +249,18 @@ def audio_chunks(
     sequence + explode over metadata; the payload column rides along
     untouched and decode (not bundled here) happens downstream on the
     exploded rows, so a duration filter prunes payload I/O entirely.
+    Rows with NULL duration drop (explode of a NULL array).
     """
-    if overlap_ms >= chunk_ms:
-        raise ValueError("overlap_ms must be smaller than chunk_ms")
-    stride = chunk_ms - overlap_ms
     audio = media.filter(F.col("kind") == "audio")
-    dur = F.col("meta.duration_ms")
-    n_chunks = F.greatest(
-        F.lit(1),
-        F.ceil((dur - F.lit(overlap_ms)) / F.lit(stride)).cast("int"),
-    )
-    start = F.col("chunk_id").cast("long") * stride
+    span = F.explode(_chunk_span_list(chunk_ms, overlap_ms))
     return (
-        audio.withColumn(
-            "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
-        )
-        .withColumn("chunk_start_ms", start)
-        .withColumn("chunk_end_ms", F.least(start + chunk_ms, dur.cast("long")))
+        audio.withColumn("__c", span)
         .select(
-            "media_id", "chunk_id", "chunk_start_ms", "chunk_end_ms", "payload"
+            "media_id",
+            F.col("__c.chunk_id").alias("chunk_id"),
+            F.col("__c.start_ms").alias("chunk_start_ms"),
+            F.col("__c.end_ms").alias("chunk_end_ms"),
+            "payload",
         )
     )
 
@@ -360,12 +387,14 @@ def frame_features(media: DataFrame, every_ms: int = 500) -> DataFrame:
     _pickle_media_codec_by_value()
     from starlight_for_kafka_spark.functions import media_codec as mc
 
-    videos = media.filter(F.col("kind") == "video").select(
-        "media_id",
-        F.sequence(
-            F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms)
-        ).alias("frame_ms_list"),
-        "payload",
+    videos = (
+        media.filter(
+            # a NULL duration has no sampling grid — the exploded form
+            # dropped such rows (explode of a NULL array); match it here
+            # rather than handing the kernel a None list
+            (F.col("kind") == "video") & F.col("meta.duration_ms").isNotNull()
+        )
+        .select("media_id", _frame_ms_list(every_ms).alias("frame_ms_list"), "payload")
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -410,29 +439,21 @@ def chunk_features(
     frame_features, with the same payload-ships-once discipline; output
     rows are identical to the exploded audio_chunks form (pinned by
     test)."""
-    if overlap_ms >= chunk_ms:
-        raise ValueError("overlap_ms must be smaller than chunk_ms")
     _pickle_media_codec_by_value()
     from starlight_for_kafka_spark.functions import media_codec as mc
 
-    stride = chunk_ms - overlap_ms
-    audio = media.filter(F.col("kind") == "audio")
-    dur = F.col("meta.duration_ms")
-    n_chunks = F.greatest(
-        F.lit(1),
-        F.ceil((dur - F.lit(overlap_ms)) / F.lit(stride)).cast("int"),
+    staged = (
+        media.filter(
+            # NULL duration drops, matching the exploded form (see
+            # frame_features)
+            (F.col("kind") == "audio") & F.col("meta.duration_ms").isNotNull()
+        )
+        .select(
+            "media_id",
+            _chunk_span_list(chunk_ms, overlap_ms).alias("chunk_spans"),
+            "payload",
+        )
     )
-    spans = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("long").alias("chunk_id"),
-            (i.cast("long") * stride).alias("start_ms"),
-            F.least(i.cast("long") * stride + chunk_ms, dur.cast("long")).alias(
-                "end_ms"
-            ),
-        ),
-    )
-    staged = audio.select("media_id", spans.alias("chunk_spans"), "payload")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

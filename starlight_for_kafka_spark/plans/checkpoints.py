@@ -23,12 +23,16 @@ stage 5-20x slower behind ~20 stale pinned RDDs at 10x scale).
     generation except the NEWEST (the returned DataFrame's contents live
     in it).
 
-The pinned RDD ids are found by diffing the context's persistent-RDD map
-around the checkpoint call — the only stable public handle on the RDD a
-Dataset.localCheckpoint pins (Dataset.rdd would wrap it in a new
-conversion RDD whose unpersist releases nothing). The diff can attribute
-a concurrent thread's cache to this loop, so single-writer-per-session
-is the contract — exactly how the repo's driver-loop operators run.
+The pinned RDD id is read EXACTLY off the checkpointed Dataset: its
+analyzed plan is a LogicalRDD whose ``rdd`` IS the RDD localCheckpoint
+pinned (Dataset.rdd would wrap it in a new conversion RDD whose
+unpersist releases nothing). Exact attribution matters: a diff of the
+context's persistent-RDD map around the call — the obvious alternative —
+also captures any CALLER cache that happens to materialize inside the
+checkpoint action (e.g. pagerank over a df whose parent was .cache()d
+but not yet materialized) and would then silently unpersist the user's
+cache on finish(). Verified live: cache id and checkpoint id both appear
+in the map during one eager checkpoint; only the LogicalRDD id is ours.
 """
 
 from __future__ import annotations
@@ -53,9 +57,18 @@ class RollingCheckpoint:
         self._static: set[int] = set()
 
     def _checkpoint(self, df: DataFrame) -> tuple[DataFrame, set[int]]:
-        before = _pinned_ids(self._sc)
         out = df.localCheckpoint(eager=True)
-        return out, _pinned_ids(self._sc) - before
+        plan = out._jdf.queryExecution().analyzed()
+        # a checkpointed Dataset's analyzed plan is a LogicalRDD holding
+        # the pinned RDD itself; if a Spark version ever changes that
+        # shape, fail loudly rather than mis-attribute (see module doc)
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            raise RuntimeError(
+                "localCheckpoint no longer yields a LogicalRDD plan "
+                f"(got {plan.getClass().getName()}); RollingCheckpoint "
+                "needs updating for this Spark version"
+            )
+        return out, {int(plan.rdd().id())}
 
     def pin(self, df: DataFrame) -> DataFrame:
         """Checkpoint a loop-invariant input; released by finish()."""
@@ -76,6 +89,14 @@ class RollingCheckpoint:
         self._release(self._static)
         self._static = set()
         while len(self._gens) > 1:
+            self._release(self._gens.pop(0))
+
+    def abort(self) -> None:
+        """Release EVERYTHING, newest generation included — the failure
+        path (no result will be returned), so nothing may stay pinned."""
+        self._release(self._static)
+        self._static = set()
+        while self._gens:
             self._release(self._gens.pop(0))
 
     def _release(self, ids: set[int]) -> None:

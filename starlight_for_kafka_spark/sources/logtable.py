@@ -283,13 +283,17 @@ class LogTable:
         per partition, as in a Kafka fetch request), or an equivalent
         DataFrame with (ridx, partition, start_offset).
 
-        Scale: the request list broadcasts; a PARTITION-PARALLEL
-        cumulative prefilter caps each partition's candidates at the full
-        budget (+ its first record) first, so the response-order running
-        sum — inherently sequential, one task — runs over
-        O(n_partitions x budget) bytes of survivors: a single consumer's
-        response, control-plane volume, never the log. Rows keep ``ridx``
-        so callers can regroup per-partition responses.
+        Scale: the global greedy fill DECOMPOSES — a row's response-order
+        cumulative equals (sum of ALL earlier-requested partitions'
+        candidate bytes) + (its own partition's running sum), because the
+        candidate stream is (ridx, offset)-ordered and ridx is constant
+        per partition. The per-partition running sums are a
+        partition-parallel window; the cross-partition prefix is a
+        running sum over the n_partitions-row totals table (control
+        plane) broadcast back. NO global sequential window exists in the
+        plan, and the request list broadcasts — the log never shuffles.
+        Rows keep ``ridx`` so callers can regroup per-partition
+        responses.
         """
         spark = self.df.sparkSession
         if isinstance(requests, DataFrame):
@@ -304,33 +308,48 @@ class LogTable:
                 "ridx int, partition int, start_offset long",
             )
         size = record_size()
-        cand = self.df.join(F.broadcast(req), "partition").filter(
-            F.col("offset") >= F.col("start_offset")
-        )
         wp = Window.partitionBy("partition").orderBy("offset")
         run = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         cand = (
-            cand.withColumn("__sz", size)
+            self.df.join(F.broadcast(req), "partition")
+            .filter(F.col("offset") >= F.col("start_offset"))
+            .withColumn("__sz", size)
             .withColumn("__pcum", F.sum("__sz").over(run))
             .withColumn("__prn", F.row_number().over(wp))
-            .filter(
-                (F.col("__pcum") <= response_max_bytes) | (F.col("__prn") == 1)
-            )
         )
-        wg = Window.orderBy("ridx", "offset")
-        out = (
-            cand.withColumn(
-                "__cum",
-                F.sum("__sz").over(
-                    wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        # cross-partition prefix: bytes ALL candidates of earlier-requested
+        # partitions contribute to the response-order running sum — an
+        # earlier partition that overflows the budget by itself pushes the
+        # cumulative past the budget for everything after it, exactly the
+        # greedy fill (a dropped row's bytes still count: the response is
+        # a PREFIX of the candidate stream, not a skip-scan)
+        totals = cand.groupBy("ridx").agg(F.sum("__sz").alias("__ptotal"))
+        prior = totals.select(
+            "ridx",
+            F.coalesce(
+                F.sum("__ptotal").over(
+                    Window.orderBy("ridx").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
                 ),
-            )
-            .withColumn("__rn", F.row_number().over(wg))
+                F.lit(0),
+            ).alias("__prior"),
+        )
+        first_ridx = totals.agg(F.min("ridx").alias("__first_ridx"))
+        out = (
+            cand.join(F.broadcast(prior), "ridx")
+            .crossJoin(F.broadcast(first_ridx))
             .filter(
-                (F.col("__cum") <= response_max_bytes) | (F.col("__rn") == 1)
+                (F.col("__prior") + F.col("__pcum") <= response_max_bytes)
+                # first record of the response always returns (progress
+                # guarantee): first candidate row of the first requested
+                # partition that has any candidates
+                | ((F.col("ridx") == F.col("__first_ridx")) & (F.col("__prn") == 1))
             )
         )
-        return out.drop("__sz", "__pcum", "__prn", "__cum", "__rn", "start_offset")
+        return out.drop(
+            "__sz", "__pcum", "__prn", "__prior", "__first_ridx", "start_offset"
+        )
 
     # ------------------------------------------------------------------ #
     # LIST_OFFSETS — earliest / latest / by timestamp

@@ -442,6 +442,9 @@ TXN_STATE_OUTPUT = (
     "n_committed int, n_aborted int, n_invalid int"
 )
 TXN_STATE_SCHEMA = "state int, epochs int, committed int, aborted int, invalid int"
+# the timeout variant also carries the open transaction's start ms (the
+# deadline anchor); None while no transaction is in flight
+TXN_TIMEOUT_STATE_SCHEMA = TXN_STATE_SCHEMA + ", start bigint"
 
 
 def txn_coordinator_stream(txn_events: DataFrame) -> DataFrame:
@@ -520,35 +523,43 @@ def txn_coordinator_timeout_stream(
 ) -> DataFrame:
     """txn_coordinator_stream + the coordinator's periodic timeout-abort
     sweep (TransactionCoordinator.java:1034) as an EVENT-TIME STATE
-    TIMEOUT: after folding a key's events, the state re-arms a timeout at
-    last_event + timeout_ms; if the watermark passes it with no new
-    events, the in-flight transaction (state Ongoing) aborts — the
-    streaming twin of abort_timed_out_transactions, converging to the
-    batch sweep on a finite stream (pinned by test).
+    TIMEOUT. The deadline is armed from the transaction's START —
+    txn_start + timeout_ms, the reference's txnStartTimestamp check and
+    the batch twin's rule (timed_out_transactions: min record ts +
+    timeout < now) — NOT from the last event: a long-running transaction
+    that keeps adding partitions still times out at start + timeout, and
+    a late-arriving older event cannot rewind the deadline because the
+    start lives in the state, monotone per transaction. If the watermark
+    passes the deadline with the transaction still Ongoing, it aborts —
+    the streaming twin of abort_timed_out_transactions (pinned by test,
+    including the keeps-adding producer).
 
     Requires a watermark on ``ts_col`` (event-time timeouts fire off the
     watermark, exactly how the reference's sweep fires off the clock).
-    State per id is the same five ints; a timed-out id emits its
-    post-abort snapshot in the batch the watermark crosses the deadline.
+    State per id is five ints + the open txn's start ms; a timed-out id
+    emits its post-abort snapshot in the batch the watermark crosses the
+    deadline. A stale timeout (state no longer Ongoing when it fires) is
+    a no-op, matching the coordinator's re-check before aborting.
     """
     import pandas as pd
 
     names = ["Empty", "Ongoing", "CompleteCommit", "CompleteAbort"]
 
     def update(key, pdfs, state):
-        st, ep, com, ab, inv = state.get if state.exists else (0, 0, 0, 0, 0)
-        if state.hasTimedOut:
-            # producer died mid-transaction: abort and do not re-arm
-            if st == 1:
-                st, ab = 3, ab + 1
-            state.update((st, ep, com, ab, inv))
+        if state.exists:
+            st, ep, com, ab, inv, start = state.get
         else:
-            last_ms = None
+            st, ep, com, ab, inv, start = 0, 0, 0, 0, 0, None
+        if state.hasTimedOut:
+            # producer died mid-transaction: abort; stale fire is a no-op
+            if st == 1:
+                st, ab, start = 3, ab + 1, None
+            state.update((st, ep, com, ab, inv, start))
+        else:
             for pdf in pdfs:
                 for r in pdf.sort_values([ts_col, "event_id", "action"]).itertuples():
                     a = r.action
                     ts_ms = int(getattr(r, ts_col).value // 1_000_000)
-                    last_ms = ts_ms if last_ms is None else max(last_ms, ts_ms)
                     is_add = a in ("add_partitions", "add_offsets")
                     is_end = a in ("end_commit", "end_abort")
                     if is_add and ep == 0:
@@ -562,22 +573,23 @@ def txn_coordinator_timeout_stream(
                     if a == "init" and st == 1:
                         ab += 1  # fencing aborts the in-flight txn
                     if a == "init":
-                        st, ep = 0, ep + 1
+                        st, ep, start = 0, ep + 1, None
                     elif is_add and ep > 0:
+                        if st != 1:
+                            start = ts_ms  # Empty/Complete* -> Ongoing
                         st = 1
                     elif a == "end_commit" and st == 1:
-                        st = 2
+                        st, start = 2, None
                     elif a == "end_abort" and st == 1:
-                        st = 3
-            state.update((st, ep, com, ab, inv))
-            if last_ms is not None:
+                        st, start = 3, None
+            state.update((st, ep, com, ab, inv, start))
+            if st == 1 and start is not None:
                 # deadline must sit strictly past the current watermark or
-                # Spark rejects it — a late-arriving key whose deadline
-                # already passed times out in the next batch either way
-                deadline = max(
-                    last_ms + timeout_ms, state.getCurrentWatermarkMs() + 1
+                # Spark rejects it — a transaction whose deadline already
+                # passed aborts in the next batch either way
+                state.setTimeoutTimestamp(
+                    max(start + timeout_ms, state.getCurrentWatermarkMs() + 1)
                 )
-                state.setTimeoutTimestamp(deadline)
         yield pd.DataFrame(
             {
                 "transactional_id": [key[0]],
@@ -593,7 +605,11 @@ def txn_coordinator_timeout_stream(
         txn_events.withWatermark(ts_col, watermark)
         .groupBy("transactional_id")
         .applyInPandasWithState(
-            update, TXN_STATE_OUTPUT, TXN_STATE_SCHEMA, "update", "EventTimeTimeout"
+            update,
+            TXN_STATE_OUTPUT,
+            TXN_TIMEOUT_STATE_SCHEMA,
+            "update",
+            "EventTimeTimeout",
         )
     )
 

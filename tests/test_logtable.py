@@ -416,3 +416,35 @@ def test_fetch_multi_first_record_guarantee(log):
     assert len(out) == 1
     r = out[0]
     assert r.ridx == 0 and r.partition == 4 and r.offset == 7
+
+
+def test_fetch_multi_overflowing_partition_blocks_later_ones(spark):
+    """A dropped row's bytes still count toward the response budget: the
+    response is a PREFIX of the request-ordered candidate stream, never a
+    skip-scan — if partition A only partially fits, partition B must NOT
+    be served out of the gap (regression: the old per-partition prefilter
+    removed overflow rows' bytes from the running sum)."""
+    rows = [
+        # partition 7: two 2000-byte values; partition 8: one 500-byte
+        (7, 0, b"k", b"x" * 1999),
+        (7, 1, b"k", b"y" * 1999),
+        (8, 0, b"k", b"z" * 499),
+    ]
+    df = spark.createDataFrame(
+        [(p, o, bytearray(k), bytearray(v), None, []) for p, o, k, v in rows],
+        "partition int, offset long, key binary, value binary, "
+        "timestamp timestamp, headers array<struct<key:string,value:binary>>",
+    )
+    lt = LogTable(df)
+    got = sorted(
+        (r.ridx, r.partition, r.offset)
+        for r in lt.fetch_multi([(7, 0), (8, 0)], response_max_bytes=3000).collect()
+    )
+    # cum: 2000 (admit), 4000 (reject), 4500 (reject) -> only the first row
+    assert got == [(0, 7, 0)]
+    # and the first-record guarantee still holds under a tiny budget
+    got2 = sorted(
+        (r.ridx, r.partition, r.offset)
+        for r in lt.fetch_multi([(7, 1), (8, 0)], response_max_bytes=1).collect()
+    )
+    assert got2 == [(0, 7, 1)]

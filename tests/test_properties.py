@@ -542,3 +542,24 @@ def test_wire_batch_roundtrip_fuzz(data, codec):
         assert g["timestamp_ms"] == r["timestamp_ms"]
         assert g["key"] == r["key"] and g["value"] == r["value"]
         assert [(k, v) for k, v in g["headers"]] == r["headers"]
+
+
+@given(data=_wire_records(), magic=st.sampled_from([0, 1]))
+@settings(max_examples=40, deadline=None)
+def test_legacy_message_set_roundtrip_fuzz(data, magic):
+    """Arbitrary records must survive v2 encode -> down-convert to
+    v0/v1 -> decode_message_set_v01 with the documented lossy mapping:
+    headers dropped, v0 loses timestamps (None), v1 keeps ms values."""
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    base, recs = data
+    ms = kr.down_convert(kr.encode_batch_v2(base, recs), to_magic=magic)
+    got = kr.decode_message_set_v01(ms)
+    assert len(got) == len(recs)
+    for g, r in zip(got, recs):
+        assert g["offset"] == r["offset"]
+        assert g["key"] == r["key"] and g["value"] == r["value"]
+        if magic == 0:
+            assert g["timestamp_ms"] is None
+        else:
+            assert g["timestamp_ms"] == r["timestamp_ms"]

@@ -781,14 +781,19 @@ def test_txn_coordinator_timeout_stream_aborts_dead_producer(tmp_path, spark):
         return (tid, t0 + datetime.timedelta(minutes=minutes), i, action)
 
     schema = "transactional_id string, ts timestamp, event_id long, action string"
-    # batch 1: dead goes Ongoing then vanishes; alive merely inits (Empty
-    # never aborts on timeout)
+    # batch 1: dead goes Ongoing then vanishes; chatty goes Ongoing and
+    # will KEEP adding; alive merely inits (Empty never aborts on timeout)
     b1 = [ev("dead", 1, "init", 0), ev("dead", 2, "add_partitions", 1),
+          ev("chatty", 7, "init", 0), ev("chatty", 8, "add_partitions", 1),
           ev("alive", 3, "init", 0)]
-    # batch 2: alive completes a txn 2h later -> watermark jumps past
-    # dead's 30-minute deadline for the NEXT batch
-    b2 = [ev("alive", 4, "add_partitions", 120), ev("alive", 5, "end_commit", 121)]
-    # batch 3: runs with watermark=121min > dead's deadline(31min) -> fire
+    # batch 2: alive completes a txn 2h later -> watermark jumps past the
+    # 30-minute deadlines for the NEXT batch; chatty adds again at 100min
+    # — under a (wrong) last-event-anchored deadline that would re-arm to
+    # 130min > the 121min watermark and never fire, while the START-
+    # anchored deadline stays at 31min (txnStartTimestamp semantics)
+    b2 = [ev("chatty", 9, "add_partitions", 100),
+          ev("alive", 4, "add_partitions", 120), ev("alive", 5, "end_commit", 121)]
+    # batch 3: runs with watermark=121min > both 31min deadlines -> fire
     b3 = [ev("alive", 6, "noop", 180)]
     path = str(tmp_path / "txn_timeout_events")
     for i, rows in enumerate([b1, b2, b3]):
@@ -813,5 +818,9 @@ def test_txn_coordinator_timeout_stream_aborts_dead_producer(tmp_path, spark):
         final[r.transactional_id] = r
     assert final["dead"].final_state == "CompleteAbort"
     assert final["dead"].n_aborted == 1 and final["dead"].epochs == 1
+    # the deadline anchors at txn START: a producer that keeps adding
+    # partitions past its timeout still aborts at start + timeout
+    assert final["chatty"].final_state == "CompleteAbort"
+    assert final["chatty"].n_aborted == 1 and final["chatty"].epochs == 1
     assert final["alive"].final_state == "CompleteCommit"
     assert final["alive"].n_committed == 1 and final["alive"].n_aborted == 0
