@@ -520,6 +520,7 @@ def txn_coordinator_timeout_stream(
     timeout_ms: int = 60_000,
     watermark: str = "0 seconds",
     ts_col: str = "ts",
+    id_expiration_ms: int | None = None,
 ) -> DataFrame:
     """txn_coordinator_stream + the coordinator's periodic timeout-abort
     sweep (TransactionCoordinator.java:1034) as an EVENT-TIME STATE
@@ -540,6 +541,16 @@ def txn_coordinator_timeout_stream(
     emits its post-abort snapshot in the batch the watermark crosses the
     deadline. A stale timeout (state no longer Ongoing when it fires) is
     a no-op, matching the coordinator's re-check before aborting.
+
+    ``id_expiration_ms`` additionally enables TRANSACTIONAL-ID EXPIRATION
+    (TransactionConfig.java:51, the batch twin of
+    transactions.expire_transactional_ids): an id idle past the horizon
+    with NO transaction in flight times out into Kafka's terminal
+    ``Dead`` state — one final Dead row emits and the coordinator state
+    REMOVES, so the state store stays bounded by live ids (a later event
+    for the id rebuilds from scratch, exactly the broker's behavior after
+    an id purge). Ongoing ids never expire; they abort first, then the
+    expiry clock runs from the abort.
     """
     import pandas as pd
 
@@ -551,15 +562,39 @@ def txn_coordinator_timeout_stream(
         else:
             st, ep, com, ab, inv, start = 0, 0, 0, 0, 0, None
         if state.hasTimedOut:
-            # producer died mid-transaction: abort; stale fire is a no-op
             if st == 1:
+                # producer died mid-transaction: abort; re-arm the expiry
+                # clock from the abort if id expiration is on
                 st, ab, start = 3, ab + 1, None
-            state.update((st, ep, com, ab, inv, start))
+                state.update((st, ep, com, ab, inv, start))
+                if id_expiration_ms is not None:
+                    state.setTimeoutTimestamp(
+                        state.getCurrentWatermarkMs() + id_expiration_ms
+                    )
+            elif id_expiration_ms is not None:
+                # idle, nothing in flight: the id itself expires — emit
+                # one terminal Dead row and purge the coordinator state
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "transactional_id": [key[0]],
+                        "final_state": ["Dead"],
+                        "epochs": [ep],
+                        "n_committed": [com],
+                        "n_aborted": [ab],
+                        "n_invalid": [inv],
+                    }
+                )
+                return
+            else:
+                state.update((st, ep, com, ab, inv, start))
         else:
+            last_ms = None
             for pdf in pdfs:
                 for r in pdf.sort_values([ts_col, "event_id", "action"]).itertuples():
                     a = r.action
                     ts_ms = int(getattr(r, ts_col).value // 1_000_000)
+                    last_ms = ts_ms if last_ms is None else max(last_ms, ts_ms)
                     is_add = a in ("add_partitions", "add_offsets")
                     is_end = a in ("end_commit", "end_abort")
                     if is_add and ep == 0:
@@ -589,6 +624,15 @@ def txn_coordinator_timeout_stream(
                 # passed aborts in the next batch either way
                 state.setTimeoutTimestamp(
                     max(start + timeout_ms, state.getCurrentWatermarkMs() + 1)
+                )
+            elif id_expiration_ms is not None and last_ms is not None:
+                # nothing in flight: arm the id-expiration clock from the
+                # id's last activity (transactionalIdExpirationMs)
+                state.setTimeoutTimestamp(
+                    max(
+                        last_ms + id_expiration_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
                 )
         yield pd.DataFrame(
             {

@@ -824,3 +824,57 @@ def test_txn_coordinator_timeout_stream_aborts_dead_producer(tmp_path, spark):
     assert final["chatty"].n_aborted == 1 and final["chatty"].epochs == 1
     assert final["alive"].final_state == "CompleteCommit"
     assert final["alive"].n_committed == 1 and final["alive"].n_aborted == 0
+
+
+def test_txn_id_expiry_stream_purges_idle_ids(tmp_path, spark):
+    """With id_expiration_ms on, an idle non-Ongoing id times out into the
+    terminal Dead state and its coordinator state REMOVES — a later event
+    for the id rebuilds from scratch (fresh epoch, counters reset),
+    proving the purge actually happened (TransactionConfig
+    transactionalIdExpirationMs; streaming twin of
+    tx.expire_transactional_ids)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(tid, i, action, minutes):
+        return (tid, t0 + datetime.timedelta(minutes=minutes), i, action)
+
+    schema = "transactional_id string, ts timestamp, event_id long, action string"
+    b1 = [ev("gone", 1, "init", 0), ev("gone", 2, "add_partitions", 1),
+          ev("gone", 3, "end_commit", 2), ev("keeper", 4, "init", 0)]
+    # keeper completes a txn at 150min -> watermark jumps past gone's
+    # 62min expiry deadline (last activity 2min + 60min horizon)
+    b2 = [ev("keeper", 5, "add_partitions", 150), ev("keeper", 6, "end_commit", 151)]
+    b3 = [ev("keeper", 7, "noop", 240)]      # gone expires here (wm=151)
+    b4 = [ev("gone", 8, "init", 300)]        # rebuilds from scratch
+    path = str(tmp_path / "txn_expiry_events")
+    import glob as _glob, os as _os
+    for i, rows in enumerate([b1, b2, b3, b4]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        fs = sorted(_glob.glob(path + "/part-*"), key=_os.path.getmtime)
+        _os.rename(fs[-1], _os.path.join(path, f"batch-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_ops.txn_coordinator_timeout_stream(
+        stream, timeout_ms=30 * 60_000, id_expiration_ms=60 * 60_000
+    )
+    stream_ops.run_to_memory(out, "txn_expiry_out", output_mode="update")
+    rows = spark.sql("SELECT * FROM txn_expiry_out").collect()
+    gone = [r for r in rows if r.transactional_id == "gone"]
+    states = [r.final_state for r in gone]
+    assert "Dead" in states  # the terminal expiry emission
+    # the post-purge rebuild starts from scratch: epoch 1, counters reset
+    assert states[-1] == "Empty"
+    assert gone[-1].epochs == 1 and gone[-1].n_committed == 0
+    # before expiry the id HAD a committed txn — proves state was purged,
+    # not merely relabeled
+    assert any(r.n_committed == 1 for r in gone)
+    keeper = [r for r in rows if r.transactional_id == "keeper"]
+    assert keeper[-1].final_state == "CompleteCommit"
