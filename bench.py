@@ -86,20 +86,17 @@ def main() -> None:
     # warm the JVM + file listing once
     entrymod.q_list_offsets(spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
+    from starlight_for_kafka_spark.plans.checkpoints import (
+        release_session_storage,
+    )
+
     def release_leaked_state() -> None:
-        # the iterative operators (pagerank, connected components,
-        # commitlog retries) pin localCheckpoint RDDs that outlive their
-        # query; across runs x queries those accumulate into old-gen GC
-        # pressure that inflates LATER queries' times — exactly the
-        # cross-round noise the median protocol is meant to kill
-        spark.catalog.clearCache()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
-        # unpersisted blocks + shuffle referents linger in old-gen until a
-        # FULL gc; without this, a later query's large Arrow allocations
-        # thrash incremental GCs (measured 5-20x inflation on the media
-        # rows after the dedup/codec rows at 10x scale)
-        spark.sparkContext._jvm.System.gc()
+        # single-checkpoint operators pin RDDs that outlive their query;
+        # across runs x queries those accumulate into old-gen GC pressure
+        # that inflates LATER queries' times — exactly the cross-round
+        # noise the median protocol is meant to kill (see
+        # plans/checkpoints.py for the measured numbers)
+        release_session_storage(spark)
 
     # INTERLEAVED passes, not back-to-back runs: this host has bursty
     # ambient co-tenant load (observed 30%+ swings between whole bench

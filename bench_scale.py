@@ -195,7 +195,12 @@ def run_streaming_row(spark, sf_dir: str) -> dict:
     from starlight_for_kafka_spark.operators import groups as g
     from starlight_for_kafka_spark.streaming import stream_ops
 
-    scratch = f"/tmp/slk_scale_{SCALE}x"
+    # same scratch root as the batch tables (honors SPARK_GRAFT_SCALE_DIR
+    # — /tmp may be too small for the stream source + checkpoint at high
+    # SCALE); like the batch tables, the cached source is keyed by the
+    # scratch dir: delete it to re-synthesize after changing
+    # SPARK_GRAFT_SCALE_BASE
+    scratch = SCRATCH
     os.makedirs(scratch, exist_ok=True)
     src = os.path.join(scratch, "offsets_wire_src")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
@@ -242,6 +247,9 @@ def run_streaming_row(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     from starlight_for_kafka_spark import get_session
+    from starlight_for_kafka_spark.plans.checkpoints import (
+        release_session_storage,
+    )
 
     import __spark_entry__ as entrymod
 
@@ -270,15 +278,11 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        # release the finished query's pinned checkpoint blocks, then
-        # force a FULL gc: unpersisted blocks + shuffle referents linger
-        # in old-gen and thrash a later query's large Arrow allocations
+        # release the finished query's pinned checkpoint blocks + full gc
         # (measured: media decode 34-61s behind the dedup/codec rows'
-        # residue vs 3.3s after a System.gc, identical plans)
-        spark.catalog.clearCache()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
-        spark.sparkContext._jvm.System.gc()
+        # residue vs 3.3s after a System.gc, identical plans — see
+        # plans/checkpoints.py)
+        release_session_storage(spark)
         shuffle[name] = metrics.delta()
         print(
             f"  {name}: {timings[name]}s "

@@ -385,23 +385,29 @@ def pagerank(
         # rolling generation would have nothing to release it)
         n0 = nodes_plain.count()
         return nodes_plain.select("node", F.lit(1.0 / n0).alias("rank"))
-    nodes = roll.pin(nodes_plain)
-    n_nodes = nodes.count()
-    # A node whose out-edges all weigh 0 has no usable out-links: keep it
-    # OUT of out_w so it classifies as dangling (its mass redistributes
-    # uniformly) instead of silently leaking rank through NULL w/0 shares.
-    out_w = (
-        e.groupBy("src")
-        .agg(F.sum("w").alias("total_w"))
-        .filter(F.col("total_w") != 0.0)
-    )
-    # pre-normalize edge weights once: share(u,v) = w/W(u)
-    norm_e = roll.pin(
-        e.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("total_w")).alias("share"))
-    )
-    has_out = out_w.select(F.col("src").alias("node")).distinct()
-    dangling_nodes = roll.pin(nodes.join(has_out, "node", "left_anti"))
+    try:
+        nodes = roll.pin(nodes_plain)
+        n_nodes = nodes.count()
+        # A node whose out-edges all weigh 0 has no usable out-links: keep it
+        # OUT of out_w so it classifies as dangling (its mass redistributes
+        # uniformly) instead of silently leaking rank through NULL w/0 shares.
+        out_w = (
+            e.groupBy("src")
+            .agg(F.sum("w").alias("total_w"))
+            .filter(F.col("total_w") != 0.0)
+        )
+        # pre-normalize edge weights once: share(u,v) = w/W(u)
+        norm_e = roll.pin(
+            e.join(out_w, "src")
+            .select("src", "dst", (F.col("w") / F.col("total_w")).alias("share"))
+        )
+        has_out = out_w.select(F.col("src").alias("node")).distinct()
+        dangling_nodes = roll.pin(nodes.join(has_out, "node", "left_anti"))
+    except BaseException:
+        # setup checkpoints (nodes / norm_e / dangling) are real Spark
+        # jobs; a failure here must not leak the already-pinned ones
+        roll.abort()
+        raise
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     try:

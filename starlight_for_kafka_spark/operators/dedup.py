@@ -761,16 +761,22 @@ def connected_components(
     # keep=2: the convergence count reads the PREVIOUS generation after
     # the new one is checkpointed, so it must survive one extra round
     roll = RollingCheckpoint(pairs.sparkSession, keep=2)
-    edges = roll.pin(
-        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-        .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
-        .distinct()
-    )
-    labels = roll(
-        edges.select(F.col("x").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-    )
+    try:
+        edges = roll.pin(
+            pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+            .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+            .distinct()
+        )
+        labels = roll(
+            edges.select(F.col("x").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+        )
+    except BaseException:
+        # both setup checkpoints are real Spark jobs; a failure in the
+        # second must not leak the first
+        roll.abort()
+        raise
     try:
         for _ in range(max_iter):
             neighbor_min = (

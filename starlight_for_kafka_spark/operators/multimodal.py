@@ -249,9 +249,15 @@ def audio_chunks(
     sequence + explode over metadata; the payload column rides along
     untouched and decode (not bundled here) happens downstream on the
     exploded rows, so a duration filter prunes payload I/O entirely.
-    Rows with NULL duration drop (explode of a NULL array).
+    Rows with NULL duration DROP — greatest/least skip NULLs, so the raw
+    span arithmetic would otherwise fabricate one bogus full-length chunk
+    for a clip with corrupt metadata; the explicit filter keeps this
+    exploded form and chunk_features' array form identical (pinned by
+    test).
     """
-    audio = media.filter(F.col("kind") == "audio")
+    audio = media.filter(
+        (F.col("kind") == "audio") & F.col("meta.duration_ms").isNotNull()
+    )
     span = F.explode(_chunk_span_list(chunk_ms, overlap_ms))
     return (
         audio.withColumn("__c", span)

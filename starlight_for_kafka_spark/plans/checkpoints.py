@@ -44,6 +44,23 @@ def _pinned_ids(sc) -> set[int]:
     return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
 
+def release_session_storage(spark) -> None:
+    """Benchmark/test session hygiene: drop the SQL cache, unpersist every
+    persistent RDD, and force a FULL JVM gc. Unpersisted blocks and
+    shuffle referents otherwise linger in old-gen and thrash a later
+    query's large Arrow allocations (measured 5-20x inflation of a media
+    decode stage behind heavy dedup/codec queries at 10x scale).
+
+    This releases EVERYTHING, including caches the caller still wants —
+    it is for between-measurement resets (bench.py, bench_scale.py, test
+    fixtures), never inside an operator; operators use RollingCheckpoint
+    for surgical release."""
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+    spark.sparkContext._jvm.System.gc()
+
+
 class RollingCheckpoint:
     """Checkpoint successive generations of a loop's state DataFrame,
     releasing superseded generations' storage as the loop advances."""

