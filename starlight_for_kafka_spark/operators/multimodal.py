@@ -59,7 +59,25 @@ def _pickle_media_codec_by_value() -> None:
     cloudpickle.register_pickle_by_value(media_codec)
 
 
-def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _bound_arrow_batch(df: DataFrame, rows_per_batch: int) -> None:
+    """Cap Arrow batch ROW count for payload-carrying kernels. Spark sizes
+    Arrow batches by rows (spark.sql.execution.arrow.maxRecordsPerBatch,
+    default 10 000), not bytes — with multi-KB binary payloads, a default
+    batch is 10k × payload bytes of DIRECT memory PER CORE, which blows
+    the executor's direct-memory ceiling long before the heap (measured:
+    166k synthetic clips on local[32] fail allocating a ~280 MB Arrow
+    buffer against the 8 GB direct limit at the default; 256-row batches
+    sail through). Session-level conf, same seam extract_features uses;
+    size rows_per_batch so rows × payload × cores stays well under
+    spark.executor.memoryOverhead / direct-memory headroom."""
+    df.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_batch)
+    )
+
+
+def synthesize_media(
+    df: DataFrame, id_col: str = "doc_id", target_rows_per_batch: int = 256
+) -> DataFrame:
     """Build a deterministic media table keyed by document id: REAL
     encoded payloads — WAV (16-bit PCM), PPM/BMP (alternating, so both
     image containers are exercised), YUV4MPEG2 (4:4:4 planar video) —
@@ -77,6 +95,7 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from starlight_for_kafka_spark.functions import media_codec as mc
 
     ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    _bound_arrow_batch(df, target_rows_per_batch)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -163,7 +182,9 @@ def decode_stub(payload: bytes) -> list[float]:
     return [float(payload[i * n // 8] if n else 0) for i in range(8)]
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, width: int, height: int, target_rows_per_batch: int = 256
+) -> DataFrame:
     """REAL nearest-neighbor resize: each image payload (PPM or BMP) is
     decoded, resampled on the integer grid src=(r*H//h, c*W//w), and
     re-encoded as PPM — bit-deterministic, so the oracle can replay the
@@ -191,6 +212,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
 
+    _bound_arrow_batch(media, target_rows_per_batch)
     return images.mapInPandas(op, MEDIA_SCHEMA)
 
 
@@ -375,7 +397,9 @@ FRAME_FEATURE_SCHEMA = (
 )
 
 
-def frame_features(media: DataFrame, every_ms: int = 500) -> DataFrame:
+def frame_features(
+    media: DataFrame, every_ms: int = 500, target_rows_per_batch: int = 256
+) -> DataFrame:
     """Per-sampled-frame features: the sampled frame timestamps are plan
     arithmetic over metadata (same sequence as sample_frames), collected
     into ONE array column per video so each payload crosses the Arrow
@@ -424,6 +448,7 @@ def frame_features(media: DataFrame, every_ms: int = 500) -> DataFrame:
                 ],
             )
 
+    _bound_arrow_batch(media, target_rows_per_batch)
     return videos.mapInPandas(op, FRAME_FEATURE_SCHEMA)
 
 
@@ -434,7 +459,10 @@ CHUNK_FEATURE_SCHEMA = (
 
 
 def chunk_features(
-    media: DataFrame, chunk_ms: int = 5000, overlap_ms: int = 1000
+    media: DataFrame,
+    chunk_ms: int = 5000,
+    overlap_ms: int = 1000,
+    target_rows_per_batch: int = 256,
 ) -> DataFrame:
     """Per-chunk audio features: the overlapping chunk spans are plan
     arithmetic over metadata (same arithmetic as audio_chunks), collected
@@ -484,6 +512,7 @@ def chunk_features(
                 ],
             )
 
+    _bound_arrow_batch(media, target_rows_per_batch)
     return staged.mapInPandas(op, CHUNK_FEATURE_SCHEMA)
 
 
@@ -493,7 +522,9 @@ PATCH_SCHEMA = (
 )
 
 
-def patchify_images(media: DataFrame, patch: int = 6) -> DataFrame:
+def patchify_images(
+    media: DataFrame, patch: int = 6, target_rows_per_batch: int = 256
+) -> DataFrame:
     """ViT-style patch grid: each image decodes ONCE and emits one row per
     non-overlapping patch (edge patches clipped) with per-channel sums —
     the vision-token analog of text tokenization, and the feed for a
@@ -523,10 +554,13 @@ def patchify_images(media: DataFrame, patch: int = 6) -> DataFrame:
                 ],
             )
 
+    _bound_arrow_batch(media, target_rows_per_batch)
     return images.select("media_id", "payload").mapInPandas(op, PATCH_SCHEMA)
 
 
-def audio_periodicity(media: DataFrame, lags: tuple = (1, 241)) -> DataFrame:
+def audio_periodicity(
+    media: DataFrame, lags: tuple = (1, 241), target_rows_per_batch: int = 256
+) -> DataFrame:
     """Integer autocorrelation per clip at fixed lags — the
     periodicity/silence curation signal (pure tones spike at their period,
     silence scores ~0; a filter gates on ac[k]/ac[0]). Map-only
@@ -555,6 +589,7 @@ def audio_periodicity(media: DataFrame, lags: tuple = (1, 241)) -> DataFrame:
                 columns=["media_id", "n_samples"] + [f"ac_{k}" for k in lag_list],
             )
 
+    _bound_arrow_batch(media, target_rows_per_batch)
     return audio.select("media_id", "payload").mapInPandas(op, schema)
 
 
@@ -563,7 +598,9 @@ MOTION_SCHEMA = (
 )
 
 
-def video_motion_profile(media: DataFrame) -> DataFrame:
+def video_motion_profile(
+    media: DataFrame, target_rows_per_batch: int = 256
+) -> DataFrame:
     """Per consecutive-frame-pair motion energy (sum |Δplane|) — the
     scene-cut / static-clip curation signal (a frozen video scores ~0
     everywhere; a cut spikes one pair). One decode pass per clip emitting
@@ -587,4 +624,5 @@ def video_motion_profile(media: DataFrame) -> DataFrame:
                 columns=["media_id", "frame_idx", "motion_y", "motion_u", "motion_v"],
             )
 
+    _bound_arrow_batch(media, target_rows_per_batch)
     return videos.select("media_id", "payload").mapInPandas(op, MOTION_SCHEMA)
