@@ -431,11 +431,16 @@ def transcode(batch_bytes: bytes, compression: str | None = None) -> bytes:
 
 
 def _encode_message_v01(
-    offset: int, timestamp_ms: int, key: bytes | None, value: bytes | None, magic: int
+    offset: int,
+    timestamp_ms: int,
+    key: bytes | None,
+    value: bytes | None,
+    magic: int,
+    attributes: int = 0,
 ) -> bytes:
     body = bytearray()
     body += struct.pack(">b", magic)
-    body.append(0)  # attributes: no compression, CREATE_TIME
+    body.append(attributes & 0xFF)  # codec bits 0-2 (+ ts-type bit 3 in v1)
     if magic == 1:
         body += struct.pack(">q", timestamp_ms)
     for blob in (key, value):
@@ -449,26 +454,73 @@ def _encode_message_v01(
     return struct.pack(">q", offset) + struct.pack(">i", len(msg)) + msg
 
 
-def down_convert(batch_bytes: bytes, to_magic: int = 1) -> bytes:
+# legacy wrapper compression: only gzip and snappy shipped in the v0/v1
+# era with framing this codec reproduces (legacy lz4 used a non-standard
+# checksum variant, KAFKA-3160; zstd is v2-only)
+_LEGACY_CODECS = {"gzip": COMPRESSION_GZIP, "snappy": COMPRESSION_SNAPPY}
+
+
+def down_convert(
+    batch_bytes: bytes, to_magic: int = 1, compression: str | None = None
+) -> bytes:
     """Magic down-conversion: a v2 batch re-encoded as a v0/v1 message set
     for pre-0.11 consumers. Headers are dropped and per-message CRC32
     (zlib) replaces the batch CRC32C — the same lossy mapping Kafka's
     down-converter performs (and the reference meters as
-    CONSUME_MESSAGE_CONVERSIONS_TIME_NANOS)."""
+    CONSUME_MESSAGE_CONVERSIONS_TIME_NANOS).
+
+    ``compression`` wraps the set in one compressed WRAPPER message per
+    the legacy scheme (A Guide To The Kafka Protocol, "Compression"):
+    inner messages carry RELATIVE offsets 0..n-1 in v1 (the broker only
+    assigns the wrapper's offset — KIP-31's no-recompression path) but
+    ABSOLUTE offsets in v0 (the broker rewrote them); the wrapper holds
+    the LAST inner message's absolute offset, the max inner timestamp
+    (v1), and the codec id in its attribute bits."""
     if to_magic not in (0, 1):
         raise ValueError("legacy magic must be 0 or 1")
     batch = decode_batch_v2(batch_bytes)
-    out = bytearray()
-    for r in batch["records"]:
-        out += _encode_message_v01(
-            r["offset"], r["timestamp_ms"], r["key"], r["value"], to_magic
+    recs = batch["records"]
+    if compression is None:
+        out = bytearray()
+        for r in recs:
+            out += _encode_message_v01(
+                r["offset"], r["timestamp_ms"], r["key"], r["value"], to_magic
+            )
+        return bytes(out)
+    if compression not in _LEGACY_CODECS:
+        raise ValueError(
+            f"legacy message sets support gzip/snappy, not {compression!r}"
         )
-    return bytes(out)
+    if not recs:
+        return b""
+    inner = bytearray()
+    for i, r in enumerate(recs):
+        inner_offset = i if to_magic == 1 else r["offset"]
+        inner += _encode_message_v01(
+            inner_offset, r["timestamp_ms"], r["key"], r["value"], to_magic
+        )
+    wrapper_value = _compress(compression, bytes(inner))
+    wrapper_ts = max(r["timestamp_ms"] for r in recs)
+    return _encode_message_v01(
+        recs[-1]["offset"],
+        wrapper_ts,
+        None,
+        wrapper_value,
+        to_magic,
+        attributes=_LEGACY_CODECS[compression],
+    )
 
 
 def decode_message_set_v01(buf: bytes) -> list[dict]:
     """Decode a legacy v0/v1 message set → [{offset, timestamp_ms|None,
-    key, value}] (verifying each per-message CRC32)."""
+    key, value}] (verifying each per-message CRC32, wrapper and inner).
+
+    Compressed WRAPPER messages (codec bits in the attributes byte — how
+    every pre-0.11 producer with compression actually wrote) decompress
+    and recurse: v1 inner offsets are RELATIVE (absolute = wrapper_offset
+    - (n-1) + relative); v0 inner offsets are already absolute. A v1
+    wrapper flagged LOG_APPEND_TIME (attribute bit 3) stamps its own
+    timestamp onto every inner message, per the protocol guide."""
     out = []
     pos = 0
     while pos < len(buf):
@@ -479,6 +531,7 @@ def decode_message_set_v01(buf: bytes) -> list[dict]:
         if zlib.crc32(msg[4:]) & 0xFFFFFFFF != crc:
             raise ValueError("CRC32 mismatch")
         magic = struct.unpack_from(">b", msg, 4)[0]
+        attributes = msg[5]
         mpos = 6
         ts = None
         if magic == 1:
@@ -496,6 +549,24 @@ def decode_message_set_v01(buf: bytes) -> list[dict]:
         if vlen >= 0:
             value = bytes(msg[mpos : mpos + vlen])
             mpos += vlen
-        out.append({"offset": offset, "timestamp_ms": ts, "key": key, "value": value})
+        codec_id = attributes & 0x07
+        if codec_id:
+            if value is None:
+                raise ValueError("compressed wrapper message with null value")
+            inner = decode_message_set_v01(_decompress(codec_id, value))
+            n = len(inner)
+            log_append_time = magic == 1 and (attributes >> 3) & 1
+            for j, r in enumerate(inner):
+                if magic == 1:
+                    # relative inner offsets; wrapper holds the LAST
+                    # absolute offset
+                    r["offset"] = offset - (n - 1) + r["offset"]
+                if log_append_time:
+                    r["timestamp_ms"] = ts
+                out.append(r)
+        else:
+            out.append(
+                {"offset": offset, "timestamp_ms": ts, "key": key, "value": value}
+            )
         pos += 12 + size
     return out

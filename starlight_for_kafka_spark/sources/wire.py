@@ -283,11 +283,15 @@ def ingest_message_sets(message_sets: DataFrame) -> DataFrame:
     )
 
 
-def down_convert_batches(batches: DataFrame, to_magic: int = 1) -> DataFrame:
+def down_convert_batches(
+    batches: DataFrame, to_magic: int = 1, compression: str | None = None
+) -> DataFrame:
     """Magic down-conversion for legacy consumers: each v2 batch becomes a
     v0/v1 message-set blob (headers dropped, per-message CRC32) — the
     conversion the reference meters as CONSUME_MESSAGE_CONVERSIONS
-    (AbstractEntryFormatter.java:238-281). Map-only."""
+    (AbstractEntryFormatter.java:238-281). ``compression`` emits the
+    legacy wrapper-message form (gzip/snappy — what pre-0.11 producers
+    with compression wrote; relative inner offsets in v1). Map-only."""
     _pickle_codec_by_value()
     from starlight_for_kafka_spark.functions import kafka_records as kr
 
@@ -297,7 +301,8 @@ def down_convert_batches(batches: DataFrame, to_magic: int = 1) -> DataFrame:
         for pdf in batch_iter:
             out = pdf[["partition", "base_offset", "record_count"]].copy()
             out["message_set"] = [
-                kr.down_convert(bytes(b), to_magic) for b in pdf["batch"]
+                kr.down_convert(bytes(b), to_magic, compression=compression)
+                for b in pdf["batch"]
             ]
             yield out
 

@@ -544,16 +544,23 @@ def test_wire_batch_roundtrip_fuzz(data, codec):
         assert [(k, v) for k, v in g["headers"]] == r["headers"]
 
 
-@given(data=_wire_records(), magic=st.sampled_from([0, 1]))
-@settings(max_examples=40, deadline=None)
-def test_legacy_message_set_roundtrip_fuzz(data, magic):
+@given(
+    data=_wire_records(),
+    magic=st.sampled_from([0, 1]),
+    codec=st.sampled_from([None, "gzip", "snappy"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_legacy_message_set_roundtrip_fuzz(data, magic, codec):
     """Arbitrary records must survive v2 encode -> down-convert to
-    v0/v1 -> decode_message_set_v01 with the documented lossy mapping:
-    headers dropped, v0 loses timestamps (None), v1 keeps ms values."""
+    v0/v1 (plain or wrapper-compressed) -> decode_message_set_v01 with
+    the documented lossy mapping: headers dropped, v0 loses timestamps
+    (None), v1 keeps ms values; wrapper offsets reconstruct exactly."""
     from starlight_for_kafka_spark.functions import kafka_records as kr
 
     base, recs = data
-    ms = kr.down_convert(kr.encode_batch_v2(base, recs), to_magic=magic)
+    ms = kr.down_convert(
+        kr.encode_batch_v2(base, recs), to_magic=magic, compression=codec
+    )
     got = kr.decode_message_set_v01(ms)
     assert len(got) == len(recs)
     for g, r in zip(got, recs):

@@ -346,3 +346,66 @@ def test_legacy_ingest_rejects_corrupt_crc(spark):
     )
     with _pytest.raises(Exception, match="CRC32"):
         wire.ingest_message_sets(df).collect()
+
+
+def test_legacy_compressed_wrapper_roundtrip_and_offsets():
+    """Compressed legacy sets (how every pre-0.11 producer with
+    compression wrote): one wrapper message, codec bits in attributes,
+    v1 inner offsets RELATIVE with the wrapper holding the last absolute
+    offset, v0 inner offsets absolute. Decode must equal the plain set."""
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    recs = [
+        {"offset": 100 + i, "timestamp_ms": 5000 + i,
+         "key": f"k{i}".encode(), "value": f"v{i}".encode() * 3,
+         "headers": []}
+        for i in range(7)
+    ]
+    b = kr.encode_batch_v2(100, recs)
+    for magic in (0, 1):
+        plain = kr.decode_message_set_v01(kr.down_convert(b, to_magic=magic))
+        for codec in ("gzip", "snappy"):
+            ms = kr.down_convert(b, to_magic=magic, compression=codec)
+            got = kr.decode_message_set_v01(ms)
+            assert got == plain, (magic, codec)
+            assert [g["offset"] for g in got] == list(range(100, 107))
+        # wrapper layout pinned: v1 wrapper offset = LAST absolute offset
+        ms = kr.down_convert(b, to_magic=magic, compression="gzip")
+        import struct
+        assert struct.unpack_from(">q", ms, 0)[0] == 106
+        attrs = ms[12 + 5]
+        assert attrs & 0x07 == kr.COMPRESSION_GZIP
+
+
+def test_legacy_log_append_time_wrapper_stamps_inner():
+    """A v1 wrapper flagged LOG_APPEND_TIME (attribute bit 3) stamps its
+    own timestamp onto every inner message."""
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    inner = b"".join(
+        kr._encode_message_v01(i, 5000 + i, b"k", b"v", 1) for i in range(3)
+    )
+    w = kr._encode_message_v01(
+        42, 9999, None, kr._compress("gzip", inner), 1,
+        attributes=kr.COMPRESSION_GZIP | 8,
+    )
+    got = kr.decode_message_set_v01(w)
+    assert [g["offset"] for g in got] == [40, 41, 42]
+    assert all(g["timestamp_ms"] == 9999 for g in got)
+
+
+def test_legacy_ingest_reads_compressed_sets(spark, log):
+    """ingest_message_sets over wrapper-compressed legacy blobs equals the
+    plain path — the real-dump replay case."""
+    batches = wire.encode_wire_batches(log.df, max_records_per_batch=40)
+    plain = wire.ingest_message_sets(
+        wire.down_convert_batches(batches, to_magic=1)
+    )
+    gz = wire.ingest_message_sets(
+        wire.down_convert_batches(batches, to_magic=1, compression="gzip")
+    )
+    cols = ["partition", "offset", F.col("key").cast("string"),
+            F.octet_length("value"), F.unix_millis("timestamp")]
+    assert sorted(map(tuple, plain.select(*cols).collect())) == sorted(
+        map(tuple, gz.select(*cols).collect())
+    )
