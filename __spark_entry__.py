@@ -3086,7 +3086,9 @@ def q_hll_dau(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.to_date(F.date_trunc("day", "ts"))
     )
-    return analytics_ops.hll_cardinality_by(ev, "user_id", ["day"])
+    return analytics_ops.hll_cardinality_by(ev, "user_id", ["day"]).select(
+        "day", "n_zero_registers", "estimate", "exact", "rel_err"
+    )
 
 
 def q_bloom_decontaminate(spark, sf_dir):

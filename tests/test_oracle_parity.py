@@ -66,6 +66,12 @@ def test_query_matches_oracle(name, spark, duck):
     ocols = [c.lower() for c in odf.columns]
     scols = {c.lower(): c for c in sdf.columns}
     assert set(ocols) == set(scols), f"{name}: columns {sorted(scols)} vs oracle {sorted(ocols)}"
+    # column ORDER must also match: the driver's schema_match compares the
+    # ordered schema, and a reorder on either side is silent corruption
+    # (round-5 judge found exactly one: hll_dau). Pin it for all entries.
+    assert [c.lower() for c in sdf.columns] == ocols, (
+        f"{name}: column ORDER {[c.lower() for c in sdf.columns]} vs oracle {ocols}"
+    )
     spark_rows = _rowset(
         tuple(r) for r in sdf.select(*[scols[c] for c in ocols]).collect()
     )
