@@ -518,7 +518,9 @@ def decode_message_set_v01(buf: bytes) -> list[dict]:
     Compressed WRAPPER messages (codec bits in the attributes byte — how
     every pre-0.11 producer with compression actually wrote) decompress
     and recurse: v1 inner offsets are RELATIVE (absolute = wrapper_offset
-    - (n-1) + relative); v0 inner offsets are already absolute. A v1
+    - last_inner_relative + relative, per AbstractLegacyRecordBatch —
+    NOT ``- (n-1)``, which breaks on compaction-gapped inner sets); v0
+    inner offsets are already absolute. A v1
     wrapper flagged LOG_APPEND_TIME (attribute bit 3) stamps its own
     timestamp onto every inner message, per the protocol guide."""
     out = []
@@ -554,13 +556,16 @@ def decode_message_set_v01(buf: bytes) -> list[dict]:
             if value is None:
                 raise ValueError("compressed wrapper message with null value")
             inner = decode_message_set_v01(_decompress(codec_id, value))
-            n = len(inner)
             log_append_time = magic == 1 and (attributes >> 3) & 1
-            for j, r in enumerate(inner):
+            # relative inner offsets; wrapper holds the LAST absolute
+            # offset. Kafka (AbstractLegacyRecordBatch) derives the base
+            # from the LAST inner record's relative offset — after log
+            # compaction inner relatives have gaps, so `wrapper - (n-1)`
+            # would mis-place every record but the last.
+            base = offset - inner[-1]["offset"] if inner and magic == 1 else 0
+            for r in inner:
                 if magic == 1:
-                    # relative inner offsets; wrapper holds the LAST
-                    # absolute offset
-                    r["offset"] = offset - (n - 1) + r["offset"]
+                    r["offset"] = base + r["offset"]
                 if log_append_time:
                     r["timestamp_ms"] = ts
                 out.append(r)

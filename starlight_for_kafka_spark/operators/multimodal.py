@@ -67,10 +67,35 @@ def _bound_arrow_batch(df: DataFrame, rows_per_batch: int) -> None:
     the executor's direct-memory ceiling long before the heap (measured:
     166k synthetic clips on local[32] fail allocating a ~280 MB Arrow
     buffer against the 8 GB direct limit at the default; 256-row batches
-    sail through). Session-level conf, same seam extract_features uses;
-    size rows_per_batch so rows × payload × cores stays well under
-    spark.executor.memoryOverhead / direct-memory headroom."""
-    df.sparkSession.conf.set(
+    sail through). Size rows_per_batch so rows × payload × cores stays
+    well under spark.executor.memoryOverhead / direct-memory headroom.
+
+    SESSION-WIDE AND STICKY: Spark reads this conf at EXECUTION time, not
+    plan-build time, and it applies to every later Arrow exchange in the
+    session (toPandas, other mapInPandas) until changed. To keep build
+    order irrelevant, this is a monotonic MIN-ratchet: it only ever
+    LOWERS the session cap (two payload operators built before either
+    executes both get the smaller — safe — bound; a larger target can
+    never override a smaller one already in force). The residual small
+    cap for later non-payload exchanges costs batches, never
+    correctness; call ``restore_arrow_batch_cap`` to lift it."""
+    conf = df.sparkSession.conf
+    current = int(
+        conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    )
+    if rows_per_batch < current:
+        conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_batch)
+        )
+
+
+def restore_arrow_batch_cap(spark, rows_per_batch: int = 10000) -> None:
+    """Lift the session-wide Arrow rows-per-batch cap that
+    :func:`_bound_arrow_batch` ratchets down, AFTER the payload-carrying
+    plans have executed (the conf is read at execution, so restoring
+    before an action on a payload plan re-exposes the direct-memory
+    blowup the ratchet prevents)."""
+    spark.conf.set(
         "spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_batch)
     )
 
@@ -121,9 +146,14 @@ def synthesize_media(
                         width=mc.VID_W, height=mc.VID_H, duration_ms=dur, codec="y4m"
                     )
                     rows.append((mid, "video", payload, meta))
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows, columns=["media_id", "kind", "payload", "meta"]
             )
+            # bound the Python->JVM direction in-kernel too: the session
+            # conf only governs the JVM->Python input batches. Inline (no
+            # module-level helper): the closure must pickle by value.
+            for lo in range(0, len(out), target_rows_per_batch):
+                yield out.iloc[lo : lo + target_rows_per_batch]
 
     return ids.mapInPandas(op, MEDIA_SCHEMA)
 

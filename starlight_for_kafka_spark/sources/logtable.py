@@ -306,7 +306,24 @@ class LogTable:
                 F.col("partition").cast("int"),
                 F.col("start_offset").cast("long"),
             )
+            # a partition listed twice would double its rows through the
+            # broadcast join and interleave __pcum/__prn across the two
+            # ridx values, silently corrupting the byte budget — reject,
+            # as Kafka does (INVALID_REQUEST on duplicate partitions).
+            # Control-plane check: req is the request list, tiny.
+            dup = (
+                req.groupBy("partition").count().filter(F.col("count") > 1)
+            )
+            if dup.limit(1).count() > 0:
+                raise ValueError(
+                    "fetch_multi: duplicate partition(s) in request"
+                )
         else:
+            parts = [int(p) for p, _ in requests]
+            if len(parts) != len(set(parts)):
+                raise ValueError(
+                    "fetch_multi: duplicate partition(s) in request"
+                )
             req = spark.createDataFrame(
                 [(i, int(p), int(o)) for i, (p, o) in enumerate(requests)],
                 "ridx int, partition int, start_offset long",

@@ -591,7 +591,15 @@ def txn_coordinator_timeout_stream(
                 )
                 return
             else:
+                # STALE timeout: the transaction completed after its
+                # start+timeout deadline was armed (event-time timeouts
+                # cannot be un-armed) and no id-expiration clock runs.
+                # The coordinator's re-check finds nothing Ongoing —
+                # no state change, so emit NOTHING: the unconditional
+                # snapshot below would re-emit a duplicate row for a
+                # transition that already emitted when it happened.
                 state.update((st, ep, com, ab, inv, start))
+                return
         else:
             last_ms = None
             for pdf in pdfs:

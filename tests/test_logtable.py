@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from starlight_for_kafka_spark.sources import LogTable, validate_records
@@ -416,6 +417,20 @@ def test_fetch_multi_first_record_guarantee(log):
     assert len(out) == 1
     r = out[0]
     assert r.ridx == 0 and r.partition == 4 and r.offset == 7
+
+
+def test_fetch_multi_rejects_duplicate_partitions(log, spark):
+    """A partition listed twice would double its rows through the request
+    broadcast join and interleave the per-partition running sums across
+    both request indexes, silently corrupting the byte budget — reject
+    loudly (Kafka: INVALID_REQUEST), in both request forms."""
+    with pytest.raises(ValueError, match="duplicate partition"):
+        log.fetch_multi([(2, 0), (4, 7), (2, 5)], response_max_bytes=10_000)
+    req_df = spark.createDataFrame(
+        [(0, 2, 0), (1, 2, 5)], "ridx int, partition int, start_offset long"
+    )
+    with pytest.raises(ValueError, match="duplicate partition"):
+        log.fetch_multi(req_df, response_max_bytes=10_000)
 
 
 def test_fetch_multi_overflowing_partition_blocks_later_ones(spark):

@@ -826,6 +826,51 @@ def test_txn_coordinator_timeout_stream_aborts_dead_producer(tmp_path, spark):
     assert final["alive"].n_committed == 1 and final["alive"].n_aborted == 0
 
 
+def test_txn_timeout_stream_stale_timeout_emits_nothing(tmp_path, spark):
+    """A transaction that completes AFTER its start+timeout deadline was
+    armed leaves the (un-clearable) event-time timeout registered; when
+    the watermark later crosses it, the stale fire must be a true no-op —
+    no state change AND no re-emitted snapshot row (a duplicate here
+    double-counts in downstream consumers of the update stream)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(tid, i, action, minutes):
+        return (tid, t0 + datetime.timedelta(minutes=minutes), i, action)
+
+    schema = "transactional_id string, ts timestamp, event_id long, action string"
+    # b1: t goes Ongoing -> deadline armed at start(0min)+30min = 30min
+    b1 = [ev("t", 1, "init", 0), ev("t", 2, "add_partitions", 1)]
+    # b2: t commits at 5min (before the deadline passes); w's init at
+    # 120min drags the watermark far past t's stale 30min deadline
+    b2 = [ev("t", 3, "end_commit", 5), ev("w", 4, "init", 120)]
+    # b3: runs with watermark=120min -> t's stale timeout fires
+    b3 = [ev("w", 5, "noop", 180)]
+    path = str(tmp_path / "txn_stale_events")
+    import glob as _glob, os as _os
+    for i, rows in enumerate([b1, b2, b3]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        fs = sorted(_glob.glob(path + "/part-*"), key=_os.path.getmtime)
+        _os.rename(fs[-1], _os.path.join(path, f"batch-{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = stream_ops.txn_coordinator_timeout_stream(stream, timeout_ms=30 * 60_000)
+    stream_ops.run_to_memory(out, "txn_stale_out", output_mode="update")
+    rows = spark.sql("SELECT * FROM txn_stale_out").collect()
+    t_rows = [r for r in rows if r.transactional_id == "t"]
+    # exactly the two REAL transitions (Ongoing, CompleteCommit) — the
+    # stale fire in b3 must not re-emit the b2 snapshot
+    assert [r.final_state for r in t_rows] == ["Ongoing", "CompleteCommit"]
+    assert t_rows[-1].n_committed == 1 and t_rows[-1].n_aborted == 0
+
+
 def test_txn_id_expiry_stream_purges_idle_ids(tmp_path, spark):
     """With id_expiration_ms on, an idle non-Ongoing id times out into the
     terminal Dead state and its coordinator state REMOVES — a later event

@@ -394,6 +394,29 @@ def test_legacy_log_append_time_wrapper_stamps_inner():
     assert all(g["timestamp_ms"] == 9999 for g in got)
 
 
+def test_legacy_compacted_wrapper_gapped_inner_offsets():
+    """After log compaction a v1 compressed wrapper's inner RELATIVE
+    offsets have gaps. Kafka (AbstractLegacyRecordBatch) derives the
+    absolute base from the LAST inner relative — base = wrapper_offset -
+    inner[-1].relative — so gapped sets land every record correctly; the
+    naive ``wrapper - (n-1)`` places only the last record right."""
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    # relatives 0, 2, 5 (records at base+1, base+3..4 compacted away)
+    inner = b"".join(
+        kr._encode_message_v01(rel, 5000 + rel, b"k%d" % rel, b"v", 1)
+        for rel in (0, 2, 5)
+    )
+    base = 200
+    w = kr._encode_message_v01(
+        base + 5, 0, None, kr._compress("gzip", inner), 1,
+        attributes=kr.COMPRESSION_GZIP,
+    )
+    got = kr.decode_message_set_v01(w)
+    assert [g["offset"] for g in got] == [base, base + 2, base + 5]
+    assert [g["timestamp_ms"] for g in got] == [5000, 5002, 5005]
+
+
 def test_legacy_ingest_reads_compressed_sets(spark, log):
     """ingest_message_sets over wrapper-compressed legacy blobs equals the
     plain path — the real-dump replay case."""
