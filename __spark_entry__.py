@@ -690,6 +690,28 @@ def q_dedup_minhash(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_dedup_minhash_capped(spark, sf_dir):
+    """The Σ cluster² guard rail composed into the MinHash pipeline
+    (dedup.minhash_lsh_candidates star_above): LSH buckets above the
+    threshold emit a STAR anchored at the bucket minimum — s−1 pairs, not
+    s(s−1)/2 — bounding any duplicate cluster's pair emission linear in
+    its size, THE capping a 100 TB corpus with mega-clusters needs.
+    Emits the verified pair set itself (not the survivor list) so the
+    oracle pins the capped emission topology byte-for-byte; star_above=2
+    is far below production values purely so this corpus' size-3+ buckets
+    actually exercise the star path."""
+    docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
+    sigs = dedup_ops.minhash_signatures(
+        docs, num_hashes=16, shingle_k=3, shingle_mode="word"
+    )
+    cands = dedup_ops.minhash_lsh_candidates(
+        sigs, bands=4, num_hashes=16, star_above=2
+    )
+    return dedup_ops.jaccard_verify(
+        docs, cands, shingle_k=3, threshold=0.7, shingle_mode="word"
+    ).select("a", "b")
+
+
 def q_split_leakage_safe(spark, sf_dir):
     """Leakage-safe train/val/test split: the split hash runs on each
     doc's near-dup component representative (MinHash-LSH verified pairs →
@@ -3494,6 +3516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_capped": q_dedup_minhash_capped,
         "minhash_jaccard_estimate": q_minhash_jaccard_estimate,
         "zorder_events": q_zorder_events,
         "group_select_protocol": q_group_select_protocol,
@@ -3786,12 +3809,15 @@ SELECT e.day, e.n_zero AS n_zero_registers,
 FROM est e JOIN ex x USING (day)"""
 
 
-def _minhash_pipeline_cte() -> str:
+def _minhash_pipeline_cte(star_above: int | None = None) -> str:
     """Full MinHash+LSH+verify pipeline in DuckDB CTEs ending at ``ver``
     (verified near-dup pairs) — mirrors the Spark pipeline (word
     3-shingles, 16 hashes, 4 bands, Jaccard >= 0.7) exactly: same
     md5-based hash family (coefficients from the same LCG construction),
-    same banding buckets, same hot-bucket cap."""
+    same banding buckets, same hot-bucket cap. With ``star_above`` the
+    candidate CTE replays the Σ cluster² guard: buckets above the
+    threshold emit STAR pairs anchored at the bucket minimum instead of
+    the full clique (dedup.minhash_lsh_candidates star_above)."""
     from starlight_for_kafka_spark.operators.dedup import (
         MINHASH_PRIME as P,
         _minhash_coeffs,
@@ -3832,12 +3858,12 @@ banded AS (
   FROM (SELECT doc_id, [{band_expr}] AS bk FROM sig) t
   CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bt
 ),
-sized AS (SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bs FROM banded),
-cand AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM (SELECT * FROM sized WHERE bs <= 200) x
-  JOIN (SELECT * FROM sized WHERE bs <= 200) y USING (band, bucket)
-  WHERE x.doc_id < y.doc_id
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bs,
+         min(doc_id) OVER (PARTITION BY band, bucket) AS anchor
+  FROM banded
+),
+cand AS ({_minhash_cand_sql(star_above)}
 ),
 ver AS (
   SELECT c.a, c.b FROM cand c
@@ -3848,9 +3874,31 @@ ver AS (
 )"""
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_cand_sql(star_above: int | None) -> str:
+    """The candidate-pair SELECT of the minhash oracle pipeline: full
+    within-bucket clique, or (star_above) clique for small buckets UNION
+    anchor-star for oversized ones — byte-for-byte the Spark topology."""
+    if star_above is None:
+        return """
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM (SELECT * FROM sized WHERE bs <= 200) x
+  JOIN (SELECT * FROM sized WHERE bs <= 200) y USING (band, bucket)
+  WHERE x.doc_id < y.doc_id"""
+    return f"""
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM (SELECT * FROM sized WHERE bs <= 200 AND bs <= {star_above}) x
+  JOIN (SELECT * FROM sized WHERE bs <= 200 AND bs <= {star_above}) y
+    USING (band, bucket)
+  WHERE x.doc_id < y.doc_id
+  UNION
+  SELECT DISTINCT anchor AS a, doc_id AS b
+  FROM sized
+  WHERE bs <= 200 AND bs > {star_above} AND doc_id <> anchor"""
+
+
+def _minhash_oracle_sql(star_above: int | None = None) -> str:
     """minhash_dedup: drop any doc with a verified near-dup of smaller id."""
-    return f"""WITH {_minhash_pipeline_cte()},
+    return f"""WITH {_minhash_pipeline_cte(star_above)},
 losers AS (SELECT DISTINCT b AS doc_id FROM ver)
 SELECT d.doc_id FROM docs d ANTI JOIN losers l USING (doc_id)"""
 
@@ -4112,6 +4160,8 @@ def oracle_sql() -> dict[str, str]:
     ms = 'epoch_us({c}) // 1000'
     return {
         "dedup_minhash": _minhash_oracle_sql(),
+        "dedup_minhash_capped": f"""WITH {_minhash_pipeline_cte(star_above=2)}
+SELECT a, b FROM ver""",
         "minhash_jaccard_estimate": f"""WITH {_minhash_pipeline_cte()},
 est AS (
   SELECT c.a, c.b,

@@ -178,6 +178,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     max_bucket: int = 200,
     num_hashes: int | None = None,
+    star_above: int | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, bucket on the
     band hash, self-join buckets → candidate pairs (a < b).
@@ -186,6 +187,22 @@ def minhash_lsh_candidates(
     hot key can't quadratic-blow a 1000-executor job; dropped buckets are
     by definition near-identical docs that the exact-dedup pass already
     collapses.
+
+    ``star_above`` is the Σ cluster² guard rail — THE 100 TB scaling axis
+    of every pair-emitting dedup (pair volume grows with the square of
+    duplicate-cluster size, a data property no plan shape can remove, only
+    cap): buckets larger than ``star_above`` emit a STAR anchored at the
+    bucket's minimum id — (anchor, member) edges, s−1 pairs — instead of
+    the full s(s−1)/2 clique, bounding any bucket's emission LINEAR in its
+    size while keeping every member reachable from the anchor (connected
+    components over star edges equal those over clique edges within the
+    bucket, assuming the verify step accepts the anchor pairs — in an LSH
+    bucket all members share a band signature, so anchor similarity is
+    the same evidence any member pair carries). Recall for individual
+    NON-anchor pairs inside oversized buckets is deliberately traded
+    away; dedup keeper semantics (drop docs with a verified near-dup of
+    smaller id) survive because the anchor IS the smallest id. Default
+    ``None`` keeps the exact clique emission.
     """
     if num_hashes is None:
         first = signatures.select(F.size("signature")).first()
@@ -249,6 +266,28 @@ def minhash_lsh_candidates(
     sized = banded.join(
         F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
     )
+    if star_above is not None:
+        # per-bucket size + anchor via ONE partial-combining aggregation
+        # (agg-not-window keeper rule: a window over (band, bucket) would
+        # serialize a hot bucket into one task before the cap applies)
+        bstats = sized.groupBy("band", "bucket").agg(
+            F.count("*").alias("__bs"), F.min(id_col).alias("__anchor")
+        )
+        tagged = sized.join(bstats, ["band", "bucket"])
+        small = tagged.filter(F.col("__bs") <= star_above)
+        a = small.select(F.col(id_col).alias("a"), "band", "bucket")
+        b = small.select(F.col(id_col).alias("b"), "band", "bucket")
+        clique = (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        star = (
+            tagged.filter(F.col("__bs") > star_above)
+            .filter(F.col(id_col) != F.col("__anchor"))
+            .select(F.col("__anchor").alias("a"), F.col(id_col).alias("b"))
+        )
+        return clique.unionByName(star).distinct()
     a = sized.select(F.col(id_col).alias("a"), "band", "bucket")
     b = sized.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
@@ -353,6 +392,7 @@ def minhash_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
     shingle_mode: str = "char",
+    star_above: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dedup: keep one doc (lowest id) per near-dup group.
 
@@ -361,9 +401,17 @@ def minhash_dedup(
     transitive chains this keeps chain minima (slightly conservative vs
     full connected components, which needs iterative joins — see GraphX /
     iterative approach note in similarity.py).
+
+    ``star_above`` (recommended at 100 TB scale: O(10–100)) bounds pair
+    emission per LSH bucket linear-in-size — see
+    :func:`minhash_lsh_candidates`; the anchor of every star is the
+    bucket minimum, which is exactly this function's keeper, so the
+    keep-lowest-id semantics compose losslessly with the cap.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingle_mode)
-    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes=num_hashes)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes=num_hashes, star_above=star_above
+    )
     verified = jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold, shingle_mode)
     losers = verified.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
@@ -376,6 +424,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     shingle_mode: str = "char",
+    star_above: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (recall 1) via a prefix-filtered
     set-similarity join (the PPJoin family: SIGMOD'06 all-pairs /
@@ -417,6 +466,17 @@ def ngram_jaccard_pairs(
     5-char strings. Jaccard over distinct hashes equals Jaccard over
     distinct shingles barring a 64-bit collision (≈n²/2⁶⁴ — negligible,
     and deterministic if it ever happens).
+
+    ``star_above`` is the Σ cluster² guard rail (same rationale and
+    topology as :func:`minhash_lsh_candidates`): a prefix-shingle posting
+    group larger than ``star_above`` emits STAR candidates anchored at
+    the group's minimum doc id — s−1 pairs instead of s(s−1)/2 — so a
+    genuinely duplicated mega-cluster (whose every shingle is shared, so
+    rarity ordering cannot prune it) has bounded emission. The output is
+    then no longer the full recall-1 pair set inside oversized groups
+    (every member still pairs with the group anchor, which downstream
+    keep-min-id dedup consumes losslessly); default ``None`` keeps the
+    exact AllPairs emission.
     """
     t = float(threshold)
     eps = 1e-9
@@ -471,24 +531,65 @@ def ngram_jaccard_pairs(
     prefix_len = F.col("__n") - F.ceil(F.col("__n") * t - eps) + 1
     prefix = ranked.filter(F.col("rk") <= prefix_len)
 
-    a = prefix.select(
-        F.col("__id").alias("a"), F.col("__n").alias("na"), F.col("rk").alias("ra"), "sh"
-    )
-    b = prefix.select(
-        F.col("__id").alias("b"), F.col("__n").alias("nb"), F.col("rk").alias("rb"), "sh"
-    )
     min_overlap = F.ceil((F.col("na") + F.col("nb")) * (t / (1.0 + t)) - eps)
-    cand = (
-        a.join(b, "sh")
-        .filter(F.col("a") < F.col("b"))
-        .filter(F.least("na", "nb") >= F.greatest("na", "nb") * t - eps)
-        .filter(
-            F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")) + 1
-            >= min_overlap
-        )
-        .select("a", "b", "na", "nb")
-        .distinct()
+    size_filter = F.least("na", "nb") >= F.greatest("na", "nb") * t - eps
+    pos_filter = (
+        F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")) + 1
+        >= min_overlap
     )
+    if star_above is not None:
+        # Σ cluster² cap: oversized posting groups emit a star anchored
+        # at the group min id. One partial-combining agg per group (the
+        # struct-min carries the anchor's size and rank so the exact-safe
+        # size/positional bounds still apply to star candidates).
+        gstats = prefix.groupBy("sh").agg(
+            F.count("*").alias("__gs"),
+            F.min(F.struct("__id", "__n", "rk")).alias("__anc"),
+        )
+        tagged = prefix.join(gstats, "sh")
+        small = tagged.filter(F.col("__gs") <= star_above)
+        a = small.select(
+            F.col("__id").alias("a"), F.col("__n").alias("na"), F.col("rk").alias("ra"), "sh"
+        )
+        b = small.select(
+            F.col("__id").alias("b"), F.col("__n").alias("nb"), F.col("rk").alias("rb"), "sh"
+        )
+        clique = a.join(b, "sh").filter(F.col("a") < F.col("b"))
+        star = (
+            tagged.filter(F.col("__gs") > star_above)
+            .filter(F.col("__id") != F.col("__anc.__id"))
+            .select(
+                F.col("__anc.__id").alias("a"),
+                F.col("__anc.__n").alias("na"),
+                F.col("__anc.rk").alias("ra"),
+                F.col("__id").alias("b"),
+                F.col("__n").alias("nb"),
+                F.col("rk").alias("rb"),
+            )
+        )
+        cand = (
+            clique.select("a", "b", "na", "nb", "ra", "rb")
+            .unionByName(star.select("a", "b", "na", "nb", "ra", "rb"))
+            .filter(size_filter)
+            .filter(pos_filter)
+            .select("a", "b", "na", "nb")
+            .distinct()
+        )
+    else:
+        a = prefix.select(
+            F.col("__id").alias("a"), F.col("__n").alias("na"), F.col("rk").alias("ra"), "sh"
+        )
+        b = prefix.select(
+            F.col("__id").alias("b"), F.col("__n").alias("nb"), F.col("rk").alias("rb"), "sh"
+        )
+        cand = (
+            a.join(b, "sh")
+            .filter(F.col("a") < F.col("b"))
+            .filter(size_filter)
+            .filter(pos_filter)
+            .select("a", "b", "na", "nb")
+            .distinct()
+        )
 
     sa = sets_df.select(F.col("__id").alias("a"), F.col("__set").alias("__sa"))
     sb = sets_df.select(F.col("__id").alias("b"), F.col("__set").alias("__sb"))
@@ -829,11 +930,19 @@ def minhash_dedup_exact_groups(
     shingle_k: int = 5,
     threshold: float = 0.8,
     shingle_mode: str = "char",
+    star_above: int | None = None,
 ) -> DataFrame:
     """minhash_dedup with exact transitive grouping: verified pairs →
-    connected components → keep each component's minimum id."""
+    connected components → keep each component's minimum id.
+
+    ``star_above`` caps per-bucket pair emission to a star
+    (:func:`minhash_lsh_candidates`) — star edges preserve within-bucket
+    connectivity, so the components (and thus the keeper set) match the
+    clique emission whenever the verify step accepts the anchor edges."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingle_mode)
-    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes=num_hashes)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes=num_hashes, star_above=star_above
+    )
     verified = jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold, shingle_mode)
     comps = connected_components(verified)
     losers = comps.filter(F.col("node") != F.col("component")).select(

@@ -36,6 +36,63 @@ def test_minhash_dedup_catches_near_dup(spark, documents):
     assert out.count() >= documents.count() * 0.5
 
 
+def test_minhash_star_cap_bounds_cluster_pair_emission(spark, documents):
+    """star_above: a duplicate mega-cluster of size s emits s-1 anchor
+    pairs instead of the s(s-1)/2 clique — the Σ cluster² guard rail —
+    while keep-min-id dedup returns the SAME survivor set (the star
+    anchor IS the keeper)."""
+    base = documents.limit(1)
+    # 9 identical clones with ids -1..-9: strictly below every corpus id,
+    # so the star anchor is deterministically the cluster min (-9) even
+    # if a foreign doc shares an LSH bucket with the clones
+    cluster = base.withColumn("doc_id", F.lit(-1).cast("long"))
+    for i in range(2, 10):
+        cluster = cluster.unionByName(
+            base.withColumn("doc_id", F.lit(-i).cast("long"))
+        )
+    corpus = documents.unionByName(cluster)
+    sigs = dedup.minhash_signatures(corpus, num_hashes=16)
+    exact = dedup.minhash_lsh_candidates(sigs, bands=4, num_hashes=16)
+    capped = dedup.minhash_lsh_candidates(
+        sigs, bands=4, num_hashes=16, star_above=4
+    )
+    within = (F.col("a") < 0) & (F.col("b") < 0)
+    assert exact.filter(within).count() == 9 * 8 // 2  # full clique
+    cp_rows = capped.filter(within).collect()
+    assert len(cp_rows) == 8  # star: s-1 edges
+    assert all(r.a == -9 for r in cp_rows)  # all anchored at the min id
+    # capped candidates are a subset of the exact emission
+    assert capped.join(exact, ["a", "b"], "left_anti").count() == 0
+    # end-to-end: keep-min-id dedup drops the same copies either way
+    d_exact = dedup.minhash_dedup(corpus, threshold=0.9)
+    d_capped = dedup.minhash_dedup(corpus, threshold=0.9, star_above=4)
+    assert sorted(r.doc_id for r in d_exact.select("doc_id").collect()) == sorted(
+        r.doc_id for r in d_capped.select("doc_id").collect()
+    )
+
+
+def test_ngram_star_cap_bounds_posting_group_emission(spark, documents):
+    """star_above on the prefix-filtered set-similarity join: oversized
+    posting groups emit anchor stars, so a fully-duplicated cluster's
+    candidate (and output-pair) volume is linear in cluster size; capped
+    output pairs are a subset of the exact recall-1 output."""
+    base = documents.limit(1)
+    cluster = base.withColumn("doc_id", F.lit(-1).cast("long"))
+    for i in range(2, 8):  # 7 identical clones, ids -1..-7
+        cluster = cluster.unionByName(
+            base.withColumn("doc_id", F.lit(-i).cast("long"))
+        )
+    corpus = documents.unionByName(cluster)
+    exact = dedup.ngram_jaccard_pairs(corpus, threshold=0.95)
+    capped = dedup.ngram_jaccard_pairs(corpus, threshold=0.95, star_above=3)
+    within = (F.col("a") < 0) & (F.col("b") < 0)
+    cp_rows = capped.filter(within).collect()
+    assert exact.filter(within).count() == 7 * 6 // 2
+    assert len(cp_rows) == 6 and all(r.a == -7 for r in cp_rows)
+    assert all(abs(r.jaccard - 1.0) < 1e-9 for r in cp_rows)
+    assert capped.join(exact, ["a", "b"], "left_anti").count() == 0
+
+
 def test_ngram_jaccard_pairs_finds_identical(spark, documents):
     clone = documents.limit(1).withColumn("doc_id", F.col("doc_id") + 3_000_000)
     pairs = dedup.ngram_jaccard_pairs(documents.unionByName(clone), threshold=0.99)
