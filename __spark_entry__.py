@@ -1528,6 +1528,30 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     return pairs.select("a", "b", F.round("cos", 6).alias("cos"))
 
 
+def q_dedup_embedding_lsh_auto(spark, sf_dir):
+    """Auto-sized LSH bucketing (similarity.auto_plane_count): the plane
+    count derives from the corpus count targeting expected bucket
+    occupancy ≤ 16, so within-bucket quadratic work stays bounded at
+    100× corpus growth with no caller tuning. The oracle derives the
+    SAME p from the same count inside SQL (dynamic nested-lambda bucket
+    expression), so the auto choice itself is under the correctness
+    gate — 525 vectors → p=6 here, deliberately different from
+    dedup_embedding_lsh's fixed p=4."""
+    emb = _emb_with_near(load_table(spark, sf_dir, "embeddings"))
+    # derive p the same way embedding_cosine_dups(n_planes=None) does and
+    # EMIT it, so the auto derivation itself is hash-compared against the
+    # oracle's SQL-side derivation (identical pair sets alone could pass
+    # with two different-but-lossless p choices)
+    p = sim_ops.auto_plane_count(emb.count(), target_bucket=16)
+    pairs = dedup_ops.embedding_cosine_dups(
+        emb, threshold=0.95, n_planes=p
+    )
+    return pairs.select(
+        "a", "b", F.round("cos", 6).alias("cos"),
+        F.lit(p).alias("n_planes"),
+    )
+
+
 def q_top_docs_per_lang(spark, sf_dir):
     """Grouped top-k: the 3 longest docs per predicted language (rank per
     group + filter — the per-key top-N every analytics surface needs)."""
@@ -3562,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_embedding_lsh_auto": q_dedup_embedding_lsh_auto,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_frame_features": q_multimodal_frame_features,
         "multimodal_chunk_features": q_multimodal_chunk_features,
@@ -4003,6 +4028,51 @@ def _dedup_embedding_lsh_oracle_sql() -> str:
 SELECT a, b, cos FROM pairs WHERE cos >= 0.95"""
 
 
+def _hp_bucket_dyn_sql(v: str, np_subquery: str) -> str:
+    """Dynamic-plane-count twin of :func:`_hp_bucket_sql`: the plane count
+    comes from a scalar subquery instead of a Python literal, via nested
+    list lambdas — same md5 parity signs, same left-to-right list_reduce
+    double fold, so buckets match Spark's hyperplane_bucket bit-for-bit
+    for whatever p the subquery yields."""
+    return (
+        f"list_sum(list_transform(range(0, {np_subquery}), pp -> "
+        f"CASE WHEN list_reduce(list_transform(range(len({v})), d -> "
+        f"CASE WHEN ('0x' || substr(md5('hp' || CAST(pp AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 "
+        f"THEN {v}[d + 1] ELSE -{v}[d + 1] END), (acc, x) -> acc + x) > 0 "
+        f"THEN 1 << pp ELSE 0 END))"
+    )
+
+
+def _dedup_embedding_lsh_auto_oracle_sql() -> str:
+    """dedup_embedding_lsh_auto: same corpus as dedup_embedding_lsh, but
+    the plane count is DERIVED from the corpus count exactly like
+    similarity.auto_plane_count(n, target_bucket=16): n<=16 -> 1, else
+    clamp(ceil(log2(n/16)), 1, 24)."""
+    return f"""WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), pert AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         [CASE WHEN i = 1 THEN v[i] * 1.1 ELSE v[i] END FOR i IN range(1, len(v) + 1)] AS v
+  FROM base WHERE vec_id % 20 = 0
+), allv AS (
+  SELECT * FROM base UNION ALL SELECT * FROM pert
+), np AS (
+  SELECT CASE WHEN count(*) <= 16 THEN 1
+              ELSE greatest(1, least(24, CAST(ceil(log2(count(*) / 16.0)) AS INT)))
+         END AS p
+  FROM allv
+), bk AS (
+  SELECT vec_id, v, {_hp_bucket_dyn_sql('v', '(SELECT p FROM np)')} AS bkt FROM allv
+), pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+  FROM bk x JOIN bk y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+)
+SELECT a, b, cos, (SELECT p FROM np) AS n_planes
+FROM pairs WHERE cos >= 0.95"""
+
+
 def _ann_recall_oracle_sql() -> str:
     """ann_recall: replay the whole harness — brute-force truth, LSH
     bucket, Hamming-1 multi-probe, IVF nprobe=2 — and report n_hit /
@@ -4385,6 +4455,7 @@ SELECT lang, count(*) AS n_docs, count(DISTINCT dig) AS n_distinct,
 FROM d GROUP BY lang""",
         "similarity_lsh_top5": _lsh_top5_oracle_sql(),
         "dedup_embedding_lsh": _dedup_embedding_lsh_oracle_sql(),
+        "dedup_embedding_lsh_auto": _dedup_embedding_lsh_auto_oracle_sql(),
         "multimodal_features": """WITH ipx AS (
   SELECT doc_id AS id, unnest(range(216)) AS idx FROM documents WHERE doc_id % 3 = 0
 ), istat AS (

@@ -59,7 +59,13 @@ SUITE = [
     "dedup_exact",
     "line_dedup",
     "dedup_ngram_jaccard",
+    # star_above=8 twin: same output semantics, pair emission capped
+    # linear-in-cluster-size — the Σ cluster² guard. The replicated data
+    # has near-dup clusters of size <= SCALE by construction, so at 30x
+    # this row is exactly the flatten-the-curve evidence vs its twin
+    "dedup_ngram_jaccard_star8",
     "dedup_minhash",
+    "dedup_minhash_star8",
     "dedup_minhash_cc",
     "pagerank_event_graph",
     "commitlog_append",
@@ -267,7 +273,30 @@ def main() -> None:
         )
         sf_dir = SCRATCH
 
-    queries = entrymod.queries()
+    queries = dict(entrymod.queries())
+
+    def _capped_minhash(spark, sf):
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import dedup
+
+        docs = entrymod._docs_with_near(load_table(spark, sf, "documents"))
+        return dedup.minhash_dedup(
+            docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.7,
+            shingle_mode="word", star_above=8,
+        ).select("doc_id")
+
+    def _capped_ngram(spark, sf):
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import dedup
+
+        docs = entrymod._docs_with_near(load_table(spark, sf, "documents"))
+        return dedup.ngram_jaccard_pairs(
+            docs, threshold=0.6, shingle_k=3, shingle_mode="word",
+            star_above=8,
+        )
+
+    queries["dedup_minhash_star8"] = _capped_minhash
+    queries["dedup_ngram_jaccard_star8"] = _capped_ngram
     entrymod.q_list_offsets(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     metrics = StageMetrics(spark)

@@ -692,15 +692,29 @@ def embedding_cosine_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucket by random-hyperplane sign bits,
     then exact cosine within buckets (see operators/similarity.py for the
     shared bucketing). ``n_planes <= 0`` disables bucketing (exact all-pairs
-    baseline — O(n²), for oracle checks and small tables only)."""
-    from starlight_for_kafka_spark.operators.similarity import hyperplane_bucket
+    baseline — O(n²), for oracle checks and small tables only).
+
+    ``n_planes=None`` (the default) AUTO-SIZES the bucket space from the
+    corpus count (similarity.auto_plane_count): expected bucket occupancy
+    stays ≤ ``target_bucket`` as the corpus grows, so within-bucket
+    quadratic work is bounded at 100× without caller tuning. The count is
+    one control-plane aggregate (parquet row-group stats make it a
+    metadata scan); the derived p is a pure function of it, so oracles
+    replay the identical bucketing from the same count."""
+    from starlight_for_kafka_spark.operators.similarity import (
+        auto_plane_count,
+        hyperplane_bucket,
+    )
     from starlight_for_kafka_spark.functions.vectors import cosine_similarity
 
+    if n_planes is None:
+        n_planes = auto_plane_count(embeddings.count(), target_bucket)
     bucket = (
         F.lit(0) if n_planes <= 0 else hyperplane_bucket(F.col(vec_col), n_planes)
     )

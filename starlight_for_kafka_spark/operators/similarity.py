@@ -40,6 +40,25 @@ def brute_force_top_k(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def auto_plane_count(
+    n_rows: int, target_bucket: int = 64, max_planes: int = 24
+) -> int:
+    """Derive the hyperplane count from the corpus size: the smallest p
+    with expected bucket occupancy n/2^p ≤ ``target_bucket`` (uniform
+    spread), so within-bucket quadratic work stays bounded as the corpus
+    grows 100× WITHOUT the caller re-tuning — a fixed p=8 that is fine at
+    1M rows leaves 2^8 buckets of 400k at 100M rows and the bucket² cost
+    explodes. ``max_planes`` bounds the bucket space (2^24 ≈ 16M buckets
+    is already far past any shuffle-key-cardinality concern). Pure
+    function of the count, so an engine-side auto choice is exactly
+    reproducible by an oracle that derives p from the same count."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 1
+    return min(max_planes, max(1, math.ceil(math.log2(n_rows / target_bucket))))
+
+
 def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 0) -> Column:
     """Sign-bit LSH bucket id for a vector: bit_i = sign(h_i · v) where the
     pseudo-hyperplane h_i has components hash(i, d) mapped to ±1.
@@ -76,10 +95,14 @@ def lsh_top_k(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int | None = 6,
     probe_hamming1: bool = False,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """ANN top-k: score only vectors in the query's hyperplane bucket.
+    ``n_planes=None`` auto-sizes from the table count
+    (:func:`auto_plane_count`) so expected bucket occupancy — and with it
+    per-query scan cost — stays ≤ ``target_bucket`` across 100× growth.
 
     At 100 TB, bucket the table once at rest (partition by bucket) and this
     becomes a partition-pruned scan of ~1/2^n_planes of the data. Recall is
@@ -92,6 +115,8 @@ def lsh_top_k(
     IN-list filter that partition-prunes against a bucket-partitioned table.
     """
     spark = embeddings.sparkSession
+    if n_planes is None:
+        n_planes = auto_plane_count(embeddings.count(), target_bucket)
     qb = (
         spark.createDataFrame([(query_vec,)], f"{vec_col} array<float>")
         .select(hyperplane_bucket(F.col(vec_col), n_planes).alias("b"))

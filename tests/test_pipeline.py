@@ -1325,3 +1325,20 @@ def test_audio_chunks_and_chunk_features_drop_null_duration(spark):
         (F.col("kind") == "audio") & F.col("meta.duration_ms").isNotNull()
     )
     assert [r.media_id for r in staged.collect()] == [2]
+
+
+def test_auto_plane_count_targets_bucket_occupancy():
+    """p is the smallest count with n/2^p <= target (clamped to [1,24]):
+    the within-bucket quadratic work bound that holds across 100x."""
+    from starlight_for_kafka_spark.operators.similarity import auto_plane_count
+
+    assert auto_plane_count(10, 64) == 1           # tiny corpus: one bucket
+    assert auto_plane_count(64, 64) == 1
+    assert auto_plane_count(65, 64) == 1           # ceil(log2(65/64)) = 1
+    assert auto_plane_count(525, 16) == 6          # the fixture case
+    assert auto_plane_count(1_000_000, 64) == 14
+    assert auto_plane_count(100_000_000, 64) == 21
+    assert auto_plane_count(10**13, 64) == 24      # clamp: bucket space cap
+    for n in (100, 10_000, 5_000_000):
+        p = auto_plane_count(n, 64)
+        assert n / (1 << p) <= 64 or p == 24
