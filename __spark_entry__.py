@@ -980,16 +980,25 @@ def q_wire_legacy_ingest(spark, sf_dir):
     """Legacy MessageSet v0/v1 ingest (AbstractEntryFormatter.java:248-281
     read side): the log down-converted to v1 message sets (headers
     dropped, per-message CRC32) then ingested BACK into typed rows through
-    ingest_message_sets — the path a replay of a pre-0.11 dump takes. The
-    oracle recomputes the projected fields from the source log at ms
-    precision; any legacy-layout, CRC, or timestamp-sentinel bug breaks
-    parity."""
+    ingest_message_sets — the path a replay of a pre-0.11 dump takes.
+    Even partitions route through lz4 WRAPPER messages (the KAFKA-3160
+    legacy framing), odd through plain sets, so both the compressed-
+    wrapper decode and the lz4 legacy frame codec sit under this oracle.
+    The oracle recomputes the projected fields from the source log at ms
+    precision; any legacy-layout, CRC, frame, or timestamp-sentinel bug
+    breaks parity."""
     from starlight_for_kafka_spark.sources import wire
 
     log = _log(spark, sf_dir).df
     batches = wire.encode_wire_batches(log, max_records_per_batch=50)
-    legacy = wire.down_convert_batches(batches, to_magic=1)
-    typed = wire.ingest_message_sets(legacy)
+    even = wire.down_convert_batches(
+        batches.filter(F.col("partition") % 2 == 0), to_magic=1,
+        compression="lz4",
+    )
+    odd = wire.down_convert_batches(
+        batches.filter(F.col("partition") % 2 == 1), to_magic=1
+    )
+    typed = wire.ingest_message_sets(even.unionByName(odd))
     return typed.select(
         "partition",
         "offset",

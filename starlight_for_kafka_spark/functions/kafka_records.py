@@ -34,9 +34,10 @@ conventions per codec:
   ints + [int32 length | raw snappy block] chunks of 32 KiB), the format
   Kafka's SnappyOutputStream writes; bare raw-snappy blocks are also
   accepted on decode, as Kafka's decompressor does.
-- lz4: LZ4 Frame format — correct for v2 batches (the pre-v2 broken-HC
-  frame checksum variant applies only to legacy magic, which this module
-  never compresses).
+- lz4: LZ4 Frame format for v2 batches; legacy v0/v1 wrapper messages use
+  the KAFKA-3160 framing (encode_kafka_lz4/decode_kafka_lz4): broken
+  descriptor checksum for magic v0, spec-correct for v1, decode accepts
+  both — same as Kafka's KafkaLZ4Block streams.
 - zstd: standard zstd frame (v2-only codec per KIP-110).
 """
 
@@ -454,10 +455,196 @@ def _encode_message_v01(
     return struct.pack(">q", offset) + struct.pack(">i", len(msg)) + msg
 
 
-# legacy wrapper compression: only gzip and snappy shipped in the v0/v1
-# era with framing this codec reproduces (legacy lz4 used a non-standard
-# checksum variant, KAFKA-3160; zstd is v2-only)
-_LEGACY_CODECS = {"gzip": COMPRESSION_GZIP, "snappy": COMPRESSION_SNAPPY}
+# ---------------------------------------------------------------------- #
+# Kafka legacy LZ4 framing (KAFKA-3160)
+#
+# Pre-0.11 lz4 wrapper messages use the LZ4 Frame format, but magic-v0
+# producers computed the frame-descriptor checksum (HC byte) over the
+# 4 magic bytes + descriptor instead of the descriptor alone — the
+# "broken HC" variant KAFKA-3160 documents. The 0.10 fix kept the broken
+# checksum for magic v0 (compatibility) and writes the spec-correct one
+# for magic v1+ (Kafka CompressionType.LZ4 wraps with
+# useBrokenFlagDescriptorChecksum = (magic == v0)). Decode accepts BOTH
+# variants, like KafkaLZ4BlockInputStream with the ignore flag the
+# broker passes. Frame blocks are independent LZ4 raw blocks (public
+# LZ4 Frame + Block specs); xxhash32 is implemented from the public
+# XXH32 algorithm for the HC byte.
+# ---------------------------------------------------------------------- #
+
+_LZ4_FRAME_MAGIC = b"\x04\x22\x4d\x18"
+_LZ4_BLOCK_MAX = 64 * 1024  # BD 0x40, Kafka's default blockMaxSize
+_LZ4_UNCOMPRESSED_BIT = 0x80000000
+
+
+def _xxh32(data: bytes, seed: int = 0) -> int:
+    """XXH32 (public xxHash algorithm) — the LZ4 Frame descriptor
+    checksum. Pure stdlib; only runs over 2-6 header bytes per frame."""
+    p1, p2, p3, p4, p5 = (
+        2654435761, 2246822519, 3266489917, 668265263, 374761393,
+    )
+    mask = 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) & mask) | (x >> (32 - r))
+
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + p1 + p2) & mask
+        v2 = (seed + p2) & mask
+        v3 = seed & mask
+        v4 = (seed - p1) & mask
+        while i <= n - 16:
+            v1 = (rotl((v1 + int.from_bytes(data[i : i + 4], "little") * p2) & mask, 13) * p1) & mask
+            v2 = (rotl((v2 + int.from_bytes(data[i + 4 : i + 8], "little") * p2) & mask, 13) * p1) & mask
+            v3 = (rotl((v3 + int.from_bytes(data[i + 8 : i + 12], "little") * p2) & mask, 13) * p1) & mask
+            v4 = (rotl((v4 + int.from_bytes(data[i + 12 : i + 16], "little") * p2) & mask, 13) * p1) & mask
+            i += 16
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & mask
+    else:
+        h = (seed + p5) & mask
+    h = (h + n) & mask
+    while i <= n - 4:
+        h = (h + int.from_bytes(data[i : i + 4], "little") * p3) & mask
+        h = (rotl(h, 17) * p4) & mask
+        i += 4
+    while i < n:
+        h = (h + data[i] * p5) & mask
+        h = (rotl(h, 11) * p1) & mask
+        i += 1
+    h ^= h >> 15
+    h = (h * p2) & mask
+    h ^= h >> 13
+    h = (h * p3) & mask
+    h ^= h >> 16
+    return h
+
+
+def _lz4_block_decompress(src: bytes) -> bytes:
+    """LZ4 raw BLOCK decompression (public block spec): token-driven
+    literal/match sequences. Pure Python — needed because the Arrow raw
+    codec requires the exact uncompressed size up front, which the frame
+    does not carry per block; legacy ingest is a cold replay path."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        out += src[i : i + lit_len]
+        i += lit_len
+        if i >= n:
+            break  # last sequence carries literals only
+        offset = int.from_bytes(src[i : i + 2], "little")
+        i += 2
+        if offset == 0:
+            raise ValueError("corrupt lz4 block: zero match offset")
+        match_len = token & 0xF
+        if match_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        match_len += 4
+        if offset >= match_len:
+            start = len(out) - offset
+            out += out[start : start + match_len]
+        else:  # overlapping copy: byte-at-a-time per the spec
+            for _ in range(match_len):
+                out.append(out[-offset])
+    return bytes(out)
+
+
+def encode_kafka_lz4(data: bytes, broken_hc: bool) -> bytes:
+    """Frame ``data`` as a Kafka legacy LZ4 stream: LZ4 Frame magic +
+    FLG(version 1, block-independence) + BD(64 KiB) + HC + independent
+    raw blocks + end mark. ``broken_hc`` selects the KAFKA-3160 magic-v0
+    checksum (computed over magic+descriptor) vs the spec-correct one."""
+    _require_pyarrow("lz4")
+    flg, bd = 0x60, 0x40
+    descriptor = bytes([flg, bd])
+    hc_input = _LZ4_FRAME_MAGIC + descriptor if broken_hc else descriptor
+    hc = (_xxh32(hc_input) >> 8) & 0xFF
+    out = bytearray(_LZ4_FRAME_MAGIC)
+    out += descriptor
+    out.append(hc)
+    codec = _pa.Codec("lz4_raw")
+    for i in range(0, len(data), _LZ4_BLOCK_MAX):
+        blk = data[i : i + _LZ4_BLOCK_MAX]
+        comp = codec.compress(blk, asbytes=True)
+        if len(comp) >= len(blk):  # incompressible: store raw, high bit set
+            out += struct.pack("<I", len(blk) | _LZ4_UNCOMPRESSED_BIT)
+            out += blk
+        else:
+            out += struct.pack("<I", len(comp))
+            out += comp
+    out += struct.pack("<I", 0)  # end mark
+    return bytes(out)
+
+
+def decode_kafka_lz4(data: bytes) -> bytes:
+    """Decode a Kafka legacy LZ4 frame, accepting BOTH the broken-HC
+    (magic v0, KAFKA-3160) and spec-correct descriptor checksums — the
+    tolerant read side Kafka's own KafkaLZ4BlockInputStream implements
+    (reference consumes these in the down-convert read path,
+    format/AbstractEntryFormatter.java:248-281)."""
+    data = bytes(data)
+    if data[:4] != _LZ4_FRAME_MAGIC:
+        raise ValueError("not an LZ4 frame (bad magic)")
+    flg = data[4]
+    if (flg >> 6) != 1:
+        raise ValueError(f"unsupported LZ4 frame version {flg >> 6}")
+    if flg & 0x01:
+        raise ValueError("LZ4 dictionaries not supported")
+    has_content_size = bool(flg & 0x08)
+    has_block_checksum = bool(flg & 0x10)
+    has_content_checksum = bool(flg & 0x04)
+    desc_len = 2 + (8 if has_content_size else 0)
+    descriptor = data[4 : 4 + desc_len]
+    hc = data[4 + desc_len]
+    ok_correct = hc == (_xxh32(descriptor) >> 8) & 0xFF
+    ok_broken = hc == (_xxh32(_LZ4_FRAME_MAGIC + descriptor) >> 8) & 0xFF
+    if not (ok_correct or ok_broken):
+        raise ValueError("LZ4 frame descriptor checksum mismatch")
+    pos = 4 + desc_len + 1
+    out = bytearray()
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated LZ4 frame (no end mark)")
+        size = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+        if size == 0:
+            break
+        raw = bool(size & _LZ4_UNCOMPRESSED_BIT)
+        size &= ~_LZ4_UNCOMPRESSED_BIT
+        blk = data[pos : pos + size]
+        if len(blk) != size:
+            raise ValueError("truncated LZ4 block")
+        pos += size
+        if has_block_checksum:
+            pos += 4  # per-block xxh32, not verified on this replay path
+        out += blk if raw else _lz4_block_decompress(blk)
+    return bytes(out)
+
+
+# legacy wrapper compression: gzip and snappy via the shared codecs; lz4
+# via the KAFKA-3160 legacy framing above (broken HC for magic v0,
+# spec-correct for v1 — matching Kafka's CompressionType.LZ4). zstd is
+# v2-only (KIP-110) and stays rejected.
+_LEGACY_CODECS = {
+    "gzip": COMPRESSION_GZIP,
+    "snappy": COMPRESSION_SNAPPY,
+    "lz4": COMPRESSION_LZ4,
+}
 
 
 def down_convert(
@@ -489,7 +676,7 @@ def down_convert(
         return bytes(out)
     if compression not in _LEGACY_CODECS:
         raise ValueError(
-            f"legacy message sets support gzip/snappy, not {compression!r}"
+            f"legacy message sets support gzip/snappy/lz4, not {compression!r}"
         )
     if not recs:
         return b""
@@ -499,7 +686,12 @@ def down_convert(
         inner += _encode_message_v01(
             inner_offset, r["timestamp_ms"], r["key"], r["value"], to_magic
         )
-    wrapper_value = _compress(compression, bytes(inner))
+    if compression == "lz4":
+        # KAFKA-3160: magic v0 keeps the broken descriptor checksum for
+        # compatibility; v1 writes the spec-correct frame
+        wrapper_value = encode_kafka_lz4(bytes(inner), broken_hc=(to_magic == 0))
+    else:
+        wrapper_value = _compress(compression, bytes(inner))
     wrapper_ts = max(r["timestamp_ms"] for r in recs)
     return _encode_message_v01(
         recs[-1]["offset"],
@@ -555,7 +747,12 @@ def decode_message_set_v01(buf: bytes) -> list[dict]:
         if codec_id:
             if value is None:
                 raise ValueError("compressed wrapper message with null value")
-            inner = decode_message_set_v01(_decompress(codec_id, value))
+            payload = (
+                decode_kafka_lz4(value)
+                if codec_id == COMPRESSION_LZ4
+                else _decompress(codec_id, value)
+            )
+            inner = decode_message_set_v01(payload)
             log_append_time = magic == 1 and (attributes >> 3) & 1
             # relative inner offsets; wrapper holds the LAST absolute
             # offset. Kafka (AbstractLegacyRecordBatch) derives the base

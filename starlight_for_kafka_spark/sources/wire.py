@@ -290,8 +290,10 @@ def down_convert_batches(
     v0/v1 message-set blob (headers dropped, per-message CRC32) — the
     conversion the reference meters as CONSUME_MESSAGE_CONVERSIONS
     (AbstractEntryFormatter.java:238-281). ``compression`` emits the
-    legacy wrapper-message form (gzip/snappy — what pre-0.11 producers
-    with compression wrote; relative inner offsets in v1). Map-only."""
+    legacy wrapper-message form (gzip/snappy/lz4 — what pre-0.11
+    producers with compression wrote; relative inner offsets in v1; lz4
+    uses the KAFKA-3160 legacy framing, broken HC for magic v0).
+    Map-only."""
     _pickle_codec_by_value()
     from starlight_for_kafka_spark.functions import kafka_records as kr
 

@@ -364,7 +364,7 @@ def test_legacy_compressed_wrapper_roundtrip_and_offsets():
     b = kr.encode_batch_v2(100, recs)
     for magic in (0, 1):
         plain = kr.decode_message_set_v01(kr.down_convert(b, to_magic=magic))
-        for codec in ("gzip", "snappy"):
+        for codec in ("gzip", "snappy", "lz4"):
             ms = kr.down_convert(b, to_magic=magic, compression=codec)
             got = kr.decode_message_set_v01(ms)
             assert got == plain, (magic, codec)
@@ -392,6 +392,86 @@ def test_legacy_log_append_time_wrapper_stamps_inner():
     got = kr.decode_message_set_v01(w)
     assert [g["offset"] for g in got] == [40, 41, 42]
     assert all(g["timestamp_ms"] == 9999 for g in got)
+
+
+def test_kafka_lz4_legacy_frame_layout_and_checksums():
+    """KAFKA-3160 framing pinned at the byte level: LZ4 Frame magic,
+    FLG(version 1, block-independence)=0x60, BD(64 KiB)=0x40; the HC byte
+    is xxh32>>8 of the DESCRIPTOR for magic v1 (spec) but of
+    MAGIC+DESCRIPTOR for magic v0 (the broken legacy variant). Decode
+    accepts both, rejects anything else."""
+    import struct
+
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    payload = b"legacy lz4 wrapper " * 40
+    good = kr.encode_kafka_lz4(payload, broken_hc=False)
+    broken = kr.encode_kafka_lz4(payload, broken_hc=True)
+    for f in (good, broken):
+        assert f[:4] == b"\x04\x22\x4d\x18"
+        assert f[4] == 0x60 and f[5] == 0x40
+        assert f[-4:] == struct.pack("<I", 0)  # end mark
+        assert kr.decode_kafka_lz4(f) == payload
+    # the two variants differ ONLY in the HC byte
+    assert good[6] != broken[6] and good[:6] == broken[:6] and good[7:] == broken[7:]
+    assert good[6] == (kr._xxh32(good[4:6]) >> 8) & 0xFF
+    assert broken[6] == (kr._xxh32(broken[:6]) >> 8) & 0xFF
+    # any OTHER checksum value is rejected
+    bad = bytearray(good)
+    bad[6] ^= 0xFF
+    if bad[6] == broken[6]:  # avoid colliding with the broken variant
+        bad[6] ^= 0x01
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="checksum"):
+        kr.decode_kafka_lz4(bytes(bad))
+    # xxh32 against the public test vectors
+    assert kr._xxh32(b"") == 0x02CC5D05
+    assert kr._xxh32(b"a") == 0x550D7456
+    assert kr._xxh32(b"abc") == 0x32D153FF
+
+
+def test_kafka_lz4_frame_fuzz_roundtrip():
+    """Deterministic fuzz over payload shapes (empty, tiny, incompressible
+    random, highly-compressible, multi-block >64 KiB) x both checksum
+    variants; the pure-Python block decoder must invert pyarrow's raw
+    block compressor exactly."""
+    import random
+
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    rng = random.Random(42)
+    payloads = [
+        b"",
+        b"x",
+        bytes(rng.getrandbits(8) for _ in range(1000)),     # incompressible
+        b"ab" * 50_000,                                     # compressible
+        bytes(rng.getrandbits(8) for _ in range(70_000)),   # multi-block raw
+        (b"kafka " * 20_000),                               # multi-block comp
+    ]
+    for payload in payloads:
+        for broken in (False, True):
+            f = kr.encode_kafka_lz4(payload, broken_hc=broken)
+            assert kr.decode_kafka_lz4(f) == payload, (len(payload), broken)
+
+
+def test_legacy_lz4_wrapper_end_to_end_both_magics():
+    """v0 (broken HC) and v1 (spec HC) lz4 wrapper messages decode through
+    decode_message_set_v01 — the 0.9-era lz4 producer dump replay that
+    was the one declared-loud rejection left on a supported path."""
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    recs = [
+        {"offset": 40 + i, "timestamp_ms": 7000 + i,
+         "key": b"k%d" % i, "value": b"payload-%d" % i * 10, "headers": []}
+        for i in range(5)
+    ]
+    b = kr.encode_batch_v2(40, recs)
+    for magic in (0, 1):
+        plain = kr.decode_message_set_v01(kr.down_convert(b, to_magic=magic))
+        ms = kr.down_convert(b, to_magic=magic, compression="lz4")
+        # wrapper attributes carry the lz4 codec id
+        assert ms[12 + 5] & 0x07 == kr.COMPRESSION_LZ4
+        assert kr.decode_message_set_v01(ms) == plain
 
 
 def test_legacy_compacted_wrapper_gapped_inner_offsets():
