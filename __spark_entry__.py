@@ -1311,6 +1311,12 @@ PROTO_V1 = """message Evt {
   optional int64 id = 1;
   optional string name = 2;
 }"""
+PROTO_ONEOF_V1 = """message Evt {
+  optional int64 id = 1;
+  oneof ident {
+    string name = 2;
+  }
+}"""
 JSON_V1 = (
     '{"type":"object","properties":{"id":{"type":"integer"},'
     '"name":{"type":"string"}},"required":["id"]}'
@@ -1384,11 +1390,65 @@ def q_registry_compat_full(spark, sf_dir):
                 "remove_unreserved": PROTO_V1.replace(
                     "  optional string name = 2;\n", ""
                 ),
+                # wire-group widening (public protobuf language guide):
+                # int64 -> uint64 shares the varint group; -> sint64
+                # crosses into the zigzag group; string -> bytes shares
+                # the length-delimited group
+                "widen_uint64": PROTO_V1.replace(
+                    "optional int64 id = 1;", "optional uint64 id = 1;"
+                ),
+                "widen_cross_group": PROTO_V1.replace(
+                    "optional int64 id = 1;", "optional sint64 id = 1;"
+                ),
+                "string_to_bytes": PROTO_V1.replace(
+                    "optional string name = 2;", "optional bytes name = 2;"
+                ),
+                # oneof moves: ONE existing field into a NEW oneof is the
+                # documented safe refactor; fusing TWO existing fields
+                # into one new oneof is breaking
+                "move_single_to_new_oneof": (
+                    "message Evt {\n  optional int64 id = 1;\n"
+                    "  oneof ident {\n    string name = 2;\n  }\n}"
+                ),
+                "move_both_to_new_oneof": (
+                    "message Evt {\n  oneof ident {\n"
+                    "    int64 id = 1;\n    string name = 2;\n  }\n}"
+                ),
+            },
+        ),
+        # second PROTOBUF history: a schema that already HAS a oneof, for
+        # the existing-oneof evolution rules
+        "PROTOBUF#oneof": (
+            [PROTO_ONEOF_V1],
+            {
+                "oneof_add_field": PROTO_ONEOF_V1.replace(
+                    "    string name = 2;",
+                    "    string name = 2;\n    bytes alt = 3;",
+                ),
+                "oneof_remove_field": PROTO_ONEOF_V1.replace(
+                    "  oneof ident {\n    string name = 2;\n  }\n",
+                    "  reserved 2;\n",
+                ),
+                "oneof_move_out": PROTO_ONEOF_V1.replace(
+                    "  oneof ident {\n    string name = 2;\n  }\n",
+                    "  optional string name = 2;\n",
+                ),
+                "oneof_move_existing_in": (
+                    "message Evt {\n  oneof ident {\n    int64 id = 1;\n"
+                    "    string name = 2;\n  }\n}"
+                ),
             },
         ),
     }
     rows = [
-        (stype, mode, name, reg_ops.check_compatibility(mode, cand, history, stype))
+        (
+            stype.split("#")[0],
+            mode,
+            name,
+            reg_ops.check_compatibility(
+                mode, cand, history, stype.split("#")[0]
+            ),
+        )
         for stype, (history, cands) in cases.items()
         for mode in ("BACKWARD", "FORWARD", "FULL")
         for name, cand in cands.items()
@@ -5276,7 +5336,34 @@ FROM documents""",
   ('PROTOBUF', 'FULL', 'remove_reserved', false),
   ('PROTOBUF', 'BACKWARD', 'remove_unreserved', false),
   ('PROTOBUF', 'FORWARD', 'remove_unreserved', false),
-  ('PROTOBUF', 'FULL', 'remove_unreserved', false)
+  ('PROTOBUF', 'FULL', 'remove_unreserved', false),
+  ('PROTOBUF', 'BACKWARD', 'widen_uint64', true),
+  ('PROTOBUF', 'FORWARD', 'widen_uint64', false),
+  ('PROTOBUF', 'FULL', 'widen_uint64', false),
+  ('PROTOBUF', 'BACKWARD', 'widen_cross_group', false),
+  ('PROTOBUF', 'FORWARD', 'widen_cross_group', false),
+  ('PROTOBUF', 'FULL', 'widen_cross_group', false),
+  ('PROTOBUF', 'BACKWARD', 'string_to_bytes', true),
+  ('PROTOBUF', 'FORWARD', 'string_to_bytes', false),
+  ('PROTOBUF', 'FULL', 'string_to_bytes', false),
+  ('PROTOBUF', 'BACKWARD', 'move_single_to_new_oneof', true),
+  ('PROTOBUF', 'FORWARD', 'move_single_to_new_oneof', false),
+  ('PROTOBUF', 'FULL', 'move_single_to_new_oneof', false),
+  ('PROTOBUF', 'BACKWARD', 'move_both_to_new_oneof', false),
+  ('PROTOBUF', 'FORWARD', 'move_both_to_new_oneof', false),
+  ('PROTOBUF', 'FULL', 'move_both_to_new_oneof', false),
+  ('PROTOBUF', 'BACKWARD', 'oneof_add_field', true),
+  ('PROTOBUF', 'FORWARD', 'oneof_add_field', false),
+  ('PROTOBUF', 'FULL', 'oneof_add_field', false),
+  ('PROTOBUF', 'BACKWARD', 'oneof_remove_field', false),
+  ('PROTOBUF', 'FORWARD', 'oneof_remove_field', false),
+  ('PROTOBUF', 'FULL', 'oneof_remove_field', false),
+  ('PROTOBUF', 'BACKWARD', 'oneof_move_out', false),
+  ('PROTOBUF', 'FORWARD', 'oneof_move_out', false),
+  ('PROTOBUF', 'FULL', 'oneof_move_out', false),
+  ('PROTOBUF', 'BACKWARD', 'oneof_move_existing_in', false),
+  ('PROTOBUF', 'FORWARD', 'oneof_move_existing_in', false),
+  ('PROTOBUF', 'FULL', 'oneof_move_existing_in', false)
 ) AS t(schema_type, mode, candidate, compatible)""",
         "typed_view_avro": """SELECT
   CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INT) AS schema_id,

@@ -101,10 +101,15 @@ def _json_can_read(reader_def: str, writer_def: str) -> bool:
 _PROTO_FIELD = None  # compiled lazily
 
 
-def _proto_parse(definition: str) -> tuple[dict[int, tuple[str, str, str]], set[int]]:
+def _proto_parse(
+    definition: str,
+) -> tuple[dict[int, tuple[str, str, str]], set[int], dict[int, str]]:
     """Parse a single-message .proto body into {number: (label, type,
-    name)} + the reserved number set. Regex-level parsing — enough for the
-    field-number/type/label rules the protobuf checker enforces."""
+    name)} + the reserved number set + {number: oneof_name} for fields
+    declared inside ``oneof`` blocks. Regex-level parsing — enough for
+    the field-number/type/label/oneof rules the protobuf checker
+    enforces (nested message declarations are out of scope, as in the
+    rest of this single-message checker)."""
     import re
 
     global _PROTO_FIELD
@@ -114,11 +119,22 @@ def _proto_parse(definition: str) -> tuple[dict[int, tuple[str, str, str]], set[
         )
     fields: dict[int, tuple[str, str, str]] = {}
     reserved: set[int] = set()
+    oneofs: dict[int, str] = {}
+    current_oneof: str | None = None
     for line in definition.splitlines():
+        om = re.match(r"^\s*oneof\s+(\w+)\s*\{", line)
+        if om:
+            current_oneof = om.group(1)
+            continue
+        if current_oneof is not None and re.match(r"^\s*\}", line):
+            current_oneof = None
+            continue
         m = _PROTO_FIELD.match(line)
         if m and m.group(2) not in ("message", "enum", "syntax", "option"):
             label, ftype, name, num = m.groups()
             fields[int(num)] = (label or "optional", ftype, name)
+            if current_oneof is not None:
+                oneofs[int(num)] = current_oneof
         rm = re.match(r"^\s*reserved\s+([\d,\sto]+);", line)
         if rm:
             # both spellings: 'reserved 2, 15;' and 'reserved 15 to 20;'
@@ -129,23 +145,82 @@ def _proto_parse(definition: str) -> tuple[dict[int, tuple[str, str, str]], set[
                     reserved |= set(range(int(toks[i - 1]), int(toks[i + 1]) + 1))
                 else:
                     reserved |= {int(x) for x in toks}
-    return fields, reserved
+    return fields, reserved, oneofs
+
+
+# Scalar wire-compatibility groups from the public protobuf language
+# guide ("Updating A Message Type"): types in one group share a wire
+# representation, so swapping within a group is a compatible "widening";
+# crossing groups corrupts decoded values (int32 -> sint32 flips zigzag,
+# fixed32 -> int32 flips wire type). Named message/enum types are not in
+# any group and must match exactly (the checker cannot resolve their
+# definitions from a single-message body — conservative, like treating
+# FIELD_NAMED_TYPE_CHANGED as incompatible).
+_PROTO_WIRE_GROUPS = [
+    {"int32", "int64", "uint32", "uint64", "bool"},
+    {"sint32", "sint64"},
+    {"string", "bytes"},
+    {"fixed32", "sfixed32"},
+    {"fixed64", "sfixed64"},
+]
+
+
+def _proto_wire_compatible(old_type: str, new_type: str) -> bool:
+    if old_type == new_type:
+        return True
+    return any(
+        old_type in g and new_type in g for g in _PROTO_WIRE_GROUPS
+    )
 
 
 def _proto_backward_ok(new_def: str, old_def: str) -> bool:
-    """Protobuf backward compatibility (new schema reads old data): a
-    field number present in both must keep its wire type and label; a
-    field number dropped by the new schema must be reserved there (so it
-    can never be reused with a different type)."""
-    new_fields, new_reserved = _proto_parse(new_def)
-    old_fields, _ = _proto_parse(old_def)
+    """Protobuf backward compatibility (new schema reads old data),
+    mirroring the publicly documented Confluent/protobuf rules:
+
+    - a field number present in both must keep its label and a
+      WIRE-COMPATIBLE type (:data:`_PROTO_WIRE_GROUPS` — int32/int64/
+      uint32/uint64/bool interchange, sint pair, string/bytes,
+      fixed/sfixed pairs; named types must match exactly);
+    - a field number dropped by the new schema must be reserved there
+      (so it can never be reused with a different type) — and a field
+      dropped FROM A ONEOF is incompatible outright (ONEOF_FIELD_REMOVED:
+      readers lose the case discrimination old data relies on);
+    - oneof moves: moving ONE existing field into a NEW oneof is the
+      documented safe refactor; moving it into a oneof that already
+      existed, moving MULTIPLE existing fields into the same new oneof,
+      moving a field OUT of a oneof, or moving it BETWEEN oneofs are all
+      breaking (the public Confluent compat spec / protobuf oneof
+      migration notes)."""
+    new_fields, new_reserved, new_oneofs = _proto_parse(new_def)
+    old_fields, _, old_oneofs = _proto_parse(old_def)
+    old_oneof_names = set(old_oneofs.values())
     for num, (label, ftype, _name) in old_fields.items():
         if num in new_fields:
             nlabel, nftype, _n = new_fields[num]
-            if nftype != ftype or nlabel != label:
+            if not _proto_wire_compatible(ftype, nftype) or nlabel != label:
                 return False
-        elif num not in new_reserved:
-            return False
+        else:
+            if num in old_oneofs:
+                return False  # removed from a oneof: breaking regardless
+            if num not in new_reserved:
+                return False
+    moved_into_new_oneof: dict[str, int] = {}
+    for num, oname in new_oneofs.items():
+        if num not in old_fields:
+            continue  # brand-new field inside a oneof: fine
+        old_oneof = old_oneofs.get(num)
+        if old_oneof == oname:
+            continue  # stayed put
+        if old_oneof is not None:
+            return False  # moved between oneofs
+        if oname in old_oneof_names:
+            return False  # moved into a pre-existing oneof
+        moved_into_new_oneof[oname] = moved_into_new_oneof.get(oname, 0) + 1
+    if any(c > 1 for c in moved_into_new_oneof.values()):
+        return False  # multiple existing fields fused into one new oneof
+    for num in old_oneofs:
+        if num in new_fields and num not in new_oneofs:
+            return False  # moved out of a oneof
     return True
 
 

@@ -255,7 +255,7 @@ def test_register_after_delete_never_reuses_version(spark):
 def test_proto_reserved_range_syntax():
     from starlight_for_kafka_spark.operators.registry import _proto_parse
 
-    _fields, reserved = _proto_parse(
+    _fields, reserved, _oneofs = _proto_parse(
         "message M {\n  int64 a = 1;\n  reserved 2, 15;\n  reserved 16 to 20;\n}"
     )
     assert reserved == {2, 15, 16, 17, 18, 19, 20}
@@ -266,3 +266,56 @@ def test_compatibility_mode_case_insensitive():
 
     s = '{"type":"record","name":"R","fields":[]}'
     assert check_compatibility("none", s, [s]) is True
+
+
+def test_proto_wire_group_widening():
+    """Scalar swaps within a wire group are compatible (public protobuf
+    'Updating A Message Type' rules); crossing groups is not."""
+    from starlight_for_kafka_spark.operators.registry import _proto_backward_ok
+
+    old = "message M {\n  optional int32 a = 1;\n  optional string s = 2;\n}"
+    ok = [
+        ("optional int32 a = 1;", "optional int64 a = 1;"),
+        ("optional int32 a = 1;", "optional uint32 a = 1;"),
+        ("optional int32 a = 1;", "optional bool a = 1;"),
+        ("optional string s = 2;", "optional bytes s = 2;"),
+    ]
+    bad = [
+        ("optional int32 a = 1;", "optional sint32 a = 1;"),
+        ("optional int32 a = 1;", "optional fixed32 a = 1;"),
+        ("optional int32 a = 1;", "optional string a = 1;"),
+        ("optional string s = 2;", "optional int32 s = 2;"),
+    ]
+    for frm, to in ok:
+        assert _proto_backward_ok(old.replace(frm, to), old), (frm, to)
+    for frm, to in bad:
+        assert not _proto_backward_ok(old.replace(frm, to), old), (frm, to)
+
+
+def test_proto_oneof_move_rules():
+    """Oneof evolution per the public Confluent/protobuf rules: one
+    existing field into a NEW oneof is safe; fusing two, moving into an
+    existing oneof, moving out, removing from a oneof are breaking;
+    adding a brand-new field to an existing oneof is fine."""
+    from starlight_for_kafka_spark.operators.registry import _proto_backward_ok
+
+    plain = "message M {\n  optional int64 id = 1;\n  optional string name = 2;\n}"
+    one_moved = "message M {\n  optional int64 id = 1;\n  oneof pick {\n    string name = 2;\n  }\n}"
+    both_moved = "message M {\n  oneof pick {\n    int64 id = 1;\n    string name = 2;\n  }\n}"
+    assert _proto_backward_ok(one_moved, plain)
+    assert not _proto_backward_ok(both_moved, plain)
+    with_oneof = one_moved
+    added = one_moved.replace(
+        "    string name = 2;", "    string name = 2;\n    bytes alt = 3;"
+    )
+    assert _proto_backward_ok(added, with_oneof)
+    # moving id into the EXISTING oneof is breaking
+    assert not _proto_backward_ok(both_moved, with_oneof)
+    # moving name back OUT of the oneof is breaking
+    assert not _proto_backward_ok(plain, with_oneof)
+    # removing the oneof field entirely is breaking even when reserved
+    removed = "message M {\n  optional int64 id = 1;\n  reserved 2;\n}"
+    assert not _proto_backward_ok(removed, with_oneof)
+    # moving between two oneofs is breaking
+    other = "message M {\n  optional int64 id = 1;\n  oneof other {\n    string name = 2;\n  }\n}"
+    assert not _proto_backward_ok(other, with_oneof)
