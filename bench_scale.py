@@ -46,9 +46,16 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
 SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "10"))
+# SPARK_GRAFT_SCALE_SKEW=1: manufacture a genuinely hot key (one user
+# owns 10% of all events) on top of the replication — the replicated
+# data otherwise deliberately preserves per-user counts. Runs the suite
+# on the skewed table AND times the salted operators vs their unsalted
+# twins (run_skew_rows).
+SKEW = os.environ.get("SPARK_GRAFT_SCALE_SKEW", "0") == "1"
 BASE = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
 SCRATCH = os.environ.get(
-    "SPARK_GRAFT_SCALE_DIR", f"/tmp/slk_scale_{SCALE}x"
+    "SPARK_GRAFT_SCALE_DIR",
+    f"/tmp/slk_scale_{SCALE}x" + ("_skew" if SKEW else ""),
 )
 
 # the heavy set: the slowest shuffle/iterative/codec plans in bench.py,
@@ -102,10 +109,15 @@ def synthesize(spark) -> dict[str, int]:
     ev_path = os.path.join(SCRATCH, "events.parquet")
     if not committed(ev_path):
         ev = load_table(spark, BASE, "events").select("*", reps)
+        user = F.col("user_id") * SCALE + F.col("r")
+        if SKEW:
+            # one user owns 10% of ALL events — the hot key the plain
+            # replication deliberately never manufactures
+            user = F.when(F.col("event_id") % 10 == 0, F.lit(0)).otherwise(user)
         out = ev.select(
             (F.col("event_id") * SCALE + F.col("r")).alias("event_id"),
             F.expr("timestamp_micros(unix_micros(ts) + r * 1000000)").alias("ts"),
-            (F.col("user_id") * SCALE + F.col("r")).alias("user_id"),
+            user.alias("user_id"),
             "event_type",
             "value",
             "props",
@@ -185,41 +197,18 @@ class StageMetrics:
             return None
 
 
-def run_streaming_row(spark, sf_dir: str) -> dict:
-    """Stateful-streaming scale point: offsets_wire_recovery_stream (binary
-    decode kernel + applyInPandasWithState keyed by (group, topic,
-    partition)) over a SCALE-proportional key space — the state-store-size
-    and batch-duration telemetry the batch rows can't show. Key space
-    scales with the data (500*SCALE groups x 8 partitions), so state rows
-    grow ~linearly with SCALE; per-batch duration should stay flat across
-    microbatches (a growing trend would mean state-store pressure)."""
+def _drive_stateful(spark, name: str, src: str, schema: str, build) -> dict:
+    """Run one stateful-streaming scale row: parquet-file source →
+    ``build(stream)`` → noop sink, availableNow; returns the state-store
+    and batch-duration telemetry the batch rows can't show. Flat
+    per-batch durations across the run = no state-store pressure; state
+    rows scale with the operator's key space."""
     import shutil
 
-    from pyspark.sql import functions as F  # noqa: F401
-
-    from starlight_for_kafka_spark import load_table
-    from starlight_for_kafka_spark.operators import groups as g
     from starlight_for_kafka_spark.streaming import stream_ops
 
-    # same scratch root as the batch tables (honors SPARK_GRAFT_SCALE_DIR
-    # — /tmp may be too small for the stream source + checkpoint at high
-    # SCALE); like the batch tables, the cached source is keyed by the
-    # scratch dir: delete it to re-synthesize after changing
-    # SPARK_GRAFT_SCALE_BASE
-    scratch = SCRATCH
-    os.makedirs(scratch, exist_ok=True)
-    src = os.path.join(scratch, "offsets_wire_src")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        commits = g.derive_commits_from_events(
-            load_table(spark, sf_dir, "events"), n_groups=500 * SCALE
-        )
-        g.encode_offsets_topic(commits).repartition(16).write.mode(
-            "overwrite"
-        ).parquet(src)
-
-    ckpt = os.path.join(scratch, "offsets_wire_ckpt")
+    ckpt = os.path.join(SCRATCH, f"{name}_ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)  # fresh state per invocation
-    schema = "key binary, value binary, append_ts long"
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2)
@@ -227,7 +216,7 @@ def run_streaming_row(spark, sf_dir: str) -> dict:
     )
     t0 = time.perf_counter()
     q = (
-        stream_ops.offsets_wire_recovery_stream(stream)
+        build(stream)
         .writeStream.outputMode("update")
         .format("noop")
         .option("checkpointLocation", ckpt)
@@ -241,7 +230,7 @@ def run_streaming_row(spark, sf_dir: str) -> dict:
     durations = [int(p["durationMs"]["triggerExecution"]) for p in progress]
     state = [p["stateOperators"][0] for p in progress if p.get("stateOperators")]
     return {
-        "query": "offsets_wire_recovery_stream",
+        "query": name,
         "wall_sec": wall,
         "n_batches": len(progress),
         "batch_duration_ms": durations,
@@ -249,6 +238,158 @@ def run_streaming_row(spark, sf_dir: str) -> dict:
         "state_rows_final": int(state[-1]["numRowsTotal"]) if state else None,
         "state_memory_bytes_final": int(state[-1]["memoryUsedBytes"]) if state else None,
     }
+
+
+def run_streaming_rows(spark, sf_dir: str) -> list[dict]:
+    """The three custom stateful coordinators (applyInPandasWithState),
+    each over a SCALE-proportional key space — offsets-log recovery keyed
+    by (group, topic, partition), the consumer-group coordinator keyed by
+    group, the transaction coordinator keyed by transactional id. Sources
+    are cached per scratch dir (delete SCRATCH to re-synthesize); key
+    spaces: 500*SCALE commit groups, 200*SCALE membership groups
+    (800*SCALE members), 500*SCALE transactional ids."""
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark import load_table
+    from starlight_for_kafka_spark.operators import groups as g
+    from starlight_for_kafka_spark.streaming import stream_ops
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    events = load_table(spark, sf_dir, "events")
+    rows = []
+
+    src = os.path.join(SCRATCH, "offsets_wire_src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        commits = g.derive_commits_from_events(events, n_groups=500 * SCALE)
+        g.encode_offsets_topic(commits).repartition(16).write.mode(
+            "overwrite"
+        ).parquet(src)
+    rows.append(
+        _drive_stateful(
+            spark, "offsets_wire_recovery_stream", src,
+            "key binary, value binary, append_ts long",
+            stream_ops.offsets_wire_recovery_stream,
+        )
+    )
+
+    src = os.path.join(SCRATCH, "membership_src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        g.derive_membership_from_events(
+            events, n_groups=200 * SCALE, n_members=800 * SCALE
+        ).repartition(16).write.mode("overwrite").parquet(src)
+    rows.append(
+        _drive_stateful(
+            spark, "group_coordinator_stream", src,
+            "group string, member string, action string, ts timestamp, event_id long",
+            stream_ops.group_coordinator_stream,
+        )
+    )
+
+    src = os.path.join(SCRATCH, "txn_events_src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        # SCALE-proportional id space; action index = event_id DIV 5 so
+        # ids cycle through all five actions (init/add/add/commit/abort)
+        events.select(
+            F.concat(
+                F.lit("t"), (F.col("user_id") % (500 * SCALE)).cast("string")
+            ).alias("transactional_id"),
+            F.col("ts"),
+            F.col("event_id"),
+            F.element_at(
+                F.array(
+                    F.lit("init"), F.lit("add_partitions"),
+                    F.lit("add_offsets"), F.lit("end_commit"),
+                    F.lit("end_abort"),
+                ),
+                ((F.col("event_id") / 5).cast("int") % 5) + 1,
+            ).alias("action"),
+        ).repartition(16).write.mode("overwrite").parquet(src)
+    rows.append(
+        _drive_stateful(
+            spark, "txn_coordinator_stream", src,
+            "transactional_id string, ts timestamp, event_id long, action string",
+            stream_ops.txn_coordinator_stream,
+        )
+    )
+    return rows
+
+
+def run_skew_rows(spark, sf_dir: str) -> dict:
+    """Hot-key stress (SPARK_GRAFT_SCALE_SKEW=1): time the salted
+    operators against their unsalted twins on a table where one user owns
+    10% of all events, and record whether AQE's runtime skew split fires
+    for the plain shuffled join. The salted rows should win (the unsalted
+    agg/top-k serialize the hot key into one reducer; AQE cannot re-plan
+    aggregation or window skew), and the plain join should degrade
+    gracefully via AQE's skew=true split."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark import load_table
+    from starlight_for_kafka_spark.operators import skew as sk
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def timed(df) -> float:
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 3)
+
+    out: dict = {}
+    hh = sk.heavy_hitters(ev, ["user_id"], k=1).first()
+    out["hot_key_share"] = round(float(hh["share"]), 4)
+
+    # 1) aggregation: plain groupBy(user) vs two-stage salted
+    plain_agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sv")
+    )
+    salted_agg = sk.salted_aggregate(
+        ev,
+        ["user_id"],
+        [F.count("*").alias("__n"), F.sum("value").alias("__sv")],
+        [F.sum("__n").alias("n"), F.sum("__sv").alias("sv")],
+        salt_cols=["event_id"],
+    )
+    out["agg_unsalted_sec"] = timed(plain_agg)
+    out["agg_salted_sec"] = timed(salted_agg)
+
+    # 2) per-key top-k: single global window vs two-stage salted
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    plain_topk = (
+        ev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    )
+    salted_topk = sk.grouped_top_k(
+        ev, ["user_id"], [F.col("value").desc(), F.col("event_id")], k=5,
+        salt_cols=["event_id"],
+    )
+    out["topk_window_sec"] = timed(plain_topk)
+    out["topk_salted_sec"] = timed(salted_topk)
+
+    # 3) shuffled join against a mid-size dim (broadcast disabled so the
+    #    shuffle path — where skew lives — actually runs): plain join
+    #    (AQE's skew split SHOULD fire) vs explicit salted join
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("segment", F.pmod(F.col("user_id"), F.lit(100)))
+    ).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain_join = ev.join(dim, "user_id").groupBy("segment").agg(
+            F.count("*").alias("n")
+        )
+        out["join_plain_sec"] = timed(plain_join)
+        plan = plain_join._jdf.queryExecution().executedPlan().toString()
+        out["join_plain_aqe_skew_split"] = "skew=true" in plan
+        salted_join = sk.salted_join(ev, dim, ["user_id"]).groupBy(
+            "segment"
+        ).agg(F.count("*").alias("n"))
+        out["join_salted_sec"] = timed(salted_join)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
 
 
 def main() -> None:
@@ -262,7 +403,7 @@ def main() -> None:
     spark = get_session(app=f"starlight-scale-{SCALE}x")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if SCALE == 1:
+    if SCALE == 1 and not SKEW:
         sf_dir, rows = BASE, {}
     else:
         t0 = time.perf_counter()
@@ -322,8 +463,14 @@ def main() -> None:
 
     streaming = None
     if os.environ.get("SPARK_GRAFT_SCALE_STREAMING", "1") == "1":
-        streaming = run_streaming_row(spark, sf_dir)
-        print(f"  streaming: {streaming}", file=sys.stderr)
+        streaming = run_streaming_rows(spark, sf_dir)
+        for row in streaming:
+            print(f"  streaming: {row}", file=sys.stderr)
+
+    skew_rows = None
+    if SKEW:
+        skew_rows = run_skew_rows(spark, sf_dir)
+        print(f"  skew: {skew_rows}", file=sys.stderr)
 
     result = {
         "metric": "bench_scale_total_sec",
@@ -334,6 +481,7 @@ def main() -> None:
         "shuffle": shuffle,
         "rows": rows,
         "streaming": streaming,
+        "skew": skew_rows,
         "peak_jvm_heap_mb": metrics.peak_heap_mb(),
     }
     print(json.dumps(result))
