@@ -90,6 +90,10 @@ def main() -> None:
         release_session_storage,
     )
 
+    from starlight_for_kafka_spark.operators.multimodal import (
+        restore_arrow_batch_cap,
+    )
+
     def release_leaked_state() -> None:
         # single-checkpoint operators pin RDDs that outlive their query;
         # across runs x queries those accumulate into old-gen GC pressure
@@ -97,6 +101,15 @@ def main() -> None:
         # noise the median protocol is meant to kill (see
         # plans/checkpoints.py for the measured numbers)
         release_session_storage(spark)
+        # the payload kernels MIN-ratchet the session-global Arrow
+        # rows-per-batch cap to 256 at plan-build; left in force it makes
+        # every LATER Arrow hop (wire codecs, offsets codec, producer
+        # snapshots) pay ~40x batch overhead — measured as the
+        # offsets_wire_roundtrip 1.30s -> 1.78s "regression" when the
+        # media rows joined the suite. Restore between queries; a payload
+        # query re-ratchets itself inside its own timed region, which is
+        # exactly what a fresh session running that query would pay.
+        restore_arrow_batch_cap(spark)
 
     # INTERLEAVED passes, not back-to-back runs: this host has bursty
     # ambient co-tenant load (observed 30%+ swings between whole bench

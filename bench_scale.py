@@ -17,6 +17,10 @@ the driver's own fixtures:
                clusters of size <= S for the dedup family) rather than S
                exact copies (which would quadratically blow up every LSH
                bucket by construction of the data, not the algorithm).
+  * embeddings: vec_id' = vec_id*S + r; vectors rotated by r%dim (and
+               negated per wrap generation) — cosine-preserving within a
+               replica class, decorrelated across classes, so true pair
+               volume scales linearly with S.
 
 Then it runs the heavy suite and records, per query: wall seconds, total
 shuffle-write bytes, and the largest single-stage shuffle write (from the
@@ -74,6 +78,9 @@ SUITE = [
     "dedup_minhash",
     "dedup_minhash_star8",
     "dedup_minhash_cc",
+    # auto-sized hyperplane LSH (n_planes from corpus count): bucket²
+    # work should stay ~flat per row across 1x/10x/30x
+    "dedup_embedding_lsh_auto64",
     "pagerank_event_graph",
     "commitlog_append",
     "wire_transcode_codecs",
@@ -140,6 +147,36 @@ def synthesize(spark) -> dict[str, int]:
         )
         out.repartition(32).write.mode("overwrite").parquet(doc_path)
     rows["documents"] = spark.read.parquet(doc_path).count()
+
+    emb_path = os.path.join(SCRATCH, "embeddings.parquet")
+    if not committed(emb_path):
+        emb = load_table(spark, BASE, "embeddings").select("*", reps)
+        # Rotate each vector by r%dim positions and negate every second
+        # wrap-around generation: rotation is cosine-PRESERVING within a
+        # replica class (each class reproduces the base table's near-dup
+        # pair structure exactly, so true output pairs grow linearly with
+        # SCALE) while different rotations are decorrelated — replication
+        # must not manufacture S-sized duplicate clusters the base data
+        # doesn't have, which would blow up every bucket quadratically by
+        # construction of the data rather than the algorithm. The
+        # negation keeps classes r and r+dim (same rotation at SCALE >
+        # dim) anti-correlated instead of identical.
+        dim = F.size("embedding")
+        rr = F.col("r") % dim
+        sgn = (F.lit(1) - (((F.col("r") / dim).cast("int") % 2) * 2)).cast(
+            "float"
+        )
+        rotated = F.concat(
+            F.slice(F.col("embedding"), rr + 1, dim - rr),
+            F.slice(F.col("embedding"), F.lit(1), rr),
+        )
+        out = emb.select(
+            (F.col("vec_id") * SCALE + F.col("r")).alias("vec_id"),
+            F.transform(rotated, lambda x: x * sgn).alias("embedding"),
+            "label",
+        )
+        out.repartition(32).write.mode("overwrite").parquet(emb_path)
+    rows["embeddings"] = spark.read.parquet(emb_path).count()
     return rows
 
 
@@ -438,6 +475,21 @@ def main() -> None:
 
     queries["dedup_minhash_star8"] = _capped_minhash
     queries["dedup_ngram_jaccard_star8"] = _capped_ngram
+
+    def _emb_lsh_auto(spark, sf):
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import dedup
+
+        # n_planes=None auto-sizes the bucket space from the corpus count
+        # (similarity.auto_plane_count) — THE claim under test here: the
+        # within-bucket quadratic work should stay ~flat per row as the
+        # corpus grows because the plane count grows with log2(n).
+        return dedup.embedding_cosine_dups(
+            load_table(spark, sf, "embeddings"),
+            threshold=0.95, n_planes=None, target_bucket=64,
+        )
+
+    queries["dedup_embedding_lsh_auto64"] = _emb_lsh_auto
     entrymod.q_list_offsets(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     metrics = StageMetrics(spark)
@@ -453,6 +505,14 @@ def main() -> None:
         # residue vs 3.3s after a System.gc, identical plans — see
         # plans/checkpoints.py)
         release_session_storage(spark)
+        # lift the payload kernels' session-global Arrow rows-per-batch
+        # ratchet so non-payload rows don't inherit 256-row batches (a
+        # payload row re-ratchets itself at plan build; see bench.py)
+        from starlight_for_kafka_spark.operators.multimodal import (
+            restore_arrow_batch_cap,
+        )
+
+        restore_arrow_batch_cap(spark)
         shuffle[name] = metrics.delta()
         print(
             f"  {name}: {timings[name]}s "
