@@ -2741,6 +2741,31 @@ def q_grouped_top_k(spark, sf_dir):
     ).select("source", "doc_id", "n_chars", "rank")
 
 
+def q_keyed_running_sum(spark, sf_dir):
+    """Skew-safe per-user running spend (cumulative-feature shape).
+    Catalyst de-skews rank()<=k windows with a WindowGroupLimit partial
+    top-k below the shuffle, but a RUNNING aggregate needs every row —
+    no pushdown exists, so the textbook window serializes a hot user
+    into one task. skew.keyed_running_sum decomposes it: range-shard on
+    the order column (quantile boundaries, control-plane), per-(key,
+    shard) local prefix sums, per-key shard offsets rebased via a
+    bounded window — exactly equal to the serial window for exact-typed
+    values (decimal here), which the oracle pins with the plain
+    formulation."""
+    from starlight_for_kafka_spark.operators import skew as skew_ops
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ord"),
+        F.col("value").cast("decimal(20,6)").alias("v"),
+    )
+    out = skew_ops.keyed_running_sum(
+        ev, ["user_id"], "ord", "v", "event_id", n_shards=16
+    )
+    return out.select("user_id", "event_id", "running_sum")
+
+
 def q_funnel_steps(spark, sf_dir):
     """Ordered view->click->purchase funnel per user: earliest time each
     step is reached strictly after the previous one. Restricted to the
@@ -3788,6 +3813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "ts_anomaly": q_ts_anomaly,
         "grouped_top_k": q_grouped_top_k,
+        "keyed_running_sum": q_keyed_running_sum,
         "cohort_retention": q_cohort_retention,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "semantic_dedup": q_semantic_dedup,
@@ -7185,6 +7211,14 @@ SELECT event_type, bucket_ms, cnt, n AS n_prev,
             THEN (cnt - s / CAST(n AS DOUBLE)) / sqrt(var) END) > 3.0, false)
          OR (n >= 2 AND var = 0 AND cnt <> s / CAST(n AS DOUBLE)) AS anomaly
 FROM v""",
+        "keyed_running_sum": """
+            SELECT user_id, event_id,
+                   SUM(CAST(value AS DECIMAL(20,6))) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running_sum
+            FROM events
+        """,
         "grouped_top_k": """WITH r AS (
   SELECT source, doc_id, n_chars,
          row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank

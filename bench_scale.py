@@ -56,10 +56,15 @@ SCALE = int(os.environ.get("SPARK_GRAFT_SCALE", "10"))
 # on the skewed table AND times the salted operators vs their unsalted
 # twins (run_skew_rows).
 SKEW = os.environ.get("SPARK_GRAFT_SCALE_SKEW", "0") == "1"
+# SPARK_GRAFT_SCALE_SKEW_SHARE: fraction of ALL events owned by the hot
+# user (default 0.1). 0.5 is the extreme point where the hot key's
+# single-task cost dominates a 32-core stage and salting visibly pays.
+SKEW_SHARE = float(os.environ.get("SPARK_GRAFT_SCALE_SKEW_SHARE", "0.1"))
 BASE = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
 SCRATCH = os.environ.get(
     "SPARK_GRAFT_SCALE_DIR",
-    f"/tmp/slk_scale_{SCALE}x" + ("_skew" if SKEW else ""),
+    f"/tmp/slk_scale_{SCALE}x"
+    + (f"_skew{int(SKEW_SHARE * 100)}" if SKEW else ""),
 )
 
 # the heavy set: the slowest shuffle/iterative/codec plans in bench.py,
@@ -118,9 +123,10 @@ def synthesize(spark) -> dict[str, int]:
         ev = load_table(spark, BASE, "events").select("*", reps)
         user = F.col("user_id") * SCALE + F.col("r")
         if SKEW:
-            # one user owns 10% of ALL events — the hot key the plain
-            # replication deliberately never manufactures
-            user = F.when(F.col("event_id") % 10 == 0, F.lit(0)).otherwise(user)
+            # one user owns SKEW_SHARE of ALL events — the hot key the
+            # plain replication deliberately never manufactures
+            mod = max(2, int(round(1.0 / SKEW_SHARE)))
+            user = F.when(F.col("event_id") % mod == 0, F.lit(0)).otherwise(user)
         out = ev.select(
             (F.col("event_id") * SCALE + F.col("r")).alias("event_id"),
             F.expr("timestamp_micros(unix_micros(ts) + r * 1000000)").alias("ts"),
@@ -352,13 +358,38 @@ def run_streaming_rows(spark, sf_dir: str) -> list[dict]:
 
 
 def run_skew_rows(spark, sf_dir: str) -> dict:
-    """Hot-key stress (SPARK_GRAFT_SCALE_SKEW=1): time the salted
-    operators against their unsalted twins on a table where one user owns
-    10% of all events, and record whether AQE's runtime skew split fires
-    for the plain shuffled join. The salted rows should win (the unsalted
-    agg/top-k serialize the hot key into one reducer; AQE cannot re-plan
-    aggregation or window skew), and the plain join should degrade
-    gracefully via AQE's skew=true split."""
+    """Hot-key stress (SPARK_GRAFT_SCALE_SKEW=1): measure WHEN salting
+    matters, on a table where one user owns 10% of all events.
+
+    Three legs, each the median of 3 runs:
+
+    1. Algebraic agg (count/sum). EXPECTED AND RECORDED FINDING: the
+       plain groupBy WINS at every scale — hash aggregation
+       partial-combines map-side, so the hot key reaches the reduce side
+       as one partial row per map partition and never skews a reducer.
+       Salting an algebraic agg is pure overhead (an extra shuffle of
+       pre-aggregated rows); the row documents that salting is the WRONG
+       tool here, which is as load-bearing a scale fact as the wins
+       below. (Catalyst similarly rewrites count_distinct into a
+       two-shuffle expand keyed by (group, value) — also skew-free.)
+
+    2. Per-key top-k: row_number over a user window vs grouped_top_k.
+       A window has NO partial reduction — every row of the hot key
+       funnels through one task's sort. The salted two-stage form bounds
+       any task at max(rows per (key, salt), k * n_salts). This is where
+       the hot key actually hurts and salting actually pays.
+
+    3. Shuffled join against a mid-size dim. AQE's runtime skew split
+       covers this case IF the hot partition crosses its thresholds; the
+       defaults (256 MB / factor 5) are sized for real-cluster
+       partitions, so the harness scales them to its own data volume
+       (8 MB threshold / 4 MB advisory — the same ratio to this run's
+       partition sizes that the defaults have to a 100 TB job's).
+       salted_join is the explicit form for plans AQE cannot re-split
+       (stream-static microbatch joins, bucket-pinned layouts).
+    """
+    import statistics
+
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -367,65 +398,171 @@ def run_skew_rows(spark, sf_dir: str) -> dict:
 
     ev = load_table(spark, sf_dir, "events")
 
-    def timed(df) -> float:
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        return round(time.perf_counter() - t0, 3)
+    def timed(build) -> float:
+        runs = []
+        for _ in range(3):
+            df = build()
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        return round(statistics.median(runs), 3)
 
     out: dict = {}
     hh = sk.heavy_hitters(ev, ["user_id"], k=1).first()
     out["hot_key_share"] = round(float(hh["share"]), 4)
 
-    # 1) aggregation: plain groupBy(user) vs two-stage salted
-    plain_agg = ev.groupBy("user_id").agg(
+    # 1) algebraic agg: partial combine neutralizes the hot key — the
+    #    plain plan should win; recorded to pin the "don't salt this" rule
+    out["agg_unsalted_sec"] = timed(lambda: ev.groupBy("user_id").agg(
         F.count("*").alias("n"), F.sum("value").alias("sv")
-    )
-    salted_agg = sk.salted_aggregate(
+    ))
+    out["agg_salted_sec"] = timed(lambda: sk.salted_aggregate(
         ev,
         ["user_id"],
         [F.count("*").alias("__n"), F.sum("value").alias("__sv")],
         [F.sum("__n").alias("n"), F.sum("__sv").alias("sv")],
         salt_cols=["event_id"],
-    )
-    out["agg_unsalted_sec"] = timed(plain_agg)
-    out["agg_salted_sec"] = timed(salted_agg)
+    ))
 
-    # 2) per-key top-k: single global window vs two-stage salted
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("value").desc(), F.col("event_id")
-    )
-    plain_topk = (
-        ev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
-    )
-    salted_topk = sk.grouped_top_k(
-        ev, ["user_id"], [F.col("value").desc(), F.col("event_id")], k=5,
-        salt_cols=["event_id"],
-    )
+    # 2) per-key top-k: single global window (hot key -> one task's sort)
+    #    vs two-stage salted. Wall-clock on a 32-core in-memory box
+    #    understates the damage — the cluster-relevant number is the
+    #    STRAGGLER RATIO (max/median task time of the heaviest stage): a
+    #    single hot task that is 30x the median is invisible here (31
+    #    idle cores wait 2 s) and is the whole job's wall-clock on 1000
+    #    executors (one task = hours while the fleet idles). Record both.
+    sm = StageMetrics(spark)
+
+    def straggler(build) -> dict:
+        """Worst max/median task-time ratio across the query's stages —
+        a balanced scan stage would mask the skewed sort stage if we only
+        looked at the heaviest stage by total run time."""
+        sm.mark()
+        build().write.mode("overwrite").format("noop").save()
+        new = [s for s in sm._stages() if s["stageId"] not in sm.seen]
+        worst: dict = {}
+        for s in new:
+            try:
+                q = sm._rest(
+                    f"applications/{sm.app_id}/stages/{s['stageId']}/"
+                    f"{s.get('attemptId', 0)}/taskSummary?quantiles=0.5,1.0"
+                )
+                med, mx = (float(v) for v in q["executorRunTime"])
+            except Exception:
+                continue
+            ratio = mx / max(med, 1.0)
+            if not worst or ratio > worst["straggler_ratio"]:
+                worst = {
+                    "median_task_ms": round(med, 1),
+                    "max_task_ms": round(mx, 1),
+                    "straggler_ratio": round(ratio, 1),
+                }
+        return worst
+
+    def plain_topk():
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("value").desc(), F.col("event_id")
+        )
+        return (
+            ev.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+        )
+
+    def salted_topk():
+        return sk.grouped_top_k(
+            ev, ["user_id"], [F.col("value").desc(), F.col("event_id")], k=5,
+            salt_cols=["event_id"],
+        )
+
     out["topk_window_sec"] = timed(plain_topk)
+    out["topk_window_tasks"] = straggler(plain_topk)
     out["topk_salted_sec"] = timed(salted_topk)
+    out["topk_salted_tasks"] = straggler(salted_topk)
+
+    # 2b) per-key RUNNING sum: the window family with NO Catalyst
+    #     de-skew (a running aggregate needs every row — WindowGroupLimit
+    #     only covers rank<=k). The plain window funnels the hot key's
+    #     rows through one task's sort; keyed_running_sum range-shards
+    #     the order column and rebases per-shard prefix sums.
+    ev_ord = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ord"), "value"
+    )
+
+    def plain_cumsum():
+        w = Window.partitionBy("user_id").orderBy(
+            "ord", "event_id"
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        return ev_ord.withColumn("running_sum", F.sum("value").over(w))
+
+    def sharded_cumsum():
+        return sk.keyed_running_sum(
+            ev_ord, ["user_id"], "ord", "value", "event_id", n_shards=32
+        )
+
+    out["cumsum_window_sec"] = timed(plain_cumsum)
+    out["cumsum_window_tasks"] = straggler(plain_cumsum)
+    out["cumsum_sharded_sec"] = timed(sharded_cumsum)
+    out["cumsum_sharded_tasks"] = straggler(sharded_cumsum)
 
     # 3) shuffled join against a mid-size dim (broadcast disabled so the
     #    shuffle path — where skew lives — actually runs): plain join
-    #    (AQE's skew split SHOULD fire) vs explicit salted join
+    #    with volume-scaled AQE skew thresholds vs explicit salted join
     dim = (
         ev.select("user_id").distinct()
         .withColumn("segment", F.pmod(F.col("user_id"), F.lit(100)))
     ).localCheckpoint(eager=True)
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, d)
+        for k, d in [
+            ("spark.sql.autoBroadcastJoinThreshold", "10485760"),
+            ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+             "256MB"),
+            ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"),
+            ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0"),
+        ]
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB"
+    )
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+    # factor gates on hot > factor * MEDIAN partition: with only 32
+    # shuffle partitions a 10% hot key is ~4x the median, while on a
+    # real cluster's thousands of partitions the same key is thousands
+    # of times the median — scale the gate like the byte thresholds
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3.0")
     try:
-        plain_join = ev.join(dim, "user_id").groupBy("segment").agg(
-            F.count("*").alias("n")
-        )
+        last_plan = {}
+
+        # the downstream agg keeps the event PAYLOAD (value, props) in
+        # the join shuffle, as a real enrichment join would — a bare
+        # count() prunes the fact side to the constant join key, whose
+        # hot partition compresses to ~nothing and ducks every byte
+        # threshold (measured: the split never fires on a pruned key)
+        aggs = [
+            F.sum("value").alias("sv"),
+            F.sum(F.length("props")).alias("sp"),
+        ]
+
+        def plain_join():
+            j = ev.join(dim, "user_id").groupBy("segment").agg(*aggs)
+            last_plan["df"] = j
+            return j
+
         out["join_plain_sec"] = timed(plain_join)
-        plan = plain_join._jdf.queryExecution().executedPlan().toString()
+        # inspect the EXECUTED plan (post-AQE): the noop write runs a
+        # SEPARATE query execution, so force one action through the
+        # DataFrame's own QE — AQE finalizes skew splits only at runtime
+        last_plan["df"].collect()  # 100 segment rows, control-plane
+        plan = last_plan["df"]._jdf.queryExecution().executedPlan().toString()
         out["join_plain_aqe_skew_split"] = "skew=true" in plan
-        salted_join = sk.salted_join(ev, dim, ["user_id"]).groupBy(
-            "segment"
-        ).agg(F.count("*").alias("n"))
-        out["join_salted_sec"] = timed(salted_join)
+        out["join_salted_sec"] = timed(lambda: sk.salted_join(
+            ev, dim, ["user_id"]
+        ).groupBy("segment").agg(*aggs))
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for k, v in saved.items():
+            conf.set(k, v)
     return out
 
 

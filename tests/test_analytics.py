@@ -477,3 +477,63 @@ def test_kmv_sketch_estimates_and_exact_small_path(spark):
         spark.createDataFrame([(None,)], "v string")
     )
     assert kmv_sketch(withnull, "v", 128).count() == 40
+
+
+def test_keyed_running_sum_equals_plain_window(spark, events):
+    from pyspark.sql import Window
+
+    from starlight_for_kafka_spark.operators import skew
+
+    ev = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ord"),
+        F.col("value").cast("decimal(20,6)").alias("v"),
+    )
+    out = skew.keyed_running_sum(
+        ev, ["user_id"], "ord", "v", "event_id", n_shards=8
+    )
+    w = Window.partitionBy("user_id").orderBy("ord", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    plain = ev.withColumn("running_sum", F.sum("v").over(w))
+    cols = ["user_id", "event_id", "running_sum"]
+    assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
+
+
+def test_keyed_running_sum_single_hot_key_and_explicit_boundaries(spark, events):
+    """A 100%-hot key (every row one user) still matches the serial
+    window — the per-shard decomposition is exact for any key layout —
+    and caller-pinned boundaries replay the engine's sharding."""
+    from pyspark.sql import Window
+
+    from starlight_for_kafka_spark.operators import skew
+
+    ev = events.select(
+        F.lit(7).alias("user_id"),
+        "event_id",
+        F.unix_micros("ts").alias("ord"),
+        F.col("value").cast("decimal(20,6)").alias("v"),
+    )
+    bounds = [
+        r["b"]
+        for r in ev.select(
+            F.percentile_approx("ord", [0.25, 0.5, 0.75], 1_000_000).alias("bs")
+        )
+        .select(F.explode("bs").alias("b"))
+        .collect()
+    ]
+    out = skew.keyed_running_sum(
+        ev, ["user_id"], "ord", "v", "event_id", n_shards=4,
+        boundaries=bounds,
+    )
+    w = Window.partitionBy("user_id").orderBy("ord", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    plain = ev.withColumn("running_sum", F.sum("v").over(w))
+    cols = ["event_id", "running_sum"]
+    assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
