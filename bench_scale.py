@@ -17,10 +17,11 @@ the driver's own fixtures:
                clusters of size <= S for the dedup family) rather than S
                exact copies (which would quadratically blow up every LSH
                bucket by construction of the data, not the algorithm).
-  * embeddings: vec_id' = vec_id*S + r; vectors rotated by r%dim (and
-               negated per wrap generation) — cosine-preserving within a
-               replica class, decorrelated across classes, so true pair
-               volume scales linearly with S.
+  * embeddings: vec_id' = vec_id*S + r; vectors rotated by r%dim with a
+               per-generation (r//dim) hash sign pattern — both
+               transforms are cosine-preserving within a replica class
+               and decorrelate classes from each other at any S, so true
+               pair volume scales linearly with S.
 
 Then it runs the heavy suite and records, per query: wall seconds, total
 shuffle-write bytes, and the largest single-stage shuffle write (from the
@@ -157,28 +158,37 @@ def synthesize(spark) -> dict[str, int]:
     emb_path = os.path.join(SCRATCH, "embeddings.parquet")
     if not committed(emb_path):
         emb = load_table(spark, BASE, "embeddings").select("*", reps)
-        # Rotate each vector by r%dim positions and negate every second
-        # wrap-around generation: rotation is cosine-PRESERVING within a
-        # replica class (each class reproduces the base table's near-dup
-        # pair structure exactly, so true output pairs grow linearly with
-        # SCALE) while different rotations are decorrelated — replication
-        # must not manufacture S-sized duplicate clusters the base data
-        # doesn't have, which would blow up every bucket quadratically by
-        # construction of the data rather than the algorithm. The
-        # negation keeps classes r and r+dim (same rotation at SCALE >
-        # dim) anti-correlated instead of identical.
+        # Rotate each vector by r%dim positions and, per wrap-around
+        # GENERATION g = r//dim, flip signs with a g-seeded per-element
+        # hash pattern: rotation and elementwise sign patterns are both
+        # cosine-PRESERVING within a replica class (dot(s∘u, s∘v) =
+        # Σ s_i² u_i v_i = dot(u, v)), so each class reproduces the base
+        # table's near-dup pair structure exactly and true output pairs
+        # grow linearly with SCALE — while classes with the same rotation
+        # but different generations differ in ~half their signs (expected
+        # cosine ~0), so replication manufactures NO duplicate clusters
+        # at ANY scale (a single global negation only covered two
+        # generations; r and r+2*dim were identical beyond SCALE=128).
         dim = F.size("embedding")
         rr = F.col("r") % dim
-        sgn = (F.lit(1) - (((F.col("r") / dim).cast("int") % 2) * 2)).cast(
-            "float"
-        )
+        gen = (F.col("r") / dim).cast("int")
         rotated = F.concat(
             F.slice(F.col("embedding"), rr + 1, dim - rr),
             F.slice(F.col("embedding"), F.lit(1), rr),
         )
+        signed = F.when(gen == 0, rotated).otherwise(
+            F.zip_with(
+                rotated,
+                F.sequence(F.lit(0), dim - 1),
+                lambda x, i: x
+                * (F.lit(1) - F.pmod(F.xxhash64(gen, i), F.lit(2)) * 2).cast(
+                    "float"
+                ),
+            )
+        )
         out = emb.select(
             (F.col("vec_id") * SCALE + F.col("r")).alias("vec_id"),
-            F.transform(rotated, lambda x: x * sgn).alias("embedding"),
+            signed.alias("embedding"),
             "label",
         )
         out.repartition(32).write.mode("overwrite").parquet(emb_path)
@@ -359,7 +369,9 @@ def run_streaming_rows(spark, sf_dir: str) -> list[dict]:
 
 def run_skew_rows(spark, sf_dir: str) -> dict:
     """Hot-key stress (SPARK_GRAFT_SCALE_SKEW=1): measure WHEN salting
-    matters, on a table where one user owns 10% of all events.
+    matters, on a table where one user owns SKEW_SHARE of all events
+    (default 10%; SPARK_GRAFT_SCALE_SKEW_SHARE=0.5 is the recorded
+    extreme point).
 
     Three legs, each the median of 3 runs:
 

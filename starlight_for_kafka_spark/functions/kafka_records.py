@@ -555,6 +555,10 @@ def _lz4_block_decompress(src: bytes) -> bytes:
                 if b != 255:
                     break
         match_len += 4
+        if offset > len(out):
+            # the old per-byte loop raised IndexError here; the sliced
+            # fast paths would silently clamp and emit garbage instead
+            raise ValueError("corrupt lz4 block: match offset beyond output")
         if offset >= match_len:
             start = len(out) - offset
             out += out[start : start + match_len]

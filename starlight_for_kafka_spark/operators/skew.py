@@ -367,19 +367,36 @@ def keyed_running_sum(
     ).rowsBetween(Window.unboundedPreceding, 0)
     local = local.withColumn("__local", F.sum(value_col).over(w_local))
 
+    # shard totals are the SUM of the shard's values — NOT max(__local):
+    # a negative value makes the final cumulative row smaller than an
+    # interior one, and max would silently rebase later shards too high.
+    # Derived from df (not from the windowed branch): the offsets side of
+    # the self-join must not share the window lineage — Catalyst fails to
+    # re-bind the shard expression on the aggregated branch for
+    # non-file-source inputs (LocalRelation) otherwise.
     w_off = Window.partitionBy(*key_cols).orderBy("__shard").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = (
-        local.groupBy(*key_cols, "__shard")
-        .agg(F.max("__local").alias("__shard_total"))
+        df.select(*key_cols, F.col(value_col).alias("__v"), shard)
+        .groupBy(*key_cols, "__shard")
+        .agg(F.sum("__v").alias("__shard_total"))
         .withColumn("__offset", F.sum("__shard_total").over(w_off))
         .select(*key_cols, "__shard", "__offset")
     )
+    # NULL semantics match the serial window (SUM ignores NULLs over the
+    # whole frame; NULL only when no non-NULL value has been seen yet):
+    # __local is NULL when the within-shard prefix is all-NULL, __offset
+    # is NULL when all earlier shards hold no non-NULL values — the
+    # running sum is their null-skipping sum, NULL only if both are.
     out = local.join(offsets, [*key_cols, "__shard"]).withColumn(
         out_col,
-        F.when(F.col("__offset").isNull(), F.col("__local")).otherwise(
-            F.col("__offset") + F.col("__local")
+        F.when(
+            F.col("__offset").isNull() & F.col("__local").isNull(),
+            F.lit(None),
+        ).otherwise(
+            F.coalesce(F.col("__offset"), F.lit(0))
+            + F.coalesce(F.col("__local"), F.lit(0))
         ),
     )
     return out.drop("__shard", "__local", "__offset")

@@ -537,3 +537,33 @@ def test_keyed_running_sum_single_hot_key_and_explicit_boundaries(spark, events)
     assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
         map(tuple, plain.select(*cols).collect())
     )
+
+
+def test_keyed_running_sum_negatives_nulls_and_local_relation(spark):
+    """Review regressions: (1) shard totals must be the shard SUM, not
+    max of the local cumsum — negative values make the final cumulative
+    row smaller than an interior one; (2) NULL values follow the serial
+    window's null-skipping semantics (NULL only before any non-NULL);
+    (3) in-memory (LocalRelation) inputs must not crash the offsets
+    self-join."""
+    from pyspark.sql import Window
+
+    from starlight_for_kafka_spark.operators import skew
+
+    rows = [
+        (1, 1, 1, 5.0), (1, 2, 2, -3.0), (1, 3, 10, 1.0),   # negative
+        (2, 4, 1, None), (2, 5, 10, None), (2, 6, 11, 4.0),  # leading NULLs
+        (3, 7, 12, None),                                    # all-NULL key
+    ]
+    df = spark.createDataFrame(rows, "k int, id int, ord int, v double")
+    out = skew.keyed_running_sum(
+        df, ["k"], "ord", "v", "id", boundaries=[5]
+    )
+    w = Window.partitionBy("k").orderBy("ord", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    plain = df.withColumn("running_sum", F.sum("v").over(w))
+    cols = ["k", "id", "running_sum"]
+    assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )

@@ -512,3 +512,20 @@ def test_legacy_ingest_reads_compressed_sets(spark, log):
     assert sorted(map(tuple, plain.select(*cols).collect())) == sorted(
         map(tuple, gz.select(*cols).collect())
     )
+
+
+def test_kafka_lz4_block_rejects_match_offset_beyond_output():
+    """A corrupt block whose match offset exceeds the bytes decoded so
+    far must fail loudly — the sliced fast paths would otherwise clamp
+    silently and emit wrong-length garbage into record parsing."""
+    import struct
+
+    import pytest
+
+    from starlight_for_kafka_spark.functions.kafka_records import (
+        _lz4_block_decompress,
+    )
+
+    bad = bytes([0x13]) + b"abc" + struct.pack("<H", 5) + bytes([0x00])
+    with pytest.raises(ValueError, match="match offset beyond output"):
+        _lz4_block_decompress(bad)
