@@ -2766,6 +2766,22 @@ def q_keyed_running_sum(spark, sf_dir):
     return out.select("user_id", "event_id", "running_sum")
 
 
+def q_keyed_running_max(spark, sf_dir):
+    """Running per-user PEAK value — keyed_running_agg's monoid dispatch
+    (greatest-merge instead of add) under the same skew-safe
+    decomposition; the oracle is the plain serial MAX window."""
+    from starlight_for_kafka_spark.operators import skew as skew_ops
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ord"), "value"
+    )
+    out = skew_ops.keyed_running_agg(
+        ev, ["user_id"], "ord", "value", "event_id", agg="max",
+        n_shards=16, out_col="running_max",
+    )
+    return out.select("user_id", "event_id", "running_max")
+
+
 def q_funnel_steps(spark, sf_dir):
     """Ordered view->click->purchase funnel per user: earliest time each
     step is reached strictly after the previous one. Restricted to the
@@ -3814,6 +3830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_anomaly": q_ts_anomaly,
         "grouped_top_k": q_grouped_top_k,
         "keyed_running_sum": q_keyed_running_sum,
+        "keyed_running_max": q_keyed_running_max,
         "cohort_retention": q_cohort_retention,
         "dup_ngram_fraction": q_dup_ngram_fraction,
         "semantic_dedup": q_semantic_dedup,
@@ -7217,6 +7234,14 @@ FROM v""",
                      PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS running_sum
+            FROM events
+        """,
+        "keyed_running_max": """
+            SELECT user_id, event_id,
+                   MAX(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS running_max
             FROM events
         """,
         "grouped_top_k": """WITH r AS (

@@ -289,23 +289,24 @@ def cm_estimate(
     )
 
 
-def keyed_running_sum(
+def keyed_running_agg(
     df: DataFrame,
     key_cols: list[str],
     order_col: str,
     value_col: str,
     tiebreak_col: str,
+    agg: str = "sum",
     n_shards: int = 32,
-    out_col: str = "running_sum",
+    out_col: str = "running_agg",
     boundaries: list | None = None,
 ) -> DataFrame:
-    """Skew-safe per-key running (prefix) sum: for each row, the sum of
+    """Skew-safe per-key RUNNING aggregate: for each row, ``agg`` of
     ``value_col`` over all rows of the same key at or before it in
     ``(order_col, tiebreak_col)`` order — the cumulative-feature shape
-    (per-user running spend, per-device running event count) that a
+    (per-user running spend / running peak / running event count) that a
     plain window
 
-        sum(value) OVER (PARTITION BY key ORDER BY ord ROWS UNBOUNDED
+        agg(value) OVER (PARTITION BY key ORDER BY ord ROWS UNBOUNDED
         PRECEDING)
 
     computes by funneling EVERY row of a key through one task's sort.
@@ -315,6 +316,13 @@ def keyed_running_sum(
     row, so no such pushdown exists — a key owning 10% of 100 TB
     serializes 10 TB into one task. This is the window family where
     explicit decomposition is the only fix.
+
+    ``agg`` is any commutative-monoid aggregate — ``sum`` | ``max`` |
+    ``min`` | ``count`` — the algebraic property the decomposition
+    needs: running state over earlier shards collapses to one offset
+    value merged into the local prefix (add for sum/count,
+    greatest/least for max/min, both NULL-skipping like the serial
+    window).
 
     Construction (the order-preserving analog of ``salted_aggregate``,
     same shape as ``sampling.pack_sequences``'s global prefix sum, made
@@ -327,17 +335,17 @@ def keyed_running_sum(
          nondecreasing shards — rows equal on ``order_col`` always share
          a shard, which keeps the decomposition exact for any total
          order ``(order_col, tiebreak_col)``.
-      2. per-(key, shard) local cumulative sums — the hot key's rows
+      2. per-(key, shard) local running aggregates — the hot key's rows
          spread over ``n_shards`` tasks;
       3. per-(key, shard) totals (<= n_shards rows per key) get a
          per-key running offset over shards — a window over bounded
-         partitions — and rebase the local sums via a join on
+         partitions — and rebase the local prefixes via a join on
          (key, shard).
 
     Exactness: for an EXACT-typed ``value_col`` (integer/decimal) the
-    result is bit-identical to the serial window (addition is
-    associative); for floats the usual reorder caveat applies — cast to
-    decimal when exact parity matters (the oracle does).
+    result is bit-identical to the serial window (the monoid operation
+    is associative); for float sums the usual reorder caveat applies —
+    cast to decimal when exact parity matters (the oracle does).
 
     ``boundaries`` overrides the sampled quantiles (the oracle replays
     the engine's choice verbatim; approx_percentile at an accuracy above
@@ -345,6 +353,30 @@ def keyed_running_sum(
     cross-engine recipes).
     """
     from pyspark.sql import Window
+
+    if agg not in ("sum", "max", "min", "count"):
+        raise ValueError(
+            f"agg must be one of sum/max/min/count, got {agg!r}"
+        )
+    local_fn = {"sum": F.sum, "max": F.max, "min": F.min, "count": F.count}[
+        agg
+    ]
+    # how per-shard totals combine into the earlier-shards offset, and
+    # how the offset merges into the local prefix
+    offset_fn = {"sum": F.sum, "count": F.sum, "max": F.max, "min": F.min}[
+        agg
+    ]
+
+    def merge(offset: Column, local: Column) -> Column:
+        if agg == "max":
+            return F.greatest(offset, local)  # NULL-skipping, like the window
+        if agg == "min":
+            return F.least(offset, local)
+        # sum/count: NULL-skipping add (count's local prefix is never
+        # NULL, but its offset is NULL for the first shard)
+        return F.when(offset.isNull() & local.isNull(), F.lit(None)).otherwise(
+            F.coalesce(offset, F.lit(0)) + F.coalesce(local, F.lit(0))
+        )
 
     ord_c = F.col(order_col)
     if boundaries is None:
@@ -365,38 +397,51 @@ def keyed_running_sum(
     w_local = Window.partitionBy(*key_cols, "__shard").orderBy(
         order_col, tiebreak_col
     ).rowsBetween(Window.unboundedPreceding, 0)
-    local = local.withColumn("__local", F.sum(value_col).over(w_local))
+    local = local.withColumn("__local", local_fn(value_col).over(w_local))
 
-    # shard totals are the SUM of the shard's values — NOT max(__local):
-    # a negative value makes the final cumulative row smaller than an
-    # interior one, and max would silently rebase later shards too high.
-    # Derived from df (not from the windowed branch): the offsets side of
-    # the self-join must not share the window lineage — Catalyst fails to
-    # re-bind the shard expression on the aggregated branch for
-    # non-file-source inputs (LocalRelation) otherwise.
+    # shard totals re-aggregate the shard's VALUES — not the local
+    # prefix column: for sum, max(__local) would silently rebase later
+    # shards too high whenever a negative value makes the final
+    # cumulative row smaller than an interior one. Derived from df (not
+    # from the windowed branch): the offsets side of the self-join must
+    # not share the window lineage — Catalyst fails to re-bind the shard
+    # expression on the aggregated branch for non-file-source inputs
+    # (LocalRelation) otherwise.
     w_off = Window.partitionBy(*key_cols).orderBy("__shard").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = (
         df.select(*key_cols, F.col(value_col).alias("__v"), shard)
         .groupBy(*key_cols, "__shard")
-        .agg(F.sum("__v").alias("__shard_total"))
-        .withColumn("__offset", F.sum("__shard_total").over(w_off))
+        .agg(local_fn("__v").alias("__shard_total"))
+        .withColumn("__offset", offset_fn("__shard_total").over(w_off))
         .select(*key_cols, "__shard", "__offset")
     )
-    # NULL semantics match the serial window (SUM ignores NULLs over the
-    # whole frame; NULL only when no non-NULL value has been seen yet):
-    # __local is NULL when the within-shard prefix is all-NULL, __offset
-    # is NULL when all earlier shards hold no non-NULL values — the
-    # running sum is their null-skipping sum, NULL only if both are.
+    # NULL semantics match the serial window (aggregates ignore NULLs
+    # over the whole frame; NULL only when no non-NULL value has been
+    # seen yet): __local is NULL when the within-shard prefix is
+    # all-NULL, __offset is NULL when all earlier shards hold no
+    # non-NULL values — merge() is NULL-skipping on both sides.
     out = local.join(offsets, [*key_cols, "__shard"]).withColumn(
-        out_col,
-        F.when(
-            F.col("__offset").isNull() & F.col("__local").isNull(),
-            F.lit(None),
-        ).otherwise(
-            F.coalesce(F.col("__offset"), F.lit(0))
-            + F.coalesce(F.col("__local"), F.lit(0))
-        ),
+        out_col, merge(F.col("__offset"), F.col("__local"))
     )
     return out.drop("__shard", "__local", "__offset")
+
+
+def keyed_running_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    n_shards: int = 32,
+    out_col: str = "running_sum",
+    boundaries: list | None = None,
+) -> DataFrame:
+    """Skew-safe per-key running sum — ``keyed_running_agg(agg="sum")``;
+    see that function for the construction and its contracts."""
+    return keyed_running_agg(
+        df, key_cols, order_col, value_col, tiebreak_col,
+        agg="sum", n_shards=n_shards, out_col=out_col,
+        boundaries=boundaries,
+    )

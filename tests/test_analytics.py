@@ -567,3 +567,29 @@ def test_keyed_running_sum_negatives_nulls_and_local_relation(spark):
     assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
         map(tuple, plain.select(*cols).collect())
     )
+
+
+def test_keyed_running_agg_max_min_count_equal_plain_windows(spark):
+    """The monoid dispatch: running max/min/count all match their serial
+    windows, including NULL-skipping semantics and a hot key."""
+    from pyspark.sql import Window
+
+    from starlight_for_kafka_spark.operators import skew
+
+    rows = [
+        (1, 1, 1, 5.0), (1, 2, 2, -3.0), (1, 3, 10, 1.0), (1, 4, 11, None),
+        (2, 5, 1, None), (2, 6, 10, 4.0), (2, 7, 12, 2.0),
+        (3, 8, 3, None),
+    ] + [(9, 100 + i, i, float(i % 7 - 3)) for i in range(50)]  # hot key
+    df = spark.createDataFrame(rows, "k int, id int, ord int, v double")
+    w = Window.partitionBy("k").orderBy("ord", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    for agg, fn in [("max", F.max), ("min", F.min), ("count", F.count)]:
+        out = skew.keyed_running_agg(
+            df, ["k"], "ord", "v", "id", agg=agg, boundaries=[5, 20],
+            out_col="r",
+        )
+        plain = df.withColumn("r", fn("v").over(w))
+        assert sorted(map(tuple, out.select("k", "id", "r").collect())) == \
+            sorted(map(tuple, plain.select("k", "id", "r").collect())), agg
