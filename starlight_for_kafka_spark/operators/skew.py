@@ -350,7 +350,11 @@ def keyed_running_agg(
     ``boundaries`` overrides the sampled quantiles (the oracle replays
     the engine's choice verbatim; approx_percentile at an accuracy above
     the row count is exact and engine-portable per the repo's
-    cross-engine recipes).
+    cross-engine recipes). ``boundaries=None`` costs ONE extra pass over
+    ``order_col`` for the quantile sketch — at 100 TB, pass boundaries
+    from domain knowledge (time-range cut points) or a prior sampled
+    estimate instead: they affect only shard BALANCE, never correctness,
+    so any monotone cut-point list is valid.
     """
     from pyspark.sql import Window
 
