@@ -988,7 +988,10 @@ _LEGACY_CODECS = {
 
 
 def down_convert(
-    batch_bytes: bytes, to_magic: int = 1, compression: str | None = None
+    batch_bytes: bytes,
+    to_magic: int = 1,
+    compression: str | None = None,
+    verify_crc: bool = True,
 ) -> bytes:
     """Magic down-conversion: a v2 batch re-encoded as a v0/v1 message set
     for pre-0.11 consumers. Headers are dropped and per-message CRC32
@@ -1005,7 +1008,7 @@ def down_convert(
     (v1), and the codec id in its attribute bits."""
     if to_magic not in (0, 1):
         raise ValueError("legacy magic must be 0 or 1")
-    batch = decode_batch_v2(batch_bytes)
+    batch = decode_batch_v2(batch_bytes, verify_crc=verify_crc)
     recs = batch["records"]
     if compression is None:
         out = bytearray()

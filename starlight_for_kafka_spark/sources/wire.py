@@ -313,9 +313,15 @@ def down_convert_batches(
 
         for pdf in batch_iter:
             out = pdf[["partition", "base_offset", "record_count"]].copy()
+            # batch the source-CRC verify across the chunk (one
+            # lane-parallel crc32c_many pass), then convert unverified
+            blobs = [bytes(b) for b in pdf["batch"]]
+            kr.verify_batches_v2_crc(blobs)
             out["message_set"] = [
-                kr.down_convert(bytes(b), to_magic, compression=compression)
-                for b in pdf["batch"]
+                kr.down_convert(
+                    b, to_magic, compression=compression, verify_crc=False
+                )
+                for b in blobs
             ]
             yield out
 
