@@ -862,15 +862,26 @@ def _lz4_block_decompress(src: bytes) -> bytes:
         lit_len = token >> 4
         if lit_len == 15:
             while True:
+                if i >= n:
+                    raise ValueError(
+                        "corrupt lz4 block: literal length runs past input"
+                    )
                 b = src[i]
                 i += 1
                 lit_len += b
                 if b != 255:
                     break
+        if i + lit_len > n:
+            # a short slice would silently truncate and return garbage —
+            # fail loudly like the match-offset guards below (same
+            # untrusted wire-decode path)
+            raise ValueError("corrupt lz4 block: literal run past input")
         out += src[i : i + lit_len]
         i += lit_len
         if i >= n:
             break  # last sequence carries literals only
+        if i + 2 > n:
+            raise ValueError("corrupt lz4 block: truncated match offset")
         offset = int.from_bytes(src[i : i + 2], "little")
         i += 2
         if offset == 0:
@@ -878,6 +889,10 @@ def _lz4_block_decompress(src: bytes) -> bytes:
         match_len = token & 0xF
         if match_len == 15:
             while True:
+                if i >= n:
+                    raise ValueError(
+                        "corrupt lz4 block: match length runs past input"
+                    )
                 b = src[i]
                 i += 1
                 match_len += b

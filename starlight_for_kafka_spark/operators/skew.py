@@ -426,8 +426,26 @@ def keyed_running_agg(
     # seen yet): __local is NULL when the within-shard prefix is
     # all-NULL, __offset is NULL when all earlier shards hold no
     # non-NULL values — merge() is NULL-skipping on both sides.
-    out = local.join(offsets, [*key_cols, "__shard"]).withColumn(
-        out_col, merge(F.col("__offset"), F.col("__local"))
+    #
+    # The rebase join is null-SAFE on the key columns: the serial window
+    # keeps NULL keys as their own partition, so a plain equi-join (which
+    # null-rejects) would silently drop every NULL-key row. __shard is
+    # never NULL (a NULL order_col compares NULL >= b -> 0 everywhere, so
+    # such rows land in shard 0, matching the window's NULLS FIRST
+    # ordering), so plain equality is fine there. Both branches are
+    # alias()ed so Catalyst re-binds attributes per branch instead of
+    # re-substituting the shard ArrayAggregate expression across the
+    # self-join (which crashed ATTRIBUTE_NOT_FOUND on column-pruned
+    # actions over LocalRelation inputs).
+    l = local.alias("__krl")
+    o = offsets.alias("__kro")
+    cond = l["__shard"] == o["__shard"]
+    for k in key_cols:
+        cond = cond & l[k].eqNullSafe(o[k])
+    out = (
+        l.join(o, cond)
+        .select(*[l[c] for c in local.columns], o["__offset"])
+        .withColumn(out_col, merge(F.col("__offset"), F.col("__local")))
     )
     return out.drop("__shard", "__local", "__offset")
 

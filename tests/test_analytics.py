@@ -545,7 +545,10 @@ def test_keyed_running_sum_negatives_nulls_and_local_relation(spark):
     row smaller than an interior one; (2) NULL values follow the serial
     window's null-skipping semantics (NULL only before any non-NULL);
     (3) in-memory (LocalRelation) inputs must not crash the offsets
-    self-join."""
+    self-join — including through a column-pruned action like .count(),
+    which re-binds the shard expression differently than .collect();
+    (4) NULL KEYS are kept as their own partition like the serial window
+    (a plain equi-join rebase null-rejects and silently drops them)."""
     from pyspark.sql import Window
 
     from starlight_for_kafka_spark.operators import skew
@@ -554,18 +557,24 @@ def test_keyed_running_sum_negatives_nulls_and_local_relation(spark):
         (1, 1, 1, 5.0), (1, 2, 2, -3.0), (1, 3, 10, 1.0),   # negative
         (2, 4, 1, None), (2, 5, 10, None), (2, 6, 11, 4.0),  # leading NULLs
         (3, 7, 12, None),                                    # all-NULL key
+        (None, 8, 2, 2.0), (None, 9, 10, 3.0),               # NULL key
     ]
     df = spark.createDataFrame(rows, "k int, id int, ord int, v double")
     out = skew.keyed_running_sum(
         df, ["k"], "ord", "v", "id", boundaries=[5]
     )
+    assert out.count() == len(rows)  # pruned action + no NULL-key drop
     w = Window.partitionBy("k").orderBy("ord", "id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     plain = df.withColumn("running_sum", F.sum("v").over(w))
     cols = ["k", "id", "running_sum"]
-    assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
-        map(tuple, plain.select(*cols).collect())
+    assert sorted(
+        map(tuple, out.select(*cols).collect()),
+        key=lambda t: (t[0] is None, t),
+    ) == sorted(
+        map(tuple, plain.select(*cols).collect()),
+        key=lambda t: (t[0] is None, t),
     )
 
 

@@ -529,3 +529,34 @@ def test_kafka_lz4_block_rejects_match_offset_beyond_output():
     bad = bytes([0x13]) + b"abc" + struct.pack("<H", 5) + bytes([0x00])
     with pytest.raises(ValueError, match="match offset beyond output"):
         _lz4_block_decompress(bad)
+
+
+def test_kafka_lz4_block_rejects_truncated_input():
+    """Corrupt blocks whose declared lengths run past the input must
+    raise, not silently truncate: (a) a literal run longer than the
+    remaining bytes, (b) a literal-length extension that never
+    terminates, (c) a match offset cut off mid-read, (d) a match-length
+    extension past the end — all on the same untrusted wire-decode path
+    as the match-offset guards."""
+    import struct
+
+    import pytest
+
+    from starlight_for_kafka_spark.functions.kafka_records import (
+        _lz4_block_decompress,
+    )
+
+    # (a) token declares 10 literals, only 3 present
+    with pytest.raises(ValueError, match="literal run past input"):
+        _lz4_block_decompress(bytes([0xA0]) + b"abc")
+    # (b) lit_len==15 extension runs off the end (every byte 255)
+    with pytest.raises(ValueError, match="literal length runs past input"):
+        _lz4_block_decompress(bytes([0xF0, 0xFF, 0xFF]))
+    # (c) literals complete but the 2-byte match offset is truncated
+    with pytest.raises(ValueError, match="truncated match offset"):
+        _lz4_block_decompress(bytes([0x12]) + b"a" + b"\x01")
+    # (d) match_len==15 extension runs off the end
+    with pytest.raises(ValueError, match="match length runs past input"):
+        _lz4_block_decompress(
+            bytes([0x1F]) + b"a" + struct.pack("<H", 1) + bytes([0xFF])
+        )
