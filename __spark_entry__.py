@@ -3612,6 +3612,180 @@ def q_video_motion(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "sql_surface_q2": q_sql_surface_q2,
+        "sql_surface_q3": q_sql_surface_q3,
+        "sql_surface_q4": q_sql_surface_q4,
+        "sql_surface_q5": q_sql_surface_q5,
+        "sql_surface_q7": q_sql_surface_q7,
+        "sql_surface_q8": q_sql_surface_q8,
+        "sql_surface_q9": q_sql_surface_q9,
+        "sql_surface_q10": q_sql_surface_q10,
+        "sql_surface_q11": q_sql_surface_q11,
+        "sql_surface_q12": q_sql_surface_q12,
+        "sql_surface_q13": q_sql_surface_q13,
+        "sql_surface_q14": q_sql_surface_q14,
+        "sql_surface_q15": q_sql_surface_q15,
+        "sql_surface_q16": q_sql_surface_q16,
+        "sql_surface_q17": q_sql_surface_q17,
+        "sql_surface_q18": q_sql_surface_q18,
+        "sql_surface_q19": q_sql_surface_q19,
+        "sql_surface_q20": q_sql_surface_q20,
+        "sql_surface_q21": q_sql_surface_q21,
+        "sql_surface_q22": q_sql_surface_q22,
+        "q6_discounted_revenue": q6_discounted_revenue,
+        "sql_surface_rollup": q_sql_surface_rollup,
+        "sql_surface_cube": q_sql_surface_cube,
+        "wire_roundtrip": q_wire_roundtrip,
+        "wire_legacy_ingest": q_wire_legacy_ingest,
+        "wire_transcode_codecs": q_wire_transcode_codecs,
+        "headers_projection": q_headers_projection,
+        "registry_subjects": q_registry_subjects,
+        "registry_compat": q_registry_compat,
+        "registry_compat_full": q_registry_compat_full,
+        "registry_subject_config": q_registry_subject_config,
+        "registry_references": q_registry_references,
+        "registry_wire": q_registry_wire,
+        "registry_delete": q_registry_delete,
+        "typed_view": q_typed_view,
+        "typed_view_avro": q_typed_view_avro,
+        "offsets_wire_roundtrip": q_offsets_wire_roundtrip,
+        "group_metadata_wire": q_group_metadata_wire,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_frame_features": q_multimodal_frame_features,
+        "multimodal_chunk_features": q_multimodal_chunk_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_patchify": q_multimodal_patchify,
+        "pack_multimodal": q_pack_multimodal,
+        "hll_cardinality": q_hll_cardinality,
+        "hll_dau": q_hll_dau,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
+        "kmv_overlap": q_kmv_overlap,
+        "histogram_quantiles": q_histogram_quantiles,
+        "keyed_running_sum": q_keyed_running_sum,
+        "repeated_spans": q_repeated_spans,
+        "hard_negatives": q_hard_negatives,
+        "similarity_ivf_cells": q_similarity_ivf_cells,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "embedding_centroids": q_embedding_centroids,
+        "kmeans_step": q_kmeans_step,
+        "similarity_lsh_top5": q_similarity_lsh_top5,
+        "multimodal_features": q_multimodal_features,
+        "produce_validation": q_produce_validation,
+        "offset_out_of_range": q_offset_out_of_range,
+        "offset_expire": q_offset_expire,
+        "delete_group": q_delete_group,
+        "table_table_join": q_table_table_join,
+        "ktable_fk_join": q_ktable_fk_join,
+        "suppress_final": q_suppress_final,
+        "stream_branch": q_stream_branch,
+        "sliding_window_2h1h": q_sliding_window_2h1h,
+        "log_integrity": q_log_integrity,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_embedding_lsh_auto": q_dedup_embedding_lsh_auto,
+        "audio_periodicity": q_audio_periodicity,
+        "video_motion": q_video_motion,
+        "audio_chunks": q_audio_chunks,
+        "caption_pairs": q_caption_pairs,
+        "group_state_recovery": q_group_state_recovery,
+        "producer_state_snapshot": q_producer_state_snapshot,
+        "group_rebalance_timeline": q_group_rebalance_timeline,
+        "group_state_static": q_group_state_static,
+        "group_members": q_group_members,
+        "assign_range": q_assign_range,
+        "offset_reset": q_offset_reset,
+        "offset_commit_tombstones": q_offset_commit_tombstones,
+        "log_compact_tombstone_window": q_log_compact_tombstone_window,
+        "connected_components_chain": q_connected_components_chain,
+        "fetch_max_bytes": q_fetch_max_bytes,
+        "fetch_response_budget": q_fetch_response_budget,
+        "txn_purge_aborted": q_txn_purge_aborted,
+        "list_offsets_max_ts": q_list_offsets_max_ts,
+        "describe_log": q_describe_log,
+        "heavy_hitters": q_heavy_hitters,
+        "txn_sequence_gaps": q_txn_sequence_gaps,
+        "assign_roundrobin": q_assign_roundrobin,
+        "assign_sticky": q_assign_sticky,
+        "assign_cooperative": q_assign_cooperative,
+        "retention_bytes": q_retention_bytes,
+        "throughput_metrics": q_throughput_metrics,
+        "stream_table_join": q_stream_table_join,
+        "asof_forward": q_asof_forward,
+        "ts_similarity": q_ts_similarity,
+        "active_users": q_active_users,
+        "bpe_token_count": q_bpe_token_count,
+        "bm25_search": q_bm25_search,
+        "gopher_quality": q_gopher_quality,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
+        "pagerank_event_graph": q_pagerank_event_graph,
+        "weighted_sample": q_weighted_sample,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
+        "cluster_representatives": q_cluster_representatives,
+        "weighted_sample_per_lang": q_weighted_sample_per_lang,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "embedding_covariance": q_embedding_covariance,
+        "random_projection": q_random_projection,
+        "interleave_sources": q_interleave_sources,
+        "epoch_resample": q_epoch_resample,
+        "hybrid_search": q_hybrid_search,
+        "cogroup": q_cogroup,
+        "migrate_offsets": q_migrate_offsets,
+        "log_compact": q_log_compact,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "dedup_incremental": q_dedup_incremental,
+        "curate_training_set": q_curate_training_set,
+        "asof_attribution": q_asof_attribution,
+        "stream_stream_join": q_stream_stream_join,
+        "sample_stratified": q_sample_stratified,
+        "decontaminate": q_decontaminate,
+        "quantile_filter": q_quantile_filter,
+        "quantile_filter_approx": q_quantile_filter_approx,
+        "ann_recall": q_ann_recall,
+        "pq_encode": q_pq_encode,
+        "binarize_embeddings": q_binarize_embeddings,
+        "binary_recall": q_binary_recall,
+        "pq_adc_topk": q_pq_adc_topk,
+        "pq_recall": q_pq_recall,
+        "cap_per_source": q_cap_per_source,
+        "corpus_stats": q_corpus_stats,
+        "scrub_pii": q_scrub_pii,
+        "repetition_score": q_repetition_score,
+        "chunk_documents": q_chunk_documents,
+        "tfidf_terms": q_tfidf_terms,
+        "quantization_recall": q_quantization_recall,
+        "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
+        "line_dedup": q_line_dedup,
+        "quality_classifier": q_quality_classifier,
+        "corpus_drift": q_corpus_drift,
+        "ccnet_bucket": q_ccnet_bucket,
+        "dsir_weights": q_dsir_weights,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "mixture_weights": q_mixture_weights,
+        "quantize_embeddings": q_quantize_embeddings,
+        "source_overlap": q_source_overlap,
+        "pack_sequences": q_pack_sequences,
+        "packing_stats": q_packing_stats,
+        "token_length_histogram": q_token_length_histogram,
+        "keyed_count_salted": q_keyed_count_salted,
+        "init_producer_ids": q_init_producer_ids,
+        "txn_markers": q_txn_markers,
+        "txn_fencing": q_txn_fencing,
+        "metadata_topics": q_metadata_topics,
+        "salted_join_revenue": q_salted_join_revenue,
+        "moving_avg_per_user": q_moving_avg_per_user,
+        "funnel_steps": q_funnel_steps,
+        "event_transitions": q_event_transitions,
+        "ts_anomaly": q_ts_anomaly,
+        "grouped_top_k": q_grouped_top_k,
+        "keyed_running_max": q_keyed_running_max,
+        "cohort_retention": q_cohort_retention,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "semantic_dedup": q_semantic_dedup,
+        "assign_split": q_assign_split,
+        "shuffle_rank": q_shuffle_rank,
         "log_fetch": q_log_fetch,
         "produce_offsets_dense": q_produce_offsets_dense,
         "commitlog_append": q_commitlog_append,
@@ -3662,180 +3836,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_language_id": q_text_language_id,
         "similarity_top10": q_similarity_top10,
-        "repeated_spans": q_repeated_spans,
-        "hard_negatives": q_hard_negatives,
-        "similarity_ivf_cells": q_similarity_ivf_cells,
-        "similarity_ivf_topk": q_similarity_ivf_topk,
-        "embedding_centroids": q_embedding_centroids,
-        "kmeans_step": q_kmeans_step,
-        "similarity_lsh_top5": q_similarity_lsh_top5,
-        "multimodal_features": q_multimodal_features,
-        "produce_validation": q_produce_validation,
-        "offset_out_of_range": q_offset_out_of_range,
-        "offset_expire": q_offset_expire,
-        "delete_group": q_delete_group,
-        "table_table_join": q_table_table_join,
-        "ktable_fk_join": q_ktable_fk_join,
-        "suppress_final": q_suppress_final,
-        "stream_branch": q_stream_branch,
-        "sliding_window_2h1h": q_sliding_window_2h1h,
-        "typed_view": q_typed_view,
-        "registry_subjects": q_registry_subjects,
-        "registry_compat": q_registry_compat,
-        "registry_subject_config": q_registry_subject_config,
-        "registry_references": q_registry_references,
-        "registry_wire": q_registry_wire,
-        "wire_roundtrip": q_wire_roundtrip,
-        "wire_legacy_ingest": q_wire_legacy_ingest,
-        "wire_transcode_codecs": q_wire_transcode_codecs,
-        "log_integrity": q_log_integrity,
-        "registry_compat_full": q_registry_compat_full,
-        "registry_delete": q_registry_delete,
-        "typed_view_avro": q_typed_view_avro,
-        "dedup_simhash": q_dedup_simhash,
-        "simhash_near_dups": q_simhash_near_dups,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "dedup_embedding_lsh_auto": q_dedup_embedding_lsh_auto,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_frame_features": q_multimodal_frame_features,
-        "multimodal_chunk_features": q_multimodal_chunk_features,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_patchify": q_multimodal_patchify,
-        "audio_periodicity": q_audio_periodicity,
-        "video_motion": q_video_motion,
-        "audio_chunks": q_audio_chunks,
-        "caption_pairs": q_caption_pairs,
-        "pack_multimodal": q_pack_multimodal,
-        "group_state_recovery": q_group_state_recovery,
-        "offsets_wire_roundtrip": q_offsets_wire_roundtrip,
-        "producer_state_snapshot": q_producer_state_snapshot,
-        "group_metadata_wire": q_group_metadata_wire,
-        "group_rebalance_timeline": q_group_rebalance_timeline,
-        "group_state_static": q_group_state_static,
-        "group_members": q_group_members,
-        "assign_range": q_assign_range,
-        "offset_reset": q_offset_reset,
-        "offset_commit_tombstones": q_offset_commit_tombstones,
-        "log_compact_tombstone_window": q_log_compact_tombstone_window,
-        "connected_components_chain": q_connected_components_chain,
-        "fetch_max_bytes": q_fetch_max_bytes,
-        "fetch_response_budget": q_fetch_response_budget,
-        "txn_purge_aborted": q_txn_purge_aborted,
-        "list_offsets_max_ts": q_list_offsets_max_ts,
-        "describe_log": q_describe_log,
-        "heavy_hitters": q_heavy_hitters,
-        "txn_sequence_gaps": q_txn_sequence_gaps,
-        "assign_roundrobin": q_assign_roundrobin,
-        "assign_sticky": q_assign_sticky,
-        "assign_cooperative": q_assign_cooperative,
-        "retention_bytes": q_retention_bytes,
-        "throughput_metrics": q_throughput_metrics,
-        "stream_table_join": q_stream_table_join,
-        "asof_forward": q_asof_forward,
-        "ts_similarity": q_ts_similarity,
-        "active_users": q_active_users,
-        "bpe_token_count": q_bpe_token_count,
-        "bm25_search": q_bm25_search,
-        "gopher_quality": q_gopher_quality,
-        "bpe_merge_pairs": q_bpe_merge_pairs,
-        "pagerank_event_graph": q_pagerank_event_graph,
-        "weighted_sample": q_weighted_sample,
-        "cluster_balanced_sample": q_cluster_balanced_sample,
-        "cluster_representatives": q_cluster_representatives,
-        "hll_cardinality": q_hll_cardinality,
-        "weighted_sample_per_lang": q_weighted_sample_per_lang,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "cm_heavy_hitters": q_cm_heavy_hitters,
-        "histogram_quantiles": q_histogram_quantiles,
-        "hll_dau": q_hll_dau,
-        "embedding_covariance": q_embedding_covariance,
-        "random_projection": q_random_projection,
-        "kmv_overlap": q_kmv_overlap,
-        "interleave_sources": q_interleave_sources,
-        "epoch_resample": q_epoch_resample,
-        "hybrid_search": q_hybrid_search,
-        "cogroup": q_cogroup,
-        "migrate_offsets": q_migrate_offsets,
-        "log_compact": q_log_compact,
-        "top_docs_per_lang": q_top_docs_per_lang,
-        "sql_surface_q5": q_sql_surface_q5,
-        "sql_surface_q4": q_sql_surface_q4,
-        "sql_surface_q2": q_sql_surface_q2,
-        "sql_surface_q7": q_sql_surface_q7,
-        "sql_surface_q8": q_sql_surface_q8,
-        "sql_surface_q9": q_sql_surface_q9,
-        "sql_surface_q11": q_sql_surface_q11,
-        "sql_surface_q12": q_sql_surface_q12,
-        "sql_surface_q13": q_sql_surface_q13,
-        "sql_surface_q16": q_sql_surface_q16,
-        "sql_surface_q17": q_sql_surface_q17,
-        "sql_surface_q20": q_sql_surface_q20,
-        "sql_surface_q22": q_sql_surface_q22,
-        "sql_surface_q21": q_sql_surface_q21,
-        "sql_surface_q14": q_sql_surface_q14,
-        "sql_surface_q15": q_sql_surface_q15,
-        "sql_surface_q19": q_sql_surface_q19,
-        "sql_surface_q3": q_sql_surface_q3,
-        "sql_surface_q10": q_sql_surface_q10,
-        "sql_surface_q18": q_sql_surface_q18,
-        "sql_surface_rollup": q_sql_surface_rollup,
-        "sql_surface_cube": q_sql_surface_cube,
-        "dedup_incremental": q_dedup_incremental,
-        "curate_training_set": q_curate_training_set,
-        "asof_attribution": q_asof_attribution,
-        "stream_stream_join": q_stream_stream_join,
-        "sample_stratified": q_sample_stratified,
-        "decontaminate": q_decontaminate,
-        "quantile_filter": q_quantile_filter,
-        "quantile_filter_approx": q_quantile_filter_approx,
-        "ann_recall": q_ann_recall,
-        "pq_encode": q_pq_encode,
-        "binarize_embeddings": q_binarize_embeddings,
-        "binary_recall": q_binary_recall,
-        "pq_adc_topk": q_pq_adc_topk,
-        "pq_recall": q_pq_recall,
-        "cap_per_source": q_cap_per_source,
-        "corpus_stats": q_corpus_stats,
-        "scrub_pii": q_scrub_pii,
-        "repetition_score": q_repetition_score,
-        "chunk_documents": q_chunk_documents,
-        "tfidf_terms": q_tfidf_terms,
-        "quantization_recall": q_quantization_recall,
-        "unigram_logprob": q_unigram_logprob,
-        "bigram_logprob": q_bigram_logprob,
-        "line_dedup": q_line_dedup,
-        "quality_classifier": q_quality_classifier,
-        "corpus_drift": q_corpus_drift,
-        "ccnet_bucket": q_ccnet_bucket,
-        "dsir_weights": q_dsir_weights,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "mixture_weights": q_mixture_weights,
-        "quantize_embeddings": q_quantize_embeddings,
-        "source_overlap": q_source_overlap,
-        "pack_sequences": q_pack_sequences,
-        "packing_stats": q_packing_stats,
-        "token_length_histogram": q_token_length_histogram,
-        "keyed_count_salted": q_keyed_count_salted,
-        "init_producer_ids": q_init_producer_ids,
-        "txn_markers": q_txn_markers,
-        "txn_fencing": q_txn_fencing,
-        "headers_projection": q_headers_projection,
-        "metadata_topics": q_metadata_topics,
-        "q6_discounted_revenue": q6_discounted_revenue,
-        "salted_join_revenue": q_salted_join_revenue,
-        "moving_avg_per_user": q_moving_avg_per_user,
-        "funnel_steps": q_funnel_steps,
-        "event_transitions": q_event_transitions,
-        "ts_anomaly": q_ts_anomaly,
-        "grouped_top_k": q_grouped_top_k,
-        "keyed_running_sum": q_keyed_running_sum,
-        "keyed_running_max": q_keyed_running_max,
-        "cohort_retention": q_cohort_retention,
-        "dup_ngram_fraction": q_dup_ngram_fraction,
-        "semantic_dedup": q_semantic_dedup,
-        "assign_split": q_assign_split,
-        "shuffle_rank": q_shuffle_rank,
     }
 
 
