@@ -551,21 +551,454 @@ def encode_batches_v2_many(
     attributes: int = 0,
 ) -> list[bytes]:
     """:func:`encode_batch_v2` over many (base_offset, records) chunks,
-    byte-identical outputs (pinned by test): the record/varint encoding
-    and compression stay per-batch, but all CRCs run as ONE
-    :func:`crc32c_many` call — the encode kernel's CRC was the remaining
-    per-byte Python loop on the wire hot path."""
-    parts = [
-        _encode_v2_crc_part(
-            base, recs, producer_id, producer_epoch, base_sequence,
-            attributes, compression,
+    byte-identical outputs (pinned by test). Delegates to the columnar
+    encoder (:func:`encode_batches_v2_columnar`): all varints vectorize
+    across the chunk and all CRCs run as ONE :func:`crc32c_many` call.
+
+    Requires each chunk's base_offset to equal its first record's offset
+    (every caller chunks that way); falls back to the per-record path for
+    the general case."""
+    import numpy as np
+
+    if not chunks:
+        return []
+    if any(
+        not recs or base != recs[0]["offset"] for base, recs in chunks
+    ):
+        parts = [
+            _encode_v2_crc_part(
+                base, recs, producer_id, producer_epoch, base_sequence,
+                attributes, compression,
+            )
+            for base, recs in chunks
+        ]
+        return [
+            _assemble_v2(base, partition_leader_epoch, crc, part)
+            for (base, _), crc, part in zip(chunks, crc32c_many(parts), parts)
+        ]
+    all_recs = [r for _, recs in chunks for r in recs]
+    sizes = [len(recs) for _, recs in chunks]
+    has_headers = any(r.get("headers") for r in all_recs)
+    return encode_batches_v2_columnar(
+        np.fromiter((r["offset"] for r in all_recs), np.int64, len(all_recs)),
+        np.fromiter(
+            (r["timestamp_ms"] for r in all_recs), np.int64, len(all_recs)
+        ),
+        [r.get("key") for r in all_recs],
+        [r.get("value") for r in all_recs],
+        [r.get("headers") for r in all_recs] if has_headers else None,
+        np.concatenate(([0], np.cumsum(sizes)[:-1])),
+        compression=compression,
+        producer_id=producer_id,
+        producer_epoch=producer_epoch,
+        base_sequence=base_sequence,
+        partition_leader_epoch=partition_leader_epoch,
+        attributes=attributes,
+    )
+
+
+# ---------------------------------------------------------------------- #
+# columnar (numpy-vectorized) v2 record codec
+#
+# The wire hot path's remaining Python cost after the CRC batching was
+# record-level varint encode/decode plus per-record dict/bytearray work
+# (profiled: ~70% of encode, ~100% of decode). Varints inside one record
+# chain sequentially, but ACROSS the records of an Arrow chunk every
+# field is independent — the same lane axis crc32c_many exploits. Encode
+# computes every record's zigzag varints as one (N, 10) masked byte
+# matrix per field and scatters bytes/blobs into a single preallocated
+# output buffer (ragged blob placement via the repeat+arange index
+# trick); decode walks only the record-length prefixes sequentially
+# (~4 Python ops per record) and decodes every interior field of all
+# records in one masked gather per field. Outputs are byte-identical to
+# encode_batch_v2 / value-identical to decode_batch_v2 (pinned by tests).
+# ---------------------------------------------------------------------- #
+
+
+def _encode_headers(headers) -> bytes:
+    """The header section of one record: varint(count) + per-header
+    varint(len(key)) key varint(len(value)|-1) value — exactly
+    :func:`encode_record_v2`'s layout."""
+    out = bytearray()
+    headers = headers or []
+    _write_varint(len(headers), out)
+    for hk, hv in headers:
+        kb = hk.encode("utf-8")
+        _write_varint(len(kb), out)
+        out += kb
+        if hv is None:
+            _write_varint(-1, out)
+        else:
+            _write_varint(len(hv), out)
+            out += hv
+    return bytes(out)
+
+
+def _vec_zigzag(n):
+    """Zigzag an int64 array to uint64."""
+    return ((n << 1) ^ (n >> 63)).view(__import__("numpy").uint64)
+
+
+def _vec_varint_nb(z):
+    """Per-value varint byte counts for a zigzagged uint64 array."""
+    import numpy as np
+
+    nb = np.ones(len(z), dtype=np.int64)
+    tmp = z >> np.uint64(7)
+    while tmp.any():
+        nb += tmp > 0
+        tmp = tmp >> np.uint64(7)
+    return nb
+
+
+def _vec_varint_scatter(out, starts, z, nb):
+    """Write varint(z[i]) at out[starts[i]...] for all i in one masked
+    scatter. The byte matrix is only as wide as the LONGEST varint in the
+    batch (typically 2-3 of the max 10 — deltas and lengths are small),
+    which matters on this host: memory traffic, not arithmetic, bounds
+    these kernels."""
+    import numpy as np
+
+    width = int(nb.max())
+    j = np.arange(width, dtype=np.uint64)
+    w = (z[:, None] >> (j * np.uint64(7))) & np.uint64(0x7F)
+    cont = (np.arange(width)[None, :] + 1) < nb[:, None]
+    w = (w | (cont.astype(np.uint64) << np.uint64(7))).astype(np.uint8)
+    mask = np.arange(width)[None, :] < nb[:, None]
+    pos = starts[:, None] + np.arange(width)[None, :]
+    out[pos[mask]] = w[mask]
+
+
+def _vec_ragged_scatter(out, dest_starts, lens, src_cat):
+    """Copy concatenated variable-length blobs to scattered destinations:
+    src_cat holds the blobs back-to-back; blob i (length lens[i]) lands at
+    dest_starts[i]. Per-blob memoryview slice assignment (a C memcpy
+    each), NOT a repeat+arange index scatter: the index build costs 8
+    bytes of freshly-faulted int64 per byte copied, and first-touch page
+    throughput on this host is the bottleneck (measured: the index form
+    spent seconds in arange/repeat for a ~20 MB payload)."""
+    mv = out.data
+    src = memoryview(src_cat)
+    s = 0
+    for d, ln in zip(dest_starts.tolist(), lens.tolist()):
+        e = s + ln
+        mv[d : d + ln] = src[s:e]
+        s = e
+
+
+def encode_batches_v2_columnar(
+    offsets,
+    ts_ms,
+    keys: list,
+    values: list,
+    headers: list | None,
+    batch_starts,
+    compression: str | None = None,
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
+    partition_leader_epoch: int = 0,
+    attributes: int = 0,
+) -> list[bytes]:
+    """Columnar :func:`encode_batch_v2` over many batches at once:
+    ``offsets``/``ts_ms`` are per-record int64 arrays, ``keys``/``values``
+    per-record ``bytes | None`` lists, ``headers`` a per-record list of
+    ``(key, value)`` tuples (or ``None`` for the whole argument when no
+    record has headers). ``batch_starts`` are the record indices where
+    each batch begins (each batch's base offset is its first record's
+    offset, matching the chunking in :func:`encode_batches_v2_many`).
+    Byte-identical to per-record encoding (pinned by tests)."""
+    import numpy as np
+
+    offsets = np.asarray(offsets, dtype=np.int64)
+    ts_ms = np.asarray(ts_ms, dtype=np.int64)
+    n_rec = len(offsets)
+    batch_starts = np.asarray(batch_starts, dtype=np.int64)
+    if len(batch_starts) == 0:
+        return []
+    if n_rec == 0 or (np.diff(batch_starts) <= 0).any() or (
+        batch_starts[0] != 0 or batch_starts[-1] >= n_rec
+    ):
+        raise ValueError("empty batch")
+    counts = np.diff(np.concatenate((batch_starts, [n_rec])))
+
+    base_off = np.repeat(offsets[batch_starts], counts)
+    base_ts_b = np.minimum.reduceat(ts_ms, batch_starts)
+    max_ts_b = np.maximum.reduceat(ts_ms, batch_starts)
+    ts_delta = ts_ms - np.repeat(base_ts_b, counts)
+    off_delta = offsets - base_off
+
+    klen = np.fromiter(
+        (-1 if k is None else len(k) for k in keys), np.int64, n_rec
+    )
+    vlen = np.fromiter(
+        (-1 if v is None else len(v) for v in values), np.int64, n_rec
+    )
+    keys_cat = b"".join(k for k in keys if k is not None)
+    vals_cat = b"".join(v for v in values if v is not None)
+    if headers is None:
+        hdr_blobs = None
+        hlen = np.ones(n_rec, dtype=np.int64)  # every blob is b"\x00"
+    else:
+        hdr_blobs = [_encode_headers(h) for h in headers]
+        hlen = np.fromiter((len(b) for b in hdr_blobs), np.int64, n_rec)
+
+    # one fused pass: byte counts for the 4 interior varints, then the
+    # length prefix, then ALL 5N varints written by a single scatter
+    z4 = np.concatenate(
+        (_vec_zigzag(ts_delta), _vec_zigzag(off_delta),
+         _vec_zigzag(klen), _vec_zigzag(vlen))
+    )
+    nb4 = _vec_varint_nb(z4)
+    nb_t, nb_o, nb_k, nb_v = (
+        nb4[:n_rec], nb4[n_rec : 2 * n_rec],
+        nb4[2 * n_rec : 3 * n_rec], nb4[3 * n_rec :],
+    )
+
+    kbytes = np.maximum(klen, 0)
+    vbytes = np.maximum(vlen, 0)
+    body_len = 1 + nb_t + nb_o + nb_k + kbytes + nb_v + vbytes + hlen
+    zl = _vec_zigzag(body_len)
+    nb_l = _vec_varint_nb(zl)
+    rec_len = nb_l + body_len
+    rec_starts = np.concatenate(([0], np.cumsum(rec_len)[:-1]))
+
+    out = np.zeros(int(rec_len.sum()), dtype=np.uint8)
+    # attr byte at rec_starts + nb_l is 0 — buffer is zero-initialized
+    ts_start = rec_starts + nb_l + 1
+    off_start = ts_start + nb_t
+    klen_start = off_start + nb_o
+    key_start = klen_start + nb_k
+    vlen_start = key_start + kbytes
+    val_start = vlen_start + nb_v
+    hdr_start = val_start + vbytes
+    _vec_varint_scatter(
+        out,
+        np.concatenate((rec_starts, ts_start, off_start, klen_start, vlen_start)),
+        np.concatenate((zl, z4)),  # same field order as the starts
+        np.concatenate((nb_l, nb4)),
+    )
+    _vec_ragged_scatter(out, key_start[klen >= 0], kbytes[klen >= 0], keys_cat)
+    _vec_ragged_scatter(out, val_start[vlen >= 0], vbytes[vlen >= 0], vals_cat)
+    if hdr_blobs is None:
+        out[hdr_start] = 0  # zigzag varint of header count 0
+    else:
+        _vec_ragged_scatter(out, hdr_start, hlen, b"".join(hdr_blobs))
+
+    # split per batch and finish with the scalar header assembly (40
+    # fixed bytes per batch) + one lane-parallel CRC pass
+    all_bytes = out.tobytes()
+    b_start = rec_starts[batch_starts]
+    b_end = np.concatenate((b_start[1:], [len(all_bytes)]))
+    parts: list[bytes] = []
+    for bi in range(len(batch_starts)):
+        recs = all_bytes[int(b_start[bi]) : int(b_end[bi])]
+        attr = attributes
+        if compression not in (None, "none"):
+            if compression not in _CODEC_IDS:
+                raise ValueError(f"unknown codec {compression!r}")
+            recs = _compress(compression, recs)
+            attr = (attr & ~0x07) | _CODEC_IDS[compression]
+        last = int(batch_starts[bi] + counts[bi] - 1)
+        last_offset_delta = int(offsets[last] - offsets[batch_starts[bi]])
+        parts.append(
+            struct.pack(
+                ">hiqqqhii",
+                attr,
+                last_offset_delta,
+                int(base_ts_b[bi]),
+                int(max_ts_b[bi]),
+                producer_id,
+                producer_epoch,
+                base_sequence,
+                int(counts[bi]),
+            )
+            + recs
         )
-        for base, recs in chunks
-    ]
     return [
-        _assemble_v2(base, partition_leader_epoch, crc, part)
-        for (base, _), crc, part in zip(chunks, crc32c_many(parts), parts)
+        _assemble_v2(
+            int(offsets[batch_starts[bi]]), partition_leader_epoch, crc, part
+        )
+        for bi, (crc, part) in enumerate(zip(crc32c_many(parts), parts))
     ]
+
+
+def _vec_varint_decode_w(arr, starts, width):
+    """Fixed-width masked varint decode; returns (values, byte counts,
+    terminated mask) — rows whose varint does not end within ``width``
+    bytes carry garbage and are flagged False."""
+    import numpy as np
+
+    idx = starts[:, None] + np.arange(width)[None, :]
+    w = arr[idx].astype(np.uint64)
+    stop = (w & np.uint64(0x80)) == 0
+    ok = stop.any(axis=1)
+    nb = stop.argmax(axis=1) + 1
+    mask = np.arange(width)[None, :] < nb[:, None]
+    vals = (w & np.uint64(0x7F)) << (
+        np.arange(width, dtype=np.uint64) * np.uint64(7)
+    )
+    u = (vals * mask).sum(axis=1, dtype=np.uint64)
+    n = (u >> np.uint64(1)).view(np.int64) ^ -((u & np.uint64(1)).view(np.int64))
+    return n, nb.astype(np.int64), ok
+
+
+def _vec_varint_decode(arr, starts):
+    """Decode zigzag varints at N start positions of a padded uint8
+    array: returns (values int64, byte counts). Reads a 4-byte window
+    per varint (covers deltas/lengths up to 2^27, virtually every real
+    record field) and re-reads only the rare longer rows at the full 10
+    — the narrow window matters because memory traffic, not arithmetic,
+    bounds these kernels on this host."""
+    import numpy as np
+
+    n, nb, ok = _vec_varint_decode_w(arr, starts, 4)
+    if not ok.all():
+        rows = np.nonzero(~ok)[0]
+        n2, nb2, ok2 = _vec_varint_decode_w(arr, starts[rows], 10)
+        if not ok2.all():
+            raise ValueError("varint longer than 10 bytes")
+        n[rows] = n2
+        nb[rows] = nb2
+    return n, nb
+
+
+def decode_batches_v2_columnar(bufs: list[bytes], verify_crc: bool = True):
+    """Columnar decode of many v2 batches: returns a dict of per-record
+    columns {offsets, ts_ms, keys, values, headers} plus per-batch
+    {record_counts, attributes, producer_ids, producer_epochs,
+    base_sequences}. Value-identical to :func:`decode_batch_v2` over the
+    same bufs (pinned by tests); CRC verification runs as one
+    lane-parallel pass."""
+    import numpy as np
+
+    if verify_crc:
+        verify_batches_v2_crc(bufs)
+    rbufs: list[bytes] = []
+    base_offs: list[int] = []
+    base_tss: list[int] = []
+    counts: list[int] = []
+    attrs: list[int] = []
+    pids: list[int] = []
+    pepochs: list[int] = []
+    bseqs: list[int] = []
+    for buf in bufs:
+        magic = struct.unpack_from(">b", buf, 16)[0]
+        if magic != MAGIC_V2:
+            raise ValueError(f"not a v2 batch (magic={magic})")
+        batch_length = struct.unpack_from(">i", buf, 8)[0]
+        covered = buf[21 : 12 + batch_length]
+        attributes = struct.unpack_from(">h", covered, 0)[0]
+        codec = attributes & 0x07
+        rbuf = covered[40:]
+        if codec != COMPRESSION_NONE:
+            rbuf = _decompress(codec, bytes(rbuf))
+        rbufs.append(bytes(rbuf))
+        base_offs.append(struct.unpack_from(">q", buf, 0)[0])
+        base_tss.append(struct.unpack_from(">q", covered, 6)[0])
+        counts.append(struct.unpack_from(">i", covered, 36)[0])
+        attrs.append(attributes)
+        pids.append(struct.unpack_from(">q", covered, 22)[0])
+        pepochs.append(struct.unpack_from(">h", covered, 30)[0])
+        bseqs.append(struct.unpack_from(">i", covered, 32)[0])
+
+    big = b"".join(rbufs)
+    n_rec = sum(counts)
+    # sequential walk over record-length prefixes only (the one truly
+    # chained read — payload bytes make record boundaries undiscoverable
+    # without it); every interior field decodes vectorized below. The
+    # 1- and 2-byte fast paths cover real record lengths up to 8 KiB.
+    starts_list: list[int] = []
+    append = starts_list.append
+    pos = 0
+    total = n_rec
+    while total > 0:
+        total -= 1
+        b0 = big[pos]
+        if b0 < 0x80:
+            pos += 1
+            z = b0
+        else:
+            b1 = big[pos + 1]
+            if b1 < 0x80:
+                pos += 2
+                z = (b0 & 0x7F) | (b1 << 7)
+            else:
+                z = (b0 & 0x7F) | ((b1 & 0x7F) << 7)
+                shift = 14
+                pos += 2
+                while True:
+                    byte = big[pos]
+                    pos += 1
+                    z |= (byte & 0x7F) << shift
+                    if not byte & 0x80:
+                        break
+                    shift += 7
+        append(pos)
+        pos += (z >> 1) ^ -(z & 1)
+    if pos != len(big):
+        raise ValueError("records section length mismatch")
+    body_starts = np.array(starts_list, dtype=np.int64)
+
+    arr = np.frombuffer(big + b"\x00" * 10, dtype=np.uint8)
+    counts_np = np.asarray(counts, dtype=np.int64)
+    ts_delta, nb_t = _vec_varint_decode(arr, body_starts + 1)
+    off_start = body_starts + 1 + nb_t
+    off_delta, nb_o = _vec_varint_decode(arr, off_start)
+    klen_start = off_start + nb_o
+    klen, nb_k = _vec_varint_decode(arr, klen_start)
+    key_start = klen_start + nb_k
+    kbytes = np.maximum(klen, 0)
+    vlen_start = key_start + kbytes
+    vlen, nb_v = _vec_varint_decode(arr, vlen_start)
+    val_start = vlen_start + nb_v
+    vbytes = np.maximum(vlen, 0)
+    hdr_start = val_start + vbytes
+    hcount, _ = _vec_varint_decode(arr, hdr_start)
+
+    mv = memoryview(big)
+    keys = [
+        bytes(mv[s:e]) if kl >= 0 else None
+        for s, e, kl in zip(key_start.tolist(), (key_start + kbytes).tolist(), klen.tolist())
+    ]
+    values = [
+        bytes(mv[s:e]) if vl >= 0 else None
+        for s, e, vl in zip(val_start.tolist(), (val_start + vbytes).tolist(), vlen.tolist())
+    ]
+    if hcount.any():
+        headers: list = [[] for _ in range(n_rec)]
+        for i in np.nonzero(hcount > 0)[0].tolist():
+            hs = []
+            p = int(hdr_start[i])
+            cnt, p = _read_varint(big, p)
+            for _ in range(cnt):
+                hklen, p = _read_varint(big, p)
+                hk = big[p : p + hklen].decode("utf-8")
+                p += hklen
+                hvlen, p = _read_varint(big, p)
+                hv = None
+                if hvlen >= 0:
+                    hv = bytes(big[p : p + hvlen])
+                    p += hvlen
+                hs.append((hk, hv))
+            headers[i] = hs
+    else:
+        headers = [[]] * n_rec
+
+    return {
+        "offsets": np.repeat(np.asarray(base_offs, dtype=np.int64), counts_np)
+        + off_delta,
+        "ts_ms": np.repeat(np.asarray(base_tss, dtype=np.int64), counts_np)
+        + ts_delta,
+        "keys": keys,
+        "values": values,
+        "headers": headers,
+        "record_counts": counts_np,
+        "attributes": np.asarray(attrs, dtype=np.int64),
+        "producer_ids": np.asarray(pids, dtype=np.int64),
+        "producer_epochs": np.asarray(pepochs, dtype=np.int64),
+        "base_sequences": np.asarray(bseqs, dtype=np.int64),
+    }
 
 
 def verify_batches_v2_crc(bufs: list[bytes]) -> None:

@@ -90,54 +90,50 @@ def encode_wire_batches(
     )
 
     def op(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values("offset")
         part = int(key[0])
-        # column-wise zip iteration, not iterrows (per-row Series
-        # construction is ~5x slower and this kernel IS the conversion
-        # hot path the reference meters)
-        ts_ms_col = [
-            -1 if pd.isna(t) else int(t) for t in pdf["__ts_ms"]
-        ]
-        offs = pdf["offset"].tolist()
-        keys = pdf["key"].tolist()
-        vals = pdf["value"].tolist()
-        hdrs = pdf["headers"].tolist()
-        records = []
-        for off, ts_ms, k, v, hs in zip(offs, ts_ms_col, keys, vals, hdrs):
-            headers = None
-            if hs is not None and len(hs) > 0:
-                headers = [
+        n_rec = len(pdf)
+        # columnar straight through: the record dicts this kernel used to
+        # build (and encode_batches_v2_many used to unpack) were ~40% of
+        # kernel time; the codec itself vectorizes varints across the
+        # whole chunk (kafka_records.encode_batches_v2_columnar) with all
+        # CRCs in one lane-parallel pass
+        offs = pdf["offset"].to_numpy(dtype=np.int64)
+        ts_ms = (
+            pdf["__ts_ms"].fillna(-1).to_numpy(dtype=np.int64, na_value=-1)
+            if pdf["__ts_ms"].isna().any()
+            else pdf["__ts_ms"].to_numpy(dtype=np.int64)
+        )
+        keys = [None if k is None else bytes(k) for k in pdf["key"]]
+        vals = [None if v is None else bytes(v) for v in pdf["value"]]
+        hdrs_raw = pdf["headers"].tolist()
+        headers = None
+        if any(hs is not None and len(hs) > 0 for hs in hdrs_raw):
+            headers = [
+                [
                     (h["key"], bytes(h["value"]) if h["value"] is not None else None)
                     for h in hs
                 ]
-            records.append(
-                {
-                    "offset": int(off),
-                    "timestamp_ms": int(ts_ms),
-                    "key": bytes(k) if k is not None else None,
-                    "value": bytes(v) if v is not None else None,
-                    "headers": headers,
-                }
-            )
-        chunks = [
-            (records[i]["offset"], records[i : i + n])
-            for i in range(0, len(records), n)
-        ]
-        # all chunk CRCs in one lane-parallel pass (kafka_records
-        # .encode_batches_v2_many) — the CRC was the remaining per-byte
-        # Python loop in this kernel
-        blobs = kr.encode_batches_v2_many(chunks, compression=compression)
-        rows = [
-            {
-                "partition": part,
-                "base_offset": base,
-                "record_count": len(chunk),
-                "batch": blob,
-            }
-            for (base, chunk), blob in zip(chunks, blobs)
-        ]
+                if hs is not None and len(hs) > 0
+                else None
+                for hs in hdrs_raw
+            ]
+        batch_starts = np.arange(0, n_rec, n, dtype=np.int64)
+        blobs = kr.encode_batches_v2_columnar(
+            offs, ts_ms, keys, vals, headers, batch_starts,
+            compression=compression,
+        )
+        counts = np.diff(np.concatenate((batch_starts, [n_rec])))
         return pd.DataFrame(
-            rows, columns=["partition", "base_offset", "record_count", "batch"]
+            {
+                "partition": np.full(len(blobs), part, dtype=np.int64),
+                "base_offset": offs[batch_starts],
+                "record_count": counts,
+                "batch": blobs,
+            },
+            columns=["partition", "base_offset", "record_count", "batch"],
         )
 
     return staged.groupBy("partition", "__grp").applyInPandas(op, WIRE_BATCH_SCHEMA)
@@ -156,32 +152,31 @@ def decode_wire_batches(batches: DataFrame) -> DataFrame:
     )
 
     def op(batch_iter):
+        import numpy as np
         import pandas as pd
 
         for pdf in batch_iter:
-            rows = []
-            # verify every batch's CRC in one lane-parallel pass, then
-            # decode without re-verifying per batch
+            # columnar decode of the whole chunk: one lane-parallel CRC
+            # verify, varints decoded across all records at once, and the
+            # pandas frame built from columns instead of per-record dicts
             blobs = [bytes(b) for b in pdf["batch"]]
-            kr.verify_batches_v2_crc(blobs)
-            pdf = pdf.assign(batch=blobs)
-            for _, r in pdf.iterrows():
-                decoded = kr.decode_batch_v2(r["batch"], verify_crc=False)
-                for rec in decoded["records"]:
-                    rows.append(
-                        {
-                            "key": rec["key"],
-                            "value": rec["value"],
-                            "headers": [
-                                {"key": hk, "value": hv} for hk, hv in rec["headers"]
-                            ],
-                            "__ts_ms": rec["timestamp_ms"],
-                            "partition": int(r["partition"]),
-                            "offset": rec["offset"],
-                        }
-                    )
+            col = kr.decode_batches_v2_columnar(blobs)
+            _empty: list = []
             yield pd.DataFrame(
-                rows,
+                {
+                    "key": col["keys"],
+                    "value": col["values"],
+                    "headers": [
+                        [{"key": hk, "value": hv} for hk, hv in h] if h else _empty
+                        for h in col["headers"]
+                    ],
+                    "__ts_ms": col["ts_ms"],
+                    "partition": np.repeat(
+                        pdf["partition"].to_numpy(dtype=np.int64),
+                        col["record_counts"],
+                    ),
+                    "offset": col["offsets"],
+                },
                 columns=["key", "value", "headers", "__ts_ms", "partition", "offset"],
             )
 

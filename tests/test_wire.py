@@ -560,3 +560,94 @@ def test_kafka_lz4_block_rejects_truncated_input():
         _lz4_block_decompress(
             bytes([0x1F]) + b"a" + struct.pack("<H", 1) + bytes([0xFF])
         )
+
+
+def test_columnar_codec_matches_scalar_paths():
+    """The numpy-vectorized record codec is byte-identical to per-record
+    encoding and value-identical to per-record decoding across the edge
+    cases that exercise every branch: None/empty keys and values, headers
+    (incl. None header values), multi-byte varints, negative-delta-free
+    zigzag, every codec, and the >4-byte varint decode fallback."""
+    import random
+
+    import numpy as np
+
+    from starlight_for_kafka_spark.functions import kafka_records as kr
+
+    random.seed(42)
+
+    def mkrec(i, base):
+        key = (
+            None
+            if i % 7 == 0
+            else bytes([random.getrandbits(8) for _ in range(random.choice([0, 3, 200]))])
+        )
+        val = (
+            None
+            if i % 11 == 3
+            else bytes([random.getrandbits(8) for _ in range(random.choice([0, 96, 300]))])
+        )
+        hdrs = (
+            [("h%d" % j, None if j % 2 else bytes([j]) * j) for j in range(i % 4)]
+            if i % 13 == 5
+            else None
+        )
+        return {
+            "offset": base + i,
+            "timestamp_ms": 1_700_000_000_000 + i * 997,
+            "key": key,
+            "value": val,
+            "headers": hdrs,
+        }
+
+    chunks = []
+    off = 10**12  # exercises multi-byte offset varints via base, deltas small
+    for _ in range(8):
+        n = random.randint(1, 40)
+        chunks.append((off, [mkrec(i, off) for i in range(n)]))
+        off += n
+    for comp in [None, "gzip", "snappy", "lz4", "zstd"]:
+        want = [
+            kr.encode_batch_v2(
+                b, r, producer_id=9, producer_epoch=2, base_sequence=4,
+                compression=comp,
+            )
+            for b, r in chunks
+        ]
+        got = kr.encode_batches_v2_many(
+            chunks, compression=comp, producer_id=9, producer_epoch=2,
+            base_sequence=4,
+        )
+        assert want == got, comp
+
+    blobs = kr.encode_batches_v2_many(chunks, compression="lz4")
+    col = kr.decode_batches_v2_columnar(blobs)
+    ri = 0
+    for bi, blob in enumerate(blobs):
+        d = kr.decode_batch_v2(blob)
+        assert col["record_counts"][bi] == len(d["records"])
+        assert col["producer_ids"][bi] == d["producer_id"]
+        for rec in d["records"]:
+            assert col["offsets"][ri] == rec["offset"]
+            assert col["ts_ms"][ri] == rec["timestamp_ms"]
+            assert col["keys"][ri] == rec["key"]
+            assert col["values"][ri] == rec["value"]
+            assert list(col["headers"][ri]) == rec["headers"]
+            ri += 1
+
+    # >4-byte varint (2^40 ts delta) forces the width-10 decode fallback
+    recs = [
+        {"offset": 5, "timestamp_ms": 0, "key": b"a", "value": b"b", "headers": None},
+        {"offset": 6, "timestamp_ms": 2**40, "key": None, "value": b"c" * 150,
+         "headers": None},
+    ]
+    blob = kr.encode_batches_v2_many([(5, recs)])
+    assert blob[0] == kr.encode_batch_v2(5, recs)
+    c = kr.decode_batches_v2_columnar(blob)
+    assert c["ts_ms"][1] == 2**40 and c["values"][1] == b"c" * 150
+    assert c["keys"][1] is None and c["values"][0] == b"b"
+
+    # non-first-record base offset falls back to the per-record path
+    gap = [{"offset": 7, "timestamp_ms": 1, "key": b"k", "value": b"v",
+            "headers": None}]
+    assert kr.encode_batches_v2_many([(5, gap)]) == [kr.encode_batch_v2(5, gap)]
