@@ -78,7 +78,16 @@ def encode_wire_batches(
         F.floor(
             (F.row_number().over(w) - 1) / F.lit(n * batches_per_group)
         ).cast("long"),
-    ).withColumn(
+    )
+    # EXPLICIT re-shuffle on (partition, __grp): without it Catalyst
+    # reuses the window's hash-partitioning on `partition` alone (it
+    # already co-locates equal (partition, __grp) rows), so the whole
+    # encode kernel runs in num-log-partitions tasks — measured at 100x:
+    # the entire post-shuffle stage (sort + windows + Python encode) ran
+    # in 2 tasks, 49.8s of executor time. The extra exchange is C-speed
+    # bytes; the Python/Arrow hop is the expensive leg and it must scale
+    # with the data, not the partition count.
+    staged = staged.repartition("partition", "__grp").withColumn(
         # epoch millis computed JVM-side: a pandas .astype('int64') on the
         # timestamp column would encode SESSION-LOCAL wall-clock millis
         # into the wire bytes (wrong for any non-UTC session, silently
