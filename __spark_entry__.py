@@ -1565,6 +1565,19 @@ def q_simhash_near_dups(spark, sf_dir):
     return dedup_ops.simhash_near_dups(docs.unionByName(clones))
 
 
+def q_simhash_near_dups_capped(spark, sf_dir):
+    """simhash_near_dups with the Σ bucket² star cap (star_above=4):
+    block buckets larger than the cap emit anchor-star candidates only —
+    |bucket| rows instead of |bucket|² — the linear-candidate path for
+    boilerplate-heavy corpora (dedup.py simhash_near_dups star_above).
+    The oracle replays the per-block size/anchor topology in SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup_ops.simhash_near_dups(docs.unionByName(clones), star_above=4)
+
+
 def _emb_with_near(emb):
     pert = (
         emb.filter(F.col("vec_id") % 20 == 0)
@@ -2827,6 +2840,21 @@ def q_semantic_dedup(spark, sf_dir):
     return dedup_ops.semantic_dedup(emb, cents, threshold=0.35)
 
 
+def q_semantic_dedup_capped(spark, sf_dir):
+    """SemDeDup with the Σ cell² star cap (star_above=60): cells larger
+    than the cap compare every member against the cell anchor only — the
+    linear-pair-volume path for mega-cells (dedup.py semantic_dedup
+    star_above); sub-cap cells keep exact smallest-qualifying-neighbor
+    semantics. At sf0.01 the 8 cells are sized 48-70, so BOTH branches
+    run. The oracle replays the size/anchor topology in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return dedup_ops.semantic_dedup(emb, cents, threshold=0.35, star_above=60)
+
+
 def q_assign_split(spark, sf_dir):
     """Deterministic 98/1/1 train/val/test assignment by seeded id-hash."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -3662,6 +3690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": q_kmv_overlap,
         "histogram_quantiles": q_histogram_quantiles,
         "keyed_running_sum": q_keyed_running_sum,
+        "semantic_dedup_capped": q_semantic_dedup_capped,
+        "simhash_near_dups_capped": q_simhash_near_dups_capped,
         "repeated_spans": q_repeated_spans,
         "hard_negatives": q_hard_negatives,
         "similarity_ivf_cells": q_similarity_ivf_cells,
@@ -5472,6 +5502,89 @@ FROM orders""",
          y.doc_id AS b, y.simhash_hi AS hb, y.simhash_lo AS lb
   FROM blocks x JOIN blocks y ON x.b3 = y.b3 AND x.doc_id < y.doc_id
   WHERE x.b3 NOT IN (SELECT b3 FROM blocks GROUP BY b3 HAVING count(*) > 200)
+)
+SELECT a, b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
+FROM (SELECT DISTINCT a, b, ha, hb, la, lb FROM cand)
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""",
+        "simhash_near_dups_capped": """WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+), norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM docs
+), sets AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN length(t) >= 4
+                            THEN [substring(t, i, 4) FOR i IN range(1, length(t) - 2)]
+                            ELSE [] END) AS sh
+  FROM norm
+), hashes AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(unnest(sh)), 16, 1))::BIGINT AS h2
+  FROM sets
+), votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN b < 60 THEN (CASE WHEN (h1 >> b) & 1 = 1 THEN 1 ELSE -1 END)
+                  ELSE (CASE WHEN (h2 >> (b - 60)) & 1 = 1 THEN 1 ELSE -1 END) END) AS v
+  FROM hashes CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+  GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN 1::BIGINT << (b - 32) ELSE 0 END) AS BIGINT) AS simhash_hi,
+         CAST(sum(CASE WHEN v > 0 AND b < 32 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash_lo
+  FROM votes GROUP BY doc_id
+), blocks AS (
+  SELECT doc_id, simhash_hi, simhash_lo,
+         simhash_lo & 65535 AS b0, (simhash_lo >> 16) & 65535 AS b1,
+         simhash_hi & 65535 AS b2, (simhash_hi >> 16) & 65535 AS b3
+  FROM fp
+), s0 AS (
+  SELECT b0 AS bv, count(*) AS bs, min(doc_id) AS anchor,
+         arg_min(simhash_hi, doc_id) AS ah, arg_min(simhash_lo, doc_id) AS al
+  FROM blocks GROUP BY 1 HAVING count(*) <= 200
+), s1 AS (
+  SELECT b1 AS bv, count(*) AS bs, min(doc_id) AS anchor,
+         arg_min(simhash_hi, doc_id) AS ah, arg_min(simhash_lo, doc_id) AS al
+  FROM blocks GROUP BY 1 HAVING count(*) <= 200
+), s2 AS (
+  SELECT b2 AS bv, count(*) AS bs, min(doc_id) AS anchor,
+         arg_min(simhash_hi, doc_id) AS ah, arg_min(simhash_lo, doc_id) AS al
+  FROM blocks GROUP BY 1 HAVING count(*) <= 200
+), s3 AS (
+  SELECT b3 AS bv, count(*) AS bs, min(doc_id) AS anchor,
+         arg_min(simhash_hi, doc_id) AS ah, arg_min(simhash_lo, doc_id) AS al
+  FROM blocks GROUP BY 1 HAVING count(*) <= 200
+), cand AS (
+  SELECT x.doc_id AS a, x.simhash_hi AS ha, x.simhash_lo AS la,
+         y.doc_id AS b, y.simhash_hi AS hb, y.simhash_lo AS lb
+  FROM blocks x JOIN s0 s ON x.b0 = s.bv AND s.bs <= 4
+  JOIN blocks y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
+  UNION ALL
+  SELECT s.anchor, s.ah, s.al, x.doc_id, x.simhash_hi, x.simhash_lo
+  FROM blocks x JOIN s0 s ON x.b0 = s.bv AND s.bs > 4 AND x.doc_id <> s.anchor
+  UNION ALL
+  SELECT x.doc_id, x.simhash_hi, x.simhash_lo, y.doc_id, y.simhash_hi, y.simhash_lo
+  FROM blocks x JOIN s1 s ON x.b1 = s.bv AND s.bs <= 4
+  JOIN blocks y ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+  UNION ALL
+  SELECT s.anchor, s.ah, s.al, x.doc_id, x.simhash_hi, x.simhash_lo
+  FROM blocks x JOIN s1 s ON x.b1 = s.bv AND s.bs > 4 AND x.doc_id <> s.anchor
+  UNION ALL
+  SELECT x.doc_id, x.simhash_hi, x.simhash_lo, y.doc_id, y.simhash_hi, y.simhash_lo
+  FROM blocks x JOIN s2 s ON x.b2 = s.bv AND s.bs <= 4
+  JOIN blocks y ON x.b2 = y.b2 AND x.doc_id < y.doc_id
+  UNION ALL
+  SELECT s.anchor, s.ah, s.al, x.doc_id, x.simhash_hi, x.simhash_lo
+  FROM blocks x JOIN s2 s ON x.b2 = s.bv AND s.bs > 4 AND x.doc_id <> s.anchor
+  UNION ALL
+  SELECT x.doc_id, x.simhash_hi, x.simhash_lo, y.doc_id, y.simhash_hi, y.simhash_lo
+  FROM blocks x JOIN s3 s ON x.b3 = s.bv AND s.bs <= 4
+  JOIN blocks y ON x.b3 = y.b3 AND x.doc_id < y.doc_id
+  UNION ALL
+  SELECT s.anchor, s.ah, s.al, x.doc_id, x.simhash_hi, x.simhash_lo
+  FROM blocks x JOIN s3 s ON x.b3 = s.bv AND s.bs > 4 AND x.doc_id <> s.anchor
 )
 SELECT a, b,
        CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
@@ -7315,6 +7428,44 @@ GROUP BY 1""",
   WHERE round(list_dot_product(ea.v, eb.v)
               / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 9) >= 0.35
   GROUP BY 1
+)
+SELECT assign.vec_id, assign.ivf_cell, dup.dup_of,
+       dup.dup_of IS NOT NULL AS is_dup
+FROM assign LEFT JOIN dup ON assign.vec_id = dup.vec_id""",
+        "semantic_dedup_capped": """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8
+), sims AS (
+  SELECT e.vec_id, c.cid,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS sim
+  FROM e CROSS JOIN c
+), assign AS (
+  SELECT vec_id, CAST(cid AS INT) AS ivf_cell FROM sims
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+), cstats AS (
+  SELECT ivf_cell, count(*) AS cs, min(vec_id) AS anchor FROM assign GROUP BY 1
+), dup_small AS (
+  SELECT a.vec_id, min(b.vec_id) AS dup_of
+  FROM assign a
+  JOIN cstats s ON a.ivf_cell = s.ivf_cell AND s.cs <= 60
+  JOIN assign b ON a.ivf_cell = b.ivf_cell AND b.vec_id < a.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 9) >= 0.35
+  GROUP BY 1
+), dup_star AS (
+  SELECT a.vec_id, s.anchor AS dup_of
+  FROM assign a
+  JOIN cstats s ON a.ivf_cell = s.ivf_cell AND s.cs > 60 AND a.vec_id <> s.anchor
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = s.anchor
+  WHERE round(list_dot_product(ea.v, eb.v)
+              / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 9) >= 0.35
+), dup AS (
+  SELECT * FROM dup_small UNION ALL SELECT * FROM dup_star
 )
 SELECT assign.vec_id, assign.ivf_cell, dup.dup_of,
        dup.dup_of IS NOT NULL AS is_dup

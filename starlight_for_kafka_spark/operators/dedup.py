@@ -1111,6 +1111,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    star_above: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
     removal that MinHash/SimHash miss — paraphrases share embeddings, not
@@ -1130,7 +1131,17 @@ def semantic_dedup(
 
     Returns one row per vector: (id, ivf_cell, dup_of, is_dup) where
     ``dup_of`` is the smallest qualifying same-cell id (null when kept).
-    """
+
+    ``star_above`` is the Σ cell² guard rail (the same anchor-star
+    topology as :func:`minhash_lsh_candidates`): cells LARGER than the
+    cap compare every member against the cell's anchor (its smallest id)
+    ONLY — |cell| comparisons instead of |cell|² — so a mega-cell's cost
+    is linear in its size. In a capped cell ``dup_of`` is the anchor id
+    (not necessarily the smallest qualifying neighbor) and a duplicate
+    pair whose two members both miss the anchor by > threshold is not
+    marked — the cap trades that recall for the linear bound, exactly
+    like the MinHash star. Cells at or under the cap keep the exact
+    smallest-qualifying-id semantics."""
     from starlight_for_kafka_spark.functions.vectors import cosine_similarity
     from starlight_for_kafka_spark.operators.similarity import ivf_assign
 
@@ -1143,8 +1154,26 @@ def semantic_dedup(
         )
         .localCheckpoint(eager=False)
     )
-    a = assigned.select(F.col(id_col).alias("a"), F.col("__v").alias("va"), "ivf_cell")
-    b = assigned.select(F.col(id_col).alias("b"), F.col("__v").alias("vb"), "ivf_cell")
+    if star_above is None:
+        pairs_src = assigned
+    else:
+        # per-cell size + anchor (id AND vector) via one partial-combining
+        # aggregation — agg-not-window, same keeper rule as the LSH cap
+        cstats = assigned.groupBy("ivf_cell").agg(
+            F.count("*").alias("__cs"),
+            F.min(id_col).alias("__anchor"),
+            F.min_by("__v", id_col).alias("__av"),
+        )
+        tagged = assigned.join(cstats, "ivf_cell")
+        pairs_src = tagged.filter(F.col("__cs") <= star_above).drop(
+            "__cs", "__anchor", "__av"
+        )
+    a = pairs_src.select(
+        F.col(id_col).alias("a"), F.col("__v").alias("va"), "ivf_cell"
+    )
+    b = pairs_src.select(
+        F.col(id_col).alias("b"), F.col("__v").alias("vb"), "ivf_cell"
+    )
     dup_of = (
         a.join(b, "ivf_cell")
         .filter(F.col("b") < F.col("a"))
@@ -1152,6 +1181,17 @@ def semantic_dedup(
         .groupBy(F.col("a").alias(id_col))
         .agg(F.min("b").alias("dup_of"))
     )
+    if star_above is not None:
+        star = (
+            tagged.filter(F.col("__cs") > star_above)
+            .filter(F.col(id_col) != F.col("__anchor"))
+            .filter(
+                F.round(cosine_similarity(F.col("__v"), F.col("__av")), 9)
+                >= threshold
+            )
+            .select(F.col(id_col), F.col("__anchor").alias("dup_of"))
+        )
+        dup_of = dup_of.unionByName(star)
     return (
         assigned.select(id_col, "ivf_cell")
         .join(dup_of, id_col, "left")
@@ -1231,6 +1271,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     shingle_k: int = 4,
     max_bucket: int | None = 200,
+    star_above: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs at hamming distance ≤ ``max_hamming`` —
     Manku/Jain/Sarma's WWW'07 web-dedup search, the operator that makes
@@ -1252,6 +1293,17 @@ def simhash_near_dups(
     ``max_bucket=None`` for exact recall (route mega-clusters to
     exact_dedup first — identical payloads are ITS job). Verify touches
     fingerprints only — the 100 TB join moves 3 longs per row.
+
+    ``star_above`` is the Σ bucket² guard rail (the anchor-star topology
+    of :func:`minhash_lsh_candidates`): a block bucket LARGER than the
+    cap emits only pairs anchored at its smallest id — |bucket| candidate
+    rows instead of |bucket|² — so candidate volume is bounded by Σ
+    bucket. The hamming verify still owns precision; the cap trades the
+    non-anchor pairs of mega-buckets (they survive only if some OTHER
+    block keeps a sub-cap bucket for them), the same recall trade as the
+    MinHash star, bounded above by ``max_bucket``'s. Compose with
+    ``max_bucket``: buckets above ``max_bucket`` are dropped entirely,
+    buckets in (star_above, max_bucket] emit stars, the rest cliques.
     """
     if max_hamming > 3:
         raise ValueError("4-block pigeonhole guarantees recall only for max_hamming <= 3")
@@ -1279,6 +1331,32 @@ def simhash_near_dups(
                 F.col("__n") > max_bucket
             )
             cold = keyed.join(F.broadcast(hot.select("bv")), "bv", "left_anti")
+        if star_above is not None:
+            # bucket size + anchor id/fingerprint via one partial-combining
+            # aggregation (agg-not-window keeper rule, as in the LSH cap)
+            bstats = cold.groupBy("bv").agg(
+                F.count("*").alias("__bs"),
+                F.min("__id").alias("__anchor"),
+                F.min_by("simhash_hi", "__id").alias("__ah"),
+                F.min_by("simhash_lo", "__id").alias("__al"),
+            )
+            tagged = cold.join(bstats, "bv")
+            cold = tagged.filter(F.col("__bs") <= star_above).select(
+                "__id", "simhash_hi", "simhash_lo", "bv"
+            )
+            # the anchor is the bucket minimum, so anchor < id always
+            # holds and star pairs are already (a < b)-oriented
+            star = (
+                tagged.filter(F.col("__bs") > star_above)
+                .filter(F.col("__id") != F.col("__anchor"))
+                .select(
+                    F.col("__anchor").alias("a"), F.col("__ah").alias("ha"),
+                    F.col("__al").alias("la"), F.col("__id").alias("b"),
+                    F.col("simhash_hi").alias("hb"),
+                    F.col("simhash_lo").alias("lb"),
+                )
+            )
+            cand = star if cand is None else cand.unionByName(star)
         a = cold.select(
             F.col("__id").alias("a"), F.col("simhash_hi").alias("ha"),
             F.col("simhash_lo").alias("la"), "bv",

@@ -580,6 +580,40 @@ def test_semantic_dedup_marks_within_cell_neighbors(spark):
     assert out[2].ivf_cell == 0 and out[5].ivf_cell == 1
 
 
+def test_semantic_dedup_star_cap_linear_path(spark):
+    """star_above: cells over the cap compare members against the cell
+    ANCHOR only (dup_of == anchor, not the nearest smaller neighbor);
+    sub-cap cells keep exact smallest-qualifying-id semantics."""
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        # cell 0: 4 colinear vectors (size 4 > cap 3 -> star at anchor 1)
+        (1, [1.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0]),
+        (6, [3.0, 0.0, 0.0]),
+        (7, [4.0, 0.0, 0.0]),
+        # cell 1: size 2 <= cap -> exact semantics
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.0, 3.0, 0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in dedup.semantic_dedup(df, cents, 0.99, star_above=3).collect()
+    }
+    assert len(out) == 6
+    assert not out[1].is_dup
+    # starred cell: every member anchors to 1 (uncapped would give
+    # dup_of == nearest smaller id, e.g. 7 -> 6)
+    assert out[2].dup_of == 1 and out[6].dup_of == 1 and out[7].dup_of == 1
+    # sub-cap cell keeps exact semantics
+    assert not out[4].is_dup and out[5].dup_of == 4
+    # uncapped twin still gives smallest-qualifying-id everywhere
+    full = {
+        r.vec_id: r for r in dedup.semantic_dedup(df, cents, 0.99).collect()
+    }
+    assert full[7].dup_of == 1 and full[2].dup_of == 1  # min id qualifies here
+
+
 def test_assign_split_deterministic_and_corpus_independent(spark):
     import pytest
 
@@ -917,6 +951,27 @@ def test_simhash_near_dups_finds_clones_and_near_edits(spark, documents):
     for r in docs.limit(5).collect():
         assert pairs.get((r.doc_id, r.doc_id + 5000)) == 0  # exact clone: hamming 0
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_simhash_near_dups_star_cap_bounds_bucket_pairs(spark, documents):
+    """star_above: a mega-bucket (a doc cloned many times shares every
+    block value) emits only anchor-star pairs — linear in cluster size —
+    while the hamming verify still holds; pairs between two non-anchor
+    clones are the traded recall."""
+    base = documents.select("doc_id", "text").limit(1)
+    clones = None
+    for i in range(1, 8):  # 8 identical docs -> every block bucket size 8
+        c = base.select((F.col("doc_id") + 1000 * i).alias("doc_id"), "text")
+        clones = c if clones is None else clones.unionByName(c)
+    corpus = base.unionByName(clones)
+    anchor = base.first().doc_id
+    capped = dedup.simhash_near_dups(corpus, star_above=4)
+    got = {(r.a, r.b) for r in capped.collect()}
+    # exactly the 7 anchor-star pairs, all hamming 0
+    assert got == {(anchor, anchor + 1000 * i) for i in range(1, 8)}
+    # uncapped twin emits the full 8-choose-2 clique
+    full = dedup.simhash_near_dups(corpus)
+    assert full.count() == 28
 
 
 def test_bigram_logprob_ranks_fluent_above_shuffled(spark):
