@@ -87,6 +87,12 @@ SUITE = [
     # auto-sized hyperplane LSH (n_planes from corpus count): bucket²
     # work should stay ~flat per row across 1x/10x/30x
     "dedup_embedding_lsh_auto64",
+    # round-7 star caps on the remaining two pair-emitting paths: the
+    # SCALE-replicated near-dup clusters make every cell/bucket hot, so
+    # these rows are the linear-emission evidence (their uncapped twins
+    # are quadratic by construction of the data — see each row's comment)
+    "semantic_dedup_star60",
+    "simhash_star8",
     "pagerank_event_graph",
     "commitlog_append",
     "wire_transcode_codecs",
@@ -624,6 +630,39 @@ def main() -> None:
 
     queries["dedup_minhash_star8"] = _capped_minhash
     queries["dedup_ngram_jaccard_star8"] = _capped_ngram
+
+    def _semantic_star(spark, sf):
+        # SemDeDup with the round-7 cell star cap. At SCALE the 8 seed
+        # cells hold ~n/8 vectors each, so the UNCAPPED within-cell pair
+        # space is 8*(n/8)^2 — at 30x (60k vectors) that is ~450M cosine
+        # pairs, the quadratic-by-construction case the cap exists for;
+        # the capped row does n-8 anchor comparisons (linear).
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import dedup
+
+        emb = load_table(spark, sf, "embeddings")
+        cents = [
+            [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
+        return dedup.semantic_dedup(emb, cents, threshold=0.35, star_above=60)
+
+    def _simhash_star(spark, sf):
+        # SimHash pigeonhole search with the per-block bucket star cap
+        # (max_bucket lifted so the star path, not the drop path, bounds
+        # the hot buckets the SCALE-replicated near-dup clusters create)
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import dedup
+
+        docs = entrymod._docs_with_near(load_table(spark, sf, "documents"))
+        return dedup.simhash_near_dups(
+            docs, max_bucket=None, star_above=8
+        )
+
+    from pyspark.sql import functions as F
+
+    queries["semantic_dedup_star60"] = _semantic_star
+    queries["simhash_star8"] = _simhash_star
 
     def _emb_lsh_auto(spark, sf):
         from starlight_for_kafka_spark import load_table
