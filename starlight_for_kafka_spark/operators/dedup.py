@@ -718,7 +718,13 @@ def embedding_cosine_dups(
     bucket = (
         F.lit(0) if n_planes <= 0 else hyperplane_bucket(F.col(vec_col), n_planes)
     )
-    bucketed = embeddings.withColumn("__bucket", bucket)
+    # checkpoint the bucket assignment so the self-join's two sides don't
+    # EACH recompute the md5-derived hyperplane signs (p×dim hashes per
+    # row; AQE does not reuse the exchange across self-join sides — the
+    # same lesson as semantic_dedup's assignment pass)
+    bucketed = embeddings.withColumn("__bucket", bucket).localCheckpoint(
+        eager=False
+    )
     a = bucketed.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "__bucket"
     )
