@@ -2194,6 +2194,40 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(incoming, corpus).select("doc_id")
 
 
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """Incremental NEAR dedup (dedup.py incremental_minhash_dedup): an
+    incoming batch is deduped against the existing corpus WITHOUT any
+    corpus self-join — the recurring-crawl shape. Batch fixture: near-dup
+    clones of corpus docs (+2M, ' extra token' — must drop against the
+    corpus), within-batch duplicate pairs of word-reversed texts
+    (+3M/+4M — reversal destroys the word 3-shingles so they clear the
+    corpus but collide with each other; the smaller id survives), and
+    unique word-reversed docs (+5M — all survive). The oracle replays the
+    full asymmetric pipeline: combined-occupancy cap for cross pairs,
+    batch-only occupancy for within-batch pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    rev = F.array_join(F.reverse(F.split(norm, " ")), " ")
+    near = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    dup_a = docs.filter(F.col("doc_id") % 40 == 7).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), rev.alias("text")
+    )
+    dup_b = docs.filter(F.col("doc_id") % 40 == 7).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"), rev.alias("text")
+    )
+    fresh = docs.filter(F.col("doc_id") % 40 == 21).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), rev.alias("text")
+    )
+    new = near.unionByName(dup_a).unionByName(dup_b).unionByName(fresh)
+    return dedup_ops.incremental_minhash_dedup(
+        new, docs, num_hashes=16, bands=4, shingle_k=3,
+        threshold=0.7, shingle_mode="word",
+    ).select("doc_id")
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII scrub pass: every 20th doc gets a synthetic email+phone appended,
     then the scrubber must flag and redact them (digest compared, not the
@@ -3692,6 +3726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyed_running_sum": q_keyed_running_sum,
         "semantic_dedup_capped": q_semantic_dedup_capped,
         "simhash_near_dups_capped": q_simhash_near_dups_capped,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "repeated_spans": q_repeated_spans,
         "hard_negatives": q_hard_negatives,
         "similarity_ivf_cells": q_similarity_ivf_cells,
@@ -4070,6 +4105,99 @@ losers AS (SELECT DISTINCT b AS doc_id FROM ver)
 SELECT d.doc_id FROM docs d ANTI JOIN losers l USING (doc_id)"""
 
 
+def _minhash_incremental_oracle_sql() -> str:
+    """incremental_minhash_dedup: the asymmetric MinHash pipeline —
+    corpus side never self-pairs; cross candidates capped by COMBINED
+    bucket occupancy, within-batch candidates by BATCH-only occupancy
+    (exactly the two caps dedup.incremental_minhash_dedup applies);
+    survivors are batch docs with no verified senior partner."""
+    from starlight_for_kafka_spark.operators.dedup import (
+        MINHASH_PRIME as P,
+        _minhash_coeffs,
+    )
+
+    a, b = _minhash_coeffs(16)
+    sig_exprs = ",\n    ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {P})), {P})"
+        for i in range(16)
+    )
+    band_expr = ", ".join(
+        f"md5(CAST(sg[{bb*4+1}] AS VARCHAR) || ',' || CAST(sg[{bb*4+2}] AS VARCHAR)"
+        f" || ',' || CAST(sg[{bb*4+3}] AS VARCHAR) || ',' || CAST(sg[{bb*4+4}] AS VARCHAR))"
+        for bb in range(4)
+    )
+    return f"""WITH rev AS (
+  SELECT doc_id,
+         array_to_string(list_reverse(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), ' ') AS rtext
+  FROM documents
+),
+newdocs AS (
+  SELECT doc_id + 2000000 AS doc_id, text || ' extra token' AS text
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, rtext FROM rev WHERE doc_id % 40 = 7
+  UNION ALL
+  SELECT doc_id + 4000000, rtext FROM rev WHERE doc_id % 40 = 7
+  UNION ALL
+  SELECT doc_id + 5000000, rtext FROM rev WHERE doc_id % 40 = 21
+),
+docs AS (
+  SELECT doc_id, text, 0 AS is_new FROM documents
+  UNION ALL
+  SELECT doc_id, text, 1 FROM newdocs
+),
+w AS (
+  SELECT doc_id, is_new,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM docs
+),
+s AS (
+  SELECT doc_id, is_new,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [] END) AS sset
+  FROM w
+),
+h AS (
+  SELECT doc_id, is_new,
+         list_transform(sset, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {P}) AS hs
+  FROM s
+),
+sig AS (SELECT doc_id, is_new, [{sig_exprs}] AS sg FROM h),
+banded AS (
+  SELECT doc_id, is_new, bt.band,
+         CASE bt.band WHEN 0 THEN bk[1] WHEN 1 THEN bk[2]
+                      WHEN 2 THEN bk[3] ELSE bk[4] END AS bucket
+  FROM (SELECT doc_id, is_new, [{band_expr}] AS bk FROM sig) t
+  CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bt
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bs,
+         sum(CASE WHEN is_new = 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY band, bucket) AS bs_new
+  FROM banded
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM sized x JOIN sized y USING (band, bucket)
+  WHERE x.is_new = 0 AND y.is_new = 1 AND x.bs <= 200
+  UNION
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM sized x JOIN sized y USING (band, bucket)
+  WHERE x.is_new = 1 AND y.is_new = 1 AND x.doc_id < y.doc_id
+    AND x.bs_new <= 200
+),
+ver AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN s sa ON sa.doc_id = c.a
+  JOIN s sb ON sb.doc_id = c.b
+  WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+        / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))) >= 0.7
+),
+losers AS (SELECT DISTINCT b AS doc_id FROM ver)
+SELECT n.doc_id FROM newdocs n ANTI JOIN losers l USING (doc_id)"""
+
+
 def _leakage_safe_split_oracle_sql() -> str:
     """split_leakage_safe: MinHash pipeline → transitive closure →
     per-component md5 split gate (same 98/1/1 thresholds as assign_split,
@@ -4372,6 +4500,7 @@ def oracle_sql() -> dict[str, str]:
     ms = 'epoch_us({c}) // 1000'
     return {
         "dedup_minhash": _minhash_oracle_sql(),
+        "dedup_minhash_incremental": _minhash_incremental_oracle_sql(),
         "dedup_minhash_capped": f"""WITH {_minhash_pipeline_cte(star_above=2)}
 SELECT a, b FROM ver""",
         "minhash_jaccard_estimate": f"""WITH {_minhash_pipeline_cte()},

@@ -172,46 +172,25 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def _banded_signatures(
     signatures: DataFrame,
-    id_col: str = "doc_id",
-    bands: int = 4,
-    max_bucket: int = 200,
-    num_hashes: int | None = None,
-    star_above: int | None = None,
-) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` bands, bucket on the
-    band hash, self-join buckets → candidate pairs (a < b).
+    id_col: str,
+    bands: int,
+    num_hashes: int | None,
+) -> DataFrame | None:
+    """(id, band, bucket) LSH banding rows, materialized. Returns None
+    for an empty input (the caller picks its empty shape).
 
-    ``max_bucket`` caps degenerate buckets (boilerplate text) so a single
-    hot key can't quadratic-blow a 1000-executor job; dropped buckets are
-    by definition near-identical docs that the exact-dedup pass already
-    collapses.
-
-    ``star_above`` is the Σ cluster² guard rail — THE 100 TB scaling axis
-    of every pair-emitting dedup (pair volume grows with the square of
-    duplicate-cluster size, a data property no plan shape can remove, only
-    cap): buckets larger than ``star_above`` emit a STAR anchored at the
-    bucket's minimum id — (anchor, member) edges, s−1 pairs — instead of
-    the full s(s−1)/2 clique, bounding any bucket's emission LINEAR in its
-    size while keeping every member reachable from the anchor (connected
-    components over star edges equal those over clique edges within the
-    bucket, assuming the verify step accepts the anchor pairs — in an LSH
-    bucket all members share a band signature, so anchor similarity is
-    the same evidence any member pair carries). Recall for individual
-    NON-anchor pairs inside oversized buckets is deliberately traded
-    away; dedup keeper semantics (drop docs with a verified near-dup of
-    smaller id) survive because the anchor IS the smallest id. Default
-    ``None`` keeps the exact clique emission.
-    """
+    Materialized BEFORE any consumer derives from it: the typical plan
+    references this subtree several times (hot-bucket agg, anti-join
+    probe, join sides), and without a barrier the full minhash signature
+    pass — the dominant cost — re-runs once per consumer (AQE does not
+    reliably reuse the exchange). Banded rows are (id, band, bucket-hash)
+    — tiny relative to the corpus at any scale."""
     if num_hashes is None:
         first = signatures.select(F.size("signature")).first()
         if first is None:
-            # empty corpus (e.g. everything dropped by a quality gate):
-            # an empty candidate frame, not a TypeError three frames deep
-            return signatures.limit(0).select(
-                F.col(id_col).alias("a"), F.col(id_col).alias("b")
-            )
+            return None
         n = first[0]
     else:
         n = num_hashes
@@ -246,13 +225,48 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    # materialize BEFORE deriving hot + probe: three consumers reference
-    # this subtree (the hot-bucket agg, the anti-join probe, and both
-    # self-join sides), and without a barrier the full minhash signature
-    # pass — the dominant cost — re-runs once per consumer (AQE does not
-    # reliably reuse the exchange). Banded rows are (id, band, bucket-hash)
-    # — tiny relative to the corpus at any scale.
-    banded = banded.localCheckpoint(eager=True)
+    return banded.localCheckpoint(eager=True)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_bucket: int = 200,
+    num_hashes: int | None = None,
+    star_above: int | None = None,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands, bucket on the
+    band hash, self-join buckets → candidate pairs (a < b).
+
+    ``max_bucket`` caps degenerate buckets (boilerplate text) so a single
+    hot key can't quadratic-blow a 1000-executor job; dropped buckets are
+    by definition near-identical docs that the exact-dedup pass already
+    collapses.
+
+    ``star_above`` is the Σ cluster² guard rail — THE 100 TB scaling axis
+    of every pair-emitting dedup (pair volume grows with the square of
+    duplicate-cluster size, a data property no plan shape can remove, only
+    cap): buckets larger than ``star_above`` emit a STAR anchored at the
+    bucket's minimum id — (anchor, member) edges, s−1 pairs — instead of
+    the full s(s−1)/2 clique, bounding any bucket's emission LINEAR in its
+    size while keeping every member reachable from the anchor (connected
+    components over star edges equal those over clique edges within the
+    bucket, assuming the verify step accepts the anchor pairs — in an LSH
+    bucket all members share a band signature, so anchor similarity is
+    the same evidence any member pair carries). Recall for individual
+    NON-anchor pairs inside oversized buckets is deliberately traded
+    away; dedup keeper semantics (drop docs with a verified near-dup of
+    smaller id) survive because the anchor IS the smallest id. Default
+    ``None`` keeps the exact clique emission.
+    """
+    banded = _banded_signatures(signatures, id_col, bands, num_hashes)
+    if banded is None:
+        # empty corpus (e.g. everything dropped by a quality gate):
+        # an empty candidate frame, not a TypeError three frames deep
+        return signatures.limit(0).select(
+            F.col(id_col).alias("a"), F.col(id_col).alias("b")
+        )
     # Hot-bucket cap as groupBy + broadcast anti-join, NOT a window count:
     # a window over (band, bucket) serializes a mega-hot bucket into one
     # task *before* the cap can drop it, while the groupBy partial-combines
@@ -415,6 +429,90 @@ def minhash_dedup(
     verified = jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold, shingle_mode)
     losers = verified.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    shingle_mode: str = "char",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Cross-corpus NEAR dedup for incremental ingestion: drop incoming
+    docs whose exact shingle Jaccard with ANY existing corpus doc is
+    >= ``threshold``, then near-dedup within the batch (keep lowest id)
+    — the MinHash complement of :func:`incremental_dedup`'s exact
+    digests, for the recurring-crawl shape where each snapshot arrives
+    against a corpus already deduped.
+
+    THE 100 TB property: the corpus side NEVER self-joins. Re-running
+    :func:`minhash_dedup` over corpus+batch would re-emit every corpus
+    Σ cluster² pair on every ingest; here the corpus contributes
+    (id, band, bucket) banding rows to an asymmetric probe join against
+    the (small) batch, and ships text only for the verified-candidate
+    sliver. Corpus signatures are a pure per-row map (zero shuffle —
+    minhash_signatures), so at scale they are computed once and stored
+    with the corpus; this function recomputes them for
+    self-containment.
+
+    Ids must be unique ACROSS both inputs (the verify join keys on id).
+    ``max_bucket`` drops degenerate buckets by COMBINED (corpus + batch)
+    occupancy — a boilerplate bucket hot on the corpus side would
+    otherwise emit |batch ∩ bucket| × |corpus ∩ bucket| probe pairs.
+
+    Returns the surviving rows of ``new_docs`` (original columns).
+    """
+    sigs_new = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_k, shingle_mode
+    ).localCheckpoint(eager=True)  # feeds two banding passes (batch-sized)
+    sigs_old = minhash_signatures(
+        corpus, text_col, id_col, num_hashes, shingle_k, shingle_mode
+    )
+    bn = _banded_signatures(sigs_new, id_col, bands, num_hashes)
+    if bn is None:
+        return new_docs
+    bo = _banded_signatures(sigs_old, id_col, bands, num_hashes)
+    within = minhash_lsh_candidates(
+        sigs_new, id_col, bands, max_bucket, num_hashes=num_hashes
+    )
+    if bo is None:
+        cands = within
+    else:
+        counts = (
+            bn.select("band", "bucket")
+            .unionByName(bo.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count("*").alias("__n"))
+        )
+        hot = counts.filter(F.col("__n") > max_bucket).select("band", "bucket")
+        bo_cold = bo.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        bn_cold = bn.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        # orientation: the corpus doc is always the keeper (column a),
+        # the incoming doc the candidate loser (column b) — matching
+        # minhash_dedup's drop-the-b-side rule
+        cross = (
+            bo_cold.select(F.col(id_col).alias("a"), "band", "bucket")
+            .join(
+                bn_cold.select(F.col(id_col).alias("b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .select("a", "b")
+            .distinct()
+        )
+        cands = cross.unionByName(within)
+    docs_all = new_docs.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    verified = jaccard_verify(
+        docs_all, cands, text_col, id_col, shingle_k, threshold, shingle_mode
+    )
+    losers = verified.select(F.col("b").alias(id_col)).distinct()
+    return new_docs.join(losers, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

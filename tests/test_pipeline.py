@@ -580,6 +580,45 @@ def test_semantic_dedup_marks_within_cell_neighbors(spark):
     assert out[2].ivf_cell == 0 and out[5].ivf_cell == 1
 
 
+def test_incremental_minhash_dedup_corpus_and_batch_rules(spark):
+    """incremental_minhash_dedup: an incoming doc drops when it near-dups
+    ANY corpus doc (corpus is senior regardless of id), within-batch
+    near-dup groups keep their smallest id, genuinely new docs survive,
+    and an empty corpus degrades to plain within-batch dedup."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    corpus = spark.createDataFrame(
+        [(100, base * 4), (101, "completely different corpus text " * 6)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base * 4 + "extra token"),       # near-dup of corpus 100 -> drop
+            (2, "a brand new document about spark shuffles " * 5),   # survives
+            (3, "a brand new document about spark shuffles " * 5),   # batch dup of 2 -> drop
+            (4, "yet another unrelated piece of writing entirely " * 5),  # survives
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        r.doc_id
+        for r in dedup.incremental_minhash_dedup(
+            new, corpus, num_hashes=16, bands=4, shingle_k=3,
+            threshold=0.7, shingle_mode="word",
+        ).collect()
+    )
+    assert out == [2, 4]
+    # empty corpus: pure within-batch near-dedup, corpus never required
+    empty = corpus.limit(0)
+    out2 = sorted(
+        r.doc_id
+        for r in dedup.incremental_minhash_dedup(
+            new, empty, num_hashes=16, bands=4, shingle_k=3,
+            threshold=0.7, shingle_mode="word",
+        ).collect()
+    )
+    assert out2 == [1, 2, 4]  # doc 1 survives without the corpus
+
+
 def test_semantic_dedup_star_cap_linear_path(spark):
     """star_above: cells over the cap compare members against the cell
     ANCHOR only (dup_of == anchor, not the nearest smaller neighbor);
