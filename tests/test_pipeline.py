@@ -617,6 +617,19 @@ def test_incremental_minhash_dedup_corpus_and_batch_rules(spark):
         ).collect()
     )
     assert out2 == [1, 2, 4]  # doc 1 survives without the corpus
+    # precomputed corpus signatures (the stored-with-the-corpus path)
+    # give the identical result
+    sigs = dedup.minhash_signatures(
+        corpus, num_hashes=16, shingle_k=3, shingle_mode="word"
+    )
+    out3 = sorted(
+        r.doc_id
+        for r in dedup.incremental_minhash_dedup(
+            new, corpus, num_hashes=16, bands=4, shingle_k=3,
+            threshold=0.7, shingle_mode="word", corpus_signatures=sigs,
+        ).collect()
+    )
+    assert out3 == out
 
 
 def test_semantic_dedup_star_cap_linear_path(spark):
