@@ -2228,6 +2228,22 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_dedup_lines_in_doc(spark, sf_dir):
+    """Within-document repeated-line removal (text.py dedup_lines_in_doc —
+    the per-page half of the C4 line rules, pure map / zero shuffle).
+    Fixture: every 10th doc is replaced by ONE 8-word sentence tiled
+    2-4 times, so its tiles are provably identical (n_kept=1 with
+    n_lines=2..4) while the rest of the corpus exercises the
+    no-duplicate path end-to-end (tiling, reassembly, digest)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sent = "alpha beta gamma delta epsilon zeta eta theta "
+    fixture = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.expr(f"trim(repeat('{sent}', cast(doc_id % 3 + 2 as int)))"),
+    ).otherwise(F.col("text"))
+    return text_ops.dedup_lines_in_doc(docs.withColumn("text", fixture))
+
+
 def q_scrub_pii(spark, sf_dir):
     """PII scrub pass: every 20th doc gets a synthetic email+phone appended,
     then the scrubber must flag and redact them (digest compared, not the
@@ -3727,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_capped": q_semantic_dedup_capped,
         "simhash_near_dups_capped": q_simhash_near_dups_capped,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_lines_in_doc": q_dedup_lines_in_doc,
         "repeated_spans": q_repeated_spans,
         "hard_negatives": q_hard_negatives,
         "similarity_ivf_cells": q_similarity_ivf_cells,
@@ -6658,6 +6675,36 @@ FROM f""",
 SELECT doc_id, n_tokens, round(raw_avg, 6) AS avg_logprob,
        round(exp(-raw_avg), 6) AS ppl
 FROM agg""",
+        "dedup_lines_in_doc": """WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN trim(repeat('alpha beta gamma delta epsilon zeta eta theta ', CAST(doc_id % 3 + 2 AS INT)))
+              ELSE text END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM src
+), t AS (
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(1, CAST(ceil(len(ws) / 8.0) AS BIGINT)))) AS line_no
+  FROM w
+), l AS (
+  SELECT doc_id, line_no,
+         array_to_string(ws[line_no * 8 + 1 : line_no * 8 + 8], ' ') AS line
+  FROM t
+), firsts AS (
+  SELECT doc_id, line, min(line_no) AS fo FROM l GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY fo) AS cleaned_text
+  FROM firsts GROUP BY doc_id
+), nl AS (
+  SELECT doc_id, greatest(1, CAST(ceil(len(ws) / 8.0) AS BIGINT)) AS n_lines FROM w
+)
+SELECT nl.doc_id, nl.n_lines, agg.n_kept, agg.cleaned_text,
+       md5(agg.cleaned_text) AS cleaned_md5
+FROM nl JOIN agg USING (doc_id)""",
         "line_dedup": """WITH w AS (
   SELECT doc_id,
          regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws

@@ -506,6 +506,52 @@ def line_dedup(
     )
 
 
+def dedup_lines_in_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 8,
+) -> DataFrame:
+    """WITHIN-document repeated-line removal — each doc keeps the FIRST
+    occurrence of every distinct line it contains (templated pages repeat
+    their own boilerplate internally: footers after every section,
+    duplicated paragraphs from CMS glitches). The per-page half of the
+    C4 line rules; :func:`line_dedup` is the cross-corpus half.
+
+    Scale shape: PURE MAP — the tile split, first-occurrence dedup
+    (``array_distinct`` keeps first-occurrence order), reassembly, and
+    digest are all row-local array expressions inside one codegen'd
+    projection. Zero shuffle at any corpus size; at 100 TB this is the
+    cheapest dedup pass in the repo and should run before anything that
+    shuffles text. Same tiling convention as line_dedup ("line" = a tile
+    of ``line_words`` normalized words; swap in split('\\n') for literal
+    C4 lines).
+
+    Emits per doc: n_lines, n_kept, cleaned_text + md5 of it (the same
+    shape as :func:`line_dedup`).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    words = F.split(F.trim(norm), " ")
+    n_lines = F.greatest(
+        F.lit(1), F.ceil(F.size(words) / F.lit(line_words)).cast("long")
+    )
+    tiles = F.transform(
+        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * line_words + 1, line_words)
+        ),
+    )
+    kept = F.array_distinct(tiles)
+    cleaned = F.array_join(kept, " ")
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        cleaned.alias("cleaned_text"),
+        F.md5(cleaned.cast("binary")).alias("cleaned_md5"),
+    )
+
+
 def ccnet_bucket(
     df: DataFrame,
     text_col: str = "text",

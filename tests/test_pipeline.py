@@ -816,6 +816,34 @@ def test_line_dedup_removes_repeated_tile_keeps_first(spark):
     assert (out[3].n_lines, out[3].n_kept, out[3].cleaned_text) == (1, 0, "")
 
 
+def test_dedup_lines_in_doc_keeps_first_and_is_map_only(spark):
+    """Within-doc variant: repeated tiles inside ONE doc collapse to
+    their first occurrence; other docs' identical tiles are untouched
+    (that's line_dedup's job); and the plan carries ZERO exchanges —
+    the operator must stay a pure map at any scale."""
+    from starlight_for_kafka_spark.operators import text as text_ops
+
+    tile_a = "a b c d e f g h"
+    tile_b = "p q r s t u v w"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{tile_a} {tile_b} {tile_a}"),  # internal repeat of tile_a
+            (2, tile_a),                          # same tile, other doc: kept
+            (3, "short text"),                    # sub-tile doc
+        ],
+        "doc_id long, text string",
+    )
+    res = text_ops.dedup_lines_in_doc(docs, line_words=8)
+    out = {r.doc_id: r for r in res.collect()}
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    assert out[1].cleaned_text == f"{tile_a} {tile_b}"  # first-occurrence order
+    assert (out[2].n_lines, out[2].n_kept, out[2].cleaned_text) == (1, 1, tile_a)
+    assert (out[3].n_lines, out[3].n_kept, out[3].cleaned_text) == (
+        1, 1, "short text",
+    )
+    assert "Exchange" not in res._jdf.queryExecution().executedPlan().toString()
+
+
 def test_ccnet_bucket_terciles_per_language(spark, documents):
     from starlight_for_kafka_spark.operators import text as text_ops
 
