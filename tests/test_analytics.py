@@ -576,6 +576,12 @@ def test_keyed_running_sum_negatives_nulls_and_local_relation(spark):
         map(tuple, plain.select(*cols).collect()),
         key=lambda t: (t[0] is None, t),
     )
+    # plan contract: the null-safe rebase join must stay a hash-keyed
+    # join (null-safe equality IS hash-partitionable) — a regression to
+    # BroadcastNestedLoopJoin/CartesianProduct would be quadratic at scale
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_keyed_running_agg_max_min_count_equal_plain_windows(spark):
