@@ -3688,6 +3688,46 @@ def q_video_motion(spark, sf_dir):
     return mm_ops.video_motion_profile(media)
 
 
+def _knn_split(spark, sf_dir):
+    """The fixed query/corpus split every knn_join entry shares: every
+    25th vector is a query row, the rest are the corpus — two DataFrames,
+    no driver-side query list, which is the operator's whole point."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).withColumnRenamed("vec_id", "query_id")
+    c = emb.filter(F.col("vec_id") % 25 != 0)
+    return q, c
+
+
+def q_knn_join_brute(spark, sf_dir):
+    """Exact distributed kNN join (queries x corpus cross product) — the
+    recall baseline the ANN modes are graded against; 3 nearest corpus
+    neighbors for every query row."""
+    q, c = _knn_split(spark, sf_dir)
+    return sim_ops.knn_join(q, c, k=3, method="brute")
+
+
+def q_knn_join_lsh(spark, sf_dir):
+    """LSH-mode kNN join: corpus bucketed once by 4 md5 hyperplanes, each
+    query probes its own bucket + the 4 one-bit-flip buckets (multi-probe).
+    Approximate by design but fully deterministic — the oracle replays
+    the buckets, the probe set, and the per-query top-k bit-for-bit."""
+    q, c = _knn_split(spark, sf_dir)
+    return sim_ops.knn_join(q, c, k=5, method="lsh", n_planes=4, probe_hamming1=True)
+
+
+def q_knn_join_ivf(spark, sf_dir):
+    """IVF-mode kNN join: corpus assigned to 4 centroid cells (vectors
+    0..3), every query ranks all cells IN-PLAN and probes its 2 nearest —
+    the per-row twin of ivf_top_k's driver-side probe choice."""
+    q, c = _knn_split(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return sim_ops.knn_join(q, c, k=5, method="ivf", cell_centroids=cents, nprobe=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sql_surface_q2": q_sql_surface_q2,
@@ -3918,6 +3958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_language_id": q_text_language_id,
         "similarity_top10": q_similarity_top10,
+        "knn_join_brute": q_knn_join_brute,
+        "knn_join_lsh": q_knn_join_lsh,
+        "knn_join_ivf": q_knn_join_ivf,
     }
 
 
@@ -4273,6 +4316,20 @@ def _hp_bucket_sql(v: str, n_planes: int) -> str:
         )
         bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
+
+
+# Shared CTE for the knn_join_* oracles: the same every-25th query/corpus
+# split as _knn_split, vectors as DOUBLE[].
+_KNN_SPLIT_CTE = """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id % 25 <> 0)"""
+
+# The 6-dp cosine between a query row (qv) and corpus row (cv) — identical
+# rounding to knn_join's scored step.
+_KNN_COS = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
 
 
 def _lsh_top5_oracle_sql() -> str:
@@ -7662,4 +7719,54 @@ FROM (
          ('0x' || substr(md5('shuf42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
   FROM documents
 )""",
+        "knn_join_brute": f"""WITH {_KNN_SPLIT_CTE},
+scored AS (
+  SELECT query_id, neighbor_id, {_KNN_COS} AS cos_sim FROM q CROSS JOIN c
+)
+SELECT query_id, neighbor_id, cos_sim,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 3""",
+        "knn_join_lsh": f"""WITH {_KNN_SPLIT_CTE},
+cb AS (SELECT neighbor_id, cv, {_hp_bucket_sql('cv', 4)} AS bkt FROM c),
+qb AS (SELECT query_id, qv, {_hp_bucket_sql('qv', 4)} AS b FROM q),
+qp AS (
+  SELECT query_id, qv,
+         unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS bkt
+  FROM qb
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_KNN_COS} AS cos_sim
+  FROM qp JOIN cb USING (bkt)
+)
+SELECT query_id, neighbor_id, cos_sim,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+        "knn_join_ivf": f"""WITH {_KNN_SPLIT_CTE},
+cents AS (SELECT vec_id AS cid, v AS ctr FROM e WHERE vec_id < 4),
+casg AS (
+  SELECT neighbor_id, cv, cid AS cell FROM (
+    SELECT c.neighbor_id, c.cv, cents.cid,
+           round(list_dot_product(c.cv, cents.ctr)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cents.ctr, cents.ctr))), 9) AS sim
+    FROM c CROSS JOIN cents
+  ) QUALIFY row_number() OVER (PARTITION BY neighbor_id ORDER BY sim DESC, cid) = 1
+),
+qprobe AS (
+  SELECT query_id, qv, cid AS cell FROM (
+    SELECT q.query_id, q.qv, cents.cid,
+           round(list_dot_product(q.qv, cents.ctr)
+                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.ctr, cents.ctr))), 9) AS sim
+    FROM q CROSS JOIN cents
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) <= 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_KNN_COS} AS cos_sim
+  FROM qprobe JOIN casg USING (cell)
+)
+SELECT query_id, neighbor_id, cos_sim,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 5""",
     }

@@ -1477,3 +1477,88 @@ def test_auto_plane_count_targets_bucket_occupancy():
     for n in (100, 10_000, 5_000_000):
         p = auto_plane_count(n, 64)
         assert n / (1 << p) <= 64 or p == 24
+
+
+def test_knn_join_brute_finds_identical_twin(spark, embeddings):
+    """A query that IS a corpus vector must come back with itself at
+    rank 1, cosine 1.0 — and every query must get exactly k rows with
+    ranks 1..k."""
+    q = (
+        embeddings.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = similarity.knn_join(q, embeddings, k=3, method="brute").collect()
+    assert len(out) == 9
+    for r in out:
+        assert 1 <= r.rank <= 3
+    top1 = {r.query_id: r for r in out if r.rank == 1}
+    for qid in (0, 1, 2):
+        assert top1[qid].neighbor_id == qid
+        assert abs(top1[qid].cos_sim - 1.0) < 1e-6
+
+
+def test_knn_join_lsh_subset_of_brute_and_correctly_scored(spark, embeddings):
+    """ANN results are a SUBSET of the cross product with identical
+    scoring: every (query, neighbor, cos) the LSH mode emits appears with
+    the same cosine in the brute join's full scoring."""
+    q = (
+        embeddings.filter(F.col("vec_id") % 10 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    c = embeddings.filter(F.col("vec_id") % 10 != 0)
+    brute = similarity.knn_join(q, c, k=10_000, method="brute")
+    full = {(r.query_id, r.neighbor_id): r.cos_sim for r in brute.collect()}
+    lsh = similarity.knn_join(
+        q, c, k=5, method="lsh", n_planes=4, probe_hamming1=True
+    ).collect()
+    assert lsh, "lsh mode returned nothing"
+    for r in lsh:
+        assert (r.query_id, r.neighbor_id) in full
+        assert abs(full[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_knn_join_ivf_probe_matches_driver_rule(spark, embeddings):
+    """The in-plan per-row probe choice (array_sort over the centroid-sim
+    array) must agree with the driver-side _rank_probe_cells rule that
+    ivf_top_k uses — same 9 dp rounding, same (-sim, cell) tie-break."""
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in embeddings.orderBy("vec_id").limit(4).collect()
+    ]
+    q = (
+        embeddings.filter(F.col("vec_id") % 7 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = similarity.knn_join(
+        q, embeddings, k=3, method="ivf", cell_centroids=cents, nprobe=2
+    )
+    # neighbors of each query must all live in the query's two best cells
+    assigned = similarity.ivf_assign(embeddings, cents)
+    cell_of = {r.vec_id: r.ivf_cell for r in assigned.collect()}
+    qvecs = {
+        r.query_id: [float(x) for x in r.embedding]
+        for r in q.collect()
+    }
+    for r in out.collect():
+        expect = similarity._rank_probe_cells(cents, qvecs[r.query_id], 2)
+        assert cell_of[r.neighbor_id] in expect, (
+            r.query_id, r.neighbor_id, cell_of[r.neighbor_id], expect
+        )
+
+
+def test_knn_join_auto_planes_and_rank_contract(spark, embeddings):
+    """n_planes=None self-sizes from the corpus count; ranks are dense
+    1..n per query with no duplicate neighbors."""
+    q = (
+        embeddings.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = similarity.knn_join(q, embeddings, k=4, method="lsh", n_planes=None)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), (qid, ranks)
+        assert len({r.neighbor_id for r in rs}) == len(rs)

@@ -605,3 +605,21 @@ def test_cluster_balanced_sample_no_full_cluster_window(spark):
     df = QUERIES["cluster_balanced_sample"](spark, SF_DIR)
     plan = plan_string(df)
     assert "__salt" in plan, plan
+
+
+def test_knn_join_lsh_is_keyed_join_not_cross_product(spark):
+    """The LSH kNN join must plan as a bucket-keyed equi-join — a cross
+    product here is exactly the O(Q*C) blow-up the operator exists to
+    avoid at 100 TB."""
+    df = QUERIES["knn_join_lsh"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_ivf_is_keyed_join_not_cross_product(spark):
+    """Same contract for the IVF mode: cell-keyed equi-join only."""
+    df = QUERIES["knn_join_ivf"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
