@@ -3728,6 +3728,16 @@ def q_knn_join_ivf(spark, sf_dir):
     return sim_ops.knn_join(q, c, k=5, method="ivf", cell_centroids=cents, nprobe=2)
 
 
+def q_remove_repeated_spans(spark, sf_dir):
+    """Cross-document repeated-passage REMOVAL (Lee et al. substring-dedup
+    rewrite): shared >=8-word passages are cut from every non-keeper doc;
+    the injected near-clones lose essentially their whole body while their
+    keepers keep every word. Oracle replays tokenize/gram/keeper/coverage/
+    reassembly in SQL."""
+    docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
+    return dedup_ops.remove_repeated_spans(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sql_surface_q2": q_sql_surface_q2,
@@ -3961,6 +3971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_brute": q_knn_join_brute,
         "knn_join_lsh": q_knn_join_lsh,
         "knn_join_ivf": q_knn_join_ivf,
+        "remove_repeated_spans": q_remove_repeated_spans,
     }
 
 
@@ -7743,6 +7754,37 @@ SELECT query_id, neighbor_id, cos_sim,
        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
 FROM scored
 QUALIFY rank <= 5""",
+        "remove_repeated_spans": f"""WITH {DOCS_WITH_NEAR_CTE},
+w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM docs
+), wp AS (
+  SELECT doc_id, i - 1 AS wpos, ws[i] AS word
+  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+), pg AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(ws[i : i + 7], ' ') AS g
+  FROM w, unnest(range(1, greatest(len(ws) - 6, 1))) AS t(i)
+), dg AS (
+  SELECT DISTINCT doc_id, g FROM pg
+), fr AS (
+  SELECT g, count(*) AS n_docs, min(doc_id) AS keeper FROM dg GROUP BY g
+), rem AS (
+  SELECT pg.doc_id, pg.pos FROM pg JOIN fr USING (g)
+  WHERE n_docs > 1 AND pg.doc_id <> keeper
+), cov AS (
+  SELECT DISTINCT doc_id, pos + j AS wpos FROM rem, unnest(range(0, 8)) AS t(j)
+), kept AS (
+  SELECT wp.doc_id, wp.wpos, wp.word FROM wp ANTI JOIN cov USING (doc_id, wpos)
+), reb AS (
+  SELECT doc_id, count(*) AS kept_words,
+         string_agg(word, ' ' ORDER BY wpos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, len(w.ws) AS n_words,
+       len(w.ws) - coalesce(reb.kept_words, 0) AS removed_words,
+       coalesce(reb.text, '') AS text
+FROM w LEFT JOIN reb USING (doc_id)""",
         "knn_join_ivf": f"""WITH {_KNN_SPLIT_CTE},
 cents AS (SELECT vec_id AS cid, v AS ctr FROM e WHERE vec_id < 4),
 casg AS (

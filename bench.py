@@ -94,6 +94,9 @@ def main() -> None:
         "dedup_minhash_capped",     # MinHash-LSH with star-capped pair emission
         "keyed_running_sum",        # skew-safe per-key running aggregate
         "dedup_embedding_lsh_auto", # auto-sized hyperplane-LSH near-dup
+        # round-7 addition (late): the batch-retrieval primitive — both
+        # sides DataFrames, bucket-keyed equi-join, per-query salted top-k
+        "knn_join_lsh",             # distributed kNN join (multi-probe LSH)
     ]
 
     # warm the JVM + file listing once

@@ -87,6 +87,12 @@ SUITE = [
     # auto-sized hyperplane LSH (n_planes from corpus count): bucket²
     # work should stay ~flat per row across 1x/10x/30x
     "dedup_embedding_lsh_auto64",
+    # distributed kNN join, LSH mode with self-sizing planes: every 25th
+    # vector queries the rest. The brute twin is quadratic by construction
+    # (at 30x: 6k queries x 144k corpus = 864M cosine folds); the LSH row's
+    # candidate volume per query tracks target_bucket x (planes+1) as the
+    # auto plane count grows with log2(corpus)
+    "knn_join_lsh_auto",
     # round-7 star caps on the remaining two pair-emitting paths: the
     # SCALE-replicated near-dup clusters make every cell/bucket hot, so
     # these rows are the linear-emission evidence (their uncapped twins
@@ -678,6 +684,21 @@ def main() -> None:
         )
 
     queries["dedup_embedding_lsh_auto64"] = _emb_lsh_auto
+
+    def _knn_lsh_auto(spark, sf):
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import similarity
+
+        emb = load_table(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") % 25 == 0).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        c = emb.filter(F.col("vec_id") % 25 != 0)
+        return similarity.knn_join(
+            q, c, k=5, method="lsh", n_planes=None, probe_hamming1=True
+        )
+
+    queries["knn_join_lsh_auto"] = _knn_lsh_auto
     entrymod.q_list_offsets(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     metrics = StageMetrics(spark)

@@ -1376,6 +1376,94 @@ def repeated_spans(
     )
 
 
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 8,
+) -> DataFrame:
+    """CUT cross-document repeated passages out of the text — the removal
+    step behind suffix-array substring dedup (Lee et al. 2022): where
+    :func:`repeated_spans` only reports the signal, this rewrites each
+    document with every shared passage of >= ``ngram_k`` words removed
+    from all but its FIRST-occurrence document (lowest ``id_col`` holding
+    the k-gram — the same keep-min-id keeper rule every dedup path in
+    this package pins).
+
+    Semantics (exact, engine-reproducible): tokenize like
+    ``word_shingles`` (lowercase, whitespace collapsed); a word survives
+    unless it is covered by a positional k-gram that (a) occurs in more
+    than one document and (b) sits in a non-keeper document. Output text
+    is the surviving words joined by single spaces — normalized-token
+    granularity, the convention substring-dedup pipelines run the pass
+    at; the keeper document keeps every occurrence, so no shared passage
+    is ever lost from the corpus.
+
+    Shuffle shape (no suffix array — it does not distribute): positional
+    k-grams map-only; ONE gram-keyed aggregation carrying (count,
+    min-doc) — d rows per gram, never d²; a gram-keyed join back; the
+    k-x coverage explode touches REMOVABLE positions only (zero on a
+    clean corpus); one doc-keyed anti-join + one doc-keyed reassembly
+    aggregation, both bounded by doc length. Reassembly is
+    agg-not-window: array_sort(collect_list(struct(pos, word))) per doc,
+    not a global order.
+
+    Emits one row per input doc: (id, n_words, removed_words, text).
+    Docs shorter than ``ngram_k`` words pass through untouched.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    words = F.split(F.trim(norm), " ")
+    base = df.select(F.col(id_col), words.alias("__ws"))
+    wp = base.select(id_col, F.posexplode("__ws").alias("wpos", "word"))
+    pos_grams = df.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.col(text_col), ngram_k)).alias("pos", "g"),
+    )
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), ngram_k))).alias(
+            "g"
+        ),
+    )
+    freq = doc_grams.groupBy("g").agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("keeper")
+    )
+    removable = (
+        pos_grams.join(freq.filter(F.col("n_docs") > 1), "g")
+        .filter(F.col(id_col) != F.col("keeper"))
+        .select(id_col, "pos")
+    )
+    covered = removable.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(ngram_k - 1))
+        ).alias("wpos"),
+    ).distinct()
+    kept = wp.join(covered, [id_col, "wpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("__kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+                lambda s: s.getField("word"),
+            ),
+        ).alias("__text"),
+    )
+    return (
+        base.select(id_col, F.size("__ws").alias("n_words"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            (F.col("n_words") - F.coalesce("__kept", F.lit(0))).alias(
+                "removed_words"
+            ),
+            F.coalesce("__text", F.lit("")).alias(text_col),
+        )
+    )
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",

@@ -1562,3 +1562,40 @@ def test_knn_join_auto_planes_and_rank_contract(spark, embeddings):
         ranks = sorted(r.rank for r in rs)
         assert ranks == list(range(1, len(rs) + 1)), (qid, ranks)
         assert len({r.neighbor_id for r in rs}) == len(rs)
+
+
+def test_remove_repeated_spans_cuts_only_non_keeper(spark):
+    """The lowest-id doc holding a shared passage keeps every word; the
+    other doc loses exactly the passage; untouched docs round-trip."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa unique one"),
+        (2, "prefix words here alpha beta gamma delta epsilon zeta eta theta iota kappa tail words"),
+        (3, "totally different content with no shared passages at all in this document"),
+        (4, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in dedup.remove_repeated_spans(df).collect()}
+    assert out[1].removed_words == 0
+    assert out[1].text == rows[0][1]
+    # doc 2 loses the 10 shared words, keeps its own prefix/tail
+    assert out[2].removed_words == 10
+    assert out[2].text == "prefix words here tail words"
+    assert out[3].removed_words == 0
+    assert out[4].removed_words == 0 and out[4].text == "short doc"
+    for r in out.values():
+        assert r.removed_words + len([w for w in r.text.split(" ") if r.text]) in (
+            r.n_words,
+            r.removed_words,  # fully-removed doc: text is ""
+        )
+
+
+def test_remove_repeated_spans_exact_clone_loses_whole_body(spark):
+    """An exact clone (higher id) of a >=8-word doc is cut to nothing;
+    the original survives byte-identical (normalized tokens)."""
+    body = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(10, body), (20, body)], "doc_id int, text string"
+    )
+    out = {r.doc_id: r for r in dedup.remove_repeated_spans(df).collect()}
+    assert out[10].text == body and out[10].removed_words == 0
+    assert out[20].text == "" and out[20].removed_words == 10
