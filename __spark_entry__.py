@@ -3738,6 +3738,19 @@ def q_remove_repeated_spans(spark, sf_dir):
     return dedup_ops.remove_repeated_spans(docs)
 
 
+def q_soft_dedup_weights(spark, sf_dir):
+    """SoftDeDup: every doc kept, weighted 1/cluster_size over the exact
+    transitive MinHash components — the drop-free alternative to
+    dedup_minhash_cc (same pipeline parameters, so the clusters match its
+    keeper topology). Oracle replays the full pipeline + recursive
+    closure + size join."""
+    docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
+    return dedup_ops.soft_dedup_weights(
+        docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.7,
+        shingle_mode="word",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sql_surface_q2": q_sql_surface_q2,
@@ -3972,6 +3985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh": q_knn_join_lsh,
         "knn_join_ivf": q_knn_join_ivf,
         "remove_repeated_spans": q_remove_repeated_spans,
+        "soft_dedup_weights": q_soft_dedup_weights,
     }
 
 
@@ -7754,6 +7768,22 @@ SELECT query_id, neighbor_id, cos_sim,
        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
 FROM scored
 QUALIFY rank <= 5""",
+        "soft_dedup_weights": f"""WITH RECURSIVE {_minhash_pipeline_cte()},
+edges AS (SELECT a AS x, b AS y FROM ver UNION SELECT b, a FROM ver),
+reach(x, y) AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comp AS (SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(comp.component, d.doc_id) AS cluster,
+       CAST(coalesce(sizes.cluster_size, 1) AS BIGINT) AS cluster_size,
+       round(power(coalesce(sizes.cluster_size, 1), -1.0), 6) AS weight
+FROM docs d
+LEFT JOIN comp ON d.doc_id = comp.node
+LEFT JOIN sizes ON comp.component = sizes.component""",
         "remove_repeated_spans": f"""WITH {DOCS_WITH_NEAR_CTE},
 w AS (
   SELECT doc_id,

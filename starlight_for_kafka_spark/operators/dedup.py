@@ -1615,3 +1615,58 @@ def dedup_cluster_stats(
         .withColumn("docs_dropped", F.col("n_docs") - F.col("n_clusters"))
         .select("cluster_size", "n_clusters", "n_docs", "docs_dropped")
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    shingle_mode: str = "char",
+    star_above: int | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Duplicate-aware soft reweighting (SoftDeDup, He et al. 2024):
+    instead of DROPPING near-duplicates, keep every document and assign a
+    sampling weight 1 / cluster_size^``alpha`` from its exact transitive
+    near-dup cluster — total sampled mass per distinct content stays ~1
+    at alpha=1 while no document (and no cluster-internal diversity) is
+    lost. The training loader consumes the weights through
+    sampling.weighted_sample / interleave_sources.
+
+    Pipeline: the same MinHash-LSH + Jaccard-verify + connected-components
+    chain as :func:`minhash_dedup_exact_groups` (``star_above`` caps
+    Σ cluster² pair emission — star edges preserve connectivity, so the
+    components and hence the weights are unchanged), then ONE
+    component-keyed count and a broadcast-size join back. Docs in no
+    verified pair are singletons: cluster = own id, weight 1.
+
+    Emits (id, cluster, cluster_size, weight 6dp) — one row per INPUT
+    doc, no row ever dropped.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingle_mode)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, bands, num_hashes=num_hashes, star_above=star_above
+    )
+    verified = jaccard_verify(
+        df, cands, text_col, id_col, shingle_k, threshold, shingle_mode
+    )
+    comps = connected_components(verified)
+    sizes = comps.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    labeled = comps.join(sizes, "component")
+    return (
+        df.select(id_col)
+        .join(labeled, F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster"),
+            F.coalesce("cluster_size", F.lit(1)).alias("cluster_size"),
+            F.round(
+                F.pow(F.coalesce("cluster_size", F.lit(1)).cast("double"), F.lit(-float(alpha))),
+                6,
+            ).alias("weight"),
+        )
+    )

@@ -1599,3 +1599,27 @@ def test_remove_repeated_spans_exact_clone_loses_whole_body(spark):
     out = {r.doc_id: r for r in dedup.remove_repeated_spans(df).collect()}
     assert out[10].text == body and out[10].removed_words == 0
     assert out[20].text == "" and out[20].removed_words == 10
+
+
+def test_soft_dedup_weights_mass_per_cluster_is_one(spark, documents):
+    """alpha=1: each near-dup cluster's total weight is exactly 1, no row
+    is ever dropped, singletons weigh 1."""
+    clones = documents.limit(3).withColumn("doc_id", F.col("doc_id") + 3_000_000)
+    corpus = documents.unionByName(clones).select("doc_id", "text")
+    out = dedup.soft_dedup_weights(
+        corpus, num_hashes=16, bands=8, shingle_k=3, threshold=0.7,
+        shingle_mode="word",
+    )
+    rows = out.collect()
+    assert len(rows) == corpus.count()  # drop-free
+    from collections import defaultdict
+    mass = defaultdict(float)
+    for r in rows:
+        mass[r.cluster] += r.weight
+        if r.cluster_size == 1:
+            assert r.weight == 1.0
+    # clone clusters: 2 members at weight 0.5 each
+    clustered = [r for r in rows if r.cluster_size > 1]
+    assert clustered, "clones not clustered"
+    for c, m in mass.items():
+        assert abs(m - 1.0) < 1e-4, (c, m)
