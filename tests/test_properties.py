@@ -570,3 +570,40 @@ def test_legacy_message_set_roundtrip_fuzz(data, magic, codec):
             assert g["timestamp_ms"] is None
         else:
             assert g["timestamp_ms"] == r["timestamp_ms"]
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-5, 5), min_size=4, max_size=4),
+        min_size=4,
+        max_size=10,
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+def test_knn_join_brute_equals_per_query_top_k(spark, vecs, k):
+    """The distributed brute kNN join must agree with N independent
+    brute_force_top_k calls — same cosine rounding, same neighbor-id
+    tie-break — for every query."""
+    from starlight_for_kafka_spark.operators import similarity
+
+    # drop zero vectors (cosine undefined) and dedupe exact duplicates so
+    # ties stay resolvable by id deterministically
+    vecs = [v for v in vecs if any(x != 0 for x in v)]
+    if len(vecs) < 2:
+        return
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = df.limit(2).withColumnRenamed("vec_id", "query_id")
+    joined = similarity.knn_join(q, df, k=k, method="brute")
+    got = {}
+    for r in joined.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
+    for qid, qvec in [(r.query_id, r.embedding) for r in q.collect()]:
+        expect = similarity.brute_force_top_k(
+            df, [float(x) for x in qvec], k=k
+        ).collect()
+        mine = sorted(got.get(qid, []))
+        assert [(m[1], m[2]) for m in mine] == [
+            (e.vec_id, e.cos_sim) for e in expect
+        ], (qid, mine, expect)
