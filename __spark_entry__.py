@@ -3751,6 +3751,23 @@ def q_soft_dedup_weights(spark, sf_dir):
     )
 
 
+def q_api_versions(spark, sf_dir):
+    """API_VERSIONS / dispatch gating (KafkaCommandDecoder.java:282-385):
+    probe requests sweep api keys 0..69 and versions 0..5, so the result
+    exercises served keys, unserved keys (default -> handleError), and
+    the API_VERSIONS own-version gate. Oracle replays the 33-row dispatch
+    table as VALUES."""
+    from starlight_for_kafka_spark.sources import topics as topics_mod
+
+    ev = load_table(spark, sf_dir, "events")
+    reqs = ev.select(
+        F.col("event_id").alias("correlation_id"),
+        (F.col("event_id") % 70).alias("api_key"),
+        (F.col("event_id") % 6).alias("api_version"),
+    )
+    return topics_mod.api_versions(reqs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sql_surface_q2": q_sql_surface_q2,
@@ -3986,6 +4003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_ivf": q_knn_join_ivf,
         "remove_repeated_spans": q_remove_repeated_spans,
         "soft_dedup_weights": q_soft_dedup_weights,
+        "api_versions": q_api_versions,
     }
 
 
@@ -4341,6 +4359,15 @@ def _hp_bucket_sql(v: str, n_planes: int) -> str:
         )
         bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
+
+
+def _handled_apis_values() -> str:
+    """The reference dispatch table as a DuckDB VALUES list — imported
+    from the ONE definition (sources/topics.py HANDLED_APIS) so the
+    oracle can never drift from the operator's spec table."""
+    from starlight_for_kafka_spark.sources.topics import HANDLED_APIS
+
+    return ", ".join(f"({k}, '{n}')" for k, n in HANDLED_APIS)
 
 
 # Shared CTE for the knn_join_* oracles: the same every-25th query/corpus
@@ -7768,6 +7795,20 @@ SELECT query_id, neighbor_id, cos_sim,
        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
 FROM scored
 QUALIFY rank <= 5""",
+        "api_versions": f"""WITH req AS (
+  SELECT event_id AS correlation_id, event_id % 70 AS api_key,
+         event_id % 6 AS api_version
+  FROM events
+), spec(api_key, api_name) AS (
+  VALUES {_handled_apis_values()}
+)
+SELECT correlation_id, req.api_key, spec.api_name,
+       spec.api_name IS NOT NULL AS handled,
+       CASE WHEN spec.api_name IS NULL THEN 'UNSUPPORTED_VERSION'
+            WHEN req.api_key = 18 AND (api_version < 0 OR api_version > 3)
+              THEN 'UNSUPPORTED_VERSION'
+            ELSE 'NONE' END AS error_code
+FROM req LEFT JOIN spec ON req.api_key = spec.api_key""",
         "soft_dedup_weights": f"""WITH RECURSIVE {_minhash_pipeline_cte()},
 edges AS (SELECT a AS x, b AS y FROM ver UNION SELECT b, a FROM ver),
 reach(x, y) AS (

@@ -155,3 +155,93 @@ def subscribe_pattern(spark: SparkSession, pattern: str) -> DataFrame:
     if not names:
         raise ValueError(f"no topics match pattern {pattern!r}")
     return read_topics(spark, sorted(names))
+
+
+# The reference's request dispatch table (KafkaCommandDecoder.java:282-385):
+# every Kafka API key it serves, by wire id. Keys absent here fall to the
+# decoder's `default: handleError` arm. The two SASL keys are dispatched to
+# the security layer (transport, declared out of scope) but ARE part of the
+# served set a client discovers.
+HANDLED_APIS: list[tuple[int, str]] = [
+    (0, "PRODUCE"),
+    (1, "FETCH"),
+    (2, "LIST_OFFSETS"),
+    (3, "METADATA"),
+    (8, "OFFSET_COMMIT"),
+    (9, "OFFSET_FETCH"),
+    (10, "FIND_COORDINATOR"),
+    (11, "JOIN_GROUP"),
+    (12, "HEARTBEAT"),
+    (13, "LEAVE_GROUP"),
+    (14, "SYNC_GROUP"),
+    (15, "DESCRIBE_GROUPS"),
+    (16, "LIST_GROUPS"),
+    (17, "SASL_HANDSHAKE"),
+    (18, "API_VERSIONS"),
+    (19, "CREATE_TOPICS"),
+    (20, "DELETE_TOPICS"),
+    (21, "DELETE_RECORDS"),
+    (22, "INIT_PRODUCER_ID"),
+    (24, "ADD_PARTITIONS_TO_TXN"),
+    (25, "ADD_OFFSETS_TO_TXN"),
+    (26, "END_TXN"),
+    (27, "WRITE_TXN_MARKERS"),
+    (28, "TXN_OFFSET_COMMIT"),
+    (32, "DESCRIBE_CONFIGS"),
+    (33, "ALTER_CONFIGS"),
+    (36, "SASL_AUTHENTICATE"),
+    (37, "CREATE_PARTITIONS"),
+    (42, "DELETE_GROUPS"),
+    (60, "DESCRIBE_CLUSTER"),
+    (61, "DESCRIBE_PRODUCERS"),
+    (65, "DESCRIBE_TRANSACTIONS"),
+    (66, "LIST_TRANSACTIONS"),
+]
+
+# API_VERSIONS' own supported request-version range: the explicit gate at
+# KafkaRequestHandler.handleApiVersionsRequest (:495-506) answers
+# UNSUPPORTED_VERSION (table still attached) when the REQUEST's version is
+# outside ApiKeys.API_VERSIONS.isVersionSupported — 0..3 in the Kafka 3.4
+# client line the reference builds against.
+API_VERSIONS_RANGE = (0, 3)
+
+
+def api_versions(requests: DataFrame) -> DataFrame:
+    """API_VERSIONS / dispatch gating semantics over a DataFrame of client
+    requests (``correlation_id``, ``api_key``, ``api_version``): which
+    requests the broker would serve, and with what error.
+
+    Mirrors the reference exactly (KafkaCommandDecoder.java:282-385 +
+    KafkaRequestHandler.java:495-527): a key outside the dispatch table
+    falls to ``handleError`` → UNSUPPORTED_VERSION; an API_VERSIONS
+    request whose OWN version is outside 0..3 gets UNSUPPORTED_VERSION
+    with the version table still attached; everything else dispatches.
+    The advertised per-key version RANGES come from the embedded Kafka
+    client library (``ApiKeys.values()``), not from reference code — the
+    reference's own semantic contributions, mirrored here, are the served
+    set and the LIST_OFFSETS min-version-0 override (librdkafka compat,
+    :517); see :data:`HANDLED_APIS`.
+
+    Scale shape: the 33-row spec table broadcast-joins the request
+    stream; pure map otherwise.
+
+    Emits (correlation_id, api_key, api_name, handled, error_code).
+    """
+    spark = requests.sparkSession
+    spec = spark.createDataFrame(HANDLED_APIS, "api_key int, api_name string")
+    lo, hi = API_VERSIONS_RANGE
+    out = requests.join(F.broadcast(spec), "api_key", "left")
+    return out.select(
+        "correlation_id",
+        "api_key",
+        "api_name",
+        F.col("api_name").isNotNull().alias("handled"),
+        F.when(F.col("api_name").isNull(), F.lit("UNSUPPORTED_VERSION"))
+        .when(
+            (F.col("api_key") == 18)
+            & ((F.col("api_version") < lo) | (F.col("api_version") > hi)),
+            F.lit("UNSUPPORTED_VERSION"),
+        )
+        .otherwise(F.lit("NONE"))
+        .alias("error_code"),
+    )

@@ -129,3 +129,39 @@ def test_read_topics_and_subscribe_pattern(spark, log, tmp_path):
     finally:
         for name in ("sub_orders", "sub_clicks", "other_log"):
             t.delete_topic(spark, name)
+
+
+def test_api_versions_gating_matches_reference_dispatch(spark):
+    """The served-API set mirrors KafkaCommandDecoder.java:282-385 (33
+    keys), unserved keys fall to UNSUPPORTED_VERSION (the default ->
+    handleError arm), and an API_VERSIONS request outside 0..3 is gated
+    even though the key itself is served."""
+    from starlight_for_kafka_spark.sources.topics import (
+        API_VERSIONS_RANGE,
+        HANDLED_APIS,
+        api_versions,
+    )
+
+    assert len(HANDLED_APIS) == 33
+    assert dict(HANDLED_APIS)[18] == "API_VERSIONS"
+    assert dict(HANDLED_APIS)[2] == "LIST_OFFSETS"
+    assert API_VERSIONS_RANGE == (0, 3)
+
+    reqs = spark.createDataFrame(
+        [
+            (1, 0, 7),    # PRODUCE any version: dispatched
+            (2, 4, 0),    # LEADER_AND_ISR: not served
+            (3, 18, 3),   # API_VERSIONS v3: ok
+            (4, 18, 4),   # API_VERSIONS v4: own-version gate
+            (5, 66, 0),   # LIST_TRANSACTIONS: served
+            (6, 67, 0),   # beyond the table: not served
+        ],
+        "correlation_id int, api_key int, api_version int",
+    )
+    out = {r.correlation_id: r for r in api_versions(reqs).collect()}
+    assert out[1].handled and out[1].error_code == "NONE"
+    assert not out[2].handled and out[2].error_code == "UNSUPPORTED_VERSION"
+    assert out[3].error_code == "NONE"
+    assert out[4].handled and out[4].error_code == "UNSUPPORTED_VERSION"
+    assert out[5].api_name == "LIST_TRANSACTIONS" and out[5].error_code == "NONE"
+    assert not out[6].handled
