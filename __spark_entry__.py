@@ -3728,6 +3728,22 @@ def q_knn_join_ivf(spark, sf_dir):
     return sim_ops.knn_join(q, c, k=5, method="ivf", cell_centroids=cents, nprobe=2)
 
 
+def q_pq_knn_join(spark, sf_dir):
+    """IVFADC batch retrieval: every 25th vector queries the rest over PQ
+    codes only (4 subspaces x 8 centroids from vectors 0..7, IVF cells
+    from vectors 0..3, nprobe=2). The ADC lookup table is built in-plan
+    per query row; the oracle replays cells, codes, LUT, and the
+    per-query top-k bit-for-bit."""
+    q, c = _knn_split(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, books = _pq_fixture(spark, sf_dir)
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return sim_ops.pq_knn_join(q, c, books, cents, k=5, nprobe=2)
+
+
 def q_remove_repeated_spans(spark, sf_dir):
     """Cross-document repeated-passage REMOVAL (Lee et al. substring-dedup
     rewrite): shared >=8-word passages are cut from every non-keeper doc;
@@ -4004,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_repeated_spans": q_remove_repeated_spans,
         "soft_dedup_weights": q_soft_dedup_weights,
         "api_versions": q_api_versions,
+        "pq_knn_join": q_pq_knn_join,
     }
 
 
@@ -7793,6 +7810,57 @@ scored AS (
 )
 SELECT query_id, neighbor_id, cos_sim,
        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+        "pq_knn_join": f"""WITH {_KNN_SPLIT_CTE},
+cb AS (
+  SELECT vec_id AS cbid, embedding FROM embeddings WHERE vec_id < 8
+), cents AS (
+  SELECT vec_id AS cid, v AS ctr FROM e WHERE vec_id < 4
+), casg AS (
+  SELECT neighbor_id, cid AS cell FROM (
+    SELECT c.neighbor_id, cents.cid,
+           round(list_dot_product(c.cv, cents.ctr)
+                 / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cents.ctr, cents.ctr))), 9) AS sim
+    FROM c CROSS JOIN cents
+  ) QUALIFY row_number() OVER (PARTITION BY neighbor_id ORDER BY sim DESC, cid) = 1
+), pqd AS (
+  SELECT c.neighbor_id, cb.cbid, CAST(t.i // 16 AS INT) AS j,
+         (c.cv[t.i + 1] - CAST(cb.embedding[t.i + 1] AS DOUBLE))
+       * (c.cv[t.i + 1] - CAST(cb.embedding[t.i + 1] AS DOUBLE)) AS sq
+  FROM c, cb, unnest(range(0, 64)) AS t(i)
+), pqdist AS (
+  SELECT neighbor_id, j, cbid, round(sum(sq), 9) AS dist FROM pqd GROUP BY 1, 2, 3
+), chosen AS (
+  SELECT neighbor_id, j, cbid FROM (
+    SELECT neighbor_id, j, cbid,
+           row_number() OVER (PARTITION BY neighbor_id, j ORDER BY dist, cbid) AS rn
+    FROM pqdist
+  ) WHERE rn = 1
+), qd AS (
+  SELECT q.query_id, cb.cbid, CAST(t.i // 16 AS INT) AS j,
+         (q.qv[t.i + 1] - CAST(cb.embedding[t.i + 1] AS DOUBLE))
+       * (q.qv[t.i + 1] - CAST(cb.embedding[t.i + 1] AS DOUBLE)) AS sq
+  FROM q, cb, unnest(range(0, 64)) AS t(i)
+), qlut AS (
+  SELECT query_id, j, cbid, round(sum(sq), 9) AS lv FROM qd GROUP BY 1, 2, 3
+), qprobe AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, cents.cid,
+           round(list_dot_product(q.qv, cents.ctr)
+                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cents.ctr, cents.ctr))), 9) AS sim
+    FROM q CROSS JOIN cents
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cid) <= 2
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, round(sum(l.lv), 9) AS adc_dist
+  FROM qprobe p
+  JOIN casg a USING (cell)
+  JOIN chosen ch ON ch.neighbor_id = a.neighbor_id
+  JOIN qlut l ON l.query_id = p.query_id AND l.j = ch.j AND l.cbid = ch.cbid
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist,
+       row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
 FROM scored
 QUALIFY rank <= 5""",
         "api_versions": f"""WITH req AS (

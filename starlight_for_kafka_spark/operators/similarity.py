@@ -1226,3 +1226,97 @@ def knn_join(
         [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
         k=k,
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+def pq_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    cell_centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC batch retrieval (Jégou et al. 2011, the FAISS IVF+PQ shape)
+    as a JOIN: for every row of ``queries``, the ``k`` nearest corpus
+    vectors by PQ asymmetric distance, probing only each query's
+    ``nprobe`` nearest IVF cells — the composition of :func:`knn_join`'s
+    ivf candidate restriction with :func:`pq_adc_top_k`'s codes-only
+    scoring, with NOTHING driver-side per query: the ADC lookup table is
+    built IN-PLAN from the query row's own vector (m arrays of ks
+    9-dp-rounded ``_l2_sq_fold`` entries — the exact arithmetic
+    pq_encode/_pq_lut pin), and probe-cell choice is the same in-plan
+    array_sort ranking knn_join uses.
+
+    Why this is THE 100 TB retrieval shape: the corpus side of the join
+    carries m int codes + a cell id per vector — with m=4/ks=8 that is
+    ~5 B/vector against 256 B of floats — so the shuffle and the scan
+    both move codes, never embeddings; at rest the code table is written
+    partitioned by ``ivf_cell`` and the probe join partition-prunes.
+    Candidate volume per query ≈ nprobe × cell occupancy; per-query
+    ranking goes through skew.grouped_top_k. In production codes and
+    cells are precomputed at ingest (pq_encode + ivf_assign written
+    together); encoding inline keeps the operator self-contained.
+
+    Emits (query_id, neighbor_id, adc_dist, rank), rank 1..k, ADC
+    ascending, neighbor-id tie-break.
+    """
+    from starlight_for_kafka_spark.operators.skew import grouped_top_k
+
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+
+    c = corpus.select(
+        F.col(corpus_id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    cassign = ivf_assign(c, cell_centroids, "neighbor_id", "__cv").select(
+        "neighbor_id", F.col("ivf_cell").alias("__cell")
+    )
+    codes = pq_encode(c, codebooks, "neighbor_id", "__cv").drop("recon_sq_err")
+    corp = codes.join(cassign, "neighbor_id")
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    sims = _centroid_sims("__qv", cell_centroids)
+    idx = F.sequence(F.lit(0), F.size(sims) - 1)
+    ranked = F.array_sort(
+        F.zip_with(sims, idx, lambda s, i: F.struct((-s).alias("ns"), i.alias("cell")))
+    )
+    probe = F.transform(F.slice(ranked, 1, nprobe), lambda st: st.getField("cell"))
+    lut_cols = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(F.col("__qv"), j * sub_d + 1, sub_d)
+        lut_cols.append(
+            F.array(
+                *[
+                    F.round(
+                        _l2_sq_fold(sub, F.array(*[F.lit(float(v)) for v in cent])), 9
+                    )
+                    for cent in book
+                ]
+            ).alias(f"__lut{j}")
+        )
+    qp = (
+        q.select("query_id", *lut_cols, probe.alias("__probe"))
+        .withColumn("__cell", F.explode("__probe"))
+        .withColumn("__cell", F.col("__cell").cast("int"))
+        .drop("__probe")
+    )
+
+    joined = qp.join(corp, "__cell")
+    terms = [
+        F.element_at(F.col(f"__lut{j}"), F.col(f"code_{j}") + 1) for j in range(m)
+    ]
+    adc = F.round(sum(terms[1:], terms[0]), 9)
+    scored = joined.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+    return grouped_top_k(
+        scored,
+        ["query_id"],
+        [F.col("adc_dist").asc(), F.col("neighbor_id").asc()],
+        k=k,
+    ).select("query_id", "neighbor_id", "adc_dist", "rank")

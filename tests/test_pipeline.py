@@ -1623,3 +1623,36 @@ def test_soft_dedup_weights_mass_per_cluster_is_one(spark, documents):
     assert clustered, "clones not clustered"
     for c, m in mass.items():
         assert abs(m - 1.0) < 1e-4, (c, m)
+
+
+def test_pq_knn_join_matches_per_query_adc_within_probed_cells(spark, embeddings):
+    """For each query, the IVFADC join's result equals running the ADC
+    scan restricted to that query's probed cells — same codes, same LUT
+    arithmetic, same (adc, id) ordering."""
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in embeddings.orderBy("vec_id").limit(4).collect()
+    ]
+    rows = {
+        int(r.vec_id): [float(v) for v in r.embedding]
+        for r in embeddings.filter(F.col("vec_id") < 8).collect()
+    }
+    books = [[rows[c][j * 16:(j + 1) * 16] for c in range(8)] for j in range(4)]
+    q = (
+        embeddings.filter(F.col("vec_id") % 9 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = similarity.pq_knn_join(q, embeddings, books, cents, k=3, nprobe=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.adc_dist))
+    assigned = similarity.ivf_assign(embeddings, cents)
+    for qrow in q.collect():
+        qvec = [float(v) for v in qrow.embedding]
+        probe = similarity._rank_probe_cells(cents, qvec, 2)
+        cand = assigned.filter(F.col("ivf_cell").isin(probe))
+        expect = similarity.pq_adc_top_k(cand, books, qvec, k=3).collect()
+        mine = sorted(got.get(qrow.query_id, []))
+        assert [(m[1], m[2]) for m in mine] == [
+            (e.vec_id, e.adc_dist) for e in expect
+        ], (qrow.query_id, mine, expect)

@@ -623,3 +623,12 @@ def test_knn_join_ivf_is_keyed_join_not_cross_product(spark):
     plan = plan_string(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_knn_join_is_keyed_join_not_cross_product(spark):
+    """IVFADC batch retrieval: cell-keyed equi-join over codes — never a
+    cross product, and the corpus floats never cross the final join."""
+    df = QUERIES["pq_knn_join"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
