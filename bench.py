@@ -97,6 +97,12 @@ def main() -> None:
         # round-7 addition (late): the batch-retrieval primitive — both
         # sides DataFrames, bucket-keyed equi-join, per-query salted top-k
         "knn_join_lsh",             # distributed kNN join (multi-probe LSH)
+        # round-7 additions (late, suite discipline — new heavy ops
+        # become driver-visible): the dedup rewrite/reweight pair and the
+        # codes-only IVFADC retrieval join
+        "remove_repeated_spans",    # cross-doc shared-passage removal
+        "soft_dedup_weights",       # SoftDeDup cluster reweighting (CC chain)
+        "pq_knn_join",              # IVFADC kNN join over PQ codes
     ]
 
     # warm the JVM + file listing once
