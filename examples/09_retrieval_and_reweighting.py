@@ -52,6 +52,27 @@ def main() -> None:
     print(f"knn_join: {queries.count()} queries x {corpus.count()} corpus, "
           f"LSH recall@5 vs brute = {recall:.2f}")
 
+    # -------- 1b. the same join over PQ codes (IVFADC): the corpus side
+    # of the join carries m ints + a cell id per vector, never the floats
+    rows = {
+        int(r.vec_id): [float(v) for v in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    books = [[rows[c][j * 16:(j + 1) * 16] for c in range(8)] for j in range(4)]
+    cents = [rows[c] for c in range(4)]
+    adc = similarity.pq_knn_join(queries, corpus, books, cents, k=5, nprobe=2)
+    n_adc = adc.count()
+    # NOTE: ADC ranks by squared-L2 over an 8-entry codebook — against a
+    # COSINE-exact baseline on unnormalized vectors, overlap is the wrong
+    # yardstick (pq_recall is the codebook-acceptance harness, measured
+    # against exact L2). What this stage demonstrates is the SHAPE: the
+    # corpus side of the join carries 4 int codes + a cell id per vector
+    # (~5 B) instead of 256 B of floats.
+    adc_hits = {(r.query_id, r.neighbor_id) for r in adc.collect()}
+    print(f"pq_knn_join (IVFADC): {n_adc} result rows from codes-only "
+          f"candidates; cosine-top5 overlap {len(adc_hits & truth) / len(truth):.2f} "
+          f"(L2-over-codes vs cosine-exact — see pq_recall for the fair harness)")
+
     # -------- 2. boilerplate surgery before token budgets are spent -----
     clones = (
         docs.filter(F.col("doc_id") % 7 == 0)
