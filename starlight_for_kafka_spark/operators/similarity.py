@@ -1188,13 +1188,19 @@ def knn_join(
         if n_planes is None:
             n_planes = auto_plane_count(corpus.count(), target_bucket)
         cb = c.withColumn("__bkt", hyperplane_bucket(F.col("__cv"), n_planes))
-        qb = hyperplane_bucket(F.col("__qv"), n_planes)
+        # compute the query's own bucket ONCE in its own projection: the
+        # probe array references it p+1 times, and inlining the p-fold
+        # bucket expression into every element would cost O(p²·d) per row
+        # (CollapseProject keeps the projection boundary for non-cheap
+        # expressions referenced more than once, so this is load-bearing)
+        qb_df = q.withColumn("__qb", hyperplane_bucket(F.col("__qv"), n_planes))
+        qb = F.col("__qb")
         probes = [qb] + (
             [qb.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
             if probe_hamming1
             else []
         )
-        qp = q.withColumn("__bkt", F.explode(F.array(*probes)))
+        qp = qb_df.withColumn("__bkt", F.explode(F.array(*probes))).drop("__qb")
         cand = qp.join(cb, "__bkt").drop("__bkt")
     elif method == "ivf":
         if not cell_centroids:
