@@ -93,6 +93,13 @@ SUITE = [
     # candidate volume per query tracks target_bucket x (planes+1) as the
     # auto plane count grows with log2(corpus)
     "knn_join_lsh_auto",
+    # cross-doc shared-passage removal at its worst case BY CONSTRUCTION:
+    # every replica's whole body is shared with its base doc, so nearly
+    # all replica positions are removable. Gram/coverage/reassembly row
+    # counts are all linear in SCALE; the shuffle curve bends only where
+    # Catalyst flips the freq/coverage joins from broadcast to SMJ as the
+    # intermediates outgrow the threshold (verified 10x vs 30x plans)
+    "remove_repeated_spans",
     # round-7 star caps on the remaining two pair-emitting paths: the
     # SCALE-replicated near-dup clusters make every cell/bucket hot, so
     # these rows are the linear-emission evidence (their uncapped twins
