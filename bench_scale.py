@@ -93,6 +93,9 @@ SUITE = [
     # candidate volume per query tracks target_bucket x (planes+1) as the
     # auto plane count grows with log2(corpus)
     "knn_join_lsh_auto",
+    # IVFADC retrieval join at 64 cells/nprobe 2: candidate volume per
+    # query ~2/64 of the corpus; the join side carries codes, not floats
+    "pq_knn_join_cells64",
     # cross-doc shared-passage removal at its worst case BY CONSTRUCTION:
     # every replica's whole body is shared with its base doc, so nearly
     # all replica positions are removable. Gram/coverage/reassembly row
@@ -706,6 +709,31 @@ def main() -> None:
         )
 
     queries["knn_join_lsh_auto"] = _knn_lsh_auto
+
+    def _pq_knn64(spark, sf):
+        # IVFADC at a production-ish topology: 64 IVF cells (vs the
+        # sf0.01 oracle fixture's 4), nprobe=2 — candidates per query are
+        # ~2/64 of the corpus and the join moves 4 int codes + a cell id
+        # per corpus vector, never the 64 floats
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import similarity
+
+        emb = load_table(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") % 25 == 0).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        c = emb.filter(F.col("vec_id") % 25 != 0)
+        rows = {
+            int(r.vec_id): [float(v) for v in r.embedding]
+            for r in emb.filter(F.col("vec_id") < 64).collect()
+        }
+        books = [
+            [rows[cc][j * 16:(j + 1) * 16] for cc in range(8)] for j in range(4)
+        ]
+        cents = [rows[cc] for cc in sorted(rows)]
+        return similarity.pq_knn_join(q, c, books, cents, k=5, nprobe=2)
+
+    queries["pq_knn_join_cells64"] = _pq_knn64
     entrymod.q_list_offsets(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     metrics = StageMetrics(spark)

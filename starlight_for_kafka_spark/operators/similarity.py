@@ -135,12 +135,18 @@ def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> Column:
     cluster_balanced_sample so the two paths (and their oracles) can
     never desynchronize on rounding or tie-breaks."""
     v = F.col(vec_col).cast("array<double>")
-    return F.array(
-        *[
-            F.round(cosine_similarity(v, F.array(*[F.lit(float(x)) for x in c])), 9)
-            for c in centroids
-        ]
+    # ONE literal array-of-arrays + ONE transform lambda — not |centroids|
+    # separately-unrolled cosine folds. Arithmetic is identical per
+    # element (same cosine fold, same 9 dp round); what changes is plan
+    # SIZE: the unrolled form is O(cells × dim) expression TREES, and at
+    # 64 cells its analysis+codegen cost dominated wall time at every
+    # data scale (measured: the 64-cell IVFADC row spent ~22 s flat on a
+    # 2k-row corpus). The lambda form carries the centroids as one
+    # constant and scales in cell count for free.
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
+    return F.transform(cents, lambda ctr: F.round(cosine_similarity(v, ctr), 9))
 
 
 def ivf_assign(
@@ -603,13 +609,14 @@ def pq_encode(
     err_terms = []
     for j, book in enumerate(codebooks):
         sub = F.slice(F.col("__x"), j * sub_d + 1, sub_d)
-        dists = F.array(
-            *[
-                F.round(
-                    _l2_sq_fold(sub, F.array(*[F.lit(float(v)) for v in c])), 9
-                )
-                for c in book
-            ]
+        # one literal book array + one transform lambda, not ks unrolled
+        # fold trees — identical per-entry arithmetic, O(ks) smaller plan
+        # (see _centroid_sims for the measured rationale)
+        book_col = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in book]
+        )
+        dists = F.transform(
+            book_col, lambda cent: F.round(_l2_sq_fold(sub, cent), 9)
         )
         out = out.withColumn(f"__d{j}", dists).withColumn(
             f"code_{j}",
@@ -1297,14 +1304,12 @@ def pq_knn_join(
     lut_cols = []
     for j, book in enumerate(codebooks):
         sub = F.slice(F.col("__qv"), j * sub_d + 1, sub_d)
+        book_col = F.array(
+            *[F.array(*[F.lit(float(v)) for v in cent]) for cent in book]
+        )
         lut_cols.append(
-            F.array(
-                *[
-                    F.round(
-                        _l2_sq_fold(sub, F.array(*[F.lit(float(v)) for v in cent])), 9
-                    )
-                    for cent in book
-                ]
+            F.transform(
+                book_col, lambda cent: F.round(_l2_sq_fold(sub, cent), 9)
             ).alias(f"__lut{j}")
         )
     qp = (
