@@ -1127,6 +1127,8 @@ def knn_join(
     target_bucket: int = 64,
     cell_centroids: list[list[float]] | None = None,
     nprobe: int = 2,
+    corpus_bucket_col: str | None = None,
+    corpus_cell_col: str | None = None,
 ) -> DataFrame:
     """Distributed kNN JOIN: for EVERY row of ``queries``, the top-``k``
     cosine neighbors from ``corpus`` — both sides DataFrames, both
@@ -1174,6 +1176,15 @@ def knn_join(
     (corpus occupancy x queries probing), bounded by the bucket sizing;
     candidate scoring is the fused JVM cosine fold, zero Python.
 
+    At-rest index reuse: ``corpus_bucket_col`` (lsh — requires an explicit
+    ``n_planes``, the one the stored buckets were built with) /
+    ``corpus_cell_col`` (ivf) name a PRECOMPUTED bucket/cell column on the
+    corpus, skipping the per-call assignment pass entirely — the
+    production shape (bucket or cell assigned once at ingest, table
+    written partitioned by it, probe join partition-prunes) and the
+    serving shape (a persisted bucketed corpus reused by every microbatch
+    of :func:`streaming.stream_ops.knn_serving_stream`).
+
     Reference analog: batch lookup joins over interactive queries
     (streams KStream-GlobalKTable enrichment); the ANN formulation is the
     embedding-column extension per SURVEY §M5.
@@ -1184,17 +1195,31 @@ def knn_join(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
+    keep_cols = [corpus_bucket_col] if corpus_bucket_col else (
+        [corpus_cell_col] if corpus_cell_col else []
+    )
     c = corpus.select(
         F.col(corpus_id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
+        *keep_cols,
     )
 
     if method == "brute":
         cand = q.crossJoin(c)
     elif method == "lsh":
-        if n_planes is None:
-            n_planes = auto_plane_count(corpus.count(), target_bucket)
-        cb = c.withColumn("__bkt", hyperplane_bucket(F.col("__cv"), n_planes))
+        if corpus_bucket_col is not None:
+            if n_planes is None:
+                raise ValueError(
+                    "corpus_bucket_col requires the n_planes the stored "
+                    "buckets were built with"
+                )
+            cb = c.withColumnRenamed(corpus_bucket_col, "__bkt")
+        else:
+            if n_planes is None:
+                n_planes = auto_plane_count(corpus.count(), target_bucket)
+            cb = c.withColumn(
+                "__bkt", hyperplane_bucket(F.col("__cv"), n_planes)
+            )
         # compute the query's own bucket ONCE in its own projection: the
         # probe array references it p+1 times, and inlining the p-fold
         # bucket expression into every element would cost O(p²·d) per row
@@ -1211,10 +1236,16 @@ def knn_join(
         cand = qp.join(cb, "__bkt").drop("__bkt")
     elif method == "ivf":
         if not cell_centroids:
-            raise ValueError("ivf method requires cell_centroids")
-        assigned = ivf_assign(c, cell_centroids, "neighbor_id", "__cv").withColumnRenamed(
-            "ivf_cell", "__cell"
-        )
+            raise ValueError(
+                "ivf method requires cell_centroids (for the query-side "
+                "probe ranking even when corpus_cell_col is precomputed)"
+            )
+        if corpus_cell_col is not None:
+            assigned = c.withColumnRenamed(corpus_cell_col, "__cell")
+        else:
+            assigned = ivf_assign(
+                c, cell_centroids, "neighbor_id", "__cv"
+            ).withColumnRenamed("ivf_cell", "__cell")
         sims = _centroid_sims("__qv", cell_centroids)
         idx = F.sequence(F.lit(0), F.size(sims) - 1)
         ranked = F.array_sort(

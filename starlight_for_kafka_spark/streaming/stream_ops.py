@@ -840,3 +840,69 @@ def offsets_wire_recovery_stream(records: DataFrame) -> DataFrame:
     return decoded.groupBy("group", "topic", "partition").applyInPandasWithState(
         update, OFFSETS_WIRE_OUTPUT, OFFSETS_WIRE_STATE, "update", "NoTimeout"
     )
+
+
+def knn_serving_stream(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    batch_sink,
+    checkpoint: str,
+    k: int = 5,
+    n_planes: int = 6,
+    probe_hamming1: bool = True,
+    query_id_col: str = "query_id",
+    corpus_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming batch-retrieval serving: each microbatch of query
+    vectors runs the LSH :func:`operators.similarity.knn_join` against a
+    STATIC corpus whose bucket assignment is computed ONCE here and
+    persisted — every batch's probe join reuses the cached bucketed
+    corpus instead of re-hashing it (the ``corpus_bucket_col`` at-rest
+    path). Results go to ``batch_sink(result_df, epoch_id)``.
+
+    foreachBatch is the right harness, not a streaming transformation:
+    per-query top-k needs a rank over arbitrary columns, which streaming
+    DataFrames cannot window — and the operator is STATELESS across
+    batches by construction (a query's neighbors depend only on the
+    corpus), so replay after restart yields identical rows and the sink
+    alone decides idempotence (pair with idempotent_parquet_sink /
+    commitlog_sink for exactly-once).
+
+    Returns the started StreamingQuery.
+    """
+    from starlight_for_kafka_spark.operators.similarity import (
+        hyperplane_bucket,
+        knn_join,
+    )
+
+    bucketed = corpus.select(
+        F.col(corpus_id_col),
+        F.col(vec_col),
+        hyperplane_bucket(
+            F.col(vec_col).cast("array<double>"), n_planes
+        ).alias("__corpus_bkt"),
+    ).persist()
+    bucketed.count()  # materialize once, before the first batch
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        out = knn_join(
+            batch_df,
+            bucketed,
+            k=k,
+            query_id_col=query_id_col,
+            corpus_id_col=corpus_id_col,
+            vec_col=vec_col,
+            method="lsh",
+            n_planes=n_planes,
+            probe_hamming1=probe_hamming1,
+            corpus_bucket_col="__corpus_bkt",
+        )
+        batch_sink(out, epoch_id)
+
+    return (
+        query_stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

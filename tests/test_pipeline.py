@@ -1656,3 +1656,41 @@ def test_pq_knn_join_matches_per_query_adc_within_probed_cells(spark, embeddings
         assert [(m[1], m[2]) for m in mine] == [
             (e.vec_id, e.adc_dist) for e in expect
         ], (qrow.query_id, mine, expect)
+
+
+def test_knn_join_precomputed_bucket_and_cell_paths_match_inline(spark, embeddings):
+    """corpus_bucket_col / corpus_cell_col (the at-rest index reuse path)
+    must give byte-identical results to the inline assignment."""
+    q = (
+        embeddings.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    inline = similarity.knn_join(q, embeddings, k=4, method="lsh", n_planes=4)
+    pre = embeddings.withColumn(
+        "bkt",
+        similarity.hyperplane_bucket(F.col("embedding").cast("array<double>"), 4),
+    )
+    stored = similarity.knn_join(
+        q, pre, k=4, method="lsh", n_planes=4, corpus_bucket_col="bkt"
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, stored.collect()))
+
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in embeddings.orderBy("vec_id").limit(4).collect()
+    ]
+    inline_ivf = similarity.knn_join(
+        q, embeddings, k=4, method="ivf", cell_centroids=cents, nprobe=2
+    )
+    pre_ivf = similarity.ivf_assign(embeddings, cents)
+    stored_ivf = similarity.knn_join(
+        q, pre_ivf, k=4, method="ivf", cell_centroids=cents, nprobe=2,
+        corpus_cell_col="ivf_cell",
+    )
+    assert sorted(map(tuple, inline_ivf.collect())) == sorted(
+        map(tuple, stored_ivf.collect())
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.knn_join(q, pre, method="lsh", corpus_bucket_col="bkt")

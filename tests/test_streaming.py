@@ -923,3 +923,47 @@ def test_txn_id_expiry_stream_purges_idle_ids(tmp_path, spark):
     assert any(r.n_committed == 1 for r in gone)
     keeper = [r for r in rows if r.transactional_id == "keeper"]
     assert keeper[-1].final_state == "CompleteCommit"
+
+
+def test_knn_serving_stream_equals_batch(tmp_path, spark):
+    """The streaming serving twin: queries arriving in microbatches get
+    EXACTLY the batch knn_join result (stateless by construction), and
+    the corpus bucket pass is computed once, not per batch."""
+    from starlight_for_kafka_spark import load_table
+    from starlight_for_kafka_spark.operators import similarity
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q_batch = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+
+    qdir = str(tmp_path / "queries")
+    # several files so availableNow delivers multiple microbatches
+    q_batch.repartition(4).write.parquet(qdir)
+    stream = (
+        spark.readStream.schema(q_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    got: list = []
+    qry = stream_ops.knn_serving_stream(
+        stream,
+        corpus,
+        lambda df, epoch: got.extend(
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in df.collect()
+        ),
+        checkpoint=str(tmp_path / "ckpt"),
+        k=3,
+        n_planes=4,
+    )
+    qry.awaitTermination(120)
+    expect = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in similarity.knn_join(
+            q_batch, corpus, k=3, method="lsh", n_planes=4
+        ).collect()
+    )
+    assert sorted(got) == expect
