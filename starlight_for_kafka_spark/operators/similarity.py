@@ -1088,8 +1088,13 @@ def random_projection(
     apply-anywhere, the right tool when the corpus is too big to want a
     second scan before reducing.
 
-    Map-only: one fused zip_with/aggregate fold per output dim, fully
-    codegen'd; emits (id, jl array<double>), coordinates rounded 6 dp.
+    Map-only; emits (id, jl array<double>), coordinates rounded 6 dp.
+    The out_dim output folds are ONE nested transform lambda over the
+    output-index sequence, not out_dim unrolled expression trees — a JL
+    cut to 64-256 dims would otherwise hit the plan-compile pathology
+    recorded at _centroid_sims (the sign string "jl{k}:{d}" is built from
+    the lambda variable, byte-identical to the old per-k literal, so
+    outputs are unchanged bit-for-bit).
     """
     import math
 
@@ -1099,9 +1104,11 @@ def random_projection(
 
     from starlight_for_kafka_spark.functions.hashing import md5_hash64
 
-    def proj(k: int):
+    def proj(k):
         def signer(x, d):
-            h = md5_hash64(F.concat(F.lit(f"jl{k}:"), d.cast("string")))
+            h = md5_hash64(
+                F.concat(F.lit("jl"), k.cast("string"), F.lit(":"), d.cast("string"))
+            )
             return F.when(h % 2 == 0, x).otherwise(-x)
 
         signed = F.zip_with(v, idx, signer)
@@ -1109,9 +1116,8 @@ def random_projection(
             F.aggregate(signed, F.lit(0.0), lambda a, x: a + x) * F.lit(inv), 6
         )
 
-    return embeddings.select(
-        id_col, F.array(*[proj(k) for k in range(out_dim)]).alias("jl")
-    )
+    ks = F.sequence(F.lit(0), F.lit(out_dim - 1))
+    return embeddings.select(id_col, F.transform(ks, proj).alias("jl"))
 
 
 def knn_join(
