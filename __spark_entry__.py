@@ -3728,6 +3728,13 @@ def q_knn_join_ivf(spark, sf_dir):
     return sim_ops.knn_join(q, c, k=5, method="ivf", cell_centroids=cents, nprobe=2)
 
 
+def q_knn_join_l2(spark, sf_dir):
+    """Exact squared-L2 kNN join (brute) — the fair baseline for
+    pq_knn_join's ADC distances (which approximate L2, not cosine)."""
+    q, c = _knn_split(spark, sf_dir)
+    return sim_ops.knn_join(q, c, k=3, method="brute", metric="l2")
+
+
 def q_pq_knn_join(spark, sf_dir):
     """IVFADC batch retrieval: every 25th vector queries the rest over PQ
     codes only (4 subspaces x 8 centroids from vectors 0..7, IVF cells
@@ -4021,6 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup_weights": q_soft_dedup_weights,
         "api_versions": q_api_versions,
         "pq_knn_join": q_pq_knn_join,
+        "knn_join_l2": q_knn_join_l2,
     }
 
 
@@ -7812,6 +7820,17 @@ SELECT query_id, neighbor_id, cos_sim,
        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
 FROM scored
 QUALIFY rank <= 5""",
+        "knn_join_l2": f"""WITH {_KNN_SPLIT_CTE},
+d AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(sum((q.qv[t.i + 1] - c.cv[t.i + 1]) * (q.qv[t.i + 1] - c.cv[t.i + 1])), 9) AS l2_sq
+  FROM q, c, unnest(range(0, 64)) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, l2_sq,
+       row_number() OVER (PARTITION BY query_id ORDER BY l2_sq, neighbor_id) AS rank
+FROM d
+QUALIFY rank <= 3""",
         "pq_knn_join": f"""WITH {_KNN_SPLIT_CTE},
 cb AS (
   SELECT vec_id AS cbid, embedding FROM embeddings WHERE vec_id < 8

@@ -61,17 +61,18 @@ def main() -> None:
     books = [[rows[c][j * 16:(j + 1) * 16] for c in range(8)] for j in range(4)]
     cents = [rows[c] for c in range(4)]
     adc = similarity.pq_knn_join(queries, corpus, books, cents, k=5, nprobe=2)
-    n_adc = adc.count()
-    # NOTE: ADC ranks by squared-L2 over an 8-entry codebook — against a
-    # COSINE-exact baseline on unnormalized vectors, overlap is the wrong
-    # yardstick (pq_recall is the codebook-acceptance harness, measured
-    # against exact L2). What this stage demonstrates is the SHAPE: the
-    # corpus side of the join carries 4 int codes + a cell id per vector
-    # (~5 B) instead of 256 B of floats.
+    # the FAIR baseline: ADC approximates squared-L2, so grade it against
+    # the exact-L2 brute join (metric="l2"), not the cosine one
+    l2_truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_join(
+            queries, corpus, k=5, method="brute", metric="l2"
+        ).collect()
+    }
     adc_hits = {(r.query_id, r.neighbor_id) for r in adc.collect()}
-    print(f"pq_knn_join (IVFADC): {n_adc} result rows from codes-only "
-          f"candidates; cosine-top5 overlap {len(adc_hits & truth) / len(truth):.2f} "
-          f"(L2-over-codes vs cosine-exact — see pq_recall for the fair harness)")
+    print(f"pq_knn_join (IVFADC, corpus side = 4 int codes + cell id per "
+          f"vector, ~5 B vs 256 B of floats): recall@5 vs exact-L2 brute "
+          f"join = {len(adc_hits & l2_truth) / len(l2_truth):.2f}")
 
     # -------- 2. boilerplate surgery before token budgets are spent -----
     clones = (

@@ -1135,10 +1135,16 @@ def knn_join(
     nprobe: int = 2,
     corpus_bucket_col: str | None = None,
     corpus_cell_col: str | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Distributed kNN JOIN: for EVERY row of ``queries``, the top-``k``
-    cosine neighbors from ``corpus`` — both sides DataFrames, both
-    arbitrarily large. The batch-retrieval primitive (RAG candidate
+    nearest neighbors from ``corpus`` — both sides DataFrames, both
+    arbitrarily large. ``metric="cosine"`` (default: 6-dp similarity,
+    descending, column ``cos_sim``) or ``"l2"`` (9-dp squared L2,
+    ascending, column ``l2_sq`` — the exact baseline :func:`pq_knn_join`'s
+    ADC distances approximate; note the lsh/ivf candidate partitioners
+    are ANGLE-based, so for unnormalized vectors l2 recall through them
+    carries the angular-bucket bias — brute+l2 is the fair oracle). The batch-retrieval primitive (RAG candidate
     generation, corpus-scale hard-negative mining, cross-corpus SemDeDup
     matching) that the single-vector entry points (brute_force_top_k /
     lsh_top_k / ivf_top_k — literal query, driver-side probe choice)
@@ -1265,17 +1271,27 @@ def knn_join(
     else:
         raise ValueError(f"unknown knn_join method: {method}")
 
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
-    )
-    return grouped_top_k(
-        scored,
-        ["query_id"],
-        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
-        k=k,
-    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+    if metric == "cosine":
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("__qv"), F.col("__cv")), 6
+            ).alias("cos_sim"),
+        )
+        order = [F.col("cos_sim").desc(), F.col("neighbor_id").asc()]
+        out_cols = ["query_id", "neighbor_id", "cos_sim", "rank"]
+    elif metric == "l2":
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(_l2_sq_fold(F.col("__qv"), F.col("__cv")), 9).alias("l2_sq"),
+        )
+        order = [F.col("l2_sq").asc(), F.col("neighbor_id").asc()]
+        out_cols = ["query_id", "neighbor_id", "l2_sq", "rank"]
+    else:
+        raise ValueError(f"unknown knn_join metric: {metric}")
+    return grouped_top_k(scored, ["query_id"], order, k=k).select(*out_cols)
 
 
 def pq_knn_join(

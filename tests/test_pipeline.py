@@ -1694,3 +1694,21 @@ def test_knn_join_precomputed_bucket_and_cell_paths_match_inline(spark, embeddin
 
     with _pytest.raises(ValueError):
         similarity.knn_join(q, pre, method="lsh", corpus_bucket_col="bkt")
+
+
+def test_knn_join_l2_metric_orders_ascending_and_finds_twin(spark, embeddings):
+    """metric='l2': a query identical to a corpus vector gets itself at
+    rank 1 with l2_sq 0.0; ranks follow ascending distance."""
+    q = (
+        embeddings.filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = similarity.knn_join(q, embeddings, k=3, method="brute", metric="l2")
+    rows = sorted(out.collect(), key=lambda r: (r.query_id, r.rank))
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert rs[0].neighbor_id == qid and rs[0].l2_sq == 0.0
+        dists = [r.l2_sq for r in rs]
+        assert dists == sorted(dists)
