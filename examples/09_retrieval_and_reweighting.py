@@ -62,7 +62,12 @@ def main() -> None:
     cents = [rows[c] for c in range(4)]
     adc = similarity.pq_knn_join(queries, corpus, books, cents, k=5, nprobe=2)
     # the FAIR baseline: ADC approximates squared-L2, so grade it against
-    # the exact-L2 brute join (metric="l2"), not the cosine one
+    # the exact-L2 brute join (metric="l2"), not the cosine one. On THIS
+    # corpus the 8-entry codebooks are deliberately weak quantizers —
+    # the single-query harness (pq_recall) measures 0.1-0.2 here, and the
+    # join adds the nprobe=2-of-4 cell restriction on top; the point of
+    # the acceptance harnesses is exactly to surface that before a corpus
+    # is committed to codes
     l2_truth = {
         (r.query_id, r.neighbor_id)
         for r in similarity.knn_join(
