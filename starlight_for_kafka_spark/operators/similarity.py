@@ -1203,14 +1203,20 @@ def knn_join(
     """
     from starlight_for_kafka_spark.operators.skew import grouped_top_k
 
-    q = queries.select(
+    # NULL is not a vector (the hll "NULL is not an element" convention):
+    # un-dropped, a NULL corpus row scores null and still OCCUPIES a
+    # top-k slot (ranked last under desc), a NULL query emits k
+    # arbitrary null-scored rows, and in lsh mode hyperplane_bucket's
+    # `otherwise(0)` arm would silently file every NULL vector in
+    # bucket 0 where real queries probe.
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
     keep_cols = [corpus_bucket_col] if corpus_bucket_col else (
         [corpus_cell_col] if corpus_cell_col else []
     )
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(corpus_id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
         *keep_cols,
@@ -1334,7 +1340,8 @@ def pq_knn_join(
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
 
-    c = corpus.select(
+    # NULL is not a vector — same drop rule (and reasons) as knn_join
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(corpus_id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
@@ -1344,7 +1351,7 @@ def pq_knn_join(
     codes = pq_encode(c, codebooks, "neighbor_id", "__cv").drop("recon_sq_err")
     corp = codes.join(cassign, "neighbor_id")
 
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )

@@ -1712,3 +1712,20 @@ def test_knn_join_l2_metric_orders_ascending_and_finds_twin(spark, embeddings):
         assert rs[0].neighbor_id == qid and rs[0].l2_sq == 0.0
         dists = [r.l2_sq for r in rs]
         assert dists == sorted(dists)
+
+
+def test_knn_join_drops_null_vectors_both_sides(spark):
+    """NULL is not a vector: a NULL corpus row must not occupy a top-k
+    slot (in lsh mode it would otherwise silently land in bucket 0), and
+    a NULL query row emits nothing."""
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = df.withColumnRenamed("vec_id", "query_id")
+    for kwargs in (
+        {"method": "brute"},
+        {"method": "lsh", "n_planes": 2},
+    ):
+        out = similarity.knn_join(q, df, k=4, **kwargs).collect()
+        assert all(r.neighbor_id != 3 for r in out), kwargs
+        assert all(r.query_id != 3 for r in out), kwargs
+        assert all(r.cos_sim is not None for r in out), kwargs
