@@ -3728,6 +3728,18 @@ def q_knn_join_ivf(spark, sf_dir):
     return sim_ops.knn_join(q, c, k=5, method="ivf", cell_centroids=cents, nprobe=2)
 
 
+def q_minhash_recall(spark, sf_dir):
+    """MinHash-LSH acceptance harness (the ann_recall of dedup): banding
+    recall + candidate precision vs the exact all-pairs Jaccard truth at
+    the same shingles/threshold. Oracle replays BOTH pipelines and the
+    one-row comparison."""
+    docs = _docs_with_near(load_table(spark, sf_dir, "documents"))
+    return dedup_ops.minhash_recall(
+        docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.7,
+        shingle_mode="word",
+    )
+
+
 def q_knn_join_l2(spark, sf_dir):
     """Exact squared-L2 kNN join (brute) — the fair baseline for
     pq_knn_join's ADC distances (which approximate L2, not cosine)."""
@@ -4029,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_versions": q_api_versions,
         "pq_knn_join": q_pq_knn_join,
         "knn_join_l2": q_knn_join_l2,
+        "minhash_recall": q_minhash_recall,
     }
 
 
@@ -7820,6 +7833,23 @@ SELECT query_id, neighbor_id, cos_sim,
        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
 FROM scored
 QUALIFY rank <= 5""",
+        "minhash_recall": f"""WITH {_minhash_pipeline_cte()},
+truth AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM s x JOIN s y ON x.doc_id < y.doc_id
+  WHERE (len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) > 0
+    AND CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE)
+        / (len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= 0.7
+),
+tc AS (SELECT count(*) AS true_pairs FROM truth),
+cc AS (SELECT count(*) AS candidate_pairs FROM cand),
+vc AS (SELECT count(*) AS verified_pairs FROM ver)
+SELECT true_pairs, candidate_pairs, verified_pairs,
+       CASE WHEN true_pairs > 0
+            THEN round(verified_pairs / true_pairs, 4) ELSE 1.0 END AS recall,
+       CASE WHEN candidate_pairs > 0
+            THEN round(verified_pairs / candidate_pairs, 4) ELSE 1.0 END AS candidate_precision
+FROM tc, cc, vc""",
         "knn_join_l2": f"""WITH {_KNN_SPLIT_CTE},
 d AS (
   SELECT q.query_id, c.neighbor_id,

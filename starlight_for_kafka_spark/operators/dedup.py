@@ -1670,3 +1670,60 @@ def soft_dedup_weights(
             ).alias("weight"),
         )
     )
+
+
+def minhash_recall(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    shingle_mode: str = "char",
+) -> DataFrame:
+    """Acceptance harness for the MinHash-LSH pipeline — the dedup
+    counterpart of similarity.ann_recall: ground truth is the EXACT
+    all-pairs n-gram Jaccard >= threshold set (:func:`ngram_jaccard_pairs`,
+    prefix-filtered join, recall 1 by construction), measured is the
+    banding pipeline's candidate and verified pair sets over the SAME
+    shingles and threshold. The verify step already computes exact
+    Jaccard, so verified ⊆ truth and the number banding can lose is
+    RECALL — true pairs whose signatures never collide in any band (the
+    (num_hashes, bands) S-curve trade every corpus commits to before a
+    100 TB dedup run). candidate_precision (verified / candidates) prices
+    the verify pass the banding bought.
+
+    Scale shape: both pipelines are the package's existing bounded joins;
+    the comparison itself is one pair-keyed join + three 1-row counts
+    (crossJoins against 1-row aggregates — control plane).
+
+    Emits ONE row: (true_pairs, candidate_pairs, verified_pairs,
+    recall 4dp, candidate_precision 4dp).
+    """
+    truth = ngram_jaccard_pairs(
+        df, text_col, id_col, shingle_k, threshold, shingle_mode
+    ).select("a", "b")
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingle_mode)
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes=num_hashes)
+    ver = jaccard_verify(
+        df, cands, text_col, id_col, shingle_k, threshold, shingle_mode
+    ).select("a", "b")
+    n_true = truth.agg(F.count("*").alias("true_pairs"))
+    n_cand = cands.agg(F.count("*").alias("candidate_pairs"))
+    n_ver = ver.agg(F.count("*").alias("verified_pairs"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_ver)
+        .select(
+            "true_pairs",
+            "candidate_pairs",
+            "verified_pairs",
+            F.when(F.col("true_pairs") > 0,
+                   F.round(F.col("verified_pairs") / F.col("true_pairs"), 4)
+                   ).otherwise(F.lit(1.0)).alias("recall"),
+            F.when(F.col("candidate_pairs") > 0,
+                   F.round(F.col("verified_pairs") / F.col("candidate_pairs"), 4)
+                   ).otherwise(F.lit(1.0)).alias("candidate_precision"),
+        )
+    )

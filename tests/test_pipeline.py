@@ -1729,3 +1729,29 @@ def test_knn_join_drops_null_vectors_both_sides(spark):
         assert all(r.neighbor_id != 3 for r in out), kwargs
         assert all(r.query_id != 3 for r in out), kwargs
         assert all(r.cos_sim is not None for r in out), kwargs
+
+
+def test_minhash_recall_harness_detects_banding_loss(spark, documents):
+    """The acceptance harness must move with the (num_hashes, bands)
+    S-curve: r=2 rows per band (8 bands) collides near-dup signatures far
+    more often than r=8 (2 bands), so recall(8 bands) >= recall(2 bands);
+    verified pairs never exceed truth."""
+    near = (
+        documents.limit(20)
+        .withColumn("doc_id", F.col("doc_id") + 5_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail token here")))
+    )
+    corpus = documents.unionByName(near).select("doc_id", "text")
+    loose = dedup.minhash_recall(
+        corpus, num_hashes=16, bands=8, shingle_k=3, threshold=0.6,
+        shingle_mode="word",
+    ).first()
+    tight = dedup.minhash_recall(
+        corpus, num_hashes=16, bands=2, shingle_k=3, threshold=0.6,
+        shingle_mode="word",
+    ).first()
+    assert loose.true_pairs == tight.true_pairs > 0
+    assert loose.verified_pairs <= loose.true_pairs
+    assert tight.verified_pairs <= tight.true_pairs
+    assert loose.recall >= tight.recall
+    assert loose.candidate_precision <= 1.0
