@@ -906,3 +906,90 @@ def knn_serving_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_ingest_stream(
+    batch_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    shingle_mode: str = "char",
+):
+    """The recurring-crawl ingestion loop as a STREAM: every microbatch
+    of incoming documents is deduped against the CURRENT corpus — exact
+    digests first (:func:`operators.dedup.incremental_dedup`), then the
+    asymmetric MinHash probe (:func:`operators.dedup.
+    incremental_minhash_dedup`, corpus side never self-joins) — and the
+    survivors are APPENDED to the corpus, so batch N+1 dedups against
+    everything batch N admitted. That growing corpus is cross-batch
+    state, which is exactly what foreachBatch exists for: survivors land
+    in ``corpus_dir/epoch=<id>`` with the same _SUCCESS-marker replay
+    guard as :func:`idempotent_parquet_sink`, so checkpoint-recovery
+    re-delivery of an epoch is a no-op and the corpus never double-admits.
+
+    Per-ingest cost scales with the BATCH (the 100 TB property of the
+    asymmetric pipeline); store corpus signatures alongside the epochs to
+    shave the corpus signing pass (measured in BASELINE.md).
+
+    Returns the started StreamingQuery. ``corpus_dir`` may be seeded with
+    an initial corpus under ``epoch=-1`` (or any subdir) — an EMPTY dir
+    admits the whole first batch after within-batch dedup.
+    """
+    import os
+
+    from starlight_for_kafka_spark.operators import dedup as dedup_ops
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        path = os.path.join(corpus_dir, f"epoch={epoch_id}")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return
+        batch = batch_df.select(id_col, text_col)
+        has_corpus = any(
+            os.path.isdir(os.path.join(corpus_dir, d))
+            and not d.startswith(".")
+            for d in (os.listdir(corpus_dir) if os.path.isdir(corpus_dir) else [])
+        )
+        if has_corpus:
+            corpus = spark.read.parquet(os.path.join(corpus_dir, "*")).select(
+                id_col, text_col
+            )
+            step1 = dedup_ops.incremental_dedup(
+                batch, corpus, text_col=text_col, id_col=id_col
+            )
+            survivors = dedup_ops.incremental_minhash_dedup(
+                step1,
+                corpus,
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                threshold=threshold,
+                shingle_mode=shingle_mode,
+            )
+        else:
+            # empty corpus: within-batch near-dedup only
+            survivors = dedup_ops.minhash_dedup(
+                batch,
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                threshold=threshold,
+                shingle_mode=shingle_mode,
+            )
+        survivors.select(id_col, text_col).write.mode("overwrite").parquet(path)
+
+    return (
+        batch_stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
