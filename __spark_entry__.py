@@ -2228,6 +2228,76 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     ).select("doc_id")
 
 
+def _fuzzy_bench_fixture(spark, sf_dir):
+    """Shared fixture for the fuzzy-decontamination entries: corpus =
+    documents as-is; benchmark = every 50th doc + ' eval answer token'
+    (a paraphrase-level leak — word 3-shingle Jaccard stays >= 0.7, so
+    the corpus original MUST be flagged) plus word-reversed %50==13 docs
+    (reversal destroys word shingles — clean eval items, flag nothing).
+    Benchmark ids offset so ids stay unique across both inputs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    rev = F.array_join(F.reverse(F.split(norm, " ")), " ")
+    leak = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" eval answer token")).alias("text"),
+    )
+    clean = docs.filter(F.col("doc_id") % 50 == 13).select(
+        (F.col("doc_id") + 8_000_000).alias("doc_id"), rev.alias("text")
+    )
+    return docs, leak.unionByName(clean)
+
+
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """NEAR-dup benchmark decontamination (dedup.fuzzy_decontaminate):
+    MinHash-LSH candidates against a BROADCAST benchmark, exact-Jaccard
+    verify on the candidate sliver, corpus side map-only end to end —
+    the FineWeb/Llama-style eval scrub that catches lightly-edited
+    leaks exact n-gram matching (benchmark_contamination) misses. The
+    oracle replays signatures, banding, the bench-side hot-bucket cap,
+    and the verify threshold with the same md5 hash family."""
+    docs, bench = _fuzzy_bench_fixture(spark, sf_dir)
+    return dedup_ops.fuzzy_decontaminate(
+        docs, bench, num_hashes=16, bands=4, shingle_k=3,
+        threshold=0.7, shingle_mode="word",
+    ).select("doc_id")
+
+
+def q_contamination_pairs(spark, sf_dir):
+    """Leak attribution (dedup.fuzzy_decontaminate mode='report'): the
+    verified (corpus_id, bench_id, jaccard) contamination pairs — which
+    eval item leaks, and how many corpus docs each one taints. Same
+    fixture and pipeline as decontaminate_fuzzy; emitting the pair set
+    pins the candidate topology and the exact-Jaccard verify values."""
+    docs, bench = _fuzzy_bench_fixture(spark, sf_dir)
+    return dedup_ops.fuzzy_decontaminate(
+        docs, bench, num_hashes=16, bands=4, shingle_k=3,
+        threshold=0.7, shingle_mode="word", mode="report",
+    ).select("corpus_id", "bench_id", "jaccard")
+
+
+def q_filter_funnel(spark, sf_dir):
+    """Quality-pipeline attrition report (text.filter_funnel): four
+    chained gates over documents — min length, known language, word-
+    count band — with per-stage rows_in/removed/rows_out and the
+    removed_solely uniqueness signal (docs failing ONLY that gate).
+    One corpus scan, one partial-combined aggregation, report reshaped
+    in-plan; the governance pass run before committing a 100 TB filter
+    job. Word count matches the text_stats recipe exactly (split on
+    \\s+ over trimmed text) so both engines count identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return text_ops.filter_funnel(
+        docs,
+        [
+            ("min_chars", F.length("text") >= 200),
+            ("lang_known", F.col("lang").isin("en", "es", "de", "fr")),
+            ("min_words", n_words >= 30),
+            ("max_words", n_words <= 2000),
+        ],
+    )
+
+
 def q_dedup_lines_in_doc(spark, sf_dir):
     """Within-document repeated-line removal (text.py dedup_lines_in_doc —
     the per-page half of the C4 line rules, pure map / zero shuffle).
@@ -3805,6 +3875,11 @@ def q_api_versions(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # round-7 late additions lead so the driver's 50-entry sample
+        # hashes them on their first round out
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "contamination_pairs": q_contamination_pairs,
+        "filter_funnel": q_filter_funnel,
         "sql_surface_q2": q_sql_surface_q2,
         "sql_surface_q3": q_sql_surface_q3,
         "sql_surface_q4": q_sql_surface_q4,
@@ -4339,6 +4414,151 @@ losers AS (SELECT DISTINCT b AS doc_id FROM ver)
 SELECT n.doc_id FROM newdocs n ANTI JOIN losers l USING (doc_id)"""
 
 
+def _fuzzy_decontaminate_cte() -> str:
+    """Shared CTE chain for the fuzzy-decontamination oracles ending at
+    ``ver`` (corpus_id, bench_id, jaccard): replays minhash signatures
+    (same md5+LCG hash family), 4-band banding, the BENCH-side
+    hot-bucket cap (dedup.fuzzy_decontaminate max_bench_bucket — corpus
+    occupancy deliberately uncounted, matching the zero-corpus-shuffle
+    design), the corpus×bench candidate join, and the exact word
+    3-shingle Jaccard >= 0.7 verify."""
+    from starlight_for_kafka_spark.operators.dedup import (
+        MINHASH_PRIME as P,
+        _minhash_coeffs,
+    )
+
+    a, b = _minhash_coeffs(16)
+    sig_exprs = ",\n    ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {P})), {P})"
+        for i in range(16)
+    )
+    band_expr = ", ".join(
+        f"md5(CAST(sg[{bb*4+1}] AS VARCHAR) || ',' || CAST(sg[{bb*4+2}] AS VARCHAR)"
+        f" || ',' || CAST(sg[{bb*4+3}] AS VARCHAR) || ',' || CAST(sg[{bb*4+4}] AS VARCHAR))"
+        for bb in range(4)
+    )
+    return f"""rev AS (
+  SELECT doc_id,
+         array_to_string(list_reverse(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), ' ') AS rtext
+  FROM documents
+),
+bench AS (
+  SELECT doc_id + 7000000 AS doc_id, text || ' eval answer token' AS text
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 8000000, rtext FROM rev WHERE doc_id % 50 = 13
+),
+docs AS (
+  SELECT doc_id, text, 0 AS is_bench FROM documents
+  UNION ALL
+  SELECT doc_id, text, 1 FROM bench
+),
+w AS (
+  SELECT doc_id, is_bench,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM docs
+),
+s AS (
+  SELECT doc_id, is_bench,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [] END) AS sset
+  FROM w
+),
+h AS (
+  SELECT doc_id, is_bench,
+         list_transform(sset, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {P}) AS hs
+  FROM s
+),
+sig AS (SELECT doc_id, is_bench, [{sig_exprs}] AS sg FROM h),
+banded AS (
+  SELECT doc_id, is_bench, bt.band,
+         CASE bt.band WHEN 0 THEN bk[1] WHEN 1 THEN bk[2]
+                      WHEN 2 THEN bk[3] ELSE bk[4] END AS bucket
+  FROM (SELECT doc_id, is_bench, [{band_expr}] AS bk FROM sig) t
+  CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bt
+),
+sized AS (
+  SELECT *, sum(CASE WHEN is_bench = 1 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY band, bucket) AS bs_bench
+  FROM banded
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS corpus_id, y.doc_id AS bench_id
+  FROM sized x JOIN sized y USING (band, bucket)
+  WHERE x.is_bench = 0 AND y.is_bench = 1 AND y.bs_bench <= 200
+),
+ver AS (
+  SELECT c.corpus_id, c.bench_id,
+         CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+         / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))) AS jaccard
+  FROM cand c
+  JOIN s sa ON sa.doc_id = c.corpus_id
+  JOIN s sb ON sb.doc_id = c.bench_id
+  WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+        / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))) >= 0.7
+)"""
+
+
+def _decontaminate_fuzzy_oracle_sql() -> str:
+    """decontaminate_fuzzy: corpus docs with no verified near-dup
+    benchmark partner survive."""
+    return f"""WITH {_fuzzy_decontaminate_cte()},
+flagged AS (SELECT DISTINCT corpus_id AS doc_id FROM ver)
+SELECT d.doc_id FROM documents d ANTI JOIN flagged f USING (doc_id)"""
+
+
+def _contamination_pairs_oracle_sql() -> str:
+    """contamination_pairs: the verified pair set itself (report mode)."""
+    return f"""WITH {_fuzzy_decontaminate_cte()}
+SELECT corpus_id, bench_id, jaccard FROM ver"""
+
+
+def _filter_funnel_oracle_sql() -> str:
+    """filter_funnel: the four-gate funnel over documents — sequential
+    rows_in/removed/rows_out (prefix products of the gate flags) plus
+    removed_solely (fails ONLY that gate), one aggregate row reshaped to
+    four report rows; word count via the text_stats split recipe."""
+    gates = [
+        ("min_chars", "length(text) >= 200"),
+        ("lang_known", "lang IN ('en','es','de','fr')"),
+        ("min_words", "nw >= 30"),
+        ("max_words", "nw <= 2000"),
+    ]
+    flag_cols = ",\n         ".join(
+        f"CASE WHEN {cond} THEN 1 ELSE 0 END AS f{i}"
+        for i, (_, cond) in enumerate(gates)
+    )
+    k = len(gates)
+    aggs = []
+    for i in range(k):
+        prefix = " * ".join([f"f{j}" for j in range(i)]) or "1"
+        solo = " * ".join(
+            [f"(1 - f{i})"] + [f"f{j}" for j in range(k) if j != i]
+        )
+        aggs.append(
+            f"CAST(sum({prefix}) AS BIGINT) AS in{i},\n"
+            f"    CAST(sum({prefix} * f{i}) AS BIGINT) AS out{i},\n"
+            f"    CAST(sum({solo}) AS BIGINT) AS solo{i}"
+        )
+    stage_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i+1} AS INT) AS stage, '{name}' AS name, in{i} AS rows_in, "
+        f"in{i} - out{i} AS removed, out{i} AS rows_out, solo{i} AS removed_solely FROM agg"
+        for i, (name, _) in enumerate(gates)
+    )
+    return f"""WITH f AS (
+  SELECT {flag_cols}
+  FROM (SELECT text, lang,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS nw
+        FROM documents)
+),
+agg AS (
+  SELECT {", ".join(aggs)}
+  FROM f
+)
+{stage_rows}"""
+
+
 def _leakage_safe_split_oracle_sql() -> str:
     """split_leakage_safe: MinHash pipeline → transitive closure →
     per-component md5 split gate (same 98/1/1 thresholds as assign_split,
@@ -4665,6 +4885,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_minhash_incremental": _minhash_incremental_oracle_sql(),
+        "decontaminate_fuzzy": _decontaminate_fuzzy_oracle_sql(),
+        "contamination_pairs": _contamination_pairs_oracle_sql(),
+        "filter_funnel": _filter_funnel_oracle_sql(),
         "dedup_minhash_capped": f"""WITH {_minhash_pipeline_cte(star_above=2)}
 SELECT a, b FROM ver""",
         "minhash_jaccard_estimate": f"""WITH {_minhash_pipeline_cte()},

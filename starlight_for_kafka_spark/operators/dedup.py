@@ -177,6 +177,7 @@ def _banded_signatures(
     id_col: str,
     bands: int,
     num_hashes: int | None,
+    materialize: bool = True,
 ) -> DataFrame | None:
     """(id, band, bucket) LSH banding rows, materialized. Returns None
     for an empty input (the caller picks its empty shape).
@@ -186,7 +187,11 @@ def _banded_signatures(
     probe, join sides), and without a barrier the full minhash signature
     pass — the dominant cost — re-runs once per consumer (AQE does not
     reliably reuse the exchange). Banded rows are (id, band, bucket-hash)
-    — tiny relative to the corpus at any scale."""
+    — tiny relative to the corpus at any scale. Callers that consume the
+    banding rows exactly ONCE (e.g. the corpus probe side of
+    :func:`fuzzy_decontaminate`, a pure broadcast-join pipeline) pass
+    ``materialize=False`` so corpus-scale banding rows never hit local
+    disk — the single-consumer plan re-derives them in-stream."""
     if num_hashes is None:
         first = signatures.select(F.size("signature")).first()
         if first is None:
@@ -225,6 +230,8 @@ def _banded_signatures(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if not materialize:
+        return banded
     return banded.localCheckpoint(eager=True)
 
 
@@ -959,6 +966,117 @@ def bloom_decontaminate(
         F.size("__set").alias("n_ngrams"),
         F.coalesce(F.exists("__set", gram_hits), F.lit(False)).alias("bloom_hit"),
     )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    shingle_mode: str = "char",
+    max_bench_bucket: int = 200,
+    mode: str = "survivors",
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: drop (or report) corpus
+    docs whose exact shingle Jaccard with ANY benchmark doc is >=
+    ``threshold``, candidates found by MinHash-LSH banding — the fuzzy
+    complement of :func:`benchmark_contamination`'s n-gram overlap (the
+    FineWeb / Llama-style eval-leak scrub catches paraphrased and
+    lightly-edited leaks that exact n-gram matching misses).
+
+    THE 100 TB shape — the corpus side never shuffles:
+    the benchmark (eval sets, MBs) signs and bands first and its banding
+    rows BROADCAST; the corpus side is a pure per-row map
+    (minhash_signatures, zero shuffle) into a broadcast-hash probe join,
+    so candidate discovery rides the corpus scan. Verification re-
+    shingles only the candidate sliver (semi-join against the broadcast
+    candidate ids) and joins benchmark shingle sets by broadcast, so the
+    ONLY corpus-sized work is the scan + map. Contrast
+    :func:`incremental_minhash_dedup` (batch-vs-corpus, shuffle probe
+    join): here the small side is known-broadcastable by construction.
+
+    Pair emission is bounded per corpus row: <= ``bands`` x
+    ``max_bench_bucket`` candidates pre-distinct. ``max_bench_bucket``
+    caps buckets by BENCHMARK-side occupancy only (boilerplate shared
+    across many eval items); corpus-side occupancy is irrelevant to the
+    bound and computing it would cost the corpus shuffle this operator
+    exists to avoid.
+
+    ``mode``: ``"survivors"`` (default) returns the clean rows of
+    ``corpus`` (original columns); ``"report"`` returns the verified
+    contamination pairs (corpus_id, bench_id, jaccard) for leak
+    attribution — which eval items leak, and how many corpus docs each
+    one taints. Ids must be unique across both inputs.
+
+    Reference parity note: the reference broker has no dedup surface —
+    this operator belongs to the training-data-pipeline extension set
+    (SURVEY §M5), same contract as the other dedup entries.
+    """
+    if mode not in ("survivors", "report"):
+        raise ValueError(f"mode must be survivors|report, got {mode!r}")
+    sigs_bench = minhash_signatures(
+        benchmark, text_col, id_col, num_hashes, shingle_k, shingle_mode
+    )
+    bb = _banded_signatures(sigs_bench, id_col, bands, num_hashes)
+    if bb is None:
+        if mode == "report":
+            return corpus.limit(0).select(
+                F.col(id_col).alias("corpus_id"),
+                F.col(id_col).alias("bench_id"),
+                F.lit(0.0).alias("jaccard"),
+            )
+        return corpus
+    # benchmark-side hot-bucket cap: tiny aggregation, broadcast both ways
+    hot = (
+        bb.groupBy("band", "bucket")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_bench_bucket)
+        .select("band", "bucket")
+    )
+    bb_cold = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    sigs_corpus = minhash_signatures(
+        corpus, text_col, id_col, num_hashes, shingle_k, shingle_mode
+    )
+    # single consumer -> no materialization: corpus banding rows stream
+    # straight into the broadcast probe, never touching local disk
+    bc = _banded_signatures(
+        sigs_corpus, id_col, bands, num_hashes, materialize=False
+    )
+    cands = (
+        bc.join(F.broadcast(bb_cold.select("band", "bucket", F.col(id_col).alias("bench_id"))),
+                ["band", "bucket"])
+        .select(F.col(id_col).alias("corpus_id"), "bench_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # sliver-sized; read three times below
+    )
+    # verify on the sliver: corpus shingle sets only for candidate ids
+    # (broadcast semi-join keeps the corpus side map-only), benchmark
+    # sets broadcast whole
+    sh = lambda c: F.array_distinct(_shingle_expr(c, shingle_k, shingle_mode))  # noqa: E731
+    corpus_sets = corpus.join(
+        F.broadcast(cands.select(F.col("corpus_id").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    ).select(F.col(id_col).alias("corpus_id"), sh(text_col).alias("__ca"))
+    bench_sets = benchmark.select(
+        F.col(id_col).alias("bench_id"), sh(text_col).alias("__cb")
+    )
+    verified = (
+        cands.join(corpus_sets, "corpus_id")
+        .join(F.broadcast(bench_sets), "bench_id")
+        .withColumn("__i", F.size(F.array_intersect("__ca", "__cb")))
+        .withColumn("__u", F.size(F.array_union("__ca", "__cb")))
+        .withColumn("jaccard", F.col("__i") / F.col("__u"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if mode == "report":
+        return verified.select("corpus_id", "bench_id", "jaccard")
+    flagged = verified.select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
 
 
 def connected_components(

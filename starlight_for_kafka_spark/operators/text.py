@@ -1060,3 +1060,76 @@ def bigram_logprob(
         F.round("avg_logprob", 6).alias("avg_logprob"),
         F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl"),
     )
+
+
+def filter_funnel(
+    df: DataFrame,
+    filters: list[tuple[str, Column]],
+) -> DataFrame:
+    """Quality-pipeline attrition report: apply the named boolean
+    ``filters`` AS A SEQUENTIAL FUNNEL and emit one row per stage with
+
+      stage          1-based position in the chain
+      name           the filter's name
+      rows_in        docs entering the stage (survivors of stages 1..i-1)
+      removed        docs the stage rejects among rows_in
+      rows_out       rows_in - removed (what the next stage sees)
+      removed_solely docs that fail ONLY this filter across the whole
+                     chain — the stage's unique contribution; a filter
+                     with removed >> 0 but removed_solely ~ 0 is
+                     redundant with the rest of the chain
+
+    This is the governance pass you run BEFORE committing a 100 TB
+    filtering job: which rule removes what, and which rules are dead
+    weight. One corpus scan total — every flag is a JVM boolean column,
+    all 6k counters fold in a single partial-combining aggregation (a
+    map-side-combined global agg, no shuffle of data rows), and the
+    k-row report is reshaped in-plan from the single aggregate row
+    (inline explode, no driver collect). NULL predicate results count
+    as removals (a filter that cannot evaluate a doc rejects it),
+    matching SQL WHERE semantics.
+    """
+    if not filters:
+        raise ValueError("filter_funnel needs at least one (name, predicate)")
+    flags = [
+        F.coalesce(pred, F.lit(False)).cast("int").alias(f"__f{i}")
+        for i, (_, pred) in enumerate(filters)
+    ]
+    flagged = df.select(*flags)
+    k = len(filters)
+    aggs = []
+    for i in range(k):
+        # survivors of stages 1..i-1 (product of flags = AND)
+        prefix = F.lit(1)
+        for j in range(i):
+            prefix = prefix * F.col(f"__f{j}")
+        aggs.append(F.sum(prefix).alias(f"__in{i}"))
+        aggs.append(F.sum(prefix * F.col(f"__f{i}")).alias(f"__out{i}"))
+        # fails only this filter: (1 - f_i) * prod_{j != i} f_j
+        solo = F.lit(1) - F.col(f"__f{i}")
+        for j in range(k):
+            if j != i:
+                solo = solo * F.col(f"__f{j}")
+        aggs.append(F.sum(solo).alias(f"__solo{i}"))
+    one = flagged.agg(*aggs)
+    stages = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).alias("stage"),
+                    F.lit(filters[i][0]).alias("name"),
+                    F.coalesce(F.col(f"__in{i}"), F.lit(0)).alias("rows_in"),
+                    (
+                        F.coalesce(F.col(f"__in{i}"), F.lit(0))
+                        - F.coalesce(F.col(f"__out{i}"), F.lit(0))
+                    ).alias("removed"),
+                    F.coalesce(F.col(f"__out{i}"), F.lit(0)).alias("rows_out"),
+                    F.coalesce(F.col(f"__solo{i}"), F.lit(0)).alias(
+                        "removed_solely"
+                    ),
+                )
+                for i in range(k)
+            ]
+        )
+    ).alias("s")
+    return one.select(stages).select("s.*")

@@ -1755,3 +1755,144 @@ def test_minhash_recall_harness_detects_banding_loss(spark, documents):
     assert tight.verified_pairs <= tight.true_pairs
     assert loose.recall >= tight.recall
     assert loose.candidate_precision <= 1.0
+
+
+def test_fuzzy_decontaminate_flags_near_and_exact_leaks(spark):
+    from starlight_for_kafka_spark.operators.dedup import fuzzy_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every single day"),
+            (2, "completely unrelated text about spark dataframes and shuffles"),
+            (3, "the quick brown fox jumps over the lazy dog every single night"),
+            (4, "another unrelated document talking about benchmarks and ovens"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog every single day"),
+            (101, "entirely different eval item with no corpus overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    surv = fuzzy_decontaminate(
+        corpus, bench, num_hashes=16, bands=4, shingle_k=3,
+        threshold=0.6, shingle_mode="word",
+    )
+    # doc 1 is an exact leak, doc 3 a one-word paraphrase; 2 and 4 are clean
+    assert sorted(r.doc_id for r in surv.collect()) == [2, 4]
+    # original corpus columns come back untouched
+    assert surv.columns == corpus.columns
+
+    rep = fuzzy_decontaminate(
+        corpus, bench, num_hashes=16, bands=4, shingle_k=3,
+        threshold=0.6, shingle_mode="word", mode="report",
+    ).collect()
+    pairs = {(r.corpus_id, r.bench_id) for r in rep}
+    assert pairs == {(1, 100), (3, 100)}
+    by_pair = {(r.corpus_id, r.bench_id): r.jaccard for r in rep}
+    assert by_pair[(1, 100)] == 1.0
+    assert 0.6 <= by_pair[(3, 100)] < 1.0
+
+
+def test_fuzzy_decontaminate_empty_benchmark_keeps_corpus(spark):
+    from starlight_for_kafka_spark.operators.dedup import fuzzy_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "some text here that is long enough to shingle")],
+        "doc_id long, text string",
+    )
+    bench = corpus.filter("doc_id < 0")
+    out = fuzzy_decontaminate(corpus, bench, shingle_k=3, shingle_mode="word")
+    assert out.count() == 1
+    rep = fuzzy_decontaminate(
+        corpus, bench, shingle_k=3, shingle_mode="word", mode="report"
+    )
+    assert rep.count() == 0
+    assert rep.columns == ["corpus_id", "bench_id", "jaccard"]
+
+
+def test_fuzzy_decontaminate_bench_hot_bucket_cap_drops_boilerplate(spark):
+    from starlight_for_kafka_spark.operators.dedup import fuzzy_decontaminate
+
+    # 5 identical benchmark docs saturate their bucket; with the cap at 4
+    # the bucket is dropped and the identical corpus doc sails through —
+    # the boilerplate guard, deliberately benchmark-side only
+    text = "shared boilerplate sentence repeated across many eval items verbatim"
+    corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100 + i, text) for i in range(5)], "doc_id long, text string"
+    )
+    kept = fuzzy_decontaminate(
+        corpus, bench, shingle_k=3, shingle_mode="word",
+        threshold=0.6, max_bench_bucket=4,
+    )
+    assert kept.count() == 1
+    # raising the cap restores the flag
+    kept2 = fuzzy_decontaminate(
+        corpus, bench, shingle_k=3, shingle_mode="word",
+        threshold=0.6, max_bench_bucket=100,
+    )
+    assert kept2.count() == 0
+
+
+def test_fuzzy_decontaminate_rejects_bad_mode(spark):
+    import pytest
+
+    from starlight_for_kafka_spark.operators.dedup import fuzzy_decontaminate
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="mode"):
+        fuzzy_decontaminate(df, df, mode="banana")
+
+
+def test_filter_funnel_sequential_counts_and_solely(spark):
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators.text import filter_funnel
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (i * 10)) for i in range(1, 11)], "doc_id long, text string"
+    )
+    out = filter_funnel(
+        docs,
+        [
+            ("min20", F.length("text") >= 20),
+            ("max80", F.length("text") <= 80),
+            ("even", F.col("doc_id") % 2 == 0),
+        ],
+    ).collect()
+    rows = {r.name: r for r in out}
+    assert [r.stage for r in out] == [1, 2, 3]
+    # lengths 10..100: min20 removes doc1; max80 removes 9,10; even removes 3,5,7
+    assert (rows["min20"].rows_in, rows["min20"].removed, rows["min20"].rows_out) == (10, 1, 9)
+    assert (rows["max80"].rows_in, rows["max80"].removed, rows["max80"].rows_out) == (9, 2, 7)
+    assert (rows["even"].rows_in, rows["even"].removed, rows["even"].rows_out) == (7, 3, 4)
+    # doc1 also fails 'even' (odd), so nothing fails ONLY min20; doc10 fails
+    # only max80; docs 3,5,7 fail only even
+    assert rows["min20"].removed_solely == 0
+    assert rows["max80"].removed_solely == 1
+    assert rows["even"].removed_solely == 3
+
+
+def test_filter_funnel_null_predicate_counts_as_removal(spark):
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators.text import filter_funnel
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, None)], "doc_id long, text string"
+    )
+    out = filter_funnel(docs, [("has3", F.length("text") >= 3)]).collect()
+    assert (out[0].rows_in, out[0].removed, out[0].rows_out) == (2, 1, 1)
+
+
+def test_filter_funnel_requires_filters(spark):
+    import pytest
+
+    from starlight_for_kafka_spark.operators.text import filter_funnel
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="at least one"):
+        filter_funnel(df, [])
