@@ -109,6 +109,10 @@ SUITE = [
     # are quadratic by construction of the data — see each row's comment)
     "semantic_dedup_star60",
     "simhash_star8",
+    # round-7 fuzzy decontamination: fixed-size benchmark broadcast
+    # against the SCALE-grown corpus — wall should track the corpus scan
+    # linearly and shuffle stay sliver-sized (candidates + verify only)
+    "fuzzy_decontaminate",
     "pagerank_event_graph",
     "commitlog_append",
     "wire_transcode_codecs",
@@ -734,6 +738,31 @@ def main() -> None:
         return similarity.pq_knn_join(q, c, books, cents, k=5, nprobe=2)
 
     queries["pq_knn_join_cells64"] = _pq_knn64
+
+    def _fuzzy_decon(spark, sf):
+        # benchmark decontamination at scale: the corpus grows with
+        # SCALE, the benchmark DOESN'T (eval sets are fixed-size — built
+        # from the BASE fixtures so it holds ~100 docs at every SCALE).
+        # Every replica of a doc_id%50==0 base doc is a near-dup of its
+        # bench item by construction (replica prefix edits), so the
+        # flagged set grows linearly with SCALE while the bench-side
+        # broadcast stays constant; the corpus side must remain
+        # scan+map-shaped (tiny shuffle) at every point
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import dedup
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        base = load_table(spark, BASE, "documents").select("doc_id", "text")
+        bench = base.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 7_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" eval answer token")).alias("text"),
+        )
+        return dedup.fuzzy_decontaminate(
+            docs, bench, num_hashes=16, bands=4, shingle_k=3,
+            threshold=0.7, shingle_mode="word",
+        )
+
+    queries["fuzzy_decontaminate"] = _fuzzy_decon
     entrymod.q_list_offsets(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     metrics = StageMetrics(spark)

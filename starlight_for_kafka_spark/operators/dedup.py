@@ -980,6 +980,7 @@ def fuzzy_decontaminate(
     shingle_mode: str = "char",
     max_bench_bucket: int = 200,
     mode: str = "survivors",
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """NEAR-duplicate benchmark decontamination: drop (or report) corpus
     docs whose exact shingle Jaccard with ANY benchmark doc is >=
@@ -987,6 +988,14 @@ def fuzzy_decontaminate(
     complement of :func:`benchmark_contamination`'s n-gram overlap (the
     FineWeb / Llama-style eval-leak scrub catches paraphrased and
     lightly-edited leaks that exact n-gram matching misses).
+
+    ``corpus_signatures`` mirrors :func:`incremental_minhash_dedup`'s
+    stored-signature seam: at production scale the corpus signatures are
+    computed once and stored with the corpus (same num_hashes/shingle
+    parameters, via :func:`minhash_signatures`), turning the probe
+    side's dominant cost — re-signing the corpus text — into a column
+    read; the verify step still reads text, but only for the candidate
+    sliver. Left None they are recomputed for self-containment.
 
     THE 100 TB shape — the corpus side never shuffles:
     the benchmark (eval sets, MBs) signs and bands first and its banding
@@ -1038,8 +1047,12 @@ def fuzzy_decontaminate(
         .select("band", "bucket")
     )
     bb_cold = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    sigs_corpus = minhash_signatures(
-        corpus, text_col, id_col, num_hashes, shingle_k, shingle_mode
+    sigs_corpus = (
+        corpus_signatures
+        if corpus_signatures is not None
+        else minhash_signatures(
+            corpus, text_col, id_col, num_hashes, shingle_k, shingle_mode
+        )
     )
     # single consumer -> no materialization: corpus banding rows stream
     # straight into the broadcast probe, never touching local disk

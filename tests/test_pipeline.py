@@ -1896,3 +1896,34 @@ def test_filter_funnel_requires_filters(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="at least one"):
         filter_funnel(df, [])
+
+
+def test_fuzzy_decontaminate_stored_signatures_match_recompute(spark):
+    from starlight_for_kafka_spark.operators.dedup import (
+        fuzzy_decontaminate,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every single day"),
+            (2, "completely unrelated text about spark dataframes and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog every single day")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(corpus, "text", "doc_id", 16, 3, "word")
+    a = fuzzy_decontaminate(
+        corpus, bench, num_hashes=16, bands=4, shingle_k=3,
+        threshold=0.6, shingle_mode="word",
+    )
+    b = fuzzy_decontaminate(
+        corpus, bench, num_hashes=16, bands=4, shingle_k=3,
+        threshold=0.6, shingle_mode="word", corpus_signatures=sigs,
+    )
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    ) == [2]
