@@ -103,6 +103,10 @@ def main() -> None:
         "remove_repeated_spans",    # cross-doc shared-passage removal
         "soft_dedup_weights",       # SoftDeDup cluster reweighting (CC chain)
         "pq_knn_join",              # IVFADC kNN join over PQ codes
+        # round-7 addition (final): broadcast-benchmark eval scrub —
+        # corpus side map-only, the zero-corpus-shuffle contract this
+        # row exists to keep driver-visible
+        "decontaminate_fuzzy",      # MinHash near-dup benchmark decontamination
     ]
 
     # warm the JVM + file listing once

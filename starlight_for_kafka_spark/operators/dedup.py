@@ -145,11 +145,16 @@ def minhash_signatures(
     K-long and non-null.
     """
     a, b = _minhash_coeffs(num_hashes)
-    # spread docs across cores before the heavy hashing: a small parquet
-    # file arrives as 1-2 input splits, which would serialize the work on
-    # one task (at 100 TB the scan is already parallel; this matters for
-    # the many-small-files case)
+    # spread docs across cores before the heavy hashing — but ONLY when
+    # the incoming plan is narrower than the executor slots (a small
+    # parquet file arrives as 1-2 input splits, which would serialize
+    # the hashing on one task). A 100 TB scan already arrives wide, and
+    # an unconditional repartition there would shuffle the ENTIRE corpus
+    # text just to hash it — the one corpus-sized shuffle the map-only
+    # consumers (fuzzy_decontaminate, stored-signature ingest) exist to
+    # avoid. Values are per-row, so the branch never changes results.
     n_part = df.sparkSession.sparkContext.defaultParallelism
+    n_in = df.rdd.getNumPartitions()
     sh = F.array_distinct(_shingle_expr(text_col, shingle_k, shingle_mode))
     hashes = F.transform(sh, lambda s: md5_hash64(s) % MINHASH_PRIME)
 
@@ -165,9 +170,9 @@ def minhash_signatures(
             for i in range(num_hashes)
         ]
     )
+    src = df.repartition(n_part, id_col) if n_in < n_part else df
     return (
-        df.repartition(n_part, id_col)
-        .withColumn("__hashes", hashes)
+        src.withColumn("__hashes", hashes)
         .select(F.col(id_col), signature.alias("signature"))
     )
 

@@ -77,10 +77,18 @@ def test_keyed_count_partial_aggregation(spark):
 
 
 def test_minhash_signatures_shuffle_free(spark, documents):
-    # one intentional Exchange (the parallelism repartition), nothing else:
-    # the signature computation itself never shuffles shingles
-    sig = dedup_ops.minhash_signatures(documents)
-    assert exchange_count(sig) == 1, plan_string(sig)
+    # the signature computation itself never shuffles shingles; the
+    # parallelism-spread repartition fires ONLY when the input arrives
+    # narrower than the executor slots. A wide input (the 100 TB scan
+    # shape) must sign with ZERO exchanges — an unconditional spread
+    # would shuffle the whole corpus text just to hash it.
+    n_part = spark.sparkContext.defaultParallelism
+    narrow = dedup_ops.minhash_signatures(documents.coalesce(1))
+    assert exchange_count(narrow) == 1, plan_string(narrow)
+    wide = dedup_ops.minhash_signatures(documents.repartition(n_part * 2))
+    # the pre-widening repartition itself is one exchange; the signature
+    # stage must add none on top
+    assert exchange_count(wide) == 1, plan_string(wide)
 
 
 def test_exact_dedup_single_shuffle(spark):
