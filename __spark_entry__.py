@@ -2298,6 +2298,17 @@ def q_filter_funnel(spark, sf_dir):
     )
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (text.bpe_train): the full
+    merge LOOP — word-frequency collapse once, then per-round pair
+    argmax + greedy left-to-right fold on the Zipf-small vocab table.
+    Three rounds over documents; the oracle unrolls the three rounds as
+    CTE chains (pair counts → deterministic argmax → list_reduce fold),
+    pinning the learned merge table end to end."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return text_ops.bpe_train(docs, n_merges=3)
+
+
 def q_dedup_lines_in_doc(spark, sf_dir):
     """Within-document repeated-line removal (text.py dedup_lines_in_doc —
     the per-page half of the C4 line rules, pure map / zero shuffle).
@@ -3880,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "contamination_pairs": q_contamination_pairs,
         "filter_funnel": q_filter_funnel,
+        "bpe_train": q_bpe_train,
         "sql_surface_q2": q_sql_surface_q2,
         "sql_surface_q3": q_sql_surface_q3,
         "sql_surface_q4": q_sql_surface_q4,
@@ -4559,6 +4571,56 @@ agg AS (
 {stage_rows}"""
 
 
+def _bpe_train_oracle_sql(n_merges: int = 3) -> str:
+    """bpe_train: the merge loop unrolled — per round, pair counts over
+    the current symbol arrays, the (count desc, left, right) argmax, and
+    the greedy left-to-right fold via list_reduce (seed-first form:
+    symbols lifted to singleton lists so the accumulator starts as a
+    list — DuckDB 1.0 list_reduce takes no explicit init)."""
+    ctes = ["""w0 AS (
+  SELECT count(*)::BIGINT AS wf,
+         list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
+  FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+  ) WHERE len(word) > 0
+  GROUP BY word
+)"""]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r-1}"
+        ctes.append(f"""p{r} AS (
+  SELECT pr.l AS l, pr.r AS r, sum(wf)::BIGINT AS n
+  FROM (
+    SELECT wf, unnest(list_transform(range(1, len(syms)),
+                 i -> {{'l': syms[i], 'r': syms[i + 1]}})) AS pr
+    FROM {prev} WHERE len(syms) >= 2
+  )
+  GROUP BY pr.l, pr.r
+)""")
+        ctes.append(f"""b{r} AS (
+  SELECT {r} AS rank, l, r, l || r AS merged, n
+  FROM p{r} ORDER BY n DESC, l, r LIMIT 1
+)""")
+        if r < n_merges:
+            ctes.append(f"""w{r} AS (
+  SELECT wf,
+         list_reduce(
+           list_transform(syms, x -> [x]),
+           (acc, s) -> CASE
+             WHEN len(acc) > 0 AND acc[-1] = b.l AND s[1] = b.r
+             THEN list_append(acc[1:len(acc) - 1], b.merged)
+             ELSE list_append(acc, s[1]) END
+         ) AS syms
+  FROM {prev} CROSS JOIN b{r} b
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST(rank AS INT) AS rank, l AS left, r AS right, merged, "
+        f"n AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
 def _leakage_safe_split_oracle_sql() -> str:
     """split_leakage_safe: MinHash pipeline → transitive closure →
     per-component md5 split gate (same 98/1/1 thresholds as assign_split,
@@ -4888,6 +4950,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_fuzzy": _decontaminate_fuzzy_oracle_sql(),
         "contamination_pairs": _contamination_pairs_oracle_sql(),
         "filter_funnel": _filter_funnel_oracle_sql(),
+        "bpe_train": _bpe_train_oracle_sql(),
         "dedup_minhash_capped": f"""WITH {_minhash_pipeline_cte(star_above=2)}
 SELECT a, b FROM ver""",
         "minhash_jaccard_estimate": f"""WITH {_minhash_pipeline_cte()},

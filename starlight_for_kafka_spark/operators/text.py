@@ -1133,3 +1133,104 @@ def filter_funnel(
         )
     ).alias("s")
     return one.select(stages).select("s.*")
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): run the
+    full merge loop, not just one round's statistic
+    (:func:`bpe_merge_pairs`). Returns the learned merge table —
+    one row per round: (rank, left, right, merged, pair_count), where
+    ``pair_count`` is the frequency-weighted count that made the pair
+    the argmax when it was chosen.
+
+    Scale shape — the corpus is touched ONCE. Everything after the
+    word-frequency collapse (one token-keyed agg with map-side combine;
+    Zipf: vastly fewer distinct words than tokens) iterates on the
+    vocab table: each round is (a) one pair-keyed agg over the symbol
+    arrays, (b) a 1-row argmax collect (control-plane: one pair + one
+    count scalar per round), (c) a per-row greedy merge fold. This is
+    exactly how production tokenizer trainers decompose the problem —
+    at 100 TB the vocab table is the working set (10^7-10^8 rows), and
+    every round is one small shuffle plus a map.
+
+    Merge application is the standard GREEDY LEFT-TO-RIGHT fold: scan
+    the symbol sequence once, fusing (left, right) occurrences as seen,
+    never re-reading the just-merged output symbol — so a run
+    ``a a a`` under pair (a, a) becomes ``aa a`` (first two fuse, the
+    survivor cannot fuse with the fresh ``aa``). Expressed as ONE
+    ``F.aggregate`` array fold per word — JVM codegen, no Python.
+    Ties on pair count break deterministically (count desc, left asc,
+    right asc), so the learned table is engine-portable and the oracle
+    replays every round exactly. Rounds stop early if no pair remains
+    (vocab exhausted into whole words).
+
+    Each round's vocab is localCheckpointed: the loop is driver-side
+    (like the PageRank idiom) and without a barrier round N's plan
+    would re-run all earlier folds once per consumer.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    vocab = (
+        df.select(F.explode(F.split(F.trim(norm), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+        .select("wf", chars.alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("l"),
+                F.element_at("syms", i + F.lit(1)).alias("r"),
+            ),
+        )
+        best = (
+            vocab.filter(F.size("syms") >= 2)
+            .select("wf", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wf").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if best is None:
+            break
+        left, right, count = best["l"], best["r"], int(best["n"])
+        merged = left + right
+        merges.append((rank, left, right, merged, count))
+        # greedy left-to-right fold: fuse (left, right) when the
+        # accumulator's tail is `left` AND that tail was not itself
+        # produced by this round's fusion (greedy never re-reads its
+        # own output). After a fusion the tail equals `merged`, and
+        # `merged` can only equal `left` if right == '' (impossible:
+        # symbols are non-empty), so tail == left is exactly "previous
+        # symbol is an unfused left" — no extra fold state needed.
+        vocab = vocab.select(
+            "wf",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (s == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )

@@ -1927,3 +1927,48 @@ def test_fuzzy_decontaminate_stored_signatures_match_recompute(spark):
     assert sorted(r.doc_id for r in a.collect()) == sorted(
         r.doc_id for r in b.collect()
     ) == [2]
+
+
+def test_bpe_train_learns_sennrich_sequence(spark):
+    from starlight_for_kafka_spark.operators.text import bpe_train
+
+    # the classic corpus: low x5, lower x2, newest x6, widest x3
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    out = [tuple(r) for r in bpe_train(docs, n_merges=4).collect()]
+    # es (9 = newest 6 + widest 3), then est (9), then lo (7), then low (7)
+    assert out == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+    ]
+
+
+def test_bpe_train_greedy_fold_on_runs(spark):
+    from starlight_for_kafka_spark.operators.text import bpe_train
+
+    # 'aaa' x4: round 1 fuses (a,a) -> greedy leaves [aa, a] per word, so
+    # round 2's argmax is (aa, a) — the fold must NOT chain-fuse through
+    # its own output within a round
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa aaa")], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in bpe_train(docs, n_merges=2).collect()]
+    assert out == [
+        (1, "a", "a", "aa", 8),
+        (2, "aa", "a", "aaa", 4),
+    ]
+
+
+def test_bpe_train_stops_when_no_pairs_remain(spark):
+    from starlight_for_kafka_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd")], "doc_id long, text string"
+    )
+    out = bpe_train(docs, n_merges=10).collect()
+    # ab(2), cd(1) — after both merges every word is one symbol
+    assert [(r.rank, r.merged) for r in out] == [(1, "ab"), (2, "cd")]
