@@ -2298,6 +2298,42 @@ def q_filter_funnel(spark, sf_dir):
     )
 
 
+def q_snapshot_delta(spark, sf_dir):
+    """Crawl-snapshot diff (dedup.snapshot_delta): both snapshots reduce
+    to (id, normalized-content digest), one co-partitioned full-outer
+    join classifies added/removed/changed/unchanged. Fixture: the new
+    snapshot drops doc_id%10==1 (removed), appends ' revised content'
+    to %10==2 (changed), keeps the rest verbatim (unchanged), and adds
+    word-reversed %10==3 clones at +9M ids (added)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    rev = F.array_join(F.reverse(F.split(norm, " ")), " ")
+    kept = docs.filter(F.col("doc_id") % 10 != 1)
+    changed = F.when(
+        F.col("doc_id") % 10 == 2,
+        F.concat(F.col("text"), F.lit(" revised content")),
+    ).otherwise(F.col("text"))
+    added = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), rev.alias("text")
+    )
+    new = kept.select("doc_id", changed.alias("text")).unionByName(added)
+    return dedup_ops.snapshot_delta(docs, new)
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """Quality-cut calibration (text.threshold_sweep): survivor counts
+    AND surviving token mass at four stop-ratio thresholds in one
+    corpus pass — the report read before picking a 100 TB filter's cut
+    point. Score = quality_score's stop_ratio, weight = token_count's
+    n_tokens; the oracle replays both recipes (the text_stats padded
+    replace-count arithmetic) plus the conditional sums."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = text_ops.quality_score(text_ops.token_count(docs))
+    return text_ops.threshold_sweep(
+        scored, "stop_ratio", [0.02, 0.05, 0.1, 0.2], weight_col="n_tokens"
+    )
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (text.bpe_train): the full
     merge LOOP — word-frequency collapse once, then per-round pair
@@ -3892,6 +3928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs": q_contamination_pairs,
         "filter_funnel": q_filter_funnel,
         "bpe_train": q_bpe_train,
+        "snapshot_delta": q_snapshot_delta,
+        "threshold_sweep": q_threshold_sweep,
         "sql_surface_q2": q_sql_surface_q2,
         "sql_surface_q3": q_sql_surface_q3,
         "sql_surface_q4": q_sql_surface_q4,
@@ -4571,6 +4609,68 @@ agg AS (
 {stage_rows}"""
 
 
+def _snapshot_delta_oracle_sql() -> str:
+    """snapshot_delta: digest both snapshots, one full-outer join, the
+    four-way CASE — digests are md5 over the repo-standard normalized
+    text (ASCII corpus: DuckDB md5(varchar) == Spark md5(cast binary))."""
+    return """WITH rev AS (
+  SELECT doc_id,
+         array_to_string(list_reverse(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), ' ') AS rtext
+  FROM documents
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 2 THEN text || ' revised content' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 != 1
+  UNION ALL
+  SELECT doc_id + 9000000, rtext FROM rev WHERE doc_id % 10 = 3
+),
+o AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS old_digest FROM documents),
+n AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS new_digest FROM new)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN old_digest = new_digest THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_digest, new_digest
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+
+
+def _threshold_sweep_oracle_sql() -> str:
+    """threshold_sweep over stop_ratio: the text_stats stopword replace
+    arithmetic, conditional sums per threshold, one aggregate row
+    reshaped to four report rows."""
+    thresholds = [0.02, 0.05, 0.1, 0.2]
+    aggs = ["count(*)::BIGINT AS n", "CAST(sum(nw) AS BIGINT) AS w"]
+    for i, t in enumerate(thresholds):
+        aggs.append(
+            f"CAST(sum(CASE WHEN sr >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS p{i}"
+        )
+        aggs.append(
+            f"CAST(sum(CASE WHEN sr >= {t} THEN nw ELSE 0 END) AS BIGINT) AS wp{i}"
+        )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {t} AS threshold, n AS n_total, p{i} AS n_pass, "
+        f"p{i} / n AS pass_rate, w AS weight_total, wp{i} AS weight_pass FROM agg"
+        for i, t in enumerate(thresholds)
+    )
+    return f"""WITH scored AS (
+  SELECT nw,
+         (CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS INT)
+          + CAST((length(padded) - length(replace(padded, ' and ', ''))) / 5 AS INT)
+          + CAST((length(padded) - length(replace(padded, ' of ', ''))) / 4 AS INT)
+          + CAST((length(padded) - length(replace(padded, ' to ', ''))) / 4 AS INT)
+          + CAST((length(padded) - length(replace(padded, ' a ', ''))) / 3 AS INT)) / nw AS sr
+  FROM (
+    SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS nw,
+           ' ' || lower(text) || ' ' AS padded
+    FROM documents
+  )
+),
+agg AS (SELECT {', '.join(aggs)} FROM scored)
+{rows}"""
+
+
 def _bpe_train_oracle_sql(n_merges: int = 3) -> str:
     """bpe_train: the merge loop unrolled — per round, pair counts over
     the current symbol arrays, the (count desc, left, right) argmax, and
@@ -4951,6 +5051,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination_pairs": _contamination_pairs_oracle_sql(),
         "filter_funnel": _filter_funnel_oracle_sql(),
         "bpe_train": _bpe_train_oracle_sql(),
+        "snapshot_delta": _snapshot_delta_oracle_sql(),
+        "threshold_sweep": _threshold_sweep_oracle_sql(),
         "dedup_minhash_capped": f"""WITH {_minhash_pipeline_cte(star_above=2)}
 SELECT a, b FROM ver""",
         "minhash_jaccard_estimate": f"""WITH {_minhash_pipeline_cte()},

@@ -104,6 +104,48 @@ def incremental_dedup(
     return _keep_min_id_per_digest(fresh, new_docs.columns, id_col)
 
 
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-snapshot diff: classify every document id across two
+    snapshots of the same source as ``added`` (only in ``new``),
+    ``removed`` (only in ``old``), ``changed`` (both, different
+    normalized content), or ``unchanged`` — the ingestion-governance
+    report you read before re-running a 100 TB pipeline over a fresh
+    crawl (an `unchanged` share near 1 means the downstream dedup /
+    quality / tokenize stages can skip re-processing via the stored
+    digests; a spike in `removed` means the crawler lost a domain, not
+    that the pipeline should forget it).
+
+    Scale shape: both sides reduce to (id, digest) FIRST — one scan
+    each, the heavy text never shuffles — then ONE full-outer
+    digest-level join on the id (co-partitioned, both sides hash on the
+    same key). Emits (id, status, old_digest, new_digest); downstream
+    callers semi-join `added`/`changed` ids back against ``new`` to
+    fetch content for just the slice that needs re-processing.
+
+    The digest is the repo-standard normalized-content md5 (lowercase,
+    whitespace collapsed — same as :func:`exact_dedup` /
+    :func:`incremental_dedup`), so `changed` means *content* change,
+    not formatting noise.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    digest = F.md5(norm.cast("binary"))
+    o = old.select(F.col(id_col), digest.alias("old_digest"))
+    n = new.select(F.col(id_col), digest.alias("new_digest"))
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") == F.col("new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(id_col, status.alias("status"), "old_digest", "new_digest")
+
+
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1; a*h + b stays inside int64
 
 

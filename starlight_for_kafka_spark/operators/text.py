@@ -1234,3 +1234,58 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    thresholds: list[float],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Survivor curve for a quality score in ONE corpus pass: for each
+    candidate threshold t, how many docs (and how much weight — tokens,
+    bytes — if ``weight_col`` is given) survive ``score >= t``. The
+    calibration report you run BEFORE picking the cut point of a 100 TB
+    quality filter: every threshold is a conditional sum over the same
+    scan, folded in a single partial-combining aggregation — k
+    thresholds cost one pass, not k.
+
+    Emits one row per threshold: (threshold, n_total, n_pass,
+    pass_rate[, weight_total, weight_pass]). NULL scores never pass
+    (they do count in n_total — a doc the scorer could not evaluate is
+    still corpus mass the cut must account for).
+    """
+    if not thresholds:
+        raise ValueError("threshold_sweep needs at least one threshold")
+    s = F.col(score_col)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, t in enumerate(thresholds):
+        aggs.append(
+            F.sum(F.when(s >= F.lit(t), 1).otherwise(0)).alias(f"__p{i}")
+        )
+    if weight_col is not None:
+        w = F.col(weight_col)
+        aggs.append(F.sum(w).alias("__w"))
+        for i, t in enumerate(thresholds):
+            aggs.append(
+                F.sum(F.when(s >= F.lit(t), w).otherwise(F.lit(0))).alias(
+                    f"__wp{i}"
+                )
+            )
+    one = df.agg(*aggs)
+    fields = []
+    for i, t in enumerate(thresholds):
+        parts = [
+            F.lit(float(t)).alias("threshold"),
+            F.col("__n").alias("n_total"),
+            F.coalesce(F.col(f"__p{i}"), F.lit(0)).alias("n_pass"),
+            F.when(
+                F.col("__n") > 0,
+                F.coalesce(F.col(f"__p{i}"), F.lit(0)) / F.col("__n"),
+            ).otherwise(F.lit(0.0)).alias("pass_rate"),
+        ]
+        if weight_col is not None:
+            parts.append(F.col("__w").alias("weight_total"))
+            parts.append(F.col(f"__wp{i}").alias("weight_pass"))
+        fields.append(F.struct(*parts))
+    return one.select(F.explode(F.array(*fields)).alias("s")).select("s.*")

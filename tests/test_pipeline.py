@@ -1972,3 +1972,52 @@ def test_bpe_train_stops_when_no_pairs_remain(spark):
     out = bpe_train(docs, n_merges=10).collect()
     # ab(2), cd(1) — after both merges every word is one symbol
     assert [(r.rank, r.merged) for r in out] == [(1, "ab"), (2, "cd")]
+
+
+def test_snapshot_delta_four_statuses_and_normalization(spark):
+    from starlight_for_kafka_spark.operators.dedup import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept same")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        # 3's edit is whitespace+case only -> digests equal -> unchanged
+        [(2, "gamma REVISED"), (3, "Kept   SAME"), (4, "brand new page")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in snapshot_delta(old, new).collect()}
+    assert {k: v.status for k, v in out.items()} == {
+        1: "removed", 2: "changed", 3: "unchanged", 4: "added"
+    }
+    assert out[1].new_digest is None
+    assert out[4].old_digest is None
+    assert out[3].old_digest == out[3].new_digest
+
+
+def test_threshold_sweep_counts_weights_and_null_scores(spark):
+    from starlight_for_kafka_spark.operators.text import threshold_sweep
+
+    docs = spark.createDataFrame(
+        [(1, 0.1, 10), (2, 0.5, 20), (3, 0.9, 30), (4, None, 40)],
+        "doc_id long, score double, w long",
+    )
+    out = {r.threshold: r for r in threshold_sweep(
+        docs, "score", [0.5, 0.95], weight_col="w"
+    ).collect()}
+    r5 = out[0.5]
+    # NULL score counts in totals, never passes
+    assert (r5.n_total, r5.n_pass, r5.weight_total, r5.weight_pass) == (4, 2, 100, 50)
+    assert r5.pass_rate == 0.5
+    r95 = out[0.95]
+    assert (r95.n_pass, r95.weight_pass) == (0, 0)
+
+
+def test_threshold_sweep_requires_thresholds(spark):
+    import pytest
+
+    from starlight_for_kafka_spark.operators.text import threshold_sweep
+
+    df = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
+    with pytest.raises(ValueError, match="at least one"):
+        threshold_sweep(df, "score", [])
