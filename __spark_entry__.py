@@ -2334,6 +2334,19 @@ def q_threshold_sweep(spark, sf_dir):
     )
 
 
+def q_bpe_apply(spark, sf_dir):
+    """Tokenize with the learned merges (text.bpe_apply): trains 3
+    merges on documents, collects the 3-row merge table (control-plane),
+    then tokenizes every document against the trained vocab — merge
+    folds run once per distinct word, the doc side is one
+    (doc, word)-keyed agg + one word join. The oracle folds the same
+    three argmax merges into the vocab and replays the join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    learned = text_ops.bpe_train(docs, n_merges=3).collect()
+    merges = [(r["left"], r["right"]) for r in learned]
+    return text_ops.bpe_apply(docs, merges)
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (text.bpe_train): the full
     merge LOOP — word-frequency collapse once, then per-round pair
@@ -3928,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs": q_contamination_pairs,
         "filter_funnel": q_filter_funnel,
         "bpe_train": q_bpe_train,
+        "bpe_apply": q_bpe_apply,
         "snapshot_delta": q_snapshot_delta,
         "threshold_sweep": q_threshold_sweep,
         "sql_surface_q2": q_sql_surface_q2,
@@ -4671,14 +4685,17 @@ agg AS (SELECT {', '.join(aggs)} FROM scored)
 {rows}"""
 
 
-def _bpe_train_oracle_sql(n_merges: int = 3) -> str:
-    """bpe_train: the merge loop unrolled — per round, pair counts over
-    the current symbol arrays, the (count desc, left, right) argmax, and
-    the greedy left-to-right fold via list_reduce (seed-first form:
-    symbols lifted to singleton lists so the accumulator starts as a
-    list — DuckDB 1.0 list_reduce takes no explicit init)."""
+def _bpe_ctes(n_merges: int, fold_last: bool = False) -> list[str]:
+    """Shared CTE chain for the BPE oracles: the merge loop unrolled —
+    per round, pair counts over the current symbol arrays, the
+    (count desc, left, right) argmax, and the greedy left-to-right fold
+    via list_reduce (seed-first form: symbols lifted to singleton lists
+    so the accumulator starts as a list — DuckDB 1.0 list_reduce takes
+    no explicit init). ``fold_last`` additionally folds round
+    n_merges's pair into w{n_merges} (the trained vocab bpe_apply
+    tokenizes against); the word string rides along for the apply join."""
     ctes = ["""w0 AS (
-  SELECT count(*)::BIGINT AS wf,
+  SELECT word, count(*)::BIGINT AS wf,
          list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS syms
   FROM (
     SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
@@ -4701,9 +4718,9 @@ def _bpe_train_oracle_sql(n_merges: int = 3) -> str:
   SELECT {r} AS rank, l, r, l || r AS merged, n
   FROM p{r} ORDER BY n DESC, l, r LIMIT 1
 )""")
-        if r < n_merges:
+        if r < n_merges or fold_last:
             ctes.append(f"""w{r} AS (
-  SELECT wf,
+  SELECT word, wf,
          list_reduce(
            list_transform(syms, x -> [x]),
            (acc, s) -> CASE
@@ -4713,12 +4730,42 @@ def _bpe_train_oracle_sql(n_merges: int = 3) -> str:
          ) AS syms
   FROM {prev} CROSS JOIN b{r} b
 )""")
+    return ctes
+
+
+def _bpe_train_oracle_sql(n_merges: int = 3) -> str:
+    """bpe_train: the learned merge table — one row per unrolled round."""
     unions = "\nUNION ALL\n".join(
         f"SELECT CAST(rank AS INT) AS rank, l AS left, r AS right, merged, "
         f"n AS pair_count FROM b{r}"
         for r in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    return "WITH " + ",\n".join(_bpe_ctes(n_merges)) + "\n" + unions
+
+
+def _bpe_apply_oracle_sql(n_merges: int = 3) -> str:
+    """bpe_apply: tokenize against the trained vocab — per-doc word
+    occurrences join w{n_merges}'s per-word symbol counts (the
+    type-level decomposition the Spark operator uses: the merge folds
+    run once per distinct word, never once per token)."""
+    ctes = _bpe_ctes(n_merges, fold_last=True)
+    ctes.append("""docw AS (
+  SELECT doc_id, word, count(*)::BIGINT AS occ
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+  ) WHERE len(word) > 0
+  GROUP BY doc_id, word
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT d.doc_id,
+       CAST(sum(d.occ) AS BIGINT) AS n_words,
+       CAST(sum(d.occ * len(v.syms)) AS BIGINT) AS n_tokens
+FROM docw d JOIN w{n_merges} v USING (word)
+GROUP BY d.doc_id"""
+    )
 
 
 def _leakage_safe_split_oracle_sql() -> str:
@@ -5051,6 +5098,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_pairs": _contamination_pairs_oracle_sql(),
         "filter_funnel": _filter_funnel_oracle_sql(),
         "bpe_train": _bpe_train_oracle_sql(),
+        "bpe_apply": _bpe_apply_oracle_sql(),
         "snapshot_delta": _snapshot_delta_oracle_sql(),
         "threshold_sweep": _threshold_sweep_oracle_sql(),
         "dedup_minhash_capped": f"""WITH {_minhash_pipeline_cte(star_above=2)}

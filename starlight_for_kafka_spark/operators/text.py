@@ -1135,6 +1135,29 @@ def filter_funnel(
     return one.select(stages).select("s.*")
 
 
+def _bpe_merge_fold(syms, left: str, right: str, merged: str):
+    """Greedy left-to-right merge of adjacent (left, right) into
+    ``merged`` over a symbol array, as ONE ``F.aggregate`` fold —
+    shared by :func:`bpe_train` (per round) and :func:`bpe_apply`
+    (per learned rank). Greedy never re-reads its own output: after a
+    fusion the accumulator tail is ``merged``, which can only equal
+    ``left`` if ``right`` were empty (impossible — symbols are
+    non-empty), so `tail == left` is exactly "previous symbol is an
+    unfused left"."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -1208,28 +1231,8 @@ def bpe_train(
         left, right, count = best["l"], best["r"], int(best["n"])
         merged = left + right
         merges.append((rank, left, right, merged, count))
-        # greedy left-to-right fold: fuse (left, right) when the
-        # accumulator's tail is `left` AND that tail was not itself
-        # produced by this round's fusion (greedy never re-reads its
-        # own output). After a fusion the tail equals `merged`, and
-        # `merged` can only equal `left` if right == '' (impossible:
-        # symbols are non-empty), so tail == left is exactly "previous
-        # symbol is an unfused left" — no extra fold state needed.
         vocab = vocab.select(
-            "wf",
-            F.aggregate(
-                "syms",
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(left))
-                    & (s == F.lit(right)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.lit(merged)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
-            ).alias("syms"),
+            "wf", _bpe_merge_fold("syms", left, right, merged).alias("syms")
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count long"
@@ -1289,3 +1292,57 @@ def threshold_sweep(
             parts.append(F.col(f"__wp{i}").alias("weight_pass"))
         fields.append(F.struct(*parts))
     return one.select(F.explode(F.array(*fields)).alias("s")).select("s.*")
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned BPE merge list: per document, the word
+    count and the token count under ``merges`` applied in rank order —
+    the :func:`bpe_train` complement that closes the loop (train →
+    apply → capacity numbers for packing).
+
+    The TYPE-level decomposition, same as training: merges fold once
+    per DISTINCT word (the Zipf-small vocab), never once per token —
+    documents reduce to (doc, word, occurrences), join the vocab's
+    per-word symbol count, and sum. At 100 TB the corpus-side cost is
+    one (doc, word)-keyed partial-combining aggregation + one join
+    keyed on the word (AQE broadcasts the vocab side when it fits);
+    the k merge folds run over vocab rows only.
+
+    ``merges`` is bounded-k by construction (each rank is one fold in
+    the expression tree — the 3-5 merges of a pipeline experiment, not
+    a production 32k-merge tokenizer; that path is a Pandas-UDF
+    tokenizer as noted in :func:`token_count`). Emits
+    (id, n_words, n_tokens).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    words = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.trim(norm), " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("occ"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    vocab = words.select("word").distinct().select("word", chars.alias("syms"))
+    for left, right in merges:
+        vocab = vocab.select(
+            "word", _bpe_merge_fold("syms", left, right, left + right).alias("syms")
+        )
+    vocab = vocab.select("word", F.size("syms").alias("n_syms"))
+    return (
+        words.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_words"),
+            F.sum(F.col("occ") * F.col("n_syms")).alias("n_tokens"),
+        )
+    )

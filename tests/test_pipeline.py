@@ -2021,3 +2021,28 @@ def test_threshold_sweep_requires_thresholds(spark):
     df = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
     with pytest.raises(ValueError, match="at least one"):
         threshold_sweep(df, "score", [])
+
+
+def test_bpe_apply_token_counts_match_manual_fold(spark):
+    from starlight_for_kafka_spark.operators.text import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest low")],
+        "doc_id long, text string",
+    )
+    learned = bpe_train(docs, n_merges=2).collect()
+    merges = [(r["left"], r["right"]) for r in learned]
+    out = {r.doc_id: r for r in bpe_apply(docs, merges).collect()}
+    # merges: lo(4: low x3 + lower), low(4) -> 'low' = 1 token,
+    # 'lower' = [low, e, r] = 3, 'newest' = 6 chars untouched
+    assert merges == [("l", "o"), ("lo", "w")]
+    assert (out[1].n_words, out[1].n_tokens) == (3, 1 + 1 + 3)
+    assert (out[2].n_words, out[2].n_tokens) == (2, 6 + 1)
+
+
+def test_bpe_apply_empty_merges_counts_chars(spark):
+    from starlight_for_kafka_spark.operators.text import bpe_apply
+
+    docs = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
+    out = bpe_apply(docs, []).collect()[0]
+    assert (out.n_words, out.n_tokens) == (2, 5)

@@ -640,3 +640,34 @@ def test_pq_knn_join_is_keyed_join_not_cross_product(spark):
     plan = plan_string(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_decontaminate_all_joins_broadcast_no_smj(spark):
+    # the decontamination contract: the CORPUS lineage is broadcast-
+    # probed end to end — the banding probe, the candidate-id semi-join
+    # and the final anti-join all hash a broadcast side. The one join
+    # allowed to shuffle is the sliver verify (keyed on corpus_id /
+    # bench_id): its inputs are the candidate pairs and their shingle
+    # sets — bounded by LEAK volume, not corpus volume (AQE converts it
+    # to broadcast at runtime when the sliver is small). Wide corpus
+    # input so the signing spread stays out.
+    n_part = spark.sparkContext.defaultParallelism
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i} with some shared words inside") for i in range(40)],
+        "doc_id long, text string",
+    ).repartition(n_part * 2)
+    bench = spark.createDataFrame(
+        [(1000 + i, f"corpus doc number {i} with some shared words inside") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = dedup_ops.fuzzy_decontaminate(
+        corpus, bench, shingle_k=3, shingle_mode="word", threshold=0.6
+    )
+    p = plan_string(out)
+    assert p.count("BroadcastHashJoin") >= 3, p
+    # any sort-merge join must be keyed on the candidate-pair ids (the
+    # sliver verify), never on a text-bearing corpus branch
+    import re
+
+    for m in re.finditer(r"\(\d+\) SortMergeJoin[\s\S]*?Left keys \[\d+\]: \[(\w+)", p):
+        assert m.group(1).startswith(("corpus_id", "bench_id")), p
