@@ -1299,6 +1299,7 @@ def bpe_apply(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Tokenize with a learned BPE merge list: per document, the word
     count and the token count under ``merges`` applied in rank order —
@@ -1306,12 +1307,15 @@ def bpe_apply(
     apply → capacity numbers for packing).
 
     The TYPE-level decomposition, same as training: merges fold once
-    per DISTINCT word (the Zipf-small vocab), never once per token —
-    documents reduce to (doc, word, occurrences), join the vocab's
-    per-word symbol count, and sum. At 100 TB the corpus-side cost is
-    one (doc, word)-keyed partial-combining aggregation + one join
-    keyed on the word (AQE broadcasts the vocab side when it fits);
-    the k merge folds run over vocab rows only.
+    per DISTINCT word (the Zipf-small vocab), never once per token.
+    With ``broadcast_vocab`` (default — real tokenizer vocabularies are
+    at most ~10^7 (word, count) rows) the corpus side is ONE pass:
+    explode words into a broadcast-hash probe of the sized vocab and
+    partial-combine straight into the per-doc sums — measured at 30x
+    this collapses shuffle 88 MB → per-doc partials (the (doc, word)
+    pre-aggregation it replaces was the operator's whole shuffle).
+    ``broadcast_vocab=False`` is the giant-vocab escape hatch: reduce
+    to (doc, word, occurrences) first and shuffle-join on the word.
 
     ``merges`` is bounded-k by construction (each rank is one fold in
     the expression tree — the 3-5 merges of a pipeline experiment, not
@@ -1320,26 +1324,38 @@ def bpe_apply(
     (id, n_words, n_tokens).
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    words = (
+    occurrences = (
         df.select(
             F.col(id_col), F.explode(F.split(F.trim(norm), " ")).alias("word")
         )
         .filter(F.length("word") > 0)
-        .groupBy(id_col, "word")
-        .agg(F.count("*").alias("occ"))
     )
     chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
-    vocab = words.select("word").distinct().select("word", chars.alias("syms"))
+    vocab = (
+        occurrences.select("word").distinct().select("word", chars.alias("syms"))
+    )
     for left, right in merges:
         vocab = vocab.select(
             "word", _bpe_merge_fold("syms", left, right, left + right).alias("syms")
         )
     vocab = vocab.select("word", F.size("syms").alias("n_syms"))
+    if broadcast_vocab:
+        return (
+            occurrences.join(F.broadcast(vocab), "word")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_syms").alias("n_tokens"),
+            )
+        )
+    per_word = occurrences.groupBy(id_col, "word").agg(
+        F.count("*").alias("occ")
+    )
     return (
-        words.join(vocab, "word")
+        per_word.join(vocab, "word")
         .groupBy(id_col)
         .agg(
             F.sum("occ").alias("n_words"),
