@@ -130,7 +130,9 @@ def snapshot_delta(
     The digest is the repo-standard normalized-content md5 (lowercase,
     whitespace collapsed — same as :func:`exact_dedup` /
     :func:`incremental_dedup`), so `changed` means *content* change,
-    not formatting noise.
+    not formatting noise. Ids must be unique WITHIN each snapshot (the
+    crawl-key contract); a duplicated id would multiply through the
+    join like any keyed log with a corrupt key.
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     digest = F.md5(norm.cast("binary"))
@@ -1077,15 +1079,11 @@ def fuzzy_decontaminate(
     sigs_bench = minhash_signatures(
         benchmark, text_col, id_col, num_hashes, shingle_k, shingle_mode
     )
+    # num_hashes is always concrete here, so banding never returns the
+    # None empty-probe sentinel; an EMPTY benchmark flows through as an
+    # empty banding frame (zero candidates -> zero flagged -> corpus
+    # unchanged / empty report with the right columns)
     bb = _banded_signatures(sigs_bench, id_col, bands, num_hashes)
-    if bb is None:
-        if mode == "report":
-            return corpus.limit(0).select(
-                F.col(id_col).alias("corpus_id"),
-                F.col(id_col).alias("bench_id"),
-                F.lit(0.0).alias("jaccard"),
-            )
-        return corpus
     # benchmark-side hot-bucket cap: tiny aggregation, broadcast both ways
     hot = (
         bb.groupBy("band", "bucket")
