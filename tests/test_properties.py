@@ -607,3 +607,65 @@ def test_knn_join_brute_equals_per_query_top_k(spark, vecs, k):
         assert [(m[1], m[2]) for m in mine] == [
             (e.vec_id, e.cos_sim) for e in expect
         ], (qid, mine, expect)
+
+
+def _bpe_reference(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python BPE reference (Sennrich '16 with the repo's greedy
+    left-to-right merge-application semantics and (count desc, left,
+    right) tiebreak) — the spec bpe_train/bpe_apply are checked against."""
+    vocab = {w: [c for c in w] for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), n = best
+        merges.append((rank, l, r, l + r, n))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges, {w: len(s) for w, s in vocab.items()}
+
+
+@_spark_settings
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    reps=st.lists(st.integers(1, 4), min_size=12, max_size=12),
+    n_merges=st.integers(1, 3),
+)
+def test_bpe_train_and_apply_match_pure_python_reference(
+    spark, words, reps, n_merges
+):
+    """For ANY corpus, the distributed merge loop learns exactly the
+    reference merge table and bpe_apply's token counts equal the
+    reference vocab's symbol counts — including tie-heavy tiny-alphabet
+    corpora and single-char words."""
+    from starlight_for_kafka_spark.operators.text import bpe_apply, bpe_train
+
+    text = " ".join(w for w, k in zip(words, reps) for _ in range(k))
+    freqs: dict[str, int] = {}
+    for w, k in zip(words, reps):
+        freqs[w] = freqs.get(w, 0) + k
+    exp_merges, exp_sizes = _bpe_reference(freqs, n_merges)
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train(docs, n_merges=n_merges).collect()]
+    assert got == exp_merges, (text, got, exp_merges)
+
+    applied = bpe_apply(docs, [(l, r) for _, l, r, _, _ in exp_merges]).collect()
+    n_words = sum(freqs.values())
+    n_tokens = sum(exp_sizes[w] * k for w, k in freqs.items())
+    assert [(r.n_words, r.n_tokens) for r in applied] == [(n_words, n_tokens)]
