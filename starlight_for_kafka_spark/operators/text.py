@@ -1065,6 +1065,7 @@ def bigram_logprob(
 def filter_funnel(
     df: DataFrame,
     filters: list[tuple[str, Column]],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Quality-pipeline attrition report: apply the named boolean
     ``filters`` AS A SEQUENTIAL FUNNEL and emit one row per stage with
@@ -1078,6 +1079,12 @@ def filter_funnel(
                      chain — the stage's unique contribution; a filter
                      with removed >> 0 but removed_solely ~ 0 is
                      redundant with the rest of the chain
+
+    With ``weight_col`` (tokens, bytes) three more columns report the
+    MASS the funnel moves — weight_in / weight_removed / weight_out per
+    stage — because a gate that removes 1% of docs can still remove 30%
+    of tokens (long-doc gates do exactly that), and token mass is what
+    the training run actually consumes.
 
     This is the governance pass you run BEFORE committing a 100 TB
     filtering job: which rule removes what, and which rules are dead
@@ -1095,7 +1102,10 @@ def filter_funnel(
         F.coalesce(pred, F.lit(False)).cast("int").alias(f"__f{i}")
         for i, (_, pred) in enumerate(filters)
     ]
-    flagged = df.select(*flags)
+    cols = list(flags)
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("__w"))
+    flagged = df.select(*cols)
     k = len(filters)
     aggs = []
     for i in range(k):
@@ -1111,27 +1121,36 @@ def filter_funnel(
             if j != i:
                 solo = solo * F.col(f"__f{j}")
         aggs.append(F.sum(solo).alias(f"__solo{i}"))
-    one = flagged.agg(*aggs)
-    stages = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i + 1).alias("stage"),
-                    F.lit(filters[i][0]).alias("name"),
-                    F.coalesce(F.col(f"__in{i}"), F.lit(0)).alias("rows_in"),
-                    (
-                        F.coalesce(F.col(f"__in{i}"), F.lit(0))
-                        - F.coalesce(F.col(f"__out{i}"), F.lit(0))
-                    ).alias("removed"),
-                    F.coalesce(F.col(f"__out{i}"), F.lit(0)).alias("rows_out"),
-                    F.coalesce(F.col(f"__solo{i}"), F.lit(0)).alias(
-                        "removed_solely"
-                    ),
+        if weight_col is not None:
+            aggs.append(F.sum(prefix * F.col("__w")).alias(f"__win{i}"))
+            aggs.append(
+                F.sum(prefix * F.col(f"__f{i}") * F.col("__w")).alias(
+                    f"__wout{i}"
                 )
-                for i in range(k)
-            ]
-        )
-    ).alias("s")
+            )
+    one = flagged.agg(*aggs)
+
+    def stage_struct(i: int):
+        parts = [
+            F.lit(i + 1).alias("stage"),
+            F.lit(filters[i][0]).alias("name"),
+            F.coalesce(F.col(f"__in{i}"), F.lit(0)).alias("rows_in"),
+            (
+                F.coalesce(F.col(f"__in{i}"), F.lit(0))
+                - F.coalesce(F.col(f"__out{i}"), F.lit(0))
+            ).alias("removed"),
+            F.coalesce(F.col(f"__out{i}"), F.lit(0)).alias("rows_out"),
+            F.coalesce(F.col(f"__solo{i}"), F.lit(0)).alias("removed_solely"),
+        ]
+        if weight_col is not None:
+            win = F.coalesce(F.col(f"__win{i}"), F.lit(0))
+            wout = F.coalesce(F.col(f"__wout{i}"), F.lit(0))
+            parts.append(win.alias("weight_in"))
+            parts.append((win - wout).alias("weight_removed"))
+            parts.append(wout.alias("weight_out"))
+        return F.struct(*parts)
+
+    stages = F.explode(F.array(*[stage_struct(i) for i in range(k)])).alias("s")
     return one.select(stages).select("s.*")
 
 

@@ -2046,3 +2046,25 @@ def test_bpe_apply_empty_merges_counts_chars(spark):
     docs = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
     out = bpe_apply(docs, []).collect()[0]
     assert (out.n_words, out.n_tokens) == (2, 5)
+
+
+def test_filter_funnel_weighted_mass_attrition(spark):
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark.operators.text import filter_funnel
+
+    docs = spark.createDataFrame(
+        [(1, 10, 100), (2, 30, 1000), (3, 50, 10)],
+        "doc_id long, score long, w long",
+    )
+    out = filter_funnel(
+        docs,
+        [("s20", F.col("score") >= 20), ("s40", F.col("score") >= 40)],
+        weight_col="w",
+    ).collect()
+    s20, s40 = out
+    # s20 removes doc1 (w=100): 1 of 3 docs but 100 of 1110 mass
+    assert (s20.rows_in, s20.removed, s20.weight_in, s20.weight_removed, s20.weight_out) == (3, 1, 1110, 100, 1010)
+    # s40 then removes doc2 (w=1000): 1 of 2 docs but 1000 of 1010 mass —
+    # the doc-count view alone would call the two gates equally aggressive
+    assert (s40.rows_in, s40.removed, s40.weight_in, s40.weight_removed, s40.weight_out) == (2, 1, 1010, 1000, 10)
