@@ -2334,6 +2334,28 @@ def q_threshold_sweep(spark, sf_dir):
     )
 
 
+def q_filter_funnel_weighted(spark, sf_dir):
+    """The weighted funnel (text.filter_funnel weight_col): same four
+    gates as filter_funnel plus token-mass attrition per stage —
+    weight_in/weight_removed/weight_out — because a gate removing 1% of
+    docs can still remove 30% of tokens. Weight = token_count's
+    n_tokens; the oracle extends the funnel sums with the conditional
+    weight sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    weighted = docs.withColumn("n_tokens", n_words.cast("long"))
+    return text_ops.filter_funnel(
+        weighted,
+        [
+            ("min_chars", F.length("text") >= 200),
+            ("lang_known", F.col("lang").isin("en", "es", "de", "fr")),
+            ("min_words", n_words >= 30),
+            ("max_words", n_words <= 2000),
+        ],
+        weight_col="n_tokens",
+    )
+
+
 def q_bpe_apply(spark, sf_dir):
     """Tokenize with the learned merges (text.bpe_apply): trains 3
     merges on documents, collects the 3-row merge table (control-plane),
@@ -3942,6 +3964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": q_filter_funnel,
         "bpe_train": q_bpe_train,
         "bpe_apply": q_bpe_apply,
+        "filter_funnel_weighted": q_filter_funnel_weighted,
         "snapshot_delta": q_snapshot_delta,
         "threshold_sweep": q_threshold_sweep,
         "sql_surface_q2": q_sql_surface_q2,
@@ -4578,11 +4601,13 @@ def _contamination_pairs_oracle_sql() -> str:
 SELECT corpus_id, bench_id, jaccard FROM ver"""
 
 
-def _filter_funnel_oracle_sql() -> str:
+def _filter_funnel_oracle_sql(weighted: bool = False) -> str:
     """filter_funnel: the four-gate funnel over documents — sequential
     rows_in/removed/rows_out (prefix products of the gate flags) plus
     removed_solely (fails ONLY that gate), one aggregate row reshaped to
-    four report rows; word count via the text_stats split recipe."""
+    four report rows; word count via the text_stats split recipe.
+    ``weighted`` adds the token-mass columns (weight = word count, the
+    filter_funnel_weighted entry's n_tokens)."""
     gates = [
         ("min_chars", "length(text) >= 200"),
         ("lang_known", "lang IN ('en','es','de','fr')"),
@@ -4590,8 +4615,11 @@ def _filter_funnel_oracle_sql() -> str:
         ("max_words", "nw <= 2000"),
     ]
     flag_cols = ",\n         ".join(
-        f"CASE WHEN {cond} THEN 1 ELSE 0 END AS f{i}"
-        for i, (_, cond) in enumerate(gates)
+        [
+            f"CASE WHEN {cond} THEN 1 ELSE 0 END AS f{i}"
+            for i, (_, cond) in enumerate(gates)
+        ]
+        + ["nw"]
     )
     k = len(gates)
     aggs = []
@@ -4605,9 +4633,22 @@ def _filter_funnel_oracle_sql() -> str:
             f"    CAST(sum({prefix} * f{i}) AS BIGINT) AS out{i},\n"
             f"    CAST(sum({solo}) AS BIGINT) AS solo{i}"
         )
+        if weighted:
+            aggs.append(
+                f"CAST(sum({prefix} * nw) AS BIGINT) AS win{i},\n"
+                f"    CAST(sum({prefix} * f{i} * nw) AS BIGINT) AS wout{i}"
+            )
+    wcols = (
+        ", win{i} AS weight_in, win{i} - wout{i} AS weight_removed, "
+        "wout{i} AS weight_out"
+        if weighted
+        else ""
+    )
     stage_rows = "\nUNION ALL\n".join(
         f"SELECT CAST({i+1} AS INT) AS stage, '{name}' AS name, in{i} AS rows_in, "
-        f"in{i} - out{i} AS removed, out{i} AS rows_out, solo{i} AS removed_solely FROM agg"
+        f"in{i} - out{i} AS removed, out{i} AS rows_out, solo{i} AS removed_solely"
+        + wcols.format(i=i)
+        + " FROM agg"
         for i, (name, _) in enumerate(gates)
     )
     return f"""WITH f AS (
@@ -5097,6 +5138,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_fuzzy": _decontaminate_fuzzy_oracle_sql(),
         "contamination_pairs": _contamination_pairs_oracle_sql(),
         "filter_funnel": _filter_funnel_oracle_sql(),
+        "filter_funnel_weighted": _filter_funnel_oracle_sql(weighted=True),
         "bpe_train": _bpe_train_oracle_sql(),
         "bpe_apply": _bpe_apply_oracle_sql(),
         "snapshot_delta": _snapshot_delta_oracle_sql(),
