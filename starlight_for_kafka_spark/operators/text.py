@@ -1275,7 +1275,9 @@ def threshold_sweep(
     Emits one row per threshold: (threshold, n_total, n_pass,
     pass_rate[, weight_total, weight_pass]). NULL scores never pass
     (they do count in n_total — a doc the scorer could not evaluate is
-    still corpus mass the cut must account for).
+    still corpus mass the cut must account for); NULL weights
+    contribute nothing to the mass columns (standard SUM semantics) —
+    rows with unknown mass are counted, not weighed.
     """
     if not thresholds:
         raise ValueError("threshold_sweep needs at least one threshold")
