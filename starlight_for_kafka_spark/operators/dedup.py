@@ -1317,9 +1317,13 @@ def source_overlap(
     Assumes |S| (number of sources) is small — the matrix itself is
     O(|S|^2) — while docs and shingles are unbounded.
     """
+    # hashed gram identity: the distinct + source-set agg shuffle 8-byte
+    # longs, not 8-word strings (remove_repeated_spans' seam)
     grams = df.select(
         F.col(group_col).alias("grp"),
-        F.explode(word_shingles(F.col(text_col), ngram_k)).alias("g"),
+        F.explode(
+            F.transform(word_shingles(F.col(text_col), ngram_k), md5_hash64)
+        ).alias("g"),
     ).distinct()
     sizes = grams.groupBy("grp").agg(F.count("*").alias("n"))
     src_sets = grams.groupBy("g").agg(F.sort_array(F.collect_set("grp")).alias("ss"))
@@ -1377,9 +1381,16 @@ def duplicated_ngram_fraction(
     Docs with fewer than ngram_k words produce no grams and are absent
     from the output (they have no signal, not a 0.0 score).
     """
+    # gram identity travels as the md5-derived int64 (8 bytes through
+    # the gram agg + join instead of an 8-word string — same seam and
+    # collision argument as remove_repeated_spans)
     grams = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), ngram_k))).alias("g"),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles(F.col(text_col), ngram_k), md5_hash64)
+            )
+        ).alias("g"),
     )
     freq = grams.groupBy("g").agg(F.count("*").alias("n_docs"))
     per_doc = (
