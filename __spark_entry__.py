@@ -2298,6 +2298,34 @@ def q_filter_funnel(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_by_lang(spark, sf_dir):
+    """Partition-scoped near dedup (dedup.minhash_dedup partition_cols):
+    policy columns ride into the LSH bucket identity so cross-cell pairs
+    are never emitted. Fixture: same-lang near-dup clones (+1M, ' extra
+    token' — must drop) and IDENTICAL-text clones under a different lang
+    (+2M, 'xx-'-prefixed lang — must SURVIVE: their only near-dups live
+    in another cell). The oracle replays the pipeline with lang in every
+    bucket key."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    same = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        F.concat("text", F.lit(" extra token")).alias("text"),
+    )
+    cross = docs.filter(F.col("doc_id") % 20 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("xx-"), F.col("lang")).alias("lang"),
+        "text",
+    )
+    corpus = docs.unionByName(same).unionByName(cross)
+    return dedup_ops.minhash_dedup(
+        corpus, num_hashes=16, bands=4, shingle_k=3, threshold=0.7,
+        shingle_mode="word", partition_cols=["lang"],
+    ).select("doc_id")
+
+
 def q_snapshot_delta(spark, sf_dir):
     """Crawl-snapshot diff (dedup.snapshot_delta): both snapshots reduce
     to (id, normalized-content digest), one co-partitioned full-outer
@@ -3967,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel_weighted": q_filter_funnel_weighted,
         "snapshot_delta": q_snapshot_delta,
         "threshold_sweep": q_threshold_sweep,
+        "dedup_minhash_by_lang": q_dedup_minhash_by_lang,
         "sql_surface_q2": q_sql_surface_q2,
         "sql_surface_q3": q_sql_surface_q3,
         "sql_surface_q4": q_sql_surface_q4,
@@ -4726,6 +4755,81 @@ agg AS (SELECT {', '.join(aggs)} FROM scored)
 {rows}"""
 
 
+def _minhash_by_lang_oracle_sql() -> str:
+    """dedup_minhash_by_lang: the minhash pipeline with the policy
+    column (lang) in every bucket key — candidates, caps, and pairs all
+    scoped within the cell, exactly like minhash_lsh_candidates
+    partition_cols."""
+    from starlight_for_kafka_spark.operators.dedup import (
+        MINHASH_PRIME as P,
+        _minhash_coeffs,
+    )
+
+    a, b = _minhash_coeffs(16)
+    sig_exprs = ",\n    ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {P})), {P})"
+        for i in range(16)
+    )
+    band_expr = ", ".join(
+        f"md5(CAST(sg[{bb*4+1}] AS VARCHAR) || ',' || CAST(sg[{bb*4+2}] AS VARCHAR)"
+        f" || ',' || CAST(sg[{bb*4+3}] AS VARCHAR) || ',' || CAST(sg[{bb*4+4}] AS VARCHAR))"
+        for bb in range(4)
+    )
+    return f"""WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text || ' extra token'
+  FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, 'xx-' || lang, text
+  FROM documents WHERE doc_id % 20 = 5
+),
+w AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM corpus
+),
+s AS (
+  SELECT doc_id, lang,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [] END) AS sset
+  FROM w
+),
+h AS (
+  SELECT doc_id, lang,
+         list_transform(sset, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {P}) AS hs
+  FROM s
+),
+sig AS (SELECT doc_id, lang, [{sig_exprs}] AS sg FROM h),
+banded AS (
+  SELECT doc_id, lang, bt.band,
+         CASE bt.band WHEN 0 THEN bk[1] WHEN 1 THEN bk[2]
+                      WHEN 2 THEN bk[3] ELSE bk[4] END AS bucket
+  FROM (SELECT doc_id, lang, [{band_expr}] AS bk FROM sig) t
+  CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bt
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY lang, band, bucket) AS bs
+  FROM banded
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM (SELECT * FROM sized WHERE bs <= 200) x
+  JOIN (SELECT * FROM sized WHERE bs <= 200) y USING (lang, band, bucket)
+  WHERE x.doc_id < y.doc_id
+),
+ver AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN s sa ON sa.doc_id = c.a
+  JOIN s sb ON sb.doc_id = c.b
+  WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+        / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))) >= 0.7
+),
+losers AS (SELECT DISTINCT b AS doc_id FROM ver)
+SELECT c.doc_id FROM corpus c ANTI JOIN losers l USING (doc_id)"""
+
+
 def _bpe_ctes(n_merges: int, fold_last: bool = False) -> list[str]:
     """Shared CTE chain for the BPE oracles: the merge loop unrolled —
     per round, pair counts over the current symbol arrays, the
@@ -5137,6 +5241,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_incremental": _minhash_incremental_oracle_sql(),
         "decontaminate_fuzzy": _decontaminate_fuzzy_oracle_sql(),
         "contamination_pairs": _contamination_pairs_oracle_sql(),
+        "dedup_minhash_by_lang": _minhash_by_lang_oracle_sql(),
         "filter_funnel": _filter_funnel_oracle_sql(),
         "filter_funnel_weighted": _filter_funnel_oracle_sql(weighted=True),
         "bpe_train": _bpe_train_oracle_sql(),

@@ -171,8 +171,12 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 5,
     shingle_mode: str = "char",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature as (id, array<long> signature).
+    """Per-doc MinHash signature as (id[, *extra_cols], array<long>
+    signature). ``extra_cols`` ride along unchanged (partition-scoped
+    dedup carries its policy columns this way — they never enter the
+    hash).
 
     One md5 per distinct shingle; the K hash family is linear permutations
     h_i(x) = (a_i·x + b_i) mod P over that single base hash — the classic
@@ -215,9 +219,10 @@ def minhash_signatures(
         ]
     )
     src = df.repartition(n_part, id_col) if n_in < n_part else df
+    extras = [F.col(c) for c in (extra_cols or [])]
     return (
         src.withColumn("__hashes", hashes)
-        .select(F.col(id_col), signature.alias("signature"))
+        .select(F.col(id_col), *extras, signature.alias("signature"))
     )
 
 
@@ -227,6 +232,7 @@ def _banded_signatures(
     bands: int,
     num_hashes: int | None,
     materialize: bool = True,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame | None:
     """(id, band, bucket) LSH banding rows, materialized. Returns None
     for an empty input (the caller picks its empty shape).
@@ -257,8 +263,10 @@ def _banded_signatures(
             f"num_hashes={n})"
         )
     rows_per_band = n // bands
+    extras = list(extra_cols or [])
     banded = signatures.select(
         id_col,
+        *extras,
         F.explode(
             F.array(
                 *[
@@ -278,7 +286,7 @@ def _banded_signatures(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, *extras, "bb.band", "bb.bucket")
     if not materialize:
         return banded
     return banded.localCheckpoint(eager=True)
@@ -291,6 +299,7 @@ def minhash_lsh_candidates(
     max_bucket: int = 200,
     num_hashes: int | None = None,
     star_above: int | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands, bucket on the
     band hash, self-join buckets → candidate pairs (a < b).
@@ -316,39 +325,44 @@ def minhash_lsh_candidates(
     smaller id) survive because the anchor IS the smallest id. Default
     ``None`` keeps the exact clique emission.
     """
-    banded = _banded_signatures(signatures, id_col, bands, num_hashes)
+    banded = _banded_signatures(
+        signatures, id_col, bands, num_hashes, extra_cols=partition_cols
+    )
     if banded is None:
         # empty corpus (e.g. everything dropped by a quality gate):
         # an empty candidate frame, not a TypeError three frames deep
         return signatures.limit(0).select(
             F.col(id_col).alias("a"), F.col(id_col).alias("b")
         )
+    # bucket identity: (partition policy cols +) band + band-hash — with
+    # partition_cols two docs can only ever pair inside the same policy
+    # cell (never dedup across languages/sources), and every bucket-keyed
+    # step below shrinks to the cell's occupancy
+    keys = list(partition_cols or []) + ["band", "bucket"]
     # Hot-bucket cap as groupBy + broadcast anti-join, NOT a window count:
-    # a window over (band, bucket) serializes a mega-hot bucket into one
+    # a window over the bucket keys serializes a mega-hot bucket into one
     # task *before* the cap can drop it, while the groupBy partial-combines
     # map-side so the hot key never concentrates (same shape as
     # simhash_near_dups below).
     hot = (
-        banded.groupBy("band", "bucket")
+        banded.groupBy(*keys)
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") > max_bucket)
     )
-    sized = banded.join(
-        F.broadcast(hot.select("band", "bucket")), ["band", "bucket"], "left_anti"
-    )
+    sized = banded.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
     if star_above is not None:
         # per-bucket size + anchor via ONE partial-combining aggregation
-        # (agg-not-window keeper rule: a window over (band, bucket) would
+        # (agg-not-window keeper rule: a window over the bucket keys would
         # serialize a hot bucket into one task before the cap applies)
-        bstats = sized.groupBy("band", "bucket").agg(
+        bstats = sized.groupBy(*keys).agg(
             F.count("*").alias("__bs"), F.min(id_col).alias("__anchor")
         )
-        tagged = sized.join(bstats, ["band", "bucket"])
+        tagged = sized.join(bstats, keys)
         small = tagged.filter(F.col("__bs") <= star_above)
-        a = small.select(F.col(id_col).alias("a"), "band", "bucket")
-        b = small.select(F.col(id_col).alias("b"), "band", "bucket")
+        a = small.select(F.col(id_col).alias("a"), *keys)
+        b = small.select(F.col(id_col).alias("b"), *keys)
         clique = (
-            a.join(b, ["band", "bucket"])
+            a.join(b, keys)
             .filter(F.col("a") < F.col("b"))
             .select("a", "b")
         )
@@ -358,10 +372,10 @@ def minhash_lsh_candidates(
             .select(F.col("__anchor").alias("a"), F.col(id_col).alias("b"))
         )
         return clique.unionByName(star).distinct()
-    a = sized.select(F.col(id_col).alias("a"), "band", "bucket")
-    b = sized.select(F.col(id_col).alias("b"), "band", "bucket")
+    a = sized.select(F.col(id_col).alias("a"), *keys)
+    b = sized.select(F.col(id_col).alias("b"), *keys)
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, keys)
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -463,8 +477,17 @@ def minhash_dedup(
     threshold: float = 0.8,
     shingle_mode: str = "char",
     star_above: int | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """End-to-end near-dedup: keep one doc (lowest id) per near-dup group.
+
+    ``partition_cols`` scopes the dedup to policy cells (e.g.
+    ``["lang"]`` — never drop a doc against a near-dup in another
+    language): the columns ride through signatures into the banding
+    bucket identity, so cross-cell pairs are never EMITTED, not just
+    filtered — every bucket-keyed stage shrinks to the cell's occupancy
+    (per-language buckets are strictly smaller than global ones, which
+    is also the scale story).
 
     Group resolution: union-find collapsed to "drop any doc that has a
     verified near-dup with a smaller id" — one pass, no iteration; for
@@ -478,9 +501,13 @@ def minhash_dedup(
     bucket minimum, which is exactly this function's keeper, so the
     keep-lowest-id semantics compose losslessly with the cap.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingle_mode)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, shingle_mode,
+        extra_cols=partition_cols,
+    )
     cands = minhash_lsh_candidates(
-        sigs, id_col, bands, num_hashes=num_hashes, star_above=star_above
+        sigs, id_col, bands, num_hashes=num_hashes, star_above=star_above,
+        partition_cols=partition_cols,
     )
     verified = jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold, shingle_mode)
     losers = verified.select(F.col("b").alias(id_col)).distinct()

@@ -2068,3 +2068,29 @@ def test_filter_funnel_weighted_mass_attrition(spark):
     # s40 then removes doc2 (w=1000): 1 of 2 docs but 1000 of 1010 mass —
     # the doc-count view alone would call the two gates equally aggressive
     assert (s40.rows_in, s40.removed, s40.weight_in, s40.weight_removed, s40.weight_out) == (2, 1, 1010, 1000, 10)
+
+
+def test_minhash_dedup_partition_scoped_never_drops_across_cells(spark):
+    from starlight_for_kafka_spark.operators.dedup import minhash_dedup
+
+    text = "the quick brown fox jumps over the lazy dog every single day"
+    docs = spark.createDataFrame(
+        [
+            (1, "en", text),
+            (2, "de", text),          # identical text, different cell
+            (3, "en", text + " x"),   # near-dup of 1, same cell -> drops
+            (4, "de", text + " y"),   # near-dup of 2, same cell -> drops
+        ],
+        "doc_id long, lang string, text string",
+    )
+    scoped = minhash_dedup(
+        docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.6,
+        shingle_mode="word", partition_cols=["lang"],
+    )
+    # 2 survives: its only near-dups outside 'de' are never paired
+    assert sorted(r.doc_id for r in scoped.collect()) == [1, 2]
+    unscoped = minhash_dedup(
+        docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.6,
+        shingle_mode="word",
+    )
+    assert sorted(r.doc_id for r in unscoped.collect()) == [1]
