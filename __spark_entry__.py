@@ -2036,10 +2036,10 @@ HAVING CAST(sum(value) AS DOUBLE) > (
 
 Q12_SQL = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders, lineitem
 WHERE o_orderkey = l_orderkey
   AND l_returnflag IN ('A', 'N')
@@ -2263,6 +2263,37 @@ def q_decontaminate_fuzzy(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_decontaminate_fuzzy_stored(spark, sf_dir):
+    """The PRODUCTION shape of the eval scrub (dedup.fuzzy_decontaminate
+    with ``corpus_signatures``): corpus MinHash signatures live AT REST
+    next to the corpus (computed once at ingest via minhash_signatures,
+    stored columnar), so the probe side never re-reads or re-shingles
+    corpus text — candidate discovery is a parquet column scan into a
+    broadcast probe. First call per (sf_dir) writes the signature table
+    to a temp parquet (the ingest-time cost, paid once); subsequent
+    calls — and every bench pass after the cold one — read it back,
+    which is exactly what a recurring scrub against a stored corpus
+    pays. Same fixture, parameters, and result set as
+    q_decontaminate_fuzzy, so the two share an oracle."""
+    import os
+    import re
+    import tempfile
+
+    docs, bench = _fuzzy_bench_fixture(spark, sf_dir)
+    tag = re.sub(r"[^A-Za-z0-9.]+", "-", sf_dir.strip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"slk-fuzzy-sigs-{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        dedup_ops.minhash_signatures(
+            docs, "text", "doc_id", 16, 3, "word"
+        ).write.mode("overwrite").parquet(path)
+    sigs = spark.read.parquet(path)
+    return dedup_ops.fuzzy_decontaminate(
+        docs, bench, num_hashes=16, bands=4, shingle_k=3,
+        threshold=0.7, shingle_mode="word", corpus_signatures=sigs,
+    ).select("doc_id")
+
+
 def q_contamination_pairs(spark, sf_dir):
     """Leak attribution (dedup.fuzzy_decontaminate mode='report'): the
     verified (corpus_id, bench_id, jaccard) contamination pairs — which
@@ -2395,6 +2426,20 @@ def q_bpe_apply(spark, sf_dir):
     learned = text_ops.bpe_train(docs, n_merges=3).collect()
     merges = [(r["left"], r["right"]) for r in learned]
     return text_ops.bpe_apply(docs, merges)
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """Production-vocab BPE tokenization (text.bpe_tokenize): the
+    Arrow-batched mapInPandas kernel that applies an arbitrarily long
+    merge list (min-rank iterative per word, per-partition word cache,
+    broadcast ranks) — the 32k-merge scale path. Driven here with the
+    same 3 trained merges as q_bpe_apply so the bounded-k expression
+    oracle pins the kernel exactly (the two application orders coincide
+    on trained merge lists)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    learned = text_ops.bpe_train(docs, n_merges=3).collect()
+    merges = [(r["left"], r["right"]) for r in learned]
+    return text_ops.bpe_tokenize(docs, merges, emit="counts")
 
 
 def q_bpe_train(spark, sf_dir):
@@ -3988,10 +4033,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-7 late additions lead so the driver's 50-entry sample
         # hashes them on their first round out
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "decontaminate_fuzzy_stored": q_decontaminate_fuzzy_stored,
         "contamination_pairs": q_contamination_pairs,
         "filter_funnel": q_filter_funnel,
         "bpe_train": q_bpe_train,
         "bpe_apply": q_bpe_apply,
+        "bpe_tokenize": q_bpe_tokenize,
         "filter_funnel_weighted": q_filter_funnel_weighted,
         "snapshot_delta": q_snapshot_delta,
         "threshold_sweep": q_threshold_sweep,
@@ -4734,7 +4781,7 @@ def _threshold_sweep_oracle_sql() -> str:
             f"CAST(sum(CASE WHEN sr >= {t} THEN nw ELSE 0 END) AS BIGINT) AS wp{i}"
         )
     rows = "\nUNION ALL\n".join(
-        f"SELECT {t} AS threshold, n AS n_total, p{i} AS n_pass, "
+        f"SELECT CAST({t} AS DOUBLE) AS threshold, n AS n_total, p{i} AS n_pass, "
         f"p{i} / n AS pass_rate, w AS weight_total, wp{i} AS weight_pass FROM agg"
         for i, t in enumerate(thresholds)
     )
@@ -5240,12 +5287,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_minhash_incremental": _minhash_incremental_oracle_sql(),
         "decontaminate_fuzzy": _decontaminate_fuzzy_oracle_sql(),
+        # identical parameters + stored-vs-recomputed signatures are
+        # value-identical, so the stored path shares the oracle
+        "decontaminate_fuzzy_stored": _decontaminate_fuzzy_oracle_sql(),
         "contamination_pairs": _contamination_pairs_oracle_sql(),
         "dedup_minhash_by_lang": _minhash_by_lang_oracle_sql(),
         "filter_funnel": _filter_funnel_oracle_sql(),
         "filter_funnel_weighted": _filter_funnel_oracle_sql(weighted=True),
         "bpe_train": _bpe_train_oracle_sql(),
         "bpe_apply": _bpe_apply_oracle_sql(),
+        # the Pandas-UDF tokenizer and the expression fold coincide on
+        # trained merge lists, so they share one oracle
+        "bpe_tokenize": _bpe_apply_oracle_sql(),
         "snapshot_delta": _snapshot_delta_oracle_sql(),
         "threshold_sweep": _threshold_sweep_oracle_sql(),
         "dedup_minhash_capped": f"""WITH {_minhash_pipeline_cte(star_above=2)}
@@ -5412,7 +5465,7 @@ p AS (
   GROUP BY 1, 2
 )
 SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j,
-       round(p.sxy / (SELECT n FROM n) - mi.mu * mj.mu, 6) AS cov
+       round(p.sxy / (SELECT n FROM n) - mi.mu * mj.mu, 6) + 0.0 AS cov
 FROM p JOIN mu mi ON mi.i = p.i JOIN mu mj ON mj.i = p.j""",
         "hll_cardinality": f"""SELECT * FROM {_hll_branch_sql("user_id")}
 UNION ALL
@@ -5709,7 +5762,7 @@ JOIN last l ON l.tid = f.tid""",
 SELECT * FROM lso""",
         "describe_log": f"""WITH {LOG_CTE}
 SELECT "partition", count(*) AS n_records,
-       sum(strlen(key) + strlen(value)) AS record_bytes,
+       CAST(sum(strlen(key) + strlen(value)) AS BIGINT) AS record_bytes,
        min("offset") AS log_start_offset,
        max("offset") + 1 AS log_end_offset,
        min({ms.format(c='"timestamp"')}) AS earliest_ms,
@@ -6231,9 +6284,9 @@ x AS (
 SELECT "partition", count(*) AS n_records,
        min("offset") AS log_start_offset,
        max("offset") + 1 AS log_end_offset,
-       sum(CASE WHEN po IS NOT NULL AND "offset" <> po + 1 THEN 1 ELSE 0 END) AS n_offset_gaps,
-       sum(CASE WHEN po IS NOT NULL AND "offset" = po THEN 1 ELSE 0 END) AS n_duplicate_offsets,
-       sum(CASE WHEN pt IS NOT NULL AND ts < pt THEN 1 ELSE 0 END) AS n_ts_regressions,
+       CAST(sum(CASE WHEN po IS NOT NULL AND "offset" <> po + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_offset_gaps,
+       CAST(sum(CASE WHEN po IS NOT NULL AND "offset" = po THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicate_offsets,
+       CAST(sum(CASE WHEN pt IS NOT NULL AND ts < pt THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_regressions,
        (max("offset") - min("offset") + 1 = count(*)
         AND sum(CASE WHEN po IS NOT NULL AND "offset" = po THEN 1 ELSE 0 END) = 0) AS dense
 FROM x GROUP BY "partition\"""",
@@ -6522,7 +6575,8 @@ FROM documents WHERE doc_id % 3 = 2""",
   SELECT id, sum(((id*31 + i*17) % 4096 - 2048) * ((id*31 + (i+241)*17) % 4096 - 2048)) AS ac_241
   FROM s2 GROUP BY id
 )
-SELECT p1.id AS media_id, CAST(p1.n AS BIGINT) AS n_samples, p1.ac_1, p2.ac_241
+SELECT p1.id AS media_id, CAST(p1.n AS BIGINT) AS n_samples,
+       CAST(p1.ac_1 AS BIGINT) AS ac_1, CAST(p2.ac_241 AS BIGINT) AS ac_241
 FROM p1 JOIN p2 ON p1.id = p2.id""",
         "video_motion": """WITH v AS (
   SELECT doc_id AS id, 25 + doc_id % 25 AS nf
@@ -6533,9 +6587,9 @@ FROM p1 JOIN p2 ON p1.id = p2.id""",
   SELECT id, f, unnest(range(128)) AS idx FROM fr
 )
 SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
-       sum(abs((id*3 + f*29 + idx*13) % 256 - (id*3 + (f-1)*29 + idx*13) % 256)) AS motion_y,
-       sum(abs((id*3 + f*29 + 101 + idx*13) % 256 - (id*3 + (f-1)*29 + 101 + idx*13) % 256)) AS motion_u,
-       sum(abs((id*3 + f*29 + 202 + idx*13) % 256 - (id*3 + (f-1)*29 + 202 + idx*13) % 256)) AS motion_v
+       CAST(sum(abs((id*3 + f*29 + idx*13) % 256 - (id*3 + (f-1)*29 + idx*13) % 256)) AS BIGINT) AS motion_y,
+       CAST(sum(abs((id*3 + f*29 + 101 + idx*13) % 256 - (id*3 + (f-1)*29 + 101 + idx*13) % 256)) AS BIGINT) AS motion_u,
+       CAST(sum(abs((id*3 + f*29 + 202 + idx*13) % 256 - (id*3 + (f-1)*29 + 202 + idx*13) % 256)) AS BIGINT) AS motion_v
 FROM px GROUP BY 1, 2""",
         "multimodal_patchify": """WITH px AS (
   SELECT doc_id AS id, r.r, c.c
@@ -6548,9 +6602,9 @@ FROM px GROUP BY 1, 2""",
 )
 SELECT id AS media_id, CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
        count(*) AS n_px,
-       sum((id*7 + idx*13) % 256) AS sum_r,
-       sum((id*7 + idx*13 + 101) % 256) AS sum_g,
-       sum((id*7 + idx*13 + 202) % 256) AS sum_b
+       CAST(sum((id*7 + idx*13) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((id*7 + idx*13 + 101) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((id*7 + idx*13 + 202) % 256) AS BIGINT) AS sum_b
 FROM t GROUP BY 1, 2, 3""",
         "multimodal_resize": """WITH g AS (
   SELECT doc_id AS id, r.r, c.c
@@ -6597,7 +6651,8 @@ FROM feat, (SELECT unnest(range(8)) AS dim) d""",
   SELECT id, chunk_id, cs, ce, (id*31 + i*17) % 4096 - 2048 AS s FROM sx
 )
 SELECT id AS media_id, chunk_id, cs AS chunk_start_ms, ce AS chunk_end_ms,
-       count(*) AS n_samples, sum(s) AS sum, sum(s*s) AS sum_sq,
+       count(*) AS n_samples, CAST(sum(s) AS BIGINT) AS sum,
+       CAST(sum(s*s) AS BIGINT) AS sum_sq,
        min(s) AS vmin, max(s) AS vmax
 FROM v GROUP BY 1, 2, 3, 4""",
         "multimodal_frame_features": """WITH fr AS (
@@ -6610,9 +6665,9 @@ FROM v GROUP BY 1, 2, 3, 4""",
   SELECT id, frame_ms, f, unnest(range(128)) AS idx FROM fx
 )
 SELECT id AS media_id, frame_ms, CAST(f AS INT) AS frame_idx,
-       sum((id*3 + f*29 + idx*13) % 256) AS sum_y,
-       sum((id*3 + f*29 + 101 + idx*13) % 256) AS sum_u,
-       sum((id*3 + f*29 + 202 + idx*13) % 256) AS sum_v
+       CAST(sum((id*3 + f*29 + idx*13) % 256) AS BIGINT) AS sum_y,
+       CAST(sum((id*3 + f*29 + 101 + idx*13) % 256) AS BIGINT) AS sum_u,
+       CAST(sum((id*3 + f*29 + 202 + idx*13) % 256) AS BIGINT) AS sum_v
 FROM px GROUP BY 1, 2, 3""",
         "top_docs_per_lang": """WITH padded AS (
   SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
@@ -6969,7 +7024,7 @@ FROM c ASOF JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts""",
         "throughput_metrics": f"""WITH {LOG_CTE}
 SELECT date_trunc('hour', "timestamp") AS bucket, "partition",
        count(*) AS messages_in,
-       sum(strlen(key) + strlen(value)) AS bytes_in,
+       CAST(sum(strlen(key) + strlen(value)) AS BIGINT) AS bytes_in,
        CAST(sum(strlen(key) + strlen(value)) AS DOUBLE) / count(*) AS avg_record_bytes
 FROM log GROUP BY 1, 2""",
         "migrate_offsets": f"""WITH {LOG_CTE},
@@ -7299,7 +7354,7 @@ GROUP BY f.qid""",
   SELECT doc_id, sum(tf) AS n_tokens, sum(lp) / sum(tf) AS avg_lp
   FROM scored GROUP BY 1
 )
-SELECT doc_id, n_tokens,
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        round(avg_lp, 6) AS avg_logprob,
        round(exp(-avg_lp), 6) AS ppl,
        exp(-avg_lp) > 33 AS high_ppl
@@ -7366,7 +7421,8 @@ j AS (
          list_reduce(list_transform(list_sort(list(struct_pack(t := term, k := kba))), x -> x.k), (a, b) -> a + b) AS kl_ba
   FROM c GROUP BY 1, 2, 3
 )
-SELECT vocab, tokens_a, tokens_b,
+SELECT vocab, CAST(tokens_a AS BIGINT) AS tokens_a,
+       CAST(tokens_b AS BIGINT) AS tokens_b,
        round(kl_ab, 6) AS kl_ab, round(kl_ba, 6) AS kl_ba,
        round(kl_ab + kl_ba, 6) AS jeffreys
 FROM f""",
@@ -7455,7 +7511,7 @@ FROM nl JOIN agg USING (doc_id)""",
   FROM l
 )
 SELECT doc_id, count(*) AS n_lines,
-       sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        md5(coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY line_no), '')) AS cleaned_md5
 FROM m GROUP BY doc_id""",
         "ccnet_bucket": """WITH terms AS (
@@ -7514,7 +7570,7 @@ FROM sc JOIN th USING (lang)""",
 ), contrib AS (
   SELECT doc_id, tf, b, tf * log_ratio AS c FROM pdb JOIN dist USING (b)
 )
-SELECT doc_id, sum(tf) AS n_bigrams,
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
        round(list_reduce(
          list_transform(list_sort(list(struct_pack(b := b, c := c))), x -> x.c),
          (acc, x) -> acc + x), 6) AS log_weight
@@ -7595,7 +7651,7 @@ LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source""",
   count(DISTINCT source) AS n_sources,
   quantile_cont(n_chars, 0.5) AS median_chars,
   quantile_cont(n_chars, 0.9) AS p90_chars,
-  sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) AS total_tokens
+  CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY lang""",
         "cap_per_source": """SELECT doc_id, source FROM (
@@ -7952,15 +8008,15 @@ FROM w WHERE doc_id % 3 = 0 AND least(len(ws), 32) >= 3""",
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cost AS start_tok
   FROM items
 )
-SELECT item_id, modality, cost, start_tok,
-       start_tok // 4096 AS pack_id,
+SELECT item_id, modality, cost, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // 4096 AS BIGINT) AS pack_id,
        CAST((start_tok + cost - 1) // 4096 - start_tok // 4096 + 1 AS INT) AS n_packs_spanned
 FROM c""",
         "token_length_histogram": """WITH t AS (
   SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n FROM documents
 )
 SELECT (n // 64) * 64 AS bucket_lo, (n // 64) * 64 + 63 AS bucket_hi,
-       count(*) AS n_docs, sum(n) AS total_tokens
+       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
 FROM t GROUP BY 1, 2""",
         "packing_stats": """WITH t AS (
   SELECT doc_id,
@@ -7987,7 +8043,8 @@ FROM t GROUP BY 1, 2""",
 ), agg2 AS (
   SELECT count(*) AS packs_with_starts, max(docs_starting) AS max_docs_per_pack FROM per_pack
 )
-SELECT n_docs, total_tokens, n_packs, boundary_crossers,
+SELECT n_docs, CAST(total_tokens AS BIGINT) AS total_tokens, n_packs,
+       CAST(boundary_crossers AS BIGINT) AS boundary_crossers,
        boundary_crossers / CAST(n_docs AS DOUBLE) AS crosser_frac,
        total_tokens / CAST(n_packs * 2048 AS DOUBLE) AS fill_frac,
        packs_with_starts, max_docs_per_pack
@@ -8003,8 +8060,8 @@ FROM agg1, agg2""",
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
   FROM t
 )
-SELECT doc_id, n_tokens, start_tok,
-       start_tok // 2048 AS pack_id,
+SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // 2048 AS BIGINT) AS pack_id,
        CAST((start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1 AS INT) AS n_packs_spanned
 FROM c""",
         "keyed_count_salted": "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
@@ -8022,7 +8079,7 @@ fe AS (
 cur AS (SELECT pid, max(epoch) AS cur_epoch FROM fe GROUP BY pid)
 SELECT fe."partition", fe.pid,
        max(fe.epoch) AS current_epoch,
-       sum(CASE WHEN fe.epoch < cur.cur_epoch THEN 1 ELSE 0 END) AS n_fenced,
+       CAST(sum(CASE WHEN fe.epoch < cur.cur_epoch THEN 1 ELSE 0 END) AS BIGINT) AS n_fenced,
        count(*) AS n_records
 FROM fe JOIN cur USING (pid)
 GROUP BY fe."partition", fe.pid""",
@@ -8040,7 +8097,7 @@ FROM events GROUP BY event_type""",
 SELECT 'events' AS topic,
        count(DISTINCT "partition") AS n_partitions,
        count(*) AS n_records,
-       sum("offset" + 1) AS sum_log_end_offsets
+       CAST(sum("offset" + 1) AS BIGINT) AS sum_log_end_offsets
 FROM log""",
         "salted_join_revenue": """SELECT o_orderpriority,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
@@ -8076,7 +8133,7 @@ ms AS (
   QUALIFY row_number() OVER (PARTITION BY "group", ident ORDER BY ts DESC, event_id DESC) = 1
 ), alive AS (
   SELECT "group", count(*) AS n_members,
-         sum(CASE WHEN is_static THEN 1 ELSE 0 END) AS n_static
+         CAST(sum(CASE WHEN is_static THEN 1 ELSE 0 END) AS BIGINT) AS n_static
   FROM last WHERE action <> 'leave' GROUP BY "group"
 ), jl AS (
   SELECT "group", ident, is_static, action, ts, event_id,
@@ -8309,7 +8366,7 @@ GROUP BY 1, 2""",
   SELECT gram, count(*) AS n_docs FROM g GROUP BY 1
 )
 SELECT g.doc_id, count(*) AS n_grams,
-       sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS dup_grams,
+       CAST(sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
        sum(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) / count(*) AS dup_frac
 FROM g JOIN s ON g.gram = s.gram
 GROUP BY 1""",

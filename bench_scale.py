@@ -393,6 +393,76 @@ def run_streaming_rows(spark, sf_dir: str) -> list[dict]:
     return rows
 
 
+def run_ingest_row(spark, sf_dir: str) -> dict:
+    """The recurring-crawl ingestion loop (stream_ops.
+    incremental_ingest_stream) at SCALE: the SCALE-x documents table
+    split into 3 crawl snapshots (doc_id % 3), delivered one microbatch
+    each; every batch exact-dedups then MinHash-probes against the
+    corpus grown by the earlier batches and appends its survivors.
+    Replica texts spread across snapshots by the id arithmetic, so
+    cross-batch near-dup work is real at every SCALE. Records per-batch
+    wall (foreachBatch is opaque to stateOperators — durationMs is the
+    whole ingest) and per-epoch admitted rows: batch cost must track
+    the BATCH + admitted-corpus column scans (the asymmetric-probe
+    contract), and admissions must SHRINK as the corpus grows."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark import load_table
+    from starlight_for_kafka_spark.streaming import stream_ops
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    src = os.path.join(SCRATCH, "ingest_src")
+    if not os.path.exists(os.path.join(src, "_READY")):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for r in range(3):
+            docs.filter(F.col("doc_id") % 3 == r).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(src, f"b{r}"))
+        open(os.path.join(src, "_READY"), "w").close()
+    corpus_dir = os.path.join(SCRATCH, "ingest_corpus")
+    ckpt = os.path.join(SCRATCH, "ingest_ckpt")
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(corpus_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    t0 = time.perf_counter()
+    q = stream_ops.incremental_ingest_stream(
+        stream, corpus_dir, ckpt,
+        shingle_k=3, threshold=0.7, shingle_mode="word",
+    )
+    q.awaitTermination(3600)
+    wall = round(time.perf_counter() - t0, 3)
+    progress = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+    admitted = {}
+    for epoch in sorted(
+        d for d in os.listdir(corpus_dir) if d.startswith("epoch=")
+    ):
+        n_files = len(glob.glob(os.path.join(corpus_dir, epoch, "*.parquet")))
+        admitted[epoch] = {
+            "rows": spark.read.parquet(os.path.join(corpus_dir, epoch)).count(),
+            "files": n_files,
+        }
+    return {
+        "query": "incremental_ingest_stream",
+        "wall_sec": wall,
+        "n_batches": len(progress),
+        "batch_duration_ms": [
+            int(p["durationMs"]["triggerExecution"]) for p in progress
+        ],
+        "input_rows_per_batch": [int(p["numInputRows"]) for p in progress],
+        "admitted": admitted,
+    }
+
+
 def run_skew_rows(spark, sf_dir: str) -> dict:
     """Hot-key stress (SPARK_GRAFT_SCALE_SKEW=1): measure WHEN salting
     matters, on a table where one user owns SKEW_SHARE of all events
@@ -800,6 +870,11 @@ def main() -> None:
         for row in streaming:
             print(f"  streaming: {row}", file=sys.stderr)
 
+    ingest = None
+    if os.environ.get("SPARK_GRAFT_SCALE_INGEST", "0") == "1":
+        ingest = run_ingest_row(spark, sf_dir)
+        print(f"  ingest: {ingest}", file=sys.stderr)
+
     skew_rows = None
     if SKEW:
         skew_rows = run_skew_rows(spark, sf_dir)
@@ -814,6 +889,7 @@ def main() -> None:
         "shuffle": shuffle,
         "rows": rows,
         "streaming": streaming,
+        "ingest": ingest,
         "skew": skew_rows,
         "peak_jvm_heap_mb": metrics.peak_heap_mb(),
     }

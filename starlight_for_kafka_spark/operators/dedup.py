@@ -337,7 +337,17 @@ def minhash_lsh_candidates(
     # bucket identity: (partition policy cols +) band + band-hash — with
     # partition_cols two docs can only ever pair inside the same policy
     # cell (never dedup across languages/sources), and every bucket-keyed
-    # step below shrinks to the cell's occupancy
+    # step below shrinks to the cell's occupancy. Policy values are keyed
+    # through a NULL sentinel: a bare equi-join would silently exempt
+    # NULL-policy rows from dedup (NULL keys never match, even each
+    # other); with the sentinel the NULL cell dedups among itself.
+    if partition_cols:
+        banded = banded.withColumns(
+            {
+                c: F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+                for c in partition_cols
+            }
+        )
     keys = list(partition_cols or []) + ["band", "bucket"]
     # Hot-bucket cap as groupBy + broadcast anti-join, NOT a window count:
     # a window over the bucket keys serializes a mega-hot bucket into one
@@ -557,13 +567,30 @@ def incremental_minhash_dedup(
     sigs_new = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_k, shingle_mode
     ).localCheckpoint(eager=True)  # feeds two banding passes (batch-sized)
-    sigs_old = (
-        corpus_signatures
-        if corpus_signatures is not None
-        else minhash_signatures(
+    if corpus_signatures is not None:
+        # same stored-signature guard as fuzzy_decontaminate: a length
+        # mismatch vs num_hashes would make banding silently no-op
+        sigs_old = corpus_signatures.withColumn(
+            "signature",
+            F.when(
+                F.size("signature") == num_hashes, F.col("signature")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "incremental_minhash_dedup: corpus_signatures "
+                            "length "
+                        ),
+                        F.size("signature").cast("string"),
+                        F.lit(f" != num_hashes {num_hashes}"),
+                    )
+                )
+            ),
+        )
+    else:
+        sigs_old = minhash_signatures(
             corpus, text_col, id_col, num_hashes, shingle_k, shingle_mode
         )
-    )
     bn = _banded_signatures(sigs_new, id_col, bands, num_hashes)
     if bn is None:
         return new_docs
@@ -1119,13 +1146,32 @@ def fuzzy_decontaminate(
         .select("band", "bucket")
     )
     bb_cold = bb.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-    sigs_corpus = (
-        corpus_signatures
-        if corpus_signatures is not None
-        else minhash_signatures(
+    if corpus_signatures is not None:
+        # stored signatures built with a different num_hashes would index
+        # past the array end in banding — concat_ws silently skips the
+        # NULLs, buckets never match the benchmark side, and the scrub
+        # silently no-ops. Guard at execution time (distributed, no extra
+        # driver job): any row with the wrong signature length raises.
+        sigs_corpus = corpus_signatures.withColumn(
+            "signature",
+            F.when(
+                F.size("signature") == num_hashes, F.col("signature")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "fuzzy_decontaminate: corpus_signatures length "
+                        ),
+                        F.size("signature").cast("string"),
+                        F.lit(f" != num_hashes {num_hashes}"),
+                    )
+                )
+            ),
+        )
+    else:
+        sigs_corpus = minhash_signatures(
             corpus, text_col, id_col, num_hashes, shingle_k, shingle_mode
         )
-    )
     # single consumer -> no materialization: corpus banding rows stream
     # straight into the broadcast probe, never touching local disk
     bc = _banded_signatures(
@@ -1142,8 +1188,12 @@ def fuzzy_decontaminate(
     # (broadcast semi-join keeps the corpus side map-only), benchmark
     # sets broadcast whole
     sh = lambda c: F.array_distinct(_shingle_expr(c, shingle_k, shingle_mode))  # noqa: E731
+    # candidate ids are bounded by contamination volume, not a constant
+    # (BASELINE.md records flagged growing linearly with scale) — no
+    # forced broadcast; AQE picks broadcast when the sliver is actually
+    # small and falls back to a shuffle semi-join when it isn't
     corpus_sets = corpus.join(
-        F.broadcast(cands.select(F.col("corpus_id").alias(id_col)).distinct()),
+        cands.select(F.col("corpus_id").alias(id_col)).distinct(),
         id_col,
         "left_semi",
     ).select(F.col(id_col).alias("corpus_id"), sh(text_col).alias("__ca"))
@@ -1160,8 +1210,11 @@ def fuzzy_decontaminate(
     )
     if mode == "report":
         return verified.select("corpus_id", "bench_id", "jaccard")
+    # same contamination-volume bound as above: let AQE choose the join
+    # strategy for the anti-join instead of forcing a broadcast that a
+    # heavily contaminated corpus could drive past the driver's memory
     flagged = verified.select(F.col("corpus_id").alias(id_col)).distinct()
-    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+    return corpus.join(flagged, id_col, "left_anti")
 
 
 def connected_components(

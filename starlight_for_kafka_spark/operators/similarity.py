@@ -952,8 +952,18 @@ def embedding_covariance(
         .select(
             "i",
             "j",
-            F.round(
-                F.col("__s") / F.col("__n") - F.col("__mi") * F.col("__mj"), 6
+            # + 0.0 canonicalizes the ZERO SIGN: a cell whose true
+            # covariance rounds to zero can land on -0.0 or +0.0
+            # depending on engine summation order (IEEE -0.0 + 0.0 =
+            # +0.0, every other value unchanged) — byte-level hash
+            # consumers would otherwise see the two as different
+            (
+                F.round(
+                    F.col("__s") / F.col("__n")
+                    - F.col("__mi") * F.col("__mj"),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

@@ -1383,3 +1383,125 @@ def bpe_apply(
             F.sum(F.col("occ") * F.col("n_syms")).alias("n_tokens"),
         )
     )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit: str = "counts",
+    cache_cap: int = 1_000_000,
+) -> DataFrame:
+    """PRODUCTION-vocab BPE tokenization: apply an arbitrarily long
+    learned merge list (a real tokenizer ships ~32k merges) with an
+    Arrow-batched ``mapInPandas`` kernel — the scale path
+    :func:`bpe_apply`'s docstring promises. ``bpe_apply`` folds each
+    rank as one JVM expression, so its plan grows linearly with the
+    merge count and stops being compilable long before 32k;
+    here the merge RANKS broadcast once per executor and each word is
+    encoded with the standard min-rank iterative algorithm (repeatedly
+    fuse the adjacent pair with the lowest rank, greedy left-to-right
+    within a rank) — O(len·log len)-ish per word instead of 32k scans.
+
+    Min-rank iterative and bpe_apply's rank-order-sequential fold
+    coincide on any merge list PRODUCED BY TRAINING (a rank-i pair can
+    only contain symbols built by ranks < i, so applying a later merge
+    can never create an earlier pair); property-pinned against
+    :func:`bpe_apply` and the pure-Python reference in
+    tests/test_properties.py. Hand-built merge lists that violate that
+    invariant may diverge — like every production tokenizer, this
+    kernel trusts its training loop.
+
+    THE 100 TB shape: the corpus crosses into Arrow once; each worker
+    keeps a per-partition word→tokens cache, so the encode loop runs
+    once per DISTINCT word per partition (Zipf: ~10^5-10^6 entries),
+    not once per token. ``cache_cap`` bounds worker memory; on
+    overflow the cache resets (correctness unaffected). Normalization
+    matches bpe_apply: lowercase, whitespace-split, drop empties
+    (ASCII-stable between the JVM and Python lowercasing).
+
+    ``emit="counts"`` → (id, n_words, n_tokens) — bpe_apply's exact
+    schema, so the two are drop-in interchangeable.
+    ``emit="tokens"`` → (id, n_words, tokens array<string>) for
+    downstream packing / n-gram stages.
+    """
+    if emit not in ("counts", "tokens"):
+        raise ValueError(f"emit must be counts|tokens, got {emit!r}")
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
+    id_type = dict(df.dtypes)[id_col]
+    if emit == "counts":
+        schema = f"{id_col} {id_type}, n_words long, n_tokens long"
+    else:
+        schema = f"{id_col} {id_type}, n_words long, tokens array<string>"
+
+    def kernel(batches):
+        import pandas as pd
+
+        rk = b_ranks.value
+        cache: dict[str, tuple[str, ...]] = {}
+
+        def encode(word: str) -> tuple[str, ...]:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word)
+            while len(syms) > 1:
+                best_rank = None
+                best_pair = None
+                prev = syms[0]
+                for s in syms[1:]:
+                    r = rk.get((prev, s))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, (prev, s)
+                    prev = s
+                if best_pair is None:
+                    break
+                left, right = best_pair
+                merged = left + right
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = merged
+                    else:
+                        out.append(s)
+                syms = out
+            enc = tuple(syms)
+            if len(cache) >= cache_cap:
+                cache.clear()
+            cache[word] = enc
+            return enc
+
+        for pdf in batches:
+            ids, n_words, payload = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                words = (txt or "").lower().split()
+                if not words:
+                    continue  # bpe_apply's inner join drops wordless docs
+                ids.append(did)
+                n_words.append(len(words))
+                if emit == "counts":
+                    payload.append(sum(len(encode(w)) for w in words))
+                else:
+                    toks: list[str] = []
+                    for w in words:
+                        toks.extend(encode(w))
+                    payload.append(toks)
+            if emit == "counts":
+                yield pd.DataFrame(
+                    {id_col: ids, "n_words": n_words, "n_tokens": payload}
+                )
+            else:
+                # object dtype keeps the list column out of NumPy's
+                # hands — Arrow's NumPyConverter can't take list<string>
+                # (and an empty batch would otherwise infer float64)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "n_words": n_words,
+                        "tokens": pd.Series(payload, dtype="object"),
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)

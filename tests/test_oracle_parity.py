@@ -96,3 +96,112 @@ def test_every_query_has_oracle_or_is_flagged():
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+# ------------------------------------------------------------------ type gate
+#
+# The round-7 judge found 22 oracles whose bare ``sum(<int>)`` columns are
+# HUGEINT in DuckDB; DuckDB's pandas export surfaces HUGEINT as float64
+# (and its Arrow export as decimal128(38,0)), while the Spark twin is
+# bigint — the driver's value-hash then mismatches on ``1226.0`` vs
+# ``1226`` even though the values are equal. These gates make that class
+# unshippable: every oracle must be HUGEINT-free, and every oracle column
+# must land in the same engine-type family as its Spark twin.
+
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def _duck_family(t: str) -> str:
+    t = t.upper()
+    if "HUGEINT" in t:
+        return "hugeint"  # never matches anything Spark produces
+    if t in _DUCK_INT:
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "str"
+    if t == "BLOB":
+        return "bin"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t == "DATE":
+        return "date"
+    if t.endswith("[]") or t.startswith(("LIST", "ARRAY")):
+        return "list"
+    if t.startswith("STRUCT"):
+        return "struct"
+    if t.startswith("MAP"):
+        return "map"
+    return t
+
+
+def _spark_family(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s == "boolean":
+        return "bool"
+    if s in ("string", "varchar"):
+        return "str"
+    if s == "binary":
+        return "bin"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s == "date":
+        return "date"
+    if s.startswith("array"):
+        return "list"
+    if s.startswith("struct"):
+        return "struct"
+    if s.startswith("map"):
+        return "map"
+    return s
+
+
+def test_no_hugeint_or_type_divergent_oracle_columns(spark, duck):
+    """One pass over ALL oracles: DESCRIBE each (no execution), build each
+    Spark plan (analysis only, no execution), and assert per-column engine-
+    type family equality with int-width tolerance. HUGEINT anywhere fails."""
+    bad = []
+    for name in sorted(ORACLES):
+        desc = duck.execute(f"DESCRIBE ({ORACLES[name]})").fetchall()
+        ofam = {c.lower(): _duck_family(ty) for c, ty, *_ in desc}
+        sfam = {
+            f.name.lower(): _spark_family(f.dataType)
+            for f in QUERIES[name](spark, SF_DIR).schema.fields
+        }
+        for c, fam in ofam.items():
+            if fam == "hugeint":
+                bad.append(f"{name}.{c}: HUGEINT oracle column (add CAST AS BIGINT)")
+            elif sfam.get(c) != fam:
+                bad.append(f"{name}.{c}: spark={sfam.get(c)} vs oracle={fam}")
+    assert not bad, "type-fidelity divergences:\n" + "\n".join(bad)
+
+
+def test_sweep_type_lane_catches_seeded_hugeint(spark, duck):
+    """Regression seam for sweep.py's Arrow type lane: a bare sum(<int>)
+    oracle (HUGEINT) against a Spark bigint column MUST be flagged, and
+    the properly CAST twin must pass."""
+    import sweep as sweepmod
+
+    sdf = spark.sql("SELECT CAST(10 AS BIGINT) AS s")
+    bad_tbl = duck.sql("SELECT sum(x) AS s FROM range(5) t(x)").arrow()
+    good_tbl = duck.sql(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM range(5) t(x)"
+    ).arrow()
+    assert sweepmod._type_lane(sdf, bad_tbl, ["s"]), (
+        "seeded HUGEINT regression was not flagged by sweep's type lane"
+    )
+    assert not sweepmod._type_lane(sdf, good_tbl, ["s"])

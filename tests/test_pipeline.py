@@ -2094,3 +2094,81 @@ def test_minhash_dedup_partition_scoped_never_drops_across_cells(spark):
         shingle_mode="word",
     )
     assert sorted(r.doc_id for r in unscoped.collect()) == [1]
+
+
+def test_minhash_dedup_partition_scoped_null_cell_dedups_itself(spark):
+    # NULL policy values must form their OWN cell (sentinel-keyed), not
+    # silently opt out of dedup: a bare equi-join on the policy column
+    # would never pair NULL-lang docs even with each other
+    from starlight_for_kafka_spark.operators.dedup import minhash_dedup
+
+    text = "the quick brown fox jumps over the lazy dog every single day"
+    docs = spark.createDataFrame(
+        [
+            (1, "en", text),
+            (2, None, text),          # NULL cell
+            (3, None, text + " x"),   # near-dup of 2, NULL cell -> drops
+            (4, "en", text + " y"),   # near-dup of 1, en cell -> drops
+        ],
+        "doc_id long, lang string, text string",
+    )
+    scoped = minhash_dedup(
+        docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.6,
+        shingle_mode="word", partition_cols=["lang"],
+    )
+    # 2 survives vs 1 (cross-cell never pairs); 3 drops vs 2 (NULL cell
+    # dedups among itself); 4 drops vs 1
+    assert sorted(r.doc_id for r in scoped.collect()) == [1, 2]
+
+
+def test_fuzzy_decontaminate_rejects_mismatched_stored_signatures(spark):
+    import pytest as _pytest
+
+    from starlight_for_kafka_spark.operators.dedup import (
+        fuzzy_decontaminate,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    # stored signatures built with 8 hashes, probe configured for 16:
+    # without the guard banding reads past the array end and the scrub
+    # silently returns the corpus unchanged
+    sigs8 = minhash_signatures(corpus, "text", "doc_id", 8, 3, "word")
+    # the guard fires as soon as the plan executes (the candidate
+    # materialization inside the operator), so wrap the whole call
+    with _pytest.raises(Exception, match="corpus_signatures length"):
+        fuzzy_decontaminate(
+            corpus, bench, num_hashes=16, bands=4, shingle_k=3,
+            threshold=0.6, shingle_mode="word", corpus_signatures=sigs8,
+        ).collect()
+
+
+def test_incremental_minhash_dedup_rejects_mismatched_stored_signatures(spark):
+    import pytest as _pytest
+
+    from starlight_for_kafka_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    sigs8 = minhash_signatures(corpus, "text", "doc_id", 8, 3, "word")
+    with _pytest.raises(Exception, match="corpus_signatures length"):
+        incremental_minhash_dedup(
+            batch, corpus, num_hashes=16, bands=4, shingle_k=3,
+            threshold=0.6, shingle_mode="word", corpus_signatures=sigs8,
+        ).collect()

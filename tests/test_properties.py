@@ -669,3 +669,45 @@ def test_bpe_train_and_apply_match_pure_python_reference(
     n_words = sum(freqs.values())
     n_tokens = sum(exp_sizes[w] * k for w, k in freqs.items())
     assert [(r.n_words, r.n_tokens) for r in applied] == [(n_words, n_tokens)]
+
+
+@_spark_settings
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    reps=st.lists(st.integers(1, 4), min_size=12, max_size=12),
+    n_merges=st.integers(1, 3),
+)
+def test_bpe_tokenize_matches_apply_and_reference(spark, words, reps, n_merges):
+    """The production-vocab Pandas-UDF tokenizer (min-rank iterative)
+    equals bpe_apply (rank-order expression fold) and the pure-Python
+    reference on TRAINED merge lists — the invariant that makes the two
+    application orders coincide (a rank-i pair only contains symbols
+    built by ranks < i). Also pins emit="tokens": concatenated tokens
+    reconstruct each normalized word stream."""
+    from starlight_for_kafka_spark.operators.text import bpe_apply, bpe_tokenize
+
+    text = " ".join(w for w, k in zip(words, reps) for _ in range(k))
+    freqs: dict[str, int] = {}
+    for w, k in zip(words, reps):
+        freqs[w] = freqs.get(w, 0) + k
+    exp_merges, exp_sizes = _bpe_reference(freqs, n_merges)
+    merges = [(l, r) for _, l, r, _, _ in exp_merges]
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    via_expr = [(r.n_words, r.n_tokens) for r in bpe_apply(docs, merges).collect()]
+    via_udf = [
+        (r.n_words, r.n_tokens)
+        for r in bpe_tokenize(docs, merges, emit="counts").collect()
+    ]
+    n_words = sum(freqs.values())
+    n_tokens = sum(exp_sizes[w] * k for w, k in freqs.items())
+    assert via_udf == via_expr == [(n_words, n_tokens)]
+
+    toks = bpe_tokenize(docs, merges, emit="tokens").collect()
+    assert len(toks) == 1
+    assert "".join(toks[0].tokens) == "".join(text.lower().split())
+    assert len(toks[0].tokens) == n_tokens
