@@ -3988,6 +3988,28 @@ def q_pq_knn_join(spark, sf_dir):
     return sim_ops.pq_knn_join(q, c, books, cents, k=5, nprobe=2)
 
 
+def q_pq_knn_join_stored(spark, sf_dir):
+    """The AT-REST IVFADC index path (sim_ops.pq_knn_join with
+    ``corpus_codes``): codes + cells are computed once (pq_encode +
+    ivf_assign — at production scale written at ingest) and the probe
+    reads the code table instead of re-encoding the corpus. Same
+    parameters and results as q_pq_knn_join, so the two share an
+    oracle — this entry pins that the seam is value-identical."""
+    q, c = _knn_split(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, books = _pq_fixture(spark, sf_dir)
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    at_rest = sim_ops.pq_encode(c, books).drop("recon_sq_err").join(
+        sim_ops.ivf_assign(c, cents).select("vec_id", "ivf_cell"), "vec_id"
+    )
+    return sim_ops.pq_knn_join(
+        q, c, books, cents, k=5, nprobe=2, corpus_codes=at_rest
+    )
+
+
 def q_remove_repeated_spans(spark, sf_dir):
     """Cross-document repeated-passage REMOVAL (Lee et al. substring-dedup
     rewrite): shared >=8-word passages are cut from every non-keeper doc;
@@ -4278,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup_weights": q_soft_dedup_weights,
         "api_versions": q_api_versions,
         "pq_knn_join": q_pq_knn_join,
+        "pq_knn_join_stored": q_pq_knn_join_stored,
         "knn_join_l2": q_knn_join_l2,
         "minhash_recall": q_minhash_recall,
     }
@@ -5283,7 +5306,7 @@ sticky AS (
 
 def oracle_sql() -> dict[str, str]:
     ms = 'epoch_us({c}) // 1000'
-    return {
+    oracles = {
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_minhash_incremental": _minhash_incremental_oracle_sql(),
         "decontaminate_fuzzy": _decontaminate_fuzzy_oracle_sql(),
@@ -8640,3 +8663,7 @@ SELECT query_id, neighbor_id, cos_sim,
 FROM scored
 QUALIFY rank <= 5""",
     }
+    # the at-rest corpus_codes path is value-identical to the inline
+    # encode+assign by construction, so it shares pq_knn_join's oracle
+    oracles["pq_knn_join_stored"] = oracles["pq_knn_join"]
+    return oracles

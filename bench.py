@@ -112,6 +112,11 @@ def main() -> None:
         # the corpus). Cold pass pays the one-time signature write; the
         # median shows the recurring probe-side cost the claim is about.
         "decontaminate_fuzzy_stored",
+        # round-8 addition: the production-vocab tokenizer kernel (the
+        # Arrow-batched mapInPandas path) — tokenization-to-count is the
+        # weekly 100 TB pipeline step the bounded-k expression form
+        # can't serve; the row keeps the kernel's cost driver-visible
+        "bpe_tokenize",
     ]
 
     # warm the JVM + file listing once

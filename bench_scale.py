@@ -127,7 +127,9 @@ SUITE = [
 # only at very high SCALE, where the pairwise-dedup rows' output volume
 # grows with cluster^2 by construction of the replicated data)
 _suite_env = os.environ.get("SPARK_GRAFT_SCALE_SUITE")
-if _suite_env:
+if _suite_env == "none":
+    SUITE = []  # streaming/ingest-only invocations
+elif _suite_env:
     SUITE = [q.strip() for q in _suite_env.split(",") if q.strip()]
 
 
@@ -808,6 +810,79 @@ def main() -> None:
         return similarity.pq_knn_join(q, c, books, cents, k=5, nprobe=2)
 
     queries["pq_knn_join_cells64"] = _pq_knn64
+
+    def _pq_knn_sqrtn(spark, sf):
+        # the PRODUCTION cell-count rule: cells ~ sqrt(corpus). The
+        # fixed-64-cell row above is the honest quadratic-risk exhibit
+        # (candidates ~ Q*C/cells grow with the square when both sides
+        # scale); this row is the answer — the sqrt-n rule holds
+        # candidates-per-query ~ nprobe*sqrt(C), so total join volume
+        # grows ~C^1.5/Q-linear instead of C^2. The transform rewrite
+        # (array-constant centroids, one lambda) is what makes a
+        # many-hundred-cell codebook compile at O(1) plan size.
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import similarity
+
+        emb = load_table(spark, sf, "embeddings")
+        n_corpus = emb.count()
+        cells = max(64, int(round(n_corpus ** 0.5)))
+        q = emb.filter(F.col("vec_id") % 25 == 0).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        c = emb.filter(F.col("vec_id") % 25 != 0)
+        rows = {
+            int(r.vec_id): [float(v) for v in r.embedding]
+            for r in emb.filter(F.col("vec_id") < cells).collect()
+        }
+        books = [
+            [rows[cc][j * 16:(j + 1) * 16] for cc in range(8)] for j in range(4)
+        ]
+        cents = [rows[cc] for cc in sorted(rows)]
+        return similarity.pq_knn_join(q, c, books, cents, k=5, nprobe=2)
+
+    queries["pq_knn_join_cells_sqrtn"] = _pq_knn_sqrtn
+
+    def _pq_knn_sqrtn_atrest(spark, sf):
+        # the FULL production shape: sqrt-n cells AND the at-rest code
+        # table (pq_encode + ivf_assign written once at ingest — cached
+        # per scratch dir here). The inline sqrt-n row above shows why:
+        # per-probe corpus assignment costs corpus x cells x dim and
+        # dominates at production cell counts; at rest, the probe pays
+        # only the query-side LUT/probe ranking + the cell equi-join
+        # over codes. First invocation per scratch pays the one-time
+        # encode (outside the timed region via the cache marker).
+        import glob as _glob
+
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import similarity
+
+        emb = load_table(spark, sf, "embeddings")
+        n_corpus = emb.count()
+        cells = max(64, int(round(n_corpus ** 0.5)))
+        q = emb.filter(F.col("vec_id") % 25 == 0).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+        c = emb.filter(F.col("vec_id") % 25 != 0)
+        rows_ = {
+            int(r.vec_id): [float(v) for v in r.embedding]
+            for r in emb.filter(F.col("vec_id") < cells).collect()
+        }
+        books = [
+            [rows_[cc][j * 16:(j + 1) * 16] for cc in range(8)] for j in range(4)
+        ]
+        cents = [rows_[cc] for cc in sorted(rows_)]
+        code_path = os.path.join(SCRATCH, f"pq_codes_{cells}")
+        if not os.path.exists(os.path.join(code_path, "_SUCCESS")):
+            similarity.pq_encode(c, books).drop("recon_sq_err").join(
+                similarity.ivf_assign(c, cents).select("vec_id", "ivf_cell"),
+                "vec_id",
+            ).write.mode("overwrite").parquet(code_path)
+        at_rest = spark.read.parquet(code_path)
+        return similarity.pq_knn_join(
+            q, c, books, cents, k=5, nprobe=2, corpus_codes=at_rest
+        )
+
+    queries["pq_knn_join_sqrtn_atrest"] = _pq_knn_sqrtn_atrest
 
     def _fuzzy_decon(spark, sf):
         # benchmark decontamination at scale: the corpus grows with

@@ -14,6 +14,8 @@
      candidate quality cut points, one pass for all of them.
   5. ``bpe_train`` — the tokenizer merge loop over the surviving slice:
      corpus touched once, each round iterates the Zipf-small vocab.
+  6. ``bpe_tokenize`` — tokenize-to-count with the learned merges via
+     the production Arrow-batched kernel (scales to 32k-merge vocabs).
 
     python examples/10_corpus_governance.py [sf_dir]
 """
@@ -102,6 +104,15 @@ def main() -> None:
     merges = text.bpe_train(clean, n_merges=5)
     print("learned BPE merges:")
     merges.show()
+
+    # 6. tokenize-to-count with the learned merges: bpe_apply folds each
+    # rank as a JVM expression (right for bounded merge lists like this
+    # one); bpe_tokenize is the production path for a full 32k-merge
+    # vocabulary — same output schema, Arrow-batched kernel, broadcast
+    # ranks, per-partition word cache
+    pairs = [(r["left"], r["right"]) for r in merges.collect()]
+    print("token counts under the learned merges (production kernel):")
+    text.bpe_tokenize(clean, pairs, emit="counts").show(5)
 
     spark.stop()
 

@@ -949,7 +949,13 @@ def incremental_ingest_stream(
         path = os.path.join(corpus_dir, f"epoch={epoch_id}")
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             return
-        batch = batch_df.select(id_col, text_col)
+        # pin the batch ONCE: the dedup chain below consumes it from
+        # several subtrees (digest anti-join, signatures, verify
+        # semi-join, survivor write), and without a barrier each
+        # consumer re-reads the batch source — measured as numInputRows
+        # 3-4x the actual batch at 30x; at production batch sizes those
+        # are repeat object-store reads
+        batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
         has_corpus = any(
             os.path.isdir(os.path.join(corpus_dir, d))
             and not d.startswith(".")

@@ -2172,3 +2172,41 @@ def test_incremental_minhash_dedup_rejects_mismatched_stored_signatures(spark):
             batch, corpus, num_hashes=16, bands=4, shingle_k=3,
             threshold=0.6, shingle_mode="word", corpus_signatures=sigs8,
         ).collect()
+
+
+def test_pq_knn_join_precomputed_codes_match_inline(spark, embeddings):
+    """corpus_codes (the at-rest IVFADC index seam) must give
+    byte-identical results to the inline encode+assign path, and a
+    wrong-shape table must fail loudly."""
+    import pytest as _pytest
+
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in embeddings.orderBy("vec_id").limit(4).collect()
+    ]
+    rows = {
+        int(r.vec_id): [float(v) for v in r.embedding]
+        for r in embeddings.filter(F.col("vec_id") < 8).collect()
+    }
+    books = [[rows[c][j * 16:(j + 1) * 16] for c in range(8)] for j in range(4)]
+    q = (
+        embeddings.filter(F.col("vec_id") % 9 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = embeddings.filter(F.col("vec_id") % 9 != 0)
+    inline = similarity.pq_knn_join(q, corpus, books, cents, k=3, nprobe=2)
+    at_rest = similarity.pq_encode(corpus, books).drop("recon_sq_err").join(
+        similarity.ivf_assign(corpus, cents).select("vec_id", "ivf_cell"),
+        "vec_id",
+    )
+    stored = similarity.pq_knn_join(
+        q, corpus, books, cents, k=3, nprobe=2, corpus_codes=at_rest
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, stored.collect())
+    )
+    with _pytest.raises(ValueError, match="missing columns"):
+        similarity.pq_knn_join(
+            q, corpus, books, cents, k=3, nprobe=2,
+            corpus_codes=at_rest.drop("code_2"),
+        )

@@ -642,15 +642,19 @@ def test_pq_knn_join_is_keyed_join_not_cross_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_fuzzy_decontaminate_all_joins_broadcast_no_smj(spark):
-    # the decontamination contract: the CORPUS lineage is broadcast-
-    # probed end to end — the banding probe, the candidate-id semi-join
-    # and the final anti-join all hash a broadcast side. The one join
-    # allowed to shuffle is the sliver verify (keyed on corpus_id /
-    # bench_id): its inputs are the candidate pairs and their shingle
-    # sets — bounded by LEAK volume, not corpus volume (AQE converts it
-    # to broadcast at runtime when the sliver is small). Wide corpus
-    # input so the signing spread stays out.
+def test_fuzzy_decontaminate_corpus_lineage_broadcast_or_id_keyed(spark):
+    # the decontamination contract: the BANDING probe (the one step that
+    # touches every corpus row) hashes a broadcast side — the benchmark
+    # banding rows are benchmark-bounded, so that hint is forced and
+    # must survive. The candidate semi-join, the verify joins and the
+    # final anti-join are bounded by CONTAMINATION volume, not a
+    # constant, so they carry NO forced broadcast (a heavily
+    # contaminated corpus would drive a forced broadcast past the
+    # driver); statically they may plan as SMJ and AQE converts to
+    # broadcast at runtime when the sliver is actually small. What must
+    # hold statically: every SMJ is keyed on ids — never on a
+    # band/bucket or text-bearing branch. Wide corpus input so the
+    # signing spread stays out.
     n_part = spark.sparkContext.defaultParallelism
     corpus = spark.createDataFrame(
         [(i, f"corpus doc number {i} with some shared words inside") for i in range(40)],
@@ -664,10 +668,23 @@ def test_fuzzy_decontaminate_all_joins_broadcast_no_smj(spark):
         corpus, bench, shingle_k=3, shingle_mode="word", threshold=0.6
     )
     p = plan_string(out)
-    assert p.count("BroadcastHashJoin") >= 3, p
-    # any sort-merge join must be keyed on the candidate-pair ids (the
-    # sliver verify), never on a text-bearing corpus branch
+    # the benchmark-side banding probe stays a forced broadcast
+    assert p.count("BroadcastHashJoin") >= 1, p
     import re
 
     for m in re.finditer(r"\(\d+\) SortMergeJoin[\s\S]*?Left keys \[\d+\]: \[(\w+)", p):
-        assert m.group(1).startswith(("corpus_id", "bench_id")), p
+        assert m.group(1).startswith(("corpus_id", "bench_id", "doc_id")), p
+
+
+def test_bpe_tokenize_is_map_only(spark, documents):
+    # the production tokenizer kernel is a single Arrow hop over the
+    # scan: no Exchange anywhere — the corpus crosses into Python once,
+    # and the merge ranks travel by broadcast variable, not join
+    from starlight_for_kafka_spark.operators.text import bpe_tokenize
+
+    df = bpe_tokenize(
+        documents.select("doc_id", "text"), [("t", "h"), ("th", "e")]
+    )
+    p = plan_string(df)
+    assert exchange_count(df) == 0, p
+    assert "MapInPandas" in p, p
