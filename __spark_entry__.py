@@ -2442,6 +2442,35 @@ def q_bpe_tokenize(spark, sf_dir):
     return text_ops.bpe_tokenize(docs, merges, emit="counts")
 
 
+def q_bpe_tokenize_tokens(spark, sf_dir):
+    """The kernel's emit="tokens" path: per-doc BPE token ARRAYS (word
+    order preserved) under the 3 trained merges — what a downstream
+    packing/n-gram stage consumes. Oracle rebuilds each word's symbol
+    list from the trained-vocab fold and flattens in word-position
+    order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    learned = text_ops.bpe_train(docs, n_merges=3).collect()
+    merges = [(r["left"], r["right"]) for r in learned]
+    return text_ops.bpe_tokenize(docs, merges, emit="tokens")
+
+
+def q_pack_bpe_sequences(spark, sf_dir):
+    """The tokenizer loop closed END TO END: train merges on the corpus
+    (bpe_train), tokenize-to-count with the production kernel
+    (bpe_tokenize), pack the REAL token counts into fixed-capacity
+    sequences (sampling.pack_sequences' sharded parallel prefix sum) —
+    the capacity planning a pretraining run does with its actual
+    tokenizer, not whitespace counts. Oracle replays the trained-vocab
+    fold, the count join, and the pack cumsum in one SQL chain."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    learned = text_ops.bpe_train(docs, n_merges=3).collect()
+    merges = [(r["left"], r["right"]) for r in learned]
+    counts = text_ops.bpe_tokenize(docs, merges, emit="counts")
+    return sampling_ops.pack_sequences(counts, "n_tokens", 2048).select(
+        "doc_id", "n_tokens", "start_tok", "pack_id", "n_packs_spanned"
+    )
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (text.bpe_train): the full
     merge LOOP — word-frequency collapse once, then per-round pair
@@ -4061,6 +4090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_apply": q_bpe_apply,
         "bpe_tokenize": q_bpe_tokenize,
+        "bpe_tokenize_tokens": q_bpe_tokenize_tokens,
+        "pack_bpe_sequences": q_pack_bpe_sequences,
         "filter_funnel_weighted": q_filter_funnel_weighted,
         "snapshot_delta": q_snapshot_delta,
         "threshold_sweep": q_threshold_sweep,
@@ -4983,6 +5014,66 @@ GROUP BY d.doc_id"""
     )
 
 
+def _bpe_tokenize_tokens_oracle_sql(n_merges: int = 3) -> str:
+    """bpe_tokenize emit="tokens": per-word symbol lists from the
+    trained-vocab fold, flattened per doc in word-position order."""
+    ctes = _bpe_ctes(n_merges, fold_last=True)
+    ctes.append("""wp AS (
+  SELECT doc_id, pos, w[pos] AS word
+  FROM (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w,
+           unnest(range(1, len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) + 1)) AS pos
+    FROM documents
+  ) WHERE len(w[pos]) > 0
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT wp.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       flatten(list(v.syms ORDER BY wp.pos)) AS tokens
+FROM wp JOIN w{n_merges} v USING (word)
+GROUP BY wp.doc_id"""
+    )
+
+
+def _pack_bpe_sequences_oracle_sql(n_merges: int = 3, capacity: int = 2048) -> str:
+    """pack_bpe_sequences: the train → tokenize → pack loop closed —
+    per-doc REAL BPE token counts (the same trained-vocab fold + join
+    replay as bpe_apply) flow into pack_sequences' sharded prefix sum.
+    Wordless docs never enter the stream (the tokenize join drops them),
+    matching the kernel's skip."""
+    ctes = _bpe_ctes(n_merges, fold_last=True)
+    ctes.append("""docw AS (
+  SELECT doc_id, word, count(*)::BIGINT AS occ
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+  ) WHERE len(word) > 0
+  GROUP BY doc_id, word
+)""")
+    ctes.append(f"""tok AS (
+  SELECT d.doc_id, CAST(sum(d.occ * len(v.syms)) AS BIGINT) AS n_tokens
+  FROM docw d JOIN w{n_merges} v USING (word)
+  GROUP BY d.doc_id
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+, c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           ORDER BY doc_id % 32, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+  FROM tok
+)
+SELECT doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // {capacity} AS BIGINT) AS pack_id,
+       CAST((start_tok + n_tokens - 1) // {capacity} - start_tok // {capacity} + 1 AS INT) AS n_packs_spanned
+FROM c"""
+    )
+
+
 def _leakage_safe_split_oracle_sql() -> str:
     """split_leakage_safe: MinHash pipeline → transitive closure →
     per-component md5 split gate (same 98/1/1 thresholds as assign_split,
@@ -5322,6 +5413,8 @@ def oracle_sql() -> dict[str, str]:
         # the Pandas-UDF tokenizer and the expression fold coincide on
         # trained merge lists, so they share one oracle
         "bpe_tokenize": _bpe_apply_oracle_sql(),
+        "bpe_tokenize_tokens": _bpe_tokenize_tokens_oracle_sql(),
+        "pack_bpe_sequences": _pack_bpe_sequences_oracle_sql(),
         "snapshot_delta": _snapshot_delta_oracle_sql(),
         "threshold_sweep": _threshold_sweep_oracle_sql(),
         "dedup_minhash_capped": f"""WITH {_minhash_pipeline_cte(star_above=2)}

@@ -371,8 +371,13 @@ def leakage_safe_split(
 
     comps = connected_components(dup_pairs)
     rep = comps.select(F.col("node").alias(id_col), F.col("component").alias("__rep"))
+    # rep is bounded by NEAR-DUP volume (one row per doc appearing in any
+    # pair), which grows with the corpus's duplication rate — not a
+    # constant. No forced broadcast: AQE picks broadcast when the dup
+    # sliver is actually small and falls back to a shuffle join on a
+    # dup-heavy corpus where a forced broadcast would exhaust the driver.
     tagged = (
-        df.join(F.broadcast(rep), id_col, "left")
+        df.join(rep, id_col, "left")
         .withColumn("component", F.coalesce(F.col("__rep"), F.col(id_col)))
         .drop("__rep")
     )
