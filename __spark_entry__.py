@@ -2454,6 +2454,18 @@ def q_bpe_tokenize_tokens(spark, sf_dir):
     return text_ops.bpe_tokenize(docs, merges, emit="tokens")
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """Frequency-ranked token-id vocabulary under the trained merges
+    (text.bpe_vocab): the broadcast table a tokenize-to-IDS pipeline
+    ships — distinct tokens with corpus counts and deterministic dense
+    ids. Oracle replays the trained-vocab fold, the token explode, and
+    the (count desc, token) rank."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    learned = text_ops.bpe_train(docs, n_merges=3).collect()
+    merges = [(r["left"], r["right"]) for r in learned]
+    return text_ops.bpe_vocab(docs, merges)
+
+
 def q_pack_bpe_sequences(spark, sf_dir):
     """The tokenizer loop closed END TO END: train merges on the corpus
     (bpe_train), tokenize-to-count with the production kernel
@@ -4091,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_tokenize_tokens": q_bpe_tokenize_tokens,
+        "bpe_vocab": q_bpe_vocab,
         "pack_bpe_sequences": q_pack_bpe_sequences,
         "filter_funnel_weighted": q_filter_funnel_weighted,
         "snapshot_delta": q_snapshot_delta,
@@ -5037,6 +5050,34 @@ GROUP BY wp.doc_id"""
     )
 
 
+def _bpe_vocab_oracle_sql(n_merges: int = 3) -> str:
+    """bpe_vocab: trained-vocab fold -> per-word occurrence-weighted
+    token counts -> frequency-desc dense ids."""
+    ctes = _bpe_ctes(n_merges, fold_last=True)
+    ctes.append("""docw AS (
+  SELECT doc_id, word, count(*)::BIGINT AS occ
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+  ) WHERE len(word) > 0
+  GROUP BY doc_id, word
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+, wt AS (
+  SELECT d.occ, unnest(v.syms) AS token
+  FROM docw d JOIN w{n_merges} v USING (word)
+), c AS (
+  SELECT token, CAST(sum(occ) AS BIGINT) AS n_occurrences FROM wt GROUP BY 1
+)
+SELECT token,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) - 1 AS BIGINT) AS token_id,
+       n_occurrences
+FROM c"""
+    )
+
+
 def _pack_bpe_sequences_oracle_sql(n_merges: int = 3, capacity: int = 2048) -> str:
     """pack_bpe_sequences: the train → tokenize → pack loop closed —
     per-doc REAL BPE token counts (the same trained-vocab fold + join
@@ -5414,6 +5455,7 @@ def oracle_sql() -> dict[str, str]:
         # trained merge lists, so they share one oracle
         "bpe_tokenize": _bpe_apply_oracle_sql(),
         "bpe_tokenize_tokens": _bpe_tokenize_tokens_oracle_sql(),
+        "bpe_vocab": _bpe_vocab_oracle_sql(),
         "pack_bpe_sequences": _pack_bpe_sequences_oracle_sql(),
         "snapshot_delta": _snapshot_delta_oracle_sql(),
         "threshold_sweep": _threshold_sweep_oracle_sql(),

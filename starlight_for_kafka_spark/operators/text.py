@@ -1505,3 +1505,37 @@ def bpe_tokenize(
                 )
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+def bpe_vocab(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build the TOKEN VOCABULARY a trained BPE tokenizer induces over a
+    corpus: one row per distinct token with its corpus frequency and its
+    dense ``token_id`` (frequency-desc, token-asc tiebreak — the
+    conventional frequency-ranked id assignment, deterministic across
+    engines). The id table is what tokenize-to-IDS pipelines broadcast;
+    its size is the Zipf-small token space, never the corpus.
+
+    Plan shape: the :func:`bpe_tokenize` kernel (map-only, Arrow once)
+    feeds one explode + one partial-combining count agg; the dense rank
+    runs over the token-space-sized aggregate, not the corpus. Emits
+    (token, token_id, n_occurrences).
+    """
+    toks = bpe_tokenize(df, merges, text_col, id_col, emit="tokens")
+    counts = (
+        toks.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    # the global rank window runs over the VOCAB (Zipf-small), not the
+    # corpus — the one place a single-task sort is the right call
+    return counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("long")
+    ).select("token", "token_id", "n_occurrences")

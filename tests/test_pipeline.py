@@ -2210,3 +2210,18 @@ def test_pq_knn_join_precomputed_codes_match_inline(spark, embeddings):
             q, corpus, books, cents, k=3, nprobe=2,
             corpus_codes=at_rest.drop("code_2"),
         )
+
+
+def test_bpe_vocab_ids_are_frequency_ranked_and_deterministic(spark):
+    from starlight_for_kafka_spark.operators.text import bpe_train, bpe_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa b"), (2, "aa b c")], "doc_id long, text string"
+    )
+    learned = bpe_train(docs, n_merges=1).collect()
+    merges = [(x["left"], x["right"]) for x in learned]  # the ('a','a') merge
+    out = {r.token: (r.token_id, r.n_occurrences) for r in bpe_vocab(docs, merges).collect()}
+    # tokens: 'aa' x4, 'b' x2, 'c' x1 -> ids 0,1,2 by frequency
+    assert out == {"aa": (0, 4), "b": (1, 2), "c": (2, 1)}
+    again = {r.token: (r.token_id, r.n_occurrences) for r in bpe_vocab(docs, merges).collect()}
+    assert again == out
