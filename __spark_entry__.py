@@ -2283,11 +2283,26 @@ def q_decontaminate_fuzzy_stored(spark, sf_dir):
     tag = re.sub(r"[^A-Za-z0-9.]+", "-", sf_dir.strip("/"))
     path = os.path.join(tempfile.gettempdir(), f"slk-fuzzy-sigs-{tag}")
     marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+
+    def _write():
         dedup_ops.minhash_signatures(
             docs, "text", "doc_id", 16, 3, "word"
         ).write.mode("overwrite").parquet(path)
+
+    if not os.path.exists(marker):
+        _write()
     sigs = spark.read.parquet(path)
+    # staleness probe: a cached table written by an OLDER signature
+    # implementation would silently change the result — recompute ONE
+    # doc's signature (two tiny jobs) and rewrite the cache on mismatch
+    probe = dedup_ops.minhash_signatures(
+        docs.orderBy("doc_id").limit(1), "text", "doc_id", 16, 3, "word"
+    ).first()
+    if probe is not None:
+        cached = sigs.filter(F.col("doc_id") == probe["doc_id"]).first()
+        if cached is None or list(cached["signature"]) != list(probe["signature"]):
+            _write()
+            sigs = spark.read.parquet(path)
     return dedup_ops.fuzzy_decontaminate(
         docs, bench, num_hashes=16, bands=4, shingle_k=3,
         threshold=0.7, shingle_mode="word", corpus_signatures=sigs,
