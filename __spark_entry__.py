@@ -2469,6 +2469,23 @@ def q_bpe_tokenize_tokens(spark, sf_dir):
     return text_ops.bpe_tokenize(docs, merges, emit="tokens")
 
 
+def q_bpe_tokenize_ids(spark, sf_dir):
+    """The MODEL-INPUT form of the tokenizer loop: per-doc token-ID
+    arrays under the trained merges and the frequency-ranked vocab
+    (text.bpe_tokenize emit="ids" — the vocab dict is collected from
+    bpe_vocab, vocab-sized, and ships with the merge ranks in one
+    broadcast). Oracle replays the fold, the word-order flatten, and
+    the vocab-rank id lookup."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    learned = text_ops.bpe_train(docs, n_merges=3).collect()
+    merges = [(r["left"], r["right"]) for r in learned]
+    vocab = {
+        r["token"]: int(r["token_id"])
+        for r in text_ops.bpe_vocab(docs, merges).collect()
+    }
+    return text_ops.bpe_tokenize(docs, merges, emit="ids", vocab=vocab)
+
+
 def q_bpe_vocab(spark, sf_dir):
     """Frequency-ranked token-id vocabulary under the trained merges
     (text.bpe_vocab): the broadcast table a tokenize-to-IDS pipeline
@@ -4118,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": q_bpe_apply,
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_tokenize_tokens": q_bpe_tokenize_tokens,
+        "bpe_tokenize_ids": q_bpe_tokenize_ids,
         "bpe_vocab": q_bpe_vocab,
         "pack_bpe_sequences": q_pack_bpe_sequences,
         "filter_funnel_weighted": q_filter_funnel_weighted,
@@ -5065,6 +5083,24 @@ GROUP BY wp.doc_id"""
     )
 
 
+def _bpe_tokenize_ids_oracle_sql(n_merges: int = 3) -> str:
+    """bpe_tokenize emit="ids": the tokens replay joined to the vocab
+    replay, ids reassembled in token-position order."""
+    tokens_sql = _bpe_tokenize_tokens_oracle_sql(n_merges)
+    vocab_sql = _bpe_vocab_oracle_sql(n_merges)
+    return f"""WITH toks AS ({tokens_sql}),
+voc AS ({vocab_sql}),
+tk AS (
+  SELECT doc_id, n_words, unnest(tokens) AS token,
+         generate_subscripts(tokens, 1) AS pos
+  FROM toks
+)
+SELECT tk.doc_id, any_value(tk.n_words) AS n_words,
+       list(coalesce(v.token_id, -1) ORDER BY tk.pos) AS token_ids
+FROM tk LEFT JOIN voc v USING (token)
+GROUP BY tk.doc_id"""
+
+
 def _bpe_vocab_oracle_sql(n_merges: int = 3) -> str:
     """bpe_vocab: trained-vocab fold -> per-word occurrence-weighted
     token counts -> frequency-desc dense ids."""
@@ -5470,6 +5506,7 @@ def oracle_sql() -> dict[str, str]:
         # trained merge lists, so they share one oracle
         "bpe_tokenize": _bpe_apply_oracle_sql(),
         "bpe_tokenize_tokens": _bpe_tokenize_tokens_oracle_sql(),
+        "bpe_tokenize_ids": _bpe_tokenize_ids_oracle_sql(),
         "bpe_vocab": _bpe_vocab_oracle_sql(),
         "pack_bpe_sequences": _pack_bpe_sequences_oracle_sql(),
         "snapshot_delta": _snapshot_delta_oracle_sql(),

@@ -1392,6 +1392,7 @@ def bpe_tokenize(
     id_col: str = "doc_id",
     emit: str = "counts",
     cache_cap: int = 1_000_000,
+    vocab: dict[str, int] | None = None,
 ) -> DataFrame:
     """PRODUCTION-vocab BPE tokenization: apply an arbitrarily long
     learned merge list (a real tokenizer ships ~32k merges) with an
@@ -1425,21 +1426,31 @@ def bpe_tokenize(
     schema, so the two are drop-in interchangeable.
     ``emit="tokens"`` → (id, n_words, tokens array<string>) for
     downstream packing / n-gram stages.
+    ``emit="ids"`` → (id, n_words, token_ids array<long>) — the model-
+    input form; requires ``vocab`` (token → id, e.g. collected from
+    :func:`bpe_vocab` — vocab-sized, bounded), ships with the ranks in
+    one broadcast. Out-of-vocabulary tokens map to ``-1`` (the caller's
+    UNK policy decides what to do with them; with a vocab built by
+    bpe_vocab over the SAME corpus and merges, none occur).
     """
-    if emit not in ("counts", "tokens"):
-        raise ValueError(f"emit must be counts|tokens, got {emit!r}")
+    if emit not in ("counts", "tokens", "ids"):
+        raise ValueError(f"emit must be counts|tokens|ids, got {emit!r}")
+    if emit == "ids" and vocab is None:
+        raise ValueError('emit="ids" requires a vocab (token -> id dict)')
     ranks = {pair: i for i, pair in enumerate(merges)}
-    b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
+    b_ranks = df.sparkSession.sparkContext.broadcast((ranks, vocab or {}))
     id_type = dict(df.dtypes)[id_col]
     if emit == "counts":
         schema = f"{id_col} {id_type}, n_words long, n_tokens long"
-    else:
+    elif emit == "tokens":
         schema = f"{id_col} {id_type}, n_words long, tokens array<string>"
+    else:
+        schema = f"{id_col} {id_type}, n_words long, token_ids array<long>"
 
     def kernel(batches):
         import pandas as pd
 
-        rk = b_ranks.value
+        rk, voc = b_ranks.value
         cache: dict[str, tuple[str, ...]] = {}
 
         def encode(word: str) -> tuple[str, ...]:
@@ -1487,7 +1498,10 @@ def bpe_tokenize(
                     toks: list[str] = []
                     for w in words:
                         toks.extend(encode(w))
-                    payload.append(toks)
+                    if emit == "ids":
+                        payload.append([voc.get(t, -1) for t in toks])
+                    else:
+                        payload.append(toks)
             if emit == "counts":
                 yield pd.DataFrame(
                     {id_col: ids, "n_words": n_words, "n_tokens": payload}
@@ -1496,11 +1510,12 @@ def bpe_tokenize(
                 # object dtype keeps the list column out of NumPy's
                 # hands — Arrow's NumPyConverter can't take list<string>
                 # (and an empty batch would otherwise infer float64)
+                col = "token_ids" if emit == "ids" else "tokens"
                 yield pd.DataFrame(
                     {
                         id_col: ids,
                         "n_words": n_words,
-                        "tokens": pd.Series(payload, dtype="object"),
+                        col: pd.Series(payload, dtype="object"),
                     }
                 )
 

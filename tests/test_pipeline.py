@@ -2225,3 +2225,37 @@ def test_bpe_vocab_ids_are_frequency_ranked_and_deterministic(spark):
     assert out == {"aa": (0, 4), "b": (1, 2), "c": (2, 1)}
     again = {r.token: (r.token_id, r.n_occurrences) for r in bpe_vocab(docs, merges).collect()}
     assert again == out
+
+
+def test_bpe_tokenize_ids_match_vocab_and_flag_oov(spark):
+    import pytest as _pytest
+
+    from starlight_for_kafka_spark.operators.text import (
+        bpe_tokenize,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa b"), (2, "aa c")], "doc_id long, text string"
+    )
+    learned = bpe_train(docs, n_merges=1).collect()
+    merges = [(x["left"], x["right"]) for x in learned]
+    vocab = {
+        r.token: int(r.token_id) for r in bpe_vocab(docs, merges).collect()
+    }
+    ids = {
+        r.doc_id: list(r.token_ids)
+        for r in bpe_tokenize(docs, merges, emit="ids", vocab=vocab).collect()
+    }
+    toks = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_tokenize(docs, merges, emit="tokens").collect()
+    }
+    assert ids == {d: [vocab[t] for t in ts] for d, ts in toks.items()}
+    # OOV (vocab built elsewhere) maps to -1
+    oov = bpe_tokenize(docs, merges, emit="ids", vocab={"aa": 0}).collect()
+    flat = [i for r in oov for i in r.token_ids]
+    assert set(flat) == {0, -1}
+    with _pytest.raises(ValueError, match="requires a vocab"):
+        bpe_tokenize(docs, merges, emit="ids")
