@@ -16,6 +16,8 @@
      corpus touched once, each round iterates the Zipf-small vocab.
   6. ``bpe_tokenize`` — tokenize-to-count with the learned merges via
      the production Arrow-batched kernel (scales to 32k-merge vocabs).
+  7. ``bpe_vocab`` + ``bpe_tokenize(emit="ids")`` — frequency-ranked
+     token ids and the model-input id arrays, loop closed end to end.
 
     python examples/10_corpus_governance.py [sf_dir]
 """
@@ -113,6 +115,15 @@ def main() -> None:
     pairs = [(r["left"], r["right"]) for r in merges.collect()]
     print("token counts under the learned merges (production kernel):")
     text.bpe_tokenize(clean, pairs, emit="counts").show(5)
+
+    # 7. the full loop to MODEL INPUT: frequency-ranked vocab ids, then
+    # tokenize-to-ids (vocab + ranks in one broadcast, kernel map-only)
+    vocab = {
+        r["token"]: int(r["token_id"])
+        for r in text.bpe_vocab(clean, pairs).collect()
+    }
+    print(f"vocab size {len(vocab)}; token-id arrays:")
+    text.bpe_tokenize(clean, pairs, emit="ids", vocab=vocab).show(3)
 
     spark.stop()
 
