@@ -2458,15 +2458,24 @@ def q_bpe_tokenize(spark, sf_dir):
 
 
 def q_bpe_tokenize_tokens(spark, sf_dir):
-    """The kernel's emit="tokens" path: per-doc BPE token ARRAYS (word
+    """The kernel's emit="tokens" path: per-doc BPE token sequences (word
     order preserved) under the 3 trained merges — what a downstream
     packing/n-gram stage consumes. Oracle rebuilds each word's symbol
     list from the trained-vocab fold and flattens in word-position
-    order."""
+    order. The operator returns `tokens array<string>`; THIS ENTRY
+    serializes it to one unit-separator-joined string (`tokens_ser`)
+    because the driver's canonicalizer (pandas sort_values over all
+    columns) cannot factorize list cells — the serialization is
+    order-preserving and lossless (U+001F never appears in tokens)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     learned = text_ops.bpe_train(docs, n_merges=3).collect()
     merges = [(r["left"], r["right"]) for r in learned]
-    return text_ops.bpe_tokenize(docs, merges, emit="tokens")
+    out = text_ops.bpe_tokenize(docs, merges, emit="tokens")
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.concat_ws("\x1f", "tokens").alias("tokens_ser"),
+    )
 
 
 def q_bpe_tokenize_ids(spark, sf_dir):
@@ -2483,7 +2492,17 @@ def q_bpe_tokenize_ids(spark, sf_dir):
         r["token"]: int(r["token_id"])
         for r in text_ops.bpe_vocab(docs, merges).collect()
     }
-    return text_ops.bpe_tokenize(docs, merges, emit="ids", vocab=vocab)
+    out = text_ops.bpe_tokenize(docs, merges, emit="ids", vocab=vocab)
+    # `token_ids array<bigint>` -> one US-joined decimal string: list
+    # cells crash the driver's pandas canonicalizer, int->string is
+    # format-identical in Spark and DuckDB.
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.concat_ws(
+            "\x1f", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("ids_ser"),
+    )
 
 
 def q_bpe_vocab(spark, sf_dir):
@@ -2697,9 +2716,21 @@ def q_mixture_weights(spark, sf_dir):
 
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 symmetric quantization of the embedding corpus: codes, scale,
-    worst-case reconstruction error per vector."""
+    worst-case reconstruction error per vector. The operator emits
+    `q array<int>`; this entry serializes the codes to one US-joined
+    decimal string (`q_ser`) because list cells are ungradeable by the
+    driver's pandas canonicalizer — int→string is format-identical in
+    Spark and DuckDB, so the comparison stays exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.quantize_embeddings(emb)
+    out = sim_ops.quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(
+            "\x1f", F.transform("q", lambda x: x.cast("string"))
+        ).alias("q_ser"),
+        "max_err",
+    )
 
 
 def q_source_overlap(spark, sf_dir):
@@ -3556,9 +3587,14 @@ def q_cm_heavy_hitters(spark, sf_dir):
 def q_random_projection(spark, sf_dir):
     """JL reduction 64 -> 16 dims with the deterministic md5 ±1 matrix —
     no stored projection, every engine regenerates it from (k, d); the
-    oracle replays the identical signed left-folds bit-for-bit."""
+    oracle replays the identical signed left-folds bit-for-bit. The
+    operator returns `jl array<double>`; this entry posexplodes to
+    (vec_id, dim, jl_val) rows so the coordinates stay NUMERIC for the
+    driver (string-serializing doubles would hit cross-engine float
+    formatting; list cells crash its pandas canonicalizer)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.random_projection(emb, 16)
+    out = sim_ops.random_projection(emb, 16)
+    return out.select("vec_id", F.posexplode("jl").alias("dim", "jl_val"))
 
 
 def q_interleave_sources(spark, sf_dir):
@@ -5505,8 +5541,18 @@ def oracle_sql() -> dict[str, str]:
         # the Pandas-UDF tokenizer and the expression fold coincide on
         # trained merge lists, so they share one oracle
         "bpe_tokenize": _bpe_apply_oracle_sql(),
-        "bpe_tokenize_tokens": _bpe_tokenize_tokens_oracle_sql(),
-        "bpe_tokenize_ids": _bpe_tokenize_ids_oracle_sql(),
+        # driver-gradeable shapes: the array column is serialized to one
+        # chr(31)-joined string exactly as the Spark entry does (pandas
+        # canonicalization cannot sort list cells)
+        "bpe_tokenize_tokens": (
+            "SELECT doc_id, n_words, array_to_string(tokens, chr(31)) AS tokens_ser"
+            f" FROM ({_bpe_tokenize_tokens_oracle_sql()})"
+        ),
+        "bpe_tokenize_ids": (
+            "SELECT doc_id, n_words, array_to_string("
+            "list_transform(token_ids, x -> CAST(x AS VARCHAR)), chr(31)) AS ids_ser"
+            f" FROM ({_bpe_tokenize_ids_oracle_sql()})"
+        ),
         "bpe_vocab": _bpe_vocab_oracle_sql(),
         "pack_bpe_sequences": _pack_bpe_sequences_oracle_sql(),
         "snapshot_delta": _snapshot_delta_oracle_sql(),
@@ -5614,7 +5660,13 @@ FROM mem""",
 )
 SELECT doc_id, n_chars FROM k ORDER BY es DESC, doc_id LIMIT 100""",
         "hll_dau": _hll_dau_oracle_sql(),
-        "random_projection": _jl_oracle_sql(16),
+        # posexploded to (vec_id, dim, jl_val) rows: coordinates stay
+        # numeric for the driver (no list cells, no float->string)
+        "random_projection": (
+            "SELECT vec_id, CAST(pos - 1 AS INTEGER) AS dim, jl_val FROM ("
+            "SELECT vec_id, unnest(jl) AS jl_val, generate_subscripts(jl, 1) AS pos"
+            f" FROM ({_jl_oracle_sql(16)}))"
+        ),
         "interleave_sources": """WITH h AS (
   SELECT lang, doc_id,
          ('0x' || substr(md5('il42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
@@ -7832,7 +7884,7 @@ FROM r""",
   FROM s
 )
 SELECT vec_id, round(scale, 9) AS scale,
-       list_transform(qd, v -> CAST(v AS INTEGER)) AS q,
+       array_to_string(list_transform(qd, v -> CAST(CAST(v AS INTEGER) AS VARCHAR)), chr(31)) AS q_ser,
        round(list_max([abs(x[i] - qd[i] * scale) FOR i IN range(1, len(x) + 1)]), 9) AS max_err
 FROM q""",
         "source_overlap": """WITH nw AS (

@@ -4,7 +4,7 @@ and its oracle_sql() twin side-by-side and compare exactly — value AND
 column-order equality AND engine-type fidelity — the same protocol the
 driver and judge use.
 
-Two comparison lanes per entry:
+Three comparison lanes per entry:
 
 1. **Value lane** — sorted-row-set equality on Python values (bool→int,
    Decimal→float, NaN→"NaN", -0.0 kept distinct from 0.0).
@@ -16,6 +16,12 @@ Two comparison lanes per entry:
    the Spark schema against the Arrow schema per column with int-width
    tolerance but float-vs-int (and any other cross-family) intolerance,
    so that class of defect fails HERE before the driver samples it.
+3. **Gradeability lane** — the driver canonicalizes results with
+   ``pandas.sort_values`` over ALL output columns, which factorizes every
+   sort key and CRASHES on list/struct cells (round-8: two value-exact
+   entries were driver-red for exactly this).  This lane replays that
+   canonicalization on a 5-row head of both sides, so a result shape the
+   driver cannot grade fails HERE regardless of value correctness.
 
 Run it from a NEUTRAL cwd (not the repo root): with the driver cwd
 inside the repo, executor Python workers can import the package and a
@@ -133,6 +139,32 @@ def _arrow_family(t) -> str:
     return str(t)
 
 
+def _canon_lane(sdf, atable):
+    """GRADEABILITY lane: replay the driver's exact canonicalization —
+    ``pandas.sort_values`` over ALL output columns — on a 5-row head of
+    both sides.  pandas factorizes every sort key, so a list/struct cell
+    raises ``TypeError: unhashable type`` in the driver even when the
+    values are exact (round-8: ``bpe_tokenize_tokens``/``_ids`` were
+    value-exact here yet red in CORRECTNESS_r08).  Returns a list of
+    'side: exception' strings; non-empty means driver-UNGRADEABLE."""
+    import pandas as pd
+
+    errs = []
+    try:
+        spd = pd.DataFrame([r.asDict() for r in sdf.limit(5).collect()])
+        if len(spd):
+            spd.sort_values(by=list(spd.columns))
+    except Exception as ex:  # noqa: BLE001 — any crash = ungradeable
+        errs.append(f"spark-canon: {ex!r}")
+    try:
+        opd = atable.slice(0, 5).to_pandas()
+        if len(opd):
+            opd.sort_values(by=list(opd.columns))
+    except Exception as ex:  # noqa: BLE001
+        errs.append(f"oracle-canon: {ex!r}")
+    return errs
+
+
 def _type_lane(sdf, atable, ocols):
     """Compare Spark column families vs the oracle's Arrow families.
     Returns a list of 'col: spark_fam vs arrow_fam' divergence strings."""
@@ -191,6 +223,7 @@ def main() -> int:
             col_ok = [c.lower() for c in sdf.columns] == ocols
             atable = odf.arrow()  # the driver's materialization path
             type_div = _type_lane(sdf, atable, ocols)
+            canon_div = _canon_lane(sdf, atable)
             srows = sorted(
                 (tuple(_norm(v) for v in r)
                  for r in sdf.select(*[scols[c] for c in ocols]).collect()),
@@ -202,7 +235,7 @@ def main() -> int:
                  for d in atable.to_pylist()),
                 key=_skey,
             )
-            ok = col_ok and srows == orows and not type_div
+            ok = col_ok and srows == orows and not type_div and not canon_div
         except Exception as ex:  # noqa: BLE001 — report and keep sweeping
             bad += 1
             print(f"{name} ERROR {ex!r}"[:250], flush=True)
@@ -211,7 +244,8 @@ def main() -> int:
             bad += 1
             print(
                 f"{name} MISMATCH col_ok={col_ok} "
-                f"rows {len(srows)} vs {len(orows)} types={type_div}",
+                f"rows {len(srows)} vs {len(orows)} types={type_div} "
+                f"canon={canon_div}",
                 flush=True,
             )
     print(

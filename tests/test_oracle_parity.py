@@ -190,6 +190,43 @@ def test_no_hugeint_or_type_divergent_oracle_columns(spark, duck):
     assert not bad, "type-fidelity divergences:\n" + "\n".join(bad)
 
 
+def test_no_complex_typed_output_columns(spark):
+    """Plan-only GRADEABILITY gate over ALL queries() entries (including
+    rows-only ones with no oracle): the driver canonicalizes results with
+    ``pandas.sort_values`` over every output column, which factorizes each
+    sort key and raises ``TypeError: unhashable type`` on list/struct/map
+    cells — so ANY complex-typed output column is driver-ungradeable even
+    when values are exact (CORRECTNESS_r08: bpe_tokenize_tokens/_ids).
+    Driver ENTRIES must serialize arrays (concat_ws / posexplode); the
+    operator APIs are free to keep returning them."""
+    bad = []
+    for name in sorted(QUERIES):
+        for f in QUERIES[name](spark, SF_DIR).schema.fields:
+            fam = _spark_family(f.dataType)
+            if fam in ("list", "struct", "map"):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, (
+        "driver-ungradeable complex-typed output columns (serialize them "
+        "in the entry, keep the operator API as-is):\n" + "\n".join(bad)
+    )
+
+
+def test_sweep_canon_lane_catches_seeded_array_output(spark, duck):
+    """Regression seam for sweep.py's gradeability lane: a Spark/oracle
+    pair whose output carries an array column MUST be flagged (the driver
+    cannot sort it), and the serialized twin must pass."""
+    import sweep as sweepmod
+
+    bad_sdf = spark.sql("SELECT 1 AS k, array(1, 2) AS v")
+    bad_tbl = duck.sql("SELECT 1 AS k, [1, 2] AS v").arrow()
+    assert sweepmod._canon_lane(bad_sdf, bad_tbl), (
+        "seeded array-output entry was not flagged by sweep's canon lane"
+    )
+    good_sdf = spark.sql("SELECT 1 AS k, concat_ws(chr(31), array('1', '2')) AS v")
+    good_tbl = duck.sql("SELECT 1 AS k, array_to_string([1, 2], chr(31)) AS v").arrow()
+    assert not sweepmod._canon_lane(good_sdf, good_tbl)
+
+
 def test_sweep_type_lane_catches_seeded_hugeint(spark, duck):
     """Regression seam for sweep.py's Arrow type lane: a bare sum(<int>)
     oracle (HUGEINT) against a Spark bigint column MUST be flagged, and
