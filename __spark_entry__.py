@@ -2545,6 +2545,19 @@ def q_bpe_train(spark, sf_dir):
     return text_ops.bpe_train(docs, n_merges=3)
 
 
+def q_bpe_train_local(spark, sf_dir):
+    """PRODUCTION BPE trainer (text.bpe_train_local): one distributed
+    word-frequency collapse (the only corpus-sized step), then the
+    standard driver-side incremental heap trainer — per-round cost
+    O(affected words), not one shuffle+collect per merge, which is what
+    makes a 32k-merge vocabulary trainable. Semantics identical to
+    bpe_train (same argmax, tie-break, greedy fold), so it shares the
+    distributed loop's 3-round CTE-unrolled oracle — the driver pins
+    the two trainers equal on the real corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return text_ops.bpe_train_local(docs, n_merges=3)
+
+
 def q_dedup_lines_in_doc(spark, sf_dir):
     """Within-document repeated-line removal (text.py dedup_lines_in_doc —
     the per-page half of the C4 line rules, pure map / zero shuffle).
@@ -4168,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs": q_contamination_pairs,
         "filter_funnel": q_filter_funnel,
         "bpe_train": q_bpe_train,
+        "bpe_train_local": q_bpe_train_local,
         "bpe_apply": q_bpe_apply,
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_tokenize_tokens": q_bpe_tokenize_tokens,
@@ -5537,6 +5551,9 @@ def oracle_sql() -> dict[str, str]:
         "filter_funnel": _filter_funnel_oracle_sql(),
         "filter_funnel_weighted": _filter_funnel_oracle_sql(weighted=True),
         "bpe_train": _bpe_train_oracle_sql(),
+        # the heap trainer is semantics-identical to the distributed
+        # loop, so it shares the same unrolled-round oracle
+        "bpe_train_local": _bpe_train_oracle_sql(),
         "bpe_apply": _bpe_apply_oracle_sql(),
         # the Pandas-UDF tokenizer and the expression fold coincide on
         # trained merge lists, so they share one oracle

@@ -908,6 +908,51 @@ def main() -> None:
         )
 
     queries["fuzzy_decontaminate"] = _fuzzy_decon
+
+    def _bpe_train_local_k2000(spark, sf):
+        # production-vocab BPE training (SPARK_GRAFT_SCALE_SUITE row, not
+        # in the default SUITE): the documents fixture holds only 31
+        # distinct words at EVERY SF, which exhausts any BPE trainer at
+        # ~100 merges — so this row salts each word with a deterministic
+        # md5 suffix keyed (word, doc_id%256), growing the vocabulary to
+        # ~8k distinct words (merge budget ~50k) while the corpus-sized
+        # step (the word-frequency collapse) still scans the full
+        # SCALE-replicated table. The claim under test: 2,000 merges cost
+        # driver-side heap time (O(affected words) per round), not 2,000
+        # shuffles — vs bpe_train's ~2 Spark jobs per merge.
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import text as text_ops
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        words = F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        )
+        salted = docs.select(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    words,
+                    lambda w: F.concat(
+                        w,
+                        F.lit("-"),
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    w,
+                                    F.lit(":"),
+                                    (F.col("doc_id") % 256).cast("string"),
+                                )
+                            ),
+                            1,
+                            4,
+                        ),
+                    ),
+                ),
+            ).alias("text")
+        )
+        return text_ops.bpe_train_local(salted, n_merges=2000)
+
+    queries["bpe_train_local_k2000"] = _bpe_train_local_k2000
     entrymod.q_list_offsets(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     metrics = StageMetrics(spark)

@@ -1258,6 +1258,143 @@ def bpe_train(
     )
 
 
+def _bpe_greedy_fold(syms: list, left: str, right: str, merged: str) -> list:
+    """Pure-Python twin of :func:`_bpe_merge_fold` (greedy left-to-right,
+    never re-reads its own output) — kept adjacent so the two stay in
+    lockstep; property-pinned equal in tests/test_properties.py."""
+    acc: list = []
+    for s in syms:
+        if acc and acc[-1] == left and s == right:
+            acc[-1] = merged
+        else:
+            acc.append(s)
+    return acc
+
+
+def bpe_train_local(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32_000,
+    min_word_freq: int = 1,
+    max_words: int = 5_000_000,
+) -> DataFrame:
+    """PRODUCTION-vocab BPE training: the hybrid trainer that makes a
+    32k-merge vocabulary feasible. :func:`bpe_train` is the oracle-exact
+    distributed loop, but each of its rounds is one pair-keyed shuffle
+    plus a 1-row collect — ~2 Spark jobs per merge, so 32k merges is
+    ~64k jobs: correct, and unusable as a production trainer.
+
+    The decomposition every production tokenizer trainer uses
+    (Sennrich '16 reference impl, SentencePiece, HF tokenizers): the
+    only corpus-sized step is the word-frequency collapse, and AFTER it
+    the working set is the distinct-word table, which is Zipf-small
+    relative to the corpus. So:
+
+    1. DISTRIBUTED (the 100 TB step): one token-keyed aggregation with
+       map-side combine -> (word, wf). ``min_word_freq`` prunes the
+       hapax tail — at corpus scale the distinct-word table is heavy-
+       tailed junk (typos, hashes); every production trainer cuts it,
+       and the cut bounds what the driver must hold. ``max_words``
+       guards the collect: if the pruned table is still bigger, raise
+       with the actionable fix (raise ``min_word_freq``) instead of
+       OOMing the driver.
+    2. DRIVER-SIDE (vocab-sized, corpus-independent): the standard
+       incremental heap trainer. Pair counts live in a dict; a lazy
+       max-heap keyed (-count, left, right) yields each round's argmax
+       in O(log P); merging a pair re-folds ONLY the words that contain
+       it (inverted index pair -> word ids) and applies exact count
+       deltas. Each round costs O(affected words), not O(vocab) — the
+       asymptotic fix for the per-round full re-aggregation.
+
+    Semantics are IDENTICAL to :func:`bpe_train` — same normalization,
+    same greedy left-to-right fold, same (count desc, left asc, right
+    asc) tie-break (heap tuple order == the distributed ``orderBy``;
+    Python code-point string order == Spark's binary collation because
+    UTF-8 is code-point-order preserving) — property-pinned equal at
+    small k in tests. Returns the same (rank, left, right, merged,
+    pair_count) table.
+    """
+    import heapq
+    from collections import Counter
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    wordfreq = (
+        df.select(F.explode(F.split(F.trim(norm), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("wf"))
+    )
+    if min_word_freq > 1:
+        wordfreq = wordfreq.filter(F.col("wf") >= min_word_freq)
+    n_distinct = wordfreq.count()
+    if n_distinct > max_words:
+        raise ValueError(
+            f"bpe_train_local: {n_distinct} distinct words exceed "
+            f"max_words={max_words}; raise min_word_freq (current "
+            f"{min_word_freq}) to prune the tail before collecting"
+        )
+    rows = wordfreq.collect()
+    spark = df.sparkSession
+
+    words: list[list[str]] = [list(r["word"]) for r in rows]
+    wfs: list[int] = [int(r["wf"]) for r in rows]
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, (syms, wf) in enumerate(zip(words, wfs)):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += wf
+            pair_words.setdefault(p, set()).add(i)
+    heap = [(-n, l, r) for (l, r), n in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        # lazy-heap argmax: entries go stale when counts change (a fresh
+        # entry is pushed on every change), so pop until head is current
+        best = None
+        while heap:
+            negn, l, r = heap[0]
+            if pair_counts.get((l, r), 0) == -negn:
+                best = heapq.heappop(heap)
+                break
+            heapq.heappop(heap)
+        if best is None:
+            break
+        negn, left, right = best
+        count = -negn
+        merged = left + right
+        merges.append((rank, left, right, merged, count))
+        for i in list(pair_words.get((left, right), ())):
+            old, wf = words[i], wfs[i]
+            new = _bpe_greedy_fold(old, left, right, merged)
+            oldp = Counter(zip(old, old[1:]))
+            newp = Counter(zip(new, new[1:]))
+            for p in oldp.keys() | newp.keys():
+                d = newp.get(p, 0) - oldp.get(p, 0)
+                if d:
+                    nc = pair_counts.get(p, 0) + d * wf
+                    if nc > 0:
+                        pair_counts[p] = nc
+                        heapq.heappush(heap, (-nc, p[0], p[1]))
+                    else:
+                        pair_counts.pop(p, None)
+                if p in oldp and p not in newp:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(i)
+                        if not s:
+                            pair_words.pop(p, None)
+                elif p in newp and p not in oldp:
+                    pair_words.setdefault(p, set()).add(i)
+            words[i] = new
+        # greedy fold leaves no adjacent (left, right) anywhere
+        pair_counts.pop((left, right), None)
+        pair_words.pop((left, right), None)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
 def threshold_sweep(
     df: DataFrame,
     score_col: str,

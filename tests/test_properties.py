@@ -674,6 +674,39 @@ def test_bpe_train_and_apply_match_pure_python_reference(
 @_spark_settings
 @given(
     words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=7),
+        min_size=1,
+        max_size=14,
+    ),
+    reps=st.lists(st.integers(1, 4), min_size=14, max_size=14),
+    n_merges=st.integers(1, 10),
+)
+def test_bpe_train_local_matches_reference(spark, words, reps, n_merges):
+    """The production heap trainer (bpe_train_local: one distributed
+    word-frequency collapse, then driver-side incremental pair-count
+    updates over a lazy max-heap) learns EXACTLY the reference merge
+    table — same argmax, same tie-break, same greedy fold — for any
+    corpus, at deeper k than the distributed loop's tests (the
+    incremental count deltas and heap staleness are the new surface;
+    tie-heavy tiny alphabets stress both). Pinned against the same
+    pure-Python reference as bpe_train, which is itself pinned to
+    bpe_train — so the two trainers are transitively equal."""
+    from starlight_for_kafka_spark.operators.text import bpe_train_local
+
+    text = " ".join(w for w, k in zip(words, reps) for _ in range(k))
+    freqs: dict[str, int] = {}
+    for w, k in zip(words, reps):
+        freqs[w] = freqs.get(w, 0) + k
+    exp_merges, _ = _bpe_reference(freqs, n_merges)
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_train_local(docs, n_merges=n_merges).collect()]
+    assert got == exp_merges, (text, got, exp_merges)
+
+
+@_spark_settings
+@given(
+    words=st.lists(
         st.text(alphabet="abc", min_size=1, max_size=6),
         min_size=1,
         max_size=12,
