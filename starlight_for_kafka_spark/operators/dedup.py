@@ -87,15 +87,37 @@ def incremental_dedup(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_digests: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus exact dedup: drop incoming docs whose normalized
     content already exists in the corpus, then dedup within the batch
     (keep lowest id). The incremental-ingestion shape: at 100 TB the
     corpus side reduces to a digest column (one scan, heavy text never
-    shuffles), and the anti-join shuffles only digests."""
+    shuffles) — and the corpus digests never shuffle EITHER: the batch's
+    distinct digests (batch-bounded) probe the corpus via a semi-join
+    (AQE broadcasts the probe side at microbatch sizes), so only the
+    matching digest SLIVER (≤ batch distinct digests) reaches the
+    anti-join. The previous shape ran ``corpus.distinct()`` before the
+    anti-join — one corpus-linear shuffle per ingest, measured 10x
+    shuffle growth for a fixed batch as the corpus grew 10x (300x
+    fixed-batch row, BASELINE.md round 9).
+
+    ``corpus_digests``: optional at-rest (…, ``digest``) frame — the
+    stored-index seam (see :func:`incremental_minhash_dedup`'s
+    ``corpus_signatures``): pass it and the corpus TEXT is not read at
+    all for the exact pass."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     digest = F.md5(norm.cast("binary"))
-    seen = corpus.select(digest.alias("__digest")).distinct()
+    if corpus_digests is None:
+        corpus_digests = corpus.select(digest.alias("__digest"))
+    else:
+        corpus_digests = corpus_digests.select(
+            F.col("digest").alias("__digest")
+        )
+    probe = new_docs.select(digest.alias("__digest")).distinct()
+    seen = (
+        corpus_digests.join(probe, "__digest", "left_semi").distinct()
+    )
     fresh = (
         new_docs.withColumn("__digest", digest)
         .join(seen, "__digest", "left_anti")
@@ -420,6 +442,20 @@ def jaccard_verify(
         .union(candidates.select(F.col("b").alias(id_col)))
         .distinct()
     )
+    # the corpus side of this semi-join is the scale term: statically
+    # Catalyst plans SMJ (cand_ids derives from a checkpoint, unknown
+    # stats) and AQE's runtime BHJ conversion lands only AFTER the big
+    # side's shuffle map stage has already written — measured 248 MiB of
+    # corpus text shuffled for a 4.6k-pair candidate set (300x
+    # fixed-batch row, BASELINE.md round 9). The candidates frame is
+    # MATERIALIZED, so its size is known for free: broadcast the id
+    # probe at planning time whenever it is genuinely bounded (ids-only,
+    # ≤2M rows ≈ 16 MB) and the corpus side stays map-only; past the
+    # bound, fall back to the shuffle join (the round-7 no-forced-
+    # broadcast-on-unbounded-sets rule — this one is measured, not
+    # assumed).
+    if candidates.count() <= 1_000_000:
+        cand_ids = F.broadcast(cand_ids)
     docs_needed = df.join(cand_ids, id_col, "left_semi")
     sets_df = docs_needed.repartition(n_part, id_col).select(
         F.col(id_col).alias("__id"),
@@ -594,13 +630,33 @@ def incremental_minhash_dedup(
     bn = _banded_signatures(sigs_new, id_col, bands, num_hashes)
     if bn is None:
         return new_docs
-    bo = _banded_signatures(sigs_old, id_col, bands, num_hashes)
+    # materialize=False: the raw corpus banding has exactly ONE consumer
+    # (the probe semi-join below) — checkpointing it would write
+    # corpus-linear banding rows to local disk on EVERY ingest; the
+    # probed SLIVER is what gets materialized (two consumers)
+    bo = _banded_signatures(
+        sigs_old, id_col, bands, num_hashes, materialize=False
+    )
     within = minhash_lsh_candidates(
         sigs_new, id_col, bands, max_bucket, num_hashes=num_hashes
     )
     if bo is None:
         cands = within
     else:
+        # PROBE-FIRST: only corpus band rows landing in a bucket the
+        # batch actually probes can produce a cross pair (and hot-bucket
+        # detection on non-probed buckets is irrelevant — they emit
+        # nothing either way), so semi-join the corpus banding against
+        # the batch's distinct buckets BEFORE counting or joining. The
+        # probe set is batch-bounded (≤ batch rows × bands), AQE
+        # broadcasts it, and the corpus banding never shuffles — without
+        # this, the occupancy groupBy + the cross join each shuffled the
+        # FULL corpus banding on every ingest (corpus-linear per batch;
+        # measured at the 300x fixed-batch row, BASELINE.md round 9).
+        probe_buckets = bn.select("band", "bucket").distinct()
+        bo = bo.join(
+            probe_buckets, ["band", "bucket"], "left_semi"
+        ).localCheckpoint(eager=True)  # sliver: 2 consumers (counts, cross)
         counts = (
             bn.select("band", "bucket")
             .unionByName(bo.select("band", "bucket"))
