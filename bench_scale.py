@@ -392,6 +392,59 @@ def run_streaming_rows(spark, sf_dir: str) -> list[dict]:
             stream_ops.txn_coordinator_stream,
         )
     )
+
+    # typed Avro consume path at SCALE (reference analog:
+    # CONSUME_MESSAGE_CONVERSIONS_TIME_NANOS, grafana/dashboard.json):
+    # the full SCALE-x events table Confluent-framed with a v1 writer
+    # schema (one-time encode, cached per scratch), then decoded
+    # per-microbatch by the Arrow mapInPandas kernel with reader-writer
+    # resolution (reader adds a defaulted field + widens int->long).
+    # Stateless: the claim is per-batch wall tracks batch rows (flat
+    # across microbatches), i.e. the decode kernel has no corpus term
+    # and no state-store pressure at any SCALE.
+    import json as _json
+
+    from starlight_for_kafka_spark.operators import registry as reg
+
+    v1 = _json.dumps({
+        "type": "record", "name": "Event", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "user", "type": "long"},
+            {"name": "etype", "type": "string"},
+            {"name": "val", "type": "int"},
+        ],
+    })
+    rd = _json.dumps({
+        "type": "record", "name": "Event", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "user", "type": "long"},
+            {"name": "etype", "type": "string"},
+            {"name": "val", "type": "long"},
+            {"name": "src", "type": "string", "default": "crawl"},
+        ],
+    })
+    src = os.path.join(SCRATCH, "avro_wire_src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        base = events.select(
+            F.col("event_id").alias("k"),
+            F.lit(1).cast("int").alias("schema_id"),
+            F.struct(
+                F.col("event_id").alias("k"),
+                F.col("user_id").alias("user"),
+                F.col("event_type").alias("etype"),
+                (F.col("value") * 100).cast("int").alias("val"),
+            ).alias("record"),
+        )
+        reg.avro_encode(base, {1: v1}).repartition(16).write.mode(
+            "overwrite"
+        ).parquet(src)
+    rows.append(
+        _drive_stateful(
+            spark, "typed_avro_decode_stream", src,
+            "k long, schema_id int, value binary",
+            lambda s: stream_ops.typed_avro_stream(s, {1: v1}, rd),
+        )
+    )
     return rows
 
 
