@@ -556,7 +556,19 @@ def minhash_dedup(
         partition_cols=partition_cols,
     )
     verified = jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold, shingle_mode)
-    losers = verified.select(F.col("b").alias(id_col)).distinct()
+    losers = (
+        verified.select(F.col("b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)  # sliver of ids; size now known
+    )
+    # the final anti-join's left side is the FULL corpus: statically
+    # Catalyst plans SMJ (losers had no stats) and the corpus shuffle
+    # map stage writes before AQE can convert (measured on the same
+    # pattern in jaccard_verify, BASELINE.md round 9). The loser set is
+    # materialized, so broadcast it whenever it is genuinely bounded and
+    # the corpus stays map-only; past the bound, fall back.
+    if losers.count() <= 2_000_000:
+        losers = F.broadcast(losers)
     return df.join(losers, id_col, "left_anti")
 
 
@@ -1245,11 +1257,20 @@ def fuzzy_decontaminate(
     # sets broadcast whole
     sh = lambda c: F.array_distinct(_shingle_expr(c, shingle_k, shingle_mode))  # noqa: E731
     # candidate ids are bounded by contamination volume, not a constant
-    # (BASELINE.md records flagged growing linearly with scale) — no
-    # forced broadcast; AQE picks broadcast when the sliver is actually
-    # small and falls back to a shuffle semi-join when it isn't
+    # (BASELINE.md records flagged growing linearly with scale) — so the
+    # broadcast decision is MEASURED, not assumed: cands is materialized
+    # (checkpointed above), its count is free, and only a genuinely
+    # bounded probe broadcasts. AQE alone is not enough here: it plans
+    # SMJ statically (the probe derives from a checkpoint, no stats) and
+    # converts only after the corpus shuffle map stage has written
+    # (measured on the identical pattern in jaccard_verify, BASELINE.md
+    # round 9).
+    cands_bounded = cands.count() <= 1_000_000
+    probe = cands.select(F.col("corpus_id").alias(id_col)).distinct()
+    if cands_bounded:
+        probe = F.broadcast(probe)
     corpus_sets = corpus.join(
-        cands.select(F.col("corpus_id").alias(id_col)).distinct(),
+        probe,
         id_col,
         "left_semi",
     ).select(F.col(id_col).alias("corpus_id"), sh(text_col).alias("__ca"))
@@ -1266,10 +1287,12 @@ def fuzzy_decontaminate(
     )
     if mode == "report":
         return verified.select("corpus_id", "bench_id", "jaccard")
-    # same contamination-volume bound as above: let AQE choose the join
-    # strategy for the anti-join instead of forcing a broadcast that a
-    # heavily contaminated corpus could drive past the driver's memory
+    # flagged ⊆ candidate corpus ids, so the measured candidate bound
+    # covers it too: broadcast keeps the corpus-side anti-join map-only;
+    # an unbounded contamination volume falls back to the shuffle join
     flagged = verified.select(F.col("corpus_id").alias(id_col)).distinct()
+    if cands_bounded:
+        flagged = F.broadcast(flagged)
     return corpus.join(flagged, id_col, "left_anti")
 
 
@@ -1385,7 +1408,11 @@ def minhash_dedup_exact_groups(
     comps = connected_components(verified)
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
-    )
+    ).localCheckpoint(eager=True)  # near-dup nodes only; size now known
+    # same measured-bound broadcast as minhash_dedup's anti-join: keep
+    # the corpus side map-only whenever the loser set is bounded
+    if losers.count() <= 2_000_000:
+        losers = F.broadcast(losers)
     return df.join(losers, id_col, "left_anti")
 
 
