@@ -13,7 +13,13 @@ operators compose into the pass:
      corpus side contributes LSH banding rows only and NEVER self-joins
      (re-running the full pipeline would re-emit every corpus pair
      cluster on every ingest); corpus signatures can be precomputed and
-     stored with the corpus (``corpus_signatures=...``).
+     stored with the corpus (``corpus_signatures=...``). Since round 9
+     the corpus side never SHUFFLES either: the batch's distinct digests
+     and buckets semi-probe the corpus (broadcast probes), so per-batch
+     shuffle is batch-bounded at any corpus size — and the streaming
+     loop (``incremental_ingest_stream``, example below) persists a
+     narrow (id, digest, signature) index per epoch so corpus text is
+     never re-hashed per batch.
 
     python examples/08_incremental_ingestion.py [sf_dir]
 """

@@ -102,9 +102,14 @@ def main() -> None:
         scored, "stop_ratio", [0.02, 0.05, 0.1, 0.2], weight_col="n_tokens"
     ).show()
 
-    # 5. tokenizer training over the survivors (corpus touched once)
-    merges = text.bpe_train(clean, n_merges=5)
-    print("learned BPE merges:")
+    # 5. tokenizer training over the survivors (corpus touched once).
+    # bpe_train is the oracle-exact distributed loop (~2 Spark jobs per
+    # merge — right for bounded k like this); bpe_train_local is the
+    # PRODUCTION trainer for 32k-merge vocabularies: the same word-freq
+    # collapse, then a driver-side incremental heap — identical output,
+    # property-pinned.
+    merges = text.bpe_train_local(clean, n_merges=5)
+    print("learned BPE merges (production heap trainer):")
     merges.show()
 
     # 6. tokenize-to-count with the learned merges: bpe_apply folds each
