@@ -646,13 +646,14 @@ def test_fuzzy_decontaminate_corpus_lineage_broadcast_or_id_keyed(spark):
     # the decontamination contract: the BANDING probe (the one step that
     # touches every corpus row) hashes a broadcast side — the benchmark
     # banding rows are benchmark-bounded, so that hint is forced and
-    # must survive. The candidate semi-join, the verify joins and the
-    # final anti-join are bounded by CONTAMINATION volume, not a
-    # constant, so they carry NO forced broadcast (a heavily
-    # contaminated corpus would drive a forced broadcast past the
-    # driver); statically they may plan as SMJ and AQE converts to
-    # broadcast at runtime when the sliver is actually small. What must
-    # hold statically: every SMJ is keyed on ids — never on a
+    # must survive. The candidate semi-join and the final anti-join are
+    # bounded by CONTAMINATION volume, not a constant — round 9 gates
+    # their broadcast on the MEASURED candidate count (cands is
+    # materialized, the count is free): below the bound the hint is
+    # static (AQE's runtime conversion lands only after the corpus
+    # shuffle map stage has written — measured, BASELINE.md round 9);
+    # past it they fall back to shuffle joins. What must hold statically
+    # in EITHER regime: every SMJ is keyed on ids — never on a
     # band/bucket or text-bearing branch. Wide corpus input so the
     # signing spread stays out.
     n_part = spark.sparkContext.defaultParallelism
@@ -670,10 +671,32 @@ def test_fuzzy_decontaminate_corpus_lineage_broadcast_or_id_keyed(spark):
     p = plan_string(out)
     # the benchmark-side banding probe stays a forced broadcast
     assert p.count("BroadcastHashJoin") >= 1, p
+    # this fixture's contamination volume is far below the measured
+    # bound, so the final corpus anti-join must be a STATIC broadcast
+    # (the corpus side stays map-only — no shuffle map stage ever runs)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
     import re
 
     for m in re.finditer(r"\(\d+\) SortMergeJoin[\s\S]*?Left keys \[\d+\]: \[(\w+)", p):
         assert m.group(1).startswith(("corpus_id", "bench_id", "doc_id")), p
+
+
+def test_minhash_dedup_final_anti_join_broadcasts_bounded_losers(spark):
+    # round 9: the loser-id sliver is materialized, counted, and (when
+    # bounded) broadcast so the corpus side of the final anti-join never
+    # shuffles — statically, not via AQE's too-late conversion. Pin the
+    # BroadcastHashJoin LeftAnti in the analyzed plan.
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, f"shared tail words here {'x' if i % 2 else 'y'}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    out = dedup_ops.minhash_dedup(
+        docs, shingle_k=3, shingle_mode="word", threshold=0.5
+    )
+    p = plan_string(out)
+    assert re.search(r"BroadcastHashJoin[\s\S]{0,200}?LeftAnti", p), p
 
 
 def test_bpe_tokenize_is_map_only(spark, documents):
