@@ -924,6 +924,37 @@ def q_kmeans_step(spark, sf_dir):
     ).select("ivf_cell", "dim", F.round("c", 6).alias("centroid"))
 
 
+def q_kmeans_fit2(spark, sf_dir):
+    """FULL k-means training (similarity.kmeans_fit, 2 Lloyd rounds,
+    k=4, cosine): seeds are the 4 lowest vec_ids; each round is one
+    map-only assignment + one (cell, dim) partial-combined mean, with
+    centroids 6 dp-quantized between rounds so both engines iterate
+    from identical values. The oracle unrolls both rounds (assign →
+    mean → reassemble → assign → mean) with the keep-previous rule for
+    emptied cells. Closes the IVF training half the probe entries
+    previously took as given."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.kmeans_fit(emb, k=4, n_iter=2)
+    rows = [
+        (i, d, float(c))
+        for i, cv in enumerate(cents)
+        for d, c in enumerate(cv)
+    ]
+    return spark.createDataFrame(rows, "ivf_cell int, dim int, centroid double")
+
+
+def q_pq_codes_trained(spark, sf_dir):
+    """The retrieval loop's TRAIN → ENCODE half with NO fixture
+    codebooks: similarity.pq_train (per-subspace squared-L2 k-means,
+    m=4 x ks=4, one round from the 4 lowest-id seed slices) feeds
+    pq_encode over the full corpus. Oracle replays each subspace's
+    Lloyd round (L2 9 dp assign, 6 dp means, keep-previous) and the
+    encode argmins in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim_ops.pq_train(emb, m=4, ks=4, n_iter=1)
+    return sim_ops.pq_encode(emb, books)
+
+
 def q_similarity_lsh_top5(spark, sf_dir):
     """ANN top-5 in the query's 4-plane LSH bucket. Recall is approximate
     by design, but the md5-derived hyperplanes make the candidate set —
@@ -4315,6 +4346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_topk": q_similarity_ivf_topk,
         "embedding_centroids": q_embedding_centroids,
         "kmeans_step": q_kmeans_step,
+        "kmeans_fit2": q_kmeans_fit2,
+        "pq_codes_trained": q_pq_codes_trained,
         "similarity_lsh_top5": q_similarity_lsh_top5,
         "multimodal_features": q_multimodal_features,
         "produce_validation": q_produce_validation,
@@ -4554,6 +4587,93 @@ def _hll_branch_sql(col: str) -> str:
                 - exact) / exact, 4) AS rel_err
   FROM est, ex
 )"""
+
+
+def _kmeans_fit2_oracle_sql(k: int = 4) -> str:
+    """kmeans_fit (cosine, 2 rounds): both Lloyd rounds unrolled — 9 dp
+    cosine assignment (ties to the lowest cell, the array_position-first
+    rule), 6 dp-quantized means between rounds, keep-previous for
+    emptied cells (cell indexes never shift)."""
+    cos = (
+        "round(list_dot_product(e.v, {c}.cv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * "
+        "sqrt(list_dot_product({c}.cv, {c}.cv))), 9)"
+    )
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (SELECT vec_id, unnest(v)::DOUBLE AS x, generate_subscripts(v, 1) - 1 AS dim FROM e),
+c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < {k}),
+a1 AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid, {cos.format(c='c0')} AS sim FROM e CROSS JOIN c0
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+m1 AS (SELECT a1.cid, ex.dim, round(avg(ex.x), 6) AS c
+       FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+c1 AS (SELECT cid, list(c ORDER BY dim) AS cv FROM m1 GROUP BY cid
+       UNION ALL
+       SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT DISTINCT cid FROM m1)),
+a2 AS (SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c1.cid, {cos.format(c='c1')} AS sim FROM e CROSS JOIN c1
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1),
+m2 AS (SELECT a2.cid, ex.dim, round(avg(ex.x), 6) AS c
+       FROM ex JOIN a2 USING (vec_id) GROUP BY 1, 2)
+SELECT CAST(cid AS INT) AS ivf_cell, CAST(dim AS INT) AS dim, c AS centroid FROM m2
+UNION ALL
+SELECT CAST(c1.cid AS INT) AS ivf_cell,
+       CAST(generate_subscripts(c1.cv, 1) - 1 AS INT) AS dim,
+       unnest(c1.cv) AS centroid
+FROM c1 WHERE cid NOT IN (SELECT DISTINCT cid FROM m2)"""
+
+
+def _pq_codes_trained_oracle_sql(m: int = 4, ks: int = 4, dim: int = 64) -> str:
+    """pq_train (one L2 Lloyd round per subspace from the lowest-id seed
+    slices) + pq_encode replayed end to end: per-subspace 9 dp
+    squared-L2 assignment (left fold, lowest-code tie-break), 6 dp
+    means, keep-previous, then the encode argmins and the 9 dp error
+    sum."""
+    sub = dim // m
+    l2 = (
+        "round(list_reduce(list_transform(range({n}), i -> "
+        "({a}[i + 1] - {b}[i + 1]) * ({a}[i + 1] - {b}[i + 1])), "
+        "(acc, x) -> acc + x), 9)"
+    )
+    ctes = ["e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        d_seed = l2.format(n=sub, a="s.sv", b="c.cv")
+        d_book = l2.format(n=sub, a="s.sv", b="b.cv")
+        ctes.append(
+            f"s{j} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e)"
+        )
+        ctes.append(
+            f"c{j}0 AS (SELECT vec_id AS cid, sv AS cv FROM s{j} WHERE vec_id < {ks})"
+        )
+        ctes.append(f"""a{j} AS (SELECT vec_id, cid FROM (
+    SELECT s.vec_id, c.cid, {d_seed} AS dist FROM s{j} s CROSS JOIN c{j}0 c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""")
+        ctes.append(
+            f"ex{j} AS (SELECT vec_id, unnest(sv)::DOUBLE AS x, "
+            f"generate_subscripts(sv, 1) - 1 AS dim FROM s{j})"
+        )
+        ctes.append(
+            f"m{j} AS (SELECT a{j}.cid, ex{j}.dim, round(avg(ex{j}.x), 6) AS c "
+            f"FROM ex{j} JOIN a{j} USING (vec_id) GROUP BY 1, 2)"
+        )
+        ctes.append(f"""b{j} AS (SELECT cid, list(c ORDER BY dim) AS cv FROM m{j} GROUP BY cid
+  UNION ALL
+  SELECT cid, cv FROM c{j}0 WHERE cid NOT IN (SELECT DISTINCT cid FROM m{j}))""")
+        ctes.append(f"""enc{j} AS (SELECT vec_id, cid, dist FROM (
+    SELECT s.vec_id, b.cid, {d_book} AS dist FROM s{j} s CROSS JOIN b{j} b
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)""")
+    codes = ", ".join(
+        f"CAST(enc{j}.cid AS INT) AS code_{j}" for j in range(m)
+    )
+    err = " + ".join(f"enc{j}.dist" for j in range(m))
+    joins = " ".join(f"JOIN enc{j} USING (vec_id)" for j in range(m))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, {codes}, round({err}, 9) AS recon_sq_err
+FROM e {joins}"""
+    )
 
 
 def _jl_oracle_sql(out_dim: int) -> str:
@@ -6447,6 +6567,8 @@ FROM (SELECT label, unnest(embedding)::DOUBLE AS x,
              unnest(range(len(embedding))) AS dim
       FROM embeddings) t
 GROUP BY label, dim""",
+        "kmeans_fit2": _kmeans_fit2_oracle_sql(),
+        "pq_codes_trained": _pq_codes_trained_oracle_sql(),
         "kmeans_step": """WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), c AS (

@@ -210,6 +210,132 @@ def lloyd_step(
     return centroids(assigned, "ivf_cell", vec_col)
 
 
+def l2_assign(
+    embeddings: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment under squared L2 — the SAME distance
+    convention as :func:`pq_encode` (9 dp rounded fold, lowest-index
+    tie-break), exposed standalone so PQ codebook TRAINING assigns by
+    the metric the encoder will use. Map-only against the literal
+    centroid array (one transform lambda — see _centroid_sims for why
+    not |cents| unrolled folds)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents_col = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    dists = F.transform(cents_col, lambda c: F.round(_l2_sq_fold(v, c), 9))
+    best = F.array_position(dists, F.array_min(dists)) - 1
+    return embeddings.withColumn("ivf_cell", best.cast("int"))
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> list[list[float]]:
+    """Full Lloyd k-means — the TRAINING half of the IVF retrieval loop
+    (the probe half, :func:`pq_knn_join`/:func:`ivf_top_k`, previously
+    took its centroids as givens). Driver-loop iteration like PageRank
+    and bpe_train: each round is ONE assignment scan (map-only against
+    the broadcast centroid literal) plus ONE per-(cell, dim) mean
+    aggregation (posexplode + partial-combining avg — the shuffle
+    carries k x d partial sums, never vectors), then a k x d collect.
+
+    Determinism contract (what makes the fit oracle-replayable and
+    engine-portable): seeds are the k lowest-``id_col`` vectors;
+    assignment follows the 9 dp convention of the metric's probe path
+    (``cosine`` = ivf_assign's rule, ``l2`` = pq_encode's rule with
+    lowest-index tie-break); new centroids are rounded to 6 dp IN THE
+    PLAN (F.round — same half-up as the oracle's round()) before the
+    next round, so both engines iterate from identical values; a cell
+    that loses every member keeps its previous centroid (cell indexes
+    never shift).
+
+    At 100 TB: n_iter bounded scans of one narrow column — the standard
+    sampled/mini-batch refinements compose on top by passing a sample
+    as ``embeddings``; centroids stay driver-sized (k x d floats).
+    """
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be cosine|l2, got {metric!r}")
+    assign = ivf_assign if metric == "cosine" else l2_assign
+    seeds = embeddings.orderBy(id_col).limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"kmeans_fit: k={k} exceeds corpus size {len(seeds)}")
+    cents = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(n_iter):
+        assigned = assign(embeddings, cents, id_col, vec_col)
+        rows = (
+            centroids(assigned, "ivf_cell", vec_col)
+            .select(
+                "ivf_cell",
+                F.transform("centroid", lambda x: F.round(x, 6)).alias(
+                    "centroid"
+                ),
+            )
+            .collect()
+        )
+        updated = {
+            int(r["ivf_cell"]): [float(x) for x in r["centroid"]]
+            for r in rows
+        }
+        cents = [updated.get(i, cents[i]) for i in range(k)]
+    return cents
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int,
+    ks: int,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks (Jégou et al. 2011 §III): split vectors into
+    ``m`` contiguous subvectors and run an independent squared-L2
+    k-means (:func:`kmeans_fit`, ``metric="l2"`` — the exact distance
+    :func:`pq_encode` assigns by) of ``ks`` codes per subspace. Closes
+    the retrieval loop end to end: pq_train → pq_encode/ivf_assign at
+    ingest → pq_knn_join probes — no fixture codebooks anywhere.
+
+    Scale shape: m x n_iter narrow scans (each slices ONE column,
+    map-only assignment + k x sub_d mean agg). The m loops could fuse
+    into one scan per iteration (m independent branch aggregations);
+    at m ≤ 8 the scans are column-pruned and cheap enough that the
+    simpler per-subspace loop wins on plan size. Codebooks are
+    driver-sized (m x ks x sub_d floats) — broadcastable anywhere.
+    """
+    first = embeddings.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("pq_train: empty corpus")
+    d = int(first[0])
+    if d % m != 0:
+        raise ValueError(f"pq_train: m={m} must divide dim {d}")
+    sub_d = d // m
+    books = []
+    for j in range(m):
+        sub = embeddings.select(
+            id_col,
+            F.slice(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                j * sub_d + 1,
+                sub_d,
+            ).alias(vec_col),
+        )
+        books.append(
+            kmeans_fit(
+                sub, ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+                metric="l2",
+            )
+        )
+    return books
+
+
 def cluster_balanced_sample(
     embeddings: DataFrame,
     centroids: list[list[float]],

@@ -325,6 +325,70 @@ def test_lloyd_step_recenters_cells(spark, embeddings):
         assert all(abs(op0.centroid[d] - hand_map[d]) < 1e-12 for d in range(64))
 
 
+def test_kmeans_fit_one_iter_matches_lloyd_step(spark, embeddings):
+    """kmeans_fit(n_iter=1) is exactly one lloyd_step from the lowest-id
+    seeds, 6 dp-quantized — the fit loop adds nothing but iteration."""
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in embeddings.orderBy("vec_id").limit(4).collect()
+    ]
+    step = {
+        int(r.ivf_cell): [round(float(c), 6) for c in r.centroid]
+        for r in similarity.lloyd_step(embeddings, seeds).collect()
+    }
+    fit = similarity.kmeans_fit(embeddings, k=4, n_iter=1)
+    for i in range(4):
+        expect = step.get(i, [round(v, 6) for v in seeds[i]])
+        assert all(
+            abs(a - b) < 5e-7 for a, b in zip(fit[i], expect)
+        ), (i, fit[i][:4], expect[:4])
+
+
+def test_kmeans_fit_improves_cosine_objective(spark, embeddings):
+    """Two Lloyd rounds must not decrease the mean best-centroid cosine
+    vs the raw seeds (monotone improvement of the k-means objective)."""
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in embeddings.orderBy("vec_id").limit(4).collect()
+    ]
+    fit = similarity.kmeans_fit(embeddings, k=4, n_iter=2)
+
+    def mean_best(cents):
+        sims = similarity._centroid_sims("embedding", cents)
+        return embeddings.select(F.avg(F.array_max(sims))).first()[0]
+
+    assert mean_best(fit) >= mean_best(seeds) - 1e-6
+
+
+def test_pq_train_books_feed_encode(spark, embeddings):
+    """pq_train produces m x ks x sub_d codebooks whose codes are valid
+    and whose reconstruction error is no worse than the seed codebooks'
+    (one L2 Lloyd round must not hurt the quantization objective)."""
+    books = similarity.pq_train(embeddings, m=4, ks=4, n_iter=1)
+    assert len(books) == 4
+    assert all(len(b) == 4 and all(len(c) == 16 for c in b) for b in books)
+    seed_rows = embeddings.orderBy("vec_id").limit(4).collect()
+    seed_books = [
+        [
+            [float(x) for x in r.embedding[j * 16:(j + 1) * 16]]
+            for r in seed_rows
+        ]
+        for j in range(4)
+    ]
+
+    def total_err(bks):
+        return (
+            similarity.pq_encode(embeddings, bks)
+            .select(F.sum("recon_sq_err"))
+            .first()[0]
+        )
+
+    enc = similarity.pq_encode(embeddings, books)
+    codes = enc.select(*[f"code_{j}" for j in range(4)]).collect()
+    assert all(0 <= r[f"code_{j}"] < 4 for r in codes for j in range(4))
+    assert total_err(books) <= total_err(seed_books) + 1e-6
+
+
 def test_quantile_filter_exact_and_approx_agree(spark, documents):
     exact = sampling.quantile_filter(
         documents, ["lang"], "n_chars", 0.25, "doc_id", mode="exact"
