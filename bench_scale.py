@@ -1113,6 +1113,50 @@ def main() -> None:
         return text_ops.bpe_train_local(salted, n_merges=2000)
 
     queries["bpe_train_local_k2000"] = _bpe_train_local_k2000
+
+    def _kmeans_fit_k64(spark, sf):
+        # production IVF cell training (SPARK_GRAFT_SCALE_SUITE row):
+        # 64 cells x 3 Lloyd rounds over the SCALE-x embeddings. Each
+        # round is one map-only assignment against the 64-centroid
+        # literal (one transform lambda — plan size O(1) in cells, the
+        # _centroid_sims rationale) + one 64 x 64-dim partial-combined
+        # mean; the scan count is 2*n_iter regardless of corpus size.
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import similarity
+
+        emb = load_table(spark, sf, "embeddings")
+        cents = similarity.kmeans_fit(emb, k=64, n_iter=3)
+        rows = [
+            (i, d, float(c))
+            for i, cv in enumerate(cents)
+            for d, c in enumerate(cv)
+        ]
+        return spark.createDataFrame(
+            rows, "ivf_cell int, dim int, centroid double"
+        )
+
+    def _pq_train_ks256(spark, sf):
+        # production PQ codebook training: m=4 subspaces x 256 codes x
+        # 2 L2 rounds — the codebook shape FAISS defaults to (8-bit
+        # codes). 4 x 2 column-pruned scans; codebooks stay driver-sized
+        # (4 x 256 x 16 floats).
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import similarity
+
+        emb = load_table(spark, sf, "embeddings")
+        books = similarity.pq_train(emb, m=4, ks=256, n_iter=2)
+        rows = [
+            (j, c, d, float(v))
+            for j, book in enumerate(books)
+            for c, code in enumerate(book)
+            for d, v in enumerate(code)
+        ]
+        return spark.createDataFrame(
+            rows, "subspace int, code int, dim int, v double"
+        )
+
+    queries["kmeans_fit_k64"] = _kmeans_fit_k64
+    queries["pq_train_ks256"] = _pq_train_ks256
     entrymod.q_list_offsets(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     metrics = StageMetrics(spark)
