@@ -396,10 +396,18 @@ def pagerank(
             .agg(F.sum("w").alias("total_w"))
             .filter(F.col("total_w") != 0.0)
         )
-        # pre-normalize edge weights once: share(u,v) = w/W(u)
-        norm_e = roll.pin(
+        # pre-normalize edge weights once: share(u,v) = w/W(u).
+        # pin_partitioned, not pin: the loop joins this table on src
+        # EVERY round, and localCheckpoint would erase the partitioning
+        # (UnknownPartitioning -> one full edge re-shuffle per
+        # iteration); hash-partitioned + persisted, the per-round join
+        # needs no exchange on the edge side — per-iteration shuffle is
+        # O(ranks), not O(edges), the difference that matters when the
+        # edge table is the 100 TB side
+        norm_e = roll.pin_partitioned(
             e.join(out_w, "src")
-            .select("src", "dst", (F.col("w") / F.col("total_w")).alias("share"))
+            .select("src", "dst", (F.col("w") / F.col("total_w")).alias("share")),
+            "src",
         )
         has_out = out_w.select(F.col("src").alias("node")).distinct()
         dangling_nodes = roll.pin(nodes.join(has_out, "node", "left_anti"))

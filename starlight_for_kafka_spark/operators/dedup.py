@@ -1324,10 +1324,16 @@ def connected_components(
     # the new one is checkpointed, so it must survive one extra round
     roll = RollingCheckpoint(pairs.sparkSession, keep=2)
     try:
-        edges = roll.pin(
+        # pin_partitioned on y (the per-round join key): localCheckpoint
+        # would erase the partitioning and re-shuffle the whole edge
+        # table every round; hash-partitioned + persisted, per-round
+        # shuffle is O(labels), not O(edges) — the pagerank recipe
+        # (plans/checkpoints.pin_partitioned)
+        edges = roll.pin_partitioned(
             pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
             .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
-            .distinct()
+            .distinct(),
+            "y",
         )
         labels = roll(
             edges.select(F.col("x").alias("node"))

@@ -72,6 +72,7 @@ class RollingCheckpoint:
         self._keep = keep
         self._gens: list[set[int]] = []
         self._static: set[int] = set()
+        self._persisted: list[DataFrame] = []
 
     def _checkpoint(self, df: DataFrame) -> tuple[DataFrame, set[int]]:
         out = df.localCheckpoint(eager=True)
@@ -93,6 +94,33 @@ class RollingCheckpoint:
         self._static |= ids
         return out
 
+    def pin_partitioned(
+        self, df: DataFrame, *cols: str, num_partitions: int | None = None
+    ) -> DataFrame:
+        """Pin a loop-invariant input WITH its hash partitioning visible
+        to Catalyst. ``localCheckpoint`` erases outputPartitioning (the
+        plan collapses to a LogicalRDD with UnknownPartitioning — see
+        any post-checkpoint explain), so a loop that joins the pinned
+        table on the same key every round pays a full re-shuffle of it
+        every round; at cluster scale that is O(iterations x table)
+        instead of O(table). ``persist`` keeps the logical plan, and an
+        InMemoryRelation PRESERVES the repartition's HashPartitioning —
+        per-round joins keyed on ``cols`` then need no exchange on this
+        side (only a sort). Lineage is not cut, which is exactly right
+        for a loop-INVARIANT input: its lineage never grows.
+
+        Materialized eagerly (count) like the checkpoint path; released
+        by finish()/abort() with the other pinned inputs."""
+        n = (
+            num_partitions
+            if num_partitions is not None
+            else self._sc.defaultParallelism
+        )
+        out = df.repartition(n, *cols).persist()
+        out.count()
+        self._persisted.append(out)
+        return out
+
     def __call__(self, df: DataFrame) -> DataFrame:
         out, ids = self._checkpoint(df)
         self._gens.append(ids)
@@ -105,6 +133,9 @@ class RollingCheckpoint:
         call once the loop is done; the returned state stays live."""
         self._release(self._static)
         self._static = set()
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []
         while len(self._gens) > 1:
             self._release(self._gens.pop(0))
 
@@ -113,6 +144,9 @@ class RollingCheckpoint:
         path (no result will be returned), so nothing may stay pinned."""
         self._release(self._static)
         self._static = set()
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []
         while self._gens:
             self._release(self._gens.pop(0))
 

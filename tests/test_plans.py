@@ -699,6 +699,56 @@ def test_minhash_dedup_final_anti_join_broadcasts_bounded_losers(spark):
     assert re.search(r"BroadcastHashJoin[\s\S]{0,200}?LeftAnti", p), p
 
 
+def test_pin_partitioned_eliminates_per_iteration_edge_exchange(spark):
+    # the pagerank/CC loop shape: a loop-INVARIANT edge table joined on
+    # the same key every round. localCheckpoint erases
+    # outputPartitioning (UnknownPartitioning), so the checkpoint-pinned
+    # edge side re-shuffles per iteration; pin_partitioned (repartition
+    # + persist — InMemoryRelation PRESERVES HashPartitioning) removes
+    # that exchange: per-iteration ENSURE_REQUIREMENTS exchanges drop
+    # from 3 (edges + ranks + groupBy) to 2 (ranks + groupBy). Broadcast
+    # disabled so the small fixture exercises the large-regime SMJ plan.
+    from starlight_for_kafka_spark.plans.checkpoints import RollingCheckpoint
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_a = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    roll = RollingCheckpoint(spark)
+    try:
+        e = spark.range(2000).select(
+            (F.col("id") % 50).alias("src"),
+            (F.col("id") % 70).alias("dst"),
+            F.lit(1.0).alias("share"),
+        )
+        ranks = spark.range(70).select(
+            F.col("id").alias("node"), F.lit(0.01).alias("rank")
+        ).localCheckpoint(eager=True)
+
+        def ensure_exchanges(left):
+            j = (
+                left.join(ranks, left["src"] == ranks["node"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
+            )
+            return (
+                j._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+                .count("ENSURE_REQUIREMENTS")
+            )
+
+        assert ensure_exchanges(roll.pin_partitioned(e, "src")) == 2
+        assert ensure_exchanges(roll.pin(e)) == 3
+    finally:
+        roll.abort()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_a is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_a
+            )
+
+
 def test_bpe_tokenize_is_map_only(spark, documents):
     # the production tokenizer kernel is a single Arrow hop over the
     # scan: no Exchange anywhere — the corpus crosses into Python once,
