@@ -117,6 +117,14 @@ def main() -> None:
         # weekly 100 TB pipeline step the bounded-k expression form
         # can't serve; the row keeps the kernel's cost driver-visible
         "bpe_tokenize",
+        # round-9 additions (suite discipline): the production BPE
+        # trainer (word-freq collapse + driver-side heap — the 32k-merge
+        # path), and the trained-retrieval pair that closed the
+        # train->encode->probe loop (full 2-round Lloyd fit;
+        # per-subspace PQ training + full-corpus encode)
+        "bpe_train_local",
+        "kmeans_fit2",
+        "pq_codes_trained",
     ]
 
     # warm the JVM + file listing once
