@@ -953,6 +953,38 @@ def incremental_ingest_stream(
     from starlight_for_kafka_spark.operators import dedup as dedup_ops
 
     index_dir = corpus_dir.rstrip("/") + "_index"
+    # the index is only valid for the EXACT signature parameters it was
+    # built with: a signature length mismatch raises downstream (the
+    # corpus_signatures guard), but a changed shingle_k/shingle_mode
+    # yields same-length signatures whose banding buckets simply never
+    # match — the dedup would silently admit every duplicate. Persist
+    # the parameters with the tree and refuse a mismatched probe.
+    _params = {
+        "num_hashes": num_hashes,
+        "shingle_k": shingle_k,
+        "shingle_mode": shingle_mode,
+    }
+
+    def _check_index_params() -> None:
+        import json as _json
+
+        ppath = os.path.join(index_dir, "_PARAMS.json")
+        if os.path.exists(ppath):
+            with open(ppath) as f:
+                stored = _json.load(f)
+            if stored != _params:
+                raise ValueError(
+                    "incremental_ingest_stream: corpus index at "
+                    f"{index_dir} was built with {stored}, probe uses "
+                    f"{_params} — same-length signatures from different "
+                    "shingle parameters never match and the dedup would "
+                    "silently no-op; rebuild the index (delete the tree) "
+                    "or use the original parameters"
+                )
+        else:
+            os.makedirs(index_dir, exist_ok=True)
+            with open(ppath, "w") as f:
+                _json.dump(_params, f)
 
     def _index_frame(docs_df: DataFrame) -> DataFrame:
         # narrow at-rest probe table: the exact digest + the MinHash
@@ -968,6 +1000,10 @@ def incremental_ingest_stream(
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if store_index:
+            # BEFORE the replay guard: a mismatched probe configuration
+            # must fail even on a batch the replay guard would skip
+            _check_index_params()
         path = os.path.join(corpus_dir, f"epoch={epoch_id}")
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             return

@@ -969,6 +969,41 @@ def test_knn_serving_stream_equals_batch(tmp_path, spark):
     assert sorted(got) == expect
 
 
+def test_incremental_ingest_stream_rejects_mismatched_index_params(
+    tmp_path, spark
+):
+    """The at-rest (digest, signature) index is valid only for the exact
+    shingle parameters it was built with — a changed shingle_k yields
+    same-LENGTH signatures whose buckets never match, silently admitting
+    every duplicate. The _PARAMS.json guard must refuse the probe."""
+    import pytest
+
+    qdir = tmp_path / "in"
+    qdir.mkdir()
+    schema = "doc_id int, text string"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], schema
+    ).coalesce(1).write.parquet(str(qdir / "b0"))
+    corpus_dir = str(tmp_path / "corpus")
+
+    def run(ck, shingle_k):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(qdir / "*"))
+        )
+        q = stream_ops.incremental_ingest_stream(
+            stream, corpus_dir, checkpoint=str(tmp_path / ck),
+            shingle_k=shingle_k, threshold=0.6, shingle_mode="word",
+        )
+        q.awaitTermination(120)
+
+    run("ck1", shingle_k=3)
+    assert (tmp_path / "corpus_index" / "_PARAMS.json").exists()
+    with pytest.raises(Exception, match="built with"):
+        run("ck2", shingle_k=2)
+
+
 def test_incremental_ingest_stream_grows_corpus_and_drops_cross_batch_dups(
     tmp_path, spark
 ):
