@@ -2576,6 +2576,16 @@ def q_bpe_train(spark, sf_dir):
     return text_ops.bpe_train(docs, n_merges=3)
 
 
+def q_corpus_card(spark, sf_dir):
+    """Per-(source, lang) dataset datasheet (text.corpus_card): volume,
+    exact-dup rate from content digests, exact length percentiles,
+    quality mass — one scan, one partial-combining aggregation. Oracle
+    replays the quality composite, the digest distinct-count, and
+    quantile_cont per slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.corpus_card(docs)
+
+
 def q_bpe_train_local(spark, sf_dir):
     """PRODUCTION BPE trainer (text.bpe_train_local): one distributed
     word-frequency collapse (the only corpus-sized step), then the
@@ -4276,6 +4286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": q_filter_funnel,
         "bpe_train": q_bpe_train,
         "bpe_train_local": q_bpe_train_local,
+        "corpus_card": q_corpus_card,
         "bpe_apply": q_bpe_apply,
         "bpe_tokenize": q_bpe_tokenize,
         "bpe_tokenize_tokens": q_bpe_tokenize_tokens,
@@ -6466,6 +6477,42 @@ SELECT doc_id,
     * (CASE WHEN (nc_norm - n_words + 1) / n_words >= 3 AND (nc_norm - n_words + 1) / n_words <= 10 THEN 1.0 ELSE 0.5 END)
     * (1 - least(1.0, (CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END) * 5)) AS quality
 FROM counted""",
+        "corpus_card": """WITH base AS (
+  SELECT source, lang, text,
+         length(text) AS n_chars,
+         length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nc_norm,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         ' ' || lower(text) || ' ' AS padded,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS digest
+  FROM documents
+), scored AS (
+  SELECT source, lang, n_chars, n_words, digest,
+    least(1.0, ((
+      CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' and ', ''))) / 5 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' of ', ''))) / 4 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' to ', ''))) / 4 AS INT)
+      + CAST((length(padded) - length(replace(padded, ' a ', ''))) / 3 AS INT)
+    ) / n_words) * 2)
+    * (CASE WHEN (nc_norm - n_words + 1) / n_words >= 3
+             AND (nc_norm - n_words + 1) / n_words <= 10 THEN 1.0 ELSE 0.5 END)
+    * (1 - least(1.0, (CASE WHEN n_chars > 0
+        THEN length(regexp_replace(text, '[^A-Z]', '', 'g')) / n_chars
+        ELSE 0.0 END) * 5)) AS quality
+  FROM base
+)
+SELECT source, lang,
+  count(*) AS n_docs,
+  count(DISTINCT digest) AS n_unique,
+  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  quantile_cont(n_chars, 0.5) AS median_chars,
+  quantile_cont(n_chars, 0.9) AS p90_chars,
+  round(avg(quality), 6) AS mean_quality,
+  CAST(sum(CASE WHEN quality < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+  round(1.0 - count(DISTINCT digest) / CAST(count(*) AS DOUBLE), 9) AS dup_rate
+FROM scored
+GROUP BY source, lang""",
         "text_fingerprint": """WITH norm AS (
   SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents
 )

@@ -129,6 +129,56 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_card(
+    df: DataFrame,
+    group_cols: list[str] | tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """One-pass dataset DATASHEET per corpus slice — the per-snapshot
+    governance table (Gebru et al. '21, "Datasheets for Datasets") a
+    100 TB pipeline publishes before training reads it: volume (docs,
+    whitespace tokens, chars), redundancy (exact-duplicate rate from
+    normalized-content digests — the cheap upper bound you check before
+    paying for MinHash), length distribution (exact median/p90 — the
+    audit mode; swap approx_percentile's mergeable t-digest at scale,
+    same query shape), and quality mass (mean composite score + the
+    count below a 0.2 floor, i.e. what a Gopher-style cut would drop).
+
+    ONE corpus scan feeding ONE partial-combining aggregation
+    (countDistinct expands to the standard two-phase plan); every other
+    aggregate is map-side combined, so the shuffle carries one row of
+    partial sums per (slice, digest)-ish key — never documents.
+    """
+    scored = quality_score(token_count(df, text_col), text_col)
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    digest = F.md5(norm.cast("binary"))
+    n_chars = F.length(text_col)
+    out = (
+        scored.withColumn("__digest", digest)
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("__digest").alias("n_unique"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+            F.sum(n_chars.cast("long")).alias("total_chars"),
+            F.expr(f"percentile(length({text_col}), 0.5)").alias(
+                "median_chars"
+            ),
+            F.expr(f"percentile(length({text_col}), 0.9)").alias("p90_chars"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.sum(
+                F.when(F.col("quality") < 0.2, 1).otherwise(0).cast("long")
+            ).alias("n_low_quality"),
+        )
+    )
+    return out.withColumn(
+        "dup_rate",
+        F.round(
+            F.lit(1.0) - F.col("n_unique") / F.col("n_docs").cast("double"), 9
+        ),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized text (whole-doc), plus a
     rolling winnowed prefix fingerprint (first 64 normalized chars) that is

@@ -520,6 +520,32 @@ def test_mixture_weights_sum_and_order(spark, documents):
         assert abs(r.epochs - r.weight * total / r.n_docs) < 1e-6
 
 
+def test_corpus_card_counts_and_dup_rate(spark):
+    """The datasheet's redundancy math: exact clones (same normalized
+    content, different ids) collapse in n_unique, dup_rate follows, and
+    the volume columns sum the slice exactly."""
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "en", "the cat sat on the mat"),
+            (2, "s1", "en", "the cat  sat on the MAT"),  # normalized clone
+            (3, "s1", "en", "a completely different doc"),
+            (4, "s2", "en", "short one"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    from starlight_for_kafka_spark.operators.text import corpus_card
+
+    out = {(r.source, r.lang): r for r in corpus_card(docs).collect()}
+    s1 = out[("s1", "en")]
+    assert s1.n_docs == 3
+    # clone normalizes to lowercase single-space -> 2 unique digests
+    assert s1.n_unique == 2
+    assert abs(s1.dup_rate - (1 - 2 / 3)) < 1e-9
+    assert s1.total_tokens == 6 + 6 + 4
+    assert out[("s2", "en")].n_docs == 1
+    assert out[("s2", "en")].dup_rate == 0.0
+
+
 def test_quantize_embeddings_roundtrip(spark):
     df = spark.createDataFrame(
         [(0, [1.0, -2.0, 0.5, 2.0]), (1, [0.0, 0.0, 0.1, -0.1])],
