@@ -597,11 +597,17 @@ def run_ingest_fixed_batch_row(spark, sf_dir: str, metrics) -> dict:
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(src, "*"))
     )
+    # SPARK_GRAFT_SCALE_INGEST_STAR=1: the production crawl cap — hot
+    # probe buckets emit anchor stars instead of dropping (recall for
+    # mega-duplicated docs at linear cost; see incremental_minhash_dedup)
+    star = os.environ.get("SPARK_GRAFT_SCALE_INGEST_STAR", "0") == "1"
     metrics.mark()
     t0 = time.perf_counter()
     q = stream_ops.incremental_ingest_stream(
         stream, corpus_dir, ckpt,
         shingle_k=3, threshold=0.7, shingle_mode="word",
+        max_bucket=None if star else 200,
+        star_above=8 if star else None,
     )
     q.awaitTermination(3600)
     wall = round(time.perf_counter() - t0, 3)

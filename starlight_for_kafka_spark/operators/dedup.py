@@ -582,8 +582,9 @@ def incremental_minhash_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
     shingle_mode: str = "char",
-    max_bucket: int = 200,
+    max_bucket: int | None = 200,
     corpus_signatures: DataFrame | None = None,
+    star_above: int | None = None,
 ) -> DataFrame:
     """Cross-corpus NEAR dedup for incremental ingestion: drop incoming
     docs whose exact shingle Jaccard with ANY existing corpus doc is
@@ -609,6 +610,20 @@ def incremental_minhash_dedup(
     ``max_bucket`` drops degenerate buckets by COMBINED (corpus + batch)
     occupancy — a boilerplate bucket hot on the corpus side would
     otherwise emit |batch ∩ bucket| × |corpus ∩ bucket| probe pairs.
+    BUT a recurring crawl's MOST duplicated doc is exactly the one whose
+    every bucket is hot, so pure dropping admits the worst offenders
+    (measured: a 300x replica corpus admitted 77/100 known near-dups
+    through the cap — BASELINE.md round 9). ``star_above`` is the
+    recall-preserving alternative, the same anchor-star topology as
+    :func:`minhash_lsh_candidates`: a probed bucket larger than the
+    cap pairs each batch row against the bucket's MINIMUM corpus id
+    only — |batch ∩ bucket| pairs instead of the product — so
+    mega-duplicated content verifies against one representative at
+    linear cost (recall holds when the bucket is a genuine replica
+    cluster, the case that makes buckets hot in a deduped corpus).
+    Compose: buckets above ``max_bucket`` drop, (star_above,
+    max_bucket] star, the rest emit the full product; the production
+    crawl configuration is ``star_above=O(10), max_bucket=None``.
 
     Returns the surviving rows of ``new_docs`` (original columns).
     """
@@ -650,7 +665,12 @@ def incremental_minhash_dedup(
         sigs_old, id_col, bands, num_hashes, materialize=False
     )
     within = minhash_lsh_candidates(
-        sigs_new, id_col, bands, max_bucket, num_hashes=num_hashes
+        sigs_new,
+        id_col,
+        bands,
+        max_bucket if max_bucket is not None else (1 << 62),
+        num_hashes=num_hashes,
+        star_above=star_above,
     )
     if bo is None:
         cands = within
@@ -675,9 +695,48 @@ def incremental_minhash_dedup(
             .groupBy("band", "bucket")
             .agg(F.count("*").alias("__n"))
         )
-        hot = counts.filter(F.col("__n") > max_bucket).select("band", "bucket")
-        bo_cold = bo.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
-        bn_cold = bn.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        if max_bucket is not None:
+            hot = counts.filter(F.col("__n") > max_bucket).select(
+                "band", "bucket"
+            )
+            bo_cold = bo.join(
+                F.broadcast(hot), ["band", "bucket"], "left_anti"
+            )
+            bn_cold = bn.join(
+                F.broadcast(hot), ["band", "bucket"], "left_anti"
+            )
+        else:
+            bo_cold, bn_cold = bo, bn
+        star_cross = None
+        if star_above is not None:
+            starred = counts.filter(F.col("__n") > star_above)
+            if max_bucket is not None:
+                starred = starred.filter(F.col("__n") <= max_bucket)
+            starred = starred.select("band", "bucket")
+            # one anchor (min corpus id) per starred bucket; each batch
+            # row in the bucket pairs with the anchor only — linear in
+            # bucket size, the recall trade documented above
+            anchors = (
+                bo_cold.join(
+                    F.broadcast(starred), ["band", "bucket"], "left_semi"
+                )
+                .groupBy("band", "bucket")
+                .agg(F.min(id_col).alias("a"))
+            )
+            star_cross = (
+                bn_cold.join(
+                    F.broadcast(starred), ["band", "bucket"], "left_semi"
+                )
+                .select(F.col(id_col).alias("b"), "band", "bucket")
+                .join(anchors, ["band", "bucket"])
+                .select("a", "b")
+            )
+            bo_cold = bo_cold.join(
+                F.broadcast(starred), ["band", "bucket"], "left_anti"
+            )
+            bn_cold = bn_cold.join(
+                F.broadcast(starred), ["band", "bucket"], "left_anti"
+            )
         # orientation: the corpus doc is always the keeper (column a),
         # the incoming doc the candidate loser (column b) — matching
         # minhash_dedup's drop-the-b-side rule
@@ -688,9 +747,10 @@ def incremental_minhash_dedup(
                 ["band", "bucket"],
             )
             .select("a", "b")
-            .distinct()
         )
-        cands = cross.unionByName(within)
+        if star_cross is not None:
+            cross = cross.unionByName(star_cross)
+        cands = cross.distinct().unionByName(within)
     docs_all = new_docs.select(id_col, text_col).unionByName(
         corpus.select(id_col, text_col)
     )

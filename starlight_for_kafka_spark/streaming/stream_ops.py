@@ -920,6 +920,8 @@ def incremental_ingest_stream(
     threshold: float = 0.8,
     shingle_mode: str = "char",
     store_index: bool = True,
+    max_bucket: int | None = 200,
+    star_above: int | None = None,
 ):
     """The recurring-crawl ingestion loop as a STREAM: every microbatch
     of incoming documents is deduped against the CURRENT corpus — exact
@@ -1063,6 +1065,8 @@ def incremental_ingest_stream(
                     if index is not None
                     else None
                 ),
+                max_bucket=max_bucket,
+                star_above=star_above,
             )
         else:
             # empty corpus: within-batch near-dedup only
@@ -1075,6 +1079,7 @@ def incremental_ingest_stream(
                 shingle_k=shingle_k,
                 threshold=threshold,
                 shingle_mode=shingle_mode,
+                star_above=star_above,
             )
         # pin survivors: consumed by the corpus write AND (with
         # store_index) the index write — without a barrier the second

@@ -520,6 +520,40 @@ def test_mixture_weights_sum_and_order(spark, documents):
         assert abs(r.epochs - r.weight * total / r.n_docs) < 1e-6
 
 
+def test_incremental_minhash_star_keeps_megacluster_recall(spark):
+    """A recurring crawl's MOST duplicated doc makes every probe bucket
+    hot, so max_bucket's pure drop ADMITS it (the documented recall
+    trade); star_above pairs each batch row with the bucket's anchor
+    instead, so the near-dup is still caught — at |bucket| cost, not
+    |bucket|^2."""
+    from starlight_for_kafka_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again today"
+    # 30 corpus near-replicas of one doc -> every one of its buckets is
+    # hot above max_bucket=10
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(30)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000, base + " tail"), (1001, "a completely unrelated document here")],
+        "doc_id long, text string",
+    )
+    kw = dict(shingle_k=3, shingle_mode="word", threshold=0.6)
+    # drop-only cap: the hot buckets are dropped, the near-dup slips in
+    dropped_cap = incremental_minhash_dedup(
+        batch, corpus, max_bucket=10, **kw
+    )
+    assert {r.doc_id for r in dropped_cap.collect()} == {1000, 1001}
+    # star cap: anchor pairing catches it at linear cost
+    starred = incremental_minhash_dedup(
+        batch, corpus, max_bucket=None, star_above=10, **kw
+    )
+    assert {r.doc_id for r in starred.collect()} == {1001}
+
+
 def test_corpus_card_counts_and_dup_rate(spark):
     """The datasheet's redundancy math: exact clones (same normalized
     content, different ids) collapse in n_unique, dup_rate follows, and
