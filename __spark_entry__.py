@@ -2225,6 +2225,38 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup_ops.incremental_dedup(incoming, corpus).select("doc_id")
 
 
+def q_dedup_minhash_incremental_star(spark, sf_dir):
+    """The STARRED incremental probe (round 9): a recurring crawl's
+    most-duplicated doc makes every probe bucket hot, and the drop-only
+    cap admits it — star_above pairs each batch row in a hot bucket
+    with the bucket's minimum corpus id instead (linear cost, recall
+    kept). Fixture: 5 identical near-clones of every doc_id%50==0
+    corpus doc (hot buckets of 5-6 > star_above=4 — both the cross
+    anchor-star and the within-batch star fire) plus unique reversed
+    docs that must survive. Oracle replays combined-occupancy cross
+    cliques/stars and batch-occupancy within cliques/stars exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 50 == 0)
+    clones = None
+    for r in range(2, 7):
+        c = base.select(
+            (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" crawl tail")).alias("text"),
+        )
+        clones = c if clones is None else clones.unionByName(c)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    rev = F.array_join(F.reverse(F.split(norm, " ")), " ")
+    fresh = docs.filter(F.col("doc_id") % 40 == 21).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"), rev.alias("text")
+    )
+    new = clones.unionByName(fresh)
+    return dedup_ops.incremental_minhash_dedup(
+        new, docs, num_hashes=16, bands=4, shingle_k=3,
+        threshold=0.7, shingle_mode="word",
+        max_bucket=None, star_above=4,
+    ).select("doc_id")
+
+
 def q_dedup_minhash_incremental(spark, sf_dir):
     """Incremental NEAR dedup (dedup.py incremental_minhash_dedup): an
     incoming batch is deduped against the existing corpus WITHOUT any
@@ -4350,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_capped": q_semantic_dedup_capped,
         "simhash_near_dups_capped": q_simhash_near_dups_capped,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_minhash_incremental_star": q_dedup_minhash_incremental_star,
         "dedup_lines_in_doc": q_dedup_lines_in_doc,
         "repeated_spans": q_repeated_spans,
         "hard_negatives": q_hard_negatives,
@@ -4921,6 +4954,109 @@ cand AS (
   FROM sized x JOIN sized y USING (band, bucket)
   WHERE x.is_new = 1 AND y.is_new = 1 AND x.doc_id < y.doc_id
     AND x.bs_new <= 200
+),
+ver AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN s sa ON sa.doc_id = c.a
+  JOIN s sb ON sb.doc_id = c.b
+  WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+        / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))) >= 0.7
+),
+losers AS (SELECT DISTINCT b AS doc_id FROM ver)
+SELECT n.doc_id FROM newdocs n ANTI JOIN losers l USING (doc_id)"""
+
+
+def _minhash_incremental_star_oracle_sql() -> str:
+    """incremental_minhash_dedup with star_above=4, max_bucket=None:
+    combined-occupancy buckets ≤4 emit the full corpus×batch product;
+    >4 emit each batch row against the bucket's MIN corpus id (no pair
+    when the bucket holds no corpus row). Within-batch candidates replay
+    minhash_lsh_candidates' star: batch-occupancy ≤4 cliques (a<b),
+    >4 anchor stars (min batch id vs every other member)."""
+    from starlight_for_kafka_spark.operators.dedup import (
+        MINHASH_PRIME as P,
+        _minhash_coeffs,
+    )
+
+    a, b = _minhash_coeffs(16)
+    sig_exprs = ",\n    ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {P})), {P})"
+        for i in range(16)
+    )
+    band_expr = ", ".join(
+        f"md5(CAST(sg[{bb*4+1}] AS VARCHAR) || ',' || CAST(sg[{bb*4+2}] AS VARCHAR)"
+        f" || ',' || CAST(sg[{bb*4+3}] AS VARCHAR) || ',' || CAST(sg[{bb*4+4}] AS VARCHAR))"
+        for bb in range(4)
+    )
+    return f"""WITH rev AS (
+  SELECT doc_id,
+         array_to_string(list_reverse(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), ' ') AS rtext
+  FROM documents
+),
+newdocs AS (
+  SELECT doc_id + r * 1000000 AS doc_id, text || ' crawl tail' AS text
+  FROM documents CROSS JOIN (SELECT unnest([2, 3, 4, 5, 6]) AS r)
+  WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 9000000, rtext FROM rev WHERE doc_id % 40 = 21
+),
+docs AS (
+  SELECT doc_id, text, 0 AS is_new FROM documents
+  UNION ALL
+  SELECT doc_id, text, 1 FROM newdocs
+),
+w AS (
+  SELECT doc_id, is_new,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM docs
+),
+s AS (
+  SELECT doc_id, is_new,
+         list_distinct(CASE WHEN len(ws) >= 3
+           THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+           ELSE [] END) AS sset
+  FROM w
+),
+h AS (
+  SELECT doc_id, is_new,
+         list_transform(sset, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {P}) AS hs
+  FROM s
+),
+sig AS (SELECT doc_id, is_new, [{sig_exprs}] AS sg FROM h),
+banded AS (
+  SELECT doc_id, is_new, bt.band,
+         CASE bt.band WHEN 0 THEN bk[1] WHEN 1 THEN bk[2]
+                      WHEN 2 THEN bk[3] ELSE bk[4] END AS bucket
+  FROM (SELECT doc_id, is_new, [{band_expr}] AS bk FROM sig) t
+  CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) bt
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bs,
+         sum(CASE WHEN is_new = 1 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY band, bucket) AS bs_new
+  FROM banded
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM sized x JOIN sized y USING (band, bucket)
+  WHERE x.is_new = 0 AND y.is_new = 1 AND x.bs <= 4
+  UNION
+  SELECT DISTINCT anc.a, y.doc_id AS b
+  FROM (SELECT band, bucket, min(doc_id) AS a
+        FROM sized WHERE is_new = 0 GROUP BY 1, 2) anc
+  JOIN sized y USING (band, bucket)
+  WHERE y.is_new = 1 AND y.bs > 4
+  UNION
+  SELECT DISTINCT x.doc_id, y.doc_id
+  FROM sized x JOIN sized y USING (band, bucket)
+  WHERE x.is_new = 1 AND y.is_new = 1 AND x.doc_id < y.doc_id
+    AND x.bs_new <= 4
+  UNION
+  SELECT DISTINCT anc.a, y.doc_id
+  FROM (SELECT band, bucket, min(doc_id) AS a
+        FROM sized WHERE is_new = 1 GROUP BY 1, 2) anc
+  JOIN sized y USING (band, bucket)
+  WHERE y.is_new = 1 AND y.doc_id != anc.a AND y.bs_new > 4
 ),
 ver AS (
   SELECT c.a, c.b FROM cand c
@@ -5748,6 +5884,7 @@ def oracle_sql() -> dict[str, str]:
     oracles = {
         "dedup_minhash": _minhash_oracle_sql(),
         "dedup_minhash_incremental": _minhash_incremental_oracle_sql(),
+        "dedup_minhash_incremental_star": _minhash_incremental_star_oracle_sql(),
         "decontaminate_fuzzy": _decontaminate_fuzzy_oracle_sql(),
         # identical parameters + stored-vs-recomputed signatures are
         # value-identical, so the stored path shares the oracle
