@@ -25,6 +25,48 @@ from pyspark.sql import functions as F
 from starlight_for_kafka_spark.functions.hashing import md5_hash64, shingles, word_shingles
 
 
+def content_digest(text_col) -> "F.Column":
+    """THE canonical content digest for exact dedup: lowercase,
+    whitespace-collapse, md5 over the utf-8 bytes.
+
+    Single definition on purpose — the at-rest dedup index writer
+    (streaming/stream_ops._index_frame) and the incremental probe
+    (incremental_dedup) both store/compare these digests across
+    restarts, so two drifting copies of the recipe would silently turn
+    every stored digest into a miss and no-op the exact dedup. Accepts
+    a column or a column name."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.regexp_replace(F.lower(c), r"\s+", " ").cast("binary"))
+
+
+#: digest-recipe version recorded next to stored indexes (_PARAMS.json);
+#: bump whenever content_digest's normalization changes so a stale
+#: at-rest index is detected instead of silently missing every probe.
+CONTENT_DIGEST_VERSION = 1
+
+
+def _broadcast_if_bounded(ids: DataFrame, id_col: str, max_bytes: int = 32 << 20):
+    """Broadcast a MATERIALIZED ids-only sliver iff its measured payload
+    is genuinely bounded in BYTES, not rows.
+
+    A row-count gate (≤1-2M rows) assumes fixed-width ids, but
+    ``id_col`` is caller-supplied and commonly a string (URLs, UUID
+    hex): 2M rows of 150-byte URLs is ~300 MB in the broadcast hash
+    relation, and ``F.broadcast`` bypasses the byte-size safety of
+    ``autoBroadcastJoinThreshold`` entirely. The sliver is already
+    checkpointed by every caller, so one extra aggregate (count + avg
+    width of the id rendered as a string) is a cheap, stats-known scan;
+    the estimate charges ~16 bytes/row of hash-relation overhead on top
+    of the measured payload. Returns the (possibly broadcast) frame."""
+    st = ids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length(F.col(id_col).cast("string"))).alias("w"),
+    ).first()
+    n = st["n"] or 0
+    est = n * (float(st["w"] or 8.0) + 16.0)
+    return F.broadcast(ids) if est <= max_bytes else ids
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: normalize → md5 → keep lowest-id doc per digest.
 
@@ -33,9 +75,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     reduces to one candidate row per map task before the shuffle instead
     of serializing one reducer (same shape as text.line_dedup's keeper
     agg). Assumes ``id_col`` is unique (it is the document key)."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return _keep_min_id_per_digest(
-        df.withColumn("__digest", F.md5(norm.cast("binary"))), df.columns, id_col
+        df.withColumn("__digest", content_digest(text_col)), df.columns, id_col
     )
 
 
@@ -105,9 +146,11 @@ def incremental_dedup(
     ``corpus_digests``: optional at-rest (…, ``digest``) frame — the
     stored-index seam (see :func:`incremental_minhash_dedup`'s
     ``corpus_signatures``): pass it and the corpus TEXT is not read at
-    all for the exact pass."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    digest = F.md5(norm.cast("binary"))
+    all for the exact pass. Stored digests MUST be produced by
+    :func:`content_digest` (the index writer uses the same helper;
+    ``CONTENT_DIGEST_VERSION`` is recorded in the index _PARAMS.json so
+    a recipe drift is detected instead of silently missing)."""
+    digest = content_digest(text_col)
     if corpus_digests is None:
         corpus_digests = corpus.select(digest.alias("__digest"))
     else:
@@ -318,7 +361,7 @@ def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
-    max_bucket: int = 200,
+    max_bucket: int | None = 200,
     num_hashes: int | None = None,
     star_above: int | None = None,
     partition_cols: list[str] | None = None,
@@ -376,12 +419,17 @@ def minhash_lsh_candidates(
     # task *before* the cap can drop it, while the groupBy partial-combines
     # map-side so the hot key never concentrates (same shape as
     # simhash_near_dups below).
-    hot = (
-        banded.groupBy(*keys)
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") > max_bucket)
-    )
-    sized = banded.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    # ``max_bucket=None`` = no drop cap (the production crawl config is
+    # star_above=O(10), max_bucket=None — star everything, drop nothing)
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy(*keys)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+        )
+        sized = banded.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
+    else:
+        sized = banded
     if star_above is not None:
         # per-bucket size + anchor via ONE partial-combining aggregation
         # (agg-not-window keeper rule: a window over the bucket keys would
@@ -448,14 +496,14 @@ def jaccard_verify(
     # side's shuffle map stage has already written — measured 248 MiB of
     # corpus text shuffled for a 4.6k-pair candidate set (300x
     # fixed-batch row, BASELINE.md round 9). The candidates frame is
-    # MATERIALIZED, so its size is known for free: broadcast the id
-    # probe at planning time whenever it is genuinely bounded (ids-only,
-    # ≤2M rows ≈ 16 MB) and the corpus side stays map-only; past the
-    # bound, fall back to the shuffle join (the round-7 no-forced-
-    # broadcast-on-unbounded-sets rule — this one is measured, not
-    # assumed).
-    if candidates.count() <= 1_000_000:
-        cand_ids = F.broadcast(cand_ids)
+    # MATERIALIZED, so its size is measurable for free: broadcast the id
+    # probe at planning time whenever its measured BYTE size is bounded
+    # (row count x sampled id width — not a row-count proxy, since
+    # id_col may be long URLs) and the corpus side stays map-only; past
+    # the bound, fall back to the shuffle join (the round-7 no-forced-
+    # broadcast-on-unbounded-sets rule — measured, not assumed).
+    cand_ids = cand_ids.localCheckpoint(eager=True)
+    cand_ids = _broadcast_if_bounded(cand_ids, id_col)
     docs_needed = df.join(cand_ids, id_col, "left_semi")
     sets_df = docs_needed.repartition(n_part, id_col).select(
         F.col(id_col).alias("__id"),
@@ -524,6 +572,7 @@ def minhash_dedup(
     shingle_mode: str = "char",
     star_above: int | None = None,
     partition_cols: list[str] | None = None,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """End-to-end near-dedup: keep one doc (lowest id) per near-dup group.
 
@@ -552,8 +601,8 @@ def minhash_dedup(
         extra_cols=partition_cols,
     )
     cands = minhash_lsh_candidates(
-        sigs, id_col, bands, num_hashes=num_hashes, star_above=star_above,
-        partition_cols=partition_cols,
+        sigs, id_col, bands, max_bucket=max_bucket, num_hashes=num_hashes,
+        star_above=star_above, partition_cols=partition_cols,
     )
     verified = jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold, shingle_mode)
     losers = (
@@ -565,10 +614,10 @@ def minhash_dedup(
     # Catalyst plans SMJ (losers had no stats) and the corpus shuffle
     # map stage writes before AQE can convert (measured on the same
     # pattern in jaccard_verify, BASELINE.md round 9). The loser set is
-    # materialized, so broadcast it whenever it is genuinely bounded and
-    # the corpus stays map-only; past the bound, fall back.
-    if losers.count() <= 2_000_000:
-        losers = F.broadcast(losers)
+    # materialized, so broadcast it whenever its measured byte size
+    # (count x sampled id width, not a row-count proxy) is genuinely
+    # bounded and the corpus stays map-only; past the bound, fall back.
+    losers = _broadcast_if_bounded(losers, id_col)
     return df.join(losers, id_col, "left_anti")
 
 
@@ -1355,10 +1404,12 @@ def fuzzy_decontaminate(
     # converts only after the corpus shuffle map stage has written
     # (measured on the identical pattern in jaccard_verify, BASELINE.md
     # round 9).
-    cands_bounded = cands.count() <= 1_000_000
-    probe = cands.select(F.col("corpus_id").alias(id_col)).distinct()
-    if cands_bounded:
-        probe = F.broadcast(probe)
+    probe = (
+        cands.select(F.col("corpus_id").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    probe = _broadcast_if_bounded(probe, id_col)
     corpus_sets = corpus.join(
         probe,
         id_col,
@@ -1377,12 +1428,16 @@ def fuzzy_decontaminate(
     )
     if mode == "report":
         return verified.select("corpus_id", "bench_id", "jaccard")
-    # flagged ⊆ candidate corpus ids, so the measured candidate bound
-    # covers it too: broadcast keeps the corpus-side anti-join map-only;
-    # an unbounded contamination volume falls back to the shuffle join
-    flagged = verified.select(F.col("corpus_id").alias(id_col)).distinct()
-    if cands_bounded:
-        flagged = F.broadcast(flagged)
+    # flagged ⊆ candidate corpus ids; re-measure its own byte size (it
+    # is usually far smaller than the candidate probe) — broadcast keeps
+    # the corpus-side anti-join map-only, an unbounded contamination
+    # volume falls back to the shuffle join
+    flagged = (
+        verified.select(F.col("corpus_id").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    flagged = _broadcast_if_bounded(flagged, id_col)
     return corpus.join(flagged, id_col, "left_anti")
 
 
@@ -1488,6 +1543,7 @@ def minhash_dedup_exact_groups(
     threshold: float = 0.8,
     shingle_mode: str = "char",
     star_above: int | None = None,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """minhash_dedup with exact transitive grouping: verified pairs →
     connected components → keep each component's minimum id.
@@ -1498,7 +1554,8 @@ def minhash_dedup_exact_groups(
     clique emission whenever the verify step accepts the anchor edges."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, shingle_mode)
     cands = minhash_lsh_candidates(
-        sigs, id_col, bands, num_hashes=num_hashes, star_above=star_above
+        sigs, id_col, bands, max_bucket=max_bucket, num_hashes=num_hashes,
+        star_above=star_above,
     )
     verified = jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold, shingle_mode)
     comps = connected_components(verified)
@@ -1506,9 +1563,9 @@ def minhash_dedup_exact_groups(
         F.col("node").alias(id_col)
     ).localCheckpoint(eager=True)  # near-dup nodes only; size now known
     # same measured-bound broadcast as minhash_dedup's anti-join: keep
-    # the corpus side map-only whenever the loser set is bounded
-    if losers.count() <= 2_000_000:
-        losers = F.broadcast(losers)
+    # the corpus side map-only whenever the loser set's byte size
+    # (count x sampled id width) is bounded
+    losers = _broadcast_if_bounded(losers, id_col)
     return df.join(losers, id_col, "left_anti")
 
 

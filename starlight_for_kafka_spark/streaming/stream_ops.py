@@ -965,6 +965,11 @@ def incremental_ingest_stream(
         "num_hashes": num_hashes,
         "shingle_k": shingle_k,
         "shingle_mode": shingle_mode,
+        # exact-dedup digest recipe version (operators/dedup.py
+        # content_digest): a normalization change bumps this, so a
+        # stale at-rest index FAILS the params guard instead of
+        # silently missing every probe
+        "digest_version": dedup_ops.CONTENT_DIGEST_VERSION,
     }
 
     def _check_index_params() -> None:
@@ -990,10 +995,13 @@ def incremental_ingest_stream(
 
     def _index_frame(docs_df: DataFrame) -> DataFrame:
         # narrow at-rest probe table: the exact digest + the MinHash
-        # signature, both pure per-row maps over the text
-        norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        # signature, both pure per-row maps over the text. The digest is
+        # THE shared content_digest helper — the same expression
+        # incremental_dedup probes with — so the stored recipe can never
+        # drift from the probe's (a drift would make every stored digest
+        # miss and silently no-op the exact pass).
         digests = docs_df.select(
-            id_col, F.md5(norm.cast("binary")).alias("digest")
+            id_col, dedup_ops.content_digest(text_col).alias("digest")
         )
         sigs = dedup_ops.minhash_signatures(
             docs_df, text_col, id_col, num_hashes, shingle_k, shingle_mode
@@ -1069,7 +1077,11 @@ def incremental_ingest_stream(
                 star_above=star_above,
             )
         else:
-            # empty corpus: within-batch near-dedup only
+            # empty corpus: within-batch near-dedup only — same
+            # max_bucket/star configuration as the has_corpus branch, so
+            # the seed batch's hot buckets get the SAME cap/star
+            # semantics as every later batch (previously the first batch
+            # silently ran with minhash_dedup's internal default cap)
             survivors = dedup_ops.minhash_dedup(
                 batch,
                 text_col=text_col,
@@ -1080,6 +1092,7 @@ def incremental_ingest_stream(
                 threshold=threshold,
                 shingle_mode=shingle_mode,
                 star_above=star_above,
+                max_bucket=max_bucket,
             )
         # pin survivors: consumed by the corpus write AND (with
         # store_index) the index write — without a barrier the second
