@@ -2529,7 +2529,11 @@ def q_bpe_tokenize_tokens(spark, sf_dir):
     serializes it to one unit-separator-joined string (`tokens_ser`)
     because the driver's canonicalizer (pandas sort_values over all
     columns) cannot factorize list cells — the serialization is
-    order-preserving and lossless (U+001F never appears in tokens)."""
+    order-preserving and provably injective: U+001F is NOT regex
+    whitespace (it survives the tokenizer's \\s+ split), so each token
+    is scrubbed of any embedded U+001F before joining — identically on
+    both sides — making the separator guaranteed absent from every
+    joined element."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     learned = text_ops.bpe_train(docs, n_merges=3).collect()
     merges = [(r["left"], r["right"]) for r in learned]
@@ -2537,7 +2541,10 @@ def q_bpe_tokenize_tokens(spark, sf_dir):
     return out.select(
         "doc_id",
         "n_words",
-        F.concat_ws("\x1f", "tokens").alias("tokens_ser"),
+        F.concat_ws(
+            "\x1f",
+            F.transform("tokens", lambda t: F.regexp_replace(t, "\x1f", " ")),
+        ).alias("tokens_ser"),
     )
 
 
@@ -3241,7 +3248,16 @@ def q_keyed_running_sum(spark, sf_dir):
     out = skew_ops.keyed_running_sum(
         ev, ["user_id"], "ord", "v", "event_id", n_shards=16
     )
-    return out.select("user_id", "event_id", "running_sum")
+    # Spark SUM(decimal(20,6)) materializes decimal(30,6); DuckDB's
+    # windowed SUM over the same input materializes decimal(38,6)
+    # through Arrow. The driver's value hasher is decimal-width
+    # sensitive (r9 red row), so pin the oracle's width explicitly —
+    # the cast is lossless (30,6) -> (38,6).
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("running_sum").cast("decimal(38,6)").alias("running_sum"),
+    )
 
 
 def q_keyed_running_max(spark, sf_dir):
@@ -4245,73 +4261,8 @@ def q_api_versions(spark, sf_dir):
     return topics_mod.api_versions(reqs)
 
 
-# Driver-sample coverage telemetry (round-9): the grading driver hashes
-# roughly the first 50 entries of this dict each round (observed across
-# CORRECTNESS_r01-r08: every sampled name sits in the dict-order head).
-# This is the union of every name that has EVER appeared in a
-# CORRECTNESS_r*.json — 120 of 254 entries after round 8. queries()
-# orders the never-sampled inventory first so each round's sample
-# maximizes fresh hard-signal coverage; regenerate this set per round
-# from the CORRECTNESS files (see COVERAGE.json).
-_DRIVER_SAMPLED_EVER = frozenset({
-    "bpe_apply", "bpe_tokenize", "bpe_tokenize_ids", "bpe_tokenize_tokens",
-    "bpe_train", "bpe_vocab", "commitlog_append", "consumer_lag",
-    "contamination_pairs", "decontaminate_fuzzy",
-    "decontaminate_fuzzy_stored", "dedup_cluster_stats", "dedup_exact",
-    "dedup_minhash", "dedup_minhash_by_lang", "dedup_minhash_capped",
-    "dedup_minhash_cc", "dedup_ngram_jaccard", "dedup_stats",
-    "delete_group", "describe_group_full", "describe_groups",
-    "embedding_centroids", "filter_funnel", "filter_funnel_weighted",
-    "find_coordinator", "global_join_inner", "global_join_left",
-    "group_metadata_wire", "group_select_protocol", "hard_negatives",
-    "headers_projection", "keyed_count", "keyed_reduce", "kmeans_step",
-    "ktable_latest", "list_offsets", "log_fetch", "log_retention",
-    "minhash_jaccard_estimate", "multimodal_chunk_features",
-    "multimodal_features", "multimodal_frame_features",
-    "multimodal_frames", "offset_commit_compact", "offset_expire",
-    "offset_fetch_g1", "offset_fetch_stable", "offset_out_of_range",
-    "offsets_for_times", "offsets_wire_roundtrip", "pack_bpe_sequences",
-    "produce_offsets_dense", "produce_validation", "q1_pricing_summary",
-    "q6_discounted_revenue", "registry_compat", "registry_compat_full",
-    "registry_delete", "registry_references", "registry_subject_config",
-    "registry_subjects", "registry_wire", "repeated_spans",
-    "session_reduce", "session_windows", "similarity_ivf_cells",
-    "similarity_ivf_topk", "similarity_lsh_top5", "similarity_top10",
-    "sliding_window_2h1h", "snapshot_delta", "split_leakage_safe",
-    "sql_surface_cube", "sql_surface_q10", "sql_surface_q11",
-    "sql_surface_q12", "sql_surface_q13", "sql_surface_q14",
-    "sql_surface_q15", "sql_surface_q16", "sql_surface_q17",
-    "sql_surface_q18", "sql_surface_q19", "sql_surface_q2",
-    "sql_surface_q20", "sql_surface_q21", "sql_surface_q22",
-    "sql_surface_q3", "sql_surface_q4", "sql_surface_q5", "sql_surface_q7",
-    "sql_surface_q8", "sql_surface_q9", "sql_surface_rollup",
-    "table_aggregate", "table_table_join", "text_fingerprint",
-    "text_language_id", "text_stats", "threshold_sweep",
-    "top_revenue_orders", "truncate_before", "tumbling_window_1h",
-    "txn_aborted_index", "txn_describe_producers",
-    "txn_describe_transactions", "txn_id_expiry", "txn_idempotent_dedupe",
-    "txn_last_stable_offsets", "txn_list_transactions",
-    "txn_read_committed", "txn_state_machine", "txn_timeout_abort",
-    "typed_view", "typed_view_avro", "wire_legacy_ingest",
-    "wire_roundtrip", "wire_transcode_codecs", "zorder_events",
-})
-
-# Entries whose GRADEABLE SHAPE changed this round (array outputs
-# serialized for the driver's pandas canonicalizer) — lead the sample so
-# the fix is confirmed on the hard signal, like sql_surface_q12 in r8.
-_RECONFIRM_FIRST = (
-    "bpe_tokenize_tokens",
-    "bpe_tokenize_ids",
-    "random_projection",
-    "quantize_embeddings",
-    "bpe_train_local",
-)
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qmap = {
-        # round-7 late additions lead so the driver's 50-entry sample
-        # hashes them on their first round out
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "decontaminate_fuzzy_stored": q_decontaminate_fuzzy_stored,
         "contamination_pairs": q_contamination_pairs,
@@ -4571,18 +4522,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_l2": q_knn_join_l2,
         "minhash_recall": q_minhash_recall,
     }
-    # coverage rotation: reshaped entries first (confirm this round's
-    # canon fixes on the hard signal), then everything the driver has
-    # NEVER sampled (134 after r8 — the ~50-entry head sample lands on
-    # >=45 of them), then the already-confirmed tail. Values and oracles
-    # are order-independent; only the sample rotation changes.
-    head = [n for n in _RECONFIRM_FIRST if n in qmap]
-    never = [
-        n for n in qmap
-        if n not in _DRIVER_SAMPLED_EVER and n not in head
-    ]
-    rest = [n for n in qmap if n in _DRIVER_SAMPLED_EVER and n not in head]
-    return {n: qmap[n] for n in head + never + rest}
+    # Stable, name-sorted order (the naming convention groups families —
+    # sql_surface_*, dedup_*, txn_*, registry_*, knn_* — so sorting is
+    # also a semantic grouping). No coverage-aware reordering: coverage
+    # telemetry lives outside this file (COVERAGE.json).
+    return {n: qmap[n] for n in sorted(qmap)}
 
 
 # ===================================================================== #
@@ -5905,7 +5849,12 @@ def oracle_sql() -> dict[str, str]:
         # chr(31)-joined string exactly as the Spark entry does (pandas
         # canonicalization cannot sort list cells)
         "bpe_tokenize_tokens": (
-            "SELECT doc_id, n_words, array_to_string(tokens, chr(31)) AS tokens_ser"
+            # tokens are scrubbed of embedded chr(31) before the join —
+            # mirrors the Spark entry exactly — so the separator is
+            # provably absent from every element (injective encoding)
+            "SELECT doc_id, n_words, array_to_string("
+            "list_transform(tokens, t -> replace(t, chr(31), ' ')), chr(31))"
+            " AS tokens_ser"
             f" FROM ({_bpe_tokenize_tokens_oracle_sql()})"
         ),
         "bpe_tokenize_ids": (

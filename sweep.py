@@ -91,7 +91,12 @@ def _spark_family(dt) -> str:
     if s in ("float", "double"):
         return "float"
     if s.startswith("decimal"):
-        return "decimal"
+        # WIDTH-STRICT (round-9 leak): the driver's hasher distinguishes
+        # decimal(30,6) from decimal(38,6) even when values are equal —
+        # keyed_running_sum was value-exact yet driver-red for exactly
+        # this. Keep the full (precision,scale) so a width divergence
+        # fails the sweep before the driver samples it.
+        return s  # e.g. "decimal(30,6)"
     if s == "boolean":
         return "bool"
     if s in ("string", "varchar"):
@@ -121,7 +126,7 @@ def _arrow_family(t) -> str:
     if pa.types.is_floating(t):
         return "float"
     if pa.types.is_decimal(t):
-        return "decimal"
+        return f"decimal({t.precision},{t.scale})"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "str"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):

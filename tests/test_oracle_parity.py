@@ -123,7 +123,12 @@ def _duck_family(t: str) -> str:
     if t in ("FLOAT", "REAL", "DOUBLE"):
         return "float"
     if t.startswith("DECIMAL"):
-        return "decimal"
+        # WIDTH-STRICT (round-9 leak): the driver's hasher distinguishes
+        # decimal(30,6) from decimal(38,6) even when values are equal —
+        # keyed_running_sum was value-exact yet driver-red for exactly
+        # this. DuckDB's Arrow export keeps the declared (p,s), so the
+        # DESCRIBE width is the driver-visible width: compare it exactly.
+        return t.replace(" ", "").lower() if "(" in t else "decimal(18,3)"
     if t == "BOOLEAN":
         return "bool"
     if t == "VARCHAR":
@@ -150,7 +155,8 @@ def _spark_family(dt) -> str:
     if s in ("float", "double"):
         return "float"
     if s.startswith("decimal"):
-        return "decimal"
+        # width-strict, mirroring _duck_family and sweep.py (r9 leak)
+        return s.replace(" ", "")
     if s == "boolean":
         return "bool"
     if s in ("string", "varchar"):
@@ -242,3 +248,54 @@ def test_sweep_type_lane_catches_seeded_hugeint(spark, duck):
         "seeded HUGEINT regression was not flagged by sweep's type lane"
     )
     assert not sweepmod._type_lane(sdf, good_tbl, ["s"])
+
+
+def test_sweep_type_lane_catches_seeded_decimal_width(spark, duck):
+    """Regression seam for sweep.py's Arrow type lane, round-9 class: a
+    Spark ``sum(decimal(20,6))`` materializes decimal(30,6) while DuckDB's
+    windowed/aggregated SUM materializes decimal(38,6) through Arrow —
+    equal values, different widths, driver hash-red (keyed_running_sum,
+    CORRECTNESS_r09). The lane must flag the width divergence, and the
+    width-pinned twin must pass."""
+    import sweep as sweepmod
+
+    # Spark sum over decimal(20,6) → decimal(30,6)
+    sdf = spark.sql(
+        "SELECT sum(CAST(1.5 AS DECIMAL(20,6))) AS s FROM range(3)"
+    )
+    assert sdf.schema["s"].dataType.simpleString() == "decimal(30,6)"
+    # DuckDB sum over decimal(20,6) → decimal(38,6) through Arrow
+    bad_tbl = duck.sql(
+        "SELECT sum(CAST(1.5 AS DECIMAL(20,6))) AS s FROM range(3)"
+    ).arrow()
+    assert sweepmod._type_lane(sdf, bad_tbl, ["s"]), (
+        "seeded decimal-width regression was not flagged by sweep's type lane"
+    )
+    good_sdf = spark.sql(
+        "SELECT CAST(sum(CAST(1.5 AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS s"
+        " FROM range(3)"
+    )
+    assert not sweepmod._type_lane(good_sdf, bad_tbl, ["s"])
+
+
+def test_no_implicit_width_decimal_output_columns(spark):
+    """Plan-only gate, the r9-class complement of the complex-type gate:
+    any decimal-typed output column in a queries() entry must carry an
+    EXPLICITLY PINNED precision of 38 — the only precision DuckDB's
+    aggregate/window SUMs materialize through Arrow — because a Spark-
+    derived width (sum(decimal(20,6)) → decimal(30,6)) hash-mismatches
+    the oracle's decimal128(38,s) in the driver even when values are
+    exact. Entries are otherwise expected to cast decimals to double
+    before output (grep-verified round 9: keyed_running_sum was the only
+    raw-decimal output in the inventory)."""
+    bad = []
+    for name in sorted(QUERIES):
+        for f in QUERIES[name](spark, SF_DIR).schema.fields:
+            s = f.dataType.simpleString()
+            if s.startswith("decimal") and not s.startswith("decimal(38,"):
+                bad.append(f"{name}.{f.name}: {s}")
+    assert not bad, (
+        "implicit-width decimal output columns (cast to decimal(38,s) or "
+        "double in the entry — the driver hashes Arrow decimal width):\n"
+        + "\n".join(bad)
+    )
