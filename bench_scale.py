@@ -448,6 +448,75 @@ def run_streaming_rows(spark, sf_dir: str) -> list[dict]:
     return rows
 
 
+def run_knn_serving_row(spark, sf_dir: str) -> dict:
+    """Streaming-retrieval scale row (round-10): knn_serving_stream over
+    a SCALE-x corpus with a FIXED query volume. The serving claim under
+    test: the corpus is hyperplane-bucketed ONCE (persisted before the
+    first batch — the ``corpus_bucket_col`` at-rest seam), so per-batch
+    wall tracks the batch's query count and its probed buckets, not the
+    corpus size. Evidence = per-batch trigger durations flat across the
+    run and a one-time corpus-prep cost separated from the batch costs."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from starlight_for_kafka_spark import load_table
+    from starlight_for_kafka_spark.operators.similarity import auto_plane_count
+    from starlight_for_kafka_spark.streaming import stream_ops
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    corpus = load_table(spark, sf_dir, "embeddings")
+    n_corpus = corpus.count()
+    # plane count self-sized from the SCALE-x corpus (the same
+    # auto_plane_count the batch lsh row uses) so expected bucket
+    # occupancy — and with it per-query probe cost — stays ~target
+    # across 1x/30x/300x instead of buckets growing linearly with SCALE
+    n_planes = auto_plane_count(n_corpus, target_bucket=64)
+
+    # fixed query set from the BASE fixtures: 8 parquet files x ~?
+    # vectors, maxFilesPerTrigger=2 → 4 microbatches of constant size
+    # regardless of SCALE (query volume must NOT scale with the corpus)
+    qsrc = os.path.join(SCRATCH, "knn_serving_query_src")
+    if not os.path.exists(os.path.join(qsrc, "_SUCCESS")):
+        base = load_table(spark, BASE, "embeddings")
+        base.filter(F.col("vec_id") % 4 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ).repartition(8).write.mode("overwrite").parquet(qsrc)
+
+    ckpt = os.path.join(SCRATCH, "knn_serving_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("query_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(qsrc)
+    )
+    out_rows = []
+
+    def sink(df, epoch_id):
+        out_rows.append(df.count())
+
+    t0 = time.perf_counter()
+    q = stream_ops.knn_serving_stream(
+        stream, corpus, sink, ckpt, k=5, n_planes=n_planes,
+    )
+    q.processAllAvailable()
+    progress = [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+    q.stop()
+    wall = round(time.perf_counter() - t0, 3)
+    return {
+        "query": "knn_serving_stream",
+        "corpus_rows": n_corpus,
+        "n_planes": n_planes,
+        "wall_sec": wall,
+        "n_batches": len(progress),
+        "batch_duration_ms": [
+            int(p["durationMs"]["triggerExecution"]) for p in progress
+        ],
+        "query_rows": sum(int(p["numInputRows"]) for p in progress),
+        "result_rows": sum(out_rows),
+    }
+
+
 def run_ingest_row(spark, sf_dir: str) -> dict:
     """The recurring-crawl ingestion loop (stream_ops.
     incremental_ingest_stream) at SCALE: the SCALE-x documents table
@@ -1090,6 +1159,12 @@ def main() -> None:
 
     queries["fuzzy_decontaminate"] = _fuzzy_decon
 
+    # SPARK_GRAFT_BPE_MERGES overrides the merge budget for the
+    # production-vocab asymptote run (32k merges = the full production
+    # vocabulary; the driver-side lazy-heap trainer is the piece under
+    # test there — wall + peak driver RSS pin the claim end-to-end)
+    _bpe_merges = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "2000"))
+
     def _bpe_train_local_k2000(spark, sf):
         # production-vocab BPE training (SPARK_GRAFT_SCALE_SUITE row, not
         # in the default SUITE): the documents fixture holds only 31
@@ -1131,7 +1206,7 @@ def main() -> None:
                 ),
             ).alias("text")
         )
-        return text_ops.bpe_train_local(salted, n_merges=2000)
+        return text_ops.bpe_train_local(salted, n_merges=_bpe_merges)
 
     queries["bpe_train_local_k2000"] = _bpe_train_local_k2000
 
@@ -1224,6 +1299,11 @@ def main() -> None:
         ingest = run_ingest_fixed_batch_row(spark, sf_dir, metrics)
         print(f"  ingest: {ingest}", file=sys.stderr)
 
+    knn_serving = None
+    if os.environ.get("SPARK_GRAFT_SCALE_KNN_SERVING", "0") == "1":
+        knn_serving = run_knn_serving_row(spark, sf_dir)
+        print(f"  knn_serving: {knn_serving}", file=sys.stderr)
+
     skew_rows = None
     if SKEW:
         skew_rows = run_skew_rows(spark, sf_dir)
@@ -1239,8 +1319,17 @@ def main() -> None:
         "rows": rows,
         "streaming": streaming,
         "ingest": ingest,
+        "knn_serving": knn_serving,
         "skew": skew_rows,
         "peak_jvm_heap_mb": metrics.peak_heap_mb(),
+        # peak DRIVER (Python) RSS — the bpe_train_local lazy-heap
+        # trainer and the kmeans/PQ codebooks live here, not in the JVM;
+        # Linux ru_maxrss is KiB
+        "peak_driver_rss_mb": round(
+            __import__("resource").getrusage(
+                __import__("resource").RUSAGE_SELF
+            ).ru_maxrss / 1024.0, 1,
+        ),
     }
     print(json.dumps(result))
     spark.stop()
