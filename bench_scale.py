@@ -1164,6 +1164,12 @@ def main() -> None:
     # vocabulary; the driver-side lazy-heap trainer is the piece under
     # test there — wall + peak driver RSS pin the claim end-to-end)
     _bpe_merges = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "2000"))
+    # salt-space width: distinct words ≈ 31 base words x SALTS. The
+    # default 256 (~8k words) exhausts its merge space at ~20.3k merges
+    # (measured), so the 32k-vocab asymptote run needs SALTS=4096
+    # (~127k distinct words — the realistic post-min_word_freq vocab of
+    # a production corpus)
+    _bpe_salts = int(os.environ.get("SPARK_GRAFT_BPE_SALTS", "256"))
 
     def _bpe_train_local_k2000(spark, sf):
         # production-vocab BPE training (SPARK_GRAFT_SCALE_SUITE row, not
@@ -1196,7 +1202,7 @@ def main() -> None:
                                 F.concat(
                                     w,
                                     F.lit(":"),
-                                    (F.col("doc_id") % 256).cast("string"),
+                                    (F.col("doc_id") % _bpe_salts).cast("string"),
                                 )
                             ),
                             1,
