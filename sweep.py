@@ -56,7 +56,14 @@ def _norm(v):
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        # EXACT compare (round-10): float(v) loses digits past ~15 — a
+        # decimal(38,6) pair differing only at digit 16+ would
+        # value-pass here yet hash-red in the driver (which hashes the
+        # decimal bytes). Cross-family decimal-vs-float never reaches
+        # this compare (the type lane rejects it), so both sides are
+        # Decimal and numeric equality is well-defined; width parity is
+        # the type lane's job.
+        return v
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

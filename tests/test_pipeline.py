@@ -2403,3 +2403,56 @@ def test_bpe_tokenize_ids_match_vocab_and_flag_oov(spark):
     assert set(flat) == {0, -1}
     with _pytest.raises(ValueError, match="requires a vocab"):
         bpe_tokenize(docs, merges, emit="ids")
+
+
+def test_broadcast_gate_measures_bytes_not_rows(spark):
+    """_broadcast_if_bounded gates on MEASURED bytes (count x sampled id
+    width), not a row-count proxy: 40k short numeric ids broadcast, but
+    the SAME row count of 900-char string ids (~36 MB estimated hash
+    relation) must NOT — F.broadcast bypasses autoBroadcastJoinThreshold,
+    so an unbounded forced broadcast is an executor OOM at scale."""
+    small = spark.range(40_000).select(F.col("id").alias("doc_id"))
+    small = small.localCheckpoint(eager=True)
+    gated = dedup._broadcast_if_bounded(small, "doc_id")
+    assert "ResolvedHint" in gated._jdf.queryExecution().analyzed().toString()
+
+    wide = spark.range(40_000).select(
+        F.concat(F.lit("u" * 900), F.col("id").cast("string")).alias("doc_id")
+    )
+    wide = wide.localCheckpoint(eager=True)
+    ungated = dedup._broadcast_if_bounded(wide, "doc_id")
+    assert "ResolvedHint" not in ungated._jdf.queryExecution().analyzed().toString()
+
+
+def test_minhash_dedup_max_bucket_none_stars_hot_buckets(spark, documents):
+    """max_bucket=None (the production crawl config: drop nothing, star
+    everything) plumbed through minhash_dedup: a 12-clone cluster makes
+    every band bucket hot, so a drop cap of 5 ADMITS all 12 duplicates
+    (the documented recall trade), while max_bucket=None + star_above=5
+    keeps the bucket, stars it, and dedups the cluster to one survivor."""
+    base = documents.limit(1)
+    cluster = base.withColumn("doc_id", F.lit(-1).cast("long"))
+    for i in range(2, 13):
+        cluster = cluster.unionByName(
+            base.withColumn("doc_id", F.lit(-i).cast("long"))
+        )
+    corpus = documents.unionByName(cluster)
+    dropped = dedup.minhash_dedup(corpus, threshold=0.9, max_bucket=5)
+    assert dropped.filter(F.col("doc_id") < 0).count() == 12  # cap admitted
+    starred = dedup.minhash_dedup(
+        corpus, threshold=0.9, max_bucket=None, star_above=5
+    )
+    assert starred.filter(F.col("doc_id") < 0).count() == 1  # anchor survives
+
+
+def test_content_digest_is_the_single_exact_dedup_recipe(spark):
+    """content_digest is THE stored-index digest: lowercase, whitespace
+    collapse, md5 over utf-8 bytes — pinned against hashlib so neither
+    the index writer nor the probe can drift from the recorded recipe
+    (CONTENT_DIGEST_VERSION guards the at-rest side)."""
+    import hashlib
+
+    df = spark.createDataFrame([("  Hello\t  WORLD \n",)], "text string")
+    got = df.select(dedup.content_digest("text").alias("d")).first()["d"]
+    assert got == hashlib.md5(" hello world ".encode()).hexdigest()
+    assert dedup.CONTENT_DIGEST_VERSION == 1
