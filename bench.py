@@ -2,11 +2,23 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE final JSON line:
   {"metric": "bench_total_sec", "value": N, "unit": "sec",
-   "queries": {"q1": median_sec, ...}, "cold": {"q1": first_run_sec, ...},
-   "min": {"q1": quietest_run_sec, ...}, "runs": 3, "sf": 0.1,
-   "calibration": {"spin_miter_s": M, "steal_pct_per_pass": [..]}}
+   "queries": {"q1": median_sec, ...}, "runs": 3, "sf": 0.1}
+
+A PRECEDING stdout line carries the auxiliary detail:
+  {"aux": {"cold": {...}, "min": {...}, "calibration": {...}}}
+
+Why two lines (round-10 measurement-bug fix, declared per the driver
+contract): the grading driver keeps only the last ~2000 chars of stdout
+and json-parses the final line. From round 7 the single line — queries +
+cold + min + calibration — outgrew that window, so the driver recorded
+``parsed: null`` for three rounds (BENCH_r0{7,8,9}.json) and lost the
+per-query numbers. The final line now carries exactly the contract
+fields (every historical query name preserved, medians as before) and
+stays well under the window; the cold/min/calibration detail that
+previously shared the line is printed just above it, unchanged in
+content.
 
 Each query runs THREE times; "queries" carries the per-query MEDIAN (the
 comparable number — ambient-load noise on this host is +/-10-15% per single
@@ -222,21 +234,30 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    aux = {
+        "aux": {
+            "cold": cold,
+            "min": quietest,
+            "calibration": {
+                "spin_miter_s": spin_miter_s,
+                "steal_pct_per_pass": steal_pct_per_pass,
+            },
+        }
+    }
     result = {
         "metric": "bench_total_sec",
         "value": round(sum(medians.values()), 3),
         "unit": "sec",
         "queries": medians,
-        "cold": cold,
-        "min": quietest,
         "runs": runs,
         "sf": sf_val,
-        "calibration": {
-            "spin_miter_s": spin_miter_s,
-            "steal_pct_per_pass": steal_pct_per_pass,
-        },
     }
-    print(json.dumps(result))
+    line = json.dumps(result, separators=(",", ":"))
+    # the driver parses the last line out of a ~2000-char stdout tail; a
+    # final line that outgrows it silently drops every per-query number
+    assert len(line) < 1900, f"final JSON line {len(line)} chars; trim it"
+    print(json.dumps(aux, separators=(",", ":")))
+    print(line)
     spark.stop()
 
 
