@@ -1021,13 +1021,27 @@ def q_wire_legacy_ingest(spark, sf_dir):
     from starlight_for_kafka_spark.sources import wire
 
     log = _log(spark, sf_dir).df
-    batches = wire.encode_wire_batches(log, max_records_per_batch=50)
+    # parity split BEFORE the encode kernel (round 10, guide §1.2/#1):
+    # offsets and batch grouping are both windowed PER PARTITION, so
+    # filtering whole partitions first is result-identical — while
+    # filtering the encoded batches after (the old shape) ran the
+    # Arrow encode kernel over the FULL log in each branch and threw
+    # half the work away twice (plan had two full-log MapInPandas
+    # encode subtrees; oracle re-verified identical)
     even = wire.down_convert_batches(
-        batches.filter(F.col("partition") % 2 == 0), to_magic=1,
+        wire.encode_wire_batches(
+            log.filter(F.col("partition") % 2 == 0),
+            max_records_per_batch=50,
+        ),
+        to_magic=1,
         compression="lz4",
     )
     odd = wire.down_convert_batches(
-        batches.filter(F.col("partition") % 2 == 1), to_magic=1
+        wire.encode_wire_batches(
+            log.filter(F.col("partition") % 2 == 1),
+            max_records_per_batch=50,
+        ),
+        to_magic=1,
     )
     typed = wire.ingest_message_sets(even.unionByName(odd))
     return typed.select(

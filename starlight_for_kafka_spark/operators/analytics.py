@@ -365,7 +365,10 @@ def pagerank(
     """
     from starlight_for_kafka_spark.plans.checkpoints import RollingCheckpoint
 
-    roll = RollingCheckpoint(edges.sparkSession)
+    # keep=1: every read of generation N-1 happens while generation N
+    # materializes (the dangling sum is in-plan, not a post-checkpoint
+    # consumer), so superseded generations release immediately
+    roll = RollingCheckpoint(edges.sparkSession, keep=1)
     w = (
         F.col(weight_col).cast("double")
         if weight_col is not None
@@ -386,8 +389,6 @@ def pagerank(
         n0 = nodes_plain.count()
         return nodes_plain.select("node", F.lit(1.0 / n0).alias("rank"))
     try:
-        nodes = roll.pin(nodes_plain)
-        n_nodes = nodes.count()
         # A node whose out-edges all weigh 0 has no usable out-links: keep it
         # OUT of out_w so it classifies as dangling (its mass redistributes
         # uniformly) instead of silently leaking rank through NULL w/0 shares.
@@ -409,15 +410,34 @@ def pagerank(
             .select("src", "dst", (F.col("w") / F.col("total_w")).alias("share")),
             "src",
         )
+        # the rank table carries each node's danglingness as a FLAG
+        # (__has_out) instead of a separate dangling_nodes table, and the
+        # rank table ITSELF is the left side of the per-round update (it
+        # holds every node by construction, so a pinned node table in the
+        # loop is redundant). Round-10 rework (guide §2.4): the old shape
+        # paid, per iteration, one dangling_nodes ⋈ ranks join (two
+        # O(nodes) exchanges) purely to sum a subset, plus a full pinned
+        # node-table read + exchange for the re-emit join. Now the
+        # dangling mass is a shuffle-free filter+sum over the rank table
+        # and the re-emit join reads no second table.
         has_out = out_w.select(F.col("src").alias("node")).distinct()
-        dangling_nodes = roll.pin(nodes.join(has_out, "node", "left_anti"))
+        state0 = roll(
+            nodes_plain.join(
+                has_out.withColumn("__has", F.lit(True)), "node", "left"
+            ).select(
+                "node", F.coalesce("__has", F.lit(False)).alias("__has_out")
+            )
+        )
+        n_nodes = state0.count()
     except BaseException:
-        # setup checkpoints (nodes / norm_e / dangling) are real Spark
-        # jobs; a failure here must not leak the already-pinned ones
+        # setup checkpoints (norm_e / state0) are real Spark jobs; a
+        # failure here must not leak the already-pinned ones
         roll.abort()
         raise
     base = (1.0 - damping) / n_nodes
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    ranks = state0.select(
+        "node", F.lit(1.0 / n_nodes).alias("rank"), "__has_out"
+    )
     try:
         for _ in range(iterations):
             # dangling mass stays IN-PLAN as a broadcast 1-row aggregate — a
@@ -425,7 +445,7 @@ def pagerank(
             # ferry one scalar through the driver (measured ~2x the loop's
             # wall time at sf0.1; at cluster scale it is also a per-iteration
             # scheduling barrier)
-            dangling = dangling_nodes.join(ranks, "node").agg(
+            dangling = ranks.filter(~F.col("__has_out")).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dmass")
             )
             contribs = (
@@ -433,11 +453,13 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("share")).alias("inflow"))
             )
+            # contribs leaves its aggregation HashPartitioning(dst) — the
+            # join key — so only the rank side exchanges here
             ranks = (
-                nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+                ranks.join(contribs, ranks["node"] == contribs["dst"], "left")
                 .crossJoin(F.broadcast(dangling))
                 .select(
-                    "node",
+                    ranks["node"],
                     (
                         F.lit(base)
                         + F.lit(damping)
@@ -446,6 +468,7 @@ def pagerank(
                             + F.col("__dmass") / F.lit(float(n_nodes))
                         )
                     ).alias("rank"),
+                    "__has_out",
                 )
             )
             ranks = roll(ranks)
@@ -457,7 +480,7 @@ def pagerank(
     # superseded rank generations release their pinned blocks NOW
     # instead of leaking into the rest of the session
     roll.finish()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def hll_cardinality(

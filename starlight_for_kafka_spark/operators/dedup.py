@@ -1452,11 +1452,13 @@ def connected_components(
     This is the exact group resolution minhash_dedup's one-pass drop
     approximates (a non-min node whose neighbors all have larger ids
     survives the one-pass but not CC). Each round costs one join + one
-    aggregation (2 shuffles) and rounds ≈ graph diameter — near-dup
-    components are short chains, so 3-5 rounds in practice; ``max_iter``
-    bounds pathological chains. Labels are localCheckpointed per round to
-    cut lineage (iterative plans otherwise re-execute from the source
-    every round).
+    aggregation (2 shuffles) plus a shuffle-free convergence scan of the
+    new generation (the previous label rides along as __old, so no
+    second join is needed to detect movement), and rounds ≈ graph
+    diameter — near-dup components are short chains, so 3-5 rounds in
+    practice; ``max_iter`` bounds pathological chains. Labels are
+    localCheckpointed per round to cut lineage (iterative plans
+    otherwise re-execute from the source every round).
 
     The loop is driver-side control flow over distributed steps — the
     standard Spark shape for iterative algorithms (same as GraphX/Pregel).
@@ -1465,9 +1467,10 @@ def connected_components(
     """
     from starlight_for_kafka_spark.plans.checkpoints import RollingCheckpoint
 
-    # keep=2: the convergence count reads the PREVIOUS generation after
-    # the new one is checkpointed, so it must survive one extra round
-    roll = RollingCheckpoint(pairs.sparkSession, keep=2)
+    # keep=1: the convergence check reads the NEW generation only (the
+    # old label rides inside it as __old — see the loop), so a superseded
+    # generation is never read after its successor materializes
+    roll = RollingCheckpoint(pairs.sparkSession, keep=1)
     try:
         # pin_partitioned on y (the per-round join key): localCheckpoint
         # would erase the partitioning and re-shuffle the whole edge
@@ -1497,6 +1500,12 @@ def connected_components(
                 .groupBy("x")
                 .agg(F.min("component").alias("nmin"))
             )
+            # the OLD label rides inside the checkpointed frame (__old):
+            # the convergence check is then a shuffle-free scan of the
+            # just-materialized generation, not a second join of two
+            # checkpointed label tables (guide §2.4 — the old shape paid
+            # 2 extra exchanges + an SMJ per round purely to count
+            # changed labels)
             updated = roll(
                 labels.join(neighbor_min, labels["node"] == neighbor_min["x"], "left")
                 .select(
@@ -1504,14 +1513,11 @@ def connected_components(
                     F.least(
                         F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                     ).alias("component"),
+                    F.col("component").alias("__old"),
                 )
             )
-            changed = (
-                updated.join(labels.withColumnRenamed("component", "old"), "node")
-                .filter(F.col("component") != F.col("old"))
-                .count()
-            )
-            labels = updated
+            changed = updated.filter(F.col("component") != F.col("__old")).count()
+            labels = updated.drop("__old")
             if changed == 0:
                 break
         else:
@@ -1926,25 +1932,47 @@ def remove_repeated_spans(
     words = F.split(F.trim(norm), " ")
     base = df.select(F.col(id_col), words.alias("__ws"))
     wp = base.select(id_col, F.posexplode("__ws").alias("wpos", "word"))
-    gram_hashes = F.transform(
-        word_shingles(F.col(text_col), ngram_k), md5_hash64
-    )
-    pos_grams = df.select(
+    # gram hashes from the SAME word array (round-10, guide §1.2/#1):
+    # the previous shape ran word_shingles(text) — regex-normalize +
+    # split + zip-chain — as a SECOND and THIRD full tokenize pass
+    # (positional grams and doc-distinct grams each re-derived from raw
+    # text). Building the zip-chain over the already-split ``__ws``
+    # attribute tokenizes once; identical shingle strings by
+    # construction (same normalize/trim/split as word_shingles).
+    n_sh = F.size(F.col("__ws")) - F.lit(ngram_k - 1)
+    acc = F.slice(F.col("__ws"), 1, n_sh)
+    for i in range(1, ngram_k):
+        acc = F.zip_with(
+            acc,
+            F.slice(F.col("__ws"), i + 1, n_sh),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(n_sh >= 1, acc).otherwise(F.array().cast("array<string>"))
+    pos_grams = base.select(
         F.col(id_col),
-        F.posexplode(gram_hashes).alias("pos", "g"),
+        F.posexplode(F.transform(grams, md5_hash64)).alias("pos", "g"),
     )
-    doc_grams = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(gram_hashes)).alias("g"),
-    )
-    freq = doc_grams.groupBy("g").agg(
-        F.count("*").alias("n_docs"), F.min(id_col).alias("keeper")
+    # (count-distinct-docs, min-doc) per gram straight off the positional
+    # rows: the dedicated doc-distinct explode pass is gone; the
+    # distinct-pair (g, doc) partial aggregation shuffles the same bytes
+    # its explode used to, minus the whole extra corpus scan
+    freq = pos_grams.groupBy("g").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.min(id_col).alias("keeper"),
     )
     removable = (
         pos_grams.join(freq.filter(F.col("n_docs") > 1), "g")
         .filter(F.col(id_col) != F.col("keeper"))
         .select(id_col, "pos")
     )
+    # .distinct() looks redundant before an anti-join (existence test),
+    # but it is load-bearing for shuffle BYTES: overlapping removable
+    # grams cover each position up to k times, the distinct's partial
+    # aggregation collapses those k-fold rows MAP-SIDE before the
+    # exchange, and the anti-join then reuses the distinct's (id, wpos)
+    # partitioning — so dropping it would shuffle k x the rows through
+    # the same exchange (measured +4 MB at sf0.1 on the clone-heavy
+    # fixture when removed)
     covered = removable.select(
         id_col,
         F.explode(

@@ -303,36 +303,98 @@ def pq_train(
     the retrieval loop end to end: pq_train → pq_encode/ivf_assign at
     ingest → pq_knn_join probes — no fixture codebooks anywhere.
 
-    Scale shape: m x n_iter narrow scans (each slices ONE column,
-    map-only assignment + k x sub_d mean agg). The m loops could fuse
-    into one scan per iteration (m independent branch aggregations);
-    at m ≤ 8 the scans are column-pruned and cheap enough that the
-    simpler per-subspace loop wins on plan size. Codebooks are
-    driver-sized (m x ks x sub_d floats) — broadcastable anywhere.
+    Scale shape (round-10 rework, guide §1.2/#1 — fewer passes): ALL m
+    subspaces train inside ONE corpus scan per iteration. The previous
+    per-subspace loop (m independent kmeans_fit calls) paid
+    m x (1 + n_iter) full corpus scans plus m seed collects — at 100 TB
+    that is m extra reads of the embedding column, and locally m x
+    n_iter extra driver round-trips. Fused: one seed collect (the ks
+    lowest-id vectors, sliced driver-side — identical subvectors, since
+    each subspace's lowest-``id_col`` rows are the same rows), then per
+    iteration one scan that assigns every subspace (same 9 dp L2
+    argmin expression as :func:`l2_assign`) and aggregates all m x ks x
+    sub_d means through a single (subspace, cell, dim)-keyed
+    partial-combining aggregation. Per-subspace math is unchanged:
+    assignment, 6 dp mean rounding, and the keep-previous rule for
+    emptied cells all follow kmeans_fit's l2 contract exactly.
+    Codebooks are driver-sized (m x ks x sub_d floats) — broadcastable
+    anywhere.
     """
-    first = embeddings.select(F.size(vec_col)).first()
-    if first is None:
+    seeds = embeddings.orderBy(id_col).limit(ks).collect()
+    if not seeds:
         raise ValueError("pq_train: empty corpus")
-    d = int(first[0])
+    if len(seeds) < ks:
+        raise ValueError(
+            f"kmeans_fit: k={ks} exceeds corpus size {len(seeds)}"
+        )
+    d = len(seeds[0][vec_col])
     if d % m != 0:
         raise ValueError(f"pq_train: m={m} must divide dim {d}")
     sub_d = d // m
-    books = []
-    for j in range(m):
-        sub = embeddings.select(
-            id_col,
-            F.slice(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                j * sub_d + 1,
-                sub_d,
-            ).alias(vec_col),
-        )
-        books.append(
-            kmeans_fit(
-                sub, ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
-                metric="l2",
+    books = [
+        [
+            [float(x) for x in r[vec_col][j * sub_d:(j + 1) * sub_d]]
+            for r in seeds
+        ]
+        for j in range(m)
+    ]
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def _dist_fn(sv):
+        # single-arg lambda on purpose: F.transform reads the callable's
+        # arity, and a second (defaulted) parameter would be bound to the
+        # ELEMENT INDEX, not the closure value
+        return lambda c: F.round(_l2_sq_fold(sv, c), 9)
+
+    for _ in range(n_iter):
+        per_sub = []
+        for j in range(m):
+            sv = F.slice(v, j * sub_d + 1, sub_d)
+            cents_col = F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for c in books[j]]
+            )
+            dists = F.transform(cents_col, _dist_fn(sv))
+            best = F.array_position(dists, F.array_min(dists)) - 1
+            per_sub.append(
+                F.struct(
+                    F.lit(j).alias("j"),
+                    best.cast("int").alias("cell"),
+                    sv.alias("sv"),
+                )
+            )
+        ex = (
+            embeddings.select(F.explode(F.array(*per_sub)).alias("s"))
+            .select(
+                F.col("s.j").alias("j"),
+                F.col("s.cell").alias("cell"),
+                F.posexplode("s.sv").alias("dim", "x"),
             )
         )
+        means = ex.groupBy("j", "cell", "dim").agg(F.avg("x").alias("c"))
+        rows = (
+            means.groupBy("j", "cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "c")))
+                .getField("c")
+                .alias("centroid")
+            )
+            .select(
+                "j",
+                "cell",
+                F.transform("centroid", lambda x: F.round(x, 6)).alias(
+                    "centroid"
+                ),
+            )
+            .collect()
+        )
+        updated: dict[tuple[int, int], list[float]] = {
+            (int(r["j"]), int(r["cell"])): [float(x) for x in r["centroid"]]
+            for r in rows
+        }
+        books = [
+            [updated.get((j, i), books[j][i]) for i in range(ks)]
+            for j in range(m)
+        ]
     return books
 
 
