@@ -502,7 +502,10 @@ def jaccard_verify(
     # id_col may be long URLs) and the corpus side stays map-only; past
     # the bound, fall back to the shuffle join (the round-7 no-forced-
     # broadcast-on-unbounded-sets rule — measured, not assumed).
-    cand_ids = cand_ids.localCheckpoint(eager=True)
+    # NO second eager checkpoint for the id projection (round 10): it is
+    # a distinct over the already-checkpointed pairs, so the measuring
+    # aggregate and the broadcast build each re-derive it from cached
+    # blocks for less than a dedicated materialization job cost.
     cand_ids = _broadcast_if_bounded(cand_ids, id_col)
     docs_needed = df.join(cand_ids, id_col, "left_semi")
     sets_df = docs_needed.repartition(n_part, id_col).select(
@@ -1404,11 +1407,11 @@ def fuzzy_decontaminate(
     # converts only after the corpus shuffle map stage has written
     # (measured on the identical pattern in jaccard_verify, BASELINE.md
     # round 9).
-    probe = (
-        cands.select(F.col("corpus_id").alias(id_col))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # no eager checkpoint for the probe projection (round 10): it is a
+    # distinct over the checkpointed candidate pairs — re-deriving it
+    # from cached blocks (once for the measuring aggregate, once for the
+    # broadcast build) costs less than a dedicated materialization job
+    probe = cands.select(F.col("corpus_id").alias(id_col)).distinct()
     probe = _broadcast_if_bounded(probe, id_col)
     corpus_sets = corpus.join(
         probe,
@@ -1565,9 +1568,11 @@ def minhash_dedup_exact_groups(
     )
     verified = jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold, shingle_mode)
     comps = connected_components(verified)
+    # no eager checkpoint: comps IS a checkpoint (the CC loop's final
+    # generation), so this filter re-derives from cached blocks
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
-    ).localCheckpoint(eager=True)  # near-dup nodes only; size now known
+    )
     # same measured-bound broadcast as minhash_dedup's anti-join: keep
     # the corpus side map-only whenever the loser set's byte size
     # (count x sampled id width) is bounded

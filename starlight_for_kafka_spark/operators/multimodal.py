@@ -120,6 +120,17 @@ def synthesize_media(
     from starlight_for_kafka_spark.functions import media_codec as mc
 
     ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    # spread ids across cores before the synth/decode kernels — ONLY when
+    # the incoming plan is narrower than the executor slots (a small
+    # parquet file arrives as 1-2 input splits, which serializes every
+    # downstream Python kernel of this media table onto one task —
+    # measured: the whole synthesize+decode chain ran 1-task at sf0.1).
+    # A 100 TB scan already arrives wide, and the shuffled rows here are
+    # bare ids — bytes are synthesized AFTER the exchange, so no payload
+    # ever shuffles. Same guard as dedup.minhash_signatures.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < n_part:
+        ids = ids.repartition(n_part, "media_id")
     _bound_arrow_batch(df, target_rows_per_batch)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -776,6 +776,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al. 2011): split each vector into
     ``m = len(codebooks)`` contiguous subvectors and replace subvector j by
@@ -789,11 +790,15 @@ def pq_encode(
     expression over the row's own slice — no shuffle, no UDF. Emits
     ``code_0..code_{m-1}`` as plain int columns (engine-portable, no array
     canonicalization hazards) plus the total squared reconstruction error.
+    ``extra_cols`` ride through unchanged (the at-rest index writer and
+    the inline corpus path of :func:`pq_knn_join` carry the ivf cell this
+    way — one map-only chain instead of an id-keyed re-join).
     """
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
+    extras = list(extra_cols or [])
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    out = df.select(id_col, x.alias("__x"))
+    out = df.select(id_col, *extras, x.alias("__x"))
     err_terms = []
     for j, book in enumerate(codebooks):
         sub = F.slice(F.col("__x"), j * sub_d + 1, sub_d)
@@ -815,6 +820,7 @@ def pq_encode(
     total_err = F.round(sum(err_terms[1:], err_terms[0]), 9)
     return out.select(
         id_col,
+        *extras,
         *[f"code_{j}" for j in range(m)],
         total_err.alias("recon_sq_err"),
     )
@@ -1566,13 +1572,18 @@ def pq_knn_join(
             F.col(corpus_id_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("__cv"),
         )
-        cassign = ivf_assign(c, cell_centroids, "neighbor_id", "__cv").select(
-            "neighbor_id", F.col("ivf_cell").alias("__cell")
+        # ONE map-only chain (round 10): the previous shape computed
+        # ivf_assign and pq_encode as two separate derivations of the
+        # corpus and re-joined them on the id — a full corpus shuffle
+        # (SMJ) to zip two projections of the same rows. Both are
+        # per-row expressions, so the cell rides through pq_encode as a
+        # passthrough column: zero corpus exchange before the probe join.
+        assigned = ivf_assign(c, cell_centroids, "neighbor_id", "__cv").select(
+            "neighbor_id", "__cv", F.col("ivf_cell").alias("__cell")
         )
-        codes = pq_encode(c, codebooks, "neighbor_id", "__cv").drop(
-            "recon_sq_err"
-        )
-        corp = codes.join(cassign, "neighbor_id")
+        corp = pq_encode(
+            assigned, codebooks, "neighbor_id", "__cv", extra_cols=["__cell"]
+        ).drop("recon_sq_err")
 
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
