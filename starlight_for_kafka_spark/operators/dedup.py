@@ -874,9 +874,15 @@ def ngram_jaccard_pairs(
     keep-min-id dedup consumes losslessly); default ``None`` keeps the
     exact AllPairs emission.
     """
+    from starlight_for_kafka_spark.plans.spread import spread_if_narrow
+
     t = float(threshold)
     eps = 1e-9
-    norm = df.select(
+    # the shingle/hash pass below (split + k-fold zip_with + xxhash64 per
+    # position) is the corpus-heavy leg; spread it across cores when the
+    # corpus arrives as 1-2 input splits (single-row-group parquet — see
+    # plans/spread.py; a wide 100 TB scan skips the guard)
+    norm = spread_if_narrow(df, id_col).select(
         F.col(id_col).alias("__id"),
         F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("__t"),
     )
@@ -1139,11 +1145,16 @@ def embedding_cosine_dups(
     )
     from starlight_for_kafka_spark.functions.vectors import cosine_similarity
 
+    from starlight_for_kafka_spark.plans.spread import spread_if_narrow
+
     if n_planes is None:
         n_planes = auto_plane_count(embeddings.count(), target_bucket)
     bucket = (
         F.lit(0) if n_planes <= 0 else hyperplane_bucket(F.col(vec_col), n_planes)
     )
+    # the p x dim md5 projections per row are the heavy pass; spread when
+    # the table arrives as 1-2 input splits (see plans/spread.py)
+    embeddings = spread_if_narrow(embeddings, id_col)
     # checkpoint the bucket assignment so the self-join's two sides don't
     # EACH recompute the md5-derived hyperplane signs (p×dim hashes per
     # row; AQE does not reuse the exchange across self-join sides — the

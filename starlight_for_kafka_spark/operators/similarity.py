@@ -1413,6 +1413,8 @@ def knn_join(
     # arbitrary null-scored rows, and in lsh mode hyperplane_bucket's
     # `otherwise(0)` arm would silently file every NULL vector in
     # bucket 0 where real queries probe.
+    from starlight_for_kafka_spark.plans.spread import spread_if_narrow
+
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -1425,6 +1427,12 @@ def knn_join(
         F.col(vec_col).cast("array<double>").alias("__cv"),
         *keep_cols,
     )
+    # both sides pay per-row hyperplane/centroid projections (lsh/ivf)
+    # or the fused cosine fold (brute) before any exchange; spread them
+    # across cores when they arrive as 1-2 input splits (single-row-group
+    # parquet — see plans/spread.py; a wide 100 TB scan skips the guard)
+    q = spread_if_narrow(q, "query_id")
+    c = spread_if_narrow(c, "neighbor_id")
 
     if method == "brute":
         cand = q.crossJoin(c)

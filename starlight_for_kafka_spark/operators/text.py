@@ -501,11 +501,17 @@ def line_dedup(
 
     Emits per doc: n_lines, n_kept, cleaned text + md5 of it.
     """
+    from starlight_for_kafka_spark.plans.spread import spread_if_narrow
+
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     words = F.split(F.trim(norm), " ")
     n_lines = F.greatest(
         F.lit(1), F.ceil(F.size(words) / F.lit(line_words)).cast("int")
     )
+    # the tile explode + per-tile md5 is the heavy pass; spread it across
+    # cores when the corpus arrives as 1-2 input splits (single-row-group
+    # parquet — see plans/spread.py; a wide 100 TB scan skips the guard)
+    df = spread_if_narrow(df, id_col)
     # per-doc tile count needs no explode: it's a map-only expression
     doc_lines = df.select(
         F.col(id_col).alias("__id"), n_lines.cast("long").alias("n_lines")
@@ -682,7 +688,12 @@ def dsir_weights(
     bit-identical across engines and across retries — a plain double
     sum() over a shuffle is not).
     """
-    grams = df.select(
+    from starlight_for_kafka_spark.plans.spread import spread_if_narrow
+
+    # the bigram explode + per-gram md5 is the corpus-heavy pass; spread
+    # it across cores when the corpus arrives as 1-2 input splits
+    # (single-row-group parquet — see plans/spread.py)
+    grams = spread_if_narrow(df, id_col).select(
         F.col(id_col).alias("__id"),
         target_pred.alias("__is_target"),
         F.explode(word_shingles(F.col(text_col), 2)).alias("gram"),

@@ -91,6 +91,24 @@ def test_minhash_signatures_shuffle_free(spark, documents):
     assert exchange_count(wide) == 1, plan_string(wide)
 
 
+def test_spread_if_narrow_guard(spark, documents):
+    # the shared compute-spread helper (plans/spread.py): repartitions a
+    # narrow scan-rooted frame to the session's slot count, and is the
+    # IDENTITY on an already-wide frame — a 100 TB scan arrives wide and
+    # must never be shuffled just to be hashed.
+    from starlight_for_kafka_spark.plans.spread import spread_if_narrow
+
+    n_part = spark.sparkContext.defaultParallelism
+    narrow = spread_if_narrow(documents.coalesce(1), "doc_id")
+    assert narrow.rdd.getNumPartitions() == n_part
+    assert exchange_count(narrow) == 1, plan_string(narrow)
+    pre_widened = documents.repartition(n_part * 2, "doc_id")
+    wide = spread_if_narrow(pre_widened, "doc_id")
+    # identity: no exchange beyond the pre-widening one, same plan object
+    assert wide is pre_widened
+    assert exchange_count(wide) == 1, plan_string(wide)
+
+
 def test_exact_dedup_single_shuffle(spark):
     df = QUERIES["dedup_exact"](spark, SF_DIR)
     assert exchange_count(df) == 1, plan_string(df)
