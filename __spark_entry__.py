@@ -616,12 +616,24 @@ def q_global_join_left(spark, sf_dir):
 
 
 def q_q1_pricing_summary(spark, sf_dir):
+    from starlight_for_kafka_spark.plans.spread import spread_if_narrow
+
     li = load_table(spark, sf_dir, "lineitem")
     disc = F.lit(1).cast("decimal(3,0)") - F.col("l_discount").cast("decimal(3,2)")
     charge = F.lit(1).cast("decimal(3,0)") + F.col("l_tax").cast("decimal(3,2)")
     price = F.col("l_extendedprice").cast("decimal(9,2)")
+    # the 7-lane decimal partial aggregation is the heavy per-row leg;
+    # on a 1-3-split parquet scan it serializes onto as many slots.
+    # Spread AFTER the filter (shuffle survivors only; the scan predicate
+    # still pushes through the exchange) keyed on l_shipdate — already in
+    # the read set (~2,500 distinct days ≈ 78x the partition count) so
+    # column pruning is untouched. Decimal sums are exact integer
+    # arithmetic: regrouping cannot change any output bit.
     return (
-        li.filter(F.col("l_shipdate") <= F.lit(datetime.datetime(1998, 9, 2)))
+        spread_if_narrow(
+            li.filter(F.col("l_shipdate") <= F.lit(datetime.datetime(1998, 9, 2))),
+            "l_shipdate",
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum("l_quantity", "12,2").alias("sum_qty"),
@@ -834,7 +846,12 @@ def q_dedup_cluster_stats(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    from starlight_for_kafka_spark.plans.spread import spread_if_narrow
+
+    # per-row regex splits/ratios are the heavy leg; spread the 1-2-split
+    # corpus scan across cores (map-only otherwise — the guard no-ops on
+    # a wide production scan, see plans/spread.py)
+    docs = spread_if_narrow(load_table(spark, sf_dir, "documents"), "doc_id")
     out = text_ops.quality_score(text_ops.token_count(docs))
     return out.select(
         "doc_id", "n_tokens", "n_subwords_est", "mean_word_len",

@@ -931,6 +931,12 @@ def ngram_jaccard_pairs(
         F.row_number().over(Window.partitionBy("__id").orderBy("__df", "sh")),
     )
     prefix_len = F.col("__n") - F.ceil(F.col("__n") * t - eps) + 1
+    # NOT checkpointed: the a⋈b self-join's two sides each re-derive the
+    # explode + dfreq + rank-window leg from the sets checkpoint, but an
+    # eager materialization of the prefix sliver measured SLOWER at sf0.1
+    # (interleaved A/B min 2.31 s → 2.80 s) — the dedicated checkpoint
+    # job costs more than the cached-block recompute (same finding as the
+    # jaccard_verify trim, OPTIMIZATION_r10.md batch 2).
     prefix = ranked.filter(F.col("rk") <= prefix_len)
 
     min_overlap = F.ceil((F.col("na") + F.col("nb")) * (t / (1.0 + t)) - eps)
@@ -1859,6 +1865,12 @@ def repeated_spans(
     than ``ngram_k`` words), longest_dup_run (k-gram run), and
     longest_dup_span_words (0 when the doc shares no k-gram).
     """
+    from starlight_for_kafka_spark.plans.spread import spread_if_narrow
+
+    # the shingle + posexplode passes below are the corpus-heavy leg;
+    # spread across cores when the corpus arrives as 1-2 input splits
+    # (single-row-group parquet — see plans/spread.py)
+    df = spread_if_narrow(df, id_col)
     pos_grams = df.select(
         F.col(id_col),
         F.posexplode(word_shingles(F.col(text_col), ngram_k)).alias("pos", "g"),
@@ -1944,6 +1956,13 @@ def remove_repeated_spans(
     Emits one row per input doc: (id, n_words, removed_words, text).
     Docs shorter than ``ngram_k`` words pass through untouched.
     """
+    from starlight_for_kafka_spark.plans.spread import spread_if_narrow
+
+    # every consumer of ``base`` (word posexplode, the zip-chain + md5
+    # positional grams, the final n_words projection) re-derives from the
+    # scan; on a 1-2-split corpus each of those passes serializes onto
+    # 1-2 slots. Spread once below the scan (see plans/spread.py).
+    df = spread_if_narrow(df, id_col)
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     words = F.split(F.trim(norm), " ")
     base = df.select(F.col(id_col), words.alias("__ws"))

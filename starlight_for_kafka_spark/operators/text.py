@@ -1717,6 +1717,13 @@ def bpe_tokenize(
                     }
                 )
 
+    # deliberately NOT spread_if_narrow'd (round-10 A/B): the kernel is
+    # VOCAB-dominated, not row-dominated — the per-partition word cache
+    # encodes each distinct word once per partition, so spreading a
+    # narrow corpus across n slots multiplies the encode work by up to n
+    # (measured at sf0.1 with 200 merges: 0.27 s unspread vs 0.82 s
+    # spread 32-wide). A wide production scan pays the same per-partition
+    # cache duplication inherently; locally the narrow layout is optimal.
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
 
 

@@ -41,9 +41,13 @@ def test_q1_column_pruning(spark):
 
 
 def test_q1_single_shuffle(spark):
-    # partial (map-side) aggregation means exactly one Exchange
+    # partial (map-side) aggregation means the agg itself adds exactly
+    # one Exchange; on the narrow test input the parallelism-spread
+    # guard (plans/spread.py) contributes its one deliberate exchange
+    # below the partial agg, and no more
     df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
-    assert exchange_count(df) == 1, plan_string(df)
+    assert exchange_count(df) == 2, plan_string(df)
+    assert "partial_sum" in plan_string(df)
 
 
 def test_top_revenue_broadcasts_dimension(spark):
@@ -770,7 +774,10 @@ def test_pin_partitioned_eliminates_per_iteration_edge_exchange(spark):
 def test_bpe_tokenize_is_map_only(spark, documents):
     # the production tokenizer kernel is a single Arrow hop over the
     # scan: no Exchange anywhere — the corpus crosses into Python once,
-    # and the merge ranks travel by broadcast variable, not join
+    # and the merge ranks travel by broadcast variable, not join. It is
+    # deliberately NOT parallelism-spread: the per-partition word cache
+    # makes the kernel vocab-dominated, and spreading would multiply the
+    # encode work per distinct word by the slot count (see the operator).
     from starlight_for_kafka_spark.operators.text import bpe_tokenize
 
     df = bpe_tokenize(
