@@ -708,13 +708,6 @@ class ProducerStateStore:
         a racing snapshotter loses cleanly and retries with the next id."""
         import json
         import os
-
-        wm = {
-            int(r["partition"]): int(r["next_offset"])
-            for r in txn_log.groupBy("partition")
-            .agg((F.max("offset") + 1).alias("next_offset"))
-            .collect()
-        }
         import uuid
 
         # data dir is writer-unique: two racing snapshotters must never
@@ -724,9 +717,23 @@ class ProducerStateStore:
         # commit covers; losers leave orphan dirs, invisible to readers
         # (same discipline as CommittedLog's orphaned data files).
         data_dir = f"snap-{uuid.uuid4().hex[:12]}"
-        txn_summary(txn_log).write.mode("overwrite").parquet(
-            os.path.join(self.root, data_dir)
-        )
+        data_path = os.path.join(self.root, data_dir)
+        txn_summary(txn_log).write.mode("overwrite").parquet(data_path)
+        # watermarks from the JUST-WRITTEN summary, not a second pass over
+        # txn_log (round 10, guide §1.2: the input is typically a derived
+        # frame — offset-window over the log — so a dedicated watermark
+        # aggregation re-ran that whole derivation). Every record lands in
+        # exactly one (partition, pid, txn_group) summary group, so
+        # max(last_offset)+1 per partition over the summary ≡
+        # max(offset)+1 over txn_log; the summary parquet is
+        # O(num-transactions) — the re-read is footer-cheap.
+        wm = {
+            int(r["partition"]): int(r["next_offset"])
+            for r in txn_log.sparkSession.read.parquet(data_path)
+            .groupBy("partition")
+            .agg((F.max("last_offset") + 1).alias("next_offset"))
+            .collect()
+        }
         payload = json.dumps(
             {
                 "watermarks": {str(p): o for p, o in wm.items()},
