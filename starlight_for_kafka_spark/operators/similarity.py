@@ -1430,9 +1430,16 @@ def knn_join(
     # both sides pay per-row hyperplane/centroid projections (lsh/ivf)
     # or the fused cosine fold (brute) before any exchange; spread them
     # across cores when they arrive as 1-2 input splits (single-row-group
-    # parquet — see plans/spread.py; a wide 100 TB scan skips the guard)
+    # parquet — see plans/spread.py; a wide 100 TB scan skips the guard).
+    # The corpus side spreads ONLY when its bucket/cell is assigned
+    # inline: with an at-rest corpus_bucket_col/corpus_cell_col the only
+    # corpus-side map work is a cast, and the spread would break the
+    # "corpus never re-shuffles per probe" contract of the at-rest and
+    # serving paths (knn_serving_stream probes a persisted bucketed
+    # corpus every microbatch).
     q = spread_if_narrow(q, "query_id")
-    c = spread_if_narrow(c, "neighbor_id")
+    if corpus_bucket_col is None and corpus_cell_col is None:
+        c = spread_if_narrow(c, "neighbor_id")
 
     if method == "brute":
         cand = q.crossJoin(c)
