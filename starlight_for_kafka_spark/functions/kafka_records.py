@@ -1352,6 +1352,74 @@ def _lz4_block_decompress(src: bytes) -> bytes:
     return bytes(out)
 
 
+def _lz4_block_uncompressed_size(src: bytes) -> int:
+    """Exact decompressed size of an LZ4 raw block by walking the token
+    stream LENGTHS only — same sequence grammar and corruption guards
+    (identical messages) as :func:`_lz4_block_decompress`, at a fraction
+    of its cost (no output bytes are built). Lets the C-level raw codec
+    (which needs the exact output size up front) replace the pure-Python
+    byte-copy decode on the hot replay path (guide §4.2: hand whole
+    blocks to native code)."""
+    i, n, out_len = 0, len(src), 0
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                if i >= n:
+                    raise ValueError(
+                        "corrupt lz4 block: literal length runs past input"
+                    )
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise ValueError("corrupt lz4 block: literal run past input")
+        out_len += lit
+        i += lit
+        if i >= n:
+            break  # last sequence carries literals only
+        if i + 2 > n:
+            raise ValueError("corrupt lz4 block: truncated match offset")
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("corrupt lz4 block: zero match offset")
+        match_len = token & 0xF
+        if match_len == 15:
+            while True:
+                if i >= n:
+                    raise ValueError(
+                        "corrupt lz4 block: match length runs past input"
+                    )
+                b = src[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        if offset > out_len:
+            raise ValueError("corrupt lz4 block: match offset beyond output")
+        out_len += match_len + 4
+    return out_len
+
+
+def _lz4_block_decompress_fast(src: bytes) -> bytes:
+    """LZ4 raw-block decompress: token length-walk for the exact output
+    size (with the standard corruption guards), then one C-level
+    decompress. Value-identical to :func:`_lz4_block_decompress` (pinned
+    by tests); falls back to the pure-Python decoder without pyarrow."""
+    if _pa is None:
+        return _lz4_block_decompress(src)
+    out_len = _lz4_block_uncompressed_size(src)
+    try:
+        return _pa.Codec("lz4_raw").decompress(bytes(src), out_len, asbytes=True)
+    except Exception as ex:  # arrow raises on corrupt data
+        raise ValueError(f"corrupt lz4 block: {ex}") from None
+
+
 def encode_kafka_lz4(data: bytes, broken_hc: bool) -> bytes:
     """Frame ``data`` as a Kafka legacy LZ4 stream: LZ4 Frame magic +
     FLG(version 1, block-independence) + BD(64 KiB) + HC + independent
@@ -1420,7 +1488,7 @@ def decode_kafka_lz4(data: bytes) -> bytes:
         pos += size
         if has_block_checksum:
             pos += 4  # per-block xxh32, not verified on this replay path
-        out += blk if raw else _lz4_block_decompress(blk)
+        out += blk if raw else _lz4_block_decompress_fast(blk)
     return bytes(out)
 
 
@@ -1494,6 +1562,158 @@ def down_convert(
     )
 
 
+def _encode_sets_v01_columnar(offsets, ts_ms, keys, values, magic, set_starts):
+    """Vectorized v0/v1 message-set encode over per-record arrays:
+    returns (all_bytes, set_byte_starts) where set i is
+    ``all_bytes[set_byte_starts[i]:set_byte_starts[i+1]]``. Byte-identical
+    to concatenating :func:`_encode_message_v01` per record (pinned by
+    tests) — same numpy scatter shape as the v2 columnar encoder; the
+    per-message CRC32 stays one C zlib call per message (bodies are tens
+    of bytes, the laning setup would dominate)."""
+    import numpy as np
+
+    offsets = np.asarray(offsets, dtype=np.int64)
+    ts_ms = np.asarray(ts_ms, dtype=np.int64)
+    n = len(offsets)
+    klen = np.fromiter((-1 if k is None else len(k) for k in keys), np.int64, n)
+    vlen = np.fromiter((-1 if v is None else len(v) for v in values), np.int64, n)
+    kbytes = np.maximum(klen, 0)
+    vbytes = np.maximum(vlen, 0)
+    ts_w = 8 if magic == 1 else 0
+    # size field: crc(4)+magic(1)+attr(1)+[ts]+klen(4)+key+vlen(4)+value
+    msg_size = 14 + ts_w + kbytes + vbytes
+    rec_len = 12 + msg_size  # + offset(8) + size(4)
+    rec_starts = np.zeros(n, dtype=np.int64)
+    if n:
+        np.cumsum(rec_len[:-1], out=rec_starts[1:])
+    total = int(rec_len.sum())
+    out = np.zeros(total, dtype=np.uint8)
+
+    def put_be(starts, vals, width):
+        dt = {8: ">i8", 4: ">i4"}[width]
+        b = np.ascontiguousarray(vals.astype(dt)).view(np.uint8).reshape(-1, width)
+        out[starts[:, None] + np.arange(width)] = b
+
+    put_be(rec_starts, offsets, 8)
+    put_be(rec_starts + 8, msg_size, 4)
+    # crc at +12 is filled once the body bytes are in place
+    body_start = rec_starts + 16
+    out[body_start] = magic & 0xFF
+    # attributes byte at body_start+1 stays 0 (zero-filled buffer)
+    p = body_start + 2
+    if magic == 1:
+        put_be(p, ts_ms, 8)
+        p = p + 8
+    put_be(p, klen, 4)
+    key_start = p + 4
+    kmask = klen >= 0
+    _vec_ragged_scatter(
+        out, key_start[kmask], kbytes[kmask],
+        b"".join(k for k in keys if k is not None),
+    )
+    vlen_start = key_start + kbytes
+    put_be(vlen_start, vlen, 4)
+    val_start = vlen_start + 4
+    vmask = vlen >= 0
+    _vec_ragged_scatter(
+        out, val_start[vmask], vbytes[vmask],
+        b"".join(v for v in values if v is not None),
+    )
+    mv = memoryview(out.tobytes())
+    crcs = np.fromiter(
+        (
+            zlib.crc32(mv[s:e])
+            for s, e in zip(body_start.tolist(), (rec_starts + rec_len).tolist())
+        ),
+        np.int64,
+        n,
+    )
+    out[(rec_starts + 12)[:, None] + np.arange(4)] = (
+        np.ascontiguousarray(crcs.astype(">u4")).view(np.uint8).reshape(-1, 4)
+    )
+    all_bytes = out.tobytes()
+    set_starts = np.asarray(set_starts, dtype=np.int64)
+    # index an edge-extended starts array so a zero-record set (whose
+    # start equals the record count) maps to the end of the buffer
+    edges = np.concatenate((rec_starts, [total]))
+    set_byte_starts = np.concatenate((edges[set_starts], [total]))
+    return all_bytes, set_byte_starts
+
+
+def down_convert_many(
+    bufs: list[bytes],
+    to_magic: int = 1,
+    compression: str | None = None,
+    verify_crc: bool = True,
+) -> list[bytes]:
+    """Columnar :func:`down_convert` over many v2 batches at once —
+    byte-identical output (pinned by tests), one vectorized decode +
+    one vectorized v01 encode instead of a per-batch scalar walk
+    (guide §4.2). The wrapper-message assembly for compressed sets stays
+    per batch: it is one compress call + 40-odd header bytes each."""
+    import numpy as np
+
+    if to_magic not in (0, 1):
+        raise ValueError("legacy magic must be 0 or 1")
+    if not bufs:
+        return []
+    d = decode_batches_v2_columnar(bufs, verify_crc=verify_crc)
+    counts = d["record_counts"]
+    n_batches = len(counts)
+    set_starts = np.zeros(n_batches, dtype=np.int64)
+    np.cumsum(counts[:-1], out=set_starts[1:])
+    offsets = d["offsets"]
+    ts_ms = d["ts_ms"]
+    if compression is None:
+        all_bytes, sbs = _encode_sets_v01_columnar(
+            offsets, ts_ms, d["keys"], d["values"], to_magic, set_starts
+        )
+        return [
+            all_bytes[int(sbs[i]) : int(sbs[i + 1])] for i in range(n_batches)
+        ]
+    if compression not in _LEGACY_CODECS:
+        raise ValueError(
+            f"legacy message sets support gzip/snappy/lz4, not {compression!r}"
+        )
+    # inner offsets: sequential 0..n-1 per batch in v1 (the broker only
+    # assigns the wrapper's offset — KIP-31; matches down_convert's
+    # enumerate, NOT the offset delta, which differs on gapped offsets),
+    # absolute in v0
+    if to_magic == 1:
+        n_rec = int(counts.sum())
+        inner_off = np.arange(n_rec, dtype=np.int64) - np.repeat(
+            set_starts, counts
+        )
+    else:
+        inner_off = offsets
+    all_bytes, sbs = _encode_sets_v01_columnar(
+        inner_off, ts_ms, d["keys"], d["values"], to_magic, set_starts
+    )
+    out: list[bytes] = []
+    for bi in range(n_batches):
+        cnt = int(counts[bi])
+        if not cnt:
+            out.append(b"")
+            continue
+        s = int(set_starts[bi])
+        inner = all_bytes[int(sbs[bi]) : int(sbs[bi + 1])]
+        if compression == "lz4":
+            wrapper_value = encode_kafka_lz4(inner, broken_hc=(to_magic == 0))
+        else:
+            wrapper_value = _compress(compression, inner)
+        out.append(
+            _encode_message_v01(
+                int(offsets[s + cnt - 1]),
+                int(ts_ms[s : s + cnt].max()),
+                None,
+                wrapper_value,
+                to_magic,
+                attributes=_LEGACY_CODECS[compression],
+            )
+        )
+    return out
+
+
 def decode_message_set_v01(buf: bytes) -> list[dict]:
     """Decode a legacy v0/v1 message set → [{offset, timestamp_ms|None,
     key, value}] (verifying each per-message CRC32, wrapper and inner).
@@ -1563,3 +1783,179 @@ def decode_message_set_v01(buf: bytes) -> list[dict]:
             )
         pos += 12 + size
     return out
+
+
+def decode_message_sets_v01_many(bufs: list[bytes]):
+    """Columnar ``[decode_message_set_v01(b) for b in bufs]`` — returns
+    (offsets, ts_ms, keys, values, set_counts) as flat per-record lists
+    plus the per-buf record count, records in the scalar decoder's
+    order (value-identical, pinned by tests). The size-chained boundary
+    walk stays scalar (each message's position depends on the previous
+    size) but touches only 12 bytes per message; every interior field,
+    the CRC verify batch, and the v1 relative-offset fixups run over
+    ALL messages at once (guide §4.2), replacing the per-message dict
+    construction that dominated the scalar ingest path."""
+    import numpy as np
+
+    segs: list[bytes] = []            # backing buffers (outer + inflated)
+    # one row per plain message: (seg_idx, offset, msg_start, msg_size)
+    rows: list[tuple[int, int, int, int]] = []
+    stamp_ts: list[int | None] = []   # LOG_APPEND_TIME wrapper stamp
+    rel_base: list[int | None] = []   # v1 inner relative-offset base
+    set_counts: list[int] = []
+    from_bytes = int.from_bytes
+    append_row = rows.append
+    append_stamp = stamp_ts.append
+    append_base = rel_base.append
+
+    def walk(buf: bytes, si: int, stamp) -> int:
+        n_here = 0
+        pos = 0
+        blen = len(buf)
+        while pos < blen:
+            size = from_bytes(buf[pos + 8 : pos + 12], "big", signed=True)
+            start = pos + 12
+            attributes = buf[start + 5]
+            codec_id = attributes & 0x07
+            if codec_id:
+                # wrapper message: verify its own CRC here (one per
+                # compressed set), decompress, recurse
+                offset = from_bytes(buf[pos : pos + 8], "big", signed=True)
+                magic = buf[start + 4]
+                msg = buf[start : start + size]
+                crc = from_bytes(msg[:4], "big")
+                if zlib.crc32(msg[4:]) & 0xFFFFFFFF != crc:
+                    raise ValueError("CRC32 mismatch")
+                mpos = 6
+                wts = None
+                if magic == 1:
+                    wts = from_bytes(msg[6:14], "big", signed=True)
+                    mpos += 8
+                klen = from_bytes(msg[mpos : mpos + 4], "big", signed=True)
+                mpos += 4
+                if klen >= 0:
+                    mpos += klen
+                vlen = from_bytes(msg[mpos : mpos + 4], "big", signed=True)
+                mpos += 4
+                if vlen < 0:
+                    raise ValueError(
+                        "compressed wrapper message with null value"
+                    )
+                value = bytes(msg[mpos : mpos + vlen])
+                payload = (
+                    decode_kafka_lz4(value)
+                    if codec_id == COMPRESSION_LZ4
+                    else _decompress(codec_id, value)
+                )
+                log_append = magic == 1 and (attributes >> 3) & 1
+                inner_stamp = wts if log_append else None
+                # v1 inner offsets are relative; the base derives from
+                # the LAST inner record (AbstractLegacyRecordBatch — not
+                # wrapper-(n-1), which breaks on compaction gaps), so
+                # fix the recursion's rows up after it returns
+                i0 = len(rows)
+                segs.append(payload)
+                n_inner = walk(payload, len(segs) - 1, inner_stamp)
+                if n_inner and magic == 1:
+                    b = offset - rows[-1][1]
+                    for j in range(i0, i0 + n_inner):
+                        rel_base[j] = b
+                n_here += n_inner
+            else:
+                append_row(
+                    (
+                        si,
+                        from_bytes(buf[pos : pos + 8], "big", signed=True),
+                        start,
+                        size,
+                    )
+                )
+                append_stamp(stamp)
+                append_base(None)
+                n_here += 1
+            pos += 12 + size
+        return n_here
+
+    for buf in bufs:
+        buf = bytes(buf)
+        segs.append(buf)
+        set_counts.append(walk(buf, len(segs) - 1, None))
+
+    n = len(rows)
+    if n == 0:
+        return [], [], [], [], set_counts
+    msg_buf, msg_off, msg_start, msg_size = zip(*rows)
+
+    # concatenate the backing buffers once (a message never spans two);
+    # all fixed-width fields gather vectorized off the one byte array
+    seg_base: list[int] = []
+    acc = 0
+    for b in segs:
+        seg_base.append(acc)
+        acc += len(b)
+    big = b"".join(segs)
+    arr = np.frombuffer(big, dtype=np.uint8)
+    starts = np.fromiter(
+        (seg_base[si] + st for si, st in zip(msg_buf, msg_start)), np.int64, n
+    )
+    sizes = np.asarray(msg_size, dtype=np.int64)
+
+    def be(starts_, width, signed=True):
+        b = arr[starts_[:, None] + np.arange(width)]
+        dt = (">i8" if width == 8 else ">i4") if signed else ">u4"
+        return np.ascontiguousarray(b).view(dt).ravel().astype(np.int64)
+
+    crc_field = be(starts, 4, signed=False)
+    magic = arr[starts + 4].astype(np.int64)
+    ts_w = np.where(magic >= 1, 8, 0)
+    klen = be(starts + 6 + ts_w, 4)
+    kbytes = np.maximum(klen, 0)
+    vlen_start = starts + 10 + ts_w + kbytes
+    vlen = be(vlen_start, 4)
+    vbytes = np.maximum(vlen, 0)
+    ts_vals = np.zeros(n, dtype=np.int64)
+    m1 = magic == 1
+    if m1.any():
+        ts_vals[m1] = be(starts[m1] + 6, 8)
+
+    # CRC verify: one C zlib call per message over the body slice
+    mv = memoryview(big)
+    got = np.fromiter(
+        (
+            zlib.crc32(mv[s:e])
+            for s, e in zip((starts + 4).tolist(), (starts + sizes).tolist())
+        ),
+        np.int64,
+        n,
+    )
+    if (got != crc_field).any():
+        raise ValueError("CRC32 mismatch")
+
+    keys = [
+        bytes(mv[s:e]) if kl >= 0 else None
+        for s, e, kl in zip(
+            (starts + 10 + ts_w).tolist(),
+            (starts + 10 + ts_w + kbytes).tolist(),
+            klen.tolist(),
+        )
+    ]
+    values = [
+        bytes(mv[s:e]) if vl >= 0 else None
+        for s, e, vl in zip(
+            (vlen_start + 4).tolist(),
+            (vlen_start + 4 + vbytes).tolist(),
+            vlen.tolist(),
+        )
+    ]
+    offs = (
+        np.asarray(msg_off, dtype=np.int64)
+        + np.fromiter((b or 0 for b in rel_base), np.int64, n)
+    ).tolist()
+    ts_l = ts_vals.tolist()
+    out_ts: list[int | None] = [
+        stamp_ts[i]
+        if stamp_ts[i] is not None
+        else (ts_l[i] if magic[i] == 1 else None)
+        for i in range(n)
+    ]
+    return offs, out_ts, keys, values, set_counts

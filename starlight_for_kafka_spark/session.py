@@ -53,6 +53,14 @@ def get_session(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+    # Heap default MEASURED and kept at 8g (round-10 session 2): a
+    # 24-28g heap (0.75 GB per local slot, the guide-§5 sizing) looked
+    # like a large win in one A/B but did not survive a 5x-paired
+    # alternating protocol with per-invocation steal calibration — on
+    # the quietest pairs 8g was equal-or-better on every
+    # checkpoint-heavy row and the full 3-pass suite read 1.22x WORSE
+    # at 24g; the original "win" was hypervisor-steal contamination.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app)
         .master(master)
@@ -72,7 +80,7 @@ def get_session(
         # via SPARK_GRAFT_UI to read per-stage shuffle metrics from the
         # REST status API
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
     )
     return builder.getOrCreate()
 

@@ -267,25 +267,32 @@ def ingest_message_sets(message_sets: DataFrame) -> DataFrame:
     )
 
     def op(batch_iter):
+        import numpy as np
         import pandas as pd
 
+        cols = ["key", "value", "headers", "__ts_ms", "partition", "offset"]
         for pdf in batch_iter:
-            rows = []
-            for part, blob in zip(pdf["partition"], pdf["message_set"]):
-                for rec in kr.decode_message_set_v01(bytes(blob)):
-                    rows.append(
-                        {
-                            "key": rec["key"],
-                            "value": rec["value"],
-                            "headers": [],
-                            "__ts_ms": rec["timestamp_ms"],
-                            "partition": int(part),
-                            "offset": rec["offset"],
-                        }
-                    )
+            # whole-chunk columnar decode (decode_message_sets_v01_many)
+            # + a dict-of-columns DataFrame: the per-record dict rows the
+            # old shape built (then pd.DataFrame(rows) re-inferred) were
+            # most of this kernel's CPU (guide §4.2)
+            offs, ts, keys, values, cnts = kr.decode_message_sets_v01_many(
+                [bytes(b) for b in pdf["message_set"]]
+            )
+            parts = np.repeat(
+                pdf["partition"].to_numpy(dtype=np.int64),
+                np.asarray(cnts, dtype=np.int64),
+            )
             yield pd.DataFrame(
-                rows,
-                columns=["key", "value", "headers", "__ts_ms", "partition", "offset"],
+                {
+                    "key": keys,
+                    "value": values,
+                    "headers": [[]] * len(offs),
+                    "__ts_ms": ts,
+                    "partition": parts,
+                    "offset": offs,
+                },
+                columns=cols,
             )
 
     return (
@@ -318,15 +325,15 @@ def down_convert_batches(
         for pdf in batch_iter:
             out = pdf[["partition", "base_offset", "record_count"]].copy()
             # batch the source-CRC verify across the chunk (one
-            # lane-parallel crc32c_many pass), then convert unverified
+            # lane-parallel crc32c_many pass), then the whole chunk
+            # converts through ONE vectorized decode + v01 encode
+            # (down_convert_many — guide §4.2) instead of a per-batch
+            # scalar walk
             blobs = [bytes(b) for b in pdf["batch"]]
             kr.verify_batches_v2_crc(blobs)
-            out["message_set"] = [
-                kr.down_convert(
-                    b, to_magic, compression=compression, verify_crc=False
-                )
-                for b in blobs
-            ]
+            out["message_set"] = kr.down_convert_many(
+                blobs, to_magic, compression=compression, verify_crc=False
+            )
             yield out
 
     return batches.mapInPandas(

@@ -651,3 +651,124 @@ def test_columnar_codec_matches_scalar_paths():
     gap = [{"offset": 7, "timestamp_ms": 1, "key": b"k", "value": b"v",
             "headers": None}]
     assert kr.encode_batches_v2_many([(5, gap)]) == [kr.encode_batch_v2(5, gap)]
+
+
+def test_down_convert_many_matches_scalar():
+    """The columnar legacy down-convert is byte-identical to the
+    per-batch scalar path across magic x codec, with gapped offsets
+    (compaction), None/empty keys and values, and a single-record set —
+    the hot-ingest kernel may never drift from the reference shape."""
+    import random
+
+    random.seed(113)
+
+    def rand_records(n):
+        keys = [
+            None if random.random() < 0.15
+            else bytes(random.getrandbits(8) for _ in range(random.randrange(0, 40)))
+            for _ in range(n)
+        ]
+        values = [
+            None if random.random() < 0.1
+            else bytes(random.getrandbits(8) for _ in range(random.randrange(0, 200)))
+            for _ in range(n)
+        ]
+        offs, o = [], random.randrange(0, 1000)
+        for _ in range(n):
+            offs.append(o)
+            o += random.randrange(1, 4)  # gapped (post-compaction) offsets
+        ts = [1700000000000 + random.randrange(0, 10_000) for _ in range(n)]
+        return [
+            {"offset": o, "timestamp_ms": t, "key": k, "value": v, "headers": []}
+            for o, t, k, v in zip(offs, ts, keys, values)
+        ]
+
+    for trial in range(6):
+        bufs = [
+            kr.encode_batch_v2(recs[0]["offset"], recs)
+            for recs in (rand_records(random.randrange(1, 40)) for _ in range(5))
+        ]
+        for magic in (0, 1):
+            for codec in (None, "gzip", "snappy", "lz4"):
+                want = [kr.down_convert(b, magic, compression=codec) for b in bufs]
+                got = kr.down_convert_many(bufs, magic, compression=codec)
+                assert got == want, (trial, magic, codec)
+
+
+def test_decode_message_sets_v01_many_matches_scalar():
+    """The columnar legacy decode is value-identical to the scalar
+    per-set decoder over every magic x codec combination, including the
+    LOG_APPEND_TIME wrapper (bit 3) that stamps the wrapper timestamp
+    onto every inner record."""
+    import random
+
+    random.seed(211)
+    recs = [
+        {
+            "offset": 3 * i + 1,
+            "timestamp_ms": 1700000000000 + i,
+            "key": None if i % 7 == 0 else f"k{i}".encode(),
+            "value": None if i % 11 == 0 else bytes([i % 256]) * (i % 90),
+            "headers": [],
+        }
+        for i in range(30)
+    ]
+    bufs = [kr.encode_batch_v2(1, recs), kr.encode_batch_v2(1, recs[:1])]
+    sets = []
+    for magic in (0, 1):
+        for codec in (None, "gzip", "snappy", "lz4"):
+            sets += [kr.down_convert(b, magic, compression=codec) for b in bufs]
+    # LOG_APPEND_TIME wrapper (crafted; down_convert never sets bit 3)
+    inner = bytearray()
+    for i, r in enumerate(recs[:10]):
+        inner += kr._encode_message_v01(
+            i, r["timestamp_ms"], r["key"], r["value"], 1
+        )
+    w = kr._encode_message_v01(
+        99, 1700000099999, None,
+        kr.encode_kafka_lz4(bytes(inner), broken_hc=False), 1,
+        attributes=kr._LEGACY_CODECS["lz4"] | 0x08,
+    )
+    sets.append(w)
+    want = [kr.decode_message_set_v01(s) for s in sets]
+    offs, ts, keys, values, cnts = kr.decode_message_sets_v01_many(sets)
+    flat = [r for rows in want for r in rows]
+    assert cnts == [len(rows) for rows in want]
+    assert offs == [r["offset"] for r in flat]
+    assert ts == [r["timestamp_ms"] for r in flat]
+    assert keys == [r["key"] for r in flat]
+    assert values == [r["value"] for r in flat]
+
+
+def test_lz4_fast_block_decompress_matches_pure_python():
+    """The size-walk + C-codec block decompress inverts the raw block
+    compressor exactly AND raises the same guard messages as the pure
+    Python decoder on every corrupt-input class."""
+    import random
+
+    import pyarrow as pa
+    import pytest
+
+    rng = random.Random(42)
+    for _ in range(30):
+        raw = rng.randbytes(rng.randrange(0, 2000)) + bytes(
+            [rng.randrange(0, 200)]
+        ) * rng.randrange(0, 3000)
+        comp = pa.Codec("lz4_raw").compress(raw, asbytes=True)
+        assert kr._lz4_block_decompress_fast(comp) == raw
+        assert kr._lz4_block_decompress(comp) == raw
+    cases = [
+        (bytes([0x13]) + b"abc" + struct.pack("<H", 5) + bytes([0x00]),
+         "match offset beyond output"),
+        (bytes([0xA0]) + b"abc", "literal run past input"),
+        (bytes([0xF0, 0xFF, 0xFF]), "literal length runs past input"),
+        (bytes([0x12]) + b"a" + b"\x01", "truncated match offset"),
+        (bytes([0x1F]) + b"a" + struct.pack("<H", 1) + bytes([0xFF]),
+         "match length runs past input"),
+        (bytes([0x14]) + b"a" + struct.pack("<H", 0), "zero match offset"),
+    ]
+    for bad, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            kr._lz4_block_decompress(bad)
+        with pytest.raises(ValueError, match=msg):
+            kr._lz4_block_decompress_fast(bad)
