@@ -310,8 +310,19 @@ def q_commitlog_append(spark, sf_dir):
     )
     shutil.rmtree(root, ignore_errors=True)
     log = CommittedLog(root)
-    log.append(records.filter(F.col("event_id") % 2 == 0), order_col="event_id")
-    log.append(records.filter(F.col("event_id") % 2 == 1), order_col="event_id")
+    # the two sequential appends (even event_ids = version 0, odd =
+    # version 1) fused into ONE job chain (append_batches, round 11,
+    # guide §1.2): one localCheckpoint + one counts agg + one
+    # window+write instead of two of each. Batch order/column make the
+    # assignment identical — within a partition the window orders by
+    # (parity, event_id), so even rows take offsets 0..n_even-1 and odd
+    # rows continue from there, exactly what the two appends assigned;
+    # the log still lands as two manifest versions in the same order.
+    log.append_batches(
+        records.withColumn("__parity", (F.col("event_id") % 2).cast("int")),
+        batch_col="__parity",
+        order_col="event_id",
+    )
     return log.read(spark).select(
         "partition", "offset", F.col("value").cast("string").alias("props")
     )

@@ -1875,14 +1875,17 @@ def repeated_spans(
         F.col(id_col),
         F.posexplode(word_shingles(F.col(text_col), ngram_k)).alias("pos", "g"),
     )
-    doc_grams = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), ngram_k))).alias(
-            "g"
-        ),
+    # "gram shared by >1 doc" == min(doc) != max(doc) over the positional
+    # rows (round 11): the dedicated doc-distinct explode — a SECOND full
+    # tokenize pass over the corpus — is gone, and min/max partial-combine
+    # map-side so hot grams never concentrate on one reducer (the
+    # count-per-gram they replace shipped one row per holding doc).
+    freq = pos_grams.groupBy("g").agg(
+        F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx")
     )
-    freq = doc_grams.groupBy("g").agg(F.count("*").alias("n_docs"))
-    flagged = pos_grams.join(freq, "g").withColumn("dup", F.col("n_docs") > 1)
+    flagged = pos_grams.join(freq, "g").withColumn(
+        "dup", F.col("__mn") != F.col("__mx")
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = (
         flagged.filter("dup")
@@ -1987,16 +1990,28 @@ def remove_repeated_spans(
         F.col(id_col),
         F.posexplode(F.transform(grams, md5_hash64)).alias("pos", "g"),
     )
-    # (count-distinct-docs, min-doc) per gram straight off the positional
-    # rows: the dedicated doc-distinct explode pass is gone; the
-    # distinct-pair (g, doc) partial aggregation shuffles the same bytes
-    # its explode used to, minus the whole extra corpus scan
+    # shared-gram stats per gram straight off the positional rows. The
+    # dedicated doc-distinct explode pass is gone (round 10), and the
+    # round-10 count_distinct is gone too (round 11, guide §2.3/§2.5):
+    # "gram occurs in >1 doc" is exactly min(doc) != max(doc), and
+    # min/max are ALGEBRAIC — the aggregation partial-combines map-side,
+    # so a stop-word gram held by every doc contributes ONE row per map
+    # partition to the exchange instead of a distinct (g, doc) pair per
+    # holder, and the planner's two-pass distinct expansion (extra
+    # Aggregate layer keyed (g, doc)) disappears. Hot-gram skew in this
+    # pass is thereby bounded by the map partition count, not by
+    # gram popularity — the cap/salt the capped-minhash family needs for
+    # its pair EMISSION is unnecessary here because nothing downstream
+    # ever receives more than one row per gram.
     freq = pos_grams.groupBy("g").agg(
-        F.count_distinct(F.col(id_col)).alias("n_docs"),
         F.min(id_col).alias("keeper"),
+        F.max(id_col).alias("__maxdoc"),
     )
     removable = (
-        pos_grams.join(freq.filter(F.col("n_docs") > 1), "g")
+        pos_grams.join(
+            freq.filter(F.col("keeper") != F.col("__maxdoc")).select("g", "keeper"),
+            "g",
+        )
         .filter(F.col(id_col) != F.col("keeper"))
         .select(id_col, "pos")
     )

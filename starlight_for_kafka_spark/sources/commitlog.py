@@ -356,6 +356,130 @@ class CommittedLog:
             return version + 1
         raise CommitConflict(f"lost {max_retries} commit races on {self.root}")
 
+    def append_batches(
+        self,
+        records: DataFrame,
+        batch_col: str,
+        order_col: str,
+        max_retries: int = 10,
+        writer_id: str | None = None,
+    ) -> int:
+        """Append N sequential batches — the ascending distinct values of
+        ``batch_col`` — each as its OWN committed version, exactly as N
+        sequential :meth:`append` calls would, but computed in one Spark
+        job chain: one input pin (localCheckpoint), one counts
+        aggregation, one offset-assignment window and one staged write
+        for ALL batches (round-11 optimization, guide §1.2: the
+        per-append preamble and the window+write job were paid once per
+        batch for the same total bytes).
+
+        Equivalence to sequential appends: within a partition the window
+        orders by (``batch_col``, ``order_col``), so batch b's rows get
+        dense offsets starting exactly at the watermark left by batch
+        b-1 — the same numbers per-batch windows over updated watermarks
+        assign. Each batch still lands as its own manifest version with
+        its own files and post-batch watermarks (snapshot isolation and
+        time travel see identical states), published in batch order
+        through the same conditional-PUT race as ``append``.
+
+        Multi-writer safety: offsets for every staged batch assume the
+        snapshot taken at stage time, so a conflict on ANY version
+        invalidates the remaining batches' files (they stay orphaned and
+        invisible, vacuum's job); the loop re-snapshots and re-stages
+        only the uncommitted batches. Returns the last committed version.
+        """
+        writer_id = writer_id or uuid.uuid4().hex[:8]
+        batch = records.localCheckpoint(eager=True)  # pin across retries
+        counts: dict[int, dict[int, int]] = {}
+        for r in (
+            batch.groupBy(batch_col, "partition")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        ):
+            counts.setdefault(r[batch_col], {})[int(r["partition"])] = r["cnt"]
+        remaining = sorted(counts)
+        spark = records.sparkSession
+        version = self._versions()[-1] if self._versions() else -1
+        for attempt in range(max_retries):
+            if not remaining:
+                return version
+            version, watermarks, _files, _txns = self._replay()
+            sub = (
+                batch
+                if len(remaining) == len(counts)
+                else batch.filter(F.col(batch_col).isin(list(remaining)))
+            )
+            hwm = spark.createDataFrame(
+                [(int(p), int(n)) for p, n in watermarks.items()],
+                "partition int, high_watermark long",
+            )
+            # ONE window over (partition) ordered by (batch, order): each
+            # batch's block is contiguous, so its offsets are dense and
+            # start at the previous batch's end — identical to per-batch
+            # assign_dense_offsets against rolling watermarks
+            w = Window.partitionBy("partition").orderBy(batch_col, order_col)
+            assigned = (
+                sub.withColumn(
+                    "__rel", (F.row_number().over(w) - 1).cast("long")
+                )
+                .join(F.broadcast(hwm), "partition", "left")
+                .withColumn(
+                    "offset",
+                    F.coalesce(F.col("high_watermark"), F.lit(0))
+                    + F.col("__rel"),
+                )
+                .select(batch_col, *LOG_COLUMNS)
+            )
+            stage_tag = f"{writer_id}-{uuid.uuid4().hex[:8]}-{attempt}"
+            stage_dir = os.path.join(self.root, "_staging", stage_tag)
+            # same no-repartition rationale as append(): the window
+            # already hash-partitioned by `partition`; within a partition
+            # offset order IS (batch, order) order, so one sort serves
+            # every batch subtree
+            (
+                assigned.sortWithinPartitions("partition", "offset")
+                .write.mode("overwrite")
+                .partitionBy(batch_col, "partition")
+                .parquet(stage_dir)
+            )
+            conflicted = False
+            for i, b in enumerate(list(remaining)):
+                sub_stage = os.path.join(stage_dir, f"{batch_col}={b}")
+                new_files = self._publish_staged(
+                    sub_stage, f"{stage_tag}-b{i}"
+                )
+                new_marks = dict(watermarks)
+                for p, cnt in counts[b].items():
+                    new_marks[p] = new_marks.get(p, 0) + cnt
+                manifest = {
+                    "version": version + 1,
+                    "writer": writer_id,
+                    "files": new_files,
+                    "watermarks": {str(p): n for p, n in new_marks.items()},
+                    "txn_id": None,
+                }
+                for rel in new_files:  # re-stamp just before the PUT
+                    try:
+                        os.utime(os.path.join(self.root, rel))
+                    except OSError:
+                        pass
+                try:
+                    self._try_commit(version + 1, manifest)
+                except CommitConflict:
+                    # this batch's (and all later staged) offsets assumed
+                    # the stale snapshot: orphan them, re-stage the rest
+                    conflicted = True
+                    break
+                version += 1
+                watermarks = new_marks
+                remaining.remove(b)
+                if version > 0 and version % _CHECKPOINT_EVERY == 0:
+                    self._checkpoint(version)
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            if not conflicted:
+                return version
+        raise CommitConflict(f"lost {max_retries} commit races on {self.root}")
+
     def _checkpoint(self, upto: int) -> None:
         """Fold all state ≤ upto into one checkpoint manifest so snapshot()
         stops replaying old manifests (Delta's checkpoint.parquet analog).
